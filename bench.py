@@ -1,0 +1,76 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is timed over a full execution (collect of a bounded result —
+aggregates/top-k, so driver transfer is negligible). A warmup query runs
+first so JVM/codegen startup isn't attributed to the first measurement.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from uav_streamprocessor_spark import registry
+from uav_streamprocessor_spark.session import get_spark
+
+# headline set: the flagship + one representative per operator family
+HEADLINE = [
+    "uav_class_stats",          # flagship: filter+groupBy on detections
+    "uav_frames_detections_join",  # equi-join + agg
+    "uav_segment_stats",        # broadcast range join
+    "uav_detection_rank",       # window rank
+    "tpch_q1_pricing",          # wide aggregation
+    "tpch_q3_priority",         # 3-way join + top-k
+    "tpch_q5_region_revenue",   # 5-way join
+    "rel_orders_rollup",        # grouping sets
+    "ev_hourly_tumbling",       # time windows
+    "ev_session_windows",       # session windows
+    "dedup_docs_exact",         # hash dedup
+    "dedup_minhash_neardups",   # minhash LSH + verify
+    "text_tfidf_top_terms",     # explode + two-level agg
+    "emb_knn_bruteforce",       # vector top-k
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="bench")
+
+    qmap = registry.queries()
+    # warmup: build views + run the flagship once (JVM/codegen warm)
+    qmap["uav_class_stats"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        n = df.count() if name.startswith("uav_keyframe") else len(df.collect())
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

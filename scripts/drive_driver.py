@@ -1,0 +1,55 @@
+"""Simulate the driver: import __spark_entry__ by path, run entry() smoke,
+then every queries() entry at sf0.01 against its oracle_sql() via DuckDB."""
+import importlib.util, math, sys
+
+spec = importlib.util.spec_from_file_location("__spark_entry__", "/root/repo/__spark_entry__.py")
+mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(mod)
+
+from pyspark.sql import SparkSession
+# driver-like plain session (NOT our tuned builder — prove conf independence)
+spark = (SparkSession.builder.master("local[8]")
+         .config("spark.sql.session.timeZone","UTC")
+         .config("spark.ui.enabled","false").getOrCreate())
+spark.sparkContext.setLogLevel("ERROR")
+
+df = mod.entry(spark)
+rows = df.collect()
+print(f"ENTRY OK: {len(rows)} rows, schema={df.columns}", flush=True)
+
+import duckdb
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+def norm(v):
+    if isinstance(v, float):
+        return "nan" if math.isnan(v) else round(v, 9)
+    return v
+
+q, o = mod.queries(), mod.oracle_sql()
+n_ok = n_rows_only = 0
+fails = []
+for name, fn in q.items():
+    sdf = fn(spark, SF)
+    srows = [tuple(r) for r in sdf.collect()]
+    if name not in o:
+        n_rows_only += 1
+        print(f"  rows-only {name}: {len(srows)} rows", flush=True)
+        continue
+    rel = con.sql(o[name])
+    drows, dcols = rel.fetchall(), rel.columns
+    scols = sdf.columns
+    ok = sorted(scols) == sorted(dcols) and len(srows) == len(drows)
+    if ok:
+        idx_s = sorted(range(len(scols)), key=lambda i: scols[i])
+        idx_d = sorted(range(len(dcols)), key=lambda i: dcols[i])
+        cs = sorted([tuple(norm(r[i]) for i in idx_s) for r in srows], key=repr)
+        cd = sorted([tuple(norm(r[i]) for i in idx_d) for r in drows], key=repr)
+        ok = cs == cd
+    if ok: n_ok += 1
+    else: fails.append(name)
+    print(f"  {'OK  ' if ok else 'FAIL'} {name}: {len(srows)} rows", flush=True)
+print(f"RESULT: {n_ok} oracle-matched, {n_rows_only} rows-only, FAILS={fails}", flush=True)
+sys.exit(1 if fails else 0)

@@ -1,0 +1,37 @@
+"""Driver-contract smoke: entry() returns rows with a stable schema; every
+queries() key with an oracle_sql() entry is consistent."""
+
+from __future__ import annotations
+
+import importlib.util
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _load_entry():
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", REPO / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_entry_returns_rows(spark):
+    mod = _load_entry()
+    df = mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert set(df.columns) == {
+        "class_name", "n_detections", "avg_confidence", "max_confidence"
+    }
+
+
+def test_oracle_keys_subset_of_queries():
+    mod = _load_entry()
+    q = mod.queries()
+    o = mod.oracle_sql()
+    assert set(o) <= set(q)
+    assert len(q) >= 40
+    assert len(o) >= 35

@@ -1,0 +1,157 @@
+"""Multimodal column plumbing (north-star extension).
+
+Images/audio/video ride DataFrames as opaque `binary` columns with typed
+metadata structs. Decode for real codecs is stubbed (no image/audio libs
+in this container — NotImplementedError behind a capability gate); the
+Spark-side plumbing — schema, batch shape, mapInPandas signatures,
+partition strategy — is real and tested with the raw-tensor codec from
+operators/pixel.py.
+
+Scale notes: binary payloads are the dominant bytes at 100 TB. Rules
+applied here: (1) metadata-only projections never touch the binary column
+(parquet column pruning keeps payload I/O at zero); (2) filters run on
+metadata BEFORE any decode UDF; (3) payloads are never shuffle keys.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from uav_streamprocessor_spark.operators.pixel import decode_image, encode_image
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType(), False),  # image|audio|video
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+_REAL_CODECS = False  # flips when cv2/PIL/soundfile are available
+
+
+def decode_real_media(payload: bytes, mime: str) -> np.ndarray:
+    """Real-codec decode — stubbed in this container."""
+    raise NotImplementedError(
+        "image/audio codecs not available in this container; "
+        "raw-tensor codec (operators/pixel.py) is the test path"
+    )
+
+
+def media_metadata_stats(media: DataFrame) -> DataFrame:
+    """Metadata-only projection — verify with .explain() that ReadSchema
+    excludes `payload`."""
+    return (
+        media.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(F.when(F.col("payload").isNull(), 0).otherwise(1)).alias("with_payload"),
+            F.avg("width").alias("avg_width"),
+        )
+    )
+
+
+def extract_image_features(media: DataFrame) -> DataFrame:
+    """Feature extraction over image payloads via mapInPandas: mean/std
+    channel intensities + downsampled 4x4 luma fingerprint. Batch shape:
+    Arrow record batches; decode happens once per row inside the worker."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("mean_intensity", T.DoubleType(), True),
+            T.StructField("std_intensity", T.DoubleType(), True),
+            T.StructField("luma_fingerprint", T.ArrayType(T.DoubleType()), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    rows.append((mid, None, None, None))
+                    continue
+                img = decode_image(bytes(buf)).astype(np.float64)
+                luma = img.mean(axis=2)
+                h, w = luma.shape
+                fp = luma[: h - h % 4, : w - w % 4] \
+                    .reshape(4, h // 4, 4, w // 4).mean(axis=(1, 3))
+                rows.append(
+                    (mid, float(img.mean()), float(img.std()), fp.flatten().tolist())
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "mean_intensity", "std_intensity",
+                               "luma_fingerprint"]
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
+    """Batch resize (square nearest-neighbor) — the thumbnail/preprocess
+    path. Returns media_id + resized payload."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    out.append((mid, None))
+                    continue
+                img = decode_image(bytes(buf))
+                h, w = img.shape[:2]
+                ys = (np.arange(target) * h // target).clip(0, h - 1)
+                xs = (np.arange(target) * w // target).clip(0, w - 1)
+                out.append((mid, encode_image(img[ys][:, xs])))
+            yield pd.DataFrame(out, columns=["media_id", "payload"])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_video(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling contract: for real codecs this demuxes and
+    keeps every Nth frame (the decimation F1 applied inside the container);
+    with the raw codec a 'video' is a vertical stack of frames. Output one
+    row per sampled frame."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("frame_index", T.IntegerType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf, dur in zip(pdf["media_id"], pdf["payload"], pdf["duration_ms"]):
+                if buf is None:
+                    continue
+                stack = decode_image(bytes(buf))
+                n_frames = max(int(dur or 0) // 1000, 1)
+                fh = stack.shape[0] // n_frames
+                if fh == 0:
+                    continue
+                for i in range(0, n_frames, every_n):
+                    rows.append((mid, i, encode_image(stack[i * fh : (i + 1) * fh])))
+            yield pd.DataFrame(rows, columns=["media_id", "frame_index", "payload"])
+
+    return media.filter(F.col("media_type") == "video") \
+        .select("media_id", "payload", "duration_ms") \
+        .mapInPandas(run, schema=out_schema)

@@ -1,0 +1,288 @@
+"""Relational core over the star schema (SURVEY.md §2.2: joins, aggs,
+rollup/cube, pivot, set ops, windows, string/date/math functions).
+
+The reference has no relational engine (its only aggregation is two driver
+counters, uav/main.py:90-91) — this module proves the engine's relational
+depth using idiomatic DataFrame plans: broadcast for dims, map-side
+partial aggregation, TakeOrderedAndProject for top-k.
+
+Doubles in outputs are rounded (2dp money, 6dp ratios) so cross-engine
+oracle hashing is ULP-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _t(spark: SparkSession, name: str) -> DataFrame:
+    return spark.table(name)
+
+
+# --- TPC-H Q1: pricing summary report (adapted to available columns) ---
+def q1_pricing_summary(spark: SparkSession) -> DataFrame:
+    li = _t(spark, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# --- TPC-H Q3: shipping priority (3-way join + top-k) ---
+def q3_shipping_priority(spark: SparkSession) -> DataFrame:
+    cust = _t(spark, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, "orders").filter(F.col("o_orderdate") < F.lit("1998-01-01"))
+    li = _t(spark, "lineitem").filter(F.col("l_shipdate") > F.lit("1995-06-01"))
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "o_orderpriority",
+            "revenue",
+        )
+    )
+
+
+# --- TPC-H Q5-style: revenue by nation within a region ---
+def q5_local_supplier_volume(spark: SparkSession) -> DataFrame:
+    """5-way join; dims (region/nation/supplier/customer) broadcast, the
+    single shuffle is lineitem⋈orders on orderkey."""
+    region = _t(spark, "region")
+    nation = _t(spark, "nation")
+    supplier = _t(spark, "supplier")
+    customer = _t(spark, "customer")
+    orders = _t(spark, "orders")
+    li = _t(spark, "lineitem")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("n_name")
+        .agg(F.round(revenue, 2).alias("revenue"))
+    )
+
+
+def revenue_by_region(spark: SparkSession) -> DataFrame:
+    """Full rollup along region→nation of customer order revenue."""
+    nation = _t(spark, "nation")
+    region = _t(spark, "region")
+    customer = _t(spark, "customer")
+    orders = _t(spark, "orders")
+    return (
+        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.countDistinct("o_custkey").alias("n_customers"),
+        )
+    )
+
+
+def top_customers_by_revenue(spark: SparkSession, k: int = 10) -> DataFrame:
+    customer = _t(spark, "customer")
+    orders = _t(spark, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count(F.lit(1)).alias("n_orders"))
+        .join(F.broadcast(customer), F.col("o_custkey") == customer["c_custkey"])
+        .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
+        .limit(k)
+        .select("o_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
+    )
+
+
+def orders_rollup(spark: SparkSession) -> DataFrame:
+    """GROUP BY ROLLUP(status, priority) with grouping-set totals."""
+    return (
+        _t(spark, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def orders_cube(spark: SparkSession) -> DataFrame:
+    return (
+        _t(spark, "orders")
+        .withColumn("order_year", F.year("o_orderdate"))
+        .cube("o_orderstatus", "order_year")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+def lineitem_pivot_linestatus(spark: SparkSession) -> DataFrame:
+    """Pivot l_linestatus into columns (oracle expresses the same as
+    conditional aggregation)."""
+    return (
+        _t(spark, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.round(F.sum("l_quantity"), 2))
+        .withColumnsRenamed({"O": "qty_open", "F": "qty_filled"})
+    )
+
+
+def mktsegment_distinct_stats(spark: SparkSession) -> DataFrame:
+    """Exact distinct counts per nation (approx variant is a separate
+    rows-only query — sketches aren't cross-engine-stable)."""
+    customer = _t(spark, "customer")
+    nation = _t(spark, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+            F.count(F.lit(1)).alias("n_customers"),
+        )
+    )
+
+
+def approx_distinct_parts(spark: SparkSession) -> DataFrame:
+    """HLL++ approximate distinct — rows-only check (sketch results are
+    engine-specific by design)."""
+    return (
+        _t(spark, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.countDistinct("l_partkey").alias("exact_parts"),
+        )
+    )
+
+
+def customer_order_rank(spark: SparkSession) -> DataFrame:
+    """Window ranking: each customer's 3 largest orders with order-date
+    lag — rank/lag/lead over a per-customer window."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        _t(spark, "orders")
+        .withColumn("rnk", F.row_number().over(w))
+        .withColumn(
+            "prev_order_date",
+            F.lag(F.col("o_orderdate").cast("date"), 1).over(w),
+        )
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "o_custkey", "rnk", "o_orderkey",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            "prev_order_date",
+        )
+    )
+
+
+def customers_1995_and_1996(spark: SparkSession) -> DataFrame:
+    """Set op: INTERSECT of customer keys active in both years."""
+    orders = _t(spark, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.intersect(y96)
+
+
+def customers_1995_not_1996(spark: SparkSession) -> DataFrame:
+    """Set op: EXCEPT (distinct semantics — subtract)."""
+    orders = _t(spark, "orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    return y95.subtract(y96)
+
+
+def suppliers_without_lineitems(spark: SparkSession) -> DataFrame:
+    """Anti join (NOT EXISTS)."""
+    supplier = _t(spark, "supplier")
+    li = _t(spark, "lineitem").select("l_suppkey")
+    return supplier.join(li, supplier["s_suppkey"] == li["l_suppkey"], "left_anti") \
+        .select("s_suppkey", "s_name")
+
+
+def parts_like_filter(spark: SparkSession) -> DataFrame:
+    """String functions: LIKE, upper/lower, substring, length, concat."""
+    part = _t(spark, "part")
+    return (
+        part.filter(F.col("p_type").like("%BRASS%") | F.col("p_name").like("%green%"))
+        .select(
+            "p_partkey",
+            F.upper(F.col("p_brand")).alias("brand_upper"),
+            F.substring(F.col("p_type"), 1, 5).alias("type_prefix"),
+            F.length(F.col("p_name")).alias("name_len"),
+            F.concat_ws("/", F.col("p_brand"), F.col("p_type")).alias("brand_type"),
+        )
+    )
+
+
+def orders_by_month(spark: SparkSession) -> DataFrame:
+    """Date functions: year/month/quarter extraction + date_trunc."""
+    return (
+        _t(spark, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+            F.month("o_orderdate").alias("order_month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )
+
+
+def math_functions_showcase(spark: SparkSession) -> DataFrame:
+    """Math surface: abs, round, floor/ceil, mod, greatest/least, sign,
+    sqrt of exact squares (ULP-safe)."""
+    li = _t(spark, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_quantity") - 25).alias("qty_dev"),
+        F.floor("l_extendedprice").cast("long").alias("price_floor"),
+        F.ceil("l_extendedprice").cast("long").alias("price_ceil"),
+        (F.col("l_orderkey") % 7).alias("key_mod7"),
+        F.greatest("l_discount", "l_tax").alias("max_rate"),
+        F.least("l_discount", "l_tax").alias("min_rate"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+def correlated_exists_orders(spark: SparkSession) -> DataFrame:
+    """Customers whose every order exceeds a threshold — anti join against
+    the violating set (relational form of a correlated NOT EXISTS)."""
+    orders = _t(spark, "orders")
+    customer = _t(spark, "customer")
+    small = orders.filter(F.col("o_totalprice") < 50000).select("o_custkey").distinct()
+    has_orders = orders.select("o_custkey").distinct()
+    return (
+        customer.join(has_orders, customer["c_custkey"] == has_orders["o_custkey"], "left_semi")
+        .join(small, customer["c_custkey"] == small["o_custkey"], "left_anti")
+        .select("c_custkey", "c_name")
+    )

@@ -1,0 +1,161 @@
+"""Embedding similarity search over `embeddings` (north-star extension).
+
+- brute-force cosine top-k: the exactness baseline. Query set is small →
+  broadcast; the big side streams through one narrow projection. Dot
+  products run JVM-side via zip_with/aggregate (no Python in the hot path).
+- LSH-bucketed ANN: random-hyperplane signatures (sign of dot with fixed
+  seeded planes) → bucket join → exact re-rank inside buckets. At 100 TB
+  the shuffle key is the bucket code, never the vector.
+- centroids: per-label mean vector (posexplode + groupBy — the distributed
+  layout for dense aggregation).
+
+Cosine values are rounded to 6dp before ranking so Spark and the DuckDB
+oracle (list_cosine_similarity) agree despite summation-order ULP noise;
+ties break on vec_id.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# 8 planes → 256 buckets: at the test corpus size (~500-50k vectors) buckets
+# keep ~n/256 candidates; at larger corpora raise planes ~log2(n/target).
+_N_PLANES = 8
+_DIM = 64
+
+
+def _cosine(a, b):
+    dot = F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    nb = F.sqrt(
+        F.aggregate(b, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+    return dot / (na * nb)
+
+
+def knn_bruteforce(spark: SparkSession, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Exact top-k cosine neighbors for query vectors vec_id < n_queries.
+
+    Plan shape: broadcast(queries) ⋈ all vectors (map-side, no shuffle of
+    the corpus) → per-query window top-k. Excludes self-matches."""
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    joined = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    sim = F.round(_cosine(F.col("qvec"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        joined.select("query_id", "vec_id", "label", sim.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def label_centroid_stats(spark: SparkSession) -> DataFrame:
+    """Per-label centroid statistics via posexplode → groupBy(label, pos).
+    Output: label, n vectors, rounded centroid norm and first component —
+    scalar projections of the centroid, ULP-stabilized for the oracle."""
+    emb = spark.table("embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("label", "pos", "v")
+    cent = exploded.groupBy("label", "pos").agg(
+        F.avg("v").alias("c"), F.count(F.lit(1)).alias("n")
+    )
+    return (
+        cent.groupBy("label")
+        .agg(
+            F.min("n").alias("n_vectors"),
+            F.round(F.sqrt(F.sum(F.col("c") * F.col("c"))), 6).alias("centroid_norm"),
+            F.round(F.sum(F.when(F.col("pos") == 0, F.col("c")).otherwise(0.0)), 6)
+              .alias("centroid_c0"),
+        )
+    )
+
+
+def _planes() -> np.ndarray:
+    rng = np.random.RandomState(7)
+    return rng.standard_normal((_N_PLANES, _DIM))
+
+
+def lsh_bucket_codes(spark: SparkSession) -> DataFrame:
+    """Random-hyperplane LSH code per vector, computed with built-in
+    aggregate over literal plane arrays (JVM-side; planes are constants
+    folded into the plan)."""
+    emb = spark.table("embeddings")
+    planes = _planes()
+    bits = []
+    for i in range(_N_PLANES):
+        plane = F.array(*[F.lit(float(x)) for x in planes[i]])
+        dot = F.aggregate(
+            F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return emb.select("vec_id", "label", "embedding", code.alias("bucket"))
+
+
+def ann_lsh_topk(
+    spark: SparkSession, n_queries: int = 5, k: int = 5, max_hamming: int = 2
+) -> DataFrame:
+    """Approximate top-k with multi-probe LSH: candidates are vectors whose
+    bucket code is within `max_hamming` bits of the query's (probing
+    neighbor buckets recovers recall lost to boundary effects). Exact
+    cosine re-rank inside the candidate set. The broadcast keeps the big
+    side map-local; candidate count ≈ n * C(planes, ≤h) / 2^planes."""
+    coded = lsh_bucket_codes(spark)
+    queries = coded.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("bucket").alias("qbucket"),
+    )
+    cands = coded.join(
+        F.broadcast(queries),
+        (F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= max_hamming)
+        & (F.col("vec_id") != F.col("query_id")),
+    )
+    sim = F.round(_cosine(F.col("qvec"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        cands.select("query_id", "vec_id", "label", sim.alias("cosine"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+
+
+def embedding_norm_stats(spark: SparkSession) -> DataFrame:
+    """Per-label norm distribution — the sanity projection for vector
+    columns (norms via aggregate, fully JVM-side)."""
+    emb = spark.table("embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return (
+        emb.select("label", norm.alias("norm"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("norm"), 6).alias("avg_norm"),
+            F.round(F.min("norm"), 6).alias("min_norm"),
+            F.round(F.max("norm"), 6).alias("max_norm"),
+        )
+    )

@@ -1,0 +1,139 @@
+"""Text-analysis operators over `documents` (north-star extension).
+
+Token counting, quality scoring, language-ID heuristic, word counts,
+TF-IDF — all with built-in string/array functions (JVM-side); no Python
+in any hot path. Counting idioms use length-difference arithmetic
+(length(x) - length(replace(x, t, ''))) which is exact, codegen'd, and
+portable to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def _occurrences(col, token: str):
+    """# of occurrences of `token` via length arithmetic (no regex —
+    deterministic and cross-engine)."""
+    tl = len(token)
+    return (F.length(col) - F.length(F.replace(col, F.lit(token)))) / tl
+
+
+def token_stats(spark: SparkSession) -> DataFrame:
+    """Whitespace token counts + char stats per doc."""
+    docs = spark.table("documents")
+    n_tokens = (_occurrences(F.col("text"), " ") + 1).cast("long")
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.length("text").alias("n_chars_actual"),
+        n_tokens.alias("n_tokens"),
+        F.round(F.length("text") / n_tokens, 6).alias("avg_token_len"),
+    )
+
+
+def quality_scores(spark: SparkSession) -> DataFrame:
+    """Quality scoring: stopword ratio, mean word length, length score —
+    the heuristics a pretraining pipeline gates on."""
+    docs = spark.table("documents")
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n_tokens = (_occurrences(text, " ") + 1).cast("double")
+    stop_hits = (
+        _occurrences(padded, " the ")
+        + _occurrences(padded, " a ")
+        + _occurrences(padded, " of ")
+        + _occurrences(padded, " and ")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.round(stop_hits / n_tokens, 6).alias("stopword_ratio"),
+        F.round(F.length(text) / n_tokens, 6).alias("mean_word_len"),
+        F.when(F.length(text) >= 200, 1.0)
+        .when(F.length(text) >= 50, 0.5)
+        .otherwise(0.0)
+        .alias("length_score"),
+    )
+
+
+def language_id_heuristic(spark: SparkSession) -> DataFrame:
+    """Character-frequency language-ID heuristic and its confusion counts
+    against the labeled lang column. (The corpus is synthetic English-ish
+    text for all langs, so accuracy is meaningless — the point is the
+    operator shape: per-doc feature extraction → argmax over scores →
+    confusion matrix, all relational.)"""
+    docs = spark.table("documents")
+    t = F.lower(F.col("text"))
+    n = F.length(t).cast("double")
+    e_ratio = _occurrences(t, "e") / n
+    z_ratio = _occurrences(t, "z") / n
+    q_ratio = _occurrences(t, "q") / n
+    pred = (
+        F.when(z_ratio > 0.01, F.lit("zh"))
+        .when(q_ratio > 0.01, F.lit("fr"))
+        .when(e_ratio > 0.09, F.lit("en"))
+        .otherwise(F.lit("other"))
+    )
+    return (
+        docs.select(F.col("lang").alias("actual_lang"), pred.alias("predicted_lang"))
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def word_counts(spark: SparkSession, k: int = 20) -> DataFrame:
+    """Classic distributed word count, top-k by frequency: split → explode
+    → groupBy (map-side combine) → TakeOrderedAndProject."""
+    docs = spark.table("documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    return (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+def tf_idf_top_terms(spark: SparkSession, k: int = 30) -> DataFrame:
+    """TF-IDF with exact DF counts: tf = in-doc count, idf =
+    ln((N+1)/(df+1)). Two shuffles (doc-term, term); idf side is tiny →
+    broadcast back. Top-k terms by best tf-idf."""
+    docs = spark.table("documents")
+    n_docs = docs.count()  # scalar; at scale: a broadcast scalar subquery
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    tf = terms.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    idf = df_.select(
+        "word", F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)).alias("idf")
+    )
+    scored = tf.join(F.broadcast(idf), "word").select(
+        "word", "doc_id", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")
+    )
+    return (
+        scored.groupBy("word")
+        .agg(F.round(F.max("tfidf"), 6).alias("best_tfidf"))
+        .orderBy(F.col("best_tfidf").desc(), F.col("word"))
+        .limit(k)
+    )
+
+
+def doc_stats_by_lang_source(spark: SparkSession) -> DataFrame:
+    """Grouped doc-quality dashboard: per (lang, source) char totals and
+    extremes."""
+    docs = spark.table("documents")
+    return (
+        docs.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        )
+    )

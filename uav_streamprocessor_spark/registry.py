@@ -1,0 +1,987 @@
+"""Query registry: every implemented operator (SURVEY.md §2) exposed as a
+named query + its DuckDB oracle SQL.
+
+Design: the UAV-domain tables (frames/detections/segments) derive from the
+driver corpus via cross-engine SQL (fixtures.py), so the oracle recomputes
+the *same* fixture and the *same* semantics in DuckDB — row-count, schema,
+and value-hash checked by the driver. Queries whose semantics aren't
+SQL-expressible (pixel UDFs, sketches, LSH internals) carry oracle=None →
+rows-only check + pytest coverage.
+
+Conventions for hash-stability across engines (see fixtures.py docstring):
+aggregates of doubles rounded (2dp money, 6dp ratios); sums of integers
+CAST to BIGINT in DuckDB (its sum() widens to HUGEINT); timestamps leave
+as epoch seconds or DATE; LIMIT always paired with a unique ORDER BY.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+from uav_streamprocessor_spark import fixtures
+from uav_streamprocessor_spark.fixtures import register_uav_views, with_fixture_ctes
+from uav_streamprocessor_spark.functions.geometry import with_letterbox_geometry
+from uav_streamprocessor_spark.operators import (
+    dedup,
+    events_ops,
+    relational,
+    similarity,
+    text,
+    uav_core,
+)
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    build: QueryFn
+    oracle: str | None
+    notes: str = ""
+
+
+_SPECS: list[QuerySpec] = []
+
+
+def _register(name: str, oracle: str | None, notes: str = ""):
+    def deco(fn):
+        def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+            register_uav_views(spark, sf_dir)
+            return fn(spark)
+
+        _SPECS.append(QuerySpec(name, wrapped, oracle, notes))
+        return fn
+
+    return deco
+
+
+# the detections-side filters used in several oracles
+# (class whitelist frame_processing.py:103, threshold :93)
+_DET_FILTER = "class_name IN ('car', 'person') AND confidence >= 0.4"
+
+
+# ===========================================================================
+# UAV surface
+# ===========================================================================
+
+_register(
+    "uav_keyframe_decimation",
+    with_fixture_ctes(
+        """
+SELECT camera_id, frame_number, width, height, fps, source_file
+FROM frames WHERE frame_number % 30 = 0
+"""
+    ),
+    notes="F1 every-Nth filter (uav/main.py:116)",
+)(lambda spark: uav_core.keyframes(spark.table("frames")).select(
+    "camera_id", "frame_number", "width", "height", "fps", "source_file"))
+
+
+_register(
+    "uav_frame_counters",
+    with_fixture_ctes(
+        """
+SELECT camera_id,
+       CAST(count(*) AS BIGINT) AS total_frames,
+       CAST(sum(CASE WHEN frame_number % 30 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS keyframes
+FROM frames GROUP BY camera_id
+"""
+    ),
+    notes="A1 counters (uav/main.py:90-91,141)",
+)(lambda spark: uav_core.frame_counters(spark.table("frames")))
+
+
+_register(
+    "uav_letterbox_geometry",
+    with_fixture_ctes(
+        """
+SELECT DISTINCT camera_id, width, height,
+  least(640.0 / width, 640.0 / height) AS scale,
+  CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT) AS new_w,
+  CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT) AS new_h,
+  CAST(floor((640 - CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS pad_top,
+  CAST(640 - CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT)
+       - CAST(floor((640 - CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS INT) AS pad_bottom,
+  CAST(floor((640 - CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS pad_left,
+  CAST(640 - CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT)
+       - CAST(floor((640 - CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS INT) AS pad_right
+FROM frames
+"""
+    ),
+    notes="T1 geometry shadow (uav/frame_processing.py:29-39)",
+)(lambda spark: with_letterbox_geometry(spark.table("frames")).select(
+    "camera_id", "width", "height", "scale", "new_w", "new_h",
+    "pad_top", "pad_bottom", "pad_left", "pad_right").distinct())
+
+
+_register(
+    "uav_detections_filtered",
+    with_fixture_ctes(
+        f"""
+SELECT det_id, camera_id, frame_number, class_name, class_id, confidence,
+       x_min, y_min, x_max, y_max
+FROM detections WHERE {_DET_FILTER}
+"""
+    ),
+    notes="T2 relational filters (uav/frame_processing.py:93,103)",
+)(lambda spark: uav_core.filter_detections(spark.table("detections")).select(
+    "det_id", "camera_id", "frame_number", "class_name", "class_id",
+    "confidence", "x_min", "y_min", "x_max", "y_max"))
+
+
+_register(
+    "uav_class_stats",
+    with_fixture_ctes(
+        f"""
+SELECT class_name,
+       CAST(count(*) AS BIGINT) AS n_detections,
+       round(avg(confidence), 6) AS avg_confidence,
+       round(max(confidence), 6) AS max_confidence
+FROM detections WHERE {_DET_FILTER}
+GROUP BY class_name
+"""
+    ),
+    notes="flagship M1 (SURVEY.md §7)",
+)(lambda spark: uav_core.class_stats(spark.table("detections")))
+
+
+_register(
+    "uav_frames_detections_join",
+    with_fixture_ctes(
+        f"""
+SELECT f.camera_id, f.frame_number, f.width, f.height,
+       CAST(count(*) AS BIGINT) AS n_boxes,
+       round(max(d.confidence), 6) AS best_confidence
+FROM frames f
+JOIN detections d
+  ON d.camera_id = f.camera_id AND d.frame_number = f.frame_number
+WHERE f.frame_number % 30 = 0 AND d.{_DET_FILTER}
+GROUP BY f.camera_id, f.frame_number, f.width, f.height
+"""
+    ),
+    notes="equi-join form of main.py:125-134 pairing",
+)(lambda spark: uav_core.frames_with_detection_stats(
+    spark.table("frames"), spark.table("detections")))
+
+
+_register(
+    "uav_frames_without_detections",
+    with_fixture_ctes(
+        f"""
+SELECT f.camera_id, f.frame_number, f.width, f.height
+FROM frames f
+WHERE f.frame_number % 30 = 0 AND NOT EXISTS (
+  SELECT 1 FROM detections d
+  WHERE d.camera_id = f.camera_id AND d.frame_number = f.frame_number
+    AND d.{_DET_FILTER}
+)
+"""
+    ),
+    notes="anti join; zero-detection keyframes (uav/main.py:128-129)",
+)(lambda spark: uav_core.keyframes_without_detections(
+    spark.table("frames"), spark.table("detections")))
+
+
+_register(
+    "uav_frames_with_detections",
+    with_fixture_ctes(
+        f"""
+SELECT f.camera_id, f.frame_number, f.width, f.height
+FROM frames f
+WHERE f.frame_number % 30 = 0 AND EXISTS (
+  SELECT 1 FROM detections d
+  WHERE d.camera_id = f.camera_id AND d.frame_number = f.frame_number
+    AND d.{_DET_FILTER}
+)
+"""
+    ),
+    notes="semi join (EXISTS)",
+)(lambda spark: uav_core.keyframes_with_detections(
+    spark.table("frames"), spark.table("detections")))
+
+
+_register(
+    "uav_segment_stats",
+    with_fixture_ctes(
+        """
+SELECT f.camera_id, s.segment_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       min(f.frame_number) AS first_frame,
+       max(f.frame_number) AS last_frame
+FROM frames f
+JOIN segments s
+  ON s.camera_id = f.camera_id
+ AND f.frame_number >= s.start_frame AND f.frame_number < s.end_frame
+GROUP BY f.camera_id, s.segment_id
+"""
+    ),
+    notes="U2 range join (uav/video_splitter.py:27-79)",
+)(lambda spark: uav_core.segment_stats(
+    spark.table("frames"), spark.table("segments")))
+
+
+_register(
+    "uav_segment_reassembly",
+    with_fixture_ctes(
+        """
+SELECT camera_id, frame_number FROM frames
+EXCEPT ALL
+SELECT f.camera_id, f.frame_number
+FROM frames f
+JOIN segments s
+  ON s.camera_id = f.camera_id
+ AND f.frame_number >= s.start_frame AND f.frame_number < s.end_frame
+"""
+    ),
+    notes="set-op lossless-split proof (empty result)",
+)(lambda spark: uav_core.segment_reassembly_diff(
+    spark.table("frames"), spark.table("segments")))
+
+
+_register(
+    "uav_detection_rank",
+    with_fixture_ctes(
+        f"""
+SELECT camera_id, rnk, det_id, frame_number, class_name,
+       round(confidence, 6) AS confidence
+FROM (
+  SELECT camera_id, det_id, frame_number, class_name, confidence,
+         row_number() OVER (PARTITION BY camera_id
+                            ORDER BY confidence DESC, det_id) AS rnk
+  FROM detections WHERE {_DET_FILTER}
+) WHERE rnk <= 5
+"""
+    ),
+    notes="window rank per camera",
+)(lambda spark: uav_core.detection_rank_per_camera(spark.table("detections")))
+
+
+_register(
+    "uav_detection_lag",
+    with_fixture_ctes(
+        """
+SELECT camera_id, frame_number, det_id,
+       round(confidence, 6) AS confidence,
+       round(lag(confidence) OVER w, 6) AS prev_confidence,
+       round(lead(confidence) OVER w, 6) AS next_confidence
+FROM detections
+WINDOW w AS (PARTITION BY camera_id ORDER BY frame_number, det_id)
+"""
+    ),
+    notes="lag/lead analytics",
+)(lambda spark: uav_core.detection_lag_lead(spark.table("detections")))
+
+
+_register(
+    "uav_running_counters",
+    with_fixture_ctes(
+        """
+SELECT camera_id, frame_number,
+       CAST(sum(CASE WHEN frame_number % 30 = 0 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY camera_id ORDER BY frame_number
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS keyframes_so_far
+FROM frames
+"""
+    ),
+    notes="running counter (uav/main.py:141)",
+)(lambda spark: uav_core.running_keyframe_counter(spark.table("frames")))
+
+
+_register(
+    "uav_filename_order",
+    with_fixture_ctes(
+        """
+SELECT camera_id, source_file,
+       CAST(regexp_extract(source_file, '([0-9]+)', 1) AS BIGINT) AS file_order_key,
+       CAST(row_number() OVER (
+         PARTITION BY camera_id
+         ORDER BY CAST(regexp_extract(source_file, '([0-9]+)', 1) AS BIGINT),
+                  source_file) - 1 AS BIGINT) AS derived_frame_number,
+       frame_number
+FROM frames
+"""
+    ),
+    notes="S1 filename-order extraction (uav/frame_reader.py:62-66)",
+)(lambda spark: uav_core.filename_order(spark.table("frames")))
+
+
+_register(
+    "uav_fps_fallback",
+    with_fixture_ctes(
+        """
+SELECT camera_id, frame_number, fps,
+       coalesce(nullif(fps, 0.0), 25.0) AS effective_fps
+FROM frames
+"""
+    ),
+    notes="fps-or-25.0 coalescing (uav/frame_processing.py:152)",
+)(lambda spark: uav_core.effective_fps(spark.table("frames")))
+
+
+_register(
+    "uav_metadata_fields",
+    with_fixture_ctes(
+        f"""
+SELECT camera_id, frame_number, det_id, class_name, class_id,
+       round(confidence, 4) AS confidence, x_min, y_min, x_max, y_max
+FROM detections WHERE {_DET_FILTER}
+"""
+    ),
+    notes="K2 wire metadata fields (uav/frame_processing.py:230-248)",
+)(lambda spark: uav_core.detection_metadata_fields(spark.table("detections")))
+
+
+_register(
+    "uav_metadata_json",
+    None,
+    notes="K2 exact JSON wire format — JSON text isn't cross-engine-stable; "
+    "field-level twin uav_metadata_fields carries the oracle",
+)(lambda spark: uav_core.detection_metadata_json(spark.table("detections")))
+
+
+_register(
+    "uav_top_confidence",
+    with_fixture_ctes(
+        f"""
+SELECT det_id, camera_id, frame_number, class_name,
+       round(confidence, 6) AS confidence
+FROM (
+  SELECT * FROM detections WHERE {_DET_FILTER}
+  ORDER BY confidence DESC, det_id LIMIT 20
+)
+"""
+    ),
+    notes="global top-k (TakeOrderedAndProject)",
+)(lambda spark: uav_core.top_confidence_global(spark.table("detections")))
+
+
+# ===========================================================================
+# Relational core (TPC-H-style)
+# ===========================================================================
+
+_register(
+    "tpch_q1_pricing",
+    """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)(lambda spark: relational.q1_pricing_summary(spark))
+
+
+_register(
+    "tpch_q3_priority",
+    """
+SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate, o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-06-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey LIMIT 10
+""",
+)(lambda spark: relational.q3_shipping_priority(spark))
+
+
+_register(
+    "tpch_q5_region_revenue",
+    """
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+GROUP BY n_name
+""",
+)(lambda spark: relational.q5_local_supplier_volume(spark))
+
+
+_register(
+    "rel_revenue_by_region",
+    """
+SELECT r_name,
+       round(sum(o_totalprice), 2) AS total_revenue,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)(lambda spark: relational.revenue_by_region(spark))
+
+
+_register(
+    "rel_top_customers",
+    """
+SELECT o_custkey, c_name, c_mktsegment, revenue, n_orders
+FROM (
+  SELECT o_custkey,
+         round(sum(o_totalprice), 2) AS revenue,
+         CAST(count(*) AS BIGINT) AS n_orders
+  FROM orders GROUP BY o_custkey
+) o JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue DESC, o_custkey LIMIT 10
+""",
+)(lambda spark: relational.top_customers_by_revenue(spark))
+
+
+_register(
+    "rel_orders_rollup",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""",
+)(lambda spark: relational.orders_rollup(spark))
+
+
+_register(
+    "rel_orders_cube",
+    """
+SELECT o_orderstatus, CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(count(*) AS BIGINT) AS n_orders
+FROM orders
+GROUP BY CUBE (o_orderstatus, CAST(year(o_orderdate) AS INT))
+""",
+)(lambda spark: relational.orders_cube(spark))
+
+
+_register(
+    "rel_pivot_linestatus",
+    """
+SELECT l_returnflag,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS qty_open,
+       round(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS qty_filled
+FROM lineitem GROUP BY l_returnflag
+""",
+)(lambda spark: relational.lineitem_pivot_linestatus(spark))
+
+
+_register(
+    "rel_distinct_segments",
+    """
+SELECT n_name,
+       CAST(count(DISTINCT c_mktsegment) AS BIGINT) AS n_segments,
+       CAST(count(*) AS BIGINT) AS n_customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+""",
+)(lambda spark: relational.mktsegment_distinct_stats(spark))
+
+
+_register(
+    "rel_approx_distinct",
+    None,
+    notes="HLL++ sketch — engine-specific by design; exact twin inside the "
+    "same result for sanity",
+)(lambda spark: relational.approx_distinct_parts(spark))
+
+
+_register(
+    "rel_customer_order_rank",
+    """
+SELECT o_custkey, rnk, o_orderkey,
+       round(o_totalprice, 2) AS o_totalprice,
+       CAST(o_orderdate AS DATE) AS o_orderdate,
+       prev_order_date
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice, o_orderdate,
+         row_number() OVER w AS rnk,
+         lag(CAST(o_orderdate AS DATE)) OVER w AS prev_order_date
+  FROM orders
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+) WHERE rnk <= 3
+""",
+)(lambda spark: relational.customer_order_rank(spark))
+
+
+_register(
+    "rel_intersect_customers",
+    """
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+)(lambda spark: relational.customers_1995_and_1996(spark))
+
+
+_register(
+    "rel_except_customers",
+    """
+SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+EXCEPT
+SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+""",
+)(lambda spark: relational.customers_1995_not_1996(spark))
+
+
+_register(
+    "rel_suppliers_no_lineitems",
+    """
+SELECT s_suppkey, s_name FROM supplier s
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_suppkey = s.s_suppkey)
+""",
+)(lambda spark: relational.suppliers_without_lineitems(spark))
+
+
+_register(
+    "rel_string_functions",
+    """
+SELECT p_partkey,
+       upper(p_brand) AS brand_upper,
+       substring(p_type, 1, 5) AS type_prefix,
+       CAST(length(p_name) AS INT) AS name_len,
+       p_brand || '/' || p_type AS brand_type
+FROM part
+WHERE p_type LIKE '%BRASS%' OR p_name LIKE '%green%'
+""",
+)(lambda spark: relational.parts_like_filter(spark))
+
+
+_register(
+    "rel_orders_by_month",
+    """
+SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+       CAST(quarter(o_orderdate) AS INT) AS order_quarter,
+       CAST(month(o_orderdate) AS INT) AS order_month,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(avg(o_totalprice), 2) AS avg_price
+FROM orders
+GROUP BY 1, 2, 3
+""",
+)(lambda spark: relational.orders_by_month(spark))
+
+
+_register(
+    "rel_math_functions",
+    """
+SELECT l_orderkey, l_linenumber,
+       abs(l_quantity - 25) AS qty_dev,
+       CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS price_ceil,
+       l_orderkey % 7 AS key_mod7,
+       greatest(l_discount, l_tax) AS max_rate,
+       least(l_discount, l_tax) AS min_rate,
+       CAST(sign(l_discount - 0.05) AS INT) AS disc_sign
+FROM lineitem
+""",
+)(lambda spark: relational.math_functions_showcase(spark))
+
+
+_register(
+    "rel_correlated_exists",
+    """
+SELECT c_custkey, c_name FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c.c_custkey AND o_totalprice < 50000)
+""",
+)(lambda spark: relational.correlated_exists_orders(spark))
+
+
+# ===========================================================================
+# Events (batch twins of the streaming surface)
+# ===========================================================================
+
+_register(
+    "ev_type_stats",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value,
+       round(avg(value), 6) AS avg_value,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+FROM events GROUP BY event_type
+""",
+)(lambda spark: events_ops.event_type_stats(spark))
+
+
+_register(
+    "ev_hourly_tumbling",
+    """
+SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS window_start_epoch,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+""",
+)(lambda spark: events_ops.hourly_tumbling_counts(spark))
+
+
+_register(
+    "ev_sliding_window",
+    """
+SELECT window_start_epoch, CAST(count(*) AS BIGINT) AS n_events
+FROM (
+  SELECT unnest([
+    CAST(floor(epoch(ts) / 1800) * 1800 AS BIGINT),
+    CAST(floor(epoch(ts) / 1800) * 1800 - 1800 AS BIGINT)
+  ]) AS window_start_epoch
+  FROM events
+) GROUP BY window_start_epoch
+""",
+)(lambda spark: events_ops.sliding_window_counts(spark))
+
+
+_register(
+    "ev_session_windows",
+    """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sessions AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS session_id
+  FROM marked
+)
+SELECT user_id,
+       CAST(floor(epoch(min(ts))) AS BIGINT) AS session_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM sessions GROUP BY user_id, session_id
+""",
+    notes="session_window() batch form vs gaps-and-islands oracle",
+)(lambda spark: events_ops.session_windows_per_user(spark))
+
+
+_register(
+    "ev_json_props",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS min_k,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT)) AS INT) AS max_k
+FROM events GROUP BY event_type
+""",
+)(lambda spark: events_ops.json_props_extract(spark))
+
+
+_register(
+    "ev_dedup_exact",
+    """
+SELECT user_id, event_type, event_id, round(value, 2) AS value
+FROM (
+  SELECT user_id, event_type, event_id, value,
+         row_number() OVER (PARTITION BY user_id, event_type
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+) WHERE rn = 1
+""",
+)(lambda spark: events_ops.dedup_events_exact(spark))
+
+
+_register(
+    "ev_user_daily_running",
+    """
+SELECT user_id, CAST(ts AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(count(*)) OVER (PARTITION BY user_id ORDER BY CAST(ts AS DATE)
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS running_events
+FROM events GROUP BY user_id, CAST(ts AS DATE)
+""",
+)(lambda spark: events_ops.user_activity_rollup(spark))
+
+
+# ===========================================================================
+# Dedup / text / similarity (north-star extensions)
+# ===========================================================================
+
+_register(
+    "dedup_docs_exact",
+    """
+SELECT md5(text) AS text_hash,
+       min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS BIGINT) AS n_copies
+FROM documents GROUP BY md5(text)
+""",
+)(lambda spark: dedup.dedup_exact(spark))
+
+
+_register(
+    "dedup_docs_survivors",
+    """
+SELECT doc_id, lang, source, n_chars
+FROM (
+  SELECT doc_id, lang, source, n_chars,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+  FROM documents
+) WHERE rn = 1
+""",
+)(lambda spark: dedup.dedup_survivors(spark))
+
+
+_register(
+    "dedup_fingerprints",
+    """
+SELECT doc_id, md5(text) AS fingerprint,
+       substring(md5(text), 1, 16) AS fingerprint16,
+       lang || ':' || CAST(n_chars - n_chars % 64 AS STRING) || ':'
+            || substring(md5(text), 1, 8) AS bucket_key
+FROM documents
+""",
+)(lambda spark: dedup.fingerprint_docs(spark))
+
+
+_register(
+    "dedup_minhash_candidates",
+    None,
+    notes="MinHash+LSH — signature hashing is not oracle-portable; exact-"
+    "Jaccard verification covers it in tests",
+)(lambda spark: dedup.minhash_candidates(spark))
+
+
+_register(
+    "dedup_minhash_neardups",
+    None,
+    notes="LSH candidates + exact-Jaccard verify (threshold 0.7)",
+)(lambda spark: dedup.minhash_near_duplicates(spark))
+
+
+_register(
+    "dedup_simhash_buckets",
+    None,
+    notes="64-bit SimHash collision buckets",
+)(lambda spark: dedup.simhash_buckets(spark))
+
+
+_register(
+    "dedup_ngram_jaccard",
+    None,
+    notes="word-3-gram Jaccard on bounded candidate pairs (array built-ins)",
+)(lambda spark: dedup.ngram_jaccard_pairs(spark))
+
+
+_register(
+    "text_token_stats",
+    """
+SELECT doc_id, lang,
+       CAST(length(text) AS INT) AS n_chars_actual,
+       CAST((length(text) - length(replace(text, ' ', ''))) / 1 + 1 AS BIGINT)
+         AS n_tokens,
+       round(length(text) /
+             CAST((length(text) - length(replace(text, ' ', ''))) / 1 + 1 AS BIGINT),
+             6) AS avg_token_len
+FROM documents
+""",
+)(lambda spark: text.token_stats(spark))
+
+
+_register(
+    "text_quality_scores",
+    """
+SELECT doc_id, lang,
+  round((
+      (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4
+    + (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5
+  ) / CAST((length(text) - length(replace(text, ' ', ''))) / 1 + 1 AS DOUBLE), 6)
+    AS stopword_ratio,
+  round(length(text) / CAST((length(text) - length(replace(text, ' ', ''))) / 1 + 1 AS DOUBLE), 6)
+    AS mean_word_len,
+  CASE WHEN length(text) >= 200 THEN 1.0
+       WHEN length(text) >= 50 THEN 0.5 ELSE 0.0 END AS length_score
+FROM documents
+""",
+)(lambda spark: text.quality_scores(spark))
+
+
+_register(
+    "text_lang_confusion",
+    """
+WITH scored AS (
+  SELECT lang AS actual_lang,
+    CASE
+      WHEN (length(lower(text)) - length(replace(lower(text), 'z', ''))) / CAST(length(lower(text)) AS DOUBLE) > 0.01 THEN 'zh'
+      WHEN (length(lower(text)) - length(replace(lower(text), 'q', ''))) / CAST(length(lower(text)) AS DOUBLE) > 0.01 THEN 'fr'
+      WHEN (length(lower(text)) - length(replace(lower(text), 'e', ''))) / CAST(length(lower(text)) AS DOUBLE) > 0.09 THEN 'en'
+      ELSE 'other' END AS predicted_lang
+  FROM documents
+)
+SELECT actual_lang, predicted_lang, CAST(count(*) AS BIGINT) AS n_docs
+FROM scored GROUP BY actual_lang, predicted_lang
+""",
+)(lambda spark: text.language_id_heuristic(spark))
+
+
+_register(
+    "text_word_counts",
+    """
+SELECT word, CAST(count(*) AS BIGINT) AS n
+FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+WHERE word <> ''
+GROUP BY word ORDER BY n DESC, word LIMIT 20
+""",
+)(lambda spark: text.word_counts(spark))
+
+
+_register(
+    "text_tfidf_top_terms",
+    """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+t AS (SELECT doc_id, word, count(*) AS tf FROM terms WHERE word <> '' GROUP BY 1, 2),
+d AS (SELECT word, count(DISTINCT doc_id) AS df FROM terms WHERE word <> '' GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+scored AS (
+  SELECT t.word, round(t.tf * ln((n.n_docs + 1.0) / (d.df + 1.0)), 6) AS tfidf
+  FROM t JOIN d ON t.word = d.word CROSS JOIN n
+)
+SELECT word, round(max(tfidf), 6) AS best_tfidf
+FROM scored GROUP BY word
+ORDER BY best_tfidf DESC, word LIMIT 30
+""",
+)(lambda spark: text.tf_idf_top_terms(spark))
+
+
+_register(
+    "text_stats_by_lang_source",
+    """
+SELECT lang, source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(n_chars) AS min_chars,
+       max(n_chars) AS max_chars,
+       round(avg(n_chars), 6) AS avg_chars
+FROM documents GROUP BY lang, source
+""",
+)(lambda spark: text.doc_stats_by_lang_source(spark))
+
+
+_register(
+    "emb_knn_bruteforce",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+el AS (
+  SELECT q.query_id, e.vec_id, e.label,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(e.embedding) AS DOUBLE) AS ex
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+sims AS (
+  SELECT query_id, vec_id, label,
+         round(sum(qx * ex) / (sqrt(sum(qx * qx)) * sqrt(sum(ex * ex))), 6)
+           AS cosine
+  FROM el GROUP BY query_id, vec_id, label
+)
+SELECT query_id, vec_id, label, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= 5
+""",
+    notes="brute-force cosine top-k; oracle recomputes via zip-unnest",
+)(lambda spark: similarity.knn_bruteforce(spark))
+
+
+_register(
+    "emb_label_centroids",
+    """
+WITH el AS (
+  SELECT label, vec_id,
+         generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (
+  SELECT label, pos, avg(v) AS c, count(*) AS n FROM el GROUP BY label, pos
+)
+SELECT label,
+       CAST(min(n) AS BIGINT) AS n_vectors,
+       round(sqrt(sum(c * c)), 6) AS centroid_norm,
+       round(sum(CASE WHEN pos = 0 THEN c ELSE 0.0 END), 6) AS centroid_c0
+FROM cent GROUP BY label
+""",
+)(lambda spark: similarity.label_centroid_stats(spark))
+
+
+_register(
+    "emb_norm_stats",
+    """
+WITH norms AS (
+  SELECT label, vec_id, sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS norm
+  FROM (SELECT label, vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY label, vec_id
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(norm), 6) AS avg_norm,
+       round(min(norm), 6) AS min_norm,
+       round(max(norm), 6) AS max_norm
+FROM norms GROUP BY label
+""",
+)(lambda spark: similarity.embedding_norm_stats(spark))
+
+
+_register(
+    "emb_ann_lsh",
+    None,
+    notes="random-hyperplane LSH ANN — recall vs brute force asserted in "
+    "tests; sign-of-dot isn't ULP-portable",
+)(lambda spark: similarity.ann_lsh_topk(spark))
+
+
+def all_specs() -> list[QuerySpec]:
+    return list(_SPECS)
+
+
+def queries() -> dict[str, QueryFn]:
+    return {s.name: s.build for s in _SPECS}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}
+
+
+def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """entry() target: the M1 flagship — per-class detection stats on
+    keyframes (SURVEY.md §7)."""
+    register_uav_views(spark, sf_dir)
+    return uav_core.class_stats(spark.table("detections"))
+
+
+__all__ = [
+    "QuerySpec",
+    "all_specs",
+    "queries",
+    "oracle_sql",
+    "flagship",
+    "fixtures",
+]
