@@ -1,0 +1,187 @@
+"""Structured Streaming surface: file-stream replay of events, windowed
+aggs with watermark, session windows, streaming dedup, stateful counters,
+and the K1/K2 foreachBatch sinks — all driven with availableNow triggers
+against memory sinks."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from uav_streamprocessor_spark.config import PipelineConfig
+from uav_streamprocessor_spark.streaming.pipeline import (
+    session_event_counts,
+    sliding_event_counts,
+    stateful_frame_counters,
+    streaming_dedup,
+    streaming_keyframes,
+    windowed_event_counts,
+)
+from uav_streamprocessor_spark.streaming.sinks import (
+    HttpSenderSink,
+    OrderedRecorderSink,
+)
+from uav_streamprocessor_spark.streaming.sources import (
+    prepare_event_stream_dir,
+    stream_events,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("evstream")
+    return prepare_event_stream_dir(spark, SF_SMALL, str(d), n_slices=6)
+
+
+def _run_to_memory(df, name, tmp_path, output_mode="append"):
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_file_stream_replays_all_events(spark, stream_dir, tmp_path):
+    ev = stream_events(spark, stream_dir)
+    q = _run_to_memory(ev.select("event_id"), "all_events", tmp_path)
+    n = spark.sql("SELECT count(*) c FROM all_events").collect()[0]["c"]
+    total = spark.read.parquet(f"{stream_dir}").count()
+    assert n == total
+    assert q.lastProgress is not None
+
+
+def test_windowed_counts_match_batch(spark, stream_dir, tmp_path):
+    ev = stream_events(spark, stream_dir)
+    _run_to_memory(
+        windowed_event_counts(ev), "hourly_stream", tmp_path, "append"
+    )
+    got = {
+        (r["window_start_epoch"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM hourly_stream").collect()
+    }
+    # batch twin over the same data (only windows the watermark finalized)
+    batch = spark.read.parquet(stream_dir)
+    expected_all = {
+        (r["ws"], r["event_type"]): (r["n"], r["tv"])
+        for r in batch.groupBy(
+            F.unix_timestamp(F.window("ts", "1 hour").start).alias("ws"),
+            "event_type",
+        )
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("tv"))
+        .collect()
+    }
+    assert got, "stream produced no finalized windows"
+    for k, v in got.items():
+        assert expected_all[k] == v  # every emitted window is exactly right
+
+
+def test_session_and_sliding_run(spark, stream_dir, tmp_path):
+    ev = stream_events(spark, stream_dir)
+    _run_to_memory(sliding_event_counts(ev), "sliding_stream", tmp_path)
+    _run_to_memory(session_event_counts(ev), "session_stream", tmp_path)
+    assert spark.sql("SELECT count(*) c FROM sliding_stream").collect()[0]["c"] > 0
+    assert spark.sql("SELECT count(*) c FROM session_stream").collect()[0]["c"] > 0
+
+
+def test_streaming_dedup_bounded_state(spark, stream_dir, tmp_path):
+    ev = stream_events(spark, stream_dir)
+    _run_to_memory(
+        streaming_dedup(ev).select("user_id", "event_type", "event_id"),
+        "dedup_stream",
+        tmp_path,
+    )
+    rows = spark.sql("SELECT user_id, event_type, count(*) c FROM dedup_stream "
+                     "GROUP BY 1,2 HAVING c > 1").collect()
+    # within-watermark duplicates must be gone; far-apart repeats may remain
+    ev_batch = spark.read.parquet(stream_dir)
+    n_keys = ev_batch.select("user_id", "event_type").distinct().count()
+    n_out = spark.sql("SELECT count(*) c FROM dedup_stream").collect()[0]["c"]
+    assert n_out >= n_keys  # at least one row per live key
+    assert n_out < ev_batch.count()  # and real dedup happened
+
+
+def test_stateful_counters(spark, tmp_path):
+    # bounded "stream" of frames via file stream over one parquet dir
+    frames = spark.createDataFrame(
+        [(f"cam{c}", n) for c in range(2) for n in range(100)],
+        "camera_id string, frame_number long",
+    )
+    src = tmp_path / "frames_src"
+    frames.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema("camera_id string, frame_number long").parquet(str(src))
+    out = stateful_frame_counters(sdf)
+    _run_to_memory(out, "counters_stream", tmp_path, "update")
+    rows = {
+        r["camera_id"]: (r["total_frames"], r["keyframes"])
+        for r in spark.sql(
+            "SELECT camera_id, max(total_frames) total_frames, max(keyframes) keyframes "
+            "FROM counters_stream GROUP BY camera_id"
+        ).collect()
+    }
+    assert rows == {"cam0": (100, 4), "cam1": (100, 4)}  # 0,30,60,90
+
+
+def test_streaming_keyframe_decimation(spark, tmp_path):
+    frames = spark.createDataFrame(
+        [("cam0", n) for n in range(120)], "camera_id string, frame_number long"
+    )
+    src = tmp_path / "frames_dec"
+    frames.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema("camera_id string, frame_number long").parquet(str(src))
+    _run_to_memory(streaming_keyframes(sdf), "kf_stream", tmp_path)
+    nums = sorted(
+        r["frame_number"] for r in spark.sql("SELECT * FROM kf_stream").collect()
+    )
+    assert nums == [0, 30, 60, 90]
+
+
+def test_http_sender_sink_at_least_once(spark, tmp_path):
+    sent = []
+
+    def fake_post(url, image, metadata, timeout):
+        if len(sent) == 2:
+            sent.append(("fail", None))
+            raise OSError("boom")  # one row fails → counted, not fatal
+        sent.append((url, json.loads(metadata)["frame_number"]))
+        return 200
+
+    from uav_streamprocessor_spark.plans.pipeline import sender_payloads
+    from uav_streamprocessor_spark.operators.pixel import make_test_image
+
+    frames = spark.createDataFrame(
+        [("cam0", n, 64, 36, 25.0, make_test_image(n, 36, 64)) for n in range(0, 150)],
+        "camera_id string, frame_number long, width int, height int, fps double, image binary",
+    )
+    payloads = sender_payloads(frames)
+    sink = HttpSenderSink("http://example.test/ingest", post=fake_post)
+    sink(payloads, 0)
+    assert sink.sent + sink.errors == 5  # keyframes 0,30,60,90,120
+    assert sink.errors == 1
+    with pytest.raises(ValueError):
+        HttpSenderSink("ftp://bad")  # reference URL validation
+
+
+def test_ordered_recorder_sink(spark, tmp_path):
+    frames = spark.createDataFrame(
+        [("cam0", n, 64, 36, None) for n in range(50)]
+        + [("cam0", 50, 99, 99, None)]  # size mismatch → skipped
+        + [("cam1", n, 48, 64, 30.0) for n in range(20)],
+        "camera_id string, frame_number long, width int, height int, fps double",
+    ).repartition(8)
+    sink = OrderedRecorderSink(str(tmp_path / "rec"))
+    sink(frames, 0)
+    assert sink.skipped == 1
+    lines = [
+        json.loads(line)
+        for line in open(tmp_path / "rec" / "cam0.jsonl")
+    ]
+    assert [x["frame_number"] for x in lines] == list(range(50))  # order restored
+    assert lines[0]["fps"] == 25.0  # null fps → fallback latched

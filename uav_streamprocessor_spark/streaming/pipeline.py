@@ -1,0 +1,143 @@
+"""Streaming transforms (SURVEY.md §2.2 streaming rows; §7 M4).
+
+Same column expressions as the batch twins in operators/events_ops.py and
+operators/uav_core.py, applied to readStream DataFrames — plus the
+streaming-only pieces: watermarks (late-data policy the reference lacks,
+frame_reader.py:184-190 just drops the stream), streaming dedup, and an
+applyInPandasWithState stateful counter (the principled form of the
+reference's driver-side mutable counters, uav/main.py:90-91).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from uav_streamprocessor_spark.config import DEFAULT_CONFIG, PipelineConfig
+
+
+def streaming_keyframes(
+    frames: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """F1 decimation on an unbounded stream — stateless filter, identical
+    expression to the batch operator (uav/main.py:116)."""
+    return frames.filter(F.col("frame_number") % cfg.keyframe_interval == 0)
+
+
+def windowed_event_counts(
+    events: DataFrame, window: str = "1 hour", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Tumbling event-time window with watermark: late rows beyond the
+    delay are dropped (append mode emits a window once finalized)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def sliding_event_counts(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_epoch"),
+            "n_events",
+        )
+    )
+
+
+def session_event_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "30 minutes"
+) -> DataFrame:
+    """Session windows on the stream — the same session_window operator
+    the batch twin uses (merging sessions across micro-batches is engine
+    state)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.col("user_id"), F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp(F.col("w.start")).alias("session_start_epoch"),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup with bounded state: duplicates arriving
+    within the watermark horizon are dropped; state for keys older than
+    the horizon is evicted (the unbounded-state version would OOM a real
+    cluster)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["user_id", "event_type"]
+    )
+
+
+_COUNTER_STATE_SCHEMA = "total long, keyframes long"
+_COUNTER_OUT_SCHEMA = (
+    "camera_id string, total_frames long, keyframes long"
+)
+
+
+def stateful_frame_counters(
+    frames: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """A1 as explicit streaming state: per-camera running totals via
+    applyInPandasWithState — the distributed, checkpointed form of the
+    reference's mutable driver counters (uav/main.py:90-91,141). Emits the
+    updated totals each micro-batch."""
+    interval = cfg.keyframe_interval
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        total, kf = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            total += len(pdf)
+            kf += int((pdf["frame_number"] % interval == 0).sum())
+        state.update((total, kf))
+        yield pd.DataFrame(
+            {"camera_id": [key[0]], "total_frames": [total], "keyframes": [kf]}
+        )
+
+    return frames.groupBy("camera_id").applyInPandasWithState(
+        update,
+        outputStructType=_COUNTER_OUT_SCHEMA,
+        stateStructType=_COUNTER_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def observed_stream(frames: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+    """df.observe() metrics — the zero-cost path for the reference's
+    per-100-frames progress logging (uav/main.py:144-146): metrics ride
+    the streaming query listener instead of a second aggregation."""
+    return frames.observe(
+        "frame_metrics",
+        F.count(F.lit(1)).alias("total_frames"),
+        F.sum(
+            (F.col("frame_number") % cfg.keyframe_interval == 0).cast("long")
+        ).alias("keyframes"),
+    )
