@@ -1,0 +1,87 @@
+"""Custom uav_video DataSource: batch partition planning + streaming
+offsets (S2/S3 adapter, SURVEY.md §7 'What's hard' #1)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uav_streamprocessor_spark.operators.pixel import decode_image
+from uav_streamprocessor_spark.sources.video_source import register
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def test_batch_read_two_sources(spark):
+    df = (
+        spark.read.format("uav_video")
+        .option(
+            "path",
+            "synthetic://camA?frames=95&w=64&h=36&seed=1,"
+            "synthetic://camB?frames=40&w=48&h=64&seed=2",
+        )
+        .option("framesPerPartition", "30")
+        .load()
+    )
+    assert df.count() == 135
+    # partition planning: ceil(95/30) + ceil(40/30) partitions
+    assert df.rdd.getNumPartitions() == 4 + 2
+    per_cam = {r["camera_id"]: r["n"] for r in
+               df.groupBy("camera_id").agg(F.count("*").alias("n")).collect()}
+    assert per_cam == {"camA": 95, "camB": 40}
+    # frame numbering contiguous per camera; images decodable
+    rows = df.filter("camera_id = 'camA'").orderBy("frame_number").collect()
+    assert [r["frame_number"] for r in rows] == list(range(95))
+    img = decode_image(bytes(rows[0]["image"]))
+    assert img.shape == (36, 64, 3)
+
+
+def test_batch_read_deterministic(spark):
+    opts = {"path": "synthetic://camA?frames=10&w=32&h=32&seed=9"}
+    a = spark.read.format("uav_video").options(**opts).load().collect()
+    b = spark.read.format("uav_video").options(**opts).load().collect()
+    assert sorted(map(repr, a)) == sorted(map(repr, b))
+
+
+def test_stream_read_advances_offsets(spark, tmp_path):
+    sdf = (
+        spark.readStream.format("uav_video")
+        .option("path", "synthetic://camS?frames=90&w=32&h=32&seed=3")
+        .option("framesPerBatch", "40")
+        .load()
+    )
+    q = (
+        sdf.select("camera_id", "frame_number")
+        .writeStream.format("memory")
+        .queryName("video_stream")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    nums = sorted(
+        r["frame_number"]
+        for r in spark.sql("SELECT * FROM video_stream").collect()
+    )
+    # availableNow drains one latestOffset() step: first 40 frames
+    assert nums == list(range(40))
+    assert len(nums) == len(set(nums)), "no duplicate frames across batches"
+
+
+def test_pipeline_over_video_source(spark):
+    """End-to-end: video source → decimation → letterbox+detect → flat
+    detections (the reference's full path, uav/main.py:109-141)."""
+    from uav_streamprocessor_spark.plans.pipeline import keyframe_detections_flat
+
+    df = (
+        spark.read.format("uav_video")
+        .option("path", "synthetic://camP?frames=91&w=64&h=36&seed=4")
+        .load()
+    )
+    flat = keyframe_detections_flat(df)
+    rows = flat.collect()
+    assert {r["frame_number"] for r in rows} <= {0, 30, 60, 90}
+    assert len({r["frame_number"] for r in rows}) == 4

@@ -1,0 +1,171 @@
+"""Custom Python DataSource for video ingestion (SURVEY.md §2 ops S2/S3;
+§7 'What's hard' #1).
+
+Spark has no video decode; the reference uses cv2.VideoCapture for files
+(uav/frame_reader.py:116-155) and RTSP (uav/frame_reader.py:158-199). The
+engine's adapter is a Spark 4 `pyspark.sql.datasource.DataSource`:
+
+- batch: `spark.read.format("uav_video").option("path", ...)` — one
+  partition per video/segment, frames decoded inside the partition reader
+  (executor-side, parallel across files — the reference decodes serially).
+- stream: `spark.readStream.format("uav_video")` — a
+  `DataSourceStreamReader` whose offsets are frame indices; each
+  micro-batch decodes a bounded frame range (at-least-once on replay).
+
+No video codec ships in this container, so the default decoder is the
+deterministic synthetic generator (`synthetic://` sources produce
+raw-tensor frames from a seed); a cv2-backed decoder drops in behind
+`_open_decoder` unchanged. The plumbing — partition planning, offset
+management, Arrow row emission, schema — is real and tested.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
+from pyspark.sql.types import StructType
+
+FRAME_DDL = (
+    "camera_id string, frame_number bigint, width int, height int, "
+    "fps double, image binary"
+)
+
+
+class _SyntheticDecoder:
+    """Deterministic stand-in for cv2.VideoCapture: synthesizes n_frames
+    raw-tensor frames from the source spec `synthetic://<camera>?frames=N
+    &w=W&h=H&fps=F&seed=S`."""
+
+    def __init__(self, spec: str):
+        from urllib.parse import parse_qs, urlparse
+
+        u = urlparse(spec)
+        q = {k: v[0] for k, v in parse_qs(u.query).items()}
+        self.camera_id = u.netloc or "cam0"
+        self.n_frames = int(q.get("frames", "90"))
+        self.width = int(q.get("w", "64"))
+        self.height = int(q.get("h", "36"))
+        self.fps = float(q.get("fps", "25"))
+        self.seed = int(q.get("seed", "0"))
+
+    def read(self, start: int, end: int) -> Iterator[tuple]:
+        from uav_streamprocessor_spark.operators.pixel import make_test_image
+
+        end = min(end, self.n_frames)
+        for i in range(start, end):
+            yield (
+                self.camera_id,
+                i,
+                self.width,
+                self.height,
+                self.fps,
+                make_test_image(self.seed * 100003 + i, self.height, self.width),
+            )
+
+
+def _open_decoder(spec: str):
+    if spec.startswith("synthetic://"):
+        return _SyntheticDecoder(spec)
+    raise NotImplementedError(
+        f"no video codec in this container for {spec!r}; a cv2-backed "
+        "decoder implements the same read(start, end) contract"
+    )
+
+
+class _VideoPartition(InputPartition):
+    def __init__(self, spec: str, start: int, end: int):
+        self.spec = spec
+        self.start = start
+        self.end = end
+
+
+class VideoBatchReader(DataSourceReader):
+    def __init__(self, options: dict):
+        # comma-separated source specs; frames-per-partition for splitting
+        self.specs = options.get("path", "").split(",")
+        self.frames_per_partition = int(options.get("framesPerPartition", "1000"))
+
+    def partitions(self):
+        parts = []
+        for spec in self.specs:
+            dec = _open_decoder(spec)
+            for s in range(0, dec.n_frames, self.frames_per_partition):
+                parts.append(
+                    _VideoPartition(
+                        spec, s, min(s + self.frames_per_partition, dec.n_frames)
+                    )
+                )
+        return parts
+
+    def read(self, partition: _VideoPartition):
+        dec = _open_decoder(partition.spec)
+        yield from dec.read(partition.start, partition.end)
+
+
+class VideoStreamReader(DataSourceStreamReader):
+    """Frame-index offsets: each micro-batch covers [start, end) frames
+    per source — replayable, so checkpoint recovery re-reads a batch
+    (at-least-once; the reference's RTSP loop loses frames on crash,
+    frame_reader.py:184-190)."""
+
+    def __init__(self, options: dict):
+        self.specs = options.get("path", "").split(",")
+        self.frames_per_batch = int(options.get("framesPerBatch", "30"))
+        self._decoders = {s: _open_decoder(s) for s in self.specs}
+
+    def initialOffset(self):
+        return {s: 0 for s in self.specs}
+
+    def latestOffset(self):
+        # advance each source by one batch quantum, capped at EOF
+        out = {}
+        for s, dec in self._decoders.items():
+            cur = getattr(self, "_last", {}).get(s, 0)
+            out[s] = min(cur + self.frames_per_batch, dec.n_frames)
+        self._last = out
+        return out
+
+    def partitions(self, start: dict, end: dict):
+        return [
+            _VideoPartition(s, start.get(s, 0), end.get(s, 0))
+            for s in self.specs
+            if end.get(s, 0) > start.get(s, 0)
+        ]
+
+    def read(self, partition: _VideoPartition):
+        dec = _open_decoder(partition.spec)
+        yield from dec.read(partition.start, partition.end)
+
+    def commit(self, end: dict):
+        pass
+
+    def stop(self):
+        pass
+
+
+class VideoDataSource(DataSource):
+    """`uav_video` format: batch + streaming frame source."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "uav_video"
+
+    def schema(self) -> str:
+        return FRAME_DDL
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return VideoBatchReader(self.options)
+
+    def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+        return VideoStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(VideoDataSource)
