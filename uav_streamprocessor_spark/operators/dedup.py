@@ -24,9 +24,6 @@ shingling, banding, bucket joins, verification — is pure DataFrame ops.
 
 from __future__ import annotations
 
-import hashlib
-import struct
-
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -48,18 +45,43 @@ def _perm_params(n: int = _N_PERM) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def _shingle_hashes(text: str, k: int = 5) -> np.ndarray:
-    """64-bit hashes of character k-shingles (md5-based: stable across
-    platforms and Python hash seeds)."""
-    s = text.lower()
-    if len(s) < k:
-        shingles = {s}
-    else:
-        shingles = {s[i : i + k] for i in range(len(s) - k + 1)}
-    out = np.empty(len(shingles), dtype=np.uint64)
-    for i, sh in enumerate(shingles):
-        out[i] = struct.unpack("<Q", hashlib.md5(sh.encode()).digest()[:8])[0]
-    return out
+# polynomial rolling-hash base/mixer for shingles: fixed constants →
+# deterministic across runs/platforms; uint64 wrap-around is the modulus
+_POLY_BASE = np.uint64(1099511628211)  # FNV prime
+_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _token_hashes(tokens: list[str]) -> np.ndarray:
+    """64-bit polynomial hash per token (uint64 wraparound, mixed)."""
+    th = np.empty(len(tokens), dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for i, tok in enumerate(tokens):
+            b = np.frombuffer(tok.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            h = (b * _POLY_BASE ** np.arange(b.size, dtype=np.uint64)).sum()
+            th[i] = (h ^ (h >> np.uint64(33))) * _MIX
+    return th
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """64-bit hashes of word n-gram shingles, vectorized: token hashes →
+    rolling n-gram combine (shifted-array polynomial) → unique.
+
+    Word n-grams (not char shingles, not word sets) are the similarity
+    space: the LSH *and* the exact-Jaccard verification both use them, so
+    candidate recall is measured against the same metric the verifier
+    applies. (On this corpus plain word-set Jaccard is degenerate — a
+    small shared vocabulary makes ~40% of all pairs ≥0.7 similar.)"""
+    tokens = text.lower().split()
+    if not tokens:
+        return np.zeros(1, dtype=np.uint64)
+    th = _token_hashes(tokens)
+    if th.size < n:
+        return np.unique(th[-1:])
+    with np.errstate(over="ignore"):
+        g = np.zeros(th.size - n + 1, dtype=np.uint64)
+        for j in range(n):
+            g = g * _POLY_BASE + th[j : th.size - n + 1 + j]
+    return np.unique(g)
 
 
 @pandas_udf(T.ArrayType(T.LongType()))
@@ -80,22 +102,25 @@ def minhash_signature(texts: pd.Series) -> pd.Series:
 
 @pandas_udf(T.LongType())
 def simhash64(texts: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (md5 token hashes)."""
+    """64-bit SimHash over whitespace tokens (polynomial token hashes,
+    bit-vote vectorized across all tokens of a doc at once)."""
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = (np.uint64(1) << shifts).astype(np.uint64)
     out = []
     for text in texts:
         tokens = (text or "").lower().split()
         if not tokens:
             out.append(0)
             continue
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in tokens:
-            h = struct.unpack("<Q", hashlib.md5(tok.encode()).digest()[:8])[0]
-            bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-            acc += np.where(bits.astype(bool), 1, -1)
-        sig = np.uint64(0)
-        for i in range(64):
-            if acc[i] > 0:
-                sig |= np.uint64(1) << np.uint64(i)
+        th = np.empty(len(tokens), dtype=np.uint64)
+        for i, tok in enumerate(tokens):
+            b = np.frombuffer(tok.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                h = (b * _POLY_BASE ** np.arange(b.size, dtype=np.uint64)).sum()
+                th[i] = (h ^ (h >> np.uint64(33))) * _MIX
+        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        sig = (weights * (acc > 0).astype(np.uint64)).sum(dtype=np.uint64)
         out.append(int(np.int64(sig)))
     return pd.Series(out)
 
@@ -158,7 +183,14 @@ def minhash_candidates(spark: SparkSession) -> DataFrame:
     on the band bucket. The only shuffle is on the band bucket key; all-pairs
     comparison never happens. Candidates with doc_id_a < doc_id_b, distinct.
     """
-    docs = spark.table("documents").select("doc_id", "text")
+    # small parquet files arrive as 1 partition — spread before the UDF so
+    # signature hashing uses every core (at 100 TB the scan is already
+    # parallel and this repartition is a no-op to remove)
+    docs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     sigs = docs.withColumn("sig", minhash_signature("text")).select("doc_id", "sig")
     rows_per_band = _N_PERM // _LSH_BANDS
     bands = sigs.select(
@@ -179,7 +211,10 @@ def minhash_candidates(spark: SparkSession) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_sig")
-    a = bands.alias("a")
+    # shuffle-hash (not broadcast) self-join: both sides then plan the
+    # IDENTICAL shuffle over the signature-UDF subtree, so ReusedExchange
+    # computes MinHash signatures once instead of twice
+    a = bands.alias("a").hint("shuffle_hash")
     b = bands.alias("b")
     return (
         a.join(
@@ -196,13 +231,51 @@ def minhash_candidates(spark: SparkSession) -> DataFrame:
     )
 
 
-def minhash_near_duplicates(spark: SparkSession, threshold: float = 0.7) -> DataFrame:
-    """LSH candidates verified with exact token-set Jaccard (computed with
-    built-in array functions — no UDF in the verify step)."""
-    cands = minhash_candidates(spark)
-    docs = spark.table("documents").select(
-        "doc_id", F.array_distinct(F.split(F.lower("text"), " ")).alias("toks")
+def word_ngrams(toks_col, n: int = 3):
+    """Distinct word n-grams from a MATERIALIZED token-array column.
+
+    Callers must pass a column holding an already-computed array (not an
+    inline split(...) expression): expressions referenced inside lambda
+    functions are re-evaluated per element, so an inline split would cost
+    O(tokens²) per document. See `doc_ngram_sets` for the materializing
+    pipeline."""
+    toks = F.col(toks_col) if isinstance(toks_col, str) else toks_col
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                toks,
+                lambda _, i: F.when(
+                    i + n <= F.size(toks),
+                    F.concat_ws(
+                        " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                    ),
+                ),
+            ),
+            lambda x: x.isNotNull(),
+        )
     )
+
+
+def doc_ngram_sets(spark: SparkSession, n: int = 3) -> DataFrame:
+    """doc_id → distinct word-n-gram array. The repartition between token
+    split and gram assembly is an optimizer barrier: without it Catalyst
+    collapses the projections and re-inlines split() into every lambda
+    evaluation (O(tokens²) per doc — measured 10× slower)."""
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower("text"), " ").alias("toks")
+    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    return toks.select("doc_id", word_ngrams("toks", n).alias("grams"))
+
+
+def minhash_near_duplicates(spark: SparkSession, threshold: float = 0.7) -> DataFrame:
+    """LSH candidates verified with exact word-3-gram Jaccard — the same
+    similarity space the MinHash signatures sample, so banding theory
+    applies: P(candidate | j) = 1-(1-j^4)^16 ≈ 0.99 at j=0.7. Verify step
+    is built-in array ops, no UDF."""
+    cands = minhash_candidates(spark)
+    docs = doc_ngram_sets(spark)
+    docs = docs.withColumnRenamed("grams", "toks")
     a = docs.alias("ta")
     b = docs.alias("tb")
     joined = (
@@ -224,7 +297,11 @@ def minhash_near_duplicates(spark: SparkSession, threshold: float = 0.7) -> Data
 def simhash_buckets(spark: SparkSession) -> DataFrame:
     """SimHash near-dup buckets: documents sharing a 64-bit simhash (exact
     collision = near-identical token multisets)."""
-    docs = spark.table("documents").select("doc_id", "text")
+    docs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     hashed = docs.withColumn("simhash", simhash64("text"))
     return (
         hashed.groupBy("simhash")
@@ -240,30 +317,29 @@ def ngram_jaccard_pairs(spark: SparkSession, n: int = 3) -> DataFrame:
 
     Pure built-ins: split → transform-based n-gram assembly → array
     intersect/union."""
-    docs = spark.table("documents").select("doc_id", F.lower("text").alias("t"))
-    toks = F.split(F.col("t"), " ")
-    ngrams = F.array_distinct(
-        F.filter(
-            F.transform(
-                toks,
-                lambda _, i: F.when(
-                    i + n <= F.size(toks),
-                    F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(n)]),
-                ),
-            ),
-            lambda x: x.isNotNull(),
-        )
-    )
-    g = docs.select("doc_id", ngrams.alias("grams"))
-    a = g.alias("a")
-    b = g.alias("b")
+    g = doc_ngram_sets(spark, n)
+    # equi-join on doc_id blocks instead of a range condition: a range join
+    # here plans as a nested-loop over all pairs (evaluating array ops for
+    # n² candidates); block keys make it a hash join touching only ~2n rows
+    width = 5
+    a = g.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / width),
+                F.floor(F.col("doc_id") / width) + 1,
+            )
+        ).alias("blk"),
+    ).alias("a")
+    b = g.withColumn("blk", F.floor(F.col("doc_id") / width)).alias("b")
     inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
     uni = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
     return (
-        a.join(
-            b,
+        a.join(b, "blk")
+        .filter(
             (F.col("b.doc_id") > F.col("a.doc_id"))
-            & (F.col("b.doc_id") <= F.col("a.doc_id") + 5),
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + width)
         )
         .select(
             F.col("a.doc_id").alias("doc_id_a"),

@@ -286,3 +286,66 @@ def correlated_exists_orders(spark: SparkSession) -> DataFrame:
         .join(small, customer["c_custkey"] == small["o_custkey"], "left_anti")
         .select("c_custkey", "c_name")
     )
+
+
+def customers_above_avg_balance(spark: SparkSession) -> DataFrame:
+    """Scalar subquery: balance above the global average (broadcast of a
+    1-row aggregate — no correlated re-evaluation)."""
+    customer = _t(spark, "customer")
+    avg_bal = customer.agg(F.avg("c_acctbal").alias("avg_bal"))
+    return (
+        customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .select("c_custkey", F.round("c_acctbal", 2).alias("c_acctbal"))
+    )
+
+
+def part_min_price_supplier(spark: SparkSession) -> DataFrame:
+    """TPC-H Q2-flavored: per part, the minimum offered price and the
+    lowest-keyed supplier offering it (window min + tie-break — the
+    relational form of a correlated MIN subquery)."""
+    li = _t(spark, "lineitem")
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("l_extendedprice"), F.col("l_suppkey")
+    )
+    return (
+        li.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_partkey",
+            F.round("l_extendedprice", 2).alias("min_price"),
+            F.col("l_suppkey").alias("best_suppkey"),
+        )
+    )
+
+
+def nations_with_many_customers(spark: SparkSession, min_customers: int = 5) -> DataFrame:
+    """GROUP BY + HAVING."""
+    customer = _t(spark, "customer")
+    nation = _t(spark, "nation")
+    return (
+        customer.join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"),
+             F.round(F.avg("c_acctbal"), 6).alias("avg_balance"))
+        .filter(F.col("n_customers") >= min_customers)
+    )
+
+
+def order_price_histogram(spark: SparkSession) -> DataFrame:
+    """width_bucket-style CASE bucketing of order totals → histogram."""
+    orders = _t(spark, "orders")
+    bucket = (
+        F.when(F.col("o_totalprice") < 50000, "lt_50k")
+        .when(F.col("o_totalprice") < 100000, "50k_100k")
+        .when(F.col("o_totalprice") < 200000, "100k_200k")
+        .otherwise("ge_200k")
+    )
+    return (
+        orders.groupBy(bucket.alias("price_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )

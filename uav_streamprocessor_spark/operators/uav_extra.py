@@ -1,0 +1,101 @@
+"""Additional UAV-surface operators: coordinate un-letterboxing, array
+projections of the frame→detections nesting, frame-file export (U1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from uav_streamprocessor_spark.config import DEFAULT_CONFIG, PipelineConfig
+from uav_streamprocessor_spark.functions.geometry import letterbox_columns
+from uav_streamprocessor_spark.operators.uav_core import filter_detections
+
+
+def detections_in_original_coords(
+    frames: DataFrame, detections: DataFrame, target: int = 640
+) -> DataFrame:
+    """Inverse letterbox: map detection boxes from the 640×640 canvas back
+    to original frame pixels — the operator a consumer of the reference's
+    output needs, since detection ran on the letterboxed frame
+    (uav/main.py:122-125) while the recorded video is original-size
+    (uav/main.py:113). x_orig = floor((x - pad_left) / scale), clamped to
+    the frame; all Catalyst expressions, joined via the tiny per-frame
+    geometry (broadcastable after distinct on (w, h))."""
+    geo = letterbox_columns(F.col("width"), F.col("height"), target)
+    fgeo = frames.select(
+        "camera_id",
+        "frame_number",
+        "width",
+        "height",
+        geo["scale"].alias("scale"),
+        geo["pad_left"].alias("pad_left"),
+        geo["pad_top"].alias("pad_top"),
+    )
+
+    def unmap(c, pad, limit):
+        v = F.floor((F.col(c) - F.col(pad)) / F.col("scale")).cast("int")
+        return F.least(F.greatest(v, F.lit(0)), F.col(limit))
+
+    return (
+        detections.join(fgeo, ["camera_id", "frame_number"])
+        .select(
+            "det_id",
+            "camera_id",
+            "frame_number",
+            "class_name",
+            unmap("x_min", "pad_left", "width").alias("x_min_orig"),
+            unmap("y_min", "pad_top", "height").alias("y_min_orig"),
+            unmap("x_max", "pad_left", "width").alias("x_max_orig"),
+            unmap("y_max", "pad_top", "height").alias("y_max_orig"),
+        )
+    )
+
+
+def frame_detection_summary(
+    detections: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> DataFrame:
+    """The reference's per-keyframe log line (uav/main.py:126-129):
+    len(bboxes) and the class-name list. Array built via sort_array
+    (det_id order) then projected to a string so the result is
+    engine-portable; size() = main.py:127's len()."""
+    det = filter_detections(detections, cfg)
+    per_frame = (
+        det.groupBy("camera_id", "frame_number")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("det_id", "class_name"))
+            ).alias("ds")
+        )
+    )
+    names = F.transform(F.col("ds"), lambda x: x["class_name"])
+    return per_frame.select(
+        "camera_id",
+        "frame_number",
+        F.size(F.col("ds")).alias("n_boxes"),
+        F.concat_ws(",", names).alias("class_names"),
+        F.size(F.array_distinct(names)).alias("n_distinct_classes"),
+        F.array_contains(names, "car").cast("int").alias("has_car"),
+    )
+
+
+def export_frame_files(frames_with_images: DataFrame, out_dir: str) -> int:
+    """U1 extract_frames (uav/video_splitter.py:6-25): write each frame's
+    image bytes as `frame_%05d` files under out_dir/camera_id/. Runs
+    per-partition on executors (foreachPartition) — the distributed form
+    of the reference's sequential decode-and-write loop. Returns row count
+    written (via accumulator-free count-first pattern)."""
+    import os
+
+    def write_partition(rows):
+        for r in rows:
+            d = os.path.join(out_dir, r["camera_id"])
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, f"frame_{r['frame_number']:05d}.raw"), "wb") as f:
+                f.write(bytes(r["image"]))
+
+    n = frames_with_images.count()
+    frames_with_images.select(
+        "camera_id", "frame_number", "image"
+    ).foreachPartition(write_partition)
+    return n

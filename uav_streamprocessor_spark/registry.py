@@ -985,3 +985,105 @@ __all__ = [
     "flagship",
     "fixtures",
 ]
+
+
+# ===========================================================================
+# round-1 additions: inverse letterbox, array projections, subquery forms
+# ===========================================================================
+
+from uav_streamprocessor_spark.operators import uav_extra  # noqa: E402
+
+_GEO_SUBQ = """(
+  SELECT camera_id, frame_number, width, height,
+         least(640.0 / width, 640.0 / height) AS scale,
+         CAST(floor((640 - CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS pad_left,
+         CAST(floor((640 - CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS pad_top
+  FROM frames
+) g"""
+
+_register(
+    "uav_box_original_coords",
+    with_fixture_ctes(
+        f"""
+SELECT d.det_id, d.camera_id, d.frame_number, d.class_name,
+  least(greatest(CAST(floor((d.x_min - g.pad_left) / g.scale) AS INT), 0), g.width)  AS x_min_orig,
+  least(greatest(CAST(floor((d.y_min - g.pad_top) / g.scale) AS INT), 0), g.height)  AS y_min_orig,
+  least(greatest(CAST(floor((d.x_max - g.pad_left) / g.scale) AS INT), 0), g.width)  AS x_max_orig,
+  least(greatest(CAST(floor((d.y_max - g.pad_top) / g.scale) AS INT), 0), g.height)  AS y_max_orig
+FROM detections d
+JOIN {_GEO_SUBQ}
+  ON d.camera_id = g.camera_id AND d.frame_number = g.frame_number
+"""
+    ),
+    notes="inverse letterbox: canvas coords → original frame pixels",
+)(lambda spark: uav_extra.detections_in_original_coords(
+    spark.table("frames"), spark.table("detections")))
+
+
+_register(
+    "uav_frame_detection_summary",
+    with_fixture_ctes(
+        f"""
+SELECT camera_id, frame_number,
+       CAST(count(*) AS INT) AS n_boxes,
+       string_agg(class_name, ',' ORDER BY det_id) AS class_names,
+       CAST(count(DISTINCT class_name) AS INT) AS n_distinct_classes,
+       CAST(max(CASE WHEN class_name = 'car' THEN 1 ELSE 0 END) AS INT) AS has_car
+FROM detections WHERE {_DET_FILTER}
+GROUP BY camera_id, frame_number
+"""
+    ),
+    notes="per-keyframe log line (uav/main.py:126-129): len(bboxes) + class list",
+)(lambda spark: uav_extra.frame_detection_summary(spark.table("detections")))
+
+
+_register(
+    "rel_above_avg_balance",
+    """
+SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+""",
+)(lambda spark: relational.customers_above_avg_balance(spark))
+
+
+_register(
+    "rel_part_min_price",
+    """
+SELECT l_partkey, round(l_extendedprice, 2) AS min_price,
+       l_suppkey AS best_suppkey
+FROM (
+  SELECT l_partkey, l_extendedprice, l_suppkey,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY l_extendedprice, l_suppkey) AS rn
+  FROM lineitem
+) WHERE rn = 1
+""",
+)(lambda spark: relational.part_min_price_supplier(spark))
+
+
+_register(
+    "rel_having_nations",
+    """
+SELECT n_name,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       round(avg(c_acctbal), 6) AS avg_balance
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name HAVING count(*) >= 5
+""",
+)(lambda spark: relational.nations_with_many_customers(spark))
+
+
+_register(
+    "rel_price_histogram",
+    """
+SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
+            WHEN o_totalprice < 100000 THEN '50k_100k'
+            WHEN o_totalprice < 200000 THEN '100k_200k'
+            ELSE 'ge_200k' END AS price_bucket,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1
+""",
+)(lambda spark: relational.order_price_histogram(spark))
