@@ -185,3 +185,38 @@ def test_ordered_recorder_sink(spark, tmp_path):
     ]
     assert [x["frame_number"] for x in lines] == list(range(50))  # order restored
     assert lines[0]["fps"] == 25.0  # null fps → fallback latched
+
+
+def test_full_uav_streaming_pipeline(spark, tmp_path):
+    """The reference main loop, streamed: video source → record sink +
+    keyframe→detect→send sink, both checkpointed foreachBatch."""
+    from uav_streamprocessor_spark.streaming.uav_pipeline import (
+        run_streaming_pipeline,
+    )
+
+    sent_meta = []
+
+    def fake_post(url, image, metadata, timeout):
+        sent_meta.append(json.loads(metadata))
+        return 200
+
+    sender = HttpSenderSink("http://cc.test/ingest", post=fake_post)
+    result = run_streaming_pipeline(
+        spark,
+        "synthetic://camZ?frames=90&w=64&h=36&seed=11",
+        str(tmp_path / "rec_out"),
+        str(tmp_path / "ckpt"),
+        sender=sender,
+        frames_per_batch=90,
+    )
+    # keyframes 0,30,60 → 3 payloads sent, none failed
+    assert result["sent"] == 3
+    assert result["send_errors"] == 0
+    assert {m["frame_number"] for m in sent_meta} == {0, 30, 60}
+    for m in sent_meta:
+        for d in m["detections"]:
+            assert set(d) == {"class_name", "class_id", "confidence", "box"}
+    # record branch wrote every frame in order
+    lines = [json.loads(x) for x in open(tmp_path / "rec_out" / "camZ.jsonl")]
+    assert [x["frame_number"] for x in lines] == list(range(90))
+    assert result["skipped_frames"] == 0

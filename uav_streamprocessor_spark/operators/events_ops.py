@@ -137,3 +137,38 @@ def user_activity_rollup(spark: SparkSession) -> DataFrame:
         "user_id", "day", "n_events",
         F.sum("n_events").over(w).alias("running_events"),
     )
+
+
+def map_functions_surface(spark: SparkSession) -> DataFrame:
+    """Map-typed column surface (SURVEY.md §2.2: engine exposes map_* —
+    the reference has no maps): build a map from event fields, then
+    element_at / map_keys / size back out."""
+    ev = spark.table("events")
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return ev.select(
+        "event_id",
+        F.element_at(m, "type").alias("m_type"),
+        F.element_at(m, "uid").alias("m_uid"),
+        F.size(m).alias("m_size"),
+        F.array_join(F.map_keys(m), ",").alias("m_keys"),
+    )
+
+
+def try_expressions(spark: SparkSession) -> DataFrame:
+    """Explicit error-tolerance surface (SURVEY.md §7 'What's hard' #4):
+    the reference swallows per-row failures (frame_processing.py:53-57,
+    113-115, 257-262); the engine makes that policy visible with try_*
+    expressions that yield NULL instead of failing the task."""
+    ev = spark.table("events")
+    k = F.get_json_object("props", "$.k")
+    missing = F.get_json_object("props", "$.missing")
+    return ev.select(
+        "event_id",
+        F.col("event_type").try_cast("int").alias("bad_cast"),
+        k.try_cast("int").alias("k_parsed"),
+        missing.try_cast("int").alias("k_missing"),
+        F.coalesce(k.try_cast("int"), F.lit(-1)).alias("k_or_default"),
+    )

@@ -195,3 +195,48 @@ def explode_detections(detected: DataFrame) -> DataFrame:
         "frame_number",
         F.posexplode_outer("detections").alias("pos", "d"),
     ).select("camera_id", "frame_number", "pos", "d.*")
+
+
+def letterbox_and_detect(
+    frames: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    image_col: str = "image",
+) -> DataFrame:
+    """Fused T1+T2: decode → letterbox → detect → encode in ONE
+    mapInPandas pass. The separate operators pay decode+encode twice and
+    ship the intermediate 640×640 buffer across two UDF boundaries; fused,
+    each image crosses the Arrow boundary once — the pixel path's dominant
+    cost at scale. Both unfused operators remain available for pipelines
+    that need the intermediate."""
+    out_schema = T.StructType(
+        frames.schema.fields
+        + [T.StructField("detections", T.ArrayType(BBOX_STRUCT), False)]
+    )
+    conf, classes = cfg.confidence, cfg.classes
+    target = cfg.target_resolution
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        detector = StubDetector(conf, classes)
+        for pdf in batches:
+            images, dets = [], []
+            for buf in pdf[image_col]:
+                try:
+                    boxed = letterbox_array(decode_image(bytes(buf)), target)
+                    images.append(encode_image(boxed))
+                    dets.append(detector.detect(boxed))
+                except Exception:
+                    images.append(buf)  # frame_processing.py:53-57 fallback
+                    dets.append([])     # frame_processing.py:113-115 fallback
+            pdf = pdf.copy()
+            pdf[image_col] = images
+            pdf["detections"] = [
+                [
+                    (b["x_min"], b["y_min"], b["x_max"], b["y_max"],
+                     b["confidence"], b["class_id"], b["class_name"])
+                    for b in row
+                ]
+                for row in dets
+            ]
+            yield pdf
+
+    return frames.mapInPandas(run, schema=out_schema)

@@ -99,3 +99,31 @@ def export_frame_files(frames_with_images: DataFrame, out_dir: str) -> int:
         "camera_id", "frame_number", "image"
     ).foreachPartition(write_partition)
     return n
+
+
+def camera_frame_gaps(frames: DataFrame) -> DataFrame:
+    """Per-camera continuity audit via applyInPandas (grouped-map): find
+    gaps in the frame_number sequence — the streaming-health check a real
+    deployment of the reference needs (its RTSP reader silently ends the
+    stream on a failed grab, uav/frame_reader.py:184-190).
+
+    Grouped-map is the right shape: per-camera logic needs the whole
+    ordered group; cameras are the parallelism unit."""
+    import pandas as pd
+
+    def find_gaps(pdf: pd.DataFrame) -> pd.DataFrame:
+        nums = pdf["frame_number"].sort_values().to_numpy()
+        out = []
+        if len(nums):
+            diffs = nums[1:] - nums[:-1]
+            for i in (diffs > 1).nonzero()[0]:
+                out.append((pdf["camera_id"].iloc[0], int(nums[i]),
+                            int(nums[i + 1]), int(nums[i + 1] - nums[i] - 1)))
+        return pd.DataFrame(
+            out, columns=["camera_id", "gap_after", "resume_at", "missing"]
+        )
+
+    return frames.select("camera_id", "frame_number").groupBy("camera_id").applyInPandas(
+        find_gaps,
+        schema="camera_id string, gap_after long, resume_at long, missing long",
+    )

@@ -18,9 +18,8 @@ from pyspark.sql import functions as F
 
 from uav_streamprocessor_spark.config import DEFAULT_CONFIG, PipelineConfig
 from uav_streamprocessor_spark.operators.pixel import (
-    detect_objects,
     explode_detections,
-    letterbox_udf,
+    letterbox_and_detect,
 )
 from uav_streamprocessor_spark.operators.uav_core import keyframes
 
@@ -28,11 +27,11 @@ from uav_streamprocessor_spark.operators.uav_core import keyframes
 def process_keyframes(
     frames_with_images: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
-    """The F1 → T1 → T2 branch: decimate, letterbox, detect. Returns
-    frames + detections array (pre-explode)."""
+    """The F1 → T1 → T2 branch: decimate, then fused letterbox+detect
+    (one decode/encode per image — see operators/pixel.letterbox_and_detect).
+    Returns frames + detections array (pre-explode)."""
     kf = keyframes(frames_with_images, cfg)
-    boxed = kf.withColumn("image", letterbox_udf("image"))
-    return detect_objects(boxed, cfg)
+    return letterbox_and_detect(kf, cfg)
 
 
 def keyframe_detections_flat(

@@ -1087,3 +1087,53 @@ SELECT CASE WHEN o_totalprice < 50000 THEN 'lt_50k'
 FROM orders GROUP BY 1
 """,
 )(lambda spark: relational.order_price_histogram(spark))
+
+
+_register(
+    "ev_map_functions",
+    """
+SELECT event_id,
+       event_type AS m_type,
+       CAST(user_id AS STRING) AS m_uid,
+       2 AS m_size,
+       'type,uid' AS m_keys
+FROM events
+""",
+    notes="map-typed column surface; oracle states the expected projection",
+)(lambda spark: events_ops.map_functions_surface(spark))
+
+
+_register(
+    "ev_try_expressions",
+    """
+SELECT event_id,
+       TRY_CAST(event_type AS INT) AS bad_cast,
+       TRY_CAST(json_extract_string(props, '$.k') AS INT) AS k_parsed,
+       TRY_CAST(json_extract_string(props, '$.missing') AS INT) AS k_missing,
+       coalesce(TRY_CAST(json_extract_string(props, '$.k') AS INT), -1)
+         AS k_or_default
+FROM events
+""",
+    notes="explicit error-tolerance (try_*) — SURVEY.md §7 hard #4",
+)(lambda spark: events_ops.try_expressions(spark))
+
+
+_register(
+    "uav_camera_frame_gaps",
+    with_fixture_ctes(
+        """
+SELECT camera_id, frame_number AS gap_after, next_fn AS resume_at,
+       next_fn - frame_number - 1 AS missing
+FROM (
+  SELECT camera_id, frame_number,
+         lead(frame_number) OVER (PARTITION BY camera_id
+                                  ORDER BY frame_number) AS next_fn
+  FROM frames WHERE frame_number % 30 = 0
+)
+WHERE next_fn - frame_number > 1
+"""
+    ),
+    notes="applyInPandas grouped-map continuity audit (run on the "
+    "decimated sequence so gaps exist); oracle = lead() window",
+)(lambda spark: uav_extra.camera_frame_gaps(
+    uav_core.keyframes(spark.table("frames"))))
