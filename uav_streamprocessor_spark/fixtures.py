@@ -86,11 +86,15 @@ DETECTIONS_CTE = """
       WHEN 3 THEN 'bicycle' ELSE 'dog' END                       AS class_name
   FROM (
     -- (l_orderkey, l_linenumber) is NOT unique in the synthetic corpus;
-    -- the full 6-column tuple is, so det_id is a row_number over it.
-    -- Fixture derivation only — the global window never runs at scale.
+    -- the full 6-column tuple is. det_id = orderkey*100 + per-orderkey
+    -- row_number (max rows/orderkey ≈ 17 < 100): unique, deterministic in
+    -- both engines, and the window is PARTITIONED — no global sort.
     SELECT l_orderkey, l_linenumber,
-           row_number() OVER (ORDER BY l_orderkey, l_linenumber, l_partkey,
-                              l_suppkey, l_quantity, l_extendedprice) AS det_id,
+           l_orderkey * 100
+             + row_number() OVER (PARTITION BY l_orderkey
+                                  ORDER BY l_linenumber, l_partkey,
+                                  l_suppkey, l_quantity, l_extendedprice)
+                                                                 AS det_id,
            l_orderkey * 131 + l_linenumber * 17 + l_partkey      AS seed,
            CAST((l_orderkey * 7 + l_linenumber)
                 % (SELECT count(*) FROM keyframes) AS BIGINT)    AS kf_idx
@@ -167,12 +171,21 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+# last-registered sf_dir per session — registration is idempotent but not
+# free (parquet footer reads + view analysis), and the driver/bench call
+# every query back-to-back on one session
+_REGISTERED: dict[int, str] = {}
+
+
 def register_uav_views(spark: SparkSession, sf_dir: str) -> None:
     """Register base tables plus derived frames/keyframes/detections/segments.
 
     Each derived view is materialized from the same CTE text the oracle
     uses, so Spark and DuckDB see byte-identical fixture semantics.
     """
+    key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
+    if _REGISTERED.get(key) == sf_dir:
+        return
     register_base_tables(spark, sf_dir)
     prior: list[tuple[str, str]] = []
     for name, body in _CTE_CHAIN:
@@ -183,6 +196,7 @@ def register_uav_views(spark: SparkSession, sf_dir: str) -> None:
             sql = body
         spark.sql(sql).createOrReplaceTempView(name)
         prior.append((name, body))
+    _REGISTERED[key] = sf_dir
 
 
 def frames_df(spark: SparkSession, sf_dir: str) -> DataFrame:
