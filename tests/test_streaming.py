@@ -220,3 +220,62 @@ def test_full_uav_streaming_pipeline(spark, tmp_path):
     lines = [json.loads(x) for x in open(tmp_path / "rec_out" / "camZ.jsonl")]
     assert [x["frame_number"] for x in lines] == list(range(90))
     assert result["skipped_frames"] == 0
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Explicit late-data semantics: a row arriving behind the watermark
+    is dropped from its (already finalized) window — the policy the
+    reference lacks entirely (frames are processed in arrival order,
+    frame_reader.py:184-190)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    src = tmp_path / "late_src"
+    src.mkdir()
+
+    out = tmp_path / "late_out"
+
+    def run_once():
+        # parquet sink: supports checkpoint recovery (memory sink doesn't)
+        sdf = (
+            spark.readStream.schema("event_id long, ts timestamp")
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        windowed = (
+            sdf.withWatermark("ts", "30 minutes")
+            .groupBy(F.window("ts", "1 hour").alias("w"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_timestamp("w.start").alias("ws"), "n")
+        )
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(tmp_path / "ckpt_late"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # run 1: on-time data → watermark advances to max_ts - 30min and is
+    # persisted in the checkpoint
+    on_time = [(i, base + dt.timedelta(minutes=5 * i)) for i in range(24)]
+    spark.createDataFrame(on_time, "event_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(src / "slice=000"))
+    run_once()
+
+    # run 2 (same checkpoint — watermark restored): a row 3h behind the
+    # watermark arrives → dropped; its window never materializes
+    late = [(99, base + dt.timedelta(minutes=-65))]
+    spark.createDataFrame(late, "event_id long, ts timestamp") \
+        .coalesce(1).write.parquet(str(src / "slice=001"))
+    run_once()
+
+    rows = {r["ws"]: r["n"] for r in spark.read.parquet(str(out)).collect()}
+    first_hour = int(base.timestamp())
+    late_hour = int((base - dt.timedelta(hours=2)).timestamp())
+    # run 1 finalized hour 0 (12 events); the late row's window is behind
+    # the restored watermark and never appears
+    assert rows.get(first_hour) == 12
+    assert late_hour not in rows

@@ -349,3 +349,24 @@ def order_price_histogram(spark: SparkSession) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("max_price"),
         )
     )
+
+
+def q6_forecasting_revenue(spark: SparkSession) -> DataFrame:
+    """TPC-H Q6: pure filter+aggregate — the canonical predicate-pushdown
+    showcase (every predicate reaches the parquet scan; no shuffle beyond
+    the 1-row final agg)."""
+    li = _t(spark, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )

@@ -1137,3 +1137,17 @@ WHERE next_fn - frame_number > 1
     "decimated sequence so gaps exist); oracle = lead() window",
 )(lambda spark: uav_extra.camera_frame_gaps(
     uav_core.keyframes(spark.table("frames"))))
+
+
+_register(
+    "tpch_q6_forecast",
+    """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.03 AND 0.07
+  AND l_quantity < 24
+""",
+)(lambda spark: relational.q6_forecasting_revenue(spark))
