@@ -127,3 +127,28 @@ def camera_frame_gaps(frames: DataFrame) -> DataFrame:
         find_gaps,
         schema="camera_id string, gap_after long, resume_at long, missing long",
     )
+
+
+def detection_labels(detections: DataFrame, cfg=None) -> DataFrame:
+    """T3's label strings ("{class}: {conf:.2f}", uav/frame_processing.py:
+    126, custom_types.py:18-20) as a relational projection — format_string
+    over a 2dp-rounded confidence (rounding first keeps Java vs C printf
+    half-rounding differences out of the formatted text)."""
+    from uav_streamprocessor_spark.config import DEFAULT_CONFIG
+    from uav_streamprocessor_spark.operators.uav_core import filter_detections
+
+    det = filter_detections(detections, cfg or DEFAULT_CONFIG)
+    return det.select(
+        "det_id",
+        "camera_id",
+        "frame_number",
+        # round via integer scaling: Spark's round(x, 2) goes through a
+        # decimal-string HALF_UP while DuckDB rounds the binary value —
+        # they disagree on exact .xx5 doubles. round(x*100)/100 sees the
+        # same IEEE product in both engines.
+        F.format_string(
+            "%s: %.2f",
+            F.col("class_name"),
+            F.round(F.col("confidence") * 100) / 100,
+        ).alias("label"),
+    )

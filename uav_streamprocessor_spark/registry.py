@@ -1151,3 +1151,16 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
   AND l_quantity < 24
 """,
 )(lambda spark: relational.q6_forecasting_revenue(spark))
+
+
+_register(
+    "uav_detection_labels",
+    with_fixture_ctes(
+        f"""
+SELECT det_id, camera_id, frame_number,
+       printf('%s: %.2f', class_name, round(confidence * 100) / 100) AS label
+FROM detections WHERE {_DET_FILTER}
+"""
+    ),
+    notes="T3 label formatting (uav/frame_processing.py:126)",
+)(lambda spark: uav_extra.detection_labels(spark.table("detections")))
