@@ -1164,3 +1164,25 @@ FROM detections WHERE {_DET_FILTER}
     ),
     notes="T3 label formatting (uav/frame_processing.py:126)",
 )(lambda spark: uav_extra.detection_labels(spark.table("detections")))
+
+
+def _union_orders(spark):
+    from pyspark.sql import functions as F
+
+    orders = spark.table("orders")
+    y95 = orders.filter(F.year("o_orderdate") == 1995).select(
+        "o_orderkey", F.lit("y1995").alias("bucket"))
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select(
+        "o_orderkey", F.lit("y1996").alias("bucket"))
+    return y95.unionByName(y96)
+
+
+_register(
+    "rel_union_orders",
+    """
+SELECT o_orderkey, 'y1995' AS bucket FROM orders WHERE year(o_orderdate) = 1995
+UNION ALL
+SELECT o_orderkey, 'y1996' AS bucket FROM orders WHERE year(o_orderdate) = 1996
+""",
+    notes="UNION ALL (unionByName)",
+)(_union_orders)
