@@ -101,15 +101,15 @@ _register(
     with_fixture_ctes(
         """
 SELECT DISTINCT camera_id, width, height,
-  least(640.0 / width, 640.0 / height) AS scale,
-  CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT) AS new_w,
-  CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT) AS new_h,
-  CAST(floor((640 - CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS pad_top,
-  CAST(640 - CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT)
-       - CAST(floor((640 - CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS INT) AS pad_bottom,
-  CAST(floor((640 - CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS pad_left,
-  CAST(640 - CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT)
-       - CAST(floor((640 - CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS INT) AS pad_right
+  least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height) AS scale,
+  CAST(floor(width * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT) AS new_w,
+  CAST(floor(height * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT) AS new_h,
+  CAST(floor((640 - CAST(floor(height * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT)) / 2) AS INT) AS pad_top,
+  CAST(640 - CAST(floor(height * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT)
+       - CAST(floor((640 - CAST(floor(height * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT)) / 2) AS INT) AS INT) AS pad_bottom,
+  CAST(floor((640 - CAST(floor(width * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT)) / 2) AS INT) AS pad_left,
+  CAST(640 - CAST(floor(width * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT)
+       - CAST(floor((640 - CAST(floor(width * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT)) / 2) AS INT) AS INT) AS pad_right
 FROM frames
 """
     ),
@@ -995,9 +995,9 @@ from uav_streamprocessor_spark.operators import uav_extra  # noqa: E402
 
 _GEO_SUBQ = """(
   SELECT camera_id, frame_number, width, height,
-         least(640.0 / width, 640.0 / height) AS scale,
-         CAST(floor((640 - CAST(floor(width * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS pad_left,
-         CAST(floor((640 - CAST(floor(height * least(640.0 / width, 640.0 / height)) AS INT)) / 2) AS INT) AS pad_top
+         least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height) AS scale,
+         CAST(floor((640 - CAST(floor(width * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT)) / 2) AS INT) AS pad_left,
+         CAST(floor((640 - CAST(floor(height * least(CAST(640 AS DOUBLE) / width, CAST(640 AS DOUBLE) / height)) AS INT)) / 2) AS INT) AS pad_top
   FROM frames
 ) g"""
 
