@@ -107,6 +107,35 @@ def test_image_dir_reader(spark, tmp_path):
     ]
 
 
+def test_image_dir_multi_camera_partitioned_numbering(spark, tmp_path):
+    """Multi-camera layout (SURVEY.md §1.3): each camera directory numbers
+    independently, and the numbering window is PARTITIONED by source dir —
+    no global single-partition sort in the plan."""
+    from collections import defaultdict
+
+    from uav_streamprocessor_spark.sources.readers import read_image_dir
+    from uav_streamprocessor_spark.storage import plan_window_specs
+
+    for cam, n_frames in [("cam0", 3), ("cam1", 4)]:
+        d = tmp_path / cam
+        d.mkdir()
+        for n in range(n_frames):
+            (d / f"frame_{n}.jpg").write_bytes(make_test_image(n, 8, 8))
+    df = read_image_dir(spark, str(tmp_path), recursive=True)
+    per_cam = defaultdict(list)
+    for r in df.collect():
+        per_cam[r["source_dir"].split("/")[-1]].append(r["frame_number"])
+    assert {c: sorted(v) for c, v in per_cam.items()} == {
+        "cam0": [0, 1, 2],
+        "cam1": [0, 1, 2, 3],
+    }
+
+    specs = plan_window_specs(df)
+    assert specs, "numbering window missing from plan"
+    for partitioned, args in specs:
+        assert partitioned, f"global (single-partition) window: {args[:160]}"
+
+
 def test_export_frame_files(spark, tmp_path):
     """U1 extract_frames (uav/video_splitter.py:6-25)."""
     from uav_streamprocessor_spark.operators.uav_extra import export_frame_files
@@ -143,6 +172,50 @@ WHERE len(list_intersect(a.grams,b.grams))::DOUBLE
     recall = len(found & truth_set) / len(truth_set)
     assert recall >= 0.95
     assert found <= truth_set | found  # verified pairs all have j>=0.7 by construction
+
+
+def test_simhash_neardups_exact_recall(spark, duck):
+    """Banded SimHash (4x16 bits) must find EXACTLY the brute-force
+    hamming<=3 pairs: recall 1.0 by pigeonhole (a pair differing in <=3
+    bits agrees on >=1 of 4 bands), precision 1.0 from the exact verify."""
+    import numpy as np
+
+    from uav_streamprocessor_spark.operators.dedup import _token_hashes
+    from uav_streamprocessor_spark.registry import queries
+
+    docs = duck.sql("SELECT doc_id, text FROM documents ORDER BY doc_id").fetchall()
+    shifts = np.arange(64, dtype=np.uint64)
+    weights = np.uint64(1) << shifts
+
+    def simhash(text):
+        tokens = (text or "").lower().split()
+        if not tokens:
+            return np.uint64(0)
+        th = _token_hashes(tokens)
+        bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
+        acc = (2 * bits - 1).sum(axis=0)
+        return (weights * (acc > 0).astype(np.uint64)).sum(dtype=np.uint64)
+
+    ids = [d for d, _ in docs]
+    arr = np.array([simhash(t) for _, t in docs], dtype=np.uint64)
+    xor = arr[:, None] ^ arr[None, :]
+    v = xor - ((xor >> np.uint64(1)) & np.uint64(0x5555555555555555))
+    v = (v & np.uint64(0x3333333333333333)) + ((v >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    v = (v + (v >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    hd = (v * np.uint64(0x0101010101010101)) >> np.uint64(56)
+    truth = {
+        (ids[i], ids[j])
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if hd[i, j] <= 3
+    }
+    assert truth, "corpus should contain simhash near-duplicates"
+
+    found = {
+        (r["doc_id_a"], r["doc_id_b"])
+        for r in queries()["dedup_simhash_neardups"](spark, SF_SMALL).collect()
+    }
+    assert found == truth
 
 
 def test_camera_frame_gaps_grouped_map(spark):

@@ -41,6 +41,42 @@ def test_bucketed_join_no_shuffle(spark, bucketed_tables):
     assert shuffle_free, f"bucketed join still shuffles:\n{plan[:2000]}"
 
 
+def test_shuffle_detector_flags_non_bucketed_join(spark, tmp_path):
+    """Negative control: a plain parquet⋈parquet join on a non-bucketed
+    key MUST be flagged as shuffling (guards the detector itself — a
+    substring check that can never fire would make the bucketing proof
+    vacuous)."""
+    from uav_streamprocessor_spark.storage import plan_is_shuffle_free
+
+    a = spark.range(0, 10000).withColumnRenamed("id", "k")
+    b = spark.range(0, 10000).withColumnRenamed("id", "k")
+    for name, df in [("plain_a", a), ("plain_b", b)]:
+        df.write.mode("overwrite").parquet(str(tmp_path / name))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.read.parquet(str(tmp_path / "plain_a")).join(
+            spark.read.parquet(str(tmp_path / "plain_b")), "k"
+        )
+        shuffle_free, plan = plan_is_shuffle_free(joined)
+        assert not shuffle_free, f"shuffling join not flagged:\n{plan[:2000]}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_broadcast_join_counts_as_shuffle_free(spark, tmp_path):
+    """BroadcastExchange must NOT trip the detector (dim broadcast is the
+    desired plan, not a shuffle)."""
+    from pyspark.sql import functions as F
+
+    from uav_streamprocessor_spark.storage import plan_is_shuffle_free
+
+    big = spark.range(0, 10000).withColumnRenamed("id", "k")
+    dim = spark.range(0, 10).withColumnRenamed("id", "k")
+    shuffle_free, plan = plan_is_shuffle_free(big.join(F.broadcast(dim), "k"))
+    assert shuffle_free, f"broadcast join wrongly flagged:\n{plan[:2000]}"
+
+
 def test_bucketed_join_correct(spark, bucketed_tables):
     left, right = bucketed_tables
     joined = spark.table(left).join(

@@ -144,13 +144,19 @@ def test_streaming_keyframe_decimation(spark, tmp_path):
 
 
 def test_http_sender_sink_at_least_once(spark, tmp_path):
-    sent = []
+    # posts run on EXECUTORS (foreachPartition) — the injected post is
+    # pickled out, so failure injection keys off row content, and the
+    # delivered set is observed through the shared filesystem
+    delivered = tmp_path / "delivered"
+    delivered.mkdir()
+    ddir = str(delivered)
 
     def fake_post(url, image, metadata, timeout):
-        if len(sent) == 2:
-            sent.append(("fail", None))
+        fn = json.loads(metadata)["frame_number"]
+        if fn == 60:
             raise OSError("boom")  # one row fails → counted, not fatal
-        sent.append((url, json.loads(metadata)["frame_number"]))
+        with open(f"{ddir}/{fn}", "w") as f:
+            f.write(url)
         return 200
 
     from uav_streamprocessor_spark.plans.pipeline import sender_payloads
@@ -165,6 +171,9 @@ def test_http_sender_sink_at_least_once(spark, tmp_path):
     sink(payloads, 0)
     assert sink.sent + sink.errors == 5  # keyframes 0,30,60,90,120
     assert sink.errors == 1
+    import os
+
+    assert sorted(int(x) for x in os.listdir(ddir)) == [0, 30, 90, 120]
     with pytest.raises(ValueError):
         HttpSenderSink("ftp://bad")  # reference URL validation
 
@@ -186,6 +195,17 @@ def test_ordered_recorder_sink(spark, tmp_path):
     assert [x["frame_number"] for x in lines] == list(range(50))  # order restored
     assert lines[0]["fps"] == 25.0  # null fps → fallback latched
 
+    # latched config survives a sink restart (new instance, same out_dir):
+    # a frame with a different size is still skipped, not re-latched
+    sink2 = OrderedRecorderSink(str(tmp_path / "rec"))
+    mismatch = spark.createDataFrame(
+        [("cam0", 51, 99, 99, None)],
+        "camera_id string, frame_number long, width int, height int, fps double",
+    )
+    sink2(mismatch, 1)
+    assert sink2.skipped == 1
+    assert len(list(open(tmp_path / "rec" / "cam0.jsonl"))) == 50  # unchanged
+
 
 def test_full_uav_streaming_pipeline(spark, tmp_path):
     """The reference main loop, streamed: video source → record sink +
@@ -194,10 +214,15 @@ def test_full_uav_streaming_pipeline(spark, tmp_path):
         run_streaming_pipeline,
     )
 
-    sent_meta = []
+    # executor-side delivery observed through the shared filesystem
+    delivered = tmp_path / "delivered"
+    delivered.mkdir()
+    ddir = str(delivered)
 
     def fake_post(url, image, metadata, timeout):
-        sent_meta.append(json.loads(metadata))
+        fn = json.loads(metadata)["frame_number"]
+        with open(f"{ddir}/{fn}.json", "w") as f:
+            f.write(metadata)
         return 200
 
     sender = HttpSenderSink("http://cc.test/ingest", post=fake_post)
@@ -212,6 +237,7 @@ def test_full_uav_streaming_pipeline(spark, tmp_path):
     # keyframes 0,30,60 → 3 payloads sent, none failed
     assert result["sent"] == 3
     assert result["send_errors"] == 0
+    sent_meta = [json.loads(p.read_text()) for p in sorted(delivered.iterdir())]
     assert {m["frame_number"] for m in sent_meta} == {0, 30, 60}
     for m in sent_meta:
         for d in m["detections"]:

@@ -46,7 +46,10 @@ def test_batch_read_deterministic(spark):
     assert sorted(map(repr, a)) == sorted(map(repr, b))
 
 
-def test_stream_read_advances_offsets(spark, tmp_path):
+def test_stream_drains_fully(spark, tmp_path):
+    """availableNow drains the ENTIRE source regardless of framesPerBatch
+    (latestOffset reports EOF; framesPerBatch only splits the range into
+    parallel partitions)."""
     sdf = (
         spark.readStream.format("uav_video")
         .option("path", "synthetic://camS?frames=90&w=32&h=32&seed=3")
@@ -66,9 +69,40 @@ def test_stream_read_advances_offsets(spark, tmp_path):
         r["frame_number"]
         for r in spark.sql("SELECT * FROM video_stream").collect()
     )
-    # availableNow drains one latestOffset() step: first 40 frames
-    assert nums == list(range(40))
+    assert nums == list(range(90))
     assert len(nums) == len(set(nums)), "no duplicate frames across batches"
+
+
+def test_stream_restart_from_checkpoint_no_duplicates(spark, tmp_path):
+    """A restarted query on the same checkpoint sees the committed offset
+    and emits nothing new (the fresh reader's latestOffset never regresses
+    behind the checkpoint)."""
+    out = tmp_path / "restart_out"
+    ckpt = tmp_path / "restart_ckpt"
+
+    def run_once():
+        sdf = (
+            spark.readStream.format("uav_video")
+            .option("path", "synthetic://camR?frames=50&w=32&h=32&seed=5")
+            .option("framesPerBatch", "20")
+            .load()
+        )
+        q = (
+            sdf.select("camera_id", "frame_number")
+            .writeStream.format("parquet")
+            .option("path", str(out))
+            .option("checkpointLocation", str(ckpt))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    run_once()  # replay: fully committed → no new rows, no regression
+    nums = sorted(
+        r["frame_number"] for r in spark.read.parquet(str(out)).collect()
+    )
+    assert nums == list(range(50))
 
 
 def test_pipeline_over_video_source(spark):

@@ -101,6 +101,9 @@ DETECTIONS_CTE = """
     FROM lineitem
   ) d
   JOIN keyframes k ON k.kf_idx = d.kf_idx
+  -- every 7th keyframe stays detection-free so the anti-join surface
+  -- (uav_frames_without_detections) verifies on non-empty results
+  WHERE k.kf_idx % 7 <> 3
 """
 
 # 4 contiguous per-camera segments; boundary percents = seg*25 shifted by a
@@ -175,6 +178,7 @@ def register_base_tables(spark: SparkSession, sf_dir: str) -> None:
 # free (parquet footer reads + view analysis), and the driver/bench call
 # every query back-to-back on one session
 _REGISTERED: dict[int, str] = {}
+_CACHED_DFS: dict[int, list[DataFrame]] = {}
 
 
 def register_uav_views(spark: SparkSession, sf_dir: str) -> None:
@@ -182,20 +186,34 @@ def register_uav_views(spark: SparkSession, sf_dir: str) -> None:
 
     Each derived view is materialized from the same CTE text the oracle
     uses, so Spark and DuckDB see byte-identical fixture semantics.
+
+    The derived views are cached (lazily, memory+disk): `keyframes` embeds
+    a global row_number window (the reference's global kf numbering), and
+    without caching that single-partition WindowExec re-executes inside
+    every UAV query on the session. This is fixture materialization, not an
+    operator crutch — real deployments read frames/detections as stored
+    tables (see storage.py bucketing) and never re-derive them per query.
     """
     key = id(spark._jsparkSession) if hasattr(spark, "_jsparkSession") else id(spark)
     if _REGISTERED.get(key) == sf_dir:
         return
+    for df in _CACHED_DFS.pop(key, []):
+        df.unpersist()
     register_base_tables(spark, sf_dir)
     prior: list[tuple[str, str]] = []
+    cached: list[DataFrame] = []
     for name, body in _CTE_CHAIN:
         if prior:
             ctes = ",\n".join(f"{n} AS ({b})" for n, b in prior)
             sql = f"WITH {ctes}\nSELECT * FROM ({body}) AS {name}"
         else:
             sql = body
-        spark.sql(sql).createOrReplaceTempView(name)
+        df = spark.sql(sql)
+        df.persist()
+        df.createOrReplaceTempView(name)
+        cached.append(df)
         prior.append((name, body))
+    _CACHED_DFS[key] = cached
     _REGISTERED[key] = sf_dir
 
 

@@ -9,8 +9,10 @@ Five strategies, scale-ranked:
 - minhash_lsh  : shingle → minhash signature → band-bucket join; candidate
                  pairs verified with exact Jaccard. Near-dup at scale:
                  shuffle is on (band, bucket-hash), never all-pairs.
-- simhash      : 64-bit simhash; near-dups = equal fingerprints on any
-                 rotated band table (here: hamming check among bucket mates).
+- simhash      : 64-bit simhash in 4 bands of 16 bits (Manku et al.
+                 WWW'07): banded bucket self-join for candidates, exact
+                 hamming verify with bit_count(a ^ b) — recall 1.0 for
+                 hamming <= 3 by pigeonhole.
 - ngram_jaccard: exact n-gram Jaccard on candidate pairs (the verifier the
                  LSH path reuses; as a standalone oracle query it runs on a
                  bounded candidate set).
@@ -294,19 +296,84 @@ def minhash_near_duplicates(spark: SparkSession, threshold: float = 0.7) -> Data
     )
 
 
-def simhash_buckets(spark: SparkSession) -> DataFrame:
-    """SimHash near-dup buckets: documents sharing a 64-bit simhash (exact
-    collision = near-identical token multisets)."""
+# 64-bit simhash split into 4 bands of 16 bits: any pair with hamming
+# distance <= 3 differs in at most 3 bands, so by pigeonhole it MUST agree
+# on at least one full band — banded candidate generation has recall 1.0
+# for hamming <= (n_bands - 1) (Manku et al., WWW'07 scheme).
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 64 // _SIMHASH_BANDS
+
+
+def _simhash_banded(spark: SparkSession) -> DataFrame:
+    """doc_id, simhash, band, band_val — one row per (doc, band)."""
     docs = (
         spark.table("documents")
         .select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    hashed = docs.withColumn("simhash", simhash64("text"))
+    hashed = docs.withColumn("simhash", simhash64("text")).select("doc_id", "simhash")
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    return hashed.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("simhash", b * _SIMHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for b in range(_SIMHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("doc_id", "simhash", "bb.band", "bb.band_val")
+
+
+def simhash_buckets(spark: SparkSession) -> DataFrame:
+    """SimHash banded candidate buckets: (band, band_val) cells holding
+    more than one document — the unit of work the near-dup join scans.
+    Shuffle key is the 16-bit band value, never text."""
+    bands = _simhash_banded(spark)
     return (
-        hashed.groupBy("simhash")
+        bands.groupBy("band", "band_val")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper"))
         .filter(F.col("n_docs") > 1)
+    )
+
+
+def simhash_near_duplicates(spark: SparkSession, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-duplicates: banded candidate self-join, then exact
+    hamming verify with built-in bit ops (bit_count(a ^ b)).
+
+    For max_hamming <= _SIMHASH_BANDS - 1 recall is exactly 1.0 (pigeonhole
+    over the bands; pinned in tests against a brute-force oracle). The only
+    shuffle is on (band, band_val); identical subtrees on both join sides
+    let ReusedExchange compute the simhash UDF once."""
+    bands = _simhash_banded(spark)
+    a = bands.alias("a").hint("shuffle_hash")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("sim_a ^ sim_b"))
+    return (
+        cands.select(
+            "doc_id_a", "doc_id_b", hamming.cast("int").alias("hamming")
+        )
+        .filter(F.col("hamming") <= max_hamming)
     )
 
 

@@ -227,10 +227,14 @@ def suppliers_without_lineitems(spark: SparkSession) -> DataFrame:
 
 
 def parts_like_filter(spark: SparkSession) -> DataFrame:
-    """String functions: LIKE, upper/lower, substring, length, concat."""
+    """String functions: LIKE, upper/lower, substring, length, concat.
+
+    Predicates match values that exist in the synthetic corpus (p_type ∈
+    {ECONOMY, SMALL, ...}, p_name like 'red widget') so the check runs on
+    real rows, not an empty result."""
     part = _t(spark, "part")
     return (
-        part.filter(F.col("p_type").like("%BRASS%") | F.col("p_name").like("%green%"))
+        part.filter(F.col("p_type").like("%ECO%") | F.col("p_name").like("%red%"))
         .select(
             "p_partkey",
             F.upper(F.col("p_brand")).alias("brand_upper"),

@@ -138,6 +138,25 @@ def ann_lsh_topk(
     )
 
 
+def cosine_near_duplicates(spark: SparkSession, threshold: float = 0.4) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (vec_id_a < vec_id_b,
+    cosine >= threshold). This is the EXACT calibration baseline (broadcast
+    self-join, JVM-side dot products) — the same role knn_bruteforce plays
+    for search. At 100 TB the candidate set comes from the hyperplane-LSH
+    buckets above instead of all pairs; with true near-dup thresholds
+    (cosine >= 0.9, i.e. bit-agreement prob >= 0.86 per plane) bucket
+    recall is high, while this corpus's ceiling (max pairwise cosine ~0.5)
+    calibrates the threshold to 0.4 so the check exercises real rows."""
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("vec_id_a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("vec_id_b"), F.col("embedding").alias("vb"))
+    pairs = a.join(F.broadcast(b), F.col("vec_id_a") < F.col("vec_id_b"))
+    sim = F.round(_cosine(F.col("va"), F.col("vb")), 6)
+    return pairs.select(
+        "vec_id_a", "vec_id_b", sim.alias("cosine")
+    ).filter(F.col("cosine") >= threshold)
+
+
 def embedding_norm_stats(spark: SparkSession) -> DataFrame:
     """Per-label norm distribution — the sanity projection for vector
     columns (norms via aggregate, fully JVM-side)."""

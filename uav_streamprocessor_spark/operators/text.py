@@ -103,14 +103,16 @@ def tf_idf_top_terms(spark: SparkSession, k: int = 30) -> DataFrame:
     ln((N+1)/(df+1)). Two shuffles (doc-term, term); idf side is tiny →
     broadcast back. Top-k terms by best tf-idf."""
     docs = spark.table("documents")
-    n_docs = docs.count()  # scalar; at scale: a broadcast scalar subquery
+    # N as a broadcast scalar aggregate — no driver-side action at
+    # plan-build time (the previous docs.count() ran a job per build)
+    n_docs = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
     terms = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
     ).filter(F.col("word") != "")
     tf = terms.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
-    idf = df_.select(
-        "word", F.log((F.lit(float(n_docs)) + 1.0) / (F.col("df") + 1.0)).alias("idf")
+    idf = df_.crossJoin(F.broadcast(n_docs)).select(
+        "word", F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)).alias("idf")
     )
     scored = tf.join(F.broadcast(idf), "word").select(
         "word", "doc_id", F.round(F.col("tf") * F.col("idf"), 6).alias("tfidf")

@@ -83,22 +83,26 @@ def export_frame_files(frames_with_images: DataFrame, out_dir: str) -> int:
     """U1 extract_frames (uav/video_splitter.py:6-25): write each frame's
     image bytes as `frame_%05d` files under out_dir/camera_id/. Runs
     per-partition on executors (foreachPartition) — the distributed form
-    of the reference's sequential decode-and-write loop. Returns row count
-    written (via accumulator-free count-first pattern)."""
+    of the reference's sequential decode-and-write loop. Returns the row
+    count written, from an accumulator, so the input scans exactly once."""
     import os
 
+    acc = frames_with_images.sparkSession.sparkContext.accumulator(0)
+
     def write_partition(rows):
+        n = 0
         for r in rows:
             d = os.path.join(out_dir, r["camera_id"])
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, f"frame_{r['frame_number']:05d}.raw"), "wb") as f:
                 f.write(bytes(r["image"]))
+            n += 1
+        acc.add(n)
 
-    n = frames_with_images.count()
     frames_with_images.select(
         "camera_id", "frame_number", "image"
     ).foreachPartition(write_partition)
-    return n
+    return acc.value
 
 
 def camera_frame_gaps(frames: DataFrame) -> DataFrame:

@@ -557,7 +557,7 @@ SELECT p_partkey,
        CAST(length(p_name) AS INT) AS name_len,
        p_brand || '/' || p_type AS brand_type
 FROM part
-WHERE p_type LIKE '%BRASS%' OR p_name LIKE '%green%'
+WHERE p_type LIKE '%ECO%' OR p_name LIKE '%red%'
 """,
 )(lambda spark: relational.parts_like_filter(spark))
 
@@ -772,8 +772,16 @@ _register(
 _register(
     "dedup_simhash_buckets",
     None,
-    notes="64-bit SimHash collision buckets",
+    notes="SimHash banded (4x16-bit) candidate buckets with >1 doc",
 )(lambda spark: dedup.simhash_buckets(spark))
+
+
+_register(
+    "dedup_simhash_neardups",
+    None,
+    notes="SimHash near-dups: banded candidates + bit_count hamming<=3 "
+    "verify; recall 1.0 vs brute force pinned in tests",
+)(lambda spark: dedup.simhash_near_duplicates(spark))
 
 
 _register(
@@ -951,6 +959,28 @@ FROM norms GROUP BY label
 
 
 _register(
+    "dedup_embedding_cosine",
+    """
+WITH el AS (
+  SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+         CAST(unnest(a.embedding) AS DOUBLE) AS xa,
+         CAST(unnest(b.embedding) AS DOUBLE) AS xb
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+),
+sims AS (
+  SELECT vec_id_a, vec_id_b,
+         round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 6)
+           AS cosine
+  FROM el GROUP BY vec_id_a, vec_id_b
+)
+SELECT vec_id_a, vec_id_b, cosine FROM sims WHERE cosine >= 0.4
+""",
+    notes="embedding-cosine near-dup pairs (exact baseline; scale path = "
+    "hyperplane-LSH buckets). Threshold corpus-calibrated to 0.4",
+)(lambda spark: similarity.cosine_near_duplicates(spark))
+
+
+_register(
     "emb_ann_lsh",
     None,
     notes="random-hyperplane LSH ANN — recall vs brute force asserted in "
@@ -1092,14 +1122,20 @@ FROM orders GROUP BY 1
 _register(
     "ev_map_functions",
     """
+WITH m AS (
+  SELECT event_id,
+         map(['type', 'uid'], [event_type, CAST(user_id AS STRING)]) AS mm
+  FROM events
+)
 SELECT event_id,
-       event_type AS m_type,
-       CAST(user_id AS STRING) AS m_uid,
-       2 AS m_size,
-       'type,uid' AS m_keys
-FROM events
+       mm['type'][1] AS m_type,
+       mm['uid'][1] AS m_uid,
+       CAST(cardinality(mm) AS INT) AS m_size,
+       array_to_string(map_keys(mm), ',') AS m_keys
+FROM m
 """,
-    notes="map-typed column surface; oracle states the expected projection",
+    notes="map-typed column surface; oracle builds a real DuckDB MAP from "
+    "the same fields and extracts size/keys/values from it",
 )(lambda spark: events_ops.map_functions_surface(spark))
 
 

@@ -24,24 +24,32 @@ from pyspark.sql import functions as F
 IMAGE_GLOB = "*.{png,jpg,jpeg,tiff,bmp}"
 
 
-def read_image_dir(spark: SparkSession, path: str) -> DataFrame:
+def read_image_dir(spark: SparkSession, path: str, recursive: bool = False) -> DataFrame:
     """S1 ImageReader: binaryFile scan ordered by the first integer in the
     filename stem (reference sort key, frame_reader.py:62-66), frame_number
     assigned by row_number (reference counter, frame_reader.py:102-104).
 
-    Scale note: binaryFile parallelizes over files; the window is global
-    because the reference's numbering is global per source — per-camera
-    partitioning applies when multiple sources load at once."""
+    Scale note: binaryFile parallelizes over files, and the numbering
+    window is PARTITIONED by the containing directory (= camera/source,
+    SURVEY.md §1.3's multi-camera layout) — never a global single-partition
+    sort. The reference numbers globally per source, and one source is one
+    directory, so per-directory numbering is the same semantics; with
+    `recursive=True` a parent of per-camera directories loads in one scan,
+    each camera numbering independently in parallel."""
     df = (
         spark.read.format("binaryFile")
         .option("pathGlobFilter", IMAGE_GLOB)
-        .option("recursiveFileLookup", "false")
+        .option("recursiveFileLookup", str(recursive).lower())
         .load(path)
     )
     stem = F.regexp_extract(F.element_at(F.split("path", "/"), -1), "([0-9]+)", 1)
     order_key = F.when(stem == "", None).otherwise(stem).cast("long")
-    w = Window.orderBy(order_key.asc_nulls_last(), F.col("path"))
+    source_dir = F.regexp_replace("path", "/[^/]*$", "")
+    w = Window.partitionBy(source_dir).orderBy(
+        order_key.asc_nulls_last(), F.col("path")
+    )
     return df.select(
+        source_dir.alias("source_dir"),
         F.col("path").alias("source_file"),
         F.col("content").alias("image"),
         (F.row_number().over(w) - 1).alias("frame_number"),

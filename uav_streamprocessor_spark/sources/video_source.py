@@ -110,10 +110,20 @@ class VideoBatchReader(DataSourceReader):
 
 
 class VideoStreamReader(DataSourceStreamReader):
-    """Frame-index offsets: each micro-batch covers [start, end) frames
-    per source — replayable, so checkpoint recovery re-reads a batch
-    (at-least-once; the reference's RTSP loop loses frames on crash,
-    frame_reader.py:184-190)."""
+    """Frame-index offsets: each micro-batch covers [start, end) frame
+    ranges per source — replayable, so checkpoint recovery re-reads a
+    batch (at-least-once; the reference's RTSP loop loses frames on
+    crash, frame_reader.py:184-190).
+
+    `latestOffset` reports FULL source availability (EOF). Earlier
+    revisions advanced one `framesPerBatch` quantum per poll, but the
+    Python DataSource API has no admission-control hook, so that (a)
+    silently truncated availableNow drains to one quantum and (b) let a
+    restarted reader report an offset BEHIND the committed checkpoint,
+    regressing the offset log. Full availability fixes both; batch
+    pacing belongs to the trigger, and `framesPerBatch` now sets the
+    partition granularity WITHIN a batch (parallel decode across
+    executors instead of one partition per source)."""
 
     def __init__(self, options: dict):
         self.specs = options.get("path", "").split(",")
@@ -124,20 +134,17 @@ class VideoStreamReader(DataSourceStreamReader):
         return {s: 0 for s in self.specs}
 
     def latestOffset(self):
-        # advance each source by one batch quantum, capped at EOF
-        out = {}
-        for s, dec in self._decoders.items():
-            cur = getattr(self, "_last", {}).get(s, 0)
-            out[s] = min(cur + self.frames_per_batch, dec.n_frames)
-        self._last = out
-        return out
+        return {s: dec.n_frames for s, dec in self._decoders.items()}
 
     def partitions(self, start: dict, end: dict):
-        return [
-            _VideoPartition(s, start.get(s, 0), end.get(s, 0))
-            for s in self.specs
-            if end.get(s, 0) > start.get(s, 0)
-        ]
+        parts = []
+        for s in self.specs:
+            lo, hi = start.get(s, 0), end.get(s, 0)
+            for ps in range(lo, hi, self.frames_per_batch):
+                parts.append(
+                    _VideoPartition(s, ps, min(ps + self.frames_per_batch, hi))
+                )
+        return parts
 
     def read(self, partition: _VideoPartition):
         dec = _open_decoder(partition.spec)

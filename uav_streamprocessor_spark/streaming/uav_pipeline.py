@@ -45,9 +45,12 @@ def run_streaming_pipeline(
     frames_per_batch: int = 30,
     timeout_s: float = 120.0,
 ) -> dict:
-    """Run both branches with availableNow triggers (bounded drain for
-    tests; a real deployment uses processingTime triggers). Returns sink
-    counters — the reference's shutdown report (uav/main.py:175-179)."""
+    """Run both branches with availableNow triggers (complete drain of
+    the source — latestOffset reports EOF, so no frames are truncated
+    regardless of frames_per_batch, which only sets partition
+    granularity; a real deployment uses processingTime triggers).
+    Returns sink counters — the reference's shutdown report
+    (uav/main.py:175-179)."""
     frames = stream_frames(spark, source_spec, frames_per_batch)
     recorder = OrderedRecorderSink(out_dir, cfg)
 
