@@ -1,0 +1,92 @@
+"""Physical-plan regression gate: the scale properties SCALE.md claims
+are asserted structurally, so a plan regression fails CI instead of
+waiting for judge review.
+
+Rules:
+- filters reach the parquet scan (PushedFilters non-empty) for the
+  selective TPC-H queries;
+- dimension joins broadcast — no SortMergeJoin in the TPC-H plans;
+- every Window node in every oracle-checked query is PARTITIONED (a
+  global window is a single-partition sort — the 100 TB killer);
+- the banded LSH self-joins reuse one exchange (signatures compute once);
+- the kNN baseline broadcasts the query side (corpus never shuffles for
+  the join).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+from tests.conftest import SF_SMALL
+from uav_streamprocessor_spark import registry
+from uav_streamprocessor_spark.storage import formatted_plan, plan_window_specs
+
+_Q = {s.name: s.build for s in registry.all_specs()}
+
+
+def _plan(spark, name: str) -> str:
+    return formatted_plan(_Q[name](spark, SF_SMALL))
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q1_pricing", "tpch_q3_priority", "tpch_q5_region_revenue",
+             "tpch_q6_forecast"]
+)
+def test_filters_pushed_to_scan(spark, name):
+    plan = _plan(spark, name)
+    pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert any(p.strip() for p in pushed), f"{name}: no pushed filters\n{plan[:1500]}"
+
+
+@pytest.mark.parametrize(
+    "name", ["tpch_q3_priority", "tpch_q5_region_revenue", "rel_revenue_by_region"]
+)
+def test_dim_joins_broadcast_not_sortmerge(spark, name):
+    plan = _plan(spark, name)
+    assert "SortMergeJoin" not in plan, f"{name}: SMJ on a dim join\n{plan[:1500]}"
+    assert "BroadcastHashJoin" in plan, f"{name}: no broadcast join\n{plan[:1500]}"
+
+
+def test_no_unpartitioned_windows_in_oracle_queries(spark):
+    """Global (single-partition) windows are banned from every
+    oracle-checked query plan. The fixture's global keyframe numbering is
+    derived arithmetically (per-camera offsets), so no plan anywhere —
+    fixture included — may carry an unpartitioned window."""
+    offenders = {}
+    for spec in registry.all_specs():
+        if spec.oracle is None:
+            continue
+        specs = plan_window_specs(spec.build(spark, SF_SMALL))
+        bad = [args for partitioned, args in specs if not partitioned]
+        if bad:
+            offenders[spec.name] = bad[0][:160]
+    assert not offenders, f"unpartitioned windows: {offenders}"
+
+
+@pytest.mark.parametrize("name", ["dedup_minhash_candidates", "dedup_simhash_neardups"])
+def test_lsh_self_join_reuses_exchange(spark, name):
+    """The banded self-join must plan identical subtrees on both sides so
+    ReusedExchange computes the signature UDF once, not twice. AQE applies
+    exchange reuse at runtime, so assert on the FINAL plan after an
+    action."""
+    df = _Q[name](spark, SF_SMALL)
+    df.collect()
+    plan = formatted_plan(df)
+    assert "isFinalPlan=true" in plan
+    assert "ReusedExchange" in plan, f"{name}: signature UDF runs twice\n{plan[:1500]}"
+
+
+def test_knn_broadcasts_queries_not_corpus(spark):
+    plan = _plan(spark, "emb_knn_bruteforce")
+    assert "Broadcast" in plan, f"kNN: query side not broadcast\n{plan[:1500]}"
+
+
+def test_fixture_registration_leaves_no_global_window_warning(spark):
+    """A UAV query's full plan (fixture subtree included) must contain
+    only partitioned windows — the global kf numbering is arithmetic."""
+    df = _Q["uav_detection_rank"](spark, SF_SMALL)
+    specs = plan_window_specs(df)
+    assert specs, "rank query should contain its own (partitioned) window"
+    assert all(p for p, _ in specs)

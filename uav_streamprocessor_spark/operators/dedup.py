@@ -54,14 +54,23 @@ _MIX = np.uint64(0x9E3779B97F4A7C15)
 
 
 def _token_hashes(tokens: list[str]) -> np.ndarray:
-    """64-bit polynomial hash per token (uint64 wraparound, mixed)."""
-    th = np.empty(len(tokens), dtype=np.uint64)
+    """64-bit polynomial hash per token (uint64 wraparound, mixed).
+
+    Vectorized: tokens are packed into one zero-padded byte matrix and
+    hashed with a single matrix-vector product (padding zeros contribute
+    b*BASE^i = 0, so values are identical to the per-token loop)."""
+    if not tokens:
+        return np.empty(0, dtype=np.uint64)
+    enc = [t.encode("utf-8") for t in tokens]
+    maxlen = max(len(b) for b in enc) or 1
+    M = np.zeros((len(enc), maxlen), dtype=np.uint64)
+    for i, b in enumerate(enc):
+        if b:
+            M[i, : len(b)] = np.frombuffer(b, dtype=np.uint8)
     with np.errstate(over="ignore"):
-        for i, tok in enumerate(tokens):
-            b = np.frombuffer(tok.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            h = (b * _POLY_BASE ** np.arange(b.size, dtype=np.uint64)).sum()
-            th[i] = (h ^ (h >> np.uint64(33))) * _MIX
-    return th
+        powers = _POLY_BASE ** np.arange(maxlen, dtype=np.uint64)
+        h = (M * powers).sum(axis=1, dtype=np.uint64)
+        return ((h ^ (h >> np.uint64(33))) * _MIX).astype(np.uint64)
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -114,12 +123,7 @@ def simhash64(texts: pd.Series) -> pd.Series:
         if not tokens:
             out.append(0)
             continue
-        th = np.empty(len(tokens), dtype=np.uint64)
-        for i, tok in enumerate(tokens):
-            b = np.frombuffer(tok.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
-            with np.errstate(over="ignore"):
-                h = (b * _POLY_BASE ** np.arange(b.size, dtype=np.uint64)).sum()
-                th[i] = (h ^ (h >> np.uint64(33))) * _MIX
+        th = _token_hashes(tokens)
         bits = ((th[:, None] >> shifts[None, :]) & np.uint64(1)).astype(np.int64)
         acc = (2 * bits - 1).sum(axis=0)
         sig = (weights * (acc > 0).astype(np.uint64)).sum(dtype=np.uint64)

@@ -1202,6 +1202,37 @@ FROM detections WHERE {_DET_FILTER}
 )(lambda spark: uav_extra.detection_labels(spark.table("detections")))
 
 
+def _pixel_pipeline(spark):
+    """Full pixel path over the synthetic video source: decode →
+    decimate → fused letterbox+detect (one Arrow mapInPandas pass) →
+    explode to flat detections. Exercises the T1/T2 hot path end-to-end
+    (uav/main.py:109-141); sized independently of sf_dir because the
+    corpus has no pixel data."""
+    from uav_streamprocessor_spark.plans.pipeline import keyframe_detections_flat
+    from uav_streamprocessor_spark.sources import video_source
+
+    video_source.register(spark)
+    spec = ",".join(
+        f"synthetic://bench{i}?frames=150&w=640&h=360&seed={40 + i}"
+        for i in range(2)
+    )
+    frames = (
+        spark.read.format("uav_video")
+        .option("path", spec)
+        .option("framesPerPartition", "30")
+        .load()
+    )
+    return keyframe_detections_flat(frames)
+
+
+_register(
+    "uav_pixel_detections",
+    None,
+    notes="pixel hot path (decode→letterbox→detect→explode) over the "
+    "uav_video source; Arrow-batched UDFs — not SQL-expressible",
+)(_pixel_pipeline)
+
+
 def _union_orders(spark):
     from pyspark.sql import functions as F
 
