@@ -218,6 +218,35 @@ def test_simhash_neardups_exact_recall(spark, duck):
     assert found == truth
 
 
+def test_ivf_recall_and_exhaustive_equivalence(spark):
+    """IVF ANN: (a) probing ALL cells must reproduce brute force exactly
+    (the quantizer only prunes, never alters ranking); (b) at the default
+    nprobe=4 of 10 cells, recall vs brute force stays above the measured
+    floor for this corpus (weak clusters — see docstring)."""
+    from uav_streamprocessor_spark import fixtures
+    from uav_streamprocessor_spark.operators import similarity
+    from uav_streamprocessor_spark.registry import queries
+
+    bf = {
+        (r["query_id"], r["vec_id"])
+        for r in queries()["emb_knn_bruteforce"](spark, SF_SMALL).collect()
+    }
+    fixtures.register_uav_views(spark, SF_SMALL)
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(spark, nprobe=10).collect()
+    }
+    assert full == bf, "nprobe = n_cells must equal brute force"
+
+    ivf = {
+        (r["query_id"], r["vec_id"])
+        for r in similarity.ivf_topk(spark).collect()
+    }
+    assert len(ivf) == len(bf)
+    recall = len(bf & ivf) / len(bf)
+    assert recall >= 0.25, f"IVF recall collapsed: {recall}"
+
+
 def test_camera_frame_gaps_grouped_map(spark):
     from uav_streamprocessor_spark.operators.uav_extra import camera_frame_gaps
 

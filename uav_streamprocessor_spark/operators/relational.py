@@ -374,3 +374,213 @@ def q6_forecasting_revenue(spark: SparkSession) -> DataFrame:
             F.count(F.lit(1)).alias("n_rows"),
         )
     )
+
+
+# --- TPC-H Q4 (adapted): order priority checking ---
+def q4_order_priority(spark: SparkSession) -> DataFrame:
+    """Orders in 1996Q3 with at least one lineitem shipped after the
+    order date (EXISTS → left-semi join; the synthetic schema has no
+    l_commitdate/l_receiptdate, so shipdate > orderdate stands in for the
+    'late lineitem' predicate, TPC-H Q4). Priority histogram."""
+    orders = _t(spark, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01"))
+    )
+    li = _t(spark, "lineitem")
+    late = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --- TPC-H Q7 (adapted): volume shipping between two nations ---
+def q7_volume_shipping(spark: SparkSession) -> DataFrame:
+    """Revenue shipped between NATION_1 and NATION_2 (either direction)
+    by (supplier nation, customer nation, ship year). Dims broadcast;
+    the only shuffle is lineitem⋈orders and the final 4-group agg."""
+    n1, n2 = "NATION_1", "NATION_2"
+    nation = _t(spark, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        _t(spark, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    li = _t(spark, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, "orders").select("o_orderkey", "o_custkey")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .filter(
+            ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
+            | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
+        )
+    )
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        joined.groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(revenue, 2).alias("revenue"))
+        .select("supp_nation", "cust_nation", F.col("l_year").cast("int").alias("l_year"), "revenue")
+    )
+
+
+# --- TPC-H Q10 (adapted): returned item reporting ---
+def q10_returned_items(spark: SparkSession) -> DataFrame:
+    """Top 20 customers by revenue lost to returns (l_returnflag = 'R')
+    in a two-quarter window."""
+    li = _t(spark, "lineitem").filter(F.col("l_returnflag") == "R")
+    orders = _t(spark, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01"))
+    )
+    cust = _t(spark, "customer")
+    nation = _t(spark, "nation")
+    revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.round(revenue, 2).alias("revenue"),
+            F.round(F.min("c_acctbal"), 2).alias("c_acctbal"),
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# --- TPC-H Q14: promotion effect ---
+def q14_promo_effect(spark: SparkSession) -> DataFrame:
+    """Share of monthly revenue from PROMO-type parts: conditional
+    aggregation over the part⋈lineitem join (part broadcast)."""
+    li = _t(spark, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    part = _t(spark, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .groupBy(F.month("l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(100.0 * promo_rev / F.sum(rev), 6).alias("promo_pct"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .select(F.col("ship_month").cast("int").alias("ship_month"), "promo_pct", "total_revenue")
+    )
+
+
+# --- TPC-H Q15: top supplier(s) by period revenue ---
+def q15_top_supplier(spark: SparkSession) -> DataFrame:
+    """Suppliers whose 1996H1 revenue equals the maximum (the Q15 view +
+    scalar-subquery form: revenue agg reused, max via broadcast join)."""
+    li = _t(spark, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-07-01"))
+    )
+    rev = (
+        li.groupBy("l_suppkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+             .alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    supp = _t(spark, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# --- TPC-H Q18: large-volume customers ---
+def q18_large_volume_customers(spark: SparkSession) -> DataFrame:
+    """Orders whose total quantity exceeds 300 (p99 ≈ 270 in the synthetic
+    corpus, so the filter selects a real thin top), with customer info.
+    The HAVING subquery is a semi join on the aggregated orderkeys."""
+    li = _t(spark, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .filter(F.col("total_qty") > 300)
+    )
+    orders = _t(spark, "orders")
+    cust = _t(spark, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey", "c_name", "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+    )
+
+
+# --- TPC-H Q19 (adapted): discounted revenue, disjunctive predicates ---
+def q19_disjunctive_revenue(spark: SparkSession) -> DataFrame:
+    """Revenue from three OR-branches over (p_type, p_size, l_quantity) —
+    the optimizer must evaluate a disjunction across join columns without
+    losing the broadcast."""
+    li = _t(spark, "lineitem")
+    part = _t(spark, "part").select("p_partkey", "p_type", "p_size")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    cond = (
+        ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 15))
+        | ((F.col("p_type") == "MEDIUM") & F.col("p_size").between(10, 30)
+           & F.col("l_quantity").between(10, 25))
+        | ((F.col("p_type") == "LARGE") & F.col("p_size").between(20, 50)
+           & F.col("l_quantity").between(20, 35))
+    )
+    return j.filter(cond).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2)
+        .alias("revenue"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --- TPC-H Q22 (adapted): global sales opportunity ---
+def q22_sales_opportunity(spark: SparkSession) -> DataFrame:
+    """Customers with above-average positive balances and no orders,
+    grouped by nation: scalar-subquery threshold (broadcast) + anti join
+    + dim join."""
+    cust = _t(spark, "customer")
+    avg_pos = (
+        cust.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    orders = _t(spark, "orders").select("o_custkey")
+    nation = _t(spark, "nation")
+    return (
+        cust.crossJoin(F.broadcast(avg_pos))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
+        )
+    )

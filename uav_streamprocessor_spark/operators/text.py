@@ -125,6 +125,30 @@ def tf_idf_top_terms(spark: SparkSession, k: int = 30) -> DataFrame:
     )
 
 
+# BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
+# symbol — the GPT-2-style split that word-level BPE vocabularies train
+# over. Portable between Java regex (Spark) and RE2 (DuckDB).
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def regex_token_stats(spark: SparkSession) -> DataFrame:
+    """Regex (BPE-ish) token counting per doc: total tokens, distinct
+    tokens, word/number/symbol breakdown — all with regexp_extract_all +
+    array built-ins (JVM-side), no UDF."""
+    docs = spark.table("documents")
+    toks = F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0)
+    words = F.filter(toks, lambda t: t.rlike("^[A-Za-z]+$"))
+    numbers = F.filter(toks, lambda t: t.rlike("^[0-9]+$"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        F.size(words).alias("n_word_tokens"),
+        F.size(numbers).alias("n_number_tokens"),
+        (F.size(toks) - F.size(words) - F.size(numbers)).alias("n_symbol_tokens"),
+    )
+
+
 def doc_stats_by_lang_source(spark: SparkSession) -> DataFrame:
     """Grouped doc-quality dashboard: per (lang, source) char totals and
     extremes."""

@@ -111,8 +111,12 @@ def camera_frame_gaps(frames: DataFrame) -> DataFrame:
     deployment of the reference needs (its RTSP reader silently ends the
     stream on a failed grab, uav/frame_reader.py:184-190).
 
-    Grouped-map is the right shape: per-camera logic needs the whole
-    ordered group; cameras are the parallelism unit."""
+    NOTE: the built-in lead() window over (camera_id) expresses this
+    exact query JVM-side — it IS the registered oracle — and is what a
+    production pipeline should use. This function deliberately keeps the
+    applyInPandas form as the engine's grouped-map showcase (per-group
+    ordered logic, cameras as the parallelism unit), verified against the
+    built-in twin."""
     import pandas as pd
 
     def find_gaps(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -1253,3 +1253,180 @@ SELECT o_orderkey, 'y1996' AS bucket FROM orders WHERE year(o_orderdate) = 1996
 """,
     notes="UNION ALL (unionByName)",
 )(_union_orders)
+
+
+# ===========================================================================
+# round-2 additions: adapted TPC-H breadth (Q4/Q7/Q10/Q14/Q15/Q18/Q19/Q22)
+# ===========================================================================
+
+_register(
+    "tpch_q4_order_priority",
+    """
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem l
+              WHERE l.l_orderkey = o.o_orderkey
+                AND l.l_shipdate > o.o_orderdate)
+GROUP BY o_orderpriority
+""",
+    notes="Q4 adapted: shipdate>orderdate stands in for the late-lineitem "
+    "predicate (schema has no commitdate/receiptdate)",
+)(lambda spark: relational.q4_order_priority(spark))
+
+
+_register(
+    "tpch_q7_volume_shipping",
+    """
+SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND ((ns.n_name = 'NATION_1' AND nc.n_name = 'NATION_2')
+    OR (ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+""",
+)(lambda spark: relational.q7_volume_shipping(spark))
+
+
+_register(
+    "tpch_q10_returned_items",
+    """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       round(min(c_acctbal), 2) AS c_acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1996-07-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""",
+)(lambda spark: relational.q10_returned_items(spark))
+
+
+_register(
+    "tpch_q14_promo_effect",
+    """
+SELECT CAST(month(l_shipdate) AS INT) AS ship_month,
+       round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+""",
+)(lambda spark: relational.q14_promo_effect(spark))
+
+
+_register(
+    "tpch_q15_top_supplier",
+    """
+WITH rev AS (
+  SELECT l_suppkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+    AND l_shipdate < TIMESTAMP '1996-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+""",
+)(lambda spark: relational.q15_top_supplier(spark))
+
+
+_register(
+    "tpch_q18_large_volume",
+    """
+WITH big AS (
+  SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING round(sum(l_quantity), 2) > 300
+)
+SELECT c_custkey, c_name, o_orderkey, CAST(o_orderdate AS DATE) AS o_orderdate,
+       round(o_totalprice, 2) AS o_totalprice, total_qty
+FROM orders JOIN big ON o_orderkey = l_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+""",
+)(lambda spark: relational.q18_large_volume_customers(spark))
+
+
+_register(
+    "tpch_q19_disjunctive",
+    """
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_type = 'SMALL' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_type = 'MEDIUM' AND p_size BETWEEN 10 AND 30
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_type = 'LARGE' AND p_size BETWEEN 20 AND 50
+       AND l_quantity BETWEEN 20 AND 35)
+""",
+)(lambda spark: relational.q19_disjunctive_revenue(spark))
+
+
+_register(
+    "tpch_q22_sales_opportunity",
+    """
+SELECT n_name, CAST(count(*) AS BIGINT) AS numcust,
+       round(sum(c_acctbal), 2) AS totacctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY n_name
+""",
+)(lambda spark: relational.q22_sales_opportunity(spark))
+
+
+_register(
+    "text_regex_tokens",
+    r"""
+WITH t AS (
+  SELECT doc_id,
+         regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(len(toks) AS INT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS INT) AS n_distinct_tokens,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$'))) AS INT)
+         AS n_word_tokens,
+       CAST(len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS INT)
+         AS n_number_tokens,
+       CAST(len(toks)
+            - len(list_filter(toks, x -> regexp_matches(x, '^[A-Za-z]+$')))
+            - len(list_filter(toks, x -> regexp_matches(x, '^[0-9]+$'))) AS INT)
+         AS n_symbol_tokens
+FROM t
+""",
+    notes="BPE-ish regex pre-tokenizer counts (letters|digits|symbol), "
+    "regexp_extract_all + array built-ins, no UDF",
+)(lambda spark: text.regex_token_stats(spark))
+
+
+_register(
+    "emb_ivf_topk",
+    None,
+    notes="IVF-style ANN: label = coarse cell, probe nprobe nearest "
+    "centroids, exact re-rank inside probed cells only; recall vs brute "
+    "force pinned in tests (centroid float ordering isn't ULP-portable)",
+)(lambda spark: similarity.ivf_topk(spark))
