@@ -248,6 +248,52 @@ def test_full_uav_streaming_pipeline(spark, tmp_path):
     assert result["skipped_frames"] == 0
 
 
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Stream-stream inner join with two-sided watermarks + time-range
+    condition: result must equal the batch join over the same data."""
+    import datetime as dt
+
+    from uav_streamprocessor_spark.streaming.pipeline import (
+        stream_stream_frame_detection_join,
+    )
+
+    base = dt.datetime(2024, 6, 1, 0, 0, 0)
+    frames_rows = [
+        ("cam0", n, base + dt.timedelta(seconds=n)) for n in range(30)
+    ]
+    det_rows = [
+        # detector emits 2s after the frame; every 3rd frame has a box
+        ("cam0", n, base + dt.timedelta(seconds=n + 2), "car", 0.9)
+        for n in range(0, 30, 3)
+    ]
+    fsrc, dsrc = tmp_path / "f_src", tmp_path / "d_src"
+    spark.createDataFrame(
+        frames_rows, "camera_id string, frame_number long, frame_ts timestamp"
+    ).coalesce(1).write.parquet(str(fsrc))
+    spark.createDataFrame(
+        det_rows,
+        "camera_id string, frame_number long, det_ts timestamp, "
+        "class_name string, confidence double",
+    ).coalesce(1).write.parquet(str(dsrc))
+
+    f_stream = spark.readStream.schema(
+        "camera_id string, frame_number long, frame_ts timestamp"
+    ).parquet(str(fsrc))
+    d_stream = spark.readStream.schema(
+        "camera_id string, frame_number long, det_ts timestamp, "
+        "class_name string, confidence double"
+    ).parquet(str(dsrc))
+
+    joined = stream_stream_frame_detection_join(f_stream, d_stream)
+    _run_to_memory(joined, "ss_join", tmp_path)
+    got = {
+        (r["camera_id"], r["frame_number"], r["class_name"])
+        for r in spark.sql("SELECT * FROM ss_join").collect()
+    }
+    expected = {("cam0", n, "car") for n in range(0, 30, 3)}
+    assert got == expected
+
+
 def test_watermark_drops_late_rows(spark, tmp_path):
     """Explicit late-data semantics: a row arriving behind the watermark
     is dropped from its (already finalized) window — the policy the

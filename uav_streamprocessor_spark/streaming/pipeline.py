@@ -130,6 +130,43 @@ def stateful_frame_counters(
     )
 
 
+def stream_stream_frame_detection_join(
+    frames: DataFrame,
+    detections: DataFrame,
+    max_skew: str = "1 hour",
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: a live frame stream joined with a live
+    detection stream on (camera_id, frame ts) with watermarks on BOTH
+    sides plus a bounded event-time range condition — the two constraints
+    Structured Streaming needs to evict join state (otherwise both sides
+    buffer forever; the reference never faces this because its loop is
+    synchronous, uav/main.py:125-134).
+
+    Input schemas: frames(camera_id, frame_number, frame_ts),
+    detections(camera_id, frame_number, det_ts, class_name, confidence);
+    det_ts may trail frame_ts by up to `max_skew` (detector latency)."""
+    f = frames.withWatermark("frame_ts", watermark).alias("f")
+    d = detections.withWatermark("det_ts", watermark).alias("d")
+    return f.join(
+        d,
+        F.expr(
+            f"""
+            f.camera_id = d.camera_id AND
+            f.frame_number = d.frame_number AND
+            d.det_ts >= f.frame_ts AND
+            d.det_ts <= f.frame_ts + interval {max_skew}
+            """
+        ),
+    ).select(
+        "f.camera_id",
+        "f.frame_number",
+        "f.frame_ts",
+        "d.class_name",
+        "d.confidence",
+    )
+
+
 def observed_stream(frames: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """df.observe() metrics — the zero-cost path for the reference's
     per-100-frames progress logging (uav/main.py:144-146): metrics ride
