@@ -172,3 +172,98 @@ def try_expressions(spark: SparkSession) -> DataFrame:
         missing.try_cast("int").alias("k_missing"),
         F.coalesce(k.try_cast("int"), F.lit(-1)).alias("k_or_default"),
     )
+
+
+def asof_join_clicks_to_views(spark: SparkSession) -> DataFrame:
+    """AS-OF join: each click matched to the user's most recent view at
+    or before the click. Spark has no ASOF JOIN operator; the scalable
+    composition is the union trick — tag both streams, sort once per user,
+    and carry the latest view forward with last(ignorenulls) over an
+    unbounded-preceding row frame. ONE shuffle on user_id; never a range
+    join (a BETWEEN-style join would nested-loop).
+
+    Views are pre-deduplicated to one row per (user_id, ts) — max
+    event_id wins — so tie-at-same-timestamp semantics are deterministic
+    and identical to the DuckDB ASOF JOIN oracle.
+    """
+    ev = spark.table("events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_event_id"),
+        F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("view_event_id_src"),
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("view_event_id_src"))
+        .select(
+            "user_id",
+            "ts",
+            F.lit(None).cast("long").alias("click_event_id"),
+            F.lit(0).alias("side"),
+            "view_event_id_src",
+        )
+    )
+    # views sort before clicks at equal ts (side 0 < 1) so ts >= view_ts
+    # includes same-instant views, matching ASOF's >= bound
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tagged = views.unionByName(clicks)
+    carried = tagged.select(
+        "user_id",
+        "ts",
+        "side",
+        "click_event_id",
+        F.last("view_event_id_src", ignorenulls=True).over(w).alias("view_event_id"),
+        F.last(
+            F.when(F.col("side") == 0, F.col("ts")), ignorenulls=True
+        ).over(w).alias("view_ts"),
+    )
+    return (
+        carried.filter((F.col("side") == 1) & F.col("view_event_id").isNotNull())
+        .select(
+            F.col("click_event_id").alias("event_id"),
+            "user_id",
+            F.unix_timestamp("ts").alias("click_epoch"),
+            "view_event_id",
+            F.unix_timestamp("view_ts").alias("view_epoch"),
+            (F.unix_timestamp("ts") - F.unix_timestamp("view_ts")).alias("gap_s"),
+        )
+    )
+
+
+def hierarchical_time_rollup(spark: SparkSession) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: minute buckets
+    aggregate from raw events, hour buckets from MINUTE PARTIALS, day
+    buckets from HOUR PARTIALS — each coarser level reads the (much
+    smaller) finer aggregate, never the raw table again. Rounding applies
+    only at the final projection so re-aggregated sums stay exact."""
+    ev = spark.table("events")
+    minute = ev.groupBy(
+        F.date_trunc("minute", "ts").alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("n"), F.sum("value").alias("v"))
+    hour = minute.groupBy(
+        F.date_trunc("hour", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+    day = hour.groupBy(
+        F.date_trunc("day", "bucket").alias("bucket")
+    ).agg(F.sum("n").alias("n"), F.sum("v").alias("v"))
+
+    def level(df: DataFrame, name: str) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("level"),
+            F.unix_timestamp("bucket").alias("bucket_epoch"),
+            F.col("n").alias("n_events"),
+            F.round("v", 2).alias("total_value"),
+        )
+
+    return (
+        level(minute, "minute")
+        .unionByName(level(hour, "hour"))
+        .unionByName(level(day, "day"))
+    )

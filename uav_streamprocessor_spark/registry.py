@@ -1430,3 +1430,84 @@ _register(
     "centroids, exact re-rank inside probed cells only; recall vs brute "
     "force pinned in tests (centroid float ordering isn't ULP-portable)",
 )(lambda spark: similarity.ivf_topk(spark))
+
+
+from uav_streamprocessor_spark.operators import skew  # noqa: E402
+
+_register(
+    "ev_salted_agg",
+    """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY event_type
+""",
+    notes="salted two-phase aggregation (key,salt partial -> merge); "
+    "oracle is the plain GROUP BY it must equal",
+)(lambda spark: skew.salted_two_phase_agg(spark))
+
+
+_register(
+    "rel_salted_join",
+    """
+SELECT o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+""",
+    notes="salted replicate join (fact salted, dim exploded to all salts); "
+    "oracle is the plain join it must equal",
+)(lambda spark: skew.salted_priority_revenue(spark))
+
+
+_register(
+    "ev_asof_clicks_views",
+    """
+WITH clicks AS (
+  SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'
+),
+v AS (
+  SELECT user_id, ts AS view_ts, max(event_id) AS view_event_id
+  FROM events WHERE event_type = 'view' GROUP BY user_id, ts
+)
+SELECT c.event_id, c.user_id,
+       CAST(floor(epoch(c.ts)) AS BIGINT) AS click_epoch,
+       v.view_event_id,
+       CAST(floor(epoch(v.view_ts)) AS BIGINT) AS view_epoch,
+       CAST(floor(epoch(c.ts)) - floor(epoch(v.view_ts)) AS BIGINT) AS gap_s
+FROM clicks c ASOF JOIN v
+  ON c.user_id = v.user_id AND c.ts >= v.view_ts
+""",
+    notes="AS-OF join via union + last(ignorenulls) single-shuffle "
+    "composition; oracle is DuckDB's NATIVE ASOF JOIN",
+)(lambda spark: events_ops.asof_join_clicks_to_views(spark))
+
+
+_register(
+    "ev_hierarchical_rollup",
+    """
+WITH minute AS (
+  SELECT date_trunc('minute', ts) AS bucket, count(*) AS n, sum(value) AS v
+  FROM events GROUP BY 1
+),
+hour AS (
+  SELECT date_trunc('hour', bucket) AS bucket, CAST(sum(n) AS BIGINT) AS n,
+         sum(v) AS v
+  FROM minute GROUP BY 1
+),
+day AS (
+  SELECT date_trunc('day', bucket) AS bucket, CAST(sum(n) AS BIGINT) AS n,
+         sum(v) AS v
+  FROM hour GROUP BY 1
+)
+SELECT 'minute' AS level, CAST(floor(epoch(bucket)) AS BIGINT) AS bucket_epoch,
+       CAST(n AS BIGINT) AS n_events, round(v, 2) AS total_value FROM minute
+UNION ALL
+SELECT 'hour', CAST(floor(epoch(bucket)) AS BIGINT), n, round(v, 2) FROM hour
+UNION ALL
+SELECT 'day', CAST(floor(epoch(bucket)) AS BIGINT), n, round(v, 2) FROM day
+""",
+    notes="hypertable-style continuous-aggregate hierarchy: each coarser "
+    "level aggregates the finer level's partials, never the raw table",
+)(lambda spark: events_ops.hierarchical_time_rollup(spark))
