@@ -584,3 +584,69 @@ def q22_sales_opportunity(spark: SparkSession) -> DataFrame:
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# --- statistical aggregates: exact percentiles, corr/covar/stddev ---
+def order_price_statistics(spark: SparkSession) -> DataFrame:
+    """Exact linear-interpolation percentiles (Spark `percentile` ==
+    DuckDB `quantile_cont`) plus correlation/covariance/stddev per order
+    status. Exact percentile is a sort-based aggregate — at 100 TB use
+    percentile_approx (t-digest sketch, rows-only twin below)."""
+    return (
+        _t(spark, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 6).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 6).alias("p90_price"),
+            F.round(F.stddev_samp("o_totalprice"), 6).alias("price_stddev"),
+            F.round(F.corr("o_totalprice", "o_custkey"), 6).alias("price_cust_corr"),
+            F.round(F.covar_samp("o_totalprice", "o_custkey"), 6).alias("price_cust_covar"),
+        )
+    )
+
+
+def order_price_approx_percentiles(spark: SparkSession) -> DataFrame:
+    """percentile_approx (t-digest): the 100 TB form of the exact twin
+    above — sketch results are engine-specific, so rows-only."""
+    return (
+        _t(spark, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.percentile_approx("o_totalprice", 0.5).alias("approx_median"),
+            F.percentile_approx("o_totalprice", 0.9).alias("approx_p90"),
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("exact_median"),
+        )
+    )
+
+
+def lineitem_unpivot(spark: SparkSession) -> DataFrame:
+    """UNPIVOT (wide → long): the three lineitem rate columns melted to
+    (metric, value) rows — Spark's unpivot/melt operator; the oracle
+    expresses the same reshape as a UNION ALL."""
+    li = _t(spark, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"
+    )
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    ).select(
+        "l_orderkey", "l_linenumber", "metric", F.round("value", 2).alias("value")
+    )
+
+
+def orders_grouping_sets(spark: SparkSession) -> DataFrame:
+    """Explicit GROUPING SETS — (status), (priority), and grand total,
+    i.e. neither rollup nor cube; grouping_id disambiguates the set."""
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               CAST(grouping(o_orderstatus) AS INT) AS g_status,
+               CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )

@@ -1511,3 +1511,57 @@ SELECT 'day', CAST(floor(epoch(bucket)) AS BIGINT), n, round(v, 2) FROM day
     notes="hypertable-style continuous-aggregate hierarchy: each coarser "
     "level aggregates the finer level's partials, never the raw table",
 )(lambda spark: events_ops.hierarchical_time_rollup(spark))
+
+
+_register(
+    "rel_price_statistics",
+    """
+SELECT o_orderstatus,
+       round(quantile_cont(o_totalprice, 0.5), 6) AS median_price,
+       round(quantile_cont(o_totalprice, 0.9), 6) AS p90_price,
+       round(stddev_samp(o_totalprice), 6) AS price_stddev,
+       round(corr(o_totalprice, o_custkey), 6) AS price_cust_corr,
+       round(covar_samp(o_totalprice, o_custkey), 6) AS price_cust_covar
+FROM orders GROUP BY o_orderstatus
+""",
+    notes="exact percentiles (Spark percentile == DuckDB quantile_cont, "
+    "both linear interpolation) + corr/covar/stddev",
+)(lambda spark: relational.order_price_statistics(spark))
+
+
+_register(
+    "rel_approx_percentiles",
+    None,
+    notes="percentile_approx t-digest sketch — engine-specific by design; "
+    "exact twin rel_price_statistics carries the oracle",
+)(lambda spark: relational.order_price_approx_percentiles(spark))
+
+
+_register(
+    "rel_unpivot_rates",
+    """
+SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric,
+       round(l_quantity, 2) AS value FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', round(l_discount, 2)
+FROM lineitem
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', round(l_tax, 2) FROM lineitem
+""",
+    notes="UNPIVOT / melt (wide→long); oracle reshapes via UNION ALL",
+)(lambda spark: relational.lineitem_unpivot(spark))
+
+
+_register(
+    "rel_grouping_sets",
+    """
+SELECT o_orderstatus, o_orderpriority,
+       CAST(grouping(o_orderstatus) AS INT) AS g_status,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS total_price
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+""",
+    notes="explicit GROUPING SETS (neither rollup nor cube) + grouping()",
+)(lambda spark: relational.orders_grouping_sets(spark))
