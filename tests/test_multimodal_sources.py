@@ -21,6 +21,11 @@ from uav_streamprocessor_spark.operators.pixel import (
 )
 
 
+def _pcm_sine(freq: float, n: int, amp: int = 10000, rate: int = 16000) -> bytes:
+    t = np.arange(n) / rate
+    return (amp * np.sin(2 * np.pi * freq * t)).astype("<i2").tobytes()
+
+
 @pytest.fixture(scope="module")
 def media_df(spark):
     rows = [
@@ -29,6 +34,9 @@ def media_df(spark):
         (3, "image", "raw", 32, 32, None, None),  # null payload
         # "video": 10 stacked 16x32 frames → 160x32 buffer, 10s duration
         (4, "video", "raw", 32, 16, 10_000, make_test_image(4, 160, 32)),
+        # audio: 1s of 440 Hz PCM16 and 0.5s of silence
+        (5, "audio", "pcm16", None, None, 1_000, _pcm_sine(440.0, 16000)),
+        (6, "audio", "pcm16", None, None, 500, b"\x00\x00" * 8000),
     ]
     return spark.createDataFrame(
         rows,
@@ -51,6 +59,24 @@ def test_metadata_stats_prunes_payload(spark, media_df):
         df.explain(True)
     assert "payload" not in buf.getvalue().split("== Physical Plan ==")[1].split("ReadSchema")[0] or True
     # (in-memory relation has no scan pruning; assertion is structural on parquet)
+
+
+def test_extract_audio_features(spark, media_df):
+    """Raw PCM is codec-free: real decode, real math."""
+    from uav_streamprocessor_spark.operators.multimodal import extract_audio_features
+
+    feats = {r["media_id"]: r for r in extract_audio_features(media_df).collect()}
+    assert set(feats) == {5, 6}
+    sine = feats[5]
+    assert sine["n_samples"] == 16000
+    assert sine["duration_s"] == 1.0
+    # RMS of a sine = amp/sqrt(2); 440 Hz crosses zero ~880 times/sec
+    assert abs(sine["rms"] - 10000 / np.sqrt(2)) < 60
+    assert abs(sine["zero_crossing_rate"] - 880 / 16000) < 0.005
+    assert sine["peak"] <= 10000
+    silence = feats[6]
+    assert silence["rms"] == 0.0 and silence["peak"] == 0
+    assert silence["zero_crossing_rate"] == 0.0
 
 
 def test_extract_image_features(spark, media_df):

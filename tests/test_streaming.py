@@ -248,6 +248,33 @@ def test_full_uav_streaming_pipeline(spark, tmp_path):
     assert result["skipped_frames"] == 0
 
 
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static broadcast join: keyframes pick up dimension columns;
+    no watermark/state required."""
+    from uav_streamprocessor_spark.streaming.pipeline import (
+        stream_static_enriched_keyframes,
+    )
+
+    frames = spark.createDataFrame(
+        [(f"cam{c}", n) for c in range(2) for n in range(60)],
+        "camera_id string, frame_number long",
+    )
+    src = tmp_path / "enrich_src"
+    frames.coalesce(1).write.parquet(str(src))
+    sdf = spark.readStream.schema("camera_id string, frame_number long").parquet(str(src))
+    dim = spark.createDataFrame(
+        [("cam0", "north_gate"), ("cam1", "south_gate")],
+        "camera_id string, location string",
+    )
+    _run_to_memory(stream_static_enriched_keyframes(sdf, dim), "enriched", tmp_path)
+    rows = spark.sql("SELECT * FROM enriched").collect()
+    assert {(r["camera_id"], r["frame_number"], r["location"]) for r in rows} == {
+        (f"cam{c}", n, loc)
+        for c, loc in [(0, "north_gate"), (1, "south_gate")]
+        for n in (0, 30)
+    }
+
+
 def test_stream_stream_join_matches_batch(spark, tmp_path):
     """Stream-stream inner join with two-sided watermarks + time-range
     condition: result must equal the batch join over the same data."""

@@ -94,7 +94,11 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                                "luma_fingerprint"]
             )
 
-    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
@@ -121,7 +125,67 @@ def resize_images(media: DataFrame, target: int = 64) -> DataFrame:
                 out.append((mid, encode_image(img[ys][:, xs])))
             yield pd.DataFrame(out, columns=["media_id", "payload"])
 
-    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+    return (
+        media.filter(F.col("media_type") == "image")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
+def extract_audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFrame:
+    """Audio feature extraction over raw PCM payloads (int16 little-
+    endian mono). Unlike image/video, raw PCM needs NO codec — this is a
+    real decode path, not a stub: np.frombuffer → duration, RMS, peak,
+    zero-crossing rate. Compressed formats (mp3/ogg) would route through
+    `decode_real_media` when codecs exist; the Spark-side shape (Arrow
+    batches, metadata-first filtering, payload never a shuffle key) is
+    identical either way."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_samples", T.LongType(), True),
+            T.StructField("duration_s", T.DoubleType(), True),
+            T.StructField("rms", T.DoubleType(), True),
+            T.StructField("peak", T.IntegerType(), True),
+            T.StructField("zero_crossing_rate", T.DoubleType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                pcm = np.frombuffer(bytes(buf), dtype="<i2").astype(np.float64)
+                if pcm.size == 0:
+                    rows.append((mid, 0, 0.0, 0.0, 0, 0.0))
+                    continue
+                zc = float(((pcm[:-1] * pcm[1:]) < 0).mean()) if pcm.size > 1 else 0.0
+                rows.append(
+                    (
+                        mid,
+                        int(pcm.size),
+                        round(pcm.size / sample_rate, 6),
+                        round(float(np.sqrt((pcm**2).mean())), 6),
+                        int(np.abs(pcm).max()),
+                        round(zc, 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_samples", "duration_s", "rms", "peak",
+                    "zero_crossing_rate",
+                ],
+            )
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )
 
 
 def frame_sample_video(media: DataFrame, every_n: int = 30) -> DataFrame:

@@ -130,6 +130,22 @@ def stateful_frame_counters(
     )
 
 
+def stream_static_enriched_keyframes(
+    frames_stream: DataFrame,
+    camera_dim: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> DataFrame:
+    """Stream-static join: live keyframes enriched with a static camera
+    dimension (location, model, calibration). Needs NO streaming state —
+    the static side is planned per micro-batch and broadcast to
+    executors, so dimension updates between batches are picked up and
+    nothing accumulates. The stateless complement to the stream-stream
+    join below."""
+    return streaming_keyframes(frames_stream, cfg).join(
+        F.broadcast(camera_dim), "camera_id"
+    )
+
+
 def stream_stream_frame_detection_join(
     frames: DataFrame,
     detections: DataFrame,
