@@ -34,6 +34,20 @@ PORTABLE = [
     "dedup_docs_exact",
     "uav_fps_fallback",
     "uav_detection_lag",
+    # round-2 additions
+    "tpch_q4_order_priority",
+    "tpch_q7_volume_shipping",
+    "tpch_q10_returned_items",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q22_sales_opportunity",
+    "rel_grouping_sets",
+    "rel_unpivot_rates",
+    "rel_salted_join",
+    "ev_salted_agg",
+    "rel_string_functions",
 ]
 
 SPECS = {s.name: s for s in registry.all_specs()}

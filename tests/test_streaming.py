@@ -22,6 +22,7 @@ from uav_streamprocessor_spark.streaming.pipeline import (
 )
 from uav_streamprocessor_spark.streaming.sinks import (
     HttpSenderSink,
+    IdempotentBatchSink,
     OrderedRecorderSink,
 )
 from uav_streamprocessor_spark.streaming.sources import (
@@ -246,6 +247,29 @@ def test_full_uav_streaming_pipeline(spark, tmp_path):
     lines = [json.loads(x) for x in open(tmp_path / "rec_out" / "camZ.jsonl")]
     assert [x["frame_number"] for x in lines] == list(range(90))
     assert result["skipped_frames"] == 0
+
+
+def test_idempotent_batch_sink_skips_replays(spark, tmp_path):
+    """Replayed batch ids are no-ops; new ids run; a marker is written
+    only AFTER the inner sink succeeds (a failing batch is retried)."""
+    calls = []
+
+    def inner(batch, batch_id):
+        if batch_id == 7 and not calls.count(7):
+            calls.append(7)
+            raise OSError("sink crash before commit")
+        calls.append(batch_id)
+
+    sink = IdempotentBatchSink(inner, str(tmp_path / "markers"))
+    batch = spark.createDataFrame([(1,)], "x int")
+    sink(batch, 0)
+    sink(batch, 0)  # replay → skipped
+    sink(batch, 1)
+    with pytest.raises(OSError):
+        sink(batch, 7)  # fails → no marker
+    sink(batch, 7)  # retry succeeds
+    assert calls == [0, 1, 7, 7]
+    assert sink.skipped_replays == 1
 
 
 def test_stream_static_enrichment(spark, tmp_path):

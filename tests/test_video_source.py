@@ -39,6 +39,31 @@ def test_batch_read_two_sources(spark):
     assert img.shape == (36, 64, 3)
 
 
+def test_camera_filter_pushdown_prunes_sources(spark):
+    """camera_id = 'camA' reaches VideoBatchReader.pushFilters and prunes
+    camB's partitions entirely — no decode for filtered-out sources (the
+    video analogue of partition pruning)."""
+    df = (
+        spark.read.format("uav_video")
+        .option(
+            "path",
+            "synthetic://camA?frames=95&w=32&h=32&seed=1,"
+            "synthetic://camB?frames=40&w=32&h=32&seed=2",
+        )
+        .option("framesPerPartition", "30")
+        .option("pushdown", "true")
+        .load()
+    )
+    filtered = df.filter("camera_id = 'camA'")
+    assert filtered.count() == 95
+    # ceil(95/30) = 4 partitions; camB's 2 never planned
+    assert filtered.rdd.getNumPartitions() == 4
+    # IN-list form prunes the other way
+    both = df.filter(F.col("camera_id").isin("camB"))
+    assert both.count() == 40
+    assert both.rdd.getNumPartitions() == 2
+
+
 def test_batch_read_deterministic(spark):
     opts = {"path": "synthetic://camA?frames=10&w=32&h=32&seed=9"}
     a = spark.read.format("uav_video").options(**opts).load().collect()

@@ -28,6 +28,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
     DataSourceStreamReader,
+    EqualTo,
+    In,
     InputPartition,
 )
 from pyspark.sql.types import StructType
@@ -91,11 +93,14 @@ class VideoBatchReader(DataSourceReader):
         # comma-separated source specs; frames-per-partition for splitting
         self.specs = options.get("path", "").split(",")
         self.frames_per_partition = int(options.get("framesPerPartition", "1000"))
+        self._camera_filter: set | None = None  # None = all cameras
 
     def partitions(self):
         parts = []
         for spec in self.specs:
             dec = _open_decoder(spec)
+            if self._camera_filter is not None and dec.camera_id not in self._camera_filter:
+                continue
             for s in range(0, dec.n_frames, self.frames_per_partition):
                 parts.append(
                     _VideoPartition(
@@ -107,6 +112,29 @@ class VideoBatchReader(DataSourceReader):
     def read(self, partition: _VideoPartition):
         dec = _open_decoder(partition.spec)
         yield from dec.read(partition.start, partition.end)
+
+
+class PushdownVideoBatchReader(VideoBatchReader):
+    """VideoBatchReader + camera_id filter pushdown (Spark 4 Python
+    DataSource API): camera_id equality/IN prunes WHOLE SOURCES before
+    any decode — the video analogue of partition pruning. camera_id is
+    exact per source, so the filter is fully consumed; everything else
+    is yielded back for Spark to evaluate.
+
+    Kept as an opt-in subclass (`.option("pushdown", "true")`): Spark
+    REFUSES any reader that merely defines pushFilters while
+    spark.sql.python.filterPushdown.enabled is false, and the engine must
+    stay loadable from vanilla sessions (the driver contract). The
+    engine's own session builder enables the conf."""
+
+    def pushFilters(self, filters):
+        for f in filters:
+            if isinstance(f, EqualTo) and f.attribute == ("camera_id",):
+                self._camera_filter = {f.value}
+            elif isinstance(f, In) and f.attribute == ("camera_id",):
+                self._camera_filter = set(f.values)
+            else:
+                yield f
 
 
 class VideoStreamReader(DataSourceStreamReader):
@@ -168,6 +196,8 @@ class VideoDataSource(DataSource):
         return FRAME_DDL
 
     def reader(self, schema: StructType) -> DataSourceReader:
+        if str(self.options.get("pushdown", "false")).lower() == "true":
+            return PushdownVideoBatchReader(self.options)
         return VideoBatchReader(self.options)
 
     def streamReader(self, schema: StructType) -> DataSourceStreamReader:
