@@ -48,6 +48,8 @@ PORTABLE = [
     "rel_salted_join",
     "ev_salted_agg",
     "rel_string_functions",
+    "tpch_q13_customer_distribution",
+    "uav_fps_null_semantics",
 ]
 
 SPECS = {s.name: s for s in registry.all_specs()}

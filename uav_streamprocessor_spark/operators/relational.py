@@ -650,3 +650,22 @@ def orders_grouping_sets(spark: SparkSession) -> DataFrame:
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
     )
+
+
+# --- TPC-H Q13: customer order-count distribution ---
+def q13_customer_distribution(spark: SparkSession) -> DataFrame:
+    """Histogram of customers by order count, INCLUDING zero-order
+    customers — the left outer join TPC-H uses to catch them, then a
+    second aggregation over the first's results."""
+    cust = _t(spark, "customer").select("c_custkey")
+    orders = _t(spark, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

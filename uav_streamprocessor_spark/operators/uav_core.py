@@ -301,3 +301,23 @@ def detection_metadata_json(
             ).alias("metadata_json"),
         )
     )
+
+
+def fps_null_semantics(frames: DataFrame) -> DataFrame:
+    """NULL-semantics surface over the fps column (nullable by fixture
+    design, mirroring the reference's unknown-fps streams,
+    uav/frame_reader.py:174-176): IS NULL counting, null-safe equality
+    (<=> / IS NOT DISTINCT FROM), and coalesce defaults — per camera."""
+    fps = F.col("fps")
+    return (
+        frames.groupBy("camera_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_frames"),
+            F.sum(fps.isNull().cast("long")).alias("n_null_fps"),
+            F.sum(fps.eqNullSafe(0.0).cast("long")).alias("n_zero_fps"),
+            F.sum(
+                F.coalesce(F.nullif(fps, F.lit(0.0)), F.lit(25.0))
+            ).alias("sum_effective_fps"),
+            F.count(fps).alias("n_fps_known"),
+        )
+    )

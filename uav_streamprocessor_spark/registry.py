@@ -1565,3 +1565,40 @@ GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
 """,
     notes="explicit GROUPING SETS (neither rollup nor cube) + grouping()",
 )(lambda spark: relational.orders_grouping_sets(spark))
+
+
+_register(
+    "tpch_q13_customer_distribution",
+    """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+    notes="Q13: left outer join keeps zero-order customers; aggregation "
+    "over an aggregation",
+)(lambda spark: relational.q13_customer_distribution(spark))
+
+
+_register(
+    "uav_fps_null_semantics",
+    with_fixture_ctes(
+        """
+SELECT camera_id,
+       CAST(count(*) AS BIGINT) AS n_frames,
+       CAST(sum(CASE WHEN fps IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null_fps,
+       CAST(sum(CASE WHEN fps IS NOT DISTINCT FROM 0.0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_zero_fps,
+       sum(coalesce(nullif(fps, 0.0), 25.0)) AS sum_effective_fps,
+       CAST(count(fps) AS BIGINT) AS n_fps_known
+FROM frames GROUP BY camera_id
+"""
+    ),
+    notes="NULL semantics: IS NULL, null-safe equality (eqNullSafe <=> "
+    "IS NOT DISTINCT FROM), count(col) vs count(*), coalesce/nullif",
+)(lambda spark: uav_core.fps_null_semantics(spark.table("frames")))
