@@ -1,0 +1,106 @@
+"""Dataset splitting / sampling / sharding for training pipelines.
+
+The patterns a pretraining data pipeline needs at 100 TB:
+
+- train/test split must be DETERMINISTIC and content-keyed (hash of the
+  document, not random()): stable under re-ingest, replay, and engine
+  change, and a near-duplicate of a train doc can be excluded from test
+  by splitting on the same key family the dedup pass uses.
+- stratified sampling keeps per-stratum proportions (sampleBy — seeded
+  Bernoulli per stratum; engine-specific RNG → rows-only check with a
+  tolerance test).
+- shard assignment for shuffled training output: hash-bucket then local
+  sort, never a global ORDER BY rand() (a single-partition sort at
+  scale). Shards are md5-prefix buckets — deterministic, uniform, and
+  exactly reproducible in the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# hex chars sort '0'..'9' < 'a'..'f' in both engines (ASCII); first nibble
+# <= 'c' keeps 13/16 = 81.25% of documents in train
+_TRAIN_MAX_NIBBLE = "c"
+
+
+def train_test_split_summary(spark: SparkSession) -> DataFrame:
+    """Deterministic content-hash split: first hex nibble of md5(text)
+    BETWEEN '0' AND 'c' → train (13/16 = 81.25%), else test. Summarized
+    per (lang, split) so the full assignment is value-checked compactly."""
+    docs = spark.table("documents")
+    split = F.when(
+        F.substring(F.md5("text"), 1, 1) <= _TRAIN_MAX_NIBBLE, "train"
+    ).otherwise("test")
+    return (
+        docs.withColumn("split", split)
+        .groupBy("lang", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("doc_id").alias("min_doc_id"),
+        )
+    )
+
+
+def shard_assignment(spark: SparkSession, n_shards: int = 64) -> DataFrame:
+    """Deterministic shard assignment for shuffled training output:
+    shard = first-2-hex-bytes of md5(text) mod n_shards. Writing
+    partitionBy(shard) + sortWithinPartitions gives globally-shuffled,
+    locally-sorted output with NO global sort. Per-shard stats verify
+    the assignment end-to-end."""
+    docs = spark.table("documents")
+    # conv() is Spark-only; stay portable by mapping two hex chars through
+    # a CASE-free arithmetic: position of each char in the hex alphabet
+    hex1 = F.substring(F.md5("text"), 1, 1)
+    hex2 = F.substring(F.md5("text"), 2, 1)
+
+    def nibble(c):
+        # '0'..'9' → 0..9, 'a'..'f' → 10..15 via ascii arithmetic
+        return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
+
+    shard = (nibble(hex1) * 16 + nibble(hex2)) % n_shards
+    return (
+        docs.withColumn("shard", shard.cast("int"))
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("min_doc_id"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+    )
+
+
+def stratified_downsample(
+    spark: SparkSession,
+    fractions: dict[str, float] | None = None,
+    default_fraction: float = 0.9,
+) -> DataFrame:
+    """Per-stratum deterministic downsampling — the rebalancing move a
+    pretraining mix needs (e.g. halve the dominant language). Keep
+    probability comes from a CONTENT HASH, not an RNG: u = md5 hex chars
+    3-4 as a uniform in [0,256) (chars 1-2 are reserved for split/shard
+    so the draws are independent); keep iff u < fraction(lang) * 256.
+
+    Fully deterministic and engine-portable — unlike df.sampleBy, whose
+    seeded RNG is engine-specific and whose fractions dict forces a
+    driver-side distinct() collect at plan-build time."""
+    fractions = {"en": 0.5} if fractions is None else fractions
+    docs = spark.table("documents")
+    hex3 = F.substring(F.md5("text"), 3, 1)
+    hex4 = F.substring(F.md5("text"), 4, 1)
+
+    def nibble(c):
+        return F.when(c <= "9", F.ascii(c) - 48).otherwise(F.ascii(c) - 87)
+
+    u = nibble(hex3) * 16 + nibble(hex4)
+    frac = F.lit(default_fraction)
+    for lang, f in fractions.items():
+        frac = F.when(F.col("lang") == lang, F.lit(f)).otherwise(frac)
+    kept = docs.filter(u < frac * 256)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.min("doc_id").alias("min_doc_id"),
+        F.sum("n_chars").alias("total_chars"),
+    )

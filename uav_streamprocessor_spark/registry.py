@@ -1602,3 +1602,71 @@ FROM frames GROUP BY camera_id
     notes="NULL semantics: IS NULL, null-safe equality (eqNullSafe <=> "
     "IS NOT DISTINCT FROM), count(col) vs count(*), coalesce/nullif",
 )(lambda spark: uav_core.fps_null_semantics(spark.table("frames")))
+
+
+from uav_streamprocessor_spark.operators import sampling  # noqa: E402
+
+_register(
+    "text_train_test_split",
+    """
+SELECT lang,
+       CASE WHEN substring(md5(text), 1, 1) <= 'c' THEN 'train'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       min(doc_id) AS min_doc_id
+FROM documents GROUP BY 1, 2
+""",
+    notes="deterministic content-hash train/test split (13/16 train); "
+    "stable under re-ingest, replay, and engine change",
+)(lambda spark: sampling.train_test_split_summary(spark))
+
+
+_register(
+    "text_shard_assignment",
+    """
+WITH h AS (
+  SELECT doc_id,
+         CASE WHEN substring(md5(text), 1, 1) <= '9'
+              THEN ascii(substring(md5(text), 1, 1)) - 48
+              ELSE ascii(substring(md5(text), 1, 1)) - 87 END * 16
+       + CASE WHEN substring(md5(text), 2, 1) <= '9'
+              THEN ascii(substring(md5(text), 2, 1)) - 48
+              ELSE ascii(substring(md5(text), 2, 1)) - 87 END AS b
+  FROM documents
+)
+SELECT CAST(b % 64 AS INT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       min(doc_id) AS min_doc_id,
+       max(doc_id) AS max_doc_id
+FROM h GROUP BY 1
+""",
+    notes="deterministic md5-prefix shard assignment for shuffled "
+    "training output (partitionBy shard + local sort, no global sort)",
+)(lambda spark: sampling.shard_assignment(spark))
+
+
+_register(
+    "text_stratified_downsample",
+    """
+WITH h AS (
+  SELECT lang, doc_id, n_chars,
+         CASE WHEN substring(md5(text), 3, 1) <= '9'
+              THEN ascii(substring(md5(text), 3, 1)) - 48
+              ELSE ascii(substring(md5(text), 3, 1)) - 87 END * 16
+       + CASE WHEN substring(md5(text), 4, 1) <= '9'
+              THEN ascii(substring(md5(text), 4, 1)) - 48
+              ELSE ascii(substring(md5(text), 4, 1)) - 87 END AS u
+  FROM documents
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_sampled,
+       min(doc_id) AS min_doc_id,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM h
+WHERE u < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.9 END) * 256
+GROUP BY lang
+""",
+    notes="deterministic hash-keyed stratified downsampling (halve 'en', "
+    "keep 90% elsewhere) — content-hash uniform, no RNG, no driver action",
+)(lambda spark: sampling.stratified_downsample(spark))
