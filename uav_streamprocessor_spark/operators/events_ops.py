@@ -267,3 +267,52 @@ def hierarchical_time_rollup(spark: SparkSession) -> DataFrame:
         .unionByName(level(hour, "hour"))
         .unionByName(level(day, "day"))
     )
+
+
+def funnel_view_click_purchase(spark: SparkSession) -> DataFrame:
+    """Ordered funnel per user: earliest view → first click AFTER that
+    view → first purchase AFTER that click, then stage conversion counts.
+    The min-over-filtered-window chain keeps it one shuffle on user_id
+    (conditional aggregation, no self-joins)."""
+    ev = spark.table("events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("click_ts")
+    )
+    first_click = (
+        clicks.join(per_user, "user_id")
+        .filter(F.col("click_ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("click_ts").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("purchase_ts")
+    )
+    first_purchase = (
+        purchases.join(first_click, "user_id")
+        .filter(F.col("purchase_ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("purchase_ts").alias("t_purchase"))
+    )
+    funnel = (
+        per_user.filter(F.col("t_view").isNotNull())
+        .join(first_click, "user_id", "left_outer")
+        .join(first_purchase, "user_id", "left_outer")
+    )
+    return funnel.agg(
+        F.count(F.lit(1)).alias("n_viewed"),
+        F.sum(F.col("t_click").isNotNull().cast("long")).alias("n_clicked"),
+        F.sum(F.col("t_purchase").isNotNull().cast("long")).alias("n_purchased"),
+        F.round(
+            F.sum(F.col("t_click").isNotNull().cast("long"))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("view_to_click_rate"),
+        F.round(
+            F.sum(F.col("t_purchase").isNotNull().cast("long"))
+            / F.greatest(F.sum(F.col("t_click").isNotNull().cast("long")), F.lit(1)).cast("double"),
+            6,
+        ).alias("click_to_purchase_rate"),
+    )

@@ -1670,3 +1670,39 @@ GROUP BY lang
     notes="deterministic hash-keyed stratified downsampling (halve 'en', "
     "keep 90% elsewhere) — content-hash uniform, no RNG, no driver action",
 )(lambda spark: sampling.stratified_downsample(spark))
+
+
+_register(
+    "ev_funnel_conversion",
+    """
+WITH v AS (
+  SELECT user_id, min(ts) AS t_view FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN v ON e.user_id = v.user_id
+  WHERE e.event_type = 'click' AND e.ts >= v.t_view
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT CAST(count(*) AS BIGINT) AS n_viewed,
+       CAST(count(c.t_click) AS BIGINT) AS n_clicked,
+       CAST(count(p.t_purchase) AS BIGINT) AS n_purchased,
+       round(count(c.t_click) / CAST(count(*) AS DOUBLE), 6)
+         AS view_to_click_rate,
+       round(count(p.t_purchase)
+             / CAST(greatest(count(c.t_click), 1) AS DOUBLE), 6)
+         AS click_to_purchase_rate
+FROM v
+LEFT OUTER JOIN c ON v.user_id = c.user_id
+LEFT OUTER JOIN p ON v.user_id = p.user_id
+""",
+    notes="ordered view→click→purchase funnel, conditional-agg chain "
+    "(no window, no self-join explosion)",
+)(lambda spark: events_ops.funnel_view_click_purchase(spark))
