@@ -669,3 +669,46 @@ def q13_customer_distribution(spark: SparkSession) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+# --- TPC-H Q8 (adapted): national market share ---
+def q8_market_share(spark: SparkSession) -> DataFrame:
+    """NATION_1's share of supplier revenue among customers in NATION_1's
+    own region, per ship year. The region key arrives via a broadcast
+    one-row scalar join (no driver-side lookup); all dims broadcast."""
+    nation = _t(spark, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    target = nation.filter(F.col("n_name") == "NATION_1").select(
+        F.col("n_regionkey").alias("target_rk")
+    )
+    cust_region = (
+        _t(spark, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_regionkey").alias("cust_rk"))
+    )
+    supp_nation = (
+        _t(spark, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    li = _t(spark, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, "orders").select("o_orderkey", "o_custkey")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust_region), orders["o_custkey"] == F.col("c_custkey"))
+        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .crossJoin(F.broadcast(target))
+        .filter(F.col("cust_rk") == F.col("target_rk"))
+    )
+    nat_rev = F.sum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(0.0))
+    return (
+        joined.groupBy(F.year("l_shipdate").alias("l_year"))
+        .agg(
+            F.round(nat_rev / F.sum(rev), 6).alias("mkt_share"),
+            F.round(F.sum(rev), 2).alias("total_revenue"),
+        )
+        .select(F.col("l_year").cast("int").alias("l_year"), "mkt_share", "total_revenue")
+    )

@@ -1706,3 +1706,28 @@ LEFT OUTER JOIN p ON v.user_id = p.user_id
     notes="ordered view→click→purchase funnel, conditional-agg chain "
     "(no window, no self-join explosion)",
 )(lambda spark: events_ops.funnel_view_click_purchase(spark))
+
+
+_register(
+    "tpch_q8_market_share",
+    """
+SELECT CAST(year(l_shipdate) AS INT) AS l_year,
+       round(sum(CASE WHEN ns.n_name = 'NATION_1'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation nc ON c_nationkey = nc.n_nationkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ns ON s_nationkey = ns.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND nc.n_regionkey = (SELECT n_regionkey FROM nation
+                        WHERE n_name = 'NATION_1')
+GROUP BY 1
+""",
+    notes="Q8 adapted: market share of NATION_1 suppliers among its own "
+    "region's customers, scalar-subquery region key",
+)(lambda spark: relational.q8_market_share(spark))
