@@ -86,3 +86,30 @@ def test_bucketed_join_correct(spark, bucketed_tables):
         "camera_id", "frame_number", "width", "height"
     ).join(spark.table("detections"), ["camera_id", "frame_number"])
     assert joined.count() == expected.count()
+
+
+def test_window_spec_detector_flags_global_window(spark):
+    """Negative control for plan_window_specs (mirrors the shuffle-
+    detector control): a deliberately global Window.orderBy must be
+    reported unpartitioned and a partitioned twin partitioned — if a
+    Spark version ever prints an empty [] partitionSpec group, the
+    bracket-count heuristic would pass the no-global-window gate
+    vacuously; this test catches that."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from uav_streamprocessor_spark.storage import plan_window_specs
+
+    df = spark.range(0, 100).withColumn("grp", F.col("id") % 7)
+    global_w = df.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    specs = plan_window_specs(global_w)
+    assert specs, "no Window node found in a windowed plan"
+    assert all(not part for part, _ in specs), f"global window not flagged: {specs}"
+
+    part_w = df.withColumn(
+        "rn", F.row_number().over(Window.partitionBy("grp").orderBy("id"))
+    )
+    specs_p = plan_window_specs(part_w)
+    assert specs_p and all(part for part, _ in specs_p), (
+        f"partitioned window misreported: {specs_p}"
+    )

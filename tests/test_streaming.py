@@ -195,6 +195,20 @@ def test_ordered_recorder_sink(spark, tmp_path):
     ]
     assert [x["frame_number"] for x in lines] == list(range(50))  # order restored
     assert lines[0]["fps"] == 25.0  # null fps → fallback latched
+    # multi-camera: each camera's file is independently complete and ordered
+    cam1_lines = [
+        json.loads(line) for line in open(tmp_path / "rec" / "cam1.jsonl")
+    ]
+    assert [x["frame_number"] for x in cam1_lines] == list(range(20))
+    assert cam1_lines[0]["fps"] == 30.0
+    # sink path must not funnel rows through the driver
+    import inspect
+    from uav_streamprocessor_spark.streaming import sinks as sinks_mod
+
+    src = inspect.getsource(sinks_mod.OrderedRecorderSink) + inspect.getsource(
+        sinks_mod._record_partition
+    )
+    assert "toLocalIterator" not in src and "collect()" not in src
 
     # latched config survives a sink restart (new instance, same out_dir):
     # a frame with a different size is still skipped, not re-latched

@@ -58,10 +58,40 @@ def test_camera_filter_pushdown_prunes_sources(spark):
     assert filtered.count() == 95
     # ceil(95/30) = 4 partitions; camB's 2 never planned
     assert filtered.rdd.getNumPartitions() == 4
-    # IN-list form prunes the other way
-    both = df.filter(F.col("camera_id").isin("camB"))
+    # IN-list form prunes the other way (multi-value → a real In filter,
+    # not an EqualTo collapse — guards the In.value field name)
+    both = df.filter(F.col("camera_id").isin("camB", "camZ"))
     assert both.count() == 40
     assert both.rdd.getNumPartitions() == 2
+
+
+def test_pushdown_conjuncts_intersect_not_overwrite():
+    """Two pushed camera_id filters must BOTH constrain the reader: the
+    consumed-but-dropped-first-filter bug would return camB rows for
+    `camera_id IN ('camA','camB') AND camera_id = 'camB'` ∩-violations.
+    Exercised directly on the reader (Catalyst usually collapses such
+    conjunctions, so the plan path can't reach it today)."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    from uav_streamprocessor_spark.sources.video_source import PushdownVideoBatchReader
+
+    opts = {
+        "path": "synthetic://camA?frames=5&w=16&h=16&seed=1,"
+        "synthetic://camB?frames=5&w=16&h=16&seed=2",
+    }
+    reader = PushdownVideoBatchReader(opts)
+    leftover = list(
+        reader.pushFilters(
+            [In(("camera_id",), ("camA", "camB")), EqualTo(("camera_id",), "camB")]
+        )
+    )
+    assert leftover == []  # both consumed...
+    assert reader._camera_filter == {"camB"}  # ...and intersected
+    # disjoint conjuncts → empty source, not a resurrected filter
+    reader2 = PushdownVideoBatchReader(opts)
+    list(reader2.pushFilters([EqualTo(("camera_id",), "camA"), EqualTo(("camera_id",), "camB")]))
+    assert reader2._camera_filter == set()
+    assert reader2.partitions() == []
 
 
 def test_batch_read_deterministic(spark):

@@ -48,7 +48,7 @@ def q3_shipping_priority(spark: SparkSession) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(revenue, 2).alias("revenue"))
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
@@ -64,8 +64,10 @@ def q3_shipping_priority(spark: SparkSession) -> DataFrame:
 
 # --- TPC-H Q5-style: revenue by nation within a region ---
 def q5_local_supplier_volume(spark: SparkSession) -> DataFrame:
-    """5-way join; dims (region/nation/supplier/customer) broadcast, the
-    single shuffle is lineitem⋈orders on orderkey."""
+    """5-way join; fixed-size dims (region/nation) are hint-broadcast.
+    customer/supplier scale with SF, so they carry NO hint — AQE
+    size-checks them (still broadcast at test SF, shuffle join at 100 TB
+    where a forced broadcast would OOM the executors)."""
     region = _t(spark, "region")
     nation = _t(spark, "nation")
     supplier = _t(spark, "supplier")
@@ -75,8 +77,8 @@ def q5_local_supplier_volume(spark: SparkSession) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
-        .join(F.broadcast(supplier), li["l_suppkey"] == supplier["s_suppkey"])
+        .join(customer, orders["o_custkey"] == customer["c_custkey"])
+        .join(supplier, li["l_suppkey"] == supplier["s_suppkey"])
         .filter(F.col("c_nationkey") == F.col("s_nationkey"))
         .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
@@ -92,7 +94,7 @@ def revenue_by_region(spark: SparkSession) -> DataFrame:
     customer = _t(spark, "customer")
     orders = _t(spark, "orders")
     return (
-        orders.join(F.broadcast(customer), orders["o_custkey"] == customer["c_custkey"])
+        orders.join(customer, orders["o_custkey"] == customer["c_custkey"])
         .join(F.broadcast(nation), customer["c_nationkey"] == nation["n_nationkey"])
         .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
         .groupBy("r_name")
@@ -111,7 +113,7 @@ def top_customers_by_revenue(spark: SparkSession, k: int = 10) -> DataFrame:
         orders.groupBy("o_custkey")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
              F.count(F.lit(1)).alias("n_orders"))
-        .join(F.broadcast(customer), F.col("o_custkey") == customer["c_custkey"])
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
         .orderBy(F.col("revenue").desc(), F.col("o_custkey"))
         .limit(k)
         .select("o_custkey", "c_name", "c_mktsegment", "revenue", "n_orders")
@@ -402,8 +404,9 @@ def q4_order_priority(spark: SparkSession) -> DataFrame:
 # --- TPC-H Q7 (adapted): volume shipping between two nations ---
 def q7_volume_shipping(spark: SparkSession) -> DataFrame:
     """Revenue shipped between NATION_1 and NATION_2 (either direction)
-    by (supplier nation, customer nation, ship year). Dims broadcast;
-    the only shuffle is lineitem⋈orders and the final 4-group agg."""
+    by (supplier nation, customer nation, ship year). nation is
+    hint-broadcast; the SF-scaling supplier/customer sides are left to
+    AQE. The big shuffle is lineitem⋈orders plus the final 4-group agg."""
     n1, n2 = "NATION_1", "NATION_2"
     nation = _t(spark, "nation").select("n_nationkey", "n_name")
     supp = (
@@ -423,8 +426,8 @@ def q7_volume_shipping(spark: SparkSession) -> DataFrame:
     orders = _t(spark, "orders").select("o_orderkey", "o_custkey")
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .filter(
             ((F.col("supp_nation") == n1) & (F.col("cust_nation") == n2))
             | ((F.col("supp_nation") == n2) & (F.col("cust_nation") == n1))
@@ -454,7 +457,7 @@ def q10_returned_items(spark: SparkSession) -> DataFrame:
     revenue = F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     return (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(
@@ -478,7 +481,7 @@ def q14_promo_effect(spark: SparkSession) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo_rev = F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
     return (
-        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        li.join(part, li["l_partkey"] == part["p_partkey"])
         .groupBy(F.month("l_shipdate").alias("ship_month"))
         .agg(
             F.round(100.0 * promo_rev / F.sum(rev), 6).alias("promo_pct"),
@@ -506,7 +509,7 @@ def q15_top_supplier(spark: SparkSession) -> DataFrame:
     return (
         rev.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .select("s_suppkey", "s_name", "total_revenue")
     )
 
@@ -526,7 +529,7 @@ def q18_large_volume_customers(spark: SparkSession) -> DataFrame:
     cust = _t(spark, "customer").select("c_custkey", "c_name")
     return (
         orders.join(big, orders["o_orderkey"] == big["l_orderkey"])
-        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
         .select(
             "c_custkey", "c_name", "o_orderkey",
             F.col("o_orderdate").cast("date").alias("o_orderdate"),
@@ -542,10 +545,11 @@ def q18_large_volume_customers(spark: SparkSession) -> DataFrame:
 def q19_disjunctive_revenue(spark: SparkSession) -> DataFrame:
     """Revenue from three OR-branches over (p_type, p_size, l_quantity) —
     the optimizer must evaluate a disjunction across join columns without
-    losing the broadcast."""
+    degrading the equi-join (part scales with SF: no broadcast hint, AQE
+    decides)."""
     li = _t(spark, "lineitem")
     part = _t(spark, "part").select("p_partkey", "p_type", "p_size")
-    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    j = li.join(part, li["l_partkey"] == part["p_partkey"])
     cond = (
         ((F.col("p_type") == "SMALL") & F.col("p_size").between(1, 15)
          & F.col("l_quantity").between(1, 15))
@@ -675,7 +679,8 @@ def q13_customer_distribution(spark: SparkSession) -> DataFrame:
 def q8_market_share(spark: SparkSession) -> DataFrame:
     """NATION_1's share of supplier revenue among customers in NATION_1's
     own region, per ship year. The region key arrives via a broadcast
-    one-row scalar join (no driver-side lookup); all dims broadcast."""
+    one-row scalar join (no driver-side lookup); nation hint-broadcast,
+    customer/supplier-derived sides left to AQE (they scale with SF)."""
     nation = _t(spark, "nation").select("n_nationkey", "n_name", "n_regionkey")
     target = nation.filter(F.col("n_name") == "NATION_1").select(
         F.col("n_regionkey").alias("target_rk")
@@ -698,8 +703,8 @@ def q8_market_share(spark: SparkSession) -> DataFrame:
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     joined = (
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .join(F.broadcast(cust_region), orders["o_custkey"] == F.col("c_custkey"))
-        .join(F.broadcast(supp_nation), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(cust_region, orders["o_custkey"] == F.col("c_custkey"))
+        .join(supp_nation, li["l_suppkey"] == F.col("s_suppkey"))
         .crossJoin(F.broadcast(target))
         .filter(F.col("cust_rk") == F.col("target_rk"))
     )

@@ -988,16 +988,98 @@ _register(
 )(lambda spark: similarity.ann_lsh_topk(spark))
 
 
+# ---------------------------------------------------------------------------
+# Driver correctness-window ordering.
+#
+# The driver checks the FIRST 50 entries of queries() (registration order) at
+# sf0.01 — r01 and r02 both submitted the same first-50 set, so the remaining
+# queries only ever had pytest DuckDB-parity coverage (same check, sf0.001,
+# tests/test_oracle_parity.py). This list rotates the never-driver-checked
+# queries into the window (VERDICT r2 "Next round" #1). Names listed here sort
+# first, in this order; everything else follows in registration order.
+# `dedup_ngram_jaccard` is pinned at the tail of the window because it fell out
+# of r02 purely by registration index (VERDICT r2 #9).
+# ---------------------------------------------------------------------------
+_DRIVER_WINDOW_PRIORITY: list[str] = [
+    # TPC-H adaptations beyond q1/q3/q5 — never driver-checked
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q22_sales_opportunity",
+    # text analysis
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_confusion",
+    "text_word_counts",
+    "text_tfidf_top_terms",
+    "text_stats_by_lang_source",
+    "text_regex_tokens",
+    # sampling / sharding
+    "text_train_test_split",
+    "text_shard_assignment",
+    "text_stratified_downsample",
+    # embeddings
+    "emb_knn_bruteforce",
+    "emb_label_centroids",
+    "emb_norm_stats",
+    "emb_ivf_topk",
+    "emb_ann_lsh",
+    "dedup_embedding_cosine",
+    # events / skew / funnel / asof
+    "ev_asof_clicks_views",
+    "ev_funnel_conversion",
+    "ev_salted_agg",
+    "rel_salted_join",
+    "ev_hierarchical_rollup",
+    "ev_map_functions",
+    "ev_try_expressions",
+    # relational additions
+    "rel_price_statistics",
+    "rel_approx_percentiles",
+    "rel_unpivot_rates",
+    "rel_grouping_sets",
+    "rel_above_avg_balance",
+    "rel_part_min_price",
+    "rel_having_nations",
+    "rel_price_histogram",
+    "rel_union_orders",
+    # UAV additions
+    "uav_box_original_coords",
+    "uav_frame_detection_summary",
+    "uav_camera_frame_gaps",
+    "uav_detection_labels",
+    "uav_pixel_detections",
+    "uav_fps_null_semantics",
+    # re-enter the window after dropping out of r02 at index 50
+    "dedup_ngram_jaccard",
+]
+
+
+def _ordered_specs() -> list[QuerySpec]:
+    rank = {n: i for i, n in enumerate(_DRIVER_WINDOW_PRIORITY)}
+    order = {s.name: i for i, s in enumerate(_SPECS)}
+    return sorted(
+        _SPECS, key=lambda s: (0, rank[s.name]) if s.name in rank else (1, order[s.name])
+    )
+
+
 def all_specs() -> list[QuerySpec]:
-    return list(_SPECS)
+    return _ordered_specs()
 
 
 def queries() -> dict[str, QueryFn]:
-    return {s.name: s.build for s in _SPECS}
+    return {s.name: s.build for s in _ordered_specs()}
 
 
 def oracle_sql() -> dict[str, str]:
-    return {s.name: s.oracle for s in _SPECS if s.oracle is not None}
+    return {s.name: s.oracle for s in _ordered_specs() if s.oracle is not None}
 
 
 def flagship(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -130,11 +130,19 @@ class PushdownVideoBatchReader(VideoBatchReader):
     def pushFilters(self, filters):
         for f in filters:
             if isinstance(f, EqualTo) and f.attribute == ("camera_id",):
-                self._camera_filter = {f.value}
+                self._narrow({f.value})
             elif isinstance(f, In) and f.attribute == ("camera_id",):
-                self._camera_filter = set(f.values)
+                self._narrow(set(f.value))  # In.value is the tuple of values
             else:
                 yield f
+
+    def _narrow(self, cameras: set) -> None:
+        # Intersect, don't overwrite: if Catalyst ever pushes two camera_id
+        # conjuncts (EqualTo + In), both constraints must hold — assignment
+        # would silently drop the first consumed filter.
+        self._camera_filter = (
+            cameras if self._camera_filter is None else self._camera_filter & cameras
+        )
 
 
 class VideoStreamReader(DataSourceStreamReader):

@@ -13,12 +13,15 @@ Scale rules enforced here:
 - K2 posts from EXECUTORS (foreachPartition): per-keyframe HTTP needs no
   global order, so binary payloads never move to the driver; sent/error
   counters travel back through accumulators.
-- K1 genuinely needs one ordered writer per camera, so rows DO go through
-  the driver — but via toLocalIterator over a sorted batch (one partition
-  resident at a time), never a whole-batch collect(), and the rows carry
-  no image payload (metadata only). Latched per-camera config persists to
-  a sidecar file so a restarted sink keeps the reference's first-frame
-  semantics (frame_processing.py:147-159) instead of re-latching.
+- K1 needs one ordered writer PER CAMERA — not one global writer. Cameras
+  are the parallelism unit (SCALE.md), so the batch is
+  repartition(camera_id) + sortWithinPartitions(camera_id, frame_number)
+  and each executor partition writes its cameras' files directly
+  (foreachPartition) — no toLocalIterator, no driver funnel. Latched
+  per-camera config persists to one sidecar file per camera (written
+  atomically by the camera's owning partition) so a restarted sink keeps
+  the reference's first-frame semantics (frame_processing.py:147-159)
+  instead of re-latching.
 """
 
 from __future__ import annotations
@@ -114,6 +117,63 @@ class HttpSenderSink:
         )
 
 
+def _record_partition(rows, out_dir: str, fallback_fps: float, skipped_acc) -> None:
+    """Executor-side per-partition writer for OrderedRecorderSink.
+
+    Rows arrive repartitioned by camera_id and sorted by (camera_id,
+    frame_number), so every camera's rows are contiguous, in frame order,
+    and owned by exactly one partition — one appender per camera, no
+    cross-writer races. Module-level so it pickles cleanly.
+    """
+    import os
+
+    out = Path(out_dir)
+    latch_dir = out / "_latch"
+    latch_dir.mkdir(parents=True, exist_ok=True)
+    latched: dict = {}
+    open_files: dict = {}
+    n_skipped = 0
+    try:
+        for r in rows:
+            cam = r["camera_id"]
+            if cam not in latched:
+                lp = latch_dir / f"{cam}.json"
+                if lp.exists():
+                    try:
+                        v = json.loads(lp.read_text())
+                        latched[cam] = (v["w"], v["h"], v["fps"])
+                    except (ValueError, KeyError):
+                        pass  # truncated latch from a crash → re-latch below
+                if cam not in latched:
+                    fps = r["fps"]
+                    latched[cam] = (
+                        r["width"],
+                        r["height"],
+                        fps if fps and fps > 0 else fallback_fps,
+                    )
+                    w, h, fps = latched[cam]
+                    tmp = latch_dir / f"{cam}.json.tmp"
+                    tmp.write_text(json.dumps({"w": w, "h": h, "fps": fps}))
+                    os.replace(tmp, lp)  # atomic: never a torn latch file
+            w, h, fps = latched[cam]
+            if (r["width"], r["height"]) != (w, h):
+                n_skipped += 1
+                continue
+            if cam not in open_files:
+                open_files[cam] = open(out / f"{cam}.jsonl", "a")
+            open_files[cam].write(
+                json.dumps(
+                    {"frame_number": r["frame_number"], "w": w, "h": h, "fps": fps}
+                )
+                + "\n"
+            )
+    finally:
+        for f in open_files.values():
+            f.close()
+    if skipped_acc is not None:
+        skipped_acc.add(n_skipped)
+
+
 @dataclass
 class OrderedRecorderSink:
     """K1 FrameSaver as foreachBatch: appends frame rows to one file per
@@ -121,75 +181,42 @@ class OrderedRecorderSink:
 
     The reference relies on implicit arrival order (main.py:113); Spark
     partitions destroy that, so order is re-established per batch with
-    orderBy(frame_number) and a single writer per camera — a deliberate
-    throughput/order trade confined to this sink. Config (size, fps) is
-    latched from the first frame seen per camera, mirroring
-    frame_processing.py:147-159; later size mismatches are skipped
-    (:172-179) and counted. The latch persists to `_latched.json` under
-    out_dir so a restarted sink (new process, same checkpoint) keeps the
-    original per-camera config rather than re-latching from whatever frame
-    arrives first after recovery.
-
-    Rows stream through toLocalIterator (one partition in driver memory at
-    a time) and carry only metadata columns — never image bytes.
+    repartition("camera_id") + sortWithinPartitions — each camera's rows
+    land contiguous and frame-ordered inside exactly one partition, and
+    that partition's executor writes the camera's file directly. Cameras
+    are the parallelism unit (SCALE.md): N cameras → up to N concurrent
+    writers, and no row ever moves to the driver (the r2-flagged
+    driver-iterator funnel is gone). Config (size, fps) is latched from
+    the first frame seen per camera, mirroring frame_processing.py:147-159;
+    later size mismatches are skipped (:172-179) and counted via an
+    accumulator. Each latch persists atomically (temp + os.replace) to
+    `_latch/{camera}.json` under out_dir — shared storage at scale — so a
+    restarted sink keeps the original per-camera config rather than
+    re-latching from whatever frame arrives first after recovery.
     """
 
     out_dir: str
     cfg: PipelineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
-    skipped: int = 0
-    _latched: dict = field(default_factory=dict)
+    _skipped_acc: object = field(default=None, repr=False)
 
-    def _latch_path(self) -> Path:
-        return Path(self.out_dir) / "_latched.json"
-
-    def _load_latch(self) -> None:
-        if not self._latched and self._latch_path().exists():
-            self._latched = {
-                cam: tuple(v)
-                for cam, v in json.loads(self._latch_path().read_text()).items()
-            }
-
-    def _save_latch(self) -> None:
-        self._latch_path().write_text(
-            json.dumps({cam: list(v) for cam, v in self._latched.items()})
-        )
+    @property
+    def skipped(self) -> int:
+        return self._skipped_acc.value if self._skipped_acc is not None else 0
 
     def __call__(self, batch: DataFrame, batch_id: int) -> None:
-        out = Path(self.out_dir)
-        out.mkdir(parents=True, exist_ok=True)
-        self._load_latch()
-        cols = ["camera_id", "frame_number", "width", "height", "fps"]
-        rows = batch.select(*cols).orderBy("camera_id", "frame_number").toLocalIterator()
-        latch_dirty = False
-        open_files: dict = {}
-        try:
-            for r in rows:
-                cam = r["camera_id"]
-                if cam not in self._latched:
-                    fps = r["fps"]
-                    self._latched[cam] = (
-                        r["width"],
-                        r["height"],
-                        fps if fps and fps > 0 else self.cfg.fallback_fps,
-                    )
-                    latch_dirty = True
-                w, h, fps = self._latched[cam]
-                if (r["width"], r["height"]) != (w, h):
-                    self.skipped += 1
-                    continue
-                if cam not in open_files:
-                    open_files[cam] = open(out / f"{cam}.jsonl", "a")
-                open_files[cam].write(
-                    json.dumps(
-                        {"frame_number": r["frame_number"], "w": w, "h": h, "fps": fps}
-                    )
-                    + "\n"
-                )
-        finally:
-            for f in open_files.values():
-                f.close()
-        if latch_dirty:
-            self._save_latch()
+        Path(self.out_dir).mkdir(parents=True, exist_ok=True)
+        if self._skipped_acc is None:
+            self._skipped_acc = batch.sparkSession.sparkContext.accumulator(0)
+        out_dir, fallback_fps = self.out_dir, self.cfg.fallback_fps
+        acc = self._skipped_acc
+        (
+            batch.select("camera_id", "frame_number", "width", "height", "fps")
+            .repartition("camera_id")
+            .sortWithinPartitions("camera_id", "frame_number")
+            .foreachPartition(
+                lambda rows: _record_partition(rows, out_dir, fallback_fps, acc)
+            )
+        )
 
 
 @dataclass

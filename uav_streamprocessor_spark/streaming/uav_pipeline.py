@@ -82,8 +82,8 @@ def run_streaming_pipeline(
 def recorder_rows_stream(frames: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
     """K1 row prep for streams: the batch recorder_rows uses a window to
     latch first-frame config (plans/pipeline.py); on a stream that state
-    lives in the sink itself (OrderedRecorderSink._latched — mirroring the
-    reference's lazy writer init, frame_processing.py:147-159), so the
+    lives in the sink's per-camera `_latch/{cam}.json` files — mirroring
+    the reference's lazy writer init, frame_processing.py:147-159), so the
     stream side just projects."""
     from pyspark.sql import functions as F
 
