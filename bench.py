@@ -7,6 +7,13 @@ Prints ONE JSON line:
 Each query is timed over a full execution (collect of a bounded result —
 aggregates/top-k, so driver transfer is negligible). A warmup query runs
 first so JVM/codegen startup isn't attributed to the first measurement.
+
+Each headline query runs $SPARK_GRAFT_BENCH_RUNS times (default 3) and
+reports the MEDIAN — BASELINE.md documents a 17-23s container-noise band
+on single runs, so medians are what make round-over-round comparisons
+trustworthy. Per-query min/max land in "spread" (stderr + JSON) so noisy
+queries are visible; "value"/"queries" stay median-based and
+schema-compatible with earlier rounds.
 """
 
 from __future__ import annotations
@@ -41,6 +48,11 @@ HEADLINE = [
     "emb_knn_bruteforce",       # vector top-k
     "emb_ann_lsh",              # hyperplane-LSH ANN (multi-probe)
     "uav_pixel_detections",     # Arrow UDF pixel hot path
+    # r3 breadth (VERDICT r2 #7): the heavier join/agg paths
+    "ev_asof_clicks_views",     # as-of join (time-bounded backward match)
+    "tpch_q18_large_volume",    # fact-fact agg + semi-join HAVING
+    "tpch_q8_market_share",     # 6-way join + conditional agg
+    "text_stratified_downsample",  # sampling path (hash-deterministic)
 ]
 
 
@@ -56,13 +68,24 @@ def main() -> None:
     qmap["uav_class_stats"](spark, sf_dir).collect()
     qmap["uav_pixel_detections"](spark, sf_dir).collect()
 
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in HEADLINE:
-        t0 = time.perf_counter()
-        df = qmap[name](spark, sf_dir)
-        n = df.count() if name.startswith("uav_keyframe") else len(df.collect())
-        timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        runs: list[float] = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = qmap[name](spark, sf_dir)
+            n = df.count() if name.startswith("uav_keyframe") else len(df.collect())
+            runs.append(round(time.perf_counter() - t0, 3))
+        runs.sort()
+        timings[name] = runs[len(runs) // 2]  # median
+        spread[name] = [runs[0], runs[-1]]
+        print(
+            f"# {name}: median {timings[name]}s "
+            f"[{runs[0]}..{runs[-1]}, n={n_runs}] ({n} rows)",
+            file=sys.stderr,
+        )
 
     total = round(sum(timings.values()), 3)
     print(
@@ -72,6 +95,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "spread": spread,
+                "runs_per_query": n_runs,
                 "sf": sf,
             }
         )

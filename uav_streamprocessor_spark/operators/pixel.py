@@ -153,16 +153,23 @@ def detect_objects(
     frames: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     image_col: str = "image",
+    decode=None,
 ) -> DataFrame:
     """T2 via mapInPandas (iterator form): the detector loads ONCE per
     executor Python worker and streams Arrow batches through — the engine's
     version of the reference's load-once-at-init (frame_processing.py:70-76).
-    Adds `detections array<struct>`; explode downstream for the flat table."""
+    Adds `detections array<struct>`; explode downstream for the flat table.
+
+    `decode` is the codec seam: any bytes→HxWx3-uint8 callable (e.g. a
+    cv2.imdecode wrapper) drops in; defaults to the raw-tensor codec.
+    Passed functions pickle by value to executors, so the swap needs no
+    module-path gymnastics."""
     out_schema = T.StructType(
         frames.schema.fields
         + [T.StructField("detections", T.ArrayType(BBOX_STRUCT), False)]
     )
     conf, classes = cfg.confidence, cfg.classes
+    dec = decode or decode_image
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         detector = StubDetector(conf, classes)  # one load per worker
@@ -170,7 +177,7 @@ def detect_objects(
             dets = []
             for buf in pdf[image_col]:
                 try:
-                    dets.append(detector.detect(decode_image(bytes(buf))))
+                    dets.append(detector.detect(dec(bytes(buf))))
                 except Exception:
                     dets.append([])  # skip-and-continue (frame_processing.py:113-115)
             pdf = pdf.copy()
@@ -201,19 +208,25 @@ def letterbox_and_detect(
     frames: DataFrame,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     image_col: str = "image",
+    codec=None,
 ) -> DataFrame:
     """Fused T1+T2: decode → letterbox → detect → encode in ONE
     mapInPandas pass. The separate operators pay decode+encode twice and
     ship the intermediate 640×640 buffer across two UDF boundaries; fused,
     each image crosses the Arrow boundary once — the pixel path's dominant
     cost at scale. Both unfused operators remain available for pipelines
-    that need the intermediate."""
+    that need the intermediate.
+
+    `codec` is an (encode, decode) pair — the swap seam for real image
+    codecs (cv2.imencode/imdecode at JPEG quality 90, the reference's
+    frame_processing.py:221); defaults to the raw-tensor codec."""
     out_schema = T.StructType(
         frames.schema.fields
         + [T.StructField("detections", T.ArrayType(BBOX_STRUCT), False)]
     )
     conf, classes = cfg.confidence, cfg.classes
     target = cfg.target_resolution
+    enc, dec = codec or (encode_image, decode_image)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         detector = StubDetector(conf, classes)
@@ -221,8 +234,8 @@ def letterbox_and_detect(
             images, dets = [], []
             for buf in pdf[image_col]:
                 try:
-                    boxed = letterbox_array(decode_image(bytes(buf)), target)
-                    images.append(encode_image(boxed))
+                    boxed = letterbox_array(dec(bytes(buf)), target)
+                    images.append(enc(boxed))
                     dets.append(detector.detect(boxed))
                 except Exception:
                     images.append(buf)  # frame_processing.py:53-57 fallback
