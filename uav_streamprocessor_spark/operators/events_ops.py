@@ -316,3 +316,31 @@ def funnel_view_click_purchase(spark: SparkSession) -> DataFrame:
             6,
         ).alias("click_to_purchase_rate"),
     )
+
+
+def retention_cohorts(spark: SparkSession) -> DataFrame:
+    """Weekly retention cohorts — the activation dashboard every event
+    pipeline ships: cohort = ISO week of a user's FIRST event; for each
+    (cohort_week, week_offset), how many of the cohort's users were
+    active that week. Two shuffles (per-user min; cohort×offset agg);
+    the per-user cohort re-joins on user_id — at 100 TB both sides are
+    pre-partitioned by user_id, so AQE plans a co-located join.
+
+    Output: cohort DATE + exact-integer offset/counts (hash-stable)."""
+    ev = spark.table("events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    active = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("event_week")
+    ).distinct()
+    return (
+        active.join(firsts, "user_id")
+        .groupBy(
+            "cohort_week",
+            ((F.datediff("event_week", "cohort_week") / 7).cast("int")).alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active_users"))
+    )

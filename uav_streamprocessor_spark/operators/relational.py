@@ -717,3 +717,177 @@ def q8_market_share(spark: SparkSession) -> DataFrame:
         )
         .select(F.col("l_year").cast("int").alias("l_year"), "mkt_share", "total_revenue")
     )
+
+
+# --- TPC-H Q2 (adapted): minimum-cost supplier per part within a region ---
+def q2_min_cost_supplier(spark: SparkSession) -> DataFrame:
+    """For each ECONOMY part, the cheapest lineitem unit price offered by
+    a supplier in ASIA, and the lowest-keyed supplier offering it — the
+    correlated-MIN subquery of TPC-H Q2 as a self-join-free two-phase
+    aggregate (min-price agg, join back on (part, price), tie-break by
+    min suppkey). lineitem stands in for the absent partsupp; unit price
+    = extendedprice/quantity rounded to 2dp BEFORE the min so the
+    join-back key is hash-stable."""
+    nation = _t(spark, "nation")
+    region = _t(spark, "region").filter(F.col("r_name") == "ASIA")
+    supp = (
+        _t(spark, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    part = _t(spark, "part").filter(F.col("p_type") == "ECONOMY").select(
+        "p_partkey", "p_name"
+    )
+    offers = (
+        _t(spark, "lineitem")
+        .filter(F.col("l_quantity") > 0)
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias(
+                "unit_price"
+            ),
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(part, F.col("l_partkey") == F.col("p_partkey"))
+    )
+    min_price = offers.groupBy(
+        F.col("l_partkey").alias("mp_partkey")
+    ).agg(F.min("unit_price").alias("min_unit_price"))
+    return (
+        offers.join(
+            min_price,
+            (F.col("l_partkey") == F.col("mp_partkey"))
+            & (F.col("unit_price") == F.col("min_unit_price")),
+        )
+        .groupBy(F.col("l_partkey").alias("p_partkey"), "p_name", "min_unit_price")
+        .agg(F.min("s_suppkey").alias("best_suppkey"))
+    )
+
+
+# --- TPC-H Q9 (adapted): product-type profit by nation and year ---
+def q9_product_profit(spark: SparkSession) -> DataFrame:
+    """Profit on 'red' parts by (supplier nation, order year). The absent
+    ps_supplycost is proxied by 10% of p_retailprice per unit — the plan
+    shape (part+supplier dims into lineitem⋈orders, 2-key agg) is Q9's."""
+    part = _t(spark, "part").filter(F.col("p_name").like("%red%")).select(
+        "p_partkey", "p_retailprice"
+    )
+    nation = _t(spark, "nation").select("n_nationkey", "n_name")
+    supp = (
+        _t(spark, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    li = _t(spark, "lineitem")
+    orders = _t(spark, "orders").select("o_orderkey", "o_orderdate")
+    amount = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * 0.1 * F.col("l_quantity")
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(supp, li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").alias("o_year"))
+        .agg(F.round(F.sum(amount), 2).alias("sum_profit"))
+        .select("nation", F.col("o_year").cast("int").alias("o_year"), "sum_profit")
+    )
+
+
+# --- TPC-H Q11 (adapted): parts holding a significant share of value ---
+def q11_important_value_parts(spark: SparkSession) -> DataFrame:
+    """Parts whose lineitem value exceeds 1.5x the AVERAGE part value —
+    Q11's group-vs-global-scalar HAVING, with the one-row global agg
+    broadcast into the filter (no driver action; the global avg re-aggs
+    the grouped values, not the base table). Q11's original fixed-share
+    cutoff (0.1%) empties under the corpus's uniform value distribution
+    at sf >= 0.01 — a 0=0 oracle proves nothing, so the threshold is
+    relative (non-vacuous at every test SF: 4/49/514 rows)."""
+    li = _t(spark, "lineitem").select(
+        "l_partkey", (F.col("l_extendedprice") * F.col("l_quantity")).alias("val")
+    )
+    per_part = li.groupBy("l_partkey").agg(F.sum("val").alias("part_value"))
+    avg_val = per_part.agg(F.avg("part_value").alias("avg_value"))
+    return (
+        per_part.crossJoin(F.broadcast(avg_val))
+        .filter(F.col("part_value") > F.col("avg_value") * 1.5)
+        .select("l_partkey", F.round("part_value", 2).alias("part_value"))
+    )
+
+
+# --- TPC-H Q16 (adapted): supplier counts by part attributes ---
+def q16_part_supplier_counts(spark: SparkSession) -> DataFrame:
+    """Distinct suppliers able to supply each (brand, type, size) combo,
+    excluding Brand#13, PROMO parts, and suppliers in arrears (negative
+    acctbal — the 'complaints' NOT IN of Q16 as an anti join)."""
+    part = _t(spark, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    )
+    bad_supp = _t(spark, "supplier").filter(F.col("s_acctbal") < 0.0).select(
+        "s_suppkey"
+    )
+    li = _t(spark, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(bad_supp, li["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .join(part, li["l_partkey"] == part["p_partkey"])
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --- TPC-H Q17 (adapted): small-quantity-order revenue ---
+def q17_small_quantity_revenue(spark: SparkSession) -> DataFrame:
+    """Average yearly revenue lost if small orders (quantity < 50% of the
+    part's average) were not filled — Q17's correlated per-part AVG as a
+    grouped agg joined back into lineitem (never a per-row subquery)."""
+    li = _t(spark, "lineitem")
+    part = _t(spark, "part").filter(F.col("p_brand") == "Brand#1").select("p_partkey")
+    avg_qty = li.groupBy("l_partkey").agg(
+        (F.avg("l_quantity") * 0.5).alias("half_avg_qty")
+    )
+    return (
+        li.join(part, li["l_partkey"] == part["p_partkey"])
+        .join(avg_qty, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg(
+            F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_small_orders"),
+        )
+    )
+
+
+# --- TPC-H Q21 (adapted): suppliers who kept multi-supplier orders waiting ---
+def q21_waiting_suppliers(spark: SparkSession, k: int = 20) -> DataFrame:
+    """Suppliers that were the SOLE late shipper (shipdate > 60 days
+    after the order date) on an order involving >= 2 suppliers — Q21's
+    double-EXISTS/NOT-EXISTS expressed as one per-order aggregate
+    (distinct supplier count, distinct late-supplier count) joined back
+    to the late rows. One shuffle on orderkey, one on suppkey."""
+    li = _t(spark, "lineitem")
+    orders = _t(spark, "orders").select("o_orderkey", "o_orderdate")
+    lo = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).withColumn(
+        "is_late", F.datediff("l_shipdate", "o_orderdate") > 60
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    blamed = (
+        lo.filter("is_late")
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    supp = _t(spark, "supplier").select("s_suppkey", "s_name")
+    return (
+        blamed.groupBy("l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.col("numwait").desc(), F.col("s_name"))
+        .limit(k)
+    )

@@ -28,6 +28,7 @@ from uav_streamprocessor_spark.operators import (
     dedup,
     events_ops,
     relational,
+    repetition,
     similarity,
     text,
     uav_core,
@@ -1813,3 +1814,262 @@ GROUP BY 1
     notes="Q8 adapted: market share of NATION_1 suppliers among its own "
     "region's customers, scalar-subquery region key",
 )(lambda spark: relational.q8_market_share(spark))
+
+
+# ===========================================================================
+# r3 surface: repetition / boilerplate / contamination; retention cohorts;
+# TPC-H q2/q9/q11/q16/q17/q21 adaptations.
+# Registered AFTER the r3 driver window (the rotated never-checked 50 own
+# it this round); pytest parity covers these now, the r4 rotation promotes
+# them into the window.
+# ===========================================================================
+
+_register(
+    "text_ngram_repetition",
+    """
+WITH w AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, lang,
+         list_transform(generate_series(1, len(ws) - 2),
+                        i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]) AS grams
+  FROM w WHERE len(ws) >= 3
+)
+SELECT doc_id, lang,
+       CAST(len(grams) AS INT) AS n_grams,
+       CAST(len(list_distinct(grams)) AS INT) AS n_distinct_grams,
+       round(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 6)
+         AS dup_gram_fraction
+FROM g
+""",
+    notes="per-doc duplicate-trigram fraction (Gopher repetition family); "
+    "map-only, arrays never explode",
+)(lambda spark: repetition.ngram_repetition_stats(spark))
+
+
+_register(
+    "text_boilerplate_ngrams",
+    """
+WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 2)) AS t(i)
+  WHERE len(ws) >= 3
+)
+SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 5
+""",
+    notes="cross-document repeated trigrams (boilerplate detection); "
+    "per-doc distinct before the global agg",
+)(lambda spark: repetition.boilerplate_ngrams(spark))
+
+
+_register(
+    "text_gopher_quality",
+    """
+WITH w AS (
+  SELECT lang, text, string_split(lower(text), ' ') AS ws,
+         ' ' || lower(text) || ' ' AS p
+  FROM documents
+), f AS (
+  SELECT lang,
+         (len(ws) >= 30) AS f_len,
+         (length(text) / CAST(len(ws) AS DOUBLE) <= 5.5) AS f_word_len,
+         ((length(p) - length(replace(p, ' the ', ''))) / 5 / len(ws) >= 0.02)
+           AS f_stopword,
+         (len(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+              i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+          = len(ws) - 2) AS f_no_rep
+  FROM w WHERE len(ws) >= 3
+)
+SELECT lang,
+       CAST(f_len AND f_word_len AND f_stopword AND f_no_rep AS INT) AS passes,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CAST(f_len AS BIGINT)) AS BIGINT) AS n_len_ok,
+       CAST(sum(CAST(f_word_len AS BIGINT)) AS BIGINT) AS n_word_len_ok,
+       CAST(sum(CAST(f_stopword AS BIGINT)) AS BIGINT) AS n_stopword_ok,
+       CAST(sum(CAST(f_no_rep AS BIGINT)) AS BIGINT) AS n_no_rep_ok
+FROM f GROUP BY 1, 2
+""",
+    notes="composite Gopher-style quality gate; every rule splits the "
+    "corpus (thresholds corpus-calibrated)",
+)(lambda spark: repetition.gopher_quality_flags(spark))
+
+
+_register(
+    "text_decontamination",
+    """
+WITH w AS (
+  SELECT doc_id, substring(md5(text), 1, 1) <= 'c' AS is_train,
+         string_split(lower(text), ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, is_train,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 4
+), tr AS (
+  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs
+  FROM g WHERE is_train GROUP BY gram
+)
+SELECT g.doc_id AS test_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams,
+       CAST(sum(n_train_docs) AS BIGINT) AS total_train_doc_hits
+FROM g JOIN tr USING (gram)
+WHERE NOT is_train
+GROUP BY g.doc_id
+""",
+    notes="eval decontamination: 4-grams shared between the content-hash "
+    "test split and ANY train doc; same key family as dedup/split",
+)(lambda spark: repetition.decontamination_report(spark))
+
+
+_register(
+    "ev_retention_cohorts",
+    """
+WITH firsts AS (
+  SELECT user_id, CAST(date_trunc('week', min(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id
+), active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS event_week
+  FROM events
+)
+SELECT cohort_week,
+       CAST(datediff('day', cohort_week, event_week) // 7 AS INT) AS week_offset,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_active_users
+FROM active JOIN firsts USING (user_id)
+GROUP BY 1, 2
+""",
+    notes="weekly retention cohorts: first-event week x week offset x "
+    "active users",
+)(lambda spark: events_ops.retention_cohorts(spark))
+
+
+_register(
+    "tpch_q2_min_cost",
+    """
+WITH supp AS (
+  SELECT s_suppkey FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+), offers AS (
+  SELECT l_partkey, l_suppkey, p_name,
+         round(l_extendedprice / l_quantity, 2) AS unit_price
+  FROM lineitem
+  JOIN supp ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_type = 'ECONOMY' AND l_quantity > 0
+), mins AS (
+  SELECT l_partkey, min(unit_price) AS min_unit_price FROM offers GROUP BY 1
+)
+SELECT o.l_partkey AS p_partkey, o.p_name, m.min_unit_price,
+       min(o.l_suppkey) AS best_suppkey
+FROM offers o
+JOIN mins m ON o.l_partkey = m.l_partkey AND o.unit_price = m.min_unit_price
+GROUP BY 1, 2, 3
+""",
+    notes="Q2 adapted: region-scoped min-cost supplier per ECONOMY part; "
+    "lineitem stands in for partsupp; unit price rounded pre-join for "
+    "hash-stable keys",
+)(lambda spark: relational.q2_min_cost_supplier(spark))
+
+
+_register(
+    "tpch_q9_product_profit",
+    """
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       round(sum(l_extendedprice * (1 - l_discount)
+                 - p_retailprice * 0.1 * l_quantity), 2) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+""",
+    notes="Q9 adapted: profit by supplier nation x year; supply cost "
+    "proxied by 10% of retail price (no partsupp table)",
+)(lambda spark: relational.q9_product_profit(spark))
+
+
+_register(
+    "tpch_q11_important_value",
+    """
+WITH per_part AS (
+  SELECT l_partkey, sum(l_extendedprice * l_quantity) AS part_value
+  FROM lineitem GROUP BY 1
+)
+SELECT l_partkey, round(part_value, 2) AS part_value
+FROM per_part
+WHERE part_value > (SELECT avg(part_value) FROM per_part) * 1.5
+""",
+    notes="Q11 adapted: parts above 1.5x average part value (relative "
+    "cutoff: non-vacuous at every SF); group-vs-global-scalar HAVING, "
+    "one-row agg broadcast",
+)(lambda spark: relational.q11_important_value_parts(spark))
+
+
+_register(
+    "tpch_q16_supplier_counts",
+    """
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+GROUP BY 1, 2, 3
+""",
+    notes="Q16 adapted: distinct supplier counts per part attribute "
+    "combo; in-arrears suppliers excluded via anti join",
+)(lambda spark: relational.q16_part_supplier_counts(spark))
+
+
+_register(
+    "tpch_q17_small_quantity",
+    """
+WITH avg_qty AS (
+  SELECT l_partkey, avg(l_quantity) * 0.5 AS half_avg_qty
+  FROM lineitem GROUP BY 1
+)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_small_orders
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN avg_qty USING (l_partkey)
+WHERE p_brand = 'Brand#1' AND l_quantity < half_avg_qty
+""",
+    notes="Q17 adapted: revenue from below-half-average-quantity "
+    "lineitems of one brand; correlated AVG as grouped agg + join back",
+)(lambda spark: relational.q17_small_quantity_revenue(spark))
+
+
+_register(
+    "tpch_q21_waiting_suppliers",
+    """
+WITH lo AS (
+  SELECT l_orderkey, l_suppkey,
+         (datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))
+          > 60) AS is_late
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS n_supp,
+         count(DISTINCT CASE WHEN is_late THEN l_suppkey END) AS n_late_supp
+  FROM lo GROUP BY 1
+)
+SELECT s_name, CAST(count(DISTINCT lo.l_orderkey) AS BIGINT) AS numwait
+FROM lo
+JOIN per_order USING (l_orderkey)
+JOIN supplier ON lo.l_suppkey = s_suppkey
+WHERE is_late AND n_supp >= 2 AND n_late_supp = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name
+LIMIT 20
+""",
+    notes="Q21 adapted: sole-late-shipper on multi-supplier orders; "
+    "double EXISTS as one per-order distinct-count aggregate",
+)(lambda spark: relational.q21_waiting_suppliers(spark))
