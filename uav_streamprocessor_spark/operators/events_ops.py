@@ -344,3 +344,33 @@ def retention_cohorts(spark: SparkSession) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_active_users"))
     )
+
+
+def sessionize_gap_method(spark: SparkSession, gap_minutes: int = 30) -> DataFrame:
+    """Gap-based sessionization WITHOUT session_window: lag-gap → session-
+    start flags → running sum = session id. The classic window-function
+    form (portable to any SQL engine; session_window is the Spark-native
+    twin in ev_session_windows). Per-user windows partition correctly at
+    scale — no global sort anywhere.
+
+    Gap arithmetic in exact integer MICROSECONDS (unix_micros both
+    engines) and a unique (ts, event_id) sort key: no double rounding, no
+    tie nondeterminism."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = us - F.lag(us).over(w)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (gap.isNull() | (gap > gap_us)).cast("long")
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("min(unix_micros(ts)) div 1000000").alias("session_start_epoch"),
+        F.expr("max(unix_micros(ts)) div 1000000").alias("session_end_epoch"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

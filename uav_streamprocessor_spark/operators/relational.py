@@ -891,3 +891,27 @@ def q21_waiting_suppliers(spark: SparkSession, k: int = 20) -> DataFrame:
         .orderBy(F.col("numwait").desc(), F.col("s_name"))
         .limit(k)
     )
+
+
+def order_window_navigation(spark: SparkSession) -> DataFrame:
+    """Window-navigation surface in one pass over per-customer windows:
+    ntile quartiles, percent_rank, cume_dist, first_value, nth_value —
+    all over a UNIQUE sort key (totalprice, orderkey) so peer-group
+    semantics can't diverge between engines. One shuffle on o_custkey;
+    every window shares the partitioning."""
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        _t(spark, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.ntile(4).over(w).alias("price_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.first("o_orderkey").over(w).alias("biggest_orderkey"),
+            F.nth_value("o_orderkey", 2).over(w_full).alias("second_orderkey"),
+        )
+    )

@@ -2073,3 +2073,50 @@ LIMIT 20
     notes="Q21 adapted: sole-late-shipper on multi-supplier orders; "
     "double EXISTS as one per-order distinct-count aggregate",
 )(lambda spark: relational.q21_waiting_suppliers(spark))
+
+
+_register(
+    "ev_sessionize_gap",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts, value,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), s AS (
+  SELECT user_id, ts, value,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM o
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(min(epoch_us(ts)) // 1000000 AS BIGINT) AS session_start_epoch,
+       CAST(max(epoch_us(ts)) // 1000000 AS BIGINT) AS session_end_epoch,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY 1, 2
+""",
+    notes="gap-based sessionization (lag-gap + running sum), the portable "
+    "window form of ev_session_windows; exact integer-microsecond gaps, "
+    "unique sort key",
+)(lambda spark: events_ops.sessionize_gap_method(spark))
+
+
+_register(
+    "rel_window_navigation",
+    """
+SELECT o_custkey, o_orderkey,
+       CAST(ntile(4) OVER w AS INT) AS price_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       first_value(o_orderkey) OVER w AS biggest_orderkey,
+       nth_value(o_orderkey, 2) OVER w_full AS second_orderkey
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
+       w_full AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""",
+    notes="ntile/percent_rank/cume_dist/first_value/nth_value over a "
+    "unique sort key (no peer-group divergence)",
+)(lambda spark: relational.order_window_navigation(spark))

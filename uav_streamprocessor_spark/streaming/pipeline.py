@@ -15,6 +15,7 @@ from typing import Any, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from uav_streamprocessor_spark.config import DEFAULT_CONFIG, PipelineConfig
@@ -193,4 +194,91 @@ def observed_stream(frames: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> 
         F.sum(
             (F.col("frame_number") % cfg.keyframe_interval == 0).cast("long")
         ).alias("keyframes"),
+    )
+
+
+TWS_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("camera_id", T.StringType()),
+        T.StructField("total_frames", T.LongType()),
+        T.StructField("max_frame", T.LongType()),
+        T.StructField("out_of_order", T.LongType()),
+    ]
+)
+TWS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("total", T.LongType()),
+        T.StructField("max_frame", T.LongType()),
+        T.StructField("ooo", T.LongType()),
+    ]
+)
+
+
+def _make_camera_stats_processor():
+    """Build the StatefulProcessor class for tws_camera_stats.
+
+    Deferred class creation: importing StatefulProcessor is always safe,
+    but RUNNING transformWithStateInPandas needs google.protobuf in the
+    Python worker (the state-server wire protocol) — absent in this
+    container, so the end-to-end path is gated like the codecs; the
+    per-batch logic is unit-tested against a fake handle
+    (tests/test_streaming.py::test_tws_processor_logic)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class CameraStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("camera_stats", TWS_STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):
+            total, max_frame, ooo = (
+                self._state.get() if self._state.exists() else (0, -1, 0)
+            )
+            for pdf in rows:
+                fn = pdf["frame_number"]
+                # a frame is out-of-order iff below the max of everything
+                # that arrived before it — including prior batches, so the
+                # batch-local cummax is floored at the carried max
+                running_max = (
+                    fn.cummax().clip(lower=max_frame).shift(1, fill_value=max_frame)
+                )
+                ooo += int((fn < running_max).sum())
+                total += len(pdf)
+                max_frame = max(max_frame, int(fn.max()))
+            self._state.update((total, max_frame, ooo))
+            yield pd.DataFrame(
+                {
+                    "camera_id": [key[0]],
+                    "total_frames": [total],
+                    "max_frame": [max_frame],
+                    "out_of_order": [ooo],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return CameraStatsProcessor
+
+
+def tws_camera_stats(frames: DataFrame) -> DataFrame:
+    """A1 on the Spark 4 arbitrary-state API: per-camera running totals,
+    max frame seen, and OUT-OF-ORDER arrivals (frame_number below the max
+    already seen) via transformWithStateInPandas + ValueState.
+
+    The applyInPandasWithState twin above carries the whole state as one
+    opaque tuple; this is the forward-looking form — named state
+    variables, schema'd, independently evolvable, and (with RocksDB state
+    store) spillable per variable. Out-of-order detection is exactly the
+    per-camera ordering concern the reference's synchronous loop never
+    faces but a partitioned ingest must track (K1 re-sorts per batch; this
+    op MEASURES how disordered the arrival actually is)."""
+    cls = _make_camera_stats_processor()
+    return frames.groupBy("camera_id").transformWithStateInPandas(
+        statefulProcessor=cls(),
+        outputStructType=TWS_OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
     )
