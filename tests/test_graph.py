@@ -1,0 +1,66 @@
+"""Connected-components semantics on constructed graphs.
+
+The driver-checked queries (dedup_doc_clusters/dedup_cluster_removals)
+prove the operator on the real corpus, whose blocking graph happens to be
+near-clique; these tests pin the shapes that graph can't express — long
+chains (propagation over diameter), rings, two cliques merged by one
+bridge edge — plus the convergence guard.
+"""
+
+import pytest
+
+from uav_streamprocessor_spark.operators.graph import (
+    components_with_sizes,
+    connected_components,
+)
+
+
+def _cc_dict(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["node"]: r["comp"] for r in connected_components(edges, **kw).collect()
+    }
+
+
+def test_chain_propagates_over_full_diameter(spark):
+    # 0-1-2-...-9: min label must travel 9 hops, the worst case per node
+    comp = _cc_dict(spark, [(i, i + 1) for i in range(9)])
+    assert comp == {i: 0 for i in range(10)}
+
+
+def test_ring_collapses_to_min(spark):
+    comp = _cc_dict(spark, [(i, (i + 1) % 6) for i in range(6)])
+    assert comp == {i: 0 for i in range(6)}
+
+
+def test_bridged_cliques_merge_and_separate_component_stays(spark):
+    # clique {1,2,3}, clique {10,11,12}, bridge 3-10; separate pair {20,21}
+    clique1 = [(1, 2), (1, 3), (2, 3)]
+    clique2 = [(10, 11), (10, 12), (11, 12)]
+    comp = _cc_dict(spark, clique1 + clique2 + [(3, 10), (20, 21)])
+    assert comp == {1: 1, 2: 1, 3: 1, 10: 1, 11: 1, 12: 1, 20: 20, 21: 20}
+
+
+def test_direction_and_duplicate_edges_are_irrelevant(spark):
+    # reversed + repeated edges: same fixpoint (undirected semantics)
+    comp = _cc_dict(spark, [(5, 4), (4, 5), (3, 4), (5, 4)])
+    assert comp == {3: 3, 4: 3, 5: 3}
+
+
+def test_sizes_join(spark):
+    edges = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "src long, dst long")
+    rows = {
+        r["node"]: (r["comp"], r["comp_size"])
+        for r in components_with_sizes(edges).collect()
+    }
+    assert rows == {1: (1, 3), 2: (1, 3), 3: (1, 3), 7: (7, 2), 8: (7, 2)}
+
+
+def test_nonconvergence_raises_not_partial(spark):
+    # diameter 5 can't finish in 2 rounds; must raise, never return a
+    # partially-propagated labeling
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)], "src long, dst long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2)

@@ -424,3 +424,65 @@ def ngram_jaccard_pairs(spark: SparkSession, n: int = 3) -> DataFrame:
         )
         .filter(F.col("jaccard3") > 0)
     )
+
+
+# --- near-dup cluster resolution: blocking keys → edges → components ---
+def doc_block_edges(spark: SparkSession) -> DataFrame:
+    """Candidate edges from two overlapping blocking-key families (md5 of
+    words 1-5 and of words 3-8): docs sharing either key are near-dup
+    candidates. Two families let clusters merge ACROSS families — the
+    bridge case single-key grouping cannot express. The self-join keys on
+    a 16-byte hash, never text; at 100 TB, cap pathological block sizes
+    (boilerplate prefixes) with a count<=N semi-join before the pair
+    expansion — uncapped here because the oracle must see every pair."""
+    words = F.split(F.col("text"), " ")
+    docs = spark.table("documents")
+    keys = docs.select(
+        "doc_id",
+        F.concat(F.lit("p:"), F.md5(F.concat_ws(" ", F.slice(words, 1, 5)))).alias("key"),
+    ).union(
+        docs.select(
+            "doc_id",
+            F.concat(F.lit("m:"), F.md5(F.concat_ws(" ", F.slice(words, 3, 6)))).alias("key"),
+        )
+    )
+    a, b = keys.alias("a"), keys.alias("b")
+    return (
+        a.join(b, "key")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    )
+
+
+def doc_dup_clusters(spark: SparkSession) -> DataFrame:
+    """Near-dup clusters: blocking-graph connected components with sizes.
+    Output is every clustered doc (singletons excluded — they're not
+    duplicates of anything)."""
+    from uav_streamprocessor_spark.operators.graph import components_with_sizes
+
+    return (
+        components_with_sizes(doc_block_edges(spark))
+        .select(
+            F.col("node").alias("doc_id"),
+            F.col("comp").alias("cluster_id"),
+            F.col("comp_size").alias("cluster_size"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def doc_cluster_removals(spark: SparkSession) -> DataFrame:
+    """Survivor selection over the resolved clusters: keep the min doc_id
+    per cluster, list what gets removed. The end-to-end near-dup pipeline
+    (block → edge → component → survivor) in one query."""
+    from uav_streamprocessor_spark.operators.graph import connected_components
+
+    comp = connected_components(doc_block_edges(spark))
+    return (
+        comp.filter(F.col("node") != F.col("comp"))
+        .select(
+            F.col("node").alias("removed_doc_id"),
+            F.col("comp").alias("kept_doc_id"),
+        )
+        .orderBy("removed_doc_id")
+    )

@@ -915,3 +915,80 @@ def order_window_navigation(spark: SparkSession) -> DataFrame:
             F.nth_value("o_orderkey", 2).over(w_full).alias("second_orderkey"),
         )
     )
+
+
+# --- TPC-H Q12 (adapted): shipping modes and order priority ---
+def q12_shipping_priority(spark: SparkSession) -> DataFrame:
+    """Q12's shape — lineitem⋈orders, conditional priority counts per
+    shipping class — adapted to the corpus: l_linestatus stands in for
+    the absent l_shipmode, and "slow shipping" (shipdate > 30 days after
+    the order date) stands in for the commit/receipt-date lateness
+    predicate (those columns don't exist here). One fact-fact shuffle on
+    orderkey; the agg is two-level map-side-combinable conditional
+    counts. Completes the 22-query TPC-H adaptation set."""
+    li = _t(spark, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    )
+    orders = _t(spark, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    slow = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).filter(
+        F.datediff("l_shipdate", "o_orderdate") > 30
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        slow.groupBy("l_linestatus")
+        .agg(
+            F.count(F.when(high, 1)).alias("high_line_count"),
+            F.count(F.when(~high, 1)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --- TPC-H Q20 (adapted): dominant suppliers of small parts ---
+def q20_excess_suppliers(spark: SparkSession) -> DataFrame:
+    """Q20's nested-subquery shape — suppliers holding "excess" stock of
+    parts matching a name prefix — adapted to the corpus: lineitem
+    stands in for the absent partsupp, and a supplier is "dominant" for
+    a part when its shipped quantity exceeds 2× the fair share
+    (part_qty / n_suppliers) — the original's fixed 0.5*sum cutoff
+    returns zero rows at every SF on this corpus's uniform quantity
+    distribution (max observed share ≈ 23%), which would recreate the
+    0=0 vacuous-oracle problem; the relative form returns 7/99/857
+    suppliers at sf 0.001/0.01/0.1 (same treatment as q11).
+    Agg-inside-agg: per-(part,supplier) totals, per-part totals, join
+    on partkey, then a distinct-supplier semi-join back to supplier.
+    Two shuffles on partkey, one on suppkey; `part` carries no
+    broadcast hint (it scales with SF — AQE decides)."""
+    small_parts = (
+        _t(spark, "part")
+        .filter(F.col("p_name").startswith("small "))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, "lineitem")
+        .join(small_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("supp_qty"))
+    )
+    part_totals = shipped.groupBy(F.col("l_partkey").alias("pt_partkey")).agg(
+        F.sum("supp_qty").alias("part_qty"),
+        F.count(F.lit(1)).alias("n_supp"),
+    )
+    dominant = shipped.join(
+        part_totals, F.col("l_partkey") == F.col("pt_partkey")
+    ).filter(
+        F.col("supp_qty") > F.lit(2.0) * F.col("part_qty") / F.col("n_supp")
+    )
+    supp = _t(spark, "supplier").select("s_suppkey", "s_name", "s_nationkey")
+    return (
+        supp.join(
+            dominant.select("l_suppkey").distinct(),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_suppkey", "s_name", "s_nationkey")
+        .orderBy("s_suppkey")
+    )

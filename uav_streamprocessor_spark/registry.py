@@ -2120,3 +2120,107 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey),
     notes="ntile/percent_rank/cume_dist/first_value/nth_value over a "
     "unique sort key (no peer-group divergence)",
 )(lambda spark: relational.order_window_navigation(spark))
+
+
+_register(
+    "tpch_q12_ship_priority",
+    """
+SELECT l_linestatus,
+       CAST(count(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                       THEN 1 END) AS BIGINT) AS high_line_count,
+       CAST(count(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                       THEN 1 END) AS BIGINT) AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+  AND datediff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 30
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+    notes="Q12 adapted: l_linestatus for the absent l_shipmode, 30-day "
+    "ship lag for the commit/receipt lateness predicate; completes the "
+    "22-query TPC-H set",
+)(lambda spark: relational.q12_shipping_priority(spark))
+
+
+_register(
+    "tpch_q20_excess_suppliers",
+    """
+WITH shipped AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS supp_qty
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small %'
+  GROUP BY l_partkey, l_suppkey
+), totals AS (
+  SELECT l_partkey, sum(supp_qty) AS part_qty, count(*) AS n_supp
+  FROM shipped GROUP BY l_partkey
+)
+SELECT s_suppkey, s_name, s_nationkey
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT shipped.l_suppkey
+  FROM shipped JOIN totals ON shipped.l_partkey = totals.l_partkey
+  WHERE supp_qty > 2.0 * part_qty / n_supp
+)
+ORDER BY s_suppkey
+""",
+    notes="Q20 adapted: lineitem for the absent partsupp; dominant "
+    "supplier = shipped qty > 2x the fair share (relative cutoff like "
+    "q11 — the fixed 0.5*sum form is vacuous on this corpus); "
+    "agg-inside-agg + semi-join",
+)(lambda spark: relational.q20_excess_suppliers(spark))
+
+
+_CC_GRAPH_CTE = """
+WITH RECURSIVE keys AS (
+  SELECT doc_id, 'p:' || md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'm:' || md5(array_to_string(string_split(text, ' ')[3:8], ' ')) AS key
+  FROM documents
+), e AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst
+  FROM keys a JOIN keys b USING (key)
+  WHERE a.doc_id <> b.doc_id
+), nodes AS (
+  SELECT DISTINCT src AS node FROM e
+), reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node
+), comp AS (
+  SELECT node, min(lbl) AS component FROM reach GROUP BY node
+)"""
+
+
+_register(
+    "dedup_doc_clusters",
+    _CC_GRAPH_CTE
+    + """
+SELECT node AS doc_id, component AS cluster_id,
+       CAST(cluster_size AS BIGINT) AS cluster_size
+FROM comp
+JOIN (SELECT component AS c2, count(*) AS cluster_size FROM comp GROUP BY component)
+  ON component = c2
+ORDER BY doc_id
+""",
+    notes="near-dup cluster resolution: two blocking-key families -> edge "
+    "list -> hash-min connected components (iterative DataFrame fixpoint, "
+    "O(diameter) rounds, localCheckpoint lineage truncation); oracle is "
+    "DuckDB's recursive-CTE transitive closure",
+)(lambda spark: dedup.doc_dup_clusters(spark))
+
+
+_register(
+    "dedup_cluster_removals",
+    _CC_GRAPH_CTE
+    + """
+SELECT node AS removed_doc_id, component AS kept_doc_id
+FROM comp WHERE node <> component
+ORDER BY removed_doc_id
+""",
+    notes="survivor selection over resolved clusters: hash-min label IS "
+    "the min doc_id, so removals fall out of the labeling",
+)(lambda spark: dedup.doc_cluster_removals(spark))
