@@ -1,0 +1,90 @@
+"""Lloyd k-means invariants (emb_kmeans_profile is rows-only at the
+driver — these tests carry the correctness weight).
+
+- exact recovery: on well-separated synthetic clusters the algorithm
+  must reproduce the generating partition exactly (no tolerance).
+- monotone inertia: Lloyd never increases total squared distance.
+- argmin consistency: every returned sq_dist is the distance to the
+  point's own centroid, and no other centroid is closer.
+"""
+
+import math
+
+import pytest
+
+from uav_streamprocessor_spark.fixtures import register_uav_views
+from uav_streamprocessor_spark.operators.similarity import kmeans_lloyd
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+def _synthetic_clusters(spark, n_per=20, dim=8, k=3, spread=0.01):
+    """k centers on distinct axes at distance sqrt(200); deterministic
+    within-cluster offsets far smaller than the center separation.
+    vec_ids INTERLEAVE clusters (id % k = cluster) so the lowest-id
+    seeding contract places one seed in each cluster — with all seeds in
+    one generating cluster Lloyd converges to a legitimate local optimum
+    that splits it (verified), which is a property of the algorithm, not
+    a defect."""
+    rows = []
+    for c in range(k):
+        for i in range(n_per):
+            vec = [0.0] * dim
+            vec[c] = 10.0
+            # deterministic "noise" in a non-center dimension
+            vec[dim - 1 - c] = spread * ((i * 7 + c * 3) % 11 - 5)
+            rows.append((i * k + c, vec, c))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.createOrReplaceTempView("embeddings")
+    return {r_id: lbl for r_id, _, lbl in rows}
+
+
+def test_exact_recovery_of_separated_clusters(spark):
+    truth = _synthetic_clusters(spark)
+    try:
+        assigned, centroids = kmeans_lloyd(spark, k=3, iters=4)
+        got = {r["vec_id"]: r["cluster"] for r in assigned.collect()}
+        # cluster ids are label-permutation-free here: init = lowest vec_ids
+        # 0,1,2 which all belong to generating cluster 0 — so recovery is
+        # up to a relabeling; check the PARTITION matches exactly
+        by_truth = {}
+        for vid, lbl in truth.items():
+            by_truth.setdefault(lbl, set()).add(vid)
+        by_got = {}
+        for vid, cl in got.items():
+            by_got.setdefault(cl, set()).add(vid)
+        assert sorted(map(sorted, by_truth.values())) == sorted(
+            map(sorted, by_got.values())
+        )
+    finally:
+        spark.catalog.dropTempView("embeddings")
+
+
+def test_inertia_monotone_and_argmin_consistent(spark):
+    register_uav_views(spark, SF_SMALL)
+    inertias = []
+    for iters in (1, 2, 4):
+        assigned, centroids = kmeans_lloyd(spark, k=5, iters=iters)
+        rows = assigned.collect()
+        inertias.append(sum(r["sq_dist"] for r in rows))
+    assert inertias[0] >= inertias[1] >= inertias[2]
+
+    # argmin consistency on the last run: recompute distances in Python
+    for r in rows[:50]:
+        emb = [float(x) for x in r["embedding"]]
+        dists = [
+            sum((a - b) ** 2 for a, b in zip(emb, c)) for c in centroids
+        ]
+        assert math.isclose(min(dists), r["sq_dist"], rel_tol=1e-9)
+        assert dists.index(min(dists)) == r["cluster"]
+
+
+def test_profile_rowcount_is_k(spark):
+    from uav_streamprocessor_spark.operators.similarity import (
+        kmeans_cluster_profile,
+    )
+
+    register_uav_views(spark, SF_SMALL)
+    prof = kmeans_cluster_profile(spark, k=10, iters=2).collect()
+    assert len(prof) == 10
+    assert sum(r["n_members"] for r in prof) == 500

@@ -245,3 +245,89 @@ def embedding_norm_stats(spark: SparkSession) -> DataFrame:
             F.round(F.max("norm"), 6).alias("max_norm"),
         )
     )
+
+
+# --- Lloyd k-means: the data-curation clustering pass -------------------
+def kmeans_lloyd(
+    spark: SparkSession, k: int = 10, iters: int = 5
+) -> tuple[DataFrame, list[list[float]]]:
+    """Seeded Lloyd k-means over the embedding column as an iterative
+    DataFrame computation. Returns (assignments, final_centroids).
+
+    Design for scale:
+    - Centroids are MODEL state, O(k*dim) — they live on the driver and
+      re-enter each round as a broadcast literal; the data never
+      re-shuffles (assignment is a map-side argmin over the literal).
+    - The update step aggregates per-dimension with `dim` built-in avg()
+      aggregates (map-side combinable, whole-stage codegen) instead of
+      posexplode — no n*dim row blowup, no shuffle wider than k rows.
+    - Deterministic: init = the k lowest vec_ids (no RNG), argmin ties
+      break on centroid index via struct ordering.
+    - Fixed iteration count (training pipelines checkpoint centroids and
+      monitor inertia rather than running to convergence); inertia is
+      monotone non-increasing across rounds (pinned in tests).
+    """
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    dim = len(emb.select("embedding").first()[0])
+    init_rows = emb.orderBy("vec_id").limit(k).collect()
+    centroids = [[float(x) for x in r["embedding"]] for r in init_rows]
+
+    def assign(cent: list[list[float]]) -> DataFrame:
+        cent_lit = F.array(
+            *[F.array(*[F.lit(x) for x in c]) for c in cent]
+        )
+        dists = F.transform(
+            cent_lit,
+            lambda c: F.aggregate(
+                F.zip_with(
+                    F.col("embedding"),
+                    c,
+                    lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+        best = F.array_min(
+            F.transform(
+                dists, lambda d, i: F.struct(d.alias("dist"), i.alias("cluster"))
+            )
+        )
+        return emb.select(
+            "vec_id",
+            "embedding",
+            best["cluster"].alias("cluster"),
+            best["dist"].alias("sq_dist"),
+        )
+
+    for _ in range(iters):
+        assigned = assign(centroids)
+        new_cent = (
+            assigned.groupBy("cluster")
+            .agg(*[F.avg(F.col("embedding")[i]).alias(f"d{i}") for i in range(dim)])
+            .collect()
+        )
+        # empty clusters keep their previous centroid
+        by_cluster = {r["cluster"]: [r[f"d{i}"] for i in range(dim)] for r in new_cent}
+        centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
+    return assign(centroids), centroids
+
+
+def kmeans_cluster_profile(spark: SparkSession, k: int = 10, iters: int = 5) -> DataFrame:
+    """Registered surface: cluster sizes + mean squared distance + the
+    majority ground-truth label per cluster (purity diagnostic)."""
+    assigned, _ = kmeans_lloyd(spark, k, iters)
+    emb = spark.table("embeddings").select("vec_id", "label")
+    joined = assigned.join(emb, "vec_id")
+    label_counts = (
+        joined.groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("cluster")
+        .agg(F.max(F.struct("n", F.col("label").alias("l"))).alias("top"))
+        .select("cluster", F.col("top.l").alias("majority_label"))
+    )
+    stats = joined.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist"),
+    )
+    return stats.join(label_counts, "cluster").orderBy("cluster")

@@ -163,3 +163,74 @@ def doc_stats_by_lang_source(spark: SparkSession) -> DataFrame:
             F.round(F.avg("n_chars"), 6).alias("avg_chars"),
         )
     )
+
+
+def unigram_cross_entropy(spark: SparkSession) -> DataFrame:
+    """Per-document cross-entropy against the corpus's own unigram LM —
+    the perplexity-filter staple of pretraining pipelines (docs whose
+    token distribution diverges from the corpus score high and get
+    culled). Two passes, both JVM-side: token counts (explode + groupBy,
+    map-side combinable), then a token-level join back. The LM table is
+    vocabulary-sized (≪ corpus at any scale — Heaps' law) but still
+    grows with data, so it carries NO broadcast hint; AQE broadcasts it
+    while it fits. avg(ln p) is rounded to 6dp — summation-order ULP
+    noise sits ~1e-13 below that boundary."""
+    toks = (
+        spark.table("documents")
+        .select("doc_id", "lang", F.explode(F.split("text", " ")).alias("word"))
+    )
+    counts = toks.groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("corpus_tokens"))
+    lm = counts.crossJoin(F.broadcast(total)).select(
+        "word", (F.col("n") / F.col("corpus_tokens")).alias("p")
+    )
+    return (
+        toks.join(lm, "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(-F.avg(F.log("p")), 6).alias("cross_entropy"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def source_vocabulary_overlap(spark: SparkSession) -> DataFrame:
+    """Pairwise vocabulary Jaccard between sources — the contamination /
+    provenance-overlap matrix. Distinct (source, word) incidence, counted
+    once per source and once per co-occurring pair: one shuffle on word
+    for the pair expansion, one tiny agg on (src_a, src_b). The pair
+    space is sources², independent of corpus size; the word-level join
+    is the only data-sized stage and its key is the token."""
+    sv = (
+        spark.table("documents")
+        .select("source", F.explode(F.split("text", " ")).alias("word"))
+        .distinct()
+    )
+    sizes = sv.groupBy("source").agg(F.count(F.lit(1)).alias("vocab"))
+    a, b = sv.alias("a"), sv.alias("b")
+    inter = (
+        a.join(b, "word")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    sb = sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        inter.join(sa, "src_a")
+        .join(sb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("vocab_a") + F.col("vocab_b") - F.col("n_common")),
+                6,
+            ).alias("vocab_jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )

@@ -2224,3 +2224,62 @@ ORDER BY removed_doc_id
     notes="survivor selection over resolved clusters: hash-min label IS "
     "the min doc_id, so removals fall out of the labeling",
 )(lambda spark: dedup.doc_cluster_removals(spark))
+
+
+_register(
+    "emb_kmeans_profile",
+    None,
+    notes="seeded Lloyd k-means (iterative DataFrame fixpoint: broadcast-"
+    "literal centroids, per-dimension built-in avg update, no explode); "
+    "non-SQL-expressible (5 unrolled iterations) -> rows-only + pytest "
+    "invariants (exact recovery of separated clusters, monotone inertia, "
+    "argmin consistency)",
+)(lambda spark: similarity.kmeans_cluster_profile(spark))
+
+
+_register(
+    "text_unigram_cross_entropy",
+    """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT word, count(*) AS n FROM toks GROUP BY word
+), lm AS (
+  SELECT word, n / CAST((SELECT sum(n) FROM counts) AS DOUBLE) AS p FROM counts
+)
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(-avg(ln(p)), 6) AS cross_entropy
+FROM toks JOIN lm USING (word)
+GROUP BY doc_id, lang
+ORDER BY doc_id
+""",
+    notes="perplexity-filter staple: per-doc cross-entropy vs the corpus "
+    "unigram LM; LM table joined without broadcast hint (vocab grows "
+    "with corpus)",
+)(lambda spark: text.unigram_cross_entropy(spark))
+
+
+_register(
+    "text_source_vocab_overlap",
+    """
+WITH sv AS (
+  SELECT DISTINCT source, unnest(string_split(text, ' ')) AS word FROM documents
+), sizes AS (
+  SELECT source, count(*) AS vocab FROM sv GROUP BY source
+), inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+  FROM sv a JOIN sv b USING (word)
+  WHERE a.source < b.source
+  GROUP BY a.source, b.source
+)
+SELECT src_a, src_b, n_common,
+       round(n_common / CAST(sa.vocab + sb.vocab - n_common AS DOUBLE), 6)
+         AS vocab_jaccard
+FROM inter
+JOIN sizes sa ON sa.source = src_a
+JOIN sizes sb ON sb.source = src_b
+ORDER BY src_a, src_b
+""",
+    notes="cross-source vocabulary Jaccard (contamination matrix); "
+    "word-keyed shuffle, sources^2 output",
+)(lambda spark: text.source_vocabulary_overlap(spark))
