@@ -53,6 +53,9 @@ HEADLINE = [
     "tpch_q18_large_volume",    # fact-fact agg + semi-join HAVING
     "tpch_q8_market_share",     # 6-way join + conditional agg
     "text_stratified_downsample",  # sampling path (hash-deterministic)
+    # r3 additions: iterative + LM-join paths
+    "dedup_doc_clusters",       # blocking graph -> iterative hash-min CC
+    "text_unigram_cross_entropy",  # corpus-LM token join
 ]
 
 
