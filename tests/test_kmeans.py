@@ -57,7 +57,11 @@ def test_exact_recovery_of_separated_clusters(spark):
             map(sorted, by_got.values())
         )
     finally:
-        spark.catalog.dropTempView("embeddings")
+        # restore the real view — registration is memoized per session, so
+        # a plain drop would leave later tests with no embeddings table
+        spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").createOrReplaceTempView(
+            "embeddings"
+        )
 
 
 def test_inertia_monotone_and_argmin_consistent(spark):

@@ -90,3 +90,18 @@ def test_fixture_registration_leaves_no_global_window_warning(spark):
     specs = plan_window_specs(df)
     assert specs, "rank query should contain its own (partitioned) window"
     assert all(p for p, _ in specs)
+
+
+def test_kmeans_assignment_is_map_only(spark):
+    """Centroids enter as a broadcast literal, so the assignment stage
+    must be shuffle-free — scan + project only. An Exchange here would
+    mean the data re-shuffles every Lloyd round (the n·dim blowup the
+    per-dimension-avg update exists to avoid shows up as posexplode)."""
+    from uav_streamprocessor_spark.fixtures import register_uav_views
+    from uav_streamprocessor_spark.operators.similarity import kmeans_lloyd
+
+    register_uav_views(spark, SF_SMALL)
+    assigned, _ = kmeans_lloyd(spark, k=3, iters=1)
+    plan = formatted_plan(assigned)
+    assert "Exchange" not in plan, f"kmeans assignment shuffles:\n{plan[:1500]}"
+    assert "posexplode" not in plan.lower()

@@ -2283,3 +2283,36 @@ ORDER BY src_a, src_b
     notes="cross-source vocabulary Jaccard (contamination matrix); "
     "word-keyed shuffle, sources^2 output",
 )(lambda spark: text.source_vocabulary_overlap(spark))
+
+
+from uav_streamprocessor_spark.operators import udx  # noqa: E402
+
+_register(
+    "text_top_bigrams_udtf",
+    """
+WITH w AS (
+  SELECT string_split(text, ' ') AS words FROM documents
+), g AS (
+  SELECT words[i] || ' ' || words[i + 1] AS gram
+  FROM (SELECT words, unnest(range(1, len(words))) AS i FROM w)
+)
+SELECT gram, CAST(count(*) AS BIGINT) AS n
+FROM g GROUP BY gram ORDER BY n DESC, gram LIMIT 20
+""",
+    notes="Python UDTF (Spark 4 lateral table function) — oracle proves "
+    "it interchangeable with the built-in transform form",
+)(lambda spark: udx.top_bigrams_udtf(spark))
+
+
+_register(
+    "rel_weighted_price_udaf",
+    """
+SELECT l_returnflag,
+       round(sum(l_extendedprice * l_quantity) / CAST(sum(l_quantity) AS DOUBLE), 4)
+         AS weighted_avg_price,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+    notes="GROUPED_AGG pandas UDAF (custom aggregate over Arrow columns) "
+    "— oracle proves it against the decomposed sum(x*w)/sum(w) form",
+)(lambda spark: udx.weighted_price_by_flag(spark))
