@@ -3,6 +3,8 @@ the structural proof behind SCALE.md's frames⋈detections claim."""
 
 from __future__ import annotations
 
+import re
+
 import pytest
 
 from tests.conftest import SF_SMALL
@@ -113,3 +115,29 @@ def test_window_spec_detector_flags_global_window(spark):
     assert specs_p and all(part for part, _ in specs_p), (
         f"partitioned window misreported: {specs_p}"
     )
+
+
+def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
+    """Hive-partitioned layout (the 100 TB directory scheme: partition by
+    low-cardinality scan keys like date/camera): a partition-column
+    predicate must land in the scan's PartitionFilters — directories are
+    skipped without reading a footer. Negative control: a data-column
+    predicate must NOT appear there (it belongs to PushedFilters), so
+    this can't pass vacuously on a reader that ignores partitioning."""
+    from uav_streamprocessor_spark.storage import formatted_plan
+
+    path = str(tmp_path / "part_events")
+    df = spark.range(0, 1000).selectExpr(
+        "id", "id % 7 AS day_bucket", "id * 2 AS value"
+    )
+    df.write.mode("overwrite").partitionBy("day_bucket").parquet(path)
+
+    pruned = spark.read.parquet(path).filter("day_bucket = 3 AND value > 100")
+    plan = formatted_plan(pruned)
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "day_bucket" in m.group(1), f"no partition pruning:\n{plan[:1200]}"
+    assert "value" not in m.group(1), "data predicate misplaced in PartitionFilters"
+    pushed = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert pushed and "value" in pushed.group(1), "data predicate not pushed"
+    # pruning is effective: only one of seven directories is read
+    assert pruned.count() == sum(1 for i in range(1000) if i % 7 == 3 and i * 2 > 100)
