@@ -374,3 +374,21 @@ def sessionize_gap_method(spark: SparkSession, gap_minutes: int = 30) -> DataFra
         F.expr("max(unix_micros(ts)) div 1000000").alias("session_end_epoch"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def variant_props_stats(spark: SparkSession) -> DataFrame:
+    """Spark 4 VARIANT type over the semi-structured props column:
+    parse_json → typed variant_get extraction, aggregated per extracted
+    key. VARIANT stores a parsed binary form — at scale, repeated
+    get_json_object calls re-parse the string per access while variant
+    parses once; here one extraction feeds the whole query."""
+    return spark.sql(
+        """
+        SELECT variant_get(parse_json(props), '$.k', 'int') AS k_val,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS total_value
+        FROM events
+        GROUP BY k_val
+        ORDER BY k_val
+        """
+    )

@@ -992,3 +992,34 @@ def q20_excess_suppliers(spark: SparkSession) -> DataFrame:
         .select("s_suppkey", "s_name", "s_nationkey")
         .orderBy("s_suppkey")
     )
+
+
+# --- recursive CTE (Spark 4): calendar-spine gap fill ---
+def monthly_revenue_spine(spark: SparkSession) -> DataFrame:
+    """Month spine via WITH RECURSIVE (Spark 4) + left join: the
+    gap-filling reporting staple — months with zero orders still get a
+    row. Spark's recursive CTEs are UNION ALL-only (no distinct-union),
+    which is exactly right for a strictly-increasing generator like this
+    spine; cyclic closures (connected components) can't terminate under
+    UNION ALL and stay imperative in operators/graph.py. The spine is
+    O(months) rows on the driver side of the join — broadcast by AQE —
+    and the orders side aggregates map-side after date_trunc."""
+    return spark.sql(
+        """
+        WITH RECURSIVE spine(month_start) AS (
+          SELECT to_date(date_trunc('month', min(o_orderdate))) FROM orders
+          UNION ALL
+          SELECT add_months(month_start, 1) FROM spine
+          WHERE month_start < (SELECT to_date(date_trunc('month', max(o_orderdate)))
+                               FROM orders)
+        )
+        SELECT s.month_start,
+               CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+               round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+        FROM spine s
+        LEFT JOIN orders o
+          ON to_date(date_trunc('month', o.o_orderdate)) = s.month_start
+        GROUP BY s.month_start
+        ORDER BY s.month_start
+        """
+    )

@@ -2316,3 +2316,40 @@ FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     notes="GROUPED_AGG pandas UDAF (custom aggregate over Arrow columns) "
     "— oracle proves it against the decomposed sum(x*w)/sum(w) form",
 )(lambda spark: udx.weighted_price_by_flag(spark))
+
+
+_register(
+    "ev_variant_props",
+    """
+SELECT CAST(json_extract(props, '$.k') AS INT) AS k_val,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY k_val ORDER BY k_val
+""",
+    notes="Spark 4 VARIANT type (parse_json + typed variant_get) vs "
+    "DuckDB json_extract — variant parses once, string JSON re-parses "
+    "per access",
+)(lambda spark: events_ops.variant_props_stats(spark))
+
+
+_register(
+    "rel_monthly_revenue_spine",
+    """
+WITH RECURSIVE spine(month_start) AS (
+  SELECT CAST(date_trunc('month', min(o_orderdate)) AS DATE) FROM orders
+  UNION ALL
+  SELECT CAST(month_start + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE month_start < (SELECT CAST(date_trunc('month', max(o_orderdate)) AS DATE)
+                       FROM orders)
+)
+SELECT s.month_start,
+       CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
+       round(coalesce(sum(o.o_totalprice), 0.0), 2) AS revenue
+FROM spine s
+LEFT JOIN orders o ON CAST(date_trunc('month', o.o_orderdate) AS DATE) = s.month_start
+GROUP BY s.month_start
+ORDER BY s.month_start
+""",
+    notes="Spark 4 WITH RECURSIVE date-spine gap fill (UNION ALL "
+    "generator); zero-order months still get a row",
+)(lambda spark: relational.monthly_revenue_spine(spark))
