@@ -187,24 +187,13 @@ def fingerprint_docs(spark: SparkSession) -> DataFrame:
 # near-dup: minhash LSH / simhash / ngram jaccard
 # ---------------------------------------------------------------------------
 
-def minhash_candidates(spark: SparkSession) -> DataFrame:
-    """MinHash+LSH near-duplicate candidate pairs.
-
-    signature(64) → 16 bands of 4 → explode to (band, band_sig) → self-join
-    on the band bucket. The only shuffle is on the band bucket key; all-pairs
-    comparison never happens. Candidates with doc_id_a < doc_id_b, distinct.
-    """
-    # small parquet files arrive as 1 partition — spread before the UDF so
-    # signature hashing uses every core (at 100 TB the scan is already
-    # parallel and this repartition is a no-op to remove)
-    docs = (
-        spark.table("documents")
-        .select("doc_id", "text")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
-    sigs = docs.withColumn("sig", minhash_signature("text")).select("doc_id", "sig")
+def band_signatures(sigs: DataFrame) -> DataFrame:
+    """(doc_id, sig) → (doc_id, band, band_sig): 16 bands of 4 minhash
+    rows each, band_sig as the joined string key. Shared by the batch
+    candidate join and the incremental streaming index
+    (streaming/dedup_stream.py)."""
     rows_per_band = _N_PERM // _LSH_BANDS
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(*[
@@ -222,6 +211,25 @@ def minhash_candidates(spark: SparkSession) -> DataFrame:
             ])
         ).alias("bb"),
     ).select("doc_id", "bb.band", "bb.band_sig")
+
+
+def minhash_candidates(spark: SparkSession) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs.
+
+    signature(64) → 16 bands of 4 → explode to (band, band_sig) → self-join
+    on the band bucket. The only shuffle is on the band bucket key; all-pairs
+    comparison never happens. Candidates with doc_id_a < doc_id_b, distinct.
+    """
+    # small parquet files arrive as 1 partition — spread before the UDF so
+    # signature hashing uses every core (at 100 TB the scan is already
+    # parallel and this repartition is a no-op to remove)
+    docs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = docs.withColumn("sig", minhash_signature("text")).select("doc_id", "sig")
+    bands = band_signatures(sigs)
     # shuffle-hash (not broadcast) self-join: both sides then plan the
     # IDENTICAL shuffle over the signature-UDF subtree, so ReusedExchange
     # computes MinHash signatures once instead of twice
