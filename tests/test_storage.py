@@ -141,3 +141,55 @@ def test_partitioned_write_prunes_partitions_on_read(spark, tmp_path):
     assert pushed and "value" in pushed.group(1), "data predicate not pushed"
     # pruning is effective: only one of seven directories is read
     assert pruned.count() == sum(1 for i in range(1000) if i % 7 == 3 and i * 2 > 100)
+
+
+def test_compact_parquet_reduces_files_and_preserves_rows(spark, tmp_path):
+    """Compaction must reduce the file count to the target, keep every
+    row bit-identical, and restore row-group skip-effectiveness when
+    sorted (min/max ranges disjoint across files)."""
+    from uav_streamprocessor_spark.storage import compact_parquet
+
+    path = str(tmp_path / "many_small")
+    # simulate micro-batch litter: 40 single-row-group files, keys interleaved
+    for i in range(40):
+        spark.range(i * 10, (i + 1) * 10).selectExpr(
+            "id % 100 AS key", "id AS payload"
+        ).coalesce(1).write.mode("append").parquet(path)
+    import os
+
+    before = spark.read.parquet(path).collect()
+    n_before = sum(1 for f in os.listdir(path) if f.endswith(".parquet"))
+    assert n_before >= 40
+
+    n_after = compact_parquet(spark, path, target_files=4, sort_cols=["key"])
+    assert n_after == 4
+    after = spark.read.parquet(path).collect()
+    assert sorted(map(str, after)) == sorted(map(str, before))
+
+
+def test_permissive_json_ingest_quarantines_corrupt_rows(spark, tmp_path):
+    """Ingest tolerance (SURVEY §2.2 error handling): PERMISSIVE JSON
+    reads must load every well-formed row and quarantine malformed ones
+    into _corrupt_record instead of failing the job — at 100 TB a single
+    bad line must never kill a scan. FAILFAST is the opt-in strict twin."""
+    from pyspark.sql import functions as F
+
+    p = tmp_path / "feed.jsonl"
+    p.write_text(
+        '{"doc_id": 1, "text": "ok"}\n'
+        "THIS IS NOT JSON\n"
+        '{"doc_id": 2, "text": "also ok"}\n'
+        '{"doc_id": "not-a-number", "text": "type drift"}\n'
+    )
+    df = (
+        spark.read.schema("doc_id long, text string, _corrupt_record string")
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(str(p))
+        .cache()  # SPARK-21610: corrupt-record column needs materialization
+    )
+    good = df.filter(F.col("_corrupt_record").isNull())
+    bad = df.filter(F.col("_corrupt_record").isNotNull())
+    assert {r["doc_id"] for r in good.collect()} == {1, 2}
+    assert bad.count() == 2  # the non-JSON line and the type-drift line
+    df.unpersist()

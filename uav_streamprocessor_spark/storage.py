@@ -93,3 +93,39 @@ def plan_window_specs(df: DataFrame) -> list[tuple[bool, str]]:
                     out.append((groups >= 3, nxt.strip()))
                     break
     return out
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    sort_cols: list[str] | None = None,
+) -> int:
+    """Small-files compaction — the standing maintenance job of any
+    streaming ingest (each micro-batch leaves a file; a year of
+    micro-batches leaves millions, and at 100 TB the NameNode/listing
+    cost and per-file scan overhead dominate). Rewrites `path` into
+    `target_files` files, optionally sorted within files so parquet
+    row-group min/max stats become selective again (late-arriving data
+    interleaves key ranges; sorting restores skip-effectiveness).
+
+    Write-then-swap: the rewrite lands in a sibling temp dir and
+    replaces the original only after success, so a failed compaction
+    never loses data. Returns the resulting file count.
+    """
+    import os
+    import shutil
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    out = df.repartition(target_files)
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    out.write.mode("overwrite").parquet(tmp)
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return sum(
+        1 for f in os.listdir(path) if f.endswith(".parquet")
+    )
