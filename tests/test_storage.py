@@ -193,3 +193,41 @@ def test_permissive_json_ingest_quarantines_corrupt_rows(spark, tmp_path):
     assert {r["doc_id"] for r in good.collect()} == {1, 2}
     assert bad.count() == 2  # the non-JSON line and the type-drift line
     df.unpersist()
+
+
+def test_zorder_layout_skips_files_linear_sort_cannot(spark, tmp_path):
+    """Measurable skip proof: a 64×64 uniform grid written as 16 files.
+    Linear sort by x makes a y-range predicate touch EVERY file (each
+    file spans all y); Z-order keeps both dims tight per file, so the
+    same predicate's matching rows come from a strict subset of files.
+    File touch is observed via input_file_name() on matching rows."""
+    from pyspark.sql import functions as F
+
+    from uav_streamprocessor_spark.storage import rewrite_zordered
+
+    path = str(tmp_path / "grid")
+    grid = spark.range(0, 64 * 64).selectExpr(
+        "CAST(id % 64 AS INT) AS x", "CAST(id DIV 64 AS INT) AS y", "id AS payload"
+    )
+    # linear layout: range-partition+sort by x only
+    grid.repartitionByRange(16, "x").sortWithinPartitions("x").write.mode(
+        "overwrite"
+    ).parquet(path)
+
+    def files_touched():
+        return (
+            spark.read.parquet(path)
+            .filter("y >= 8 AND y < 16")
+            .select(F.input_file_name().alias("f"))
+            .distinct()
+            .count()
+        )
+
+    n_linear = files_touched()
+    assert n_linear == 16, "every x-sorted file spans all y values"
+
+    rewrite_zordered(spark, path, "x", "y", n_files=16)
+    n_z = files_touched()
+    assert n_z < n_linear / 2, f"z-order should halve file touches, got {n_z}"
+    # same data after rewrite
+    assert spark.read.parquet(path).count() == 64 * 64

@@ -129,3 +129,51 @@ def compact_parquet(
     return sum(
         1 for f in os.listdir(path) if f.endswith(".parquet")
     )
+
+
+def zorder_key(col_a, col_b, bits: int = 16):
+    """Morton (Z-order) interleave of two non-negative int columns — the
+    multi-dimensional clustering key. Linear sort makes file min/max
+    stats selective for ONE column; writing files sorted by the
+    interleaved key keeps BOTH columns' ranges tight per file, so a
+    predicate on either (or a 2D box) skips most files/row groups.
+    Pure built-in bit ops → whole-stage codegen, no UDF."""
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        bit_a = F.shiftright(col_a.cast("long"), i).bitwiseAND(F.lit(1))
+        bit_b = F.shiftright(col_b.cast("long"), i).bitwiseAND(F.lit(1))
+        z = (
+            z.bitwiseOR(F.shiftleft(bit_a, 2 * i + 1))
+            .bitwiseOR(F.shiftleft(bit_b, 2 * i))
+        )
+    return z
+
+
+def rewrite_zordered(
+    spark: SparkSession, path: str, col_a: str, col_b: str, n_files: int
+) -> None:
+    """Rewrite a parquet dir into n_files files clustered by the Z-order
+    of (col_a, col_b): range-partition on the z key (repartitionByRange
+    keeps z-contiguous blocks together — a hash repartition would undo
+    the clustering), sort within files, drop the helper column."""
+    from pyspark.sql import functions as F
+
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__zorder"
+    (
+        df.withColumn("__z", zorder_key(F.col(col_a), F.col(col_b)))
+        .repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    import os
+    import shutil
+
+    old = path.rstrip("/") + "__old"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
