@@ -1,0 +1,100 @@
+"""Invariant tests for the training-pipeline compliance/maintenance ops:
+PII redaction, URL blocklist analytics, MERGE upsert, SemDeDup.
+
+Oracle parity (value-hash vs DuckDB) is covered by test_oracle_parity;
+these pin the non-vacuous properties parity alone can't distinguish —
+that the scrubber actually matched something, that the blocklist actually
+dropped rows, that MERGE prefers the update side, and that SemDeDup's
+removal set is exactly the brute-force within-cluster answer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_SMALL
+from uav_streamprocessor_spark.fixtures import register_uav_views
+from uav_streamprocessor_spark.operators import relational, similarity, text
+
+
+def test_pii_redaction_matches_and_scrubs(spark):
+    register_uav_views(spark, SF_SMALL)
+    rows = text.pii_redaction_stats(spark).collect()
+    assert rows, "per-source audit must be non-empty"
+    # positive control: the injection fixture guarantees matches exist,
+    # so a broken regex (0 matches) or broken scrub (residual > 0) fails
+    assert sum(r["docs_with_email"] for r in rows) > 0
+    assert sum(r["docs_with_phone"] for r in rows) > 0
+    assert sum(r["docs_with_ip"] for r in rows) > 0
+    assert sum(r["chars_redacted"] for r in rows) > 0
+    assert all(r["residual_pii"] == 0 for r in rows)
+
+
+def test_redact_pii_is_idempotent(spark):
+    register_uav_views(spark, SF_SMALL)
+    docs = text._with_injected_pii(spark.table("documents"))
+    once = text.redact_pii(docs).select(F.col("redacted").alias("text"))
+    twice = text.redact_pii(once)
+    assert twice.filter(F.col("text") != F.col("redacted")).count() == 0
+
+
+def test_url_blocklist_actually_drops(spark):
+    register_uav_views(spark, SF_SMALL)
+    domains = {r["domain"] for r in text.url_domain_stats(spark, top_k=100).collect()}
+    assert domains, "extraction must find injected URLs"
+    blocked = {f"site{i}.example.com" for i in (0, 10, 20, 30)}
+    assert not (domains & blocked), "blocklisted domains must be absent"
+    # a non-blocked injected domain must survive (doc_id % 40 == 3 exists)
+    assert "site3.example.com" in domains
+
+
+def test_merge_upsert_semantics(spark):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)], "key int, s string, v double"
+    )
+    upd = spark.createDataFrame(
+        [(2, "B", 99.0), (4, "d", 40.0)], "key int, s string, v double"
+    )
+    got = {
+        r["key"]: (r["s"], r["v"])
+        for r in relational.merge_upsert(base, upd, "key").collect()
+    }
+    assert got == {
+        1: ("a", 10.0),  # untouched passes through
+        2: ("B", 99.0),  # update wins over base
+        3: ("c", 30.0),
+        4: ("d", 40.0),  # insert appears
+    }
+
+
+def test_semdedup_matches_bruteforce_within_clusters(spark):
+    register_uav_views(spark, SF_SMALL)
+    k, iters, thr = 5, 2, 0.4
+    profile = similarity.semdedup_profile(spark, k=k, iters=iters, threshold=thr)
+    got = {r["cluster"]: (r["n_docs"], r["n_removed"]) for r in profile.collect()}
+    # conservation: survivors + removed = cluster size (column arithmetic)
+    for r in profile.collect():
+        assert r["n_survivors"] + r["n_removed"] == r["n_docs"]
+    # brute-force reference: same assignment, python pair scan per cluster
+    assigned, _ = similarity.kmeans_lloyd(spark, k, iters)
+    import numpy as np
+
+    rows = assigned.select("vec_id", "cluster", "embedding").collect()
+    by_cluster: dict[int, list] = {}
+    for r in rows:
+        by_cluster.setdefault(r["cluster"], []).append(
+            (r["vec_id"], np.asarray(r["embedding"], dtype=np.float64))
+        )
+    for c, members in by_cluster.items():
+        members.sort()
+        removed = 0
+        for i, (_, vi) in enumerate(members):
+            for j in range(i):
+                vj = members[j][1]
+                cos = float(vi @ vj / (np.linalg.norm(vi) * np.linalg.norm(vj)))
+                if cos >= thr:
+                    removed += 1
+                    break
+        assert got[c] == (len(members), removed), f"cluster {c} mismatch"
+    # non-vacuous: at least one removal somewhere at this threshold
+    assert sum(v[1] for v in got.values()) > 0

@@ -1023,3 +1023,58 @@ def monthly_revenue_spine(spark: SparkSession) -> DataFrame:
         ORDER BY s.month_start
         """
     )
+
+
+def merge_upsert(base: DataFrame, updates: DataFrame, key: str) -> DataFrame:
+    """Generic MERGE (upsert): rows in `updates` override same-key rows in
+    `base`; keys only in `updates` are inserts; everything else passes
+    through. Expressed as a full-outer join + per-column coalesce — the
+    shape Catalyst plans as one shuffle on the key (or a broadcast when
+    the update batch is small, the common CDC case; AQE decides).
+
+    Scale: the canonical snapshot-maintenance pattern for a training-data
+    corpus — daily delta merged into the base without rewriting unmatched
+    partitions' semantics. Column set = base's; updates must share it."""
+    cols = base.columns
+    b, u = base.alias("b"), updates.alias("u")
+    joined = b.join(u, F.col(f"b.{key}").eqNullSafe(F.col(f"u.{key}")), "full_outer")
+    return joined.select(
+        *[F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c) for c in cols]
+    )
+
+
+def merge_upsert_summary(spark: SparkSession) -> DataFrame:
+    """Registered surface: merge a deterministic update batch (every 10th
+    order re-priced + restatused, every 100th key re-inserted above the
+    key range) into `orders`, then summarize by status so the full merged
+    result is value-checked compactly."""
+    orders = spark.table("orders")
+    base = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 10 == 0)
+        .select(
+            F.col("o_orderkey").alias("key"),
+            F.lit("U").alias("status"),
+            (F.col("o_totalprice") + 100.0).alias("price"),
+        )
+        .unionAll(
+            orders.filter(F.col("o_orderkey") % 100 == 0).select(
+                (F.col("o_orderkey") + 30000000).alias("key"),
+                F.lit("N").alias("status"),
+                F.lit(1000.0).alias("price"),
+            )
+        )
+    )
+    merged = merge_upsert(base, updates, "key")
+    return (
+        merged.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("price"), 2).alias("total_price"),
+        )
+        .orderBy("status")
+    )

@@ -332,3 +332,62 @@ def kmeans_cluster_profile(spark: SparkSession, k: int = 10, iters: int = 5) -> 
         F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist"),
     )
     return stats.join(label_counts, "cluster").orderBy("cluster")
+
+
+def semdedup_profile(
+    spark: SparkSession,
+    k: int = 10,
+    iters: int = 5,
+    threshold: float = 0.4,
+) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): semantic deduplication
+    by clustering embeddings, then pruning near-duplicates ONLY within
+    each cluster — the trick that makes embedding-level dedup feasible at
+    corpus scale, because the quadratic pair search is bounded by the
+    largest cluster instead of the whole dataset.
+
+    Removal rule (deterministic): a vector is removed iff some
+    smaller-vec_id vector in the SAME cluster has cosine >= threshold.
+    (Keep-lowest-id, like dedup_docs_survivors; a transitive chain keeps
+    only its minimum.) Returns per-cluster profile: size, removed,
+    survivors, mean within-cluster pair cosine of the removed set.
+
+    Scale: kmeans assignment is map-only (centroids are driver-held model
+    state); the pair search shuffles on `cluster` — the partition key IS
+    the quadratic bound. Rows-only check (iterative k-means is not
+    SQL-expressible); the subset/partition invariants are pinned in
+    tests/test_kmeans.py.
+    """
+    assigned, _ = kmeans_lloyd(spark, k, iters)
+    vecs = assigned.select("vec_id", "cluster", "embedding")
+    a = vecs.alias("a")
+    b = vecs.alias("b")
+    pairs = (
+        a.join(b, "cluster")
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            "cluster",
+            F.col("b.vec_id").alias("removed_id"),
+            _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )
+    removed = pairs.groupBy("cluster", "removed_id").agg(
+        F.max("cos").alias("max_cos")
+    )
+    per_cluster_removed = removed.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_removed"),
+        F.round(F.avg("max_cos"), 6).alias("avg_removed_cos"),
+    )
+    sizes = vecs.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
+    return (
+        sizes.join(per_cluster_removed, "cluster", "left")
+        .select(
+            "cluster",
+            "n_docs",
+            F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+            (F.col("n_docs") - F.coalesce("n_removed", F.lit(0))).alias("n_survivors"),
+            F.coalesce("avg_removed_cos", F.lit(0.0)).alias("avg_removed_cos"),
+        )
+        .orderBy("cluster")
+    )

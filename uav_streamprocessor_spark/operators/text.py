@@ -234,3 +234,120 @@ def source_vocabulary_overlap(spark: SparkSession) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction + URL/domain analytics (training-data compliance surface).
+#
+# The synthetic `documents` corpus is word-soup with no real PII/URLs, so
+# both operators first derive a deterministic augmented view — PII/URL
+# strings injected by doc_id arithmetic, identically re-derivable in the
+# DuckDB oracle — then run the real scrubbing pipeline over it. The
+# injection is a test fixture; the redaction path is the product.
+# ---------------------------------------------------------------------------
+
+# Patterns restricted to the Java-regex ∩ RE2 common subset (no lookaround,
+# no backrefs) so Spark and the DuckDB oracle agree byte-for-byte.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+IP_RE = r"\b10\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+URL_RE = r"https?://([A-Za-z0-9.-]+)"
+
+
+def _with_injected_pii(docs: DataFrame) -> DataFrame:
+    """Deterministic PII injection: every 7th doc an email, every 11th a
+    phone, every 13th an IP — mirrored exactly by the oracle CTE."""
+    d = F.col("doc_id")
+    return docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 7 == 0,
+                F.concat(F.lit(" contact user"), d.cast("string"), F.lit("@example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 11 == 0,
+                F.concat(F.lit(" call 555-"), F.lpad((d % 10000).cast("string"), 4, "0")),
+            ).otherwise(F.lit("")),
+            F.when(
+                d % 13 == 0,
+                F.concat(F.lit(" host 10."), (d % 256).cast("string"), F.lit(".0.1")),
+            ).otherwise(F.lit("")),
+        ),
+    )
+
+
+def redact_pii(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """The reusable scrubber: chained JVM-side regexp_replace (no Python
+    in the row path; codegen keeps the three passes in one stage)."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, PHONE_RE, "<PHONE>")
+    c = F.regexp_replace(c, IP_RE, "<IP>")
+    return docs.withColumn("redacted", c)
+
+
+def pii_redaction_stats(spark: SparkSession) -> DataFrame:
+    """Per-source PII audit: docs containing each PII class, characters
+    removed by redaction, and a residual count that must come out 0 —
+    the scrub-completeness check a compliance pipeline gates on.
+
+    Scale: map-only until a |sources|-row aggregate; regexes run in the
+    scan stage, nothing wide shuffles."""
+    injected = _with_injected_pii(spark.table("documents"))
+    scrubbed = redact_pii(injected)
+    any_pii = f"({EMAIL_RE})|({PHONE_RE})|({IP_RE})"
+    return (
+        scrubbed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.col("text").rlike(EMAIL_RE).cast("int")).alias("docs_with_email"),
+            F.sum(F.col("text").rlike(PHONE_RE).cast("int")).alias("docs_with_phone"),
+            F.sum(F.col("text").rlike(IP_RE).cast("int")).alias("docs_with_ip"),
+            F.sum(F.length("text") - F.length("redacted")).alias("chars_redacted"),
+            F.sum(F.col("redacted").rlike(any_pii).cast("int")).alias("residual_pii"),
+        )
+        .orderBy("source")
+    )
+
+
+def url_domain_stats(spark: SparkSession, top_k: int = 20) -> DataFrame:
+    """Domain-level URL analytics with a blocklist filter: extract the
+    host from each injected URL, drop blocklisted domains via a broadcast
+    anti-join, return the top-k domains by document count.
+
+    Scale: the blocklist is a fixed tiny dim (broadcast anti-join — never
+    a shuffle); domain extraction is a scan-stage regexp; the only
+    shuffle is the |domains|-key aggregate."""
+    d = F.col("doc_id")
+    docs = spark.table("documents").withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(
+                d % 3 == 0,
+                F.concat(
+                    F.lit(" see http://site"),
+                    (d % 40).cast("string"),
+                    F.lit(".example.com/p"),
+                    d.cast("string"),
+                ),
+            ).otherwise(F.lit("")),
+        ),
+    )
+    blocklist = spark.range(4).select(
+        F.concat(F.lit("site"), (F.col("id") * 10).cast("string"), F.lit(".example.com"))
+        .alias("domain")
+    )
+    domains = (
+        docs.select(F.regexp_extract("text", URL_RE, 1).alias("domain"))
+        .filter(F.col("domain") != "")
+        .join(F.broadcast(blocklist), "domain", "left_anti")
+    )
+    return (
+        domains.groupBy("domain")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy(F.col("n_docs").desc(), "domain")
+        .limit(top_k)
+    )

@@ -2353,3 +2353,137 @@ ORDER BY s.month_start
     notes="Spark 4 WITH RECURSIVE date-spine gap fill (UNION ALL "
     "generator); zero-order months still get a row",
 )(lambda spark: relational.monthly_revenue_spine(spark))
+
+
+# ===========================================================================
+# round-3 additions (cont.): PII redaction, URL blocklist analytics,
+# MERGE upsert, SemDeDup
+# ===========================================================================
+
+from uav_streamprocessor_spark.operators.text import (  # noqa: E402
+    EMAIL_RE as _EMAIL_RE,
+    IP_RE as _IP_RE,
+    PHONE_RE as _PHONE_RE,
+)
+
+_PII_DOCS_CTE = """
+  SELECT source,
+    text
+    || CASE WHEN doc_id % 7 = 0
+         THEN ' contact user' || CAST(doc_id AS STRING) || '@example.com'
+         ELSE '' END
+    || CASE WHEN doc_id % 11 = 0
+         THEN ' call 555-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')
+         ELSE '' END
+    || CASE WHEN doc_id % 13 = 0
+         THEN ' host 10.' || CAST(doc_id % 256 AS STRING) || '.0.1'
+         ELSE '' END AS text
+  FROM documents
+"""
+
+_register(
+    "text_pii_redaction",
+    f"""
+WITH pii_docs AS ({_PII_DOCS_CTE}),
+scrubbed AS (
+  SELECT source, text,
+    regexp_replace(regexp_replace(regexp_replace(text,
+      '{_EMAIL_RE}', '<EMAIL>', 'g'),
+      '{_PHONE_RE}', '<PHONE>', 'g'),
+      '{_IP_RE}', '<IP>', 'g') AS redacted
+  FROM pii_docs
+)
+SELECT source,
+  CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(CASE WHEN regexp_matches(text, '{_EMAIL_RE}') THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_with_email,
+  CAST(sum(CASE WHEN regexp_matches(text, '{_PHONE_RE}') THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_with_phone,
+  CAST(sum(CASE WHEN regexp_matches(text, '{_IP_RE}') THEN 1 ELSE 0 END) AS BIGINT)
+    AS docs_with_ip,
+  CAST(sum(length(text) - length(redacted)) AS BIGINT) AS chars_redacted,
+  CAST(sum(CASE WHEN regexp_matches(redacted,
+       '({_EMAIL_RE})|({_PHONE_RE})|({_IP_RE})') THEN 1 ELSE 0 END) AS BIGINT)
+    AS residual_pii
+FROM scrubbed
+GROUP BY source
+ORDER BY source
+""",
+    notes="PII scrub audit: deterministic email/phone/IP injection (fixture) "
+    "+ chained regexp_replace redaction (product); residual_pii column "
+    "proves scrub completeness (= 0 alongside non-zero match counts). "
+    "Patterns restricted to Java-regex ∩ RE2.",
+)(lambda spark: text.pii_redaction_stats(spark))
+
+
+_register(
+    "text_url_domains",
+    """
+WITH url_docs AS (
+  SELECT text
+    || CASE WHEN doc_id % 3 = 0
+         THEN ' see http://site' || CAST(doc_id % 40 AS STRING)
+              || '.example.com/p' || CAST(doc_id AS STRING)
+         ELSE '' END AS text
+  FROM documents
+),
+blocklist AS (
+  SELECT 'site0.example.com' AS domain
+  UNION ALL SELECT 'site10.example.com'
+  UNION ALL SELECT 'site20.example.com'
+  UNION ALL SELECT 'site30.example.com'
+),
+domains AS (
+  SELECT regexp_extract(text, 'https?://([A-Za-z0-9.-]+)', 1) AS domain
+  FROM url_docs
+)
+SELECT domain, CAST(count(*) AS BIGINT) AS n_docs
+FROM domains
+WHERE domain <> '' AND domain NOT IN (SELECT domain FROM blocklist)
+GROUP BY domain
+ORDER BY n_docs DESC, domain
+LIMIT 20
+""",
+    notes="URL host extraction + broadcast blocklist anti-join + top-k "
+    "domains; the de-listing join never shuffles the corpus",
+)(lambda spark: text.url_domain_stats(spark))
+
+
+_register(
+    "rel_merge_upsert",
+    """
+WITH base AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS price
+  FROM orders
+),
+upd AS (
+  SELECT o_orderkey AS key, 'U' AS status, o_totalprice + 100.0 AS price
+  FROM orders WHERE o_orderkey % 10 = 0
+  UNION ALL
+  SELECT o_orderkey + 30000000 AS key, 'N' AS status, 1000.0 AS price
+  FROM orders WHERE o_orderkey % 100 = 0
+),
+merged AS (
+  SELECT coalesce(u.key, b.key) AS key,
+         coalesce(u.status, b.status) AS status,
+         coalesce(u.price, b.price) AS price
+  FROM base b FULL OUTER JOIN upd u ON b.key = u.key
+)
+SELECT status, CAST(count(*) AS BIGINT) AS n_rows,
+       round(sum(price), 2) AS total_price
+FROM merged GROUP BY status ORDER BY status
+""",
+    notes="MERGE/upsert as full-outer join + coalesce (CDC snapshot "
+    "maintenance); update batch = every 10th order re-priced, every "
+    "100th key inserted above the key range",
+)(lambda spark: relational.merge_upsert_summary(spark))
+
+
+_register(
+    "emb_semdedup",
+    None,
+    notes="SemDeDup (arXiv:2303.09540): k-means clusters bound the "
+    "quadratic pair search; keep-lowest-id within cluster at cosine>=0.4. "
+    "Rows-only (iterative k-means not SQL-expressible); invariants pinned "
+    "in tests/test_kmeans.py",
+)(lambda spark: similarity.semdedup_profile(spark))
