@@ -98,3 +98,78 @@ def test_semdedup_matches_bruteforce_within_clusters(spark):
         assert got[c] == (len(members), removed), f"cluster {c} mismatch"
     # non-vacuous: at least one removal somewhere at this threshold
     assert sum(v[1] for v in got.values()) > 0
+
+
+def test_ahash_neardups_match_bruteforce_and_planted_groups(spark):
+    """Two layers: (1) the banded join's output EQUALS the brute-force
+    all-pairs hamming<=3 answer (recall 1.0 by pigeonhole + no false
+    positives after verify — same proof obligation as the SimHash test);
+    (2) the planted dup groups (doc_id // 8 share a base image) are
+    actually recovered — non-vacuity — and nothing crosses groups."""
+    from uav_streamprocessor_spark.operators import multimodal
+
+    register_uav_views(spark, SF_SMALL)
+    hashes = {
+        r["media_id"]: r["ahash"]
+        for r in multimodal.image_ahash(
+            multimodal.documents_as_media(spark)
+        ).collect()
+    }
+    ids = sorted(hashes)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin((hashes[a] ^ hashes[b]) & ((1 << 64) - 1)).count("1") <= 3
+    }
+    found = {
+        (r["media_id_a"], r["media_id_b"])
+        for r in multimodal.image_ahash_neardups(spark).collect()
+    }
+    assert found == brute, (
+        f"banded != brute force: missed={len(brute - found)} "
+        f"extra={len(found - brute)}"
+    )
+    assert found, "planted dup groups must produce near-dup pairs"
+    assert all(a // 8 == b // 8 for a, b in found), "cross-group false positive"
+
+
+def test_decontamination_prefilter_broadcasts_eval_hashes(spark):
+    """The scale property the bloom variant exists for: the eval-gram
+    hash set reaches the corpus side via a BroadcastExchange (map-side
+    semi-join), not a shuffle."""
+    from uav_streamprocessor_spark.operators import repetition
+
+    register_uav_views(spark, SF_SMALL)
+    plan = repetition.decontamination_prefiltered(spark)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi, BuildRight" in plan
+
+
+def test_scd2_ranges_partition_each_customer_timeline(spark):
+    """SCD2 invariants oracle parity can't see: per customer, exactly one
+    open (is_current) range; ranges chain exactly (next effective_from ==
+    previous effective_to); no run of equal priorities survives."""
+    register_uav_views(spark, SF_SMALL)
+    hist = relational.scd2_order_priority_history(spark)
+    one_current = (
+        hist.groupBy("o_custkey")
+        .agg(F.sum("is_current").alias("n_open"))
+        .filter(F.col("n_open") != 1)
+        .count()
+    )
+    assert one_current == 0
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("effective_from")
+    chained = hist.select(
+        "o_custkey",
+        "priority",
+        "effective_from",
+        "effective_to",
+        F.lag("effective_to").over(w).alias("prev_to"),
+        F.lag("priority").over(w).alias("prev_priority"),
+    ).filter(F.col("prev_to").isNotNull())
+    assert chained.filter(F.col("prev_to") != F.col("effective_from")).count() == 0
+    assert chained.filter(F.col("prev_priority") == F.col("priority")).count() == 0

@@ -219,3 +219,133 @@ def frame_sample_video(media: DataFrame, every_n: int = 30) -> DataFrame:
     return media.filter(F.col("media_type") == "video") \
         .select("media_id", "payload", "duration_ms") \
         .mapInPandas(run, schema=out_schema)
+
+
+# ---------------------------------------------------------------------------
+# Image perceptual-hash near-dup (aHash + banded hamming join)
+# ---------------------------------------------------------------------------
+
+# same banding argument as text SimHash (operators/dedup.py): 64 bits in
+# 4 bands of 16 — any pair with hamming <= 3 agrees on >= 1 full band.
+_AHASH_BANDS = 4
+_AHASH_BAND_BITS = 64 // _AHASH_BANDS
+
+
+def documents_as_media(spark, side: int = 32, group: int = 8) -> DataFrame:
+    """Deterministic thumbnail corpus keyed 1:1 to `documents` rows, with
+    PLANTED near-dup structure: docs sharing `doc_id // group` share a
+    base image (seeded noise); each doc then gets one pixel perturbed by
+    its own id. Within a group images differ in <= 2 pixels (aHash
+    hamming ~0-2); across groups they are unrelated noise (hamming ~32).
+    This is the ground truth the aHash recall/precision test keys on
+    (the text corpus itself has no exact-dup texts to reuse). Stand-in
+    for a real thumbnail corpus; the plumbing — binary payload, Arrow
+    batches, metadata-before-decode — is the production shape."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("dup_group", T.LongType(), False),
+            T.StructField("payload", T.BinaryType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                g = did // group
+                rng = np.random.RandomState(g % (2**31))
+                arr = rng.randint(0, 256, size=(side, side, 3), dtype=np.uint8)
+                arr[(did * 7) % side, (did * 13) % side] ^= np.uint8(
+                    (did % 3) + 1
+                )
+                rows.append((did, g, encode_image(arr)))
+            yield pd.DataFrame(rows, columns=["media_id", "dup_group", "payload"])
+
+    return (
+        spark.table("documents")
+        .select("doc_id")
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
+def image_ahash(media: DataFrame) -> DataFrame:
+    """64-bit average hash per image: decode -> luma -> 8x8 block means ->
+    bit_i = block_i > mean(blocks), packed little-endian into a signed
+    int64 (Spark LongType; bit ops below are sign-agnostic). One Arrow
+    crossing; payload never leaves the worker."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("ahash", T.LongType(), False),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(buf)).astype(np.float64)
+                luma = img.mean(axis=2)
+                h, w = luma.shape
+                blocks = luma[: h - h % 8, : w - w % 8] \
+                    .reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
+                bits = (blocks.flatten() > blocks.mean()).astype(np.uint64)
+                v = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                rows.append((mid, v - (1 << 64) if v >= (1 << 63) else v))
+            yield pd.DataFrame(rows, columns=["media_id", "ahash"])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def image_ahash_neardups(spark, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicates: aHash over the document-derived media
+    corpus, banded 4x16 candidate self-join (recall 1.0 for hamming <=
+    3 by pigeonhole — same scheme and proof as text SimHash,
+    operators/dedup.py), exact bit_count(a ^ b) verify.
+
+    Scale: the image corpus is the dominant bytes; payloads are read
+    once by the hash UDF and never shuffled — the join moves only
+    (media_id, ahash, 16-bit band key). Identical subtrees on both join
+    sides -> ReusedExchange computes the decode+hash UDF once."""
+    hashed = image_ahash(documents_as_media(spark)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    mask = (1 << _AHASH_BAND_BITS) - 1
+    bands = hashed.select(
+        "media_id",
+        "ahash",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftrightunsigned("ahash", b * _AHASH_BAND_BITS)
+                    .bitwiseAND(F.lit(mask))
+                    .alias("band_val"),
+                )
+                for b in range(_AHASH_BANDS)
+            ])
+        ).alias("bb"),
+    ).select("media_id", "ahash", "bb.band", "bb.band_val")
+    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id_a"),
+            F.col("b.media_id").alias("media_id_b"),
+            F.col("a.ahash").alias("hash_a"),
+            F.col("b.ahash").alias("hash_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("hash_a ^ hash_b"))
+    return (
+        cands.select("media_id_a", "media_id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -1078,3 +1078,62 @@ def merge_upsert_summary(spark: SparkSession) -> DataFrame:
         )
         .orderBy("status")
     )
+
+
+def scd2_order_priority_history(spark: SparkSession) -> DataFrame:
+    """Type-2 slowly-changing-dimension build from an append-only change
+    log: each customer's orders, ordered by (o_orderdate, o_orderkey),
+    are successive observations of o_orderpriority. Runs of equal values
+    collapse to one row; each surviving row gets an
+    [effective_from, effective_to) validity range (lead of the next
+    change's date; NULL = open) and an is_current flag — the standard
+    lakehouse dimension-history pattern.
+
+    Plan: two stacked windows over the SAME partitioning
+    (o_custkey) — Catalyst reuses one shuffle + sort for both the lag
+    (change detection) and the lead (range close); no global window
+    anywhere."""
+    orders = spark.table("orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = orders.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_p"),
+    ).filter(
+        F.col("prev_p").isNull() | (F.col("prev_p") != F.col("o_orderpriority"))
+    )
+    nxt = F.lead("o_orderdate").over(w)
+    return changes.select(
+        "o_custkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_orderdate").alias("effective_from"),
+        nxt.alias("effective_to"),
+        F.when(nxt.isNull(), 1).otherwise(0).alias("is_current"),
+    )
+
+
+def price_decile_stats(spark: SparkSession) -> DataFrame:
+    """Feature binning via ntile: per order-priority DECILES of
+    o_totalprice (deterministic tie-break on o_orderkey), then per-bucket
+    count/min/max/sum. Partitioned ntile — the global-ORDER BY form is a
+    single-partition sort and is exactly what the plan-audit gate
+    forbids; binning within a natural partition key is the scale shape
+    (per-source quality-score deciles in a corpus pipeline)."""
+    orders = spark.table("orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_totalprice",
+            F.ntile(10).over(w).alias("decile"),
+        )
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+            F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
+        )
+    )

@@ -154,3 +154,49 @@ def decontamination_report(spark: SparkSession, n: int = 4) -> DataFrame:
             F.sum("n_train_docs").alias("total_train_doc_hits"),
         )
     )
+
+
+def decontamination_prefiltered(spark: SparkSession, n: int = 4) -> DataFrame:
+    """Scale path for `decontamination_report`: before the corpus-wide
+    gram aggregation, semi-join the (huge) train side against a BROADCAST
+    compact filter of eval-gram hashes — xxhash64(gram), 8 bytes each.
+    This is the shape of every production decontamination pass: the eval
+    set is a bounded benchmark corpus (MBs), so its distinct-gram hash
+    set broadcasts like a fixed dim (nation/region class), and 99%+ of
+    corpus grams are dropped MAP-SIDE before any shuffle. The hash set is
+    a k=1 Bloom filter with a 64-bit domain; Spark's runtime bloom-join
+    injection does the same thing automatically when thresholds allow,
+    but here the filter is explicit so the plan is pinned.
+
+    Result is EXACTLY `decontamination_report(n)`'s: the hash prefilter
+    has no false negatives, and the exact gram equi-join that follows
+    removes any hash collisions — so both share one oracle.
+    """
+    docs = spark.table("documents")
+    is_train = F.substring(F.md5("text"), 1, 1) <= _TRAIN_MAX_NIBBLE
+    _, grams = _word_ngrams(n)
+    base = docs.filter(F.size(F.split(F.lower("text"), " ")) >= n).select(
+        "doc_id",
+        is_train.alias("is_train"),
+        F.explode(F.array_distinct(grams)).alias("gram"),
+    )
+    test = base.filter(~F.col("is_train"))
+    eval_gram_hashes = test.select(F.xxhash64("gram").alias("gh")).distinct()
+    train_grams = (
+        base.filter("is_train")
+        .join(
+            F.broadcast(eval_gram_hashes),
+            F.xxhash64("gram") == F.col("gh"),
+            "leftsemi",
+        )
+        .groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_train_docs"))
+    )
+    return (
+        test.join(train_grams, "gram")
+        .groupBy(test["doc_id"].alias("test_doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shared_grams"),
+            F.sum("n_train_docs").alias("total_train_doc_hits"),
+        )
+    )

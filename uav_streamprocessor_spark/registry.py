@@ -2487,3 +2487,96 @@ _register(
     "Rows-only (iterative k-means not SQL-expressible); invariants pinned "
     "in tests/test_kmeans.py",
 )(lambda spark: similarity.semdedup_profile(spark))
+
+
+_register(
+    "text_decontamination_bloom",
+    """
+WITH w AS (
+  SELECT doc_id, substring(md5(text), 1, 1) <= 'c' AS is_train,
+         string_split(lower(text), ' ') AS ws
+  FROM documents
+), g AS (
+  SELECT DISTINCT doc_id, is_train,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+  FROM w, unnest(generate_series(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 4
+), tr AS (
+  SELECT gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_train_docs
+  FROM g WHERE is_train GROUP BY gram
+)
+SELECT g.doc_id AS test_doc_id,
+       CAST(count(*) AS BIGINT) AS n_shared_grams,
+       CAST(sum(n_train_docs) AS BIGINT) AS total_train_doc_hits
+FROM g JOIN tr USING (gram)
+WHERE NOT is_train
+GROUP BY g.doc_id
+""",
+    notes="decontamination scale path: broadcast xxhash64 eval-gram set "
+    "semi-joins the corpus side MAP-SIDE before the gram agg; exact "
+    "equi-join after removes hash collisions, so the oracle is "
+    "text_decontamination's (results provably identical)",
+)(lambda spark: repetition.decontamination_prefiltered(spark))
+
+
+_register(
+    "rel_scd2_history",
+    """
+WITH obs AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         lag(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_p
+  FROM orders
+), changes AS (
+  SELECT * FROM obs WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+)
+SELECT o_custkey, o_orderpriority AS priority,
+       o_orderdate AS effective_from,
+       lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) AS effective_to,
+       CASE WHEN lead(o_orderdate) OVER (
+         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+       ) IS NULL THEN 1 ELSE 0 END AS is_current
+FROM changes
+""",
+    notes="SCD type-2 dimension history from an append-only log: collapse "
+    "runs via lag, close ranges via lead; one shuffle reused by both "
+    "windows",
+)(lambda spark: relational.scd2_order_priority_history(spark))
+
+
+_register(
+    "rel_ntile_deciles",
+    """
+SELECT o_orderpriority, decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       round(sum(o_totalprice), 2) AS sum_price
+FROM (
+  SELECT o_orderpriority, o_totalprice,
+         ntile(10) OVER (
+           PARTITION BY o_orderpriority
+           ORDER BY o_totalprice, o_orderkey
+         ) AS decile
+  FROM orders
+)
+GROUP BY o_orderpriority, decile
+""",
+    notes="feature binning: partitioned ntile deciles + per-bucket stats "
+    "(per-source quality-score binning shape); partitioned window only",
+)(lambda spark: relational.price_decile_stats(spark))
+
+
+from uav_streamprocessor_spark.operators import multimodal  # noqa: E402
+
+_register(
+    "media_ahash_neardups",
+    None,
+    notes="image perceptual-hash near-dup: aHash (8x8 block-mean bits) "
+    "over the deterministic document-derived image corpus, banded 4x16 "
+    "hamming join (recall 1.0 for hamming<=3 by pigeonhole). Rows-only "
+    "(pixel UDF); recall vs exact-text dup ground truth pinned in tests",
+)(lambda spark: multimodal.image_ahash_neardups(spark))
