@@ -173,3 +173,75 @@ def test_scd2_ranges_partition_each_customer_timeline(spark):
     ).filter(F.col("prev_to").isNotNull())
     assert chained.filter(F.col("prev_to") != F.col("effective_from")).count() == 0
     assert chained.filter(F.col("prev_priority") == F.col("priority")).count() == 0
+
+
+def test_hll_rollup_merge_equals_whole_and_error_bound(spark):
+    """The mergeability contract: union-agg over per-day sketches must
+    give EXACTLY the same estimate as one sketch over all rows (both
+    deterministic), and the estimate must sit within 5% of exact."""
+    from uav_streamprocessor_spark.operators import sketches
+
+    register_uav_views(spark, SF_SMALL)
+    rolled = {r["event_type"]: r for r in sketches.hll_rollup(spark).collect()}
+    whole = {
+        r["event_type"]: r["est"]
+        for r in spark.table("events")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id", F.lit(12))
+            ).alias("est")
+        )
+        .collect()
+    }
+    assert rolled, "events corpus must have event types"
+    for et, r in rolled.items():
+        assert r["n_days"] > 1, "rollup must actually merge multiple days"
+        assert r["est_users"] == whole[et], (
+            f"{et}: merged {r['est_users']} != whole-corpus {whole[et]}"
+        )
+        rel_err = abs(r["est_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel_err < 0.05, f"{et}: HLL error {rel_err:.3f} >= 5%"
+
+
+def test_kll_quantiles_within_rank_error(spark):
+    """KLL rank-error contract: the reported p50/p90 must lie between the
+    exact (p-eps) and (p+eps) percentiles with eps=0.05 (k=200 bounds
+    ~1.65%; 5% leaves merge slack). n must equal the row count."""
+    from uav_streamprocessor_spark.operators import sketches
+
+    register_uav_views(spark, SF_SMALL)
+    got = {r["event_type"]: r for r in sketches.kll_value_quantiles(spark).collect()}
+    eps = 0.05
+    for et, r in got.items():
+        vals = [
+            x["value"]
+            for x in spark.table("events")
+            .filter((F.col("event_type") == et) & F.col("value").isNotNull())
+            .select("value")
+            .collect()
+        ]
+        vals.sort()
+        assert r["n"] == len(vals)
+        for p, q in ((0.5, r["p50"]), (0.9, r["p90"])):
+            lo = vals[max(0, int((p - eps) * len(vals)) - 1)]
+            hi = vals[min(len(vals) - 1, int((p + eps) * len(vals)))]
+            assert lo <= q <= hi, f"{et} p{int(p*100)}={q} outside [{lo}, {hi}]"
+
+
+def test_interval_join_bucketed_no_blowup_and_covers_all_events(spark):
+    """Plan: the join must be a hash/merge join on (user_id, bucket) —
+    no BroadcastNestedLoopJoin/CartesianProduct (what a raw range join
+    degenerates to without an equi-key). Semantics: every event lands in
+    exactly one session, so sum(n_contained) == |events| and per-session
+    counts equal the sessionizer's n_events."""
+    from uav_streamprocessor_spark.operators import events_ops
+
+    register_uav_views(spark, SF_SMALL)
+    df = events_ops.interval_join_bucketed(spark)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    total = df.agg(F.sum("n_contained")).collect()[0][0]
+    n_events = spark.table("events").count()
+    assert total == n_events, f"{total} contained != {n_events} events"

@@ -392,3 +392,50 @@ def variant_props_stats(spark: SparkSession) -> DataFrame:
         ORDER BY k_val
         """
     )
+
+
+def interval_join_bucketed(spark: SparkSession, bucket_secs: int = 3600) -> DataFrame:
+    """Interval containment join at scale: assign every event to the
+    gap-session interval [session_start, session_end] that contains it,
+    WITHOUT a per-user cross product.
+
+    The naive form — equi-join on user_id + BETWEEN filter — is an SMJ
+    whose per-user candidate set is |sessions| x |events| for that user;
+    a power user makes one straggler task. The scale fix: explode each
+    interval into the hour buckets it spans (sequence of epoch div 3600)
+    and join on (user_id, bucket, exact BETWEEN). Each event carries ONE
+    bucket (its own), so each (event, session) pair is produced at most
+    once — no dedup pass — and candidates per task are bounded by
+    same-hour activity, not per-user history.
+
+    Output (events per session) is oracle-checked against DuckDB's naive
+    range join — proving the bucketed plan computes exactly the range-
+    join semantics."""
+    ev = spark.table("events")
+    sessions = sessionize_gap_method(spark).select(
+        "user_id",
+        "session_seq",
+        "session_start_epoch",
+        "session_end_epoch",
+    )
+    buckets = sessions.withColumn(
+        "bucket",
+        F.explode(
+            F.expr(
+                f"sequence(session_start_epoch div {bucket_secs}, "
+                f"session_end_epoch div {bucket_secs})"
+            )
+        ),
+    )
+    ev_b = ev.select(
+        "user_id",
+        F.expr("unix_micros(ts) div 1000000").alias("ev_epoch"),
+    ).withColumn("bucket", F.expr(f"ev_epoch div {bucket_secs}"))
+    joined = ev_b.join(buckets, ["user_id", "bucket"]).filter(
+        (F.col("ev_epoch") >= F.col("session_start_epoch"))
+        & (F.col("ev_epoch") <= F.col("session_end_epoch"))
+    )
+    return (
+        joined.groupBy("user_id", "session_seq", "session_start_epoch")
+        .agg(F.count(F.lit(1)).alias("n_contained"))
+    )

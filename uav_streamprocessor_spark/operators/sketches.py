@@ -1,0 +1,92 @@
+"""Mergeable-sketch rollups over `events` (north-star extension: the
+pre-aggregation layer a 100 TB analytics store keeps per partition/day so
+distinct-count and quantile questions never rescan raw data).
+
+Built on Spark 4's native Apache DataSketches functions (JVM-side,
+whole-stage-codegen aggregates — no UDFs):
+
+- HLL: `hll_sketch_agg` per (event_type, day) -> `hll_union_agg` rollup.
+  The sketch column is the stored artifact; estimates come out of the
+  merge, so a year of dailies answers "distinct users last quarter"
+  by unioning ~90 sketches instead of rescanning the quarter.
+- KLL: `kll_sketch_agg_double` per group -> `kll_sketch_merge_double`
+  rollup -> quantiles with bounded rank error, same merge-don't-rescan
+  contract.
+
+Sketch estimates are deterministic for fixed input + params but are NOT
+reproducible in DuckDB (different algorithms), so these register
+rows-only; the load-bearing invariants — merge-of-parts == sketch-of-
+whole, and rank-error bounds vs exact — are pinned in
+tests/test_pipeline_ops.py.
+
+Reference parity note: the reference keeps two driver-side counters
+(uav/main.py:90-91); sketches are the scale generalization of "running
+tallies the driver can afford to keep".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hll_daily_user_sketches(spark: SparkSession, lg_k: int = 12) -> DataFrame:
+    """Per (event_type, day) HLL sketch of user_id — the stored daily
+    artifact. lg_k=12 -> ~2 KB per sketch, <1% typical error."""
+    ev = spark.table("events")
+    return (
+        ev.groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"))
+    )
+
+
+def hll_rollup(spark: SparkSession, lg_k: int = 12) -> DataFrame:
+    """Distinct-users per event_type from MERGED daily sketches, next to
+    the exact count: the estimate answers from ~|days| tiny sketches,
+    the exact column exists so the registered output self-documents the
+    error. Merge is associative — the same rollup works day->month->year
+    without touching raw rows."""
+    daily = hll_daily_user_sketches(spark, lg_k)
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_users"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    exact = (
+        spark.table("events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type", "n_days", "est_users", "exact_users"
+    )
+
+
+def kll_value_quantiles(spark: SparkSession, k: int = 200) -> DataFrame:
+    """Per-event-type p50/p90/p99 of `value` from per-day KLL sketches
+    merged upward — quantiles WITHOUT a sort or a full rescan. k=200
+    gives ~1.65% one-sided rank error (DataSketches bound)."""
+    ev = spark.table("events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.kll_sketch_agg_double("value", F.lit(k)).alias("sk")
+    )
+    # kll_sketch_merge_double is a two-sketch scalar (no union-agg form
+    # yet): fold the per-day sketches with aggregate(); day counts per
+    # group are small (the rollup fan-in), so collect_list is bounded.
+    # slice(2..) keeps the init sketch from merging with itself.
+    merged = daily.groupBy("event_type").agg(
+        F.collect_list("sk").alias("sks")
+    ).select(
+        "event_type",
+        F.aggregate(
+            F.expr("slice(sks, 2, greatest(size(sks) - 1, 0))"),
+            F.element_at("sks", 1),
+            lambda acc, x: F.kll_sketch_merge_double(acc, x),
+        ).alias("sk"),
+    )
+    return merged.select(
+        "event_type",
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.5)), 6).alias("p50"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
+        F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
+        F.kll_sketch_get_n_double("sk").alias("n"),
+    )

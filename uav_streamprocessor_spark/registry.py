@@ -2580,3 +2580,60 @@ _register(
     "hamming join (recall 1.0 for hamming<=3 by pigeonhole). Rows-only "
     "(pixel UDF); recall vs exact-text dup ground truth pinned in tests",
 )(lambda spark: multimodal.image_ahash_neardups(spark))
+
+
+from uav_streamprocessor_spark.operators import sketches  # noqa: E402
+
+_register(
+    "ev_interval_join_bucketed",
+    """
+WITH o AS (
+  SELECT user_id, event_id, ts,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+), s AS (
+  SELECT user_id, ts,
+         sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM o
+), sess AS (
+  SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         CAST(min(epoch_us(ts)) // 1000000 AS BIGINT) AS session_start_epoch,
+         CAST(max(epoch_us(ts)) // 1000000 AS BIGINT) AS session_end_epoch
+  FROM s GROUP BY 1, 2
+), e AS (
+  SELECT user_id, CAST(epoch_us(ts) // 1000000 AS BIGINT) AS ev_epoch
+  FROM events
+)
+SELECT sess.user_id, session_seq, session_start_epoch,
+       CAST(count(*) AS BIGINT) AS n_contained
+FROM e JOIN sess ON e.user_id = sess.user_id
+  AND e.ev_epoch BETWEEN session_start_epoch AND session_end_epoch
+GROUP BY 1, 2, 3
+""",
+    notes="interval containment via hour-bucket equi-join (each event "
+    "carries one bucket -> each pair produced once, no dedup); oracle is "
+    "the NAIVE range join, proving the bucketed plan = range-join "
+    "semantics",
+)(lambda spark: events_ops.interval_join_bucketed(spark))
+
+
+_register(
+    "ev_hll_rollup",
+    None,
+    notes="HLL distinct-user rollup from merged per-day DataSketches "
+    "sketches (hll_sketch_agg/hll_union_agg, JVM aggregates). Rows-only: "
+    "estimates aren't reproducible in DuckDB; merge-of-parts == "
+    "sketch-of-whole and error bounds pinned in tests",
+)(lambda spark: sketches.hll_rollup(spark))
+
+
+_register(
+    "ev_kll_quantiles",
+    None,
+    notes="KLL quantile sketches per day merged upward -> p50/p90/p99 "
+    "without sort or rescan. Rows-only: sketch internals engine-specific; "
+    "rank-error bound vs exact percentile pinned in tests",
+)(lambda spark: sketches.kll_value_quantiles(spark))
