@@ -17,6 +17,7 @@ ties break on vec_id.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -265,9 +266,14 @@ def kmeans_lloyd(
       re-codegen'd EVERY round (measured 5.9s vs 2.5s at sf0.1, k=10),
       and its per-row cost is interpreted O(k·dim) while the UDF's is a
       batched (b×k×d) ufunc at memory bandwidth.
-    - The update step aggregates per-dimension with `dim` built-in avg()
-      aggregates (map-side combinable, whole-stage codegen) instead of
-      posexplode — no n*dim row blowup, no shuffle wider than k rows.
+    - The update step is FUSED into the assignment UDF as per-cluster
+      partial (count, per-dim sum) rows — the mini-batch tree-aggregate
+      distributed k-means is built on: each Arrow batch emits <= k rows,
+      so the per-round shuffle moves k*n_batches narrow rows instead of
+      every embedding, and no payload bytes cross Arrow twice. (Earlier
+      form — return all assignments + 64 avg() aggs — measured ~1.0s/
+      round steady-state at sf0.1; the fused form cuts the Arrow return
+      and the wide agg.)
     - Deterministic: init = the k lowest vec_ids (no RNG); distances are
       exact per-element (a-b)² sums (no matmul-expansion cancellation),
       argmin ties break on the lowest centroid index in both forms.
@@ -301,15 +307,46 @@ def kmeans_lloyd(
 
         return emb.mapInPandas(score, schema=out_schema)
 
+    part_schema = "cluster int, cnt long, " + ", ".join(
+        f"s{i} double" for i in range(dim)
+    )
+
+    def partials(cent: list[list[float]]) -> DataFrame:
+        C = np.asarray(cent, dtype=np.float64)
+
+        def reduce_batch(batches):
+            for pdf in batches:
+                E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                cl = d2.argmin(axis=1)
+                counts = np.bincount(cl, minlength=C.shape[0])
+                live = np.flatnonzero(counts)
+                sums = np.zeros((C.shape[0], E.shape[1]))
+                np.add.at(sums, cl, E)
+                out = pd.DataFrame(
+                    sums[live], columns=[f"s{i}" for i in range(E.shape[1])]
+                )
+                out.insert(0, "cnt", counts[live])
+                out.insert(0, "cluster", live.astype(np.int32))
+                yield out
+
+        return emb.mapInPandas(reduce_batch, schema=part_schema)
+
     for _ in range(iters):
-        assigned = assign(centroids)
         new_cent = (
-            assigned.groupBy("cluster")
-            .agg(*[F.avg(F.col("embedding")[i]).alias(f"d{i}") for i in range(dim)])
+            partials(centroids)
+            .groupBy("cluster")
+            .agg(
+                F.sum("cnt").alias("cnt"),
+                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+            )
             .collect()
         )
         # empty clusters keep their previous centroid
-        by_cluster = {r["cluster"]: [r[f"d{i}"] for i in range(dim)] for r in new_cent}
+        by_cluster = {
+            r["cluster"]: [r[f"s{i}"] / r["cnt"] for i in range(dim)]
+            for r in new_cent
+        }
         centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
     return assign(centroids), centroids
 
