@@ -245,3 +245,18 @@ def test_interval_join_bucketed_no_blowup_and_covers_all_events(spark):
     total = df.agg(F.sum("n_contained")).collect()[0][0]
     n_events = spark.table("events").count()
     assert total == n_events, f"{total} contained != {n_events} events"
+
+
+def test_curation_funnel_monotone_and_gates_bite(spark):
+    """Funnel sanity parity can't see: stages only shrink, the quality
+    gate actually drops documents, both splits are non-empty, and
+    train_clean + eval <= quality (nothing invented)."""
+    from uav_streamprocessor_spark.operators import repetition
+
+    register_uav_views(spark, SF_SMALL)
+    got = {r["stage"]: r["n_docs"] for r in repetition.curation_funnel(spark).collect()}
+    assert got["00_raw"] >= got["10_exact_dedup"] >= got["20_quality"]
+    assert got["20_quality"] < got["10_exact_dedup"] or got["20_quality"] < got["00_raw"]
+    assert got["30_train_split"] + got["41_eval_held_out"] == got["20_quality"]
+    assert 0 < got["40_train_decontaminated"] <= got["30_train_split"]
+    assert got["41_eval_held_out"] > 0

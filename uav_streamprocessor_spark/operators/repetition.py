@@ -200,3 +200,74 @@ def decontamination_prefiltered(spark: SparkSession, n: int = 4) -> DataFrame:
             F.sum("n_train_docs").alias("total_train_doc_hits"),
         )
     )
+
+
+def curation_funnel(spark: SparkSession) -> DataFrame:
+    """End-to-end corpus-curation funnel — the pipeline this engine's
+    text surface exists for, composed from the SAME rules the standalone
+    queries prove individually:
+
+      00_raw                 -> every document
+      10_exact_dedup         -> keep lowest doc_id per identical text
+                                (dedup.dedup_survivors rule)
+      20_quality             -> Gopher-style gate (gopher_quality_flags
+                                rules, all four must pass)
+      30_train_split         -> content-hash train side (sampling rule)
+      40_train_decontaminated-> drop train docs sharing any 4-gram with
+                                the held-out eval split
+      41_eval_held_out       -> the eval side, kept aside
+
+    Returns (stage, n_docs) — the funnel report a curation run logs.
+    Each stage builds on the previous DataFrame lineage; a production run
+    materializes per-stage checkpoints instead of recomputing the chain,
+    but the logical plan here IS the production plan shape: md5-keyed
+    window for dedup, map-only quality filter, gram semi-join for
+    decontamination. Counts-only output keeps the oracle compact while
+    pinning every stage's cardinality."""
+    from pyspark.sql import Window
+
+    docs = spark.table("documents").select("doc_id", "lang", "text")
+    w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    ded = docs.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
+
+    words = F.split(F.lower("text"), " ")
+    n_words = F.size(words)
+    _, grams3 = _word_ngrams(3)
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    the_hits = (F.length(padded) - F.length(F.replace(padded, F.lit(" the ")))) / 5
+    q = ded.filter(n_words >= 30).filter(
+        (F.length("text") / n_words.cast("double") <= 5.5)
+        & (the_hits / n_words >= 0.02)
+        & (F.size(F.array_distinct(grams3)) == F.size(grams3))
+    )
+
+    split = q.withColumn(
+        "is_train", F.substring(F.md5("text"), 1, 1) <= _TRAIN_MAX_NIBBLE
+    )
+    _, grams4 = _word_ngrams(4)
+    g = split.filter(n_words >= 4).select(
+        "doc_id", "is_train", F.explode(F.array_distinct(grams4)).alias("gram")
+    )
+    eval_grams = g.filter(~F.col("is_train")).select("gram").distinct()
+    contaminated = (
+        g.filter("is_train")
+        .join(eval_grams, "gram", "leftsemi")
+        .select("doc_id")
+        .distinct()
+    )
+    train = split.filter("is_train")
+    train_clean = train.join(contaminated, "doc_id", "left_anti")
+
+    def cnt(df: DataFrame, stage: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(stage).alias("stage"), "n_docs"
+        )
+
+    return (
+        cnt(docs, "00_raw")
+        .unionAll(cnt(ded, "10_exact_dedup"))
+        .unionAll(cnt(q, "20_quality"))
+        .unionAll(cnt(train, "30_train_split"))
+        .unionAll(cnt(train_clean, "40_train_decontaminated"))
+        .unionAll(cnt(split.filter(~F.col("is_train")), "41_eval_held_out"))
+    )

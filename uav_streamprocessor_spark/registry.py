@@ -2637,3 +2637,58 @@ _register(
     "without sort or rescan. Rows-only: sketch internals engine-specific; "
     "rank-error bound vs exact percentile pinned in tests",
 )(lambda spark: sketches.kll_value_quantiles(spark))
+
+
+_register(
+    "text_curation_funnel",
+    """
+WITH base AS (
+  SELECT doc_id, lang, text FROM documents
+), ded AS (
+  SELECT doc_id, lang, text FROM (
+    SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+    FROM base
+  ) WHERE rn = 1
+), qw AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+         ' ' || lower(text) || ' ' AS p
+  FROM ded
+), q AS (
+  SELECT doc_id, text FROM qw
+  WHERE len(ws) >= 30
+    AND length(text) / CAST(len(ws) AS DOUBLE) <= 5.5
+    AND (length(p) - length(replace(p, ' the ', ''))) / 5 / len(ws) >= 0.02
+    AND len(list_distinct(list_transform(generate_series(1, len(ws) - 2),
+          i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]))) = len(ws) - 2
+), split AS (
+  SELECT doc_id, text, substring(md5(text), 1, 1) <= 'c' AS is_train
+  FROM q
+), g AS (
+  SELECT DISTINCT doc_id, is_train,
+         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] AS gram
+  FROM (SELECT doc_id, is_train, string_split(lower(text), ' ') AS ws FROM split),
+       unnest(generate_series(1, len(ws) - 3)) AS t(i)
+  WHERE len(ws) >= 4
+), contaminated AS (
+  SELECT DISTINCT g.doc_id
+  FROM g JOIN (SELECT DISTINCT gram FROM g WHERE NOT is_train) tg USING (gram)
+  WHERE g.is_train
+)
+SELECT '00_raw' AS stage, CAST(count(*) AS BIGINT) AS n_docs FROM base
+UNION ALL
+SELECT '10_exact_dedup', CAST(count(*) AS BIGINT) FROM ded
+UNION ALL
+SELECT '20_quality', CAST(count(*) AS BIGINT) FROM q
+UNION ALL
+SELECT '30_train_split', CAST(count(*) AS BIGINT) FROM split WHERE is_train
+UNION ALL
+SELECT '40_train_decontaminated', CAST(count(*) AS BIGINT)
+FROM split WHERE is_train AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+UNION ALL
+SELECT '41_eval_held_out', CAST(count(*) AS BIGINT) FROM split WHERE NOT is_train
+""",
+    notes="end-to-end curation funnel: exact dedup -> Gopher quality gate "
+    "-> content-hash split -> 4-gram decontamination, every stage reusing "
+    "the rule its standalone query proves; output pins per-stage "
+    "cardinality",
+)(lambda spark: repetition.curation_funnel(spark))
