@@ -105,3 +105,22 @@ def test_kmeans_assignment_is_map_only(spark):
     plan = formatted_plan(assigned)
     assert "Exchange" not in plan, f"kmeans assignment shuffles:\n{plan[:1500]}"
     assert "posexplode" not in plan.lower()
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Global sweep: no registered query may plan a CartesianProduct —
+    the unbounded both-sides-big shape that melts at any scale. Covers
+    every future registration automatically.
+
+    BroadcastNestedLoopJoin is deliberately NOT banned globally: every
+    occurrence here is a bounded-build broadcast — scalar-aggregate
+    subqueries (one-row build), the fixture's 4-row per-camera offsets,
+    or the ANN query side (k rows) — which is a legitimate O(1)/O(k)
+    shape. The joins where a nested loop WOULD be a scale bug (the
+    banded dedup self-joins, kNN corpus side, dim joins) have targeted
+    assertions above."""
+    offenders = []
+    for spec in registry.all_specs():
+        if "CartesianProduct" in formatted_plan(spec.build(spark, SF_SMALL)):
+            offenders.append(spec.name)
+    assert not offenders, f"cartesian products: {offenders}"
