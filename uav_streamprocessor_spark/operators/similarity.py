@@ -428,3 +428,33 @@ def semdedup_profile(
         )
         .orderBy("cluster")
     )
+
+
+def norm_outlier_summary(spark: SparkSession, pct: float = 0.95) -> DataFrame:
+    """Norm-clipping curation step: flag vectors whose L2 norm sits in
+    the top (1-pct) of their label's distribution — percent_rank over a
+    per-label window (partitioned; deterministic tie-break on vec_id),
+    summarized per label. The flagged set is what an embedding-quality
+    pass drops or re-normalizes before indexing."""
+    emb = spark.table("embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            F.col("embedding"),
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    w = Window.partitionBy("label").orderBy("norm", "vec_id")
+    ranked = emb.select(
+        "label", "vec_id", F.round(norm, 6).alias("norm")
+    ).withColumn("pr", F.percent_rank().over(w))
+    return (
+        ranked.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum((F.col("pr") >= pct).cast("long")).alias("n_flagged"),
+            F.round(
+                F.min(F.when(F.col("pr") >= pct, F.col("norm"))), 6
+            ).alias("min_flagged_norm"),
+        )
+    )

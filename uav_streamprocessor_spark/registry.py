@@ -2692,3 +2692,27 @@ SELECT '41_eval_held_out', CAST(count(*) AS BIGINT) FROM split WHERE NOT is_trai
     "the rule its standalone query proves; output pins per-stage "
     "cardinality",
 )(lambda spark: repetition.curation_funnel(spark))
+
+
+_register(
+    "emb_norm_outliers",
+    """
+WITH norms AS (
+  SELECT label, vec_id,
+         round(sqrt(sum(CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm
+  FROM (SELECT label, vec_id, unnest(embedding) AS x FROM embeddings)
+  GROUP BY label, vec_id
+), r AS (
+  SELECT label, norm,
+         percent_rank() OVER (PARTITION BY label ORDER BY norm, vec_id) AS pr
+  FROM norms
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       CAST(sum(CASE WHEN pr >= 0.95 THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+       round(min(CASE WHEN pr >= 0.95 THEN norm END), 6) AS min_flagged_norm
+FROM r GROUP BY label
+""",
+    notes="norm-clipping curation step: per-label percent_rank outlier "
+    "flagging (partitioned window, deterministic vec_id tie-break)",
+)(lambda spark: similarity.norm_outlier_summary(spark))
