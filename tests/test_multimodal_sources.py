@@ -283,3 +283,16 @@ def test_camera_frame_gaps_grouped_map(spark):
     gaps = {(r["camera_id"], r["gap_after"]): r["missing"]
             for r in camera_frame_gaps(frames).collect()}
     assert gaps == {("cam0", 2): 2, ("cam0", 6): 3}
+
+
+def test_video_scene_changes(spark, media_df):
+    """Synthetic video fixtures are random noise per frame — consecutive
+    frames differ a lot, so every boundary over the threshold reports;
+    a high threshold silences all of them (monotone in threshold)."""
+    from uav_streamprocessor_spark.operators.multimodal import video_scene_changes
+
+    hits = video_scene_changes(media_df, threshold=5.0).collect()
+    assert hits, "noise frames must register as scene changes"
+    assert all(r["frame_index"] >= 1 for r in hits)
+    none = video_scene_changes(media_df, threshold=1e9).collect()
+    assert none == []

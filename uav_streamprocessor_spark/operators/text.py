@@ -351,3 +351,33 @@ def url_domain_stats(spark: SparkSession, top_k: int = 20) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "domain")
         .limit(top_k)
     )
+
+
+def array_hof_profile(spark: SparkSession) -> DataFrame:
+    """Higher-order-function surface in one pass over the token array:
+    filter (long words), exists (stopword hit), forall (all-alpha),
+    aggregate (char fold) — each per doc, summarized per lang. All
+    JVM-side lambdas inside one codegen stage; the token array never
+    explodes."""
+    docs = spark.table("documents")
+    words = F.split(F.lower("text"), " ")
+    n_long = F.size(F.filter(words, lambda w: F.length(w) > 6))
+    has_the = F.exists(words, lambda w: w == "the").cast("int")
+    all_alpha = F.forall(words, lambda w: w.rlike("^[a-z]+$")).cast("int")
+    total_chars = F.aggregate(
+        words, F.lit(0), lambda acc, w: acc + F.length(w)
+    )
+    per_doc = docs.select(
+        "lang",
+        n_long.alias("n_long"),
+        has_the.alias("has_the"),
+        all_alpha.alias("all_alpha"),
+        total_chars.alias("total_chars"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_long").cast("long").alias("total_long_words"),
+        F.sum("has_the").cast("long").alias("docs_with_the"),
+        F.sum("all_alpha").cast("long").alias("docs_all_alpha"),
+        F.round(F.avg("total_chars"), 6).alias("avg_word_chars"),
+    )

@@ -2716,3 +2716,30 @@ FROM r GROUP BY label
     notes="norm-clipping curation step: per-label percent_rank outlier "
     "flagging (partitioned window, deterministic vec_id tie-break)",
 )(lambda spark: similarity.norm_outlier_summary(spark))
+
+
+_register(
+    "text_array_hof",
+    """
+WITH w AS (
+  SELECT lang, string_split(lower(text), ' ') AS ws FROM documents
+), d AS (
+  SELECT lang,
+         len(list_filter(ws, w -> length(w) > 6)) AS n_long,
+         CASE WHEN len(list_filter(ws, w -> w = 'the')) > 0
+              THEN 1 ELSE 0 END AS has_the,
+         CASE WHEN len(list_filter(ws, w -> NOT regexp_matches(w, '^[a-z]+$'))) = 0
+              THEN 1 ELSE 0 END AS all_alpha,
+         list_sum(list_transform(ws, w -> length(w))) AS total_chars
+  FROM w
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_long) AS BIGINT) AS total_long_words,
+       CAST(sum(has_the) AS BIGINT) AS docs_with_the,
+       CAST(sum(all_alpha) AS BIGINT) AS docs_all_alpha,
+       round(avg(total_chars), 6) AS avg_word_chars
+FROM d GROUP BY lang
+""",
+    notes="higher-order functions (filter/exists/forall/aggregate) in one "
+    "codegen stage; token arrays never explode",
+)(lambda spark: text.array_hof_profile(spark))
