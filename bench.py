@@ -56,7 +56,8 @@ HEADLINE = [
     # r3 additions: iterative + LM-join paths
     "dedup_doc_clusters",       # blocking graph -> iterative hash-min CC
     "text_unigram_cross_entropy",  # corpus-LM token join
-    "emb_kmeans_profile",       # iterative Lloyd (Arrow argmin + avg update)
+    "emb_kmeans_profile",       # iterative Lloyd (Arrow partial-sum update)
+    "text_curation_funnel",     # end-to-end dedup->quality->decontam->split
 ]
 
 

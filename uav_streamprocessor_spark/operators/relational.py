@@ -1137,3 +1137,64 @@ def price_decile_stats(spark: SparkSession) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("sum_price"),
         )
     )
+
+
+def referential_audit(spark: SparkSession) -> DataFrame:
+    """Referential-integrity audit across the corpus relationships a
+    pipeline depends on: orphan counts per link (child rows whose parent
+    key is absent), as (relationship, n_child, n_orphans). Anti-joins
+    only — each link is one narrow-key shuffle (or broadcast when the
+    parent side is a dim); no row bodies move."""
+    def link(child: DataFrame, parent: DataFrame, key_c: str, key_p: str, name: str):
+        c = child.select(F.col(key_c).alias("k"))
+        p = parent.select(F.col(key_p).alias("k")).distinct() \
+            .withColumn("hit", F.lit(1))
+        # one left join, one pass: total + orphans together (NO driver
+        # action in plan construction — count() here would collect)
+        return (
+            c.join(p, "k", "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.col("hit").isNull().cast("long")).alias("n_orphans"),
+            )
+            .select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+        )
+
+    orders = spark.table("orders")
+    customer = spark.table("customer")
+    lineitem = spark.table("lineitem")
+    nation = spark.table("nation")
+    supplier = spark.table("supplier")
+    return (
+        link(orders, customer, "o_custkey", "c_custkey", "orders->customer")
+        .unionAll(link(lineitem, orders, "l_orderkey", "o_orderkey", "lineitem->orders"))
+        .unionAll(link(customer, nation, "c_nationkey", "n_nationkey", "customer->nation"))
+        .unionAll(link(supplier, nation, "s_nationkey", "n_nationkey", "supplier->nation"))
+    )
+
+
+def table_profile(spark: SparkSession) -> DataFrame:
+    """Column-profiling audit over `orders` — the schema-drift /
+    data-quality report a pipeline snapshots per ingest: per column,
+    null count, distinct count, and lexicographic min/max rendered as
+    strings so one narrow schema covers every type. One pass, all
+    aggregates map-side combinable."""
+    orders = spark.table("orders")
+
+    def prof(col: str):
+        c = F.col(col)
+        return orders.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(c.isNull().cast("long")).alias("n_nulls"),
+            F.countDistinct(c).alias("n_distinct"),
+            F.min(c).cast("string").alias("min_value"),
+            F.max(c).cast("string").alias("max_value"),
+        ).select(F.lit(col).alias("column_name"), "n_rows", "n_nulls",
+                 "n_distinct", "min_value", "max_value")
+
+    cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority"]
+    out = prof(cols[0])
+    for c in cols[1:]:
+        out = out.unionAll(prof(c))
+    return out

@@ -2743,3 +2743,87 @@ FROM d GROUP BY lang
     notes="higher-order functions (filter/exists/forall/aggregate) in one "
     "codegen stage; token arrays never explode",
 )(lambda spark: text.array_hof_profile(spark))
+
+
+_register(
+    "rel_referential_audit",
+    """
+WITH l AS (
+  SELECT 'orders->customer' AS relationship,
+         CAST(count(*) AS BIGINT) AS n_child,
+         CAST(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_orphans
+  FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+    ON o.o_custkey = c.c_custkey
+  UNION ALL
+  SELECT 'lineitem->orders',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM lineitem li LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+    ON li.l_orderkey = o.o_orderkey
+  UNION ALL
+  SELECT 'customer->nation',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+    ON c.c_nationkey = n.n_nationkey
+  UNION ALL
+  SELECT 'supplier->nation',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+  FROM supplier s LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+    ON s.s_nationkey = n.n_nationkey
+)
+SELECT * FROM l
+""",
+    notes="referential-integrity audit: orphan counts per FK link in one "
+    "left-join pass each; no driver action in plan construction",
+)(lambda spark: relational.referential_audit(spark))
+
+
+_register(
+    "rel_table_profile",
+    """
+WITH p AS (
+  SELECT 'o_orderkey' AS column_name, CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+         CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+         CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+         CAST(max(o_orderkey) AS VARCHAR) AS max_value
+  FROM orders
+  UNION ALL
+  SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_custkey) AS BIGINT),
+         CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+         CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_totalprice) AS BIGINT),
+         CAST(min(o_totalprice) AS VARCHAR), CAST(max(o_totalprice) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_orderdate) AS BIGINT),
+         CAST(min(o_orderdate) AS VARCHAR), CAST(max(o_orderdate) AS VARCHAR)
+  FROM orders
+  UNION ALL
+  SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+         CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+  FROM orders
+)
+SELECT * FROM p
+""",
+    notes="per-column profiling audit (nulls/distincts/min/max as strings) "
+    "— the schema-drift snapshot a pipeline records per ingest",
+)(lambda spark: relational.table_profile(spark))
