@@ -28,18 +28,30 @@ from pyspark.sql import functions as F
 from uav_streamprocessor_spark.operators.sampling import _TRAIN_MAX_NIBBLE
 
 
-def _word_ngrams(n: int):
-    """array<string> of space-joined word n-grams of lower(text).
-    1-based element_at matches the oracle's 1-based DuckDB list indexing;
-    docs shorter than n words are filtered out by the caller (Spark's
-    sequence(1, k) with k < 1 counts DOWN — never build it unguarded)."""
-    words = F.split(F.lower("text"), " ")
-    idx = F.sequence(F.lit(1), F.size(words) - (n - 1))
-    return words, F.transform(
-        idx,
+def _with_tokens(df: DataFrame) -> DataFrame:
+    """Materialize the lowered token array ONCE as a `ws` column. Gram
+    builders must reference this column, never an inline split(...):
+    expressions captured inside transform() lambdas are re-evaluated per
+    output element, so an inline split costs O(words²) splits per doc —
+    measured 7-11s vs ~1.5s for the decontamination join at sf0.1 (same
+    pitfall dedup.word_ngrams documents)."""
+    return df.withColumn("ws", F.split(F.lower("text"), " "))
+
+
+def _grams_col(n: int):
+    """array<string> of space-joined word n-grams from the materialized
+    `ws` column; [] for docs shorter than n words (guards sequence(),
+    which counts DOWN over a negative span). 1-based element_at matches
+    DuckDB's 1-based list indexing."""
+    ws = F.col("ws")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
         lambda i: F.concat_ws(
-            " ", *[F.element_at(words, i + int(k)) for k in range(n)]
+            " ", *[F.element_at(ws, i + int(k)) for k in range(n)]
         ),
+    )
+    return F.when(F.size(ws) >= n, grams).otherwise(
+        F.array().cast("array<string>")
     )
 
 
@@ -48,19 +60,20 @@ def ngram_repetition_stats(spark: SparkSession, n: int = 3) -> DataFrame:
     trigrams. The whole computation stays inside the row (no explode, no
     shuffle) — at 100 TB this is a map-only pass."""
     docs = spark.table("documents")
-    words, grams = _word_ngrams(n)
-    return (
-        docs.filter(F.size(F.split(F.lower("text"), " ")) >= n)
-        .select(
-            "doc_id",
-            "lang",
-            F.size(grams).alias("n_grams"),
-            F.size(F.array_distinct(grams)).alias("n_distinct_grams"),
-            F.round(
-                1.0 - F.size(F.array_distinct(grams)) / F.size(grams).cast("double"),
-                6,
-            ).alias("dup_gram_fraction"),
-        )
+    d = (
+        _with_tokens(docs)
+        .filter(F.size("ws") >= n)
+        .withColumn("grams", _grams_col(n))
+        .withColumn("n_distinct", F.size(F.array_distinct("grams")))
+    )
+    return d.select(
+        "doc_id",
+        "lang",
+        F.size("grams").alias("n_grams"),
+        F.col("n_distinct").alias("n_distinct_grams"),
+        F.round(
+            1.0 - F.col("n_distinct") / F.size("grams").cast("double"), 6
+        ).alias("dup_gram_fraction"),
     )
 
 
@@ -72,10 +85,10 @@ def boilerplate_ngrams(
     occurrence counts. distinct-per-doc BEFORE the global agg keeps the
     exploded row count bounded by distinct grams per doc."""
     docs = spark.table("documents")
-    _, grams = _word_ngrams(n)
     per_doc = (
-        docs.filter(F.size(F.split(F.lower("text"), " ")) >= n)
-        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        _with_tokens(docs)
+        .filter(F.size("ws") >= n)
+        .select("doc_id", F.explode(F.array_distinct(_grams_col(n))).alias("gram"))
     )
     return (
         per_doc.groupBy("gram")
@@ -91,16 +104,21 @@ def gopher_quality_flags(spark: SparkSession) -> DataFrame:
     every rule splits the data (a gate that always passes proves
     nothing)."""
     docs = spark.table("documents")
-    words, grams = _word_ngrams(3)
-    n_words = F.size(words)
+    n_words = F.size("ws")
     padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
     the_hits = (F.length(padded) - F.length(F.replace(padded, F.lit(" the ")))) / 5
-    flags = docs.filter(n_words >= 3).select(
-        "lang",
-        (n_words >= 30).alias("f_len"),
-        (F.length("text") / n_words <= 5.5).alias("f_word_len"),
-        (the_hits / n_words >= 0.02).alias("f_stopword"),
-        (F.size(F.array_distinct(grams)) == F.size(grams)).alias("f_no_rep"),
+    grams = F.col("grams")
+    flags = (
+        _with_tokens(docs)
+        .filter(n_words >= 3)
+        .withColumn("grams", _grams_col(3))
+        .select(
+            "lang",
+            (n_words >= 30).alias("f_len"),
+            (F.length("text") / n_words <= 5.5).alias("f_word_len"),
+            (the_hits / n_words >= 0.02).alias("f_stopword"),
+            (F.size(F.array_distinct(grams)) == F.size(grams)).alias("f_no_rep"),
+        )
     )
     return (
         flags.withColumn(
@@ -136,9 +154,14 @@ def decontamination_report(spark: SparkSession, n: int = 4) -> DataFrame:
     join, so join fan-out is bounded by test grams, not |test|x|train|."""
     docs = spark.table("documents")
     is_train = F.substring(F.md5("text"), 1, 1) <= _TRAIN_MAX_NIBBLE
-    _, grams = _word_ngrams(n)
-    base = docs.filter(F.size(F.split(F.lower("text"), " ")) >= n).select(
-        "doc_id", is_train.alias("is_train"), F.explode(F.array_distinct(grams)).alias("gram")
+    base = (
+        _with_tokens(docs)
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            is_train.alias("is_train"),
+            F.explode(F.array_distinct(_grams_col(n))).alias("gram"),
+        )
     )
     train_grams = (
         base.filter("is_train")
@@ -174,11 +197,14 @@ def decontamination_prefiltered(spark: SparkSession, n: int = 4) -> DataFrame:
     """
     docs = spark.table("documents")
     is_train = F.substring(F.md5("text"), 1, 1) <= _TRAIN_MAX_NIBBLE
-    _, grams = _word_ngrams(n)
-    base = docs.filter(F.size(F.split(F.lower("text"), " ")) >= n).select(
-        "doc_id",
-        is_train.alias("is_train"),
-        F.explode(F.array_distinct(grams)).alias("gram"),
+    base = (
+        _with_tokens(docs)
+        .filter(F.size("ws") >= n)
+        .select(
+            "doc_id",
+            is_train.alias("is_train"),
+            F.explode(F.array_distinct(_grams_col(n))).alias("gram"),
+        )
     )
     test = base.filter(~F.col("is_train"))
     eval_gram_hashes = test.select(F.xxhash64("gram").alias("gh")).distinct()
@@ -218,35 +244,47 @@ def curation_funnel(spark: SparkSession) -> DataFrame:
       41_eval_held_out       -> the eval side, kept aside
 
     Returns (stage, n_docs) — the funnel report a curation run logs.
-    Each stage builds on the previous DataFrame lineage; a production run
-    materializes per-stage checkpoints instead of recomputing the chain,
-    but the logical plan here IS the production plan shape: md5-keyed
-    window for dedup, map-only quality filter, gram semi-join for
-    decontamination. Counts-only output keeps the oracle compact while
-    pinning every stage's cardinality."""
+
+    Plan shape: every per-doc stage is a FLAG COLUMN on one labeled
+    pass (dedup window + quality rules + split nibble), so all six
+    counts come from a single aggregation + stack — NOT a six-branch
+    union that recomputes the lineage per stage (the first cut did
+    that; 17s vs ~4s at sf0.1). The only second subtree is the
+    decontamination gram self-join, which joins back per doc_id. A
+    production run materializes per-stage checkpoints; this is the
+    single-pass audit over the same rules."""
     from pyspark.sql import Window
 
-    docs = spark.table("documents").select("doc_id", "lang", "text")
+    docs = spark.table("documents").select("doc_id", "text")
     w = Window.partitionBy(F.md5("text")).orderBy("doc_id")
-    ded = docs.withColumn("rn", F.row_number().over(w)).filter("rn = 1").drop("rn")
 
-    words = F.split(F.lower("text"), " ")
-    n_words = F.size(words)
-    _, grams3 = _word_ngrams(3)
+    n_words = F.size("ws")
     padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
     the_hits = (F.length(padded) - F.length(F.replace(padded, F.lit(" the ")))) / 5
-    q = ded.filter(n_words >= 30).filter(
-        (F.length("text") / n_words.cast("double") <= 5.5)
+    grams3 = _grams_col(3)  # [] below 3 words; n_words >= 30 gates anyway
+    q_rules = (
+        (n_words >= 30)
+        & (F.length("text") / n_words.cast("double") <= 5.5)
         & (the_hits / n_words >= 0.02)
         & (F.size(F.array_distinct(grams3)) == F.size(grams3))
     )
 
-    split = q.withColumn(
-        "is_train", F.substring(F.md5("text"), 1, 1) <= _TRAIN_MAX_NIBBLE
+    flagged = (
+        _with_tokens(docs)
+        .withColumn("kept", F.row_number().over(w) == 1)
+        .select(
+            "doc_id",
+            "ws",
+            "kept",
+            (F.col("kept") & q_rules).alias("q"),
+            (F.substring(F.md5("text"), 1, 1) <= _TRAIN_MAX_NIBBLE).alias(
+                "is_train"
+            ),
+        )
     )
-    _, grams4 = _word_ngrams(4)
-    g = split.filter(n_words >= 4).select(
-        "doc_id", "is_train", F.explode(F.array_distinct(grams4)).alias("gram")
+
+    g = flagged.filter("q").select(
+        "doc_id", "is_train", F.explode(F.array_distinct(_grams_col(4))).alias("gram")
     )
     eval_grams = g.filter(~F.col("is_train")).select("gram").distinct()
     contaminated = (
@@ -254,20 +292,25 @@ def curation_funnel(spark: SparkSession) -> DataFrame:
         .join(eval_grams, "gram", "leftsemi")
         .select("doc_id")
         .distinct()
+        .withColumn("contam", F.lit(True))
     )
-    train = split.filter("is_train")
-    train_clean = train.join(contaminated, "doc_id", "left_anti")
 
-    def cnt(df: DataFrame, stage: str) -> DataFrame:
-        return df.agg(F.count(F.lit(1)).alias("n_docs")).select(
-            F.lit(stage).alias("stage"), "n_docs"
+    final = flagged.drop("ws").join(contaminated, "doc_id", "left")
+    counts = final.agg(
+        F.count(F.lit(1)).alias("c00"),
+        F.sum(F.col("kept").cast("long")).alias("c10"),
+        F.sum(F.col("q").cast("long")).alias("c20"),
+        F.sum((F.col("q") & F.col("is_train")).cast("long")).alias("c30"),
+        F.sum(
+            (F.col("q") & F.col("is_train") & F.col("contam").isNull()).cast("long")
+        ).alias("c40"),
+        F.sum((F.col("q") & ~F.col("is_train")).cast("long")).alias("c41"),
+    )
+    return counts.select(
+        F.expr(
+            "stack(6, '00_raw', c00, '10_exact_dedup', c10, "
+            "'20_quality', c20, '30_train_split', c30, "
+            "'40_train_decontaminated', c40, '41_eval_held_out', c41) "
+            "AS (stage, n_docs)"
         )
-
-    return (
-        cnt(docs, "00_raw")
-        .unionAll(cnt(ded, "10_exact_dedup"))
-        .unionAll(cnt(q, "20_quality"))
-        .unionAll(cnt(train, "30_train_split"))
-        .unionAll(cnt(train_clean, "40_train_decontaminated"))
-        .unionAll(cnt(split.filter(~F.col("is_train")), "41_eval_held_out"))
     )
