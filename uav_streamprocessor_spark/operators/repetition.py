@@ -34,7 +34,13 @@ def _with_tokens(df: DataFrame) -> DataFrame:
     expressions captured inside transform() lambdas are re-evaluated per
     output element, so an inline split costs O(words²) splits per doc —
     measured 7-11s vs ~1.5s for the decontamination join at sf0.1 (same
-    pitfall dedup.word_ngrams documents)."""
+    pitfall dedup.word_ngrams documents).
+
+    NOTE: CollapseProject can re-inline the split if the gram projection
+    sits directly on this one (dedup.doc_ngram_sets uses a repartition
+    barrier for that reason). Every caller here has a Filter or Window
+    node between _with_tokens and the gram lambdas, which blocks the
+    collapse — keep it that way when adding callers."""
     return df.withColumn("ws", F.split(F.lower("text"), " "))
 
 
