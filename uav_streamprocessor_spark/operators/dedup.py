@@ -189,8 +189,12 @@ def fingerprint_docs(spark: SparkSession) -> DataFrame:
 
 def band_signatures(sigs: DataFrame) -> DataFrame:
     """(doc_id, sig) → (doc_id, band, band_sig): 16 bands of 4 minhash
-    rows each, band_sig as the joined string key. Shared by the batch
-    candidate join and the incremental streaming index
+    rows each, band_sig as an 8-byte xxhash64 of the band's rows (the
+    100 TB shuffle-key rule SCALE.md states: never shuffle the band
+    content, only a fixed-width hash of it). A hash collision can only
+    ADD a candidate pair, and the exact-Jaccard verify removes it —
+    recall is unaffected, precision is restored downstream. Shared by
+    the batch candidate join and the incremental streaming index
     (streaming/dedup_stream.py)."""
     rows_per_band = _N_PERM // _LSH_BANDS
     return sigs.select(
@@ -199,12 +203,11 @@ def band_signatures(sigs: DataFrame) -> DataFrame:
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.concat_ws(
-                        "_",
+                    F.xxhash64(
                         *[
-                            F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                            F.element_at("sig", b * rows_per_band + r + 1)
                             for r in range(rows_per_band)
-                        ],
+                        ]
                     ).alias("band_sig"),
                 )
                 for b in range(_LSH_BANDS)
