@@ -260,3 +260,29 @@ def test_curation_funnel_monotone_and_gates_bite(spark):
     assert got["30_train_split"] + got["41_eval_held_out"] == got["20_quality"]
     assert 0 < got["40_train_decontaminated"] <= got["30_train_split"]
     assert got["41_eval_held_out"] > 0
+
+
+def test_nms_actually_suppresses_and_keeps_best(spark):
+    """Non-vacuity (overlapping same-class boxes exist, so survivors <
+    detections) and the invariant parity can't see: within every
+    (camera, frame, class) group the highest-confidence box ALWAYS
+    survives (nothing dominates it)."""
+    from uav_streamprocessor_spark.operators import uav_extra
+
+    register_uav_views(spark, SF_SMALL)
+    det = spark.table("detections")
+    surv = uav_extra.nms_one_pass_survivors(det)
+    n_det, n_surv = det.count(), surv.count()
+    assert 0 < n_surv < n_det, f"suppression vacuous: {n_surv}/{n_det}"
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("camera_id", "frame_number", "class_name").orderBy(
+        F.col("confidence").desc(), "det_id"
+    )
+    best = (
+        det.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("det_id")
+    )
+    missing_best = best.join(surv.select("det_id"), "det_id", "left_anti").count()
+    assert missing_best == 0, "a group's top box was suppressed"

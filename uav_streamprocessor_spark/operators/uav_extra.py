@@ -160,3 +160,62 @@ def detection_labels(detections: DataFrame, cfg=None) -> DataFrame:
             F.round(F.col("confidence") * 100) / 100,
         ).alias("label"),
     )
+
+
+def nms_one_pass_survivors(detections: DataFrame, iou_pct: int = 10) -> DataFrame:
+    """One-pass non-maximum suppression: a detection is suppressed when a
+    HIGHER-confidence detection of the same (camera, frame, class) has
+    IoU >= iou_pct/100 with it (ties break on lower det_id, so dominance
+    is a strict total order). Relational NMS — the detector post-step the
+    reference's YOLO applies internally (uav/frame_processing.py:88-120
+    consumes already-suppressed boxes); one pass differs from greedy NMS
+    only when a suppressed box would itself have suppressed a third box
+    (one-pass suppresses MORE; documented, deterministic).
+
+    Exactness: IoU >= t is evaluated as 100*inter >= iou_pct*union in
+    INTEGER arithmetic — no float division, so Spark and the DuckDB
+    oracle agree to the bit. Join keys are the (camera, frame, class)
+    equi-columns; candidates per task are bounded by per-frame box
+    counts, never the table."""
+    d = detections.select(
+        "det_id", "camera_id", "frame_number", "class_name", "confidence",
+        "x_min", "y_min", "x_max", "y_max",
+    )
+    a, b = d.alias("a"), d.alias("b")
+    ix = F.greatest(
+        F.lit(0),
+        F.least(F.col("a.x_max"), F.col("b.x_max"))
+        - F.greatest(F.col("a.x_min"), F.col("b.x_min")),
+    )
+    iy = F.greatest(
+        F.lit(0),
+        F.least(F.col("a.y_max"), F.col("b.y_max"))
+        - F.greatest(F.col("a.y_min"), F.col("b.y_min")),
+    )
+    inter = ix * iy
+
+    def area(p: str):
+        return (F.col(f"{p}.x_max") - F.col(f"{p}.x_min")) * (
+            F.col(f"{p}.y_max") - F.col(f"{p}.y_min")
+        )
+
+    dominates = (F.col("b.confidence") > F.col("a.confidence")) | (
+        (F.col("b.confidence") == F.col("a.confidence"))
+        & (F.col("b.det_id") < F.col("a.det_id"))
+    )
+    suppressed = a.join(
+        b,
+        (F.col("a.camera_id") == F.col("b.camera_id"))
+        & (F.col("a.frame_number") == F.col("b.frame_number"))
+        & (F.col("a.class_name") == F.col("b.class_name"))
+        & dominates
+        & (inter * 100 >= F.lit(iou_pct) * (area("a") + area("b") - inter)),
+        "leftsemi",
+    ).select("det_id")
+    return (
+        d.join(suppressed, "det_id", "left_anti")
+        .select(
+            "det_id", "camera_id", "frame_number", "class_name",
+            F.round("confidence", 6).alias("confidence"),
+        )
+    )

@@ -2827,3 +2827,37 @@ SELECT * FROM p
     notes="per-column profiling audit (nulls/distincts/min/max as strings) "
     "— the schema-drift snapshot a pipeline records per ingest",
 )(lambda spark: relational.table_profile(spark))
+
+
+_register(
+    "uav_nms_survivors",
+    with_fixture_ctes(
+        """
+, d AS (
+  SELECT det_id, camera_id, frame_number, class_name, confidence,
+         x_min, y_min, x_max, y_max
+  FROM detections
+), sup AS (
+  SELECT DISTINCT a.det_id
+  FROM d a JOIN d b
+    ON a.camera_id = b.camera_id AND a.frame_number = b.frame_number
+   AND a.class_name = b.class_name
+   AND (b.confidence > a.confidence
+        OR (b.confidence = a.confidence AND b.det_id < a.det_id))
+   AND greatest(0, least(a.x_max, b.x_max) - greatest(a.x_min, b.x_min))
+     * greatest(0, least(a.y_max, b.y_max) - greatest(a.y_min, b.y_min)) * 100
+     >= 10 * (
+       (a.x_max - a.x_min) * (a.y_max - a.y_min)
+       + (b.x_max - b.x_min) * (b.y_max - b.y_min)
+       - greatest(0, least(a.x_max, b.x_max) - greatest(a.x_min, b.x_min))
+         * greatest(0, least(a.y_max, b.y_max) - greatest(a.y_min, b.y_min)))
+)
+SELECT det_id, camera_id, frame_number, class_name,
+       round(confidence, 6) AS confidence
+FROM d WHERE det_id NOT IN (SELECT det_id FROM sup)
+"""
+    ),
+    notes="relational one-pass NMS (IoU>=0.1 vs a higher-confidence box "
+    "of same frame+class suppresses); integer-exact IoU comparison, "
+    "equi-keyed per-frame candidates",
+)(lambda spark: uav_extra.nms_one_pass_survivors(spark.table("detections")))
