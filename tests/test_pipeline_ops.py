@@ -286,3 +286,48 @@ def test_nms_actually_suppresses_and_keeps_best(spark):
     )
     missing_best = best.join(surv.select("det_id"), "det_id", "left_anti").count()
     assert missing_best == 0, "a group's top box was suppressed"
+
+
+def test_greedy_nms_matches_reference_and_contains_one_pass(spark):
+    """Greedy survivors == a pure-python reference walk (exact), and the
+    relational one-pass survivors are a subset (one-pass over-suppresses
+    by design, never the reverse)."""
+    from uav_streamprocessor_spark.operators import uav_extra
+
+    register_uav_views(spark, SF_SMALL)
+    det = spark.table("detections")
+    greedy = {r["det_id"] for r in uav_extra.nms_greedy_survivors(det).collect()}
+    one_pass = {
+        r["det_id"] for r in uav_extra.nms_one_pass_survivors(det).collect()
+    }
+    assert one_pass <= greedy
+    assert greedy, "greedy NMS must keep boxes"
+
+    rows = det.select(
+        "det_id", "camera_id", "frame_number", "class_name", "confidence",
+        "x_min", "y_min", "x_max", "y_max",
+    ).collect()
+    groups: dict = {}
+    for r in rows:
+        groups.setdefault(
+            (r["camera_id"], r["frame_number"], r["class_name"]), []
+        ).append(r)
+    ref = set()
+    for members in groups.values():
+        members.sort(key=lambda r: (-r["confidence"], r["det_id"]))
+        kept = []
+        for r in members:
+            area = (r["x_max"] - r["x_min"]) * (r["y_max"] - r["y_min"])
+            ok = True
+            for k in kept:
+                iw = max(0, min(r["x_max"], k["x_max"]) - max(r["x_min"], k["x_min"]))
+                ih = max(0, min(r["y_max"], k["y_max"]) - max(r["y_min"], k["y_min"]))
+                inter = iw * ih
+                karea = (k["x_max"] - k["x_min"]) * (k["y_max"] - k["y_min"])
+                if inter * 100 >= 10 * (area + karea - inter):
+                    ok = False
+                    break
+            if ok:
+                kept.append(r)
+                ref.add(r["det_id"])
+    assert greedy == ref

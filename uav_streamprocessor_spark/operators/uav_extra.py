@@ -219,3 +219,62 @@ def nms_one_pass_survivors(detections: DataFrame, iou_pct: int = 10) -> DataFram
             F.round("confidence", 6).alias("confidence"),
         )
     )
+
+
+def nms_greedy_survivors(detections: DataFrame, iou_pct: int = 10) -> DataFrame:
+    """EXACT greedy non-maximum suppression via applyInPandas per
+    (camera_id, frame_number, class_name) group: walk boxes in
+    (confidence desc, det_id) order, keep a box only if its IoU with
+    every ALREADY-KEPT box is < iou_pct/100. This is the sequential
+    algorithm detector stacks implement; the relational twin
+    (nms_one_pass_survivors) over-suppresses exactly when a suppressed
+    box would itself have suppressed a third — greedy survivors are
+    therefore a SUPERSET of one-pass survivors (pinned in tests).
+
+    Scale: groups are per-frame-per-class (tens of boxes) — the
+    iterative scan is O(kept * boxes) inside one Arrow batch; the only
+    shuffle is the groupBy key. Integer IoU arithmetic, same as the
+    relational form."""
+    import pandas as pd
+
+    out_schema = (
+        "det_id long, camera_id string, frame_number long, "
+        "class_name string, confidence double"
+    )
+
+    def suppress(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["confidence", "det_id"], ascending=[False, True])
+        kept = []
+        rows = pdf[["det_id", "x_min", "y_min", "x_max", "y_max"]].to_numpy()
+        keep_mask = []
+        for det_id, x0, y0, x1, y1 in rows:
+            area = (x1 - x0) * (y1 - y0)
+            ok = True
+            for kx0, ky0, kx1, ky1, karea in kept:
+                iw = max(0, min(x1, kx1) - max(x0, kx0))
+                ih = max(0, min(y1, ky1) - max(y0, ky0))
+                inter = iw * ih
+                if inter * 100 >= iou_pct * (area + karea - inter):
+                    ok = False
+                    break
+            keep_mask.append(ok)
+            if ok:
+                kept.append((x0, y0, x1, y1, area))
+        out = pdf[keep_mask]
+        return pd.DataFrame(
+            {
+                "det_id": out["det_id"],
+                "camera_id": out["camera_id"],
+                "frame_number": out["frame_number"],
+                "class_name": out["class_name"],
+                "confidence": out["confidence"].round(6),
+            }
+        )
+
+    d = detections.select(
+        "det_id", "camera_id", "frame_number", "class_name", "confidence",
+        "x_min", "y_min", "x_max", "y_max",
+    )
+    return d.groupBy("camera_id", "frame_number", "class_name").applyInPandas(
+        suppress, schema=out_schema
+    )

@@ -2861,3 +2861,13 @@ FROM d WHERE det_id NOT IN (SELECT det_id FROM sup)
     "of same frame+class suppresses); integer-exact IoU comparison, "
     "equi-keyed per-frame candidates",
 )(lambda spark: uav_extra.nms_one_pass_survivors(spark.table("detections")))
+
+
+_register(
+    "uav_nms_greedy",
+    None,
+    notes="exact greedy NMS via applyInPandas per (camera, frame, class) "
+    "group — the sequential detector algorithm; rows-only (iterative "
+    "keep-list isn't SQL). Superset-of-one-pass + brute-force equality "
+    "pinned in tests",
+)(lambda spark: uav_extra.nms_greedy_survivors(spark.table("detections")))
