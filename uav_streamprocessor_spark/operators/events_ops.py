@@ -439,3 +439,25 @@ def interval_join_bucketed(spark: SparkSession, bucket_secs: int = 3600) -> Data
         joined.groupBy("user_id", "session_seq", "session_start_epoch")
         .agg(F.count(F.lit(1)).alias("n_contained"))
     )
+
+
+def rolling_7day_user_value(spark: SparkSession) -> DataFrame:
+    """Per-user 7-day trailing totals via a RANGE-frame window over an
+    integer day index: pre-aggregate to (user, day) so the window walks
+    |user-days| rows (not raw events), then rangeBetween(-6, 0) on
+    days-since-epoch. The RANGE frame (value-based, handles gaps in the
+    day sequence) is the piece rowsBetween can't express; partitioned by
+    user — no global sort."""
+    ev = spark.table("events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value").alias("day_value"),
+    )
+    day_idx = F.datediff("day", F.lit("1970-01-01"))
+    w = Window.partitionBy("user_id").orderBy(day_idx).rangeBetween(-6, 0)
+    return daily.select(
+        "user_id",
+        "day",
+        F.sum("n_events").over(w).alias("n_events_7d"),
+        F.round(F.sum("day_value").over(w), 2).alias("value_7d"),
+    )

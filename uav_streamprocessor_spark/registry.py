@@ -2871,3 +2871,23 @@ _register(
     "keep-list isn't SQL). Superset-of-one-pass + brute-force equality "
     "pinned in tests",
 )(lambda spark: uav_extra.nms_greedy_survivors(spark.table("detections")))
+
+
+_register(
+    "ev_rolling_7day",
+    """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events, sum(value) AS day_value
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, day,
+       CAST(sum(n_events) OVER w AS BIGINT) AS n_events_7d,
+       round(sum(day_value) OVER w, 2) AS value_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day - DATE '1970-01-01'
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+""",
+    notes="RANGE-frame trailing window (gap-correct 7-day totals) over "
+    "pre-aggregated user-days; rowsBetween can't express this",
+)(lambda spark: events_ops.rolling_7day_user_value(spark))
