@@ -1198,3 +1198,23 @@ def table_profile(spark: SparkSession) -> DataFrame:
     for c in cols[1:]:
         out = out.unionAll(prof(c))
     return out
+
+
+def k_anonymity_audit(spark: SparkSession, k: int = 5) -> DataFrame:
+    """k-anonymity audit over the (nation, market-segment) quasi-
+    identifier pair: equivalence-class sizes, how many classes fall
+    below k, and the population exposed — the re-identification-risk
+    snapshot a release pipeline runs next to PII redaction. One
+    groupBy + one tiny agg; nothing wide moves."""
+    customer = spark.table("customer")
+    classes = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    return classes.agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum((F.col("class_size") < k).cast("long")).alias("n_below_k"),
+        F.sum(
+            F.when(F.col("class_size") < k, F.col("class_size")).otherwise(0)
+        ).alias("rows_exposed"),
+        F.min("class_size").alias("min_class_size"),
+    )

@@ -2891,3 +2891,24 @@ WINDOW w AS (PARTITION BY user_id ORDER BY day - DATE '1970-01-01'
     notes="RANGE-frame trailing window (gap-correct 7-day totals) over "
     "pre-aggregated user-days; rowsBetween can't express this",
 )(lambda spark: events_ops.rolling_7day_user_value(spark))
+
+
+_register(
+    "rel_k_anonymity",
+    """
+WITH classes AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS class_size
+  FROM customer GROUP BY 1, 2
+)
+SELECT CAST(count(*) AS BIGINT) AS n_classes,
+       CAST(sum(CASE WHEN class_size < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_below_k,
+       CAST(sum(CASE WHEN class_size < 5 THEN class_size ELSE 0 END) AS BIGINT)
+         AS rows_exposed,
+       CAST(min(class_size) AS BIGINT) AS min_class_size
+FROM classes
+""",
+    notes="k-anonymity (k=5) audit over the (nation, segment) "
+    "quasi-identifier: re-identification-risk snapshot beside PII "
+    "redaction",
+)(lambda spark: relational.k_anonymity_audit(spark))
