@@ -231,3 +231,30 @@ def test_zorder_layout_skips_files_linear_sort_cannot(spark, tmp_path):
     assert n_z < n_linear / 2, f"z-order should halve file touches, got {n_z}"
     # same data after rewrite
     assert spark.read.parquet(path).count() == 64 * 64
+
+
+def test_dynamic_partition_pruning_from_dim_filter(spark, tmp_path):
+    """DPP: a filter on the DIM side of a join must prune FACT partitions
+    at runtime — the scan's PartitionFilters grows a dynamicpruning
+    subquery, and only the matching partition's rows are read. This is
+    the scale mechanism that turns 'join orders to this month's dim
+    slice' into a one-partition scan at 100 TB."""
+    register_uav_views(spark, SF_SMALL)
+    fact_dir = str(tmp_path / "orders_part")
+    spark.table("orders").write.partitionBy("o_orderpriority").parquet(fact_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.createDataFrame(
+        [("1-URGENT", "keep"), ("2-HIGH", "drop"), ("3-MEDIUM", "drop"),
+         ("4-NOT SPECIFIED", "drop"), ("5-LOW", "drop")],
+        "prio string, tag string",
+    )
+    joined = fact.join(
+        dim.filter("tag = 'keep'"), fact["o_orderpriority"] == dim["prio"]
+    )
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan[:1500]}"
+    prios = {
+        r["o_orderpriority"]
+        for r in joined.select("o_orderpriority").distinct().collect()
+    }
+    assert prios == {"1-URGENT"}
