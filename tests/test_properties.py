@@ -1,0 +1,105 @@
+"""Property-based tests (hypothesis) over the pure numpy/bit kernels the
+Spark operators are built on. These run WITHOUT a SparkSession — hundreds
+of generated examples per property at unit-test cost — and pin the
+invariants the example-based tests can't sweep:
+
+- letterbox geometry holds for EVERY frame size, not the fixture's four;
+- the raw-tensor codec round-trips exactly;
+- the vectorized token-hash matrix product equals a per-token reference
+  loop (the docstring claim in dedup._token_hashes, now enforced);
+- the SimHash/aHash 4x16 banding recovers every pair with hamming <= 3
+  (the pigeonhole argument, exhaustively fuzzed at the bit level).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from uav_streamprocessor_spark.operators.dedup import (
+    _MIX,
+    _POLY_BASE,
+    _token_hashes,
+)
+from uav_streamprocessor_spark.operators.pixel import (
+    decode_image,
+    encode_image,
+    letterbox_array,
+)
+
+dims = st.integers(min_value=1, max_value=300)
+
+
+@settings(max_examples=150, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1))
+def test_letterbox_geometry_for_any_frame_size(h, w, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    out = letterbox_array(img, target=640)
+    assert out.shape == (640, 640, 3)
+    scale = min(640 / w, 640 / h)
+    new_w, new_h = int(w * scale), int(h * scale)
+    pad_top, pad_left = (640 - new_h) // 2, (640 - new_w) // 2
+    # content sits exactly in the computed window...
+    content = out[pad_top : pad_top + new_h, pad_left : pad_left + new_w]
+    assert content.shape[:2] == (new_h, new_w)
+    # ...corner pixels map back to the source corners (nearest-neighbor)
+    assert (content[0, 0] == img[0, 0]).all()
+    # ...and everything outside it is zero padding
+    mask = np.ones((640, 640), dtype=bool)
+    mask[pad_top : pad_top + new_h, pad_left : pad_left + new_w] = False
+    assert out[mask].sum() == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(h=dims, w=dims, seed=st.integers(0, 2**31 - 1))
+def test_raw_tensor_codec_roundtrips_exactly(h, w, seed):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert (decode_image(encode_image(img)) == img).all()
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    tokens=st.lists(
+        st.text(
+            alphabet=st.characters(min_codepoint=1, max_codepoint=0x2FFF),
+            max_size=24,
+        ),
+        max_size=30,
+    )
+)
+def test_vectorized_token_hash_equals_reference_loop(tokens):
+    got = _token_hashes(tokens)
+    # independent per-token reference: the unvectorized polynomial
+    ref = []
+    for t in tokens:
+        h = np.uint64(0)
+        with np.errstate(over="ignore"):
+            # matrix form multiplies byte i by BASE**i (ascending), so the
+            # reference accumulates the same ascending-power polynomial
+            for i, byte in enumerate(t.encode("utf-8")):
+                h = h + np.uint64(byte) * _POLY_BASE ** np.uint64(i)
+            h = (h ^ (h >> np.uint64(33))) * _MIX
+        ref.append(int(h))
+    assert [int(x) for x in got] == ref
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    base=st.integers(0, 2**64 - 1),
+    flips=st.lists(st.integers(0, 63), max_size=3, unique=True),
+)
+def test_banding_finds_every_pair_within_hamming_3(base, flips):
+    """Pigeonhole: flipping <= 3 of 64 bits leaves >= 1 of the 4 16-bit
+    bands untouched — the recall-1.0 claim of SimHash/aHash banding,
+    fuzzed over arbitrary signatures and flip sets."""
+    other = base
+    for b in flips:
+        other ^= 1 << b
+    shares_band = any(
+        (base >> (16 * band)) & 0xFFFF == (other >> (16 * band)) & 0xFFFF
+        for band in range(4)
+    )
+    assert shares_band
