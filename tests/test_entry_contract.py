@@ -35,3 +35,16 @@ def test_oracle_keys_subset_of_queries():
     assert set(o) <= set(q)
     assert len(q) >= 40
     assert len(o) >= 35
+
+
+def test_driver_window_holds_the_priority_queries():
+    """The driver correctness gate checks exactly the FIRST 50 entries of
+    queries() (registration order) — r1/r2 proved the first-50 set is
+    what gets CORRECTNESS rows. Pin the window to the rotation list so a
+    registration added above it can't silently evict a query the round
+    is trying to prove (VERDICT r2 'Next round' #1/#9)."""
+    from uav_streamprocessor_spark.registry import _DRIVER_WINDOW_PRIORITY, queries
+
+    first_50 = list(queries().keys())[:50]
+    assert first_50 == _DRIVER_WINDOW_PRIORITY[:50]
+    assert len(_DRIVER_WINDOW_PRIORITY) == 50
