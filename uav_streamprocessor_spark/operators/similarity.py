@@ -458,3 +458,23 @@ def norm_outlier_summary(spark: SparkSession, pct: float = 0.95) -> DataFrame:
             ).alias("min_flagged_norm"),
         )
     )
+
+
+def embedding_doc_join_stats(spark: SparkSession) -> DataFrame:
+    """Cross-modal equi-join: embeddings back to their source documents
+    (vec_id = doc_id in the synthetic corpus) — the metadata-enrichment
+    join every vector index needs (filtered ANN, per-label corpus
+    audits). Per label: matched docs, mean doc length, language spread.
+    Plan: one narrow-key shuffle (or broadcast of the smaller side under
+    AQE); embeddings' vector column is pruned away before the join."""
+    emb = spark.table("embeddings").select("vec_id", "label")
+    docs = spark.table("documents").select("doc_id", "lang", "n_chars")
+    return (
+        emb.join(docs, emb["vec_id"] == docs["doc_id"])
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+            F.countDistinct("lang").alias("n_langs"),
+        )
+    )

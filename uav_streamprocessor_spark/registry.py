@@ -2912,3 +2912,17 @@ FROM classes
     "quasi-identifier: re-identification-risk snapshot beside PII "
     "redaction",
 )(lambda spark: relational.k_anonymity_audit(spark))
+
+
+_register(
+    "emb_doc_join_stats",
+    """
+SELECT label, CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(n_chars), 6) AS avg_chars,
+       CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+GROUP BY label
+""",
+    notes="cross-modal enrichment join (vectors -> source docs); vector "
+    "column pruned before the join",
+)(lambda spark: similarity.embedding_doc_join_stats(spark))
