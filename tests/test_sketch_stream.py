@@ -16,7 +16,9 @@ SF_SMALL = "/root/testdata/sf0.001"
 def _run_stream(spark, tmp_path, tag):
     src = tmp_path / f"ev_src_{tag}"
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
-        "event_id", F.expr("timestamp_micros(ts div 1000)").alias("ts"),
+        # events.ts is TIMESTAMP_MICROS(isAdjustedToUTC=0) → TIMESTAMP_NTZ;
+        # the stream schema wants TIMESTAMP (exact under the UTC session tz)
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
         "user_id", "event_type",
     )
     # two files -> two micro-batches; users appear on BOTH sides of the

@@ -358,7 +358,10 @@ def sessionize_gap_method(spark: SparkSession, gap_minutes: int = 30) -> DataFra
     tie nondeterminism."""
     ev = spark.table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    us = F.unix_micros("ts")
+    # parquet stores ts as isAdjustedToUTC=0 → Spark reads TIMESTAMP_NTZ;
+    # unix_micros requires TIMESTAMP. Session tz is pinned UTC, so the cast
+    # is an exact micros-preserving identity (matches DuckDB's epoch_us).
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
     gap = us - F.lag(us).over(w)
     gap_us = gap_minutes * 60 * 1_000_000
     new_sess = (gap.isNull() | (gap > gap_us)).cast("long")
@@ -370,8 +373,8 @@ def sessionize_gap_method(spark: SparkSession, gap_minutes: int = 30) -> DataFra
     )
     return sess.groupBy("user_id", "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.expr("min(unix_micros(ts)) div 1000000").alias("session_start_epoch"),
-        F.expr("max(unix_micros(ts)) div 1000000").alias("session_end_epoch"),
+        F.expr("min(unix_micros(CAST(ts AS TIMESTAMP))) div 1000000").alias("session_start_epoch"),
+        F.expr("max(unix_micros(CAST(ts AS TIMESTAMP))) div 1000000").alias("session_end_epoch"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
 
@@ -429,7 +432,7 @@ def interval_join_bucketed(spark: SparkSession, bucket_secs: int = 3600) -> Data
     )
     ev_b = ev.select(
         "user_id",
-        F.expr("unix_micros(ts) div 1000000").alias("ev_epoch"),
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 1000000").alias("ev_epoch"),
     ).withColumn("bucket", F.expr(f"ev_epoch div {bucket_secs}"))
     joined = ev_b.join(buckets, ["user_id", "bucket"]).filter(
         (F.col("ev_epoch") >= F.col("session_start_epoch"))
