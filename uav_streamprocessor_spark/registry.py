@@ -993,73 +993,72 @@ _register(
 # Driver correctness-window ordering.
 #
 # The driver checks the FIRST 50 entries of queries() (registration order) at
-# sf0.01 — r01 and r02 both submitted the same first-50 set, so the remaining
-# queries only ever had pytest DuckDB-parity coverage (same check, sf0.001,
-# tests/test_oracle_parity.py). This list rotates the never-driver-checked
-# queries into the window (VERDICT r2 "Next round" #1). Names listed here sort
+# sf0.01. r01/r02 covered the original first-50; r03 rotated in the next 50
+# (all passed — CORRECTNESS_r03). This round-4 window lists the 45 round-3
+# additions that have never had a driver row (VERDICT r3 "Next round" #1) plus
+# 5 fillers the judge asked to re-confirm post-fix. Names listed here sort
 # first, in this order; everything else follows in registration order.
-# `dedup_ngram_jaccard` is pinned at the tail of the window because it fell out
-# of r02 purely by registration index (VERDICT r2 #9).
+# Cumulative driver coverage after r04: 145/145 distinct queries.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # TPC-H adaptations beyond q1/q3/q5 — never driver-checked
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q22_sales_opportunity",
-    # text analysis
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_confusion",
-    "text_word_counts",
-    "text_tfidf_top_terms",
-    "text_stats_by_lang_source",
-    "text_regex_tokens",
-    # sampling / sharding
-    "text_train_test_split",
-    "text_shard_assignment",
-    "text_stratified_downsample",
-    # embeddings
-    "emb_knn_bruteforce",
-    "emb_label_centroids",
-    "emb_norm_stats",
-    "emb_ivf_topk",
-    "emb_ann_lsh",
-    "dedup_embedding_cosine",
-    # events / skew / funnel / asof
-    "ev_asof_clicks_views",
-    "ev_funnel_conversion",
-    "ev_salted_agg",
-    "rel_salted_join",
-    "ev_hierarchical_rollup",
-    "ev_map_functions",
-    "ev_try_expressions",
-    # relational additions
-    "rel_price_statistics",
-    "rel_approx_percentiles",
-    "rel_unpivot_rates",
-    "rel_grouping_sets",
-    "rel_above_avg_balance",
-    "rel_part_min_price",
-    "rel_having_nations",
-    "rel_price_histogram",
-    "rel_union_orders",
-    # UAV additions
-    "uav_box_original_coords",
-    "uav_frame_detection_summary",
-    "uav_camera_frame_gaps",
-    "uav_detection_labels",
-    "uav_pixel_detections",
-    "uav_fps_null_semantics",
-    # re-enter the window after dropping out of r02 at index 50
-    "dedup_ngram_jaccard",
+    # TPC-H completions (r3) — never driver-checked
+    "tpch_q2_min_cost",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_value",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    # text curation ops (r3)
+    "text_ngram_repetition",
+    "text_boilerplate_ngrams",
+    "text_gopher_quality",
+    "text_decontamination",
+    "text_decontamination_bloom",
+    "text_unigram_cross_entropy",
+    "text_source_vocab_overlap",
+    "text_pii_redaction",
+    "text_url_domains",
+    "text_array_hof",
+    "text_curation_funnel",
+    "text_top_bigrams_udtf",
+    # events (r3)
+    "ev_retention_cohorts",
+    "ev_sessionize_gap",
+    "ev_variant_props",
+    "ev_interval_join_bucketed",
+    "ev_hll_rollup",
+    "ev_kll_quantiles",
+    "ev_rolling_7day",
+    # relational (r3)
+    "rel_window_navigation",
+    "rel_weighted_price_udaf",
+    "rel_monthly_revenue_spine",
+    "rel_merge_upsert",
+    "rel_scd2_history",
+    "rel_ntile_deciles",
+    "rel_referential_audit",
+    "rel_table_profile",
+    "rel_k_anonymity",
+    # dedup clustering (r3)
+    "dedup_doc_clusters",
+    "dedup_cluster_removals",
+    # embeddings (r3)
+    "emb_kmeans_profile",
+    "emb_semdedup",
+    "emb_norm_outliers",
+    "emb_doc_join_stats",
+    # multimodal + NMS (r3)
+    "media_ahash_neardups",
+    "uav_nms_survivors",
+    "uav_nms_greedy",
+    # fillers: fresh post-fix driver rows worth having (VERDICT r3 #1)
+    "uav_segment_reassembly",
+    "rel_suppliers_no_lineitems",
+    "dedup_minhash_neardups",
+    "dedup_simhash_neardups",
+    "ev_session_windows",
 ]
 
 
