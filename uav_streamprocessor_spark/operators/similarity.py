@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -250,7 +251,7 @@ def embedding_norm_stats(spark: SparkSession) -> DataFrame:
 
 # --- Lloyd k-means: the data-curation clustering pass -------------------
 def kmeans_lloyd(
-    spark: SparkSession, k: int = 10, iters: int = 5
+    spark: SparkSession, k: int = 10, iters: int = 5, with_embedding: bool = True
 ) -> tuple[DataFrame, list[list[float]]]:
     """Seeded Lloyd k-means over the embedding column as an iterative
     DataFrame computation. Returns (assignments, final_centroids).
@@ -280,15 +281,36 @@ def kmeans_lloyd(
     - Fixed iteration count (training pipelines checkpoint centroids and
       monitor inertia rather than running to convergence); inertia is
       monotone non-increasing across rounds (pinned in tests).
+    - The projected (vec_id, embedding) frame is persisted for the
+      duration of the loop: Lloyd re-reads the corpus every round, and
+      without the cache each round is a full parquet rescan + decode
+      (~7 scans for iters=5). MEMORY_AND_DISK of the two-column
+      projection is the standard distributed-Lloyd trade — at cluster
+      scale this is the cached working set, not the whole table. The
+      cache is dropped after the final assignment plan is built; the
+      returned DataFrame recomputes from source (one scan) when consumed.
+    - `with_embedding=False` drops the vector from the returned
+      assignment schema — consumers that only need (vec_id, cluster,
+      sq_dist) (e.g. the cluster profile) then never pay the Arrow
+      round-trip for the payload column.
     """
-    emb = spark.table("embeddings").select("vec_id", "embedding")
-    dim = len(emb.select("embedding").first()[0])
+    emb = (
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     init_rows = emb.orderBy("vec_id").limit(k).collect()
     centroids = [[float(x) for x in r["embedding"]] for r in init_rows]
+    dim = len(centroids[0])
 
-    out_schema = (
-        "vec_id long, embedding array<float>, cluster int, sq_dist double"
-    )
+    if with_embedding:
+        out_schema = (
+            "vec_id long, embedding array<float>, cluster int, sq_dist double"
+        )
+        keep_cols = ["vec_id", "embedding"]
+    else:
+        out_schema = "vec_id long, cluster int, sq_dist double"
+        keep_cols = ["vec_id"]
 
     def assign(cent: list[list[float]]) -> DataFrame:
         C = np.asarray(cent, dtype=np.float64)  # k×d, closure-captured
@@ -300,7 +322,7 @@ def kmeans_lloyd(
                 # distances match a per-element Python recomputation to ULP
                 d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
                 cl = d2.argmin(axis=1)
-                pdf = pdf[["vec_id", "embedding"]].copy()
+                pdf = pdf[keep_cols].copy()
                 pdf["cluster"] = cl.astype(np.int32)
                 pdf["sq_dist"] = d2[np.arange(len(cl)), cl]
                 yield pdf
@@ -332,43 +354,87 @@ def kmeans_lloyd(
 
         return emb.mapInPandas(reduce_batch, schema=part_schema)
 
+    # Combine strategy for the per-round partials (<= k rows per Arrow
+    # batch): the driver-side numpy combine IS treeAggregate's root step
+    # (depth 1) — it removes the per-round shuffle + reduce stage entirely,
+    # so each Lloyd round is a single map-only job. O(k·dim·n_tasks) bytes
+    # land on the driver; past ~10^5 partial rows (very wide clusters:
+    # n_partitions × k large) fall back to the Spark-side combine, which
+    # is treeAggregate with an intermediate level.
+    n_parts = emb.rdd.getNumPartitions()
+    driver_combine = n_parts * k <= 100_000
+
     for _ in range(iters):
-        new_cent = (
-            partials(centroids)
-            .groupBy("cluster")
-            .agg(
-                F.sum("cnt").alias("cnt"),
-                *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+        part_df = partials(centroids)
+        if driver_combine:
+            rows = part_df.collect()
+            counts = np.zeros(k)
+            sums = np.zeros((k, dim))
+            for r in rows:
+                j = r["cluster"]
+                counts[j] += r["cnt"]
+                sums[j] += np.array([r[f"s{i}"] for i in range(dim)])
+            centroids = [
+                (sums[j] / counts[j]).tolist() if counts[j] else centroids[j]
+                for j in range(k)
+            ]
+        else:
+            new_cent = (
+                part_df.groupBy("cluster")
+                .agg(
+                    F.sum("cnt").alias("cnt"),
+                    *[F.sum(f"s{i}").alias(f"s{i}") for i in range(dim)],
+                )
+                .collect()
             )
-            .collect()
-        )
-        # empty clusters keep their previous centroid
-        by_cluster = {
-            r["cluster"]: [r[f"s{i}"] / r["cnt"] for i in range(dim)]
-            for r in new_cent
-        }
-        centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
-    return assign(centroids), centroids
+            # empty clusters keep their previous centroid
+            by_cluster = {
+                r["cluster"]: [r[f"s{i}"] / r["cnt"] for i in range(dim)]
+                for r in new_cent
+            }
+            centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
+    result = assign(centroids)
+    # cache covered the loop; the returned plan recomputes from source
+    emb.unpersist(blocking=False)
+    return result, centroids
 
 
 def kmeans_cluster_profile(spark: SparkSession, k: int = 10, iters: int = 5) -> DataFrame:
     """Registered surface: cluster sizes + mean squared distance + the
-    majority ground-truth label per cluster (purity diagnostic)."""
-    assigned, _ = kmeans_lloyd(spark, k, iters)
+    majority ground-truth label per cluster (purity diagnostic).
+
+    Single-pass over the assignment: the earlier form consumed `assigned`
+    twice (size/distance stats + majority label), which ran the
+    mapInPandas assignment scan twice. Both aggregates now derive from
+    ONE (cluster, label) partial aggregation — the assignment runs once,
+    the second agg is over <= k*n_labels rows. The vector column never
+    enters this plan at all (`with_embedding=False`), so the Arrow
+    return is three narrow columns."""
+    assigned, _ = kmeans_lloyd(spark, k, iters, with_embedding=False)
     emb = spark.table("embeddings").select("vec_id", "label")
-    joined = assigned.join(emb, "vec_id")
-    label_counts = (
-        joined.groupBy("cluster", "label")
-        .agg(F.count(F.lit(1)).alias("n"))
-        .groupBy("cluster")
-        .agg(F.max(F.struct("n", F.col("label").alias("l"))).alias("top"))
-        .select("cluster", F.col("top.l").alias("majority_label"))
+    per_label = (
+        assigned.join(emb, "vec_id")
+        .groupBy("cluster", "label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("sq_dist").alias("sum_sq"),
+        )
     )
-    stats = joined.groupBy("cluster").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        F.round(F.avg("sq_dist"), 4).alias("mean_sq_dist"),
+    return (
+        per_label.groupBy("cluster")
+        .agg(
+            F.sum("n").alias("n_members"),
+            F.round(F.sum("sum_sq") / F.sum("n"), 4).alias("mean_sq_dist"),
+            F.max(F.struct("n", F.col("label").alias("l"))).alias("top"),
+        )
+        .select(
+            "cluster",
+            "n_members",
+            "mean_sq_dist",
+            F.col("top.l").alias("majority_label"),
+        )
+        .orderBy("cluster")
     )
-    return stats.join(label_counts, "cluster").orderBy("cluster")
 
 
 def semdedup_profile(
