@@ -267,4 +267,10 @@ class VideoDataSource(DataSource):
 
 
 def register(spark) -> None:
+    # idempotent per session: re-registering re-pickles the class and logs a
+    # replacement WARN on every query call (the registered source is
+    # session-held state, not per-query)
+    if getattr(spark, "_uav_video_registered", False):
+        return
     spark.dataSource.register(VideoDataSource)
+    spark._uav_video_registered = True
