@@ -13,13 +13,22 @@ from uav_streamprocessor_spark.streaming.sketch_stream import (
 SF_SMALL = "/root/testdata/sf0.001"
 
 
+def _ts_as_timestamp(df):
+    # mirror fixtures.register_base_tables: a nanos-variant corpus reads ts
+    # as bigint (under nanosAsLong) and must go through timestamp_micros —
+    # a bare cast("timestamp") would treat nanos as epoch SECONDS (off by
+    # 1e9). The current corpus is TIMESTAMP_MICROS(isAdjustedToUTC=0) →
+    # TIMESTAMP_NTZ, where cast is exact under the UTC session tz.
+    if dict(df.dtypes).get("ts") == "bigint":
+        return F.expr("timestamp_micros(ts div 1000)").alias("ts")
+    return F.col("ts").cast("timestamp").alias("ts")
+
+
 def _run_stream(spark, tmp_path, tag):
     src = tmp_path / f"ev_src_{tag}"
-    ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
-        # events.ts is TIMESTAMP_MICROS(isAdjustedToUTC=0) → TIMESTAMP_NTZ;
-        # the stream schema wants TIMESTAMP (exact under the UTC session tz)
-        "event_id", F.col("ts").cast("timestamp").alias("ts"),
-        "user_id", "event_type",
+    raw = spark.read.parquet(f"{SF_SMALL}/events.parquet")
+    ev = raw.select(
+        "event_id", _ts_as_timestamp(raw), "user_id", "event_type"
     )
     # two files -> two micro-batches; users appear on BOTH sides of the
     # split so the merge genuinely unions overlapping sketches
@@ -49,7 +58,6 @@ def _run_stream(spark, tmp_path, tag):
 
 
 def test_incremental_sketches_equal_batch_and_replay_idempotent(spark, tmp_path):
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     ev = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
         "user_id", "event_type"
     )
