@@ -119,6 +119,33 @@ def test_video_source_seek_respected_mid_file(fake_cv2_on_cluster):
     )
 
 
+def test_decoder_reread_restarts_at_start(fake_cv2_on_cluster):
+    """The reference's re-iteration defect (SURVEY.md §0): a second
+    iteration over VideoReader resumes MID-STREAM because __iter__ reuses
+    the advanced capture position (uav/frame_reader.py:135-140). The
+    engine's decoder contract requires read(start, end) to be stateless
+    w.r.t. prior calls — Spark retries/speculative tasks re-read the same
+    partition range on the same long-lived worker, so a resume-where-you-
+    left-off decoder would silently shift every retried frame. Two
+    sequential read(0, n) calls on ONE decoder must both start at frame 0
+    and return identical bytes — for the injected cv2 decoder AND the
+    synthetic one."""
+    from uav_streamprocessor_spark.sources.video_source import _open_decoder
+
+    for spec in (
+        "/videos/camZ.mp4",
+        "synthetic://camS?frames=12&w=32&h=24&seed=7",
+    ):
+        dec = _open_decoder(spec)
+        first = [(t[1], bytes(t[5])) for t in dec.read(0, 6)]
+        second = [(t[1], bytes(t[5])) for t in dec.read(0, 6)]
+        assert [i for i, _ in first] == list(range(6)), spec
+        assert second == first, f"{spec}: re-read did not restart at frame 0"
+        # and a mid-file seek after a sequential read still lands exactly
+        tail = [(t[1], bytes(t[5])) for t in dec.read(8, 12)]
+        assert [i for i, _ in tail] == [8, 9, 10, 11], spec
+
+
 def test_unopenable_source_raises_like_reference(fake_cv2_on_cluster):
     """isOpened() False → IOError at open, mirroring frame_reader's
     open-failure path (not a silent empty source)."""
