@@ -63,7 +63,8 @@ for name, fn in q.items():
         "rows": len(srows), "oracle_rows": len(drows),
     }
     print(f"  {'OK  ' if ok else 'FAIL'} {name}: {len(srows)} rows", flush=True)
-out_path = os.environ.get("PARITY_OUT", "/root/repo/PARITY_SF001.json")
+sf_name = os.path.basename(SF.rstrip("/"))
+out_path = os.environ.get("PARITY_OUT", f"/root/repo/PARITY_{sf_name}.json")
 with open(out_path, "w") as fh:
     json.dump(
         {

@@ -250,6 +250,58 @@ def embedding_norm_stats(spark: SparkSession) -> DataFrame:
 
 
 # --- Lloyd k-means: the data-curation clustering pass -------------------
+def partial_sum_reducer(centroids: list[list[float]]):
+    """Fused assignment+update step against FROZEN centroids: a pandas
+    generator emitting <= k rows of (cluster, cnt, per-dim sums) per Arrow
+    batch, plus its output schema. Shared by batch Lloyd's per-round scan
+    and the streaming centroid store (streaming/kmeans_stream.py) — both
+    sides compute the SAME sufficient statistics, which is what makes the
+    incremental centroid update provably equal to the batch update."""
+    C = np.asarray(centroids, dtype=np.float64)
+    k, dim = C.shape
+    schema = "cluster int, cnt long, " + ", ".join(
+        f"s{i} double" for i in range(dim)
+    )
+
+    def reduce_batch(batches):
+        for pdf in batches:
+            E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            cl = d2.argmin(axis=1)
+            counts = np.bincount(cl, minlength=k)
+            live = np.flatnonzero(counts)
+            sums = np.zeros((k, E.shape[1]))
+            np.add.at(sums, cl, E)
+            out = pd.DataFrame(
+                sums[live], columns=[f"s{i}" for i in range(E.shape[1])]
+            )
+            out.insert(0, "cnt", counts[live])
+            out.insert(0, "cluster", live.astype(np.int32))
+            yield out
+
+    return reduce_batch, schema
+
+
+def centroid_update_from_partials(
+    rows, centroids: list[list[float]]
+) -> list[list[float]]:
+    """One Lloyd update from collected partial-sum rows (any association
+    order — sums are over disjoint row sets). Empty clusters keep their
+    previous centroid, matching the batch loop."""
+    k = len(centroids)
+    dim = len(centroids[0])
+    counts = np.zeros(k)
+    sums = np.zeros((k, dim))
+    for r in rows:
+        j = r["cluster"]
+        counts[j] += r["cnt"]
+        sums[j] += np.array([r[f"s{i}"] for i in range(dim)])
+    return [
+        (sums[j] / counts[j]).tolist() if counts[j] else centroids[j]
+        for j in range(k)
+    ]
+
+
 def kmeans_lloyd(
     spark: SparkSession, k: int = 10, iters: int = 5, with_embedding: bool = True
 ) -> tuple[DataFrame, list[list[float]]]:
@@ -329,29 +381,8 @@ def kmeans_lloyd(
 
         return emb.mapInPandas(score, schema=out_schema)
 
-    part_schema = "cluster int, cnt long, " + ", ".join(
-        f"s{i} double" for i in range(dim)
-    )
-
     def partials(cent: list[list[float]]) -> DataFrame:
-        C = np.asarray(cent, dtype=np.float64)
-
-        def reduce_batch(batches):
-            for pdf in batches:
-                E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
-                cl = d2.argmin(axis=1)
-                counts = np.bincount(cl, minlength=C.shape[0])
-                live = np.flatnonzero(counts)
-                sums = np.zeros((C.shape[0], E.shape[1]))
-                np.add.at(sums, cl, E)
-                out = pd.DataFrame(
-                    sums[live], columns=[f"s{i}" for i in range(E.shape[1])]
-                )
-                out.insert(0, "cnt", counts[live])
-                out.insert(0, "cluster", live.astype(np.int32))
-                yield out
-
+        reduce_batch, part_schema = partial_sum_reducer(cent)
         return emb.mapInPandas(reduce_batch, schema=part_schema)
 
     # Combine strategy for the per-round partials (<= k rows per Arrow
@@ -367,17 +398,9 @@ def kmeans_lloyd(
     for _ in range(iters):
         part_df = partials(centroids)
         if driver_combine:
-            rows = part_df.collect()
-            counts = np.zeros(k)
-            sums = np.zeros((k, dim))
-            for r in rows:
-                j = r["cluster"]
-                counts[j] += r["cnt"]
-                sums[j] += np.array([r[f"s{i}"] for i in range(dim)])
-            centroids = [
-                (sums[j] / counts[j]).tolist() if counts[j] else centroids[j]
-                for j in range(k)
-            ]
+            centroids = centroid_update_from_partials(
+                part_df.collect(), centroids
+            )
         else:
             new_cent = (
                 part_df.groupBy("cluster")
