@@ -1,0 +1,160 @@
+"""Behavioral invariants for the round-4 operators (oracle parity covers
+value-level correctness in test_oracle_parity.py; these pin the
+properties the oracle can't express — conservation, ordering relations,
+non-vacuity)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uav_streamprocessor_spark.fixtures import register_uav_views
+from uav_streamprocessor_spark.operators import packing, repetition, text
+from uav_streamprocessor_spark.operators.dedup import (
+    doc_cluster_quality_survivors,
+    doc_dup_clusters,
+)
+from uav_streamprocessor_spark.operators.similarity import (
+    hard_negatives,
+    knn_bruteforce,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _views(spark):
+    register_uav_views(spark, SF_SMALL)
+
+
+def test_sequence_packing_conserves_docs_and_tokens(spark):
+    docs = spark.table("documents")
+    n_docs = docs.count()
+    corpus_tokens = docs.select(
+        F.sum(
+            F.length("text")
+            - F.length(F.replace(F.col("text"), F.lit(" ")))
+            + 1
+        ).alias("t")
+    ).first()["t"]
+    packed = packing.sequence_packing(spark).collect()
+    assert sum(r["n_docs"] for r in packed) == n_docs
+    assert sum(r["started_tokens"] for r in packed) == corpus_tokens
+    assert sum(r["n_split_docs"] for r in packed) > 0  # boundary docs exist
+    # within a shard, sequences are contiguous from 0
+    by_shard = {}
+    for r in packed:
+        by_shard.setdefault(r["shard"], []).append(r["seq_id"])
+    for shard, seqs in by_shard.items():
+        assert sorted(seqs) == list(range(len(seqs))), shard
+
+
+def test_mix_weights_normalize_and_compress(spark):
+    rows = packing.mix_weights(spark).collect()
+    assert abs(sum(r["weight"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["expected_tokens"] for r in rows) - 1_000_000) < len(rows)
+    # temperature alpha<1 up-samples small sources, down-samples large
+    smallest = min(rows, key=lambda r: r["total_tokens"])
+    largest = max(rows, key=lambda r: r["total_tokens"])
+    assert smallest["oversample"] > 1.0 > largest["oversample"]
+
+
+def test_perplexity_buckets_cover_each_lang(spark):
+    rows = text.perplexity_buckets(spark).collect()
+    langs = {r["lang"] for r in rows}
+    for lang in langs:
+        per = {r["bucket"]: r for r in rows if r["lang"] == lang}
+        assert set(per) == {"head", "middle", "tail"}
+        # terciles are ordered: head CE <= middle CE <= tail CE
+        assert per["head"]["max_ce"] <= per["middle"]["min_ce"] + 1e-9
+        assert per["middle"]["max_ce"] <= per["tail"]["min_ce"] + 1e-9
+        sizes = [per[b]["n_docs"] for b in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1  # ntile balance
+
+
+def test_quality_classifier_splits_corpus(spark):
+    rows = text.quality_classifier(spark).collect()
+    kept = [r for r in rows if r["pred_keep"] == 1]
+    assert 0 < len(kept) < len(rows)
+    for r in rows:
+        assert 0.0 <= r["quality_score"] <= 1.0
+        assert r["pred_keep"] == int(r["quality_score"] >= 0.5)
+
+
+def test_hard_negatives_exclude_query_label_and_rank_below_knn(spark):
+    hn = hard_negatives(spark).collect()
+    assert all(r["label"] != r["query_label"] for r in hn)
+    # the best hard negative can never beat the UNRESTRICTED best
+    # neighbor (knn's candidate set is a superset)
+    knn_best = {
+        r["query_id"]: r["cosine"]
+        for r in knn_bruteforce(spark).collect()
+        if r["rnk"] == 1
+    }
+    for qid in {r["query_id"] for r in hn}:
+        best_hn = max(r["cosine"] for r in hn if r["query_id"] == qid)
+        assert best_hn <= knn_best[qid] + 1e-9
+
+
+def test_quality_survivor_is_longest_cluster_member(spark):
+    clusters = doc_dup_clusters(spark).collect()
+    docs = {
+        r["doc_id"]: r["n_chars"]
+        for r in spark.table("documents").select("doc_id", "n_chars").collect()
+    }
+    members = {}
+    for r in clusters:
+        members.setdefault(r["cluster_id"], []).append(r["doc_id"])
+    kept = doc_cluster_quality_survivors(spark).collect()
+    assert {r["cluster_id"] for r in kept} == set(members)
+    non_min = 0
+    for r in kept:
+        group = members[r["cluster_id"]]
+        assert r["n_removed"] == len(group) - 1
+        assert r["kept_doc_id"] in group
+        best = max(group, key=lambda d: (docs[d], -d))
+        assert r["kept_doc_id"] == best
+        assert r["kept_n_chars"] == docs[best]
+        if best != min(group):
+            non_min += 1
+    assert non_min > 0  # differs from keep-min-id somewhere: non-vacuous
+
+
+def test_substring_dup_spans_bounded_and_nonvacuous(spark):
+    rows = repetition.substring_dup_spans(spark).collect()
+    assert all(0.0 <= r["dup_span_coverage"] <= 1.0 for r in rows)
+    assert any(r["dup_span_coverage"] > 0 for r in rows)
+
+
+def test_substring_dup_spans_exact_on_planted_corpus(spark):
+    """Hand-computed coverages on a planted corpus: exact twins get 1.0,
+    a partial 8-word overlap covers exactly its shared positions, and a
+    unique doc gets 0.0."""
+    rows = [
+        (0, "a b c d e f g h i j"),  # 3 positions, twin of d1 -> 1.0
+        (1, "a b c d e f g h i j"),  # 1.0
+        (2, "x b c d e f g h i y"),  # shares only "b..i" with d0/d1 -> 1/3
+        (3, "p q r s t u v w"),      # 1 position, unique -> 0.0
+        (4, "too short to gram"),    # < 8 words: excluded entirely
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("documents")
+    try:
+        got = {
+            r["doc_id"]: (
+                r["n_positions"],
+                r["n_dup_positions"],
+                r["dup_span_coverage"],
+            )
+            for r in repetition.substring_dup_spans(spark).collect()
+        }
+        assert got == {
+            0: (3, 3, 1.0),
+            1: (3, 3, 1.0),
+            2: (3, 1, round(1 / 3, 6)),
+            3: (1, 0, 0.0),
+        }
+    finally:
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet").createOrReplaceTempView(
+            "documents"
+        )

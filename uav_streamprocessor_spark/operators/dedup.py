@@ -497,3 +497,48 @@ def doc_cluster_removals(spark: SparkSession) -> DataFrame:
         )
         .orderBy("removed_doc_id")
     )
+
+
+def doc_cluster_quality_survivors(spark: SparkSession) -> DataFrame:
+    """Quality-aware survivor selection: within each resolved near-dup
+    cluster keep the LONGEST member (ties → lowest doc_id), not the
+    lowest id. Keep-longest is the standard refinement over keep-min —
+    near-dup clusters usually contain truncated/boilerplate-stripped
+    variants of one document, and the longest member is the most
+    complete. Per cluster: the kept doc, its length, and how many
+    members are dropped.
+
+    Plan: CC labels join the documents table once (node-keyed equi
+    join), then ONE per-cluster aggregation — the argmax is a
+    max(struct(n_chars, -doc_id, doc_id)) (lexicographic struct
+    ordering: longest wins, ties fall to the lowest id via the negated
+    key), which partial-aggregates map-side; no window, no per-cluster
+    sort. The oracle states the same semantics as a row_number top-1 —
+    two formulations, one answer."""
+    from uav_streamprocessor_spark.operators.graph import connected_components
+
+    comp = connected_components(doc_block_edges(spark))
+    docs = spark.table("documents").select("doc_id", "n_chars")
+    labeled = comp.join(docs, comp["node"] == docs["doc_id"]).select(
+        F.col("comp").alias("cluster_id"), "doc_id", "n_chars"
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.max(
+                F.struct(
+                    F.col("n_chars"),
+                    (-F.col("doc_id")).alias("neg_id"),
+                    F.col("doc_id").alias("kept"),
+                )
+            ).alias("top"),
+            F.count(F.lit(1)).alias("sz"),
+        )
+        .select(
+            "cluster_id",
+            F.col("top.kept").alias("kept_doc_id"),
+            F.col("top.n_chars").alias("kept_n_chars"),
+            (F.col("sz") - 1).cast("long").alias("n_removed"),
+        )
+        .orderBy("cluster_id")
+    )

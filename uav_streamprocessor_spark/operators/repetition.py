@@ -320,3 +320,61 @@ def curation_funnel(spark: SparkSession) -> DataFrame:
             "AS (stage, n_docs)"
         )
     )
+
+
+def substring_dup_spans(spark: SparkSession, n: int = 8) -> DataFrame:
+    """Duplicated-span coverage — the relational approximation of exact
+    substring dedup (Lee et al., "Deduplicating Training Data Makes
+    Language Models Better", arXiv:2107.06499, which uses a corpus
+    suffix array): per document, the fraction of word 8-gram POSITIONS
+    whose gram also occurs in some OTHER document. High coverage means
+    most of the doc is textual material shared verbatim elsewhere —
+    the docs substring-dedup would cut spans from.
+
+    Plan: per-doc distinct grams explode once (bounded by distinct grams
+    per doc), a gram-keyed countDistinct(doc_id) marks cross-doc grams,
+    and the mark joins back to re-weight every position (repeated
+    positions inherit their gram's mark) — two gram-keyed shuffles, same
+    key discipline as boilerplate_ngrams. Suffix arrays find
+    character-level spans; word 8-grams are the standard join-friendly
+    surrogate (a shared >=8-word span implies a shared 8-gram). Gram
+    strings are the shuffle key for oracle comparability; the 100 TB
+    variant keys on xxhash64(gram)."""
+    docs = spark.table("documents")
+    positions = (
+        _with_tokens(docs)
+        .filter(F.size("ws") >= n)
+        .select("doc_id", F.explode(_grams_col(n)).alias("gram"))
+    )
+    cross_doc = (
+        positions.select("doc_id", "gram")
+        .distinct()
+        .groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select("gram")
+    )
+    marked = positions.join(cross_doc, "gram", "left_semi")
+    per_doc_dup = marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_positions")
+    )
+    # total positions = gram-array size, map-only — no third explode branch
+    per_doc = (
+        _with_tokens(docs)
+        .filter(F.size("ws") >= n)
+        .select("doc_id", F.size(_grams_col(n)).cast("long").alias("n_positions"))
+    )
+    return (
+        per_doc.join(per_doc_dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_positions",
+            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            F.round(
+                F.coalesce("n_dup_positions", F.lit(0))
+                / F.col("n_positions").cast("double"),
+                6,
+            ).alias("dup_span_coverage"),
+        )
+        .orderBy("doc_id")
+    )

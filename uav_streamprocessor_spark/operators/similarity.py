@@ -567,3 +567,38 @@ def embedding_doc_join_stats(spark: SparkSession) -> DataFrame:
             F.countDistinct("lang").alias("n_langs"),
         )
     )
+
+
+def hard_negatives(spark: SparkSession, n_queries: int = 5, k: int = 5) -> DataFrame:
+    """Contrastive-pair mining: for each query vector, the top-k most
+    similar vectors with a DIFFERENT label — the hard negatives a
+    contrastive/embedding-finetune pipeline pairs against its positives
+    (high similarity + wrong label = maximal training signal).
+
+    Same scale shape as knn_bruteforce: broadcast(queries + their
+    labels) against the corpus — map-side, the corpus never shuffles —
+    then a per-query top-k window over the label-mismatched candidates.
+    The label filter lands INSIDE the join condition, so same-label
+    vectors are dropped before any distance math reaches the window. At
+    100 TB the LSH/IVF bucketed variants bound candidates the same way
+    they do for plain ANN (the mining loop only changes the filter)."""
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("query_label"),
+    )
+    joined = emb.join(
+        F.broadcast(queries), F.col("label") != F.col("query_label")
+    )
+    sim = F.round(_cosine(F.col("qvec"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id")
+    )
+    return (
+        joined.select(
+            "query_id", "query_label", "vec_id", "label", sim.alias("cosine")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )

@@ -381,3 +381,72 @@ def array_hof_profile(spark: SparkSession) -> DataFrame:
         F.sum("all_alpha").cast("long").alias("docs_all_alpha"),
         F.round(F.avg("total_chars"), 6).alias("avg_word_chars"),
     )
+
+
+def perplexity_buckets(spark: SparkSession) -> DataFrame:
+    """CCNet-style head/middle/tail bucketing: per language, docs are
+    ranked by unigram cross-entropy (ascending — most-fluent first) and
+    cut into terciles with ntile(3). Pretraining pipelines keep `head`,
+    sample `middle`, and drop `tail` (Wenzek et al., CCNet,
+    arXiv:1911.00359). The window partitions by lang, so each language
+    buckets independently — parallel across the partition key, with the
+    usual dominant-language skew caveat (at extreme skew, replace ntile
+    with approx-percentile cutpoints computed per lang, which drops the
+    per-lang global sort for two scans). Ordering ties break on doc_id;
+    cross_entropy is pre-rounded to 6dp so the tercile boundaries are
+    engine-portable."""
+    ce = unigram_cross_entropy(spark)
+    w = Window.partitionBy("lang").orderBy("cross_entropy", "doc_id")
+    bucketed = ce.withColumn("tercile", F.ntile(3).over(w)).withColumn(
+        "bucket",
+        F.when(F.col("tercile") == 1, "head")
+        .when(F.col("tercile") == 2, "middle")
+        .otherwise("tail"),
+    )
+    return (
+        bucketed.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("cross_entropy"), 6).alias("avg_ce"),
+            F.round(F.min("cross_entropy"), 6).alias("min_ce"),
+            F.round(F.max("cross_entropy"), 6).alias("max_ce"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def quality_classifier(spark: SparkSession) -> DataFrame:
+    """Linear quality classifier (fasttext-style scorer reduced to its
+    relational core): a fixed weight vector over cheap text features —
+    stopword ratio, mean word length, log length — through a sigmoid.
+    The model is a handful of literals (broadcast by construction, the
+    same shape as serving any small linear/logistic scorer in-plan);
+    features reuse the exact length-arithmetic idioms of quality_scores,
+    so the whole scorer is one codegen'd projection, no Python, no
+    shuffle. `pred_keep` is derived from the 6dp-ROUNDED score so the
+    decision boundary is engine-portable."""
+    docs = spark.table("documents")
+    text = F.col("text")
+    padded = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    n_tokens = (_occurrences(text, " ") + 1).cast("double")
+    stop_ratio = (
+        _occurrences(padded, " the ")
+        + _occurrences(padded, " a ")
+        + _occurrences(padded, " of ")
+        + _occurrences(padded, " and ")
+    ) / n_tokens
+    mean_word_len = F.length(text) / n_tokens
+    log_len = F.log(F.length(text).cast("double") + 1.0)
+    z = (
+        F.lit(-6.0)
+        + stop_ratio * 12.0
+        + mean_word_len * 0.55
+        + log_len * 0.35
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        "lang",
+        score.alias("quality_score"),
+        (score >= 0.5).cast("int").alias("pred_keep"),
+    )

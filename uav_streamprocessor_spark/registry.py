@@ -2925,3 +2925,236 @@ GROUP BY label
     notes="cross-modal enrichment join (vectors -> source docs); vector "
     "column pruned before the join",
 )(lambda spark: similarity.embedding_doc_join_stats(spark))
+
+
+# ===========================================================================
+# round-4 additions: training-batch assembly, CCNet buckets, classifier
+# scoring, contrastive mining, quality-aware survivors, substring-dup spans
+# ===========================================================================
+
+from uav_streamprocessor_spark.operators import packing  # noqa: E402
+
+_HEX_NIBBLE_5_6 = """
+  CAST(((CASE WHEN substr(md5(text), 5, 1) <= '9'
+              THEN ascii(substr(md5(text), 5, 1)) - 48
+              ELSE ascii(substr(md5(text), 5, 1)) - 87 END) * 16
+       + (CASE WHEN substr(md5(text), 6, 1) <= '9'
+               THEN ascii(substr(md5(text), 6, 1)) - 48
+               ELSE ascii(substr(md5(text), 6, 1)) - 87 END)) % 16 AS INT)
+"""
+
+
+_register(
+    "text_sequence_packing",
+    f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(length(text) - length(replace(text, ' ', '')) + 1 AS BIGINT)
+           AS n_tokens,
+         {_HEX_NIBBLE_5_6} AS shard
+  FROM documents
+), s AS (
+  SELECT doc_id, shard, n_tokens,
+         CAST(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM d
+), staged AS (
+  SELECT doc_id, shard, n_tokens,
+         (cum - n_tokens) // 512 AS seq_id,
+         (cum - 1) // 512 AS seq_id_last
+  FROM s
+)
+SELECT shard, seq_id, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN seq_id_last > seq_id THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_split_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS started_tokens,
+       min(doc_id) AS first_doc_id
+FROM staged GROUP BY shard, seq_id ORDER BY shard, seq_id
+""",
+    notes="GPT-style concat-and-chunk sequence packing, per hash shard: "
+    "running token cumsum partitioned by shard (parallel, no global "
+    "sort), sequence ids via exact integer div",
+)(lambda spark: packing.sequence_packing(spark))
+
+
+_register(
+    "text_mix_weights",
+    """
+WITH src AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         CAST(sum(length(text) - length(replace(text, ' ', '')) + 1)
+              AS BIGINT) AS total_tokens
+  FROM documents GROUP BY source
+), t AS (
+  SELECT sum(pow(CAST(total_tokens AS DOUBLE), 0.7)) AS w_sum,
+         CAST(sum(total_tokens) AS DOUBLE) AS t_sum
+  FROM src
+)
+SELECT source, n_docs, total_tokens,
+       round(pow(CAST(total_tokens AS DOUBLE), 0.7) / w_sum, 6) AS weight,
+       round((pow(CAST(total_tokens AS DOUBLE), 0.7) / w_sum)
+             / (total_tokens / t_sum), 6) AS oversample,
+       CAST(round(pow(CAST(total_tokens AS DOUBLE), 0.7) / w_sum * 1000000)
+            AS BIGINT) AS expected_tokens
+FROM src, t ORDER BY source
+""",
+    notes="temperature-scaled source mixing (p ∝ tokens^0.7): weights, "
+    "oversampling factors, expected token budget share; O(sources) model",
+)(lambda spark: packing.mix_weights(spark))
+
+
+_register(
+    "text_perplexity_buckets",
+    """
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word FROM documents
+), counts AS (
+  SELECT word, count(*) AS n FROM toks GROUP BY word
+), lm AS (
+  SELECT word, n / CAST((SELECT sum(n) FROM counts) AS DOUBLE) AS p FROM counts
+), ce AS (
+  SELECT doc_id, lang, round(-avg(ln(p)), 6) AS cross_entropy
+  FROM toks JOIN lm USING (word) GROUP BY doc_id, lang
+), b AS (
+  SELECT lang, cross_entropy,
+         ntile(3) OVER (PARTITION BY lang
+                        ORDER BY cross_entropy, doc_id) AS tercile
+  FROM ce
+)
+SELECT lang,
+       CASE tercile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(cross_entropy), 6) AS avg_ce,
+       round(min(cross_entropy), 6) AS min_ce,
+       round(max(cross_entropy), 6) AS max_ce
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+""",
+    notes="CCNet head/middle/tail terciles per language over unigram "
+    "cross-entropy (Wenzek et al. 1911.00359); per-lang window, ties on "
+    "doc_id, CE pre-rounded for portable boundaries",
+)(lambda spark: text.perplexity_buckets(spark))
+
+
+_register(
+    "text_quality_classifier",
+    """
+WITH f AS (
+  SELECT doc_id, lang,
+         ((length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0)
+         / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+           AS stop_ratio,
+         length(text)
+         / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+           AS mean_word_len,
+         ln(length(text) + 1.0) AS log_len
+  FROM documents
+)
+SELECT doc_id, lang,
+       round(1.0 / (1.0 + exp(-(-6.0 + 12.0 * stop_ratio
+                                + 0.55 * mean_word_len
+                                + 0.35 * log_len))), 6) AS quality_score,
+       CAST(round(1.0 / (1.0 + exp(-(-6.0 + 12.0 * stop_ratio
+                                     + 0.55 * mean_word_len
+                                     + 0.35 * log_len))), 6) >= 0.5 AS INT)
+         AS pred_keep
+FROM f
+""",
+    notes="fasttext-style linear quality scorer: broadcast weight "
+    "literals over length-arithmetic features through a sigmoid, one "
+    "codegen'd projection; keep decision from the 6dp-rounded score",
+)(lambda spark: text.quality_classifier(spark))
+
+
+_register(
+    "emb_hard_negatives",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS query_label
+  FROM embeddings WHERE vec_id < 5
+),
+el AS (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(e.embedding) AS DOUBLE) AS ex
+  FROM q JOIN embeddings e ON e.label <> q.query_label
+),
+sims AS (
+  SELECT query_id, query_label, vec_id, label,
+         round(sum(qx * ex) / (sqrt(sum(qx * qx)) * sqrt(sum(ex * ex))), 6)
+           AS cosine
+  FROM el GROUP BY query_id, query_label, vec_id, label
+)
+SELECT query_id, query_label, vec_id, label, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, query_label, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= 5
+""",
+    notes="contrastive hard-negative mining: top-k most-similar with a "
+    "DIFFERENT label; broadcast queries, label filter inside the join",
+)(lambda spark: similarity.hard_negatives(spark))
+
+
+_register(
+    "dedup_cluster_best_quality",
+    _CC_GRAPH_CTE
+    + """
+, lab AS (
+  SELECT comp.node AS doc_id, comp.component AS cluster_id, d.n_chars
+  FROM comp JOIN documents d ON d.doc_id = comp.node
+), ranked AS (
+  SELECT cluster_id, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster_id
+                            ORDER BY n_chars DESC, doc_id) AS rnk,
+         count(*) OVER (PARTITION BY cluster_id) AS sz
+  FROM lab
+)
+SELECT cluster_id, doc_id AS kept_doc_id, n_chars AS kept_n_chars,
+       CAST(sz - 1 AS BIGINT) AS n_removed
+FROM ranked WHERE rnk = 1 ORDER BY cluster_id
+""",
+    notes="quality-aware survivor selection: keep the LONGEST cluster "
+    "member (ties -> lowest id) instead of keep-min-id; per-cluster "
+    "top-1 window bounded by the largest cluster",
+)(lambda spark: dedup.doc_cluster_quality_survivors(spark))
+
+
+_register(
+    "text_substring_dup_spans",
+    """
+WITH w AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+), g AS (
+  SELECT doc_id, array_to_string(ws[i:i+7], ' ') AS gram
+  FROM (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS i
+        FROM w WHERE len(ws) >= 8)
+), xdoc AS (
+  SELECT gram FROM (SELECT DISTINCT doc_id, gram FROM g)
+  GROUP BY gram HAVING count(*) >= 2
+), per_doc AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_positions
+  FROM g GROUP BY doc_id
+), dup AS (
+  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_positions
+  FROM g WHERE gram IN (SELECT gram FROM xdoc) GROUP BY doc_id
+)
+SELECT p.doc_id, n_positions,
+       coalesce(n_dup_positions, 0) AS n_dup_positions,
+       round(coalesce(n_dup_positions, 0) / CAST(n_positions AS DOUBLE), 6)
+         AS dup_span_coverage
+FROM per_doc p LEFT JOIN dup USING (doc_id) ORDER BY doc_id
+""",
+    notes="substring-dedup approximation (Lee et al. 2107.06499): "
+    "fraction of word-8-gram positions shared verbatim with another "
+    "doc; gram-keyed shuffles, per-doc totals map-only",
+)(lambda spark: repetition.substring_dup_spans(spark))
