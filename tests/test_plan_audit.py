@@ -92,6 +92,29 @@ def test_fixture_registration_leaves_no_global_window_warning(spark):
     assert all(p for p, _ in specs)
 
 
+def test_window_audit_flags_global_and_accepts_orderless(spark):
+    """Negative + positive control for the audit's window parser: a
+    genuinely global window (orderBy, no partition) must be flagged, and
+    an order-less PARTITIONED window (legal — e.g. per-group counts over
+    an unbounded frame) must pass. Guards the ASC/DESC-marker heuristic
+    that disambiguates 2-bracket-group Arguments lines."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    df = spark.range(100).withColumn("g", F.col("id") % 5)
+    global_w = df.withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    specs = plan_window_specs(global_w)
+    assert specs and not any(p for p, _ in specs), specs
+
+    orderless_part = df.withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("g"))
+    )
+    specs = plan_window_specs(orderless_part)
+    assert specs and all(p for p, _ in specs), specs
+
+
 def test_kmeans_assignment_is_map_only(spark):
     """Centroids enter as a broadcast literal, so the assignment stage
     must be shuffle-free — scan + project only. An Exchange here would

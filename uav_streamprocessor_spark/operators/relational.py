@@ -863,24 +863,33 @@ def q17_small_quantity_revenue(spark: SparkSession) -> DataFrame:
 def q21_waiting_suppliers(spark: SparkSession, k: int = 20) -> DataFrame:
     """Suppliers that were the SOLE late shipper (shipdate > 60 days
     after the order date) on an order involving >= 2 suppliers — Q21's
-    double-EXISTS/NOT-EXISTS expressed as one per-order aggregate
-    (distinct supplier count, distinct late-supplier count) joined back
-    to the late rows. One shuffle on orderkey, one on suppkey."""
+    double-EXISTS/NOT-EXISTS expressed as per-order DISTINCT-supplier
+    counts computed as collect_set WINDOWS over the order partition:
+    the lineitem⋈orders join already hash-partitions on the order key,
+    the windows reuse that partitioning (zero extra shuffle — countDistinct
+    isn't window-legal but size(collect_set) is, and set size is bounded
+    by suppliers-per-order, single digits in TPC-H data). The earlier
+    agg-and-join-back form scanned lineitem twice and shuffled four
+    times; this is one orderkey shuffle + one suppkey shuffle."""
     li = _t(spark, "lineitem")
     orders = _t(spark, "orders").select("o_orderkey", "o_orderdate")
     lo = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).withColumn(
         "is_late", F.datediff("l_shipdate", "o_orderdate") > 60
     )
-    per_order = lo.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    w = Window.partitionBy("l_orderkey")
+    counted = lo.select(
+        "l_orderkey",
+        "l_suppkey",
+        "is_late",
+        F.size(F.collect_set("l_suppkey").over(w)).alias("n_supp"),
+        F.size(
+            F.collect_set(
+                F.when(F.col("is_late"), F.col("l_suppkey"))
+            ).over(w)
+        ).alias("n_late_supp"),
     )
-    blamed = (
-        lo.filter("is_late")
-        .join(per_order, "l_orderkey")
-        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    blamed = counted.filter(
+        F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)
     )
     supp = _t(spark, "supplier").select("s_suppkey", "s_name")
     return (

@@ -69,10 +69,14 @@ def formatted_plan(df: DataFrame) -> str:
 
 def plan_window_specs(df: DataFrame) -> list[tuple[bool, str]]:
     """(is_partitioned, arguments_line) for every Window node in the
-    formatted physical plan. A Window's Arguments line carries 3 top-level
-    bracket groups when partitioned ([exprs], [partition], [order]) and 2
-    when global ([exprs], [order]) — a global window is a single-partition
-    sort, the scale anti-pattern the plan audit hunts."""
+    formatted physical plan. A Window's Arguments line carries up to 3
+    top-level bracket groups ([exprs], [partition], [order]); either of
+    the last two may be absent. With 2 groups the second is ambiguous by
+    count alone — but an ORDER group always prints sort directions
+    (`ASC`/`DESC`), a partition group never does, so a 2-group line is
+    partitioned iff its second group carries no direction marker. A
+    global window (no partition spec) is a single-partition sort, the
+    scale anti-pattern the plan audit hunts."""
     import re
 
     lines = formatted_plan(df).splitlines()
@@ -82,15 +86,31 @@ def plan_window_specs(df: DataFrame) -> list[tuple[bool, str]]:
             for nxt in lines[i + 1 : i + 8]:
                 if nxt.strip().startswith("Arguments:"):
                     depth = 0
-                    groups = 0
+                    groups: list[str] = []
+                    buf: list[str] = []
                     for ch in nxt:
                         if ch == "[":
                             if depth == 0:
-                                groups += 1
+                                buf = []
                             depth += 1
+                            if depth == 1:
+                                continue
                         elif ch == "]":
                             depth -= 1
-                    out.append((groups >= 3, nxt.strip()))
+                            if depth == 0:
+                                groups.append("".join(buf))
+                                continue
+                        if depth >= 1:
+                            buf.append(ch)
+                    if len(groups) >= 3:
+                        partitioned = True
+                    elif len(groups) == 2:
+                        partitioned = not re.search(
+                            r"\b(ASC|DESC)\b", groups[1]
+                        )
+                    else:
+                        partitioned = False
+                    out.append((partitioned, nxt.strip()))
                     break
     return out
 
