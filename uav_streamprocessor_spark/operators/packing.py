@@ -136,3 +136,35 @@ def mix_weights(
         )
         .orderBy("source")
     )
+
+
+def chunk_windows(
+    spark: SparkSession, size: int = 64, stride: int = 48
+) -> DataFrame:
+    """Overlapping word-window chunking — the RAG-indexing / context-
+    window prep step: each document splits into windows of `size` words
+    every `stride` words (overlap = size - stride). Per doc: window
+    count, total chunk words (counting overlap re-reads), and the tail
+    window's length. The whole computation is sequence+transform inside
+    the row — map-only, no explode, no shuffle; at 100 TB this runs at
+    scan speed. Chunk STARTS enumerate every stride offset <= n_words
+    (tails shorter than a full window are kept and measured rather than
+    silently merged — the policy choice is visible in last_chunk_words).
+    """
+    docs = spark.table("documents")
+    ws = F.split(F.lower("text"), " ")
+    n_words = F.size(ws)
+    starts = F.sequence(F.lit(1), n_words, F.lit(stride))
+    lens = F.transform(
+        starts, lambda s: F.least(F.lit(size), n_words - s + 1)
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_words.alias("n_words"),
+        F.size(starts).alias("n_chunks"),
+        F.aggregate(lens, F.lit(0), lambda acc, x: acc + x).alias(
+            "total_chunk_words"
+        ),
+        F.element_at(lens, -1).alias("last_chunk_words"),
+    )

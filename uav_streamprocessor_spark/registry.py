@@ -3158,3 +3158,26 @@ FROM per_doc p LEFT JOIN dup USING (doc_id) ORDER BY doc_id
     "fraction of word-8-gram positions shared verbatim with another "
     "doc; gram-keyed shuffles, per-doc totals map-only",
 )(lambda spark: repetition.substring_dup_spans(spark))
+
+
+_register(
+    "text_chunk_windows",
+    """
+WITH d AS (
+  SELECT doc_id, lang, len(string_split(lower(text), ' ')) AS n_words
+  FROM documents
+), c AS (
+  SELECT doc_id, lang, n_words,
+         [least(64, n_words - s + 1) FOR s IN range(1, n_words + 1, 48)]
+           AS lens
+  FROM d
+)
+SELECT doc_id, lang, CAST(n_words AS INT) AS n_words,
+       CAST(len(lens) AS INT) AS n_chunks,
+       CAST(list_sum(lens) AS INT) AS total_chunk_words,
+       CAST(lens[-1] AS INT) AS last_chunk_words
+FROM c
+""",
+    notes="RAG-style overlapping word-window chunking (size 64, stride "
+    "48): sequence+transform inside the row, map-only, no explode",
+)(lambda spark: packing.chunk_windows(spark))
