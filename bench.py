@@ -57,6 +57,9 @@ HEADLINE = [
     "text_curation_funnel",     # end-to-end dedup->quality->decontam->split
     # r4 (VERDICT r3 #8): heaviest TPC-H join chain
     "tpch_q21_waiting_suppliers",  # 4-way fact join + exists/not-exists
+    # r4 additions: training-batch assembly + substring-dedup approximation
+    "text_sequence_packing",       # per-shard cumsum packing window
+    "text_substring_dup_spans",    # tuple-hashed 8-gram span coverage
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at

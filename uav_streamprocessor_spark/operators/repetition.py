@@ -331,38 +331,51 @@ def substring_dup_spans(spark: SparkSession, n: int = 8) -> DataFrame:
     most of the doc is textual material shared verbatim elsewhere —
     the docs substring-dedup would cut spans from.
 
-    Plan: per-doc distinct grams explode once (bounded by distinct grams
-    per doc), a gram-keyed countDistinct(doc_id) marks cross-doc grams,
-    and the mark joins back to re-weight every position (repeated
-    positions inherit their gram's mark) — two gram-keyed shuffles, same
-    key discipline as boilerplate_ngrams. Suffix arrays find
-    character-level spans; word 8-grams are the standard join-friendly
-    surrogate (a shared >=8-word span implies a shared 8-gram). Gram
-    strings are the shuffle key for oracle comparability; the 100 TB
-    variant keys on xxhash64(gram)."""
+    Plan: grams never materialize as strings ANYWHERE — this op doesn't
+    report gram text, so each position hashes its n words directly with
+    the multi-argument xxhash64 (field-wise, so ("ab","c") ≠ ("a","bc")
+    — strictly better than hashing a joined string) and every shuffle
+    keys on 8-byte longs (unlike boilerplate_ngrams, whose output IS
+    the gram): positions explode once, a (doc, hash) distinct +
+    count>=2 marks cross-doc grams, and a left-semi join re-weights
+    every position. A 64-bit collision would fuse two distinct grams
+    (probability ~n²/2^65 — negligible, and it would surface as an
+    oracle mismatch since the DuckDB side compares exact strings).
+    Per-doc position totals are pure arithmetic (n_words - n + 1), no
+    second gram pass. Suffix arrays find character-level spans; word
+    8-grams are the standard join-friendly surrogate (a shared
+    >=8-word span implies a shared 8-gram)."""
     docs = spark.table("documents")
+    ws = F.col("ws")
+    gram_hashes = F.transform(
+        F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+        lambda i: F.xxhash64(
+            *[F.element_at(ws, i + int(k)) for k in range(n)]
+        ),
+    )
     positions = (
         _with_tokens(docs)
         .filter(F.size("ws") >= n)
-        .select("doc_id", F.explode(_grams_col(n)).alias("gram"))
+        .select("doc_id", F.explode(gram_hashes).alias("g"))
     )
     cross_doc = (
-        positions.select("doc_id", "gram")
-        .distinct()
-        .groupBy("gram")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        positions.distinct()
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
-        .select("gram")
+        .select("g")
     )
-    marked = positions.join(cross_doc, "gram", "left_semi")
+    marked = positions.join(cross_doc, "g", "left_semi")
     per_doc_dup = marked.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_positions")
     )
-    # total positions = gram-array size, map-only — no third explode branch
     per_doc = (
         _with_tokens(docs)
         .filter(F.size("ws") >= n)
-        .select("doc_id", F.size(_grams_col(n)).cast("long").alias("n_positions"))
+        .select(
+            "doc_id",
+            (F.size("ws") - (n - 1)).cast("long").alias("n_positions"),
+        )
     )
     return (
         per_doc.join(per_doc_dup, "doc_id", "left")
