@@ -83,6 +83,22 @@ def test_knn_broadcasts_queries_not_corpus(spark):
     assert "Broadcast" in plan, f"kNN: query side not broadcast\n{plan[:1500]}"
 
 
+def test_hard_negatives_broadcasts_queries_not_corpus(spark):
+    """Mining inherits kNN's scale shape: queries broadcast, corpus
+    never shuffles for the candidate join."""
+    plan = _plan(spark, "emb_hard_negatives")
+    assert "Broadcast" in plan, f"mining: query side not broadcast\n{plan[:1500]}"
+
+
+def test_sequence_packing_window_is_shard_partitioned(spark):
+    """The packing cumsum must ride a shard-partitioned window — a
+    global cumsum would serialize the corpus through one task."""
+    df = _Q["text_sequence_packing"](spark, SF_SMALL)
+    specs = plan_window_specs(df)
+    assert specs, "packing should contain its cumsum window"
+    assert all(p for p, _ in specs), specs
+
+
 def test_fixture_registration_leaves_no_global_window_warning(spark):
     """A UAV query's full plan (fixture subtree included) must contain
     only partitioned windows — the global kf numbering is arithmetic."""

@@ -91,17 +91,19 @@ def _planes() -> np.ndarray:
     return rng.standard_normal((_N_PLANES, _DIM))
 
 
-def lsh_bucket_codes(spark: SparkSession) -> DataFrame:
-    """Random-hyperplane LSH code per vector, computed with built-in
-    aggregate over literal plane arrays (JVM-side; planes are constants
-    folded into the plan)."""
-    emb = spark.table("embeddings")
+def bucket_code_col(emb_col):
+    """Random-hyperplane LSH code expression for a vector column —
+    built-in aggregate over literal plane arrays (JVM-side; planes are
+    constants folded into the plan). Shared by the batch ANN query and
+    the incremental index sink (streaming/ann_stream.py): the code
+    depends only on the vector, so batch and streaming index entries are
+    bit-identical by construction."""
     planes = _planes()
     bits = []
     for i in range(_N_PLANES):
         plane = F.array(*[F.lit(float(x)) for x in planes[i]])
         dot = F.aggregate(
-            F.zip_with(F.col("embedding"), plane, lambda x, y: x.cast("double") * y),
+            F.zip_with(emb_col, plane, lambda x, y: x.cast("double") * y),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -109,7 +111,18 @@ def lsh_bucket_codes(spark: SparkSession) -> DataFrame:
     code = bits[0]
     for b in bits[1:]:
         code = code + b
-    return emb.select("vec_id", "label", "embedding", code.alias("bucket"))
+    return code
+
+
+def lsh_bucket_codes(spark: SparkSession) -> DataFrame:
+    """Random-hyperplane LSH code per vector."""
+    emb = spark.table("embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        "embedding",
+        bucket_code_col(F.col("embedding")).alias("bucket"),
+    )
 
 
 def ann_lsh_topk(
