@@ -49,3 +49,60 @@ def test_jsonl_writer_abort_leaves_no_published_output(spark, tmp_path):
         names = os.listdir(out)
         assert not [n for n in names if n.startswith("part-")]
         assert "_SUCCESS" not in names
+
+
+def test_jsonl_stream_writer_publishes_per_batch_and_replay_converges(
+    spark, tmp_path
+):
+    """Streaming half of the DataSource writer: each micro-batch commits
+    into its own batch-{id}/ directory with files + _SUCCESS and no temp
+    litter; a full replay (fresh checkpoint, same sink dir) republishes
+    the SAME batch directories instead of appending duplicates."""
+    jsonl_sink.register(spark)
+    src = tmp_path / "stream_src"
+    base = spark.range(300).selectExpr("id", "id * 3 AS tripled")
+    for m in range(3):
+        base.filter(f"id % 3 = {m}").coalesce(1).write.parquet(
+            str(src / f"f{m}")
+        )
+    out = str(tmp_path / "stream_out")
+
+    def run(tag):
+        stream = (
+            spark.readStream.schema("id long, tripled long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+        q = (
+            stream.writeStream.format("uav_jsonl")
+            .option("path", out)
+            .option("checkpointLocation", str(tmp_path / f"ckpt_{tag}"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def read_all():
+        rows = []
+        batch_dirs = sorted(
+            d for d in os.listdir(out) if d.startswith("batch-")
+        )
+        for d in batch_dirs:
+            names = os.listdir(os.path.join(out, d))
+            assert "_SUCCESS" in names
+            for p in sorted(n for n in names if n.startswith("part-")):
+                with open(os.path.join(out, d, p)) as f:
+                    rows += [json.loads(line) for line in f]
+        return batch_dirs, rows
+
+    run("r1")
+    batch_dirs, rows = read_all()
+    assert len(batch_dirs) == 3
+    assert not [n for n in os.listdir(out) if n.startswith("_temp-")]
+    assert {r["id"] for r in rows} == set(range(300))
+    assert all(r["tripled"] == r["id"] * 3 for r in rows)
+
+    run("r2")  # replay everything: same dirs, same rows, no duplicates
+    batch_dirs2, rows2 = read_all()
+    assert batch_dirs2 == batch_dirs
+    assert sorted(r["id"] for r in rows2) == sorted(r["id"] for r in rows)

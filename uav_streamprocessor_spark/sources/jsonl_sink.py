@@ -29,6 +29,7 @@ import uuid
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceStreamWriter,
     DataSourceWriter,
     WriterCommitMessage,
 )
@@ -74,6 +75,57 @@ class JsonlWriter(DataSourceWriter):
                 pass
 
 
+class JsonlStreamWriter(DataSourceStreamWriter):
+    """Streaming half of the writer: the same temp-file + driver-rename
+    protocol, with the batch id in the publish path. Each micro-batch
+    commits into its own `batch-{id}/` directory (files + _SUCCESS), so
+    an at-least-once REPLAY republishes the same directory instead of
+    appending duplicates — the file-sink analogue of the partition-
+    overwrite idempotence every store in streaming/ uses. Task retries
+    within a batch are handled exactly like the batch writer: only the
+    files named by committed tasks are renamed into place."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("uav_jsonl requires a path option")
+
+    def write(self, iterator):
+        os.makedirs(self.path, exist_ok=True)
+        temp_name = f"_temp-{uuid.uuid4().hex}.jsonl"
+        n = 0
+        with open(os.path.join(self.path, temp_name), "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), default=str) + "\n")
+                n += 1
+        return JsonlCommitMessage(temp_name, n)
+
+    def commit(self, messages, batchId):
+        d = os.path.join(self.path, f"batch-{batchId:05d}")
+        os.makedirs(d, exist_ok=True)
+        # replayed batch: drop the previous publish of THIS batch only
+        for old in os.listdir(d):
+            os.remove(os.path.join(d, old))
+        total = 0
+        for i, m in enumerate(messages):
+            if m is None:
+                continue
+            final = os.path.join(d, f"part-{i:05d}.jsonl")
+            os.replace(os.path.join(self.path, m.temp_name), final)
+            total += m.rows
+        with open(os.path.join(d, "_SUCCESS"), "w") as f:
+            f.write(str(total))
+
+    def abort(self, messages, batchId):
+        for m in messages:
+            if m is None:
+                continue
+            try:
+                os.remove(os.path.join(self.path, m.temp_name))
+            except FileNotFoundError:
+                pass
+
+
 class JsonlDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -81,6 +133,9 @@ class JsonlDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool):
         return JsonlWriter(self.options)
+
+    def streamWriter(self, schema, overwrite: bool):
+        return JsonlStreamWriter(self.options)
 
 
 def register(spark) -> None:
