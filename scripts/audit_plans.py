@@ -21,9 +21,13 @@ AUDIT = [
     "tpch_q1_pricing",
     "tpch_q3_priority",
     "tpch_q5_region_revenue",
+    "tpch_q21_waiting_suppliers",
     "ev_hourly_tumbling",
     "dedup_docs_exact",
     "emb_knn_bruteforce",
+    "emb_hard_negatives",
+    "text_sequence_packing",
+    "text_substring_dup_spans",
 ]
 
 
