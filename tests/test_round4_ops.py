@@ -158,3 +158,35 @@ def test_substring_dup_spans_exact_on_planted_corpus(spark):
         spark.read.parquet(f"{SF_SMALL}/documents.parquet").createOrReplaceTempView(
             "documents"
         )
+
+
+def test_stratified_topk_sample_exact_quota_and_deterministic(spark):
+    from uav_streamprocessor_spark.operators.sampling import (
+        stratified_topk_sample,
+    )
+
+    rows = stratified_topk_sample(spark, k=20).collect()
+    per_lang_corpus = {
+        r["lang"]: r["n"]
+        for r in spark.table("documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r)
+    assert set(per_lang) == set(per_lang_corpus)
+    corpus_ids = {
+        r["doc_id"] for r in spark.table("documents").select("doc_id").collect()
+    }
+    for lang, sample in per_lang.items():
+        # exact quota (capped by stratum size), contiguous ranks, sorted draws
+        assert len(sample) == min(20, per_lang_corpus[lang])
+        assert sorted(r["rnk"] for r in sample) == list(range(1, len(sample) + 1))
+        draws = [r["draw"] for r in sorted(sample, key=lambda r: r["rnk"])]
+        assert draws == sorted(draws)
+        assert all(r["doc_id"] in corpus_ids for r in sample)
+    # deterministic: a second evaluation is identical
+    again = stratified_topk_sample(spark, k=20).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))

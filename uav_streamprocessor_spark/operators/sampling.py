@@ -17,7 +17,7 @@ The patterns a pretraining data pipeline needs at 100 TB:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # hex chars sort '0'..'9' < 'a'..'f' in both engines (ASCII); first nibble
@@ -103,4 +103,33 @@ def stratified_downsample(
         F.count(F.lit(1)).alias("n_sampled"),
         F.min("doc_id").alias("min_doc_id"),
         F.sum("n_chars").alias("total_chars"),
+    )
+
+
+def stratified_topk_sample(spark: SparkSession, k: int = 20) -> DataFrame:
+    """EXACT per-stratum quota sampling: keep precisely k docs per lang,
+    chosen as the k smallest md5(text) values (ties impossible — md5 is
+    effectively injective on distinct texts; identical texts tie-break
+    on doc_id). The hash IS the uniform random draw, so this is
+    deterministic sampling-without-replacement with an exact quota —
+    the eval-set builder's contract (`stratified_downsample` keeps a
+    hash FRACTION, so its per-stratum counts float; this pins them).
+
+    Scale: one shuffle on lang for the per-stratum top-k window; rank
+    state per partition is O(k). At extreme per-lang skew, pre-reduce
+    with a per-partition local top-k (groupBy mapPartitions pattern) —
+    Spark's TakeOrderedAndProject does this automatically for GLOBAL
+    top-k; per-group, the window form is standard."""
+    docs = spark.table("documents")
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    return (
+        docs.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "lang",
+            F.col("rnk").cast("int").alias("rnk"),
+            "doc_id",
+            F.md5("text").alias("draw"),
+        )
+        .orderBy("lang", "rnk")
     )

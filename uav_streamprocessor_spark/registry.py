@@ -3181,3 +3181,21 @@ FROM c
     notes="RAG-style overlapping word-window chunking (size 64, stride "
     "48): sequence+transform inside the row, map-only, no explode",
 )(lambda spark: packing.chunk_windows(spark))
+
+
+_register(
+    "text_stratified_topk_sample",
+    """
+SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, md5(text) AS draw
+FROM (
+  SELECT lang, doc_id, text,
+         row_number() OVER (PARTITION BY lang
+                            ORDER BY md5(text), doc_id) AS rnk
+  FROM documents
+) WHERE rnk <= 20
+ORDER BY lang, rnk
+""",
+    notes="exact per-stratum quota sample: k smallest content-hash draws "
+    "per lang — deterministic sampling-without-replacement with pinned "
+    "counts (the eval-set builder); per-lang window, O(k) rank state",
+)(lambda spark: sampling.stratified_topk_sample(spark))
