@@ -464,3 +464,38 @@ def rolling_7day_user_value(spark: SparkSession) -> DataFrame:
         F.sum("n_events").over(w).alias("n_events_7d"),
         F.round(F.sum("day_value").over(w), 2).alias("value_7d"),
     )
+
+
+def debounce_events(spark: SparkSession, window_minutes: int = 5) -> DataFrame:
+    """Burst-debounce dedup — the telemetry staple: within each (user,
+    event_type) stream, an event is KEPT iff it starts a burst (no
+    same-key event in the preceding `window_minutes`). Equivalent
+    formulation: gap-sessionize with this gap and keep each session's
+    first event — so the lag rule IS the session-start flag, one window,
+    no iteration. (True rate-limit throttling — fixed interval from the
+    last KEPT event — is inherently sequential; that variant belongs in
+    applyInPandasWithState, like the stateful counters.)
+
+    Same exactness discipline as sessionize_gap_method: integer
+    microsecond arithmetic, unique (ts, event_id) sort key. Per-key
+    windows partition across the cluster; summary agg is
+    map-side-combinable."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    keep = (gap.isNull() | (gap > window_minutes * 60 * 1_000_000)).cast("int")
+    flagged = ev.withColumn("keep", keep)
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("keep").cast("long").alias("n_kept"),
+            (F.count(F.lit(1)) - F.sum("keep")).cast("long").alias("n_dropped"),
+            F.round(
+                F.sum(F.when(F.col("keep") == 1, F.col("value")).otherwise(0.0)),
+                2,
+            ).alias("kept_value"),
+        )
+        .orderBy("event_type")
+    )

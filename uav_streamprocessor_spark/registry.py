@@ -3199,3 +3199,29 @@ ORDER BY lang, rnk
     "per lang — deterministic sampling-without-replacement with pinned "
     "counts (the eval-set builder); per-lang window, O(k) rank state",
 )(lambda spark: sampling.stratified_topk_sample(spark))
+
+
+_register(
+    "ev_debounce_bursts",
+    """
+WITH g AS (
+  SELECT event_type, value,
+         epoch_us(ts) - lag(epoch_us(ts))
+           OVER (PARTITION BY user_id, event_type
+                 ORDER BY ts, event_id) AS gap_us
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000
+                THEN 0 ELSE 1 END) AS BIGINT) AS n_dropped,
+       round(sum(CASE WHEN gap_us IS NULL OR gap_us > 300000000
+                 THEN value ELSE 0 END), 2) AS kept_value
+FROM g GROUP BY event_type ORDER BY event_type
+""",
+    notes="burst-debounce dedup (keep each burst's first event per "
+    "user/type, 5-min gap) — the lag rule is the session-start flag; "
+    "exact integer-microsecond arithmetic",
+)(lambda spark: events_ops.debounce_events(spark))
