@@ -190,3 +190,52 @@ def test_stratified_topk_sample_exact_quota_and_deterministic(spark):
     # deterministic: a second evaluation is identical
     again = stratified_topk_sample(spark, k=20).collect()
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_topk_users_rollup_merge_equals_whole_and_counts_exact(spark):
+    """Frequent-items rollup invariants: (1) with maxItemsTracked >= the
+    distinct-user count the sketch counts are EXACT — every reported
+    (user, count) matches the groupBy truth; (2) merge-of-daily-parts
+    equals a single whole-feed accumulate (associativity, the mergeable-
+    summaries contract); (3) the reported top-1 count is the true max."""
+    from uav_streamprocessor_spark.operators.sketches import topk_users_rollup
+
+    ev = spark.table("events")
+    exact = {
+        (r["event_type"], r["user_id"]): r["n"]
+        for r in ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rolled = topk_users_rollup(spark, k=10).collect()
+    assert rolled
+    for r in rolled:
+        assert exact[(r["event_type"], r["user_id"])] == r["est_count"]
+    # top-1 per type is the true max count
+    true_max = {}
+    for (et, _), n in exact.items():
+        true_max[et] = max(true_max.get(et, 0), n)
+    for r in rolled:
+        if r["rnk"] == 1:
+            assert r["est_count"] == true_max[r["event_type"]]
+
+    # merge-of-parts == whole: single global accumulate, same estimate
+    whole = (
+        ev.groupBy("event_type")
+        .agg(F.expr("approx_top_k_accumulate(user_id, 4096)").alias("state"))
+        .select("event_type", F.expr("approx_top_k_estimate(state, 10)").alias("top"))
+        .select("event_type", F.explode("top").alias("e"))
+        .select(
+            "event_type",
+            F.col("e.item").cast("long").alias("user_id"),
+            F.col("e.count").cast("long").alias("est_count"),
+        )
+        .collect()
+    )
+    def count_multiset(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r["event_type"], []).append(r["est_count"])
+        return {k: sorted(v) for k, v in out.items()}
+
+    assert count_multiset(rolled) == count_multiset(whole)

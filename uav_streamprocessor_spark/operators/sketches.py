@@ -26,7 +26,7 @@ tallies the driver can afford to keep".
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 
@@ -89,4 +89,53 @@ def kll_value_quantiles(spark: SparkSession, k: int = 200) -> DataFrame:
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.9)), 6).alias("p90"),
         F.round(F.kll_sketch_get_quantile_double("sk", F.lit(0.99)), 6).alias("p99"),
         F.kll_sketch_get_n_double("sk").alias("n"),
+    )
+
+
+def topk_daily_sketches(
+    spark: SparkSession, max_items: int = 4096
+) -> DataFrame:
+    """Per (event_type, day) frequent-items sketch of user_id
+    (approx_top_k_accumulate — Spark 4's mergeable top-k state). With
+    maxItemsTracked >= the group's distinct count the counts are exact;
+    under-sized, it degrades gracefully to approximate heavy hitters.
+    ~The stored daily artifact, like the HLL/KLL dailies."""
+    ev = spark.table("events")
+    return ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.expr(f"approx_top_k_accumulate(user_id, {max_items})").alias(
+            "state"
+        )
+    )
+
+
+def topk_users_rollup(
+    spark: SparkSession, k: int = 10, max_items: int = 4096
+) -> DataFrame:
+    """Top-k users per event_type from MERGED daily sketches — the
+    frequent-items member of the mergeable-summaries trio (HLL distinct,
+    KLL quantiles, top-k frequencies): a quarter's heavy hitters is a
+    combine of ~90 daily states, never a rescan. Output is exploded to
+    (event_type, rnk, user_id, est_count) rows; ties on count break on
+    user_id for deterministic output (the estimate's own tie order is
+    unspecified, so the rank is re-derived relationally)."""
+    daily = topk_daily_sketches(spark, max_items)
+    merged = daily.groupBy("event_type").agg(
+        F.expr("approx_top_k_combine(state)").alias("state")
+    )
+    est = merged.select(
+        "event_type",
+        F.expr(f"approx_top_k_estimate(state, {k})").alias("top"),
+    )
+    flat = est.select("event_type", F.explode("top").alias("e")).select(
+        "event_type",
+        F.col("e.item").cast("long").alias("user_id"),
+        F.col("e.count").cast("long").alias("est_count"),
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("est_count").desc(), "user_id"
+    )
+    return (
+        flat.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .select("event_type", "rnk", "user_id", "est_count")
+        .orderBy("event_type", "rnk")
     )

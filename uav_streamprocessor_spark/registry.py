@@ -3231,3 +3231,14 @@ FROM g GROUP BY event_type ORDER BY event_type
     "user/type, 5-min gap) — the lag rule is the session-start flag; "
     "exact integer-microsecond arithmetic",
 )(lambda spark: events_ops.debounce_events(spark))
+
+
+_register(
+    "ev_topk_users_rollup",
+    None,
+    notes="mergeable frequent-items rollup (approx_top_k accumulate/"
+    "combine/estimate): top-k users per event_type from merged daily "
+    "states — completes the HLL/KLL/top-k mergeable-summaries trio; "
+    "sketch serialization isn't oracle-portable -> rows-only, exactness "
+    "invariants pinned in tests",
+)(lambda spark: sketches.topk_users_rollup(spark))
