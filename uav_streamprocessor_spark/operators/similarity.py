@@ -615,3 +615,48 @@ def hard_negatives(spark: SparkSession, n_queries: int = 5, k: int = 5) -> DataF
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
+
+
+def quantization_error_profile(spark: SparkSession) -> DataFrame:
+    """Symmetric int8 scalar quantization audit — the storage-compression
+    pass every vector index runs (fp32 -> int8 cuts the index 4x): each
+    vector gets a per-vector scale = max|x|/127, quantizes to
+    round(x/scale), reconstructs, and reports per-label reconstruction
+    quality (mean squared error, worst absolute error, mean scale).
+
+    Entirely in-row array math (transform/aggregate, one codegen stage,
+    no explode) + one narrow per-label agg — map-only at any corpus
+    size. Division and round() are IEEE-deterministic and the half-away-
+    from-zero rule matches DuckDB's, so the oracle compares exactly at
+    6dp. Zero vectors guard with a 1e-12 scale floor."""
+    emb = spark.table("embeddings")
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    scale = F.greatest(
+        F.array_max(F.transform(v, F.abs)) / 127.0, F.lit(1e-12)
+    )
+    d = emb.select("label", v.alias("v"), scale.alias("s"))
+    q = F.transform(F.col("v"), lambda x: F.round(x / F.col("s")))
+    err2 = F.zip_with(
+        F.col("v"), q, lambda x, qq: (x - qq * F.col("s")) * (x - qq * F.col("s"))
+    )
+    abs_err = F.zip_with(
+        F.col("v"), q, lambda x, qq: F.abs(x - qq * F.col("s"))
+    )
+    per_vec = d.select(
+        "label",
+        "s",
+        (
+            F.aggregate(err2, F.lit(0.0), lambda a, x: a + x) / F.size("v")
+        ).alias("mse"),
+        F.array_max(abs_err).alias("max_err"),
+    )
+    return (
+        per_vec.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.round(F.avg("mse"), 6).alias("avg_mse"),
+            F.round(F.max("max_err"), 6).alias("worst_abs_err"),
+            F.round(F.avg("s"), 6).alias("avg_scale"),
+        )
+        .orderBy("label")
+    )

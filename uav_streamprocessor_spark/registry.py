@@ -3242,3 +3242,32 @@ _register(
     "sketch serialization isn't oracle-portable -> rows-only, exactness "
     "invariants pinned in tests",
 )(lambda spark: sketches.topk_users_rollup(spark))
+
+
+_register(
+    "emb_quantization_error",
+    """
+WITH d AS (
+  SELECT label,
+         [CAST(x AS DOUBLE) FOR x IN embedding] AS v,
+         greatest(list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) / 127.0,
+                  1e-12) AS s
+  FROM embeddings
+), per_vec AS (
+  SELECT label, s,
+         list_sum([pow(x - round(x / s) * s, 2) FOR x IN v]) / len(v) AS mse,
+         list_max([abs(x - round(x / s) * s) FOR x IN v]) AS max_err
+  FROM d
+)
+SELECT label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(avg(mse), 6) AS avg_mse,
+       round(max(max_err), 6) AS worst_abs_err,
+       round(avg(s), 6) AS avg_scale
+FROM per_vec GROUP BY label ORDER BY label
+""",
+    notes="int8 symmetric quantization audit (per-vector scale, "
+    "reconstruct, per-label MSE/worst-err) — in-row array math, "
+    "map-only; IEEE division + shared round-half-away rule keeps the "
+    "oracle exact",
+)(lambda spark: similarity.quantization_error_profile(spark))
