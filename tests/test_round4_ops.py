@@ -239,3 +239,41 @@ def test_topk_users_rollup_merge_equals_whole_and_counts_exact(spark):
         return {k: sorted(v) for k, v in out.items()}
 
     assert count_multiset(rolled) == count_multiset(whole)
+
+
+def test_r4_perturbation_controls(spark):
+    """Positive controls (the r2 pattern): each r4 knob must CHANGE the
+    output when turned — a gate/packing/sampler that ignores its
+    parameters proves nothing."""
+    from uav_streamprocessor_spark.operators.sampling import (
+        stratified_topk_sample,
+    )
+
+    # tighter budget -> strictly more sequences
+    seqs_512 = len(packing.sequence_packing(spark, budget=512).collect())
+    seqs_128 = len(packing.sequence_packing(spark, budget=128).collect())
+    assert seqs_128 > seqs_512
+
+    # alpha=1 is natural sampling: every oversample factor becomes 1.0
+    natural = packing.mix_weights(spark, alpha=1.0).collect()
+    assert all(abs(r["oversample"] - 1.0) < 1e-4 for r in natural)
+    tempered = packing.mix_weights(spark, alpha=0.7).collect()
+    assert any(abs(r["oversample"] - 1.0) > 1e-4 for r in tempered)
+
+    # smaller chunk stride -> more chunks for every multi-chunk doc
+    c48 = {r["doc_id"]: r["n_chunks"] for r in packing.chunk_windows(spark).collect()}
+    c16 = {
+        r["doc_id"]: r["n_chunks"]
+        for r in packing.chunk_windows(spark, stride=16).collect()
+    }
+    assert all(c16[d] >= c48[d] for d in c48)
+    assert any(c16[d] > c48[d] for d in c48)
+
+    # k drives the quota exactly
+    assert {
+        r["lang"]: 1
+        for r in stratified_topk_sample(spark, k=1).collect()
+    }  # one row per lang
+    n5 = len(stratified_topk_sample(spark, k=5).collect())
+    n20 = len(stratified_topk_sample(spark, k=20).collect())
+    assert n20 == 4 * n5

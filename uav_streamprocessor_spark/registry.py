@@ -998,13 +998,13 @@ _register(
 # additions that have never had a driver row (VERDICT r3 "Next round" #1) plus
 # 5 fillers the judge asked to re-confirm post-fix. Names listed here sort
 # first, in this order; everything else follows in registration order.
-# Cumulative driver coverage after r04: all 145 pre-r4 queries. The 10
+# Cumulative driver coverage after r04: all 145 pre-r4 queries. The 12
 # round-4 additions (text_sequence_packing, text_mix_weights,
 # text_perplexity_buckets, text_quality_classifier, emb_hard_negatives,
 # dedup_cluster_best_quality, text_substring_dup_spans, text_chunk_windows,
-# text_stratified_topk_sample, ev_debounce_bursts) are sf0.01-proven via
-# scripts/drive_driver.py (PARITY_sf0.01.json) and MUST rotate into this
-# list next round.
+# text_stratified_topk_sample, ev_debounce_bursts, ev_topk_users_rollup,
+# emb_quantization_error) are sf0.01-proven via scripts/drive_driver.py
+# (PARITY_sf0.01.json) and MUST rotate into this list next round.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # TPC-H completions (r3) — never driver-checked
