@@ -57,10 +57,15 @@ def connected_components(
     )
     sym = sym.localCheckpoint(eager=True)
 
+    # initialization FUSED with the first hash-min round: with all labels
+    # starting at node id, round 1's closed-neighborhood minimum is just
+    # least(node, min(neighbor id)) — a groupBy on the edge list, no
+    # label join. Saves one join+checkpoint cycle per call (node set ==
+    # groupBy keys, identical to the old distinct()).
     labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("comp", F.col("node"))
+        sym.groupBy(F.col("a").alias("node"))
+        .agg(F.min("b").alias("mb"))
+        .select("node", F.least(F.col("node"), F.col("mb")).alias("comp"))
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("comp")).first()[0]
