@@ -1,0 +1,252 @@
+"""Behavioral invariants + perturbation controls for the round-5
+operators (VERDICT r4 #8: every new op ships with a perturbed-input
+positive control proving its gate/threshold bites; oracle parity covers
+value-level correctness in test_oracle_parity.py / PARITY artifacts)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from uav_streamprocessor_spark.fixtures import register_uav_views
+from uav_streamprocessor_spark.operators import (
+    events_ops,
+    multimodal,
+    repetition,
+    similarity,
+    text,
+)
+from uav_streamprocessor_spark.operators.pixel import encode_image
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _views(spark):
+    register_uav_views(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# ev_rate_limit_windows
+# ---------------------------------------------------------------------------
+
+def test_rate_limit_conserves_and_knob_is_monotone(spark):
+    r1 = {r["event_type"]: r for r in events_ops.rate_limit_windows(spark).collect()}
+    total_events = spark.table("events").count()
+    assert sum(r["n_events"] for r in r1.values()) == total_events
+    for r in r1.values():
+        assert r["n_allowed"] + r["n_throttled"] == r["n_events"]
+    # the default knob must actually bite on this corpus (6 at sf0.001)
+    assert sum(r["n_throttled"] for r in r1.values()) > 0
+    # raising the limit strictly shrinks throttling, to zero at limit=inf
+    r2 = {r["event_type"]: r for r in
+          events_ops.rate_limit_windows(spark, limit=2).collect()}
+    for et in r1:
+        assert r2[et]["n_throttled"] <= r1[et]["n_throttled"]
+    r_inf = events_ops.rate_limit_windows(spark, limit=10**6).collect()
+    assert sum(r["n_throttled"] for r in r_inf) == 0
+
+
+def test_rate_limit_throttles_planted_burst(spark):
+    """Perturbation: plant 10 same-hour events for one user/type — the
+    limiter must throttle exactly 9 of the extra volume."""
+    ev = spark.table("events")
+    base = events_ops.rate_limit_windows(spark).collect()
+    base_throttled = sum(r["n_throttled"] for r in base)
+    burst = spark.range(10).select(
+        (F.lit(10**9) + F.col("id")).alias("event_id"),
+        F.expr("timestamp '2099-01-01 12:00:00' + make_interval(0,0,0,0,0,0,id)").alias("ts"),
+        F.lit(424242).cast("long").alias("user_id"),
+        F.lit("click").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    try:
+        ev.unionByName(burst.select(ev.columns)).createOrReplaceTempView("events")
+        perturbed = events_ops.rate_limit_windows(spark).collect()
+        assert sum(r["n_throttled"] for r in perturbed) == base_throttled + 9
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# ev_user_anomaly_zscore
+# ---------------------------------------------------------------------------
+
+def test_anomaly_zscore_threshold_monotone_and_consistent(spark):
+    strict = events_ops.user_anomaly_zscore(spark, z_threshold=3.0).collect()
+    loose = events_ops.user_anomaly_zscore(spark, z_threshold=2.0).collect()
+    assert 0 < len(strict) <= len(loose)
+    strict_keys = {(r["user_id"], r["day"]) for r in strict}
+    loose_keys = {(r["user_id"], r["day"]) for r in loose}
+    assert strict_keys <= loose_keys
+    for r in strict:
+        assert r["robust_z"] > 3.0
+        assert r["mad_events"] > 0
+        # z recomputes from the reported median/MAD (6dp rounding slack)
+        z = abs(r["n_events"] - r["median_events"]) / (1.4826 * r["mad_events"])
+        assert abs(z - r["robust_z"]) < 1e-3
+
+
+def test_anomaly_zscore_flags_planted_spike(spark):
+    """Perturbation: give one quiet user a single 500-event day — that
+    (user, day) must appear in the anomaly report."""
+    ev = spark.table("events")
+    victim = ev.groupBy("user_id").count().orderBy("count", "user_id").first()
+    spike = spark.range(500).select(
+        (F.lit(2 * 10**9) + F.col("id")).alias("event_id"),
+        F.expr("timestamp '2099-06-01 00:00:00' + make_interval(0,0,0,0,0,0,id)").alias("ts"),
+        F.lit(victim["user_id"]).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    try:
+        ev.unionByName(spike.select(ev.columns)).createOrReplaceTempView("events")
+        flagged = events_ops.user_anomaly_zscore(spark).collect()
+        hits = [r for r in flagged
+                if r["user_id"] == victim["user_id"] and r["n_events"] == 500]
+        assert len(hits) == 1
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# text_paragraph_dedup
+# ---------------------------------------------------------------------------
+
+def test_paragraph_dedup_conservation(spark):
+    """Total removals == total block occurrences - distinct block hashes
+    (keep-first keeps exactly one occurrence per hash), recomputed
+    independently from the raw corpus."""
+    res = repetition.paragraph_block_dedup(spark).collect()
+    docs = spark.table("documents")
+    ws = F.split(F.lower("text"), " ")
+    nb = F.ceil(F.size("ws") / F.lit(20.0)).cast("int")
+    blocks = (
+        docs.select("doc_id", ws.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), nb - 1),
+                    lambda i: F.md5(F.concat_ws(" ", F.slice("ws", i * 20 + 1, 20))),
+                )
+            ).alias("h")
+        )
+    )
+    occurrences = blocks.count()
+    distinct = blocks.distinct().count()
+    assert sum(r["n_dup_blocks"] for r in res) == occurrences - distinct
+    assert all(0 < r["n_dup_blocks"] <= r["n_blocks"] for r in res)
+    assert len(res) > 0  # the corpus really has cross-doc dup blocks
+
+
+def test_paragraph_dedup_detects_planted_copy(spark):
+    """Perturbation: append a verbatim copy of an existing doc — every
+    one of the copy's blocks must be counted as removed."""
+    docs = spark.table("documents")
+    src = docs.orderBy("doc_id").first()
+    n_blocks_src = -(-len(src["text"].split(" ")) // 20)  # ceil
+    copy = docs.limit(0).unionByName(
+        spark.createDataFrame(
+            [(10**9, src["text"], src["lang"], src["source"], src["n_chars"])],
+            docs.schema,
+        )
+    )
+    try:
+        docs.unionByName(copy).createOrReplaceTempView("documents")
+        res = {r["doc_id"]: r for r in
+               repetition.paragraph_block_dedup(spark).collect()}
+        assert 10**9 in res
+        assert res[10**9]["n_dup_blocks"] == n_blocks_src
+        assert res[10**9]["dup_ratio"] == 1.0
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# text_zipf_slope
+# ---------------------------------------------------------------------------
+
+def test_zipf_slope_negative_on_corpus_flat_on_uniform(spark):
+    rows = text.zipf_slope(spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["zipf_slope"] < 0  # frequency falls with rank
+        assert 0.0 <= r["zipf_r2"] <= 1.0
+        assert r["n_tokens"] >= r["n_types"]
+    # control: a perfectly uniform corpus has slope exactly 0
+    docs = spark.table("documents")
+    uniform = spark.createDataFrame(
+        [(i, "alpha beta gamma delta", "xx", "ctl", 22) for i in range(50)],
+        docs.schema,
+    )
+    try:
+        uniform.createOrReplaceTempView("documents")
+        flat = text.zipf_slope(spark).collect()
+        assert len(flat) == 1
+        assert abs(flat[0]["zipf_slope"]) < 1e-9
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# media_phash_neardups
+# ---------------------------------------------------------------------------
+
+def _media_df(spark, rows):
+    return spark.createDataFrame(rows, "media_id long, payload binary")
+
+
+def test_phash_brightness_invariant_scramble_sensitive(spark):
+    """pHash is a PERCEPTUAL hash: +10 global brightness changes only
+    the DC coefficient (still the max -> no bit flips, hamming 0);
+    scrambling the pixels flips ~half the bits."""
+    rng = np.random.RandomState(7)
+    base = rng.randint(0, 200, size=(32, 32, 3), dtype=np.uint8)
+    bright = np.clip(base.astype(np.int16) + 10, 0, 255).astype(np.uint8)
+    scrambled = base.reshape(-1, 3)[rng.permutation(32 * 32)].reshape(32, 32, 3)
+    media = _media_df(
+        spark,
+        [(0, bytearray(encode_image(base))),
+         (1, bytearray(encode_image(bright))),
+         (2, bytearray(encode_image(scrambled)))],
+    )
+    h = {r["media_id"]: r["phash"] for r in multimodal.image_phash(media).collect()}
+    assert h[0] == h[1], "brightness shift must not change the pHash"
+    ham = bin((h[0] ^ h[2]) & (2**64 - 1)).count("1")
+    assert ham > 10, f"scramble only flipped {ham} bits"
+
+
+def test_phash_neardups_find_planted_groups_knob_monotone(spark):
+    pairs3 = multimodal.image_phash_neardups(spark, max_hamming=3).collect()
+    pairs0 = multimodal.image_phash_neardups(spark, max_hamming=0).collect()
+    assert 0 < len(pairs0) <= len(pairs3)
+    # every reported pair comes from the same planted dup group
+    # (documents_as_media: group = media_id // 8)
+    for r in pairs3:
+        assert r["media_id_a"] // 8 == r["media_id_b"] // 8
+        assert r["hamming"] <= 3
+
+
+# ---------------------------------------------------------------------------
+# emb_pq_quantization
+# ---------------------------------------------------------------------------
+
+def test_pq_audit_deterministic_and_codebook_knob_monotone(spark):
+    a = similarity.pq_quantization_audit(spark).collect()
+    b = similarity.pq_quantization_audit(spark).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    assert all(r["avg_mse_pq"] > 0 for r in a)
+    assert all(r["compression_pq"] == 64.0 for r in a)
+    # richer codebooks reconstruct strictly better (corpus-level mean)
+    small = similarity.pq_quantization_audit(spark, ksub=4).collect()
+    big = similarity.pq_quantization_audit(spark, ksub=64).collect()
+
+    def mean_mse(rows):
+        n = sum(r["n_vectors"] for r in rows)
+        return sum(r["avg_mse_pq"] * r["n_vectors"] for r in rows) / n
+
+    assert mean_mse(big) < mean_mse(small)

@@ -466,6 +466,90 @@ def rolling_7day_user_value(spark: SparkSession) -> DataFrame:
     )
 
 
+def rate_limit_windows(
+    spark: SparkSession, limit: int = 1, window_unit: str = "hour"
+) -> DataFrame:
+    """Fixed-window rate limiting — the API-quota staple: within each
+    (user, event_type, tumbling `window_unit`), only the first `limit`
+    events (by ts, event_id) are ALLOWED; the rest are throttled. Unlike
+    the token bucket (streaming/rate_limit_stream.py, whose allow
+    decision depends on the running refill state and is inherently
+    sequential), the fixed-window rule is a pure row_number — one window
+    over (user, type, bucket), fully partitioned, oracle-checkable.
+    Defaults (1/hour) calibrated so throttling actually bites on the
+    driver corpus (6 throttled at sf0.001, 92 at sf0.01); the knob
+    control test pins that raising `limit` strictly shrinks throttling.
+
+    Summary per event_type: events, allowed, throttled, allowed value,
+    and how many (user, window) cells ever hit the limit."""
+    ev = spark.table("events")
+    bucket = F.date_trunc(window_unit, "ts")
+    w = Window.partitionBy("user_id", "event_type", "bucket").orderBy(
+        "ts", "event_id"
+    )
+    flagged = ev.withColumn("bucket", bucket).withColumn(
+        "rn", F.row_number().over(w)
+    )
+    allowed = (F.col("rn") <= limit).cast("long")
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(allowed).alias("n_allowed"),
+            F.sum(1 - allowed).alias("n_throttled"),
+            F.round(
+                F.sum(F.when(F.col("rn") <= limit, F.col("value")).otherwise(0.0)), 2
+            ).alias("allowed_value"),
+            F.countDistinct(
+                F.when(F.col("rn") > limit, F.concat_ws("|", "user_id", "bucket"))
+            ).alias("n_saturated_cells"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def user_anomaly_zscore(
+    spark: SparkSession, z_threshold: float = 3.0
+) -> DataFrame:
+    """Robust per-user anomaly detection over daily activity: flag days
+    whose event count deviates from the user's own median by more than
+    `z_threshold` robust z-scores (z = |x - median| / (1.4826 * MAD)).
+    Median/MAD instead of mean/stddev so one spike can't mask itself by
+    inflating the baseline — the standard abuse/bot-detection screen.
+
+    Two grouped medians + co-partitioned joins on user_id (AQE plans the
+    re-join shuffle-free when daily is reused); the per-user state is
+    O(days), never O(events). Users whose MAD is 0 (constant activity)
+    are excluded — any deviation there is trivially 'anomalous' and the
+    z-score is undefined."""
+    ev = spark.table("events")
+    daily = ev.groupBy("user_id", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    med = daily.groupBy("user_id").agg(
+        F.median("n_events").alias("med"), F.count(F.lit(1)).alias("n_days")
+    )
+    with_med = daily.join(med, "user_id")
+    mad = with_med.groupBy("user_id").agg(
+        F.median(F.abs(F.col("n_events") - F.col("med"))).alias("mad")
+    )
+    z = F.abs(F.col("n_events") - F.col("med")) / (1.4826 * F.col("mad"))
+    return (
+        with_med.join(mad, "user_id")
+        .filter(F.col("mad") > 0)
+        .withColumn("z", z)
+        .filter(F.col("z") > z_threshold)
+        .select(
+            "user_id",
+            "day",
+            "n_events",
+            F.round("med", 6).alias("median_events"),
+            F.round("mad", 6).alias("mad_events"),
+            F.round("z", 6).alias("robust_z"),
+        )
+    )
+
+
 def debounce_events(spark: SparkSession, window_minutes: int = 5) -> DataFrame:
     """Burst-debounce dedup — the telemetry staple: within each (user,
     event_type) stream, an event is KEPT iff it starts a burst (no

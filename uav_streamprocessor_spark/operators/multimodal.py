@@ -299,35 +299,31 @@ def image_ahash(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
 
 
-def image_ahash_neardups(spark, max_hamming: int = 3) -> DataFrame:
-    """Image near-duplicates: aHash over the document-derived media
-    corpus, banded 4x16 candidate self-join (recall 1.0 for hamming <=
-    3 by pigeonhole — same scheme and proof as text SimHash,
-    operators/dedup.py), exact bit_count(a ^ b) verify.
-
-    Scale: the image corpus is the dominant bytes; payloads are read
-    once by the hash UDF and never shuffled — the join moves only
-    (media_id, ahash, 16-bit band key). Identical subtrees on both join
-    sides -> ReusedExchange computes the decode+hash UDF once."""
-    hashed = image_ahash(documents_as_media(spark)).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+def _banded_hamming_pairs(
+    hashed: DataFrame, hash_col: str, max_hamming: int
+) -> DataFrame:
+    """Banded 4x16 candidate self-join over a 64-bit hash column + exact
+    bit_count(a ^ b) verify — recall 1.0 for hamming <= 3 by pigeonhole
+    (4 bands, <= 3 flipped bits -> one band untouched; same scheme and
+    proof as text SimHash, operators/dedup.py). The join moves only
+    (media_id, hash, 16-bit band key); identical subtrees on both sides
+    -> ReusedExchange computes the upstream decode+hash UDF once."""
     mask = (1 << _AHASH_BAND_BITS) - 1
     bands = hashed.select(
         "media_id",
-        "ahash",
+        hash_col,
         F.explode(
             F.array(*[
                 F.struct(
                     F.lit(b).alias("band"),
-                    F.shiftrightunsigned("ahash", b * _AHASH_BAND_BITS)
+                    F.shiftrightunsigned(hash_col, b * _AHASH_BAND_BITS)
                     .bitwiseAND(F.lit(mask))
                     .alias("band_val"),
                 )
                 for b in range(_AHASH_BANDS)
             ])
         ).alias("bb"),
-    ).select("media_id", "ahash", "bb.band", "bb.band_val")
+    ).select("media_id", hash_col, "bb.band", "bb.band_val")
     a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
     cands = (
         a.join(
@@ -339,8 +335,8 @@ def image_ahash_neardups(spark, max_hamming: int = 3) -> DataFrame:
         .select(
             F.col("a.media_id").alias("media_id_a"),
             F.col("b.media_id").alias("media_id_b"),
-            F.col("a.ahash").alias("hash_a"),
-            F.col("b.ahash").alias("hash_b"),
+            F.col(f"a.{hash_col}").alias("hash_a"),
+            F.col(f"b.{hash_col}").alias("hash_b"),
         )
         .distinct()
     )
@@ -349,6 +345,85 @@ def image_ahash_neardups(spark, max_hamming: int = 3) -> DataFrame:
         cands.select("media_id_a", "media_id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def image_ahash_neardups(spark, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicates: aHash over the document-derived media
+    corpus, banded candidate self-join, exact hamming verify
+    (_banded_hamming_pairs).
+
+    Scale: the image corpus is the dominant bytes; payloads are read
+    once by the hash UDF and never shuffled."""
+    hashed = image_ahash(documents_as_media(spark)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _banded_hamming_pairs(hashed, "ahash", max_hamming)
+
+
+_PHASH_SIDE = 32  # luma resolution fed to the DCT
+_PHASH_LOW = 8  # low-frequency block kept (8x8 = 64 bits)
+
+
+def _dct_basis(n: int) -> np.ndarray:
+    """Orthonormal DCT-II basis matrix (n x n) — numpy-only (no scipy in
+    the container); coefficients C = B @ luma @ B.T."""
+    k = np.arange(n)[:, None].astype(np.float64)
+    i = np.arange(n)[None, :].astype(np.float64)
+    basis = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
+    basis[0] /= np.sqrt(2.0)
+    return basis
+
+
+def image_phash(media: DataFrame) -> DataFrame:
+    """64-bit perceptual hash (pHash): decode -> luma -> 2D DCT-II ->
+    keep the top-left 8x8 low-frequency block -> bit_i = coeff_i >
+    median(block). Versus aHash (block means), the DCT concentrates
+    energy so the hash survives brightness/contrast shifts and light
+    noise — the robustness tier real thumbnail dedup uses. Same packing
+    contract as image_ahash (signed int64, little-endian bit order);
+    the median split fixes exactly 32 ones per hash (64 distinct
+    coeffs), so hamming distances are comparable across images."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("phash", T.LongType(), False),
+        ]
+    )
+    basis = _dct_basis(_PHASH_SIDE)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                img = decode_image(bytes(buf)).astype(np.float64)
+                luma = img.mean(axis=2)
+                h, w = luma.shape
+                if (h, w) != (_PHASH_SIDE, _PHASH_SIDE):
+                    # block-mean resample to the DCT grid (exact for
+                    # integer multiples; the synthetic corpus is 32x32)
+                    bh, bw = h // _PHASH_SIDE, w // _PHASH_SIDE
+                    luma = luma[: bh * _PHASH_SIDE, : bw * _PHASH_SIDE] \
+                        .reshape(_PHASH_SIDE, bh, _PHASH_SIDE, bw).mean(axis=(1, 3))
+                coeffs = (basis @ luma @ basis.T)[:_PHASH_LOW, :_PHASH_LOW].flatten()
+                bits = (coeffs > np.median(coeffs)).astype(np.uint64)
+                v = int((bits << np.arange(64, dtype=np.uint64)).sum())
+                rows.append((mid, v - (1 << 64) if v >= (1 << 63) else v))
+            yield pd.DataFrame(rows, columns=["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInPandas(run, schema=out_schema)
+
+
+def image_phash_neardups(spark, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicates on the perceptual (DCT) hash — same banded
+    join as aHash, different signature. The perturbation controls in
+    tests prove the hash behaves like a perceptual hash: a global
+    brightness shift changes only the DC coefficient (which stays the
+    max, so no bit flips — hamming 0), while scrambling pixel content
+    flips ~half the bits; and the max_hamming knob is monotone."""
+    hashed = image_phash(documents_as_media(spark)).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    return _banded_hamming_pairs(hashed, "phash", max_hamming)
 
 
 def video_scene_changes(media: DataFrame, threshold: float = 12.0) -> DataFrame:

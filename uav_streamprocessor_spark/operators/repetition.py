@@ -22,7 +22,7 @@ shuffle at all (arrays stay inside the row).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from uav_streamprocessor_spark.operators.sampling import _TRAIN_MAX_NIBBLE
@@ -318,6 +318,56 @@ def curation_funnel(spark: SparkSession) -> DataFrame:
             "'20_quality', c20, '30_train_split', c30, "
             "'40_train_decontaminated', c40, '41_eval_held_out', c41) "
             "AS (stage, n_docs)"
+        )
+    )
+
+
+def paragraph_block_dedup(spark: SparkSession, block_words: int = 20) -> DataFrame:
+    """Paragraph-level keep-first dedup, CCNet-style (Wenzek et al.,
+    arXiv:1911.00359 dedups Common Crawl per PARAGRAPH hash before any
+    doc-level pass; the corpus has no newlines, so non-overlapping
+    `block_words`-word blocks stand in for paragraphs — same convention
+    as the repetition rules above). Every block is hashed; across the
+    corpus the FIRST occurrence (min (doc_id, block_idx)) is the keeper
+    and later occurrences are removals. Output: per affected doc, how
+    many of its blocks a paragraph-dedup pass would cut.
+
+    Plan shape: blocks are built in-row (sequence+transform over the
+    materialized token array — one narrow projection, no per-word
+    explode; a doc explodes into ceil(words/20) block rows, 20x fewer
+    than word rows). The only shuffle keys on the 128-bit block hash;
+    keep-first is one row_number window per hash — state O(occurrences
+    of that hash), never corpus-wide. At 100 TB the md5 key would drop
+    to xxhash64 like substring_dup_spans (md5 kept here so the DuckDB
+    oracle compares identical strings)."""
+    docs = spark.table("documents")
+    ws = F.col("ws")
+    n_blocks = F.ceil(F.size(ws) / F.lit(float(block_words))).cast("int")
+    block_hashes = F.transform(
+        F.sequence(F.lit(0), n_blocks - 1),
+        lambda i: F.md5(
+            F.concat_ws(" ", F.slice(ws, i * block_words + 1, block_words))
+        ),
+    )
+    blocks = (
+        _with_tokens(docs.select("doc_id", "text"))
+        .filter(F.size("ws") > 0)
+        .select("doc_id", F.posexplode(block_hashes).alias("block_idx", "h"))
+    )
+    w = Window.partitionBy("h").orderBy("doc_id", "block_idx")
+    marked = blocks.withColumn(
+        "removed", (F.row_number().over(w) > 1).cast("int")
+    )
+    return (
+        marked.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_blocks"),
+            F.sum("removed").cast("int").alias("n_dup_blocks"),
+        )
+        .filter(F.col("n_dup_blocks") > 0)
+        .withColumn(
+            "dup_ratio",
+            F.round(F.col("n_dup_blocks") / F.col("n_blocks").cast("double"), 6),
         )
     )
 

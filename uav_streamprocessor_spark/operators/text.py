@@ -125,6 +125,39 @@ def tf_idf_top_terms(spark: SparkSession, k: int = 30) -> DataFrame:
     )
 
 
+def zipf_slope(spark: SparkSession) -> DataFrame:
+    """Zipf's-law fit per language — the corpus-health screen that
+    catches template/synthetic text (natural language fits ln(freq) ≈
+    a + s·ln(rank) with s ≈ -1; machine-generated or boilerplate-heavy
+    corpora flatten or steepen the tail): per lang, rank words by
+    frequency and fit the log-log slope with the built-in least-squares
+    aggregates (regr_slope/regr_r2 — identical closed form in DuckDB).
+
+    One word-count shuffle (map-side combined) + one per-lang rank
+    window over the VOCABULARY (types, not tokens — the window input is
+    |vocab| rows, tiny at any corpus scale) + one scalar agg per lang.
+    Ranks use (freq desc, word) so ties are deterministic cross-engine."""
+    docs = spark.table("documents")
+    words = docs.select(
+        "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    freq = words.groupBy("lang", "word").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), F.col("word"))
+    ranked = freq.withColumn("rnk", F.row_number().over(w))
+    lx = F.log(F.col("rnk").cast("double"))
+    ly = F.log(F.col("n").cast("double"))
+    return (
+        ranked.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_types"),
+            F.sum("n").alias("n_tokens"),
+            F.round(F.regr_slope(ly, lx), 6).alias("zipf_slope"),
+            F.round(F.regr_r2(ly, lx), 6).alias("zipf_r2"),
+        )
+        .orderBy("lang")
+    )
+
+
 # BPE-ish pre-tokenizer: letter runs | digit runs | single non-space
 # symbol — the GPT-2-style split that word-level BPE vocabularies train
 # over. Portable between Java regex (Spark) and RE2 (DuckDB).

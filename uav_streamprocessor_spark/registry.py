@@ -993,78 +993,80 @@ _register(
 # Driver correctness-window ordering.
 #
 # The driver checks the FIRST 50 entries of queries() (registration order) at
-# sf0.01. r01/r02 covered the original first-50; r03 rotated in the next 50
-# (all passed — CORRECTNESS_r03). This round-4 window lists the 45 round-3
-# additions that have never had a driver row (VERDICT r3 "Next round" #1) plus
-# 5 fillers the judge asked to re-confirm post-fix. Names listed here sort
-# first, in this order; everything else follows in registration order.
-# Cumulative driver coverage after r04: all 145 pre-r4 queries. The 12
-# round-4 additions (text_sequence_packing, text_mix_weights,
-# text_perplexity_buckets, text_quality_classifier, emb_hard_negatives,
-# dedup_cluster_best_quality, text_substring_dup_spans, text_chunk_windows,
-# text_stratified_topk_sample, ev_debounce_bursts, ev_topk_users_rollup,
-# emb_quantization_error) are sf0.01-proven via scripts/drive_driver.py
-# (PARITY_sf0.01.json) and MUST rotate into this list next round.
+# sf0.01. r01/r02 covered the original first-50; r03 rotated in the next 50;
+# r04 covered the 45 round-3 additions + 5 fillers (all passed —
+# CORRECTNESS_r01..r04, zero failures). This round-5 window (VERDICT r4
+# "Next round" #1):
+#   1. the 12 round-4 additions — sf0.01-parity-proven but never
+#      driver-checked; a green r05 row for each restores full-registry
+#      driver coverage;
+#   2. queries whose physical plans change THIS round (connected-components
+#      large-star fallback -> dedup_doc_clusters / dedup_cluster_removals;
+#      SemDeDup bounded-pair guard -> emb_semdedup), so the driver re-proves
+#      them post-change rather than trusting stale r04 rows;
+#   3. round-5 additions (inserted here as they land, displacing tail
+#      fillers, so no never-driver-checked surface accumulates);
+#   4. fillers: the OLDEST driver rows (r01-era, §2.1 staples first) to
+#      re-validate against drift.
+# Names listed here sort first, in this order; everything else follows in
+# registration order.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # TPC-H completions (r3) — never driver-checked
-    "tpch_q2_min_cost",
-    "tpch_q9_product_profit",
-    "tpch_q11_important_value",
-    "tpch_q12_ship_priority",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_quantity",
-    "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
-    # text curation ops (r3)
-    "text_ngram_repetition",
-    "text_boilerplate_ngrams",
-    "text_gopher_quality",
-    "text_decontamination",
-    "text_decontamination_bloom",
-    "text_unigram_cross_entropy",
-    "text_source_vocab_overlap",
-    "text_pii_redaction",
-    "text_url_domains",
-    "text_array_hof",
-    "text_curation_funnel",
-    "text_top_bigrams_udtf",
-    # events (r3)
-    "ev_retention_cohorts",
-    "ev_sessionize_gap",
-    "ev_variant_props",
-    "ev_interval_join_bucketed",
-    "ev_hll_rollup",
-    "ev_kll_quantiles",
-    "ev_rolling_7day",
-    # relational (r3)
-    "rel_window_navigation",
-    "rel_weighted_price_udaf",
-    "rel_monthly_revenue_spine",
-    "rel_merge_upsert",
-    "rel_scd2_history",
-    "rel_ntile_deciles",
-    "rel_referential_audit",
-    "rel_table_profile",
-    "rel_k_anonymity",
-    # dedup clustering (r3)
+    # --- 1. round-4 additions (never driver-checked; 11 oracled,
+    #        ev_topk_users_rollup rows-only by design) ---
+    "text_sequence_packing",
+    "text_mix_weights",
+    "text_perplexity_buckets",
+    "text_quality_classifier",
+    "text_chunk_windows",
+    "text_substring_dup_spans",
+    "text_stratified_topk_sample",
+    "emb_hard_negatives",
+    "emb_quantization_error",
+    "ev_debounce_bursts",
+    "ev_topk_users_rollup",
+    "dedup_cluster_best_quality",
+    # --- 2. plans changed in round 5 (re-prove post-change) ---
     "dedup_doc_clusters",
     "dedup_cluster_removals",
-    # embeddings (r3)
-    "emb_kmeans_profile",
     "emb_semdedup",
-    "emb_norm_outliers",
-    "emb_doc_join_stats",
-    # multimodal + NMS (r3)
-    "media_ahash_neardups",
-    "uav_nms_survivors",
-    "uav_nms_greedy",
-    # fillers: fresh post-fix driver rows worth having (VERDICT r3 #1)
-    "uav_segment_reassembly",
-    "rel_suppliers_no_lineitems",
-    "dedup_minhash_neardups",
-    "dedup_simhash_neardups",
-    "ev_session_windows",
+    # --- 3. round-5 additions ---
+    "ev_rate_limit_windows",
+    "text_paragraph_dedup",
+    "media_phash_neardups",
+    "emb_pq_quantization",
+    "text_zipf_slope",
+    "ev_user_anomaly_zscore",
+    # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
+    "uav_keyframe_decimation",
+    "uav_frame_counters",
+    "uav_letterbox_geometry",
+    "uav_detections_filtered",
+    "uav_class_stats",
+    "uav_frames_detections_join",
+    "uav_frames_without_detections",
+    "uav_frames_with_detections",
+    "uav_segment_stats",
+    "uav_detection_rank",
+    "uav_detection_lag",
+    "uav_running_counters",
+    "uav_filename_order",
+    "uav_fps_fallback",
+    "uav_metadata_fields",
+    "uav_metadata_json",
+    "uav_top_confidence",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_region_revenue",
+    "rel_orders_rollup",
+    "rel_orders_cube",
+    "rel_pivot_linestatus",
+    "rel_approx_distinct",
+    "rel_correlated_exists",
+    "ev_hourly_tumbling",
+    "ev_sliding_window",
+    "ev_json_props",
+    "dedup_docs_exact",
 ]
 
 
@@ -3271,3 +3273,142 @@ FROM per_vec GROUP BY label ORDER BY label
     "map-only; IEEE division + shared round-half-away rule keeps the "
     "oracle exact",
 )(lambda spark: similarity.quantization_error_profile(spark))
+
+
+# ===========================================================================
+# Round-5 additions: rate limiting, robust anomaly screen, paragraph-level
+# dedup, Zipf corpus health, perceptual-hash near-dups, PQ compression audit
+# ===========================================================================
+
+_register(
+    "ev_rate_limit_windows",
+    """
+WITH f AS (
+  SELECT event_type, value, user_id,
+         date_trunc('hour', ts) AS bucket,
+         row_number() OVER (PARTITION BY user_id, event_type,
+                                         date_trunc('hour', ts)
+                            ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN rn <= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_allowed,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_throttled,
+       round(sum(CASE WHEN rn <= 1 THEN value ELSE 0 END), 2) AS allowed_value,
+       CAST(count(DISTINCT CASE WHEN rn > 1
+                 THEN user_id || '|' || bucket END) AS BIGINT)
+         AS n_saturated_cells
+FROM f GROUP BY event_type ORDER BY event_type
+""",
+    notes="fixed-window rate limiting (first event per user/type/hour "
+    "allowed, rest throttled) — pure row_number per cell; the token-"
+    "bucket variant (sequential state) lives in streaming/; limit knob "
+    "calibrated so throttling bites on the driver corpus",
+)(lambda spark: events_ops.rate_limit_windows(spark))
+
+
+_register(
+    "ev_user_anomaly_zscore",
+    """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+med AS (SELECT user_id, median(n_events) AS med, count(*) AS n_days
+        FROM daily GROUP BY user_id),
+mad AS (
+  SELECT daily.user_id, median(abs(n_events - med)) AS mad
+  FROM daily JOIN med USING (user_id) GROUP BY daily.user_id
+)
+SELECT d.user_id, d.day, d.n_events,
+       round(med, 6) AS median_events,
+       round(mad, 6) AS mad_events,
+       round(abs(d.n_events - med) / (1.4826 * mad), 6) AS robust_z
+FROM daily d JOIN med USING (user_id) JOIN mad USING (user_id)
+WHERE mad > 0 AND abs(d.n_events - med) / (1.4826 * mad) > 3.0
+""",
+    notes="robust per-user daily-activity anomalies (median/MAD z > 3) — "
+    "median interpolates identically in both engines; MAD=0 users "
+    "excluded (z undefined)",
+)(lambda spark: events_ops.user_anomaly_zscore(spark))
+
+
+_register(
+    "text_paragraph_dedup",
+    """
+WITH d AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS words FROM documents
+),
+b AS (
+  SELECT doc_id, i AS block_idx,
+         md5(array_to_string(words[(i*20+1):((i+1)*20)], ' ')) AS h
+  FROM d, unnest(range(0, CAST(ceil(len(words)/20.0) AS INT))) AS t(i)
+  WHERE len(words) > 0
+),
+r AS (
+  SELECT doc_id, block_idx,
+         row_number() OVER (PARTITION BY h ORDER BY doc_id, block_idx) AS rn
+  FROM b
+)
+SELECT doc_id, CAST(count(*) AS INT) AS n_blocks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS INT) AS n_dup_blocks,
+       round(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM r GROUP BY doc_id
+HAVING sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) > 0
+""",
+    notes="CCNet-style paragraph (20-word block) keep-first dedup: "
+    "per-doc removal counts; blocks built in-row, one hash-keyed "
+    "shuffle + keep-first window",
+)(lambda spark: repetition.paragraph_block_dedup(spark))
+
+
+_register(
+    "text_zipf_slope",
+    """
+WITH w AS (
+  SELECT lang, word FROM (
+    SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+    FROM documents
+  ) WHERE word <> ''
+),
+freq AS (SELECT lang, word, count(*) AS n FROM w GROUP BY lang, word),
+ranked AS (
+  SELECT lang, n,
+         row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rnk
+  FROM freq
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_types,
+       CAST(sum(n) AS BIGINT) AS n_tokens,
+       round(regr_slope(ln(n), ln(rnk)), 6) AS zipf_slope,
+       round(regr_r2(ln(n), ln(rnk)), 6) AS zipf_r2
+FROM ranked GROUP BY lang ORDER BY lang
+""",
+    notes="Zipf's-law log-log fit per lang (regr_slope/regr_r2 — "
+    "identical closed form both engines; ranks tie-broken on word); "
+    "corpus-health screen for template/synthetic text",
+)(lambda spark: text.zipf_slope(spark))
+
+
+_register(
+    "media_phash_neardups",
+    None,
+    notes="perceptual-hash (32x32 luma -> DCT-II -> 8x8 low block -> "
+    "median bits) near-dups, banded 4x16 self-join + exact hamming — "
+    "DCT robustness + knob monotonicity pinned in tests; numpy DCT "
+    "inside the hash UDF isn't oracle-portable -> rows-only",
+)(lambda spark: multimodal.image_phash_neardups(spark))
+
+
+_register(
+    "emb_pq_quantization",
+    None,
+    notes="product-quantization audit (m=8 subspaces, 16 codes each -> "
+    "64x compression) vs int8 scalar baseline per label; codebooks "
+    "train on a bounded deterministic sample driver-side (the FAISS "
+    "practice), assignment distributed via one mapInPandas pass; "
+    "k-means codebooks aren't SQL -> rows-only, determinism + "
+    "knob-monotonicity pinned in tests",
+)(lambda spark: similarity.pq_quantization_audit(spark))
