@@ -60,3 +60,47 @@ def test_incremental_index_equals_batch_ann_and_replay_idempotent(
     # bytes -> identical query results
     got2 = _run_stream(spark, tmp_path, "run2")
     assert got2 == batch
+
+
+def test_cross_batch_redelivery_dedups_at_read(spark, tmp_path):
+    """ADVICE r4: source-level at-least-once can re-deliver a vec_id in
+    a DIFFERENT batch (partition overwrite only covers same-batch
+    replay). index_topk must keep one row per vec_id (latest src_batch)
+    so candidate lists carry no duplicates."""
+    register_uav_views(spark, SF_SMALL)
+    batch = {tuple(r) for r in ann_lsh_topk(spark).collect()}
+    got = _run_stream(spark, tmp_path, "run1")
+    assert got == batch
+
+    # simulate a late re-delivery: re-ingest the first third as a NEW
+    # batch (fresh checkpoint so it lands in src_batch=0 of a second
+    # stream run's numbering — a different partition than the original)
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    redelivery = tmp_path / "redelivery"
+    emb.filter("vec_id % 3 = 0").coalesce(1).write.mode("overwrite").parquet(
+        str(redelivery / "f0")
+    )
+    stream = (
+        spark.readStream.schema(
+            "vec_id long, embedding array<float>, label int"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(redelivery) + "/*")
+    )
+    q = run_incremental_ann_index(
+        stream,
+        index_dir=str(tmp_path / "index"),
+        checkpoint_dir=str(tmp_path / "ckpt_redelivery"),
+    )
+    q.awaitTermination(180)
+
+    # raw store now holds duplicates...
+    raw = spark.read.parquet(str(tmp_path / "index"))
+    n_vec = emb.count()
+    assert raw.count() > n_vec
+    # ...but the query surface is unchanged: same results as batch ANN,
+    # and no (query_id, vec_id) appears twice
+    after = index_topk(spark, str(tmp_path / "index")).collect()
+    assert {tuple(r) for r in after} == batch
+    keys = [(r["query_id"], r["vec_id"]) for r in after]
+    assert len(keys) == len(set(keys))

@@ -106,3 +106,41 @@ def test_jsonl_stream_writer_publishes_per_batch_and_replay_converges(
     batch_dirs2, rows2 = read_all()
     assert batch_dirs2 == batch_dirs
     assert sorted(r["id"] for r in rows2) == sorted(r["id"] for r in rows)
+
+
+def test_stale_temp_files_swept_on_commit(spark, tmp_path):
+    """ADVICE r4: a task that dies mid-write leaks its _temp-* file —
+    commit()/abort() never learn its name. The commit-time sweep must
+    clear any orphaned temp (batch and streaming writers both)."""
+    jsonl_sink.register(spark)
+
+    # batch writer
+    out_b = tmp_path / "batch_out"
+    os.makedirs(out_b)
+    stale_b = out_b / "_temp-deadbeef.jsonl"
+    stale_b.write_text('{"orphan": true}\n')
+    spark.range(10).write.format("uav_jsonl").mode("append").option(
+        "path", str(out_b)
+    ).save()
+    assert not stale_b.exists()
+    assert (out_b / "_SUCCESS").exists()
+
+    # streaming writer
+    out_s = tmp_path / "stream_out"
+    os.makedirs(out_s)
+    stale_s = out_s / "_temp-cafebabe.jsonl"
+    stale_s.write_text('{"orphan": true}\n')
+    src = tmp_path / "src"
+    spark.range(20).coalesce(1).write.parquet(str(src / "f0"))
+    q = (
+        spark.readStream.schema("id long")
+        .parquet(str(src) + "/*")
+        .writeStream.format("uav_jsonl")
+        .option("path", str(out_s))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    assert not stale_s.exists()
+    assert not [n for n in os.listdir(out_s) if n.startswith("_temp-")]

@@ -211,6 +211,18 @@ def test_topk_users_rollup_merge_equals_whole_and_counts_exact(spark):
     assert rolled
     for r in rolled:
         assert exact[(r["event_type"], r["user_id"])] == r["est_count"]
+    # boundary-tie membership (ADVICE r4): the k+slack over-fetch +
+    # relational (count desc, user_id) cut must reproduce the EXACT
+    # top-10 membership per type, including ties across the cutoff
+    expected = {}
+    for (et, uid), n in exact.items():
+        expected.setdefault(et, []).append((-n, uid))
+    for et in expected:
+        expected[et] = [uid for _, uid in sorted(expected[et])[:10]]
+    got = {}
+    for r in sorted(rolled, key=lambda r: (r["event_type"], r["rnk"])):
+        got.setdefault(r["event_type"], []).append(r["user_id"])
+    assert got == expected
     # top-1 per type is the true max count
     true_max = {}
     for (et, _), n in exact.items():
@@ -269,11 +281,22 @@ def test_r4_perturbation_controls(spark):
     assert all(c16[d] >= c48[d] for d in c48)
     assert any(c16[d] > c48[d] for d in c48)
 
-    # k drives the quota exactly
-    assert {
-        r["lang"]: 1
-        for r in stratified_topk_sample(spark, k=1).collect()
-    }  # one row per lang
-    n5 = len(stratified_topk_sample(spark, k=5).collect())
-    n20 = len(stratified_topk_sample(spark, k=20).collect())
-    assert n20 == 4 * n5
+    # k drives the quota exactly: expected = sum over strata of
+    # min(k, stratum_size), computed from the corpus rather than
+    # hardcoding its current shape (ADVICE r4)
+    strata = {
+        r["lang"]: r["n"]
+        for r in spark.table("documents")
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for k in (1, 5, 20):
+        got = stratified_topk_sample(spark, k=k).collect()
+        assert len(got) == sum(min(k, n) for n in strata.values())
+        per_lang = {}
+        for r in got:
+            per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+        assert per_lang == {
+            lang: min(k, n) for lang, n in strata.items() if min(k, n) > 0
+        }

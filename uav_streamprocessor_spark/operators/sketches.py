@@ -109,22 +109,30 @@ def topk_daily_sketches(
 
 
 def topk_users_rollup(
-    spark: SparkSession, k: int = 10, max_items: int = 4096
+    spark: SparkSession, k: int = 10, max_items: int = 4096, slack: int = 16
 ) -> DataFrame:
     """Top-k users per event_type from MERGED daily sketches — the
     frequent-items member of the mergeable-summaries trio (HLL distinct,
     KLL quantiles, top-k frequencies): a quarter's heavy hitters is a
     combine of ~90 daily states, never a rescan. Output is exploded to
-    (event_type, rnk, user_id, est_count) rows; ties on count break on
-    user_id for deterministic output (the estimate's own tie order is
-    unspecified, so the rank is re-derived relationally)."""
+    (event_type, rnk, user_id, est_count) rows.
+
+    Tie discipline (ADVICE r4): re-deriving rank relationally fixes tie
+    ORDER, but asking the sketch for exactly k items leaves MEMBERSHIP
+    at the k-th boundary to the sketch's internal (unspecified) order
+    when counts tie across the cutoff. So the estimate over-fetches
+    k + `slack` items and the k-cut happens relationally on
+    (count desc, user_id) — deterministic membership whenever the
+    boundary tie group fits inside the slack (tests pin the boundary
+    against the exact group-by; a >slack-wide tie at the cutoff would
+    surface there)."""
     daily = topk_daily_sketches(spark, max_items)
     merged = daily.groupBy("event_type").agg(
         F.expr("approx_top_k_combine(state)").alias("state")
     )
     est = merged.select(
         "event_type",
-        F.expr(f"approx_top_k_estimate(state, {k})").alias("top"),
+        F.expr(f"approx_top_k_estimate(state, {k + slack})").alias("top"),
     )
     flat = est.select("event_type", F.explode("top").alias("e")).select(
         "event_type",
@@ -136,6 +144,7 @@ def topk_users_rollup(
     )
     return (
         flat.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rnk") <= k)
         .select("event_type", "rnk", "user_id", "est_count")
         .orderBy("event_type", "rnk")
     )

@@ -41,6 +41,28 @@ class JsonlCommitMessage(WriterCommitMessage):
         self.rows = rows
 
 
+def _sweep_stale_temps(path: str) -> None:
+    """Remove orphaned `_temp-*` files. commit()/abort() only learn the
+    temp names of tasks that COMPLETED write(); a task that dies mid-
+    write leaks its temp forever (and a streaming sink re-leaks per
+    retried micro-batch). By the time the driver runs commit/abort,
+    every published temp has already been renamed away, so anything
+    still matching the prefix is garbage from a failed or zombie task
+    of this or an earlier batch. Single-writer-per-path is the sink's
+    existing contract (micro-batches are sequential), so the sweep
+    can't race a live writer."""
+    try:
+        names = os.listdir(path)
+    except FileNotFoundError:
+        return
+    for name in names:
+        if name.startswith("_temp-"):
+            try:
+                os.remove(os.path.join(path, name))
+            except FileNotFoundError:
+                pass
+
+
 class JsonlWriter(DataSourceWriter):
     def __init__(self, options):
         self.path = options.get("path")
@@ -66,6 +88,7 @@ class JsonlWriter(DataSourceWriter):
         # publish only after every rename: readers gate on _SUCCESS
         with open(os.path.join(self.path, "_SUCCESS"), "w") as f:
             f.write(str(total))
+        _sweep_stale_temps(self.path)
 
     def abort(self, messages):
         for m in messages:
@@ -73,6 +96,7 @@ class JsonlWriter(DataSourceWriter):
                 os.remove(os.path.join(self.path, m.temp_name))
             except FileNotFoundError:
                 pass
+        _sweep_stale_temps(self.path)
 
 
 class JsonlStreamWriter(DataSourceStreamWriter):
@@ -115,6 +139,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
             total += m.rows
         with open(os.path.join(d, "_SUCCESS"), "w") as f:
             f.write(str(total))
+        _sweep_stale_temps(self.path)
 
     def abort(self, messages, batchId):
         for m in messages:
@@ -124,6 +149,7 @@ class JsonlStreamWriter(DataSourceStreamWriter):
                 os.remove(os.path.join(self.path, m.temp_name))
             except FileNotFoundError:
                 pass
+        _sweep_stale_temps(self.path)
 
 
 class JsonlDataSource(DataSource):

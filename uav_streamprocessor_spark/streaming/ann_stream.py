@@ -88,8 +88,23 @@ def index_topk(
     twin of similarity.ann_lsh_topk, column-for-column: candidates are
     index entries within `max_hamming` bucket bits of the query's code,
     re-ranked by exact cosine. Queries are drawn from the index itself
-    (vec_id < n_queries), matching the batch operator's query set."""
-    coded = spark.read.parquet(index_dir).drop("src_batch")
+    (vec_id < n_queries), matching the batch operator's query set.
+
+    Read-time dedup (ADVICE r4): partition overwrite makes SAME-batch
+    replay idempotent, but a source-level at-least-once feed can
+    re-deliver a vec_id in a DIFFERENT batch, leaving the vector in two
+    partitions and duplicating it in every candidate list. One row per
+    vec_id is kept — the max src_batch (latest delivery wins, so an
+    upstream update also supersedes cleanly). The bucket code is a pure
+    function of the vector, so for true re-deliveries the kept row is
+    bit-identical to the dropped one."""
+    raw = spark.read.parquet(index_dir)
+    latest = Window.partitionBy("vec_id").orderBy(F.col("src_batch").desc())
+    coded = (
+        raw.withColumn("_rn", F.row_number().over(latest))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn", "src_batch")
+    )
     queries = coded.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qvec"),
