@@ -250,3 +250,32 @@ def test_pq_audit_deterministic_and_codebook_knob_monotone(spark):
         return sum(r["avg_mse_pq"] * r["n_vectors"] for r in rows) / n
 
     assert mean_mse(big) < mean_mse(small)
+
+
+# ---------------------------------------------------------------------------
+# semdedup scale guard (VERDICT r4 #3)
+# ---------------------------------------------------------------------------
+
+def test_semdedup_k_derives_from_corpus_size(spark):
+    """Default k = ceil(N / target_cluster_size): reproduces the former
+    k=10 at this corpus size, and doubles when the corpus doubles — the
+    quadratic per-cluster bound tracks N instead of silently growing."""
+    emb = spark.table("embeddings")
+    n = emb.count()
+    prof = similarity.semdedup_profile(spark, iters=2).collect()
+    expected_k = -(-n // 50)
+    assert len(prof) == expected_k  # every cluster profiled
+    assert sum(r["n_docs"] for r in prof) == n
+
+    doubled = emb.unionByName(
+        emb.select(
+            (F.col("vec_id") + 10**6).alias("vec_id"), "embedding", "label"
+        )
+    )
+    try:
+        doubled.createOrReplaceTempView("embeddings")
+        prof2 = similarity.semdedup_profile(spark, iters=2).collect()
+        assert len(prof2) == -(-2 * n // 50)
+        assert sum(r["n_docs"] for r in prof2) == 2 * n
+    finally:
+        emb.createOrReplaceTempView("embeddings")
