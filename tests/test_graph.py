@@ -57,10 +57,51 @@ def test_sizes_join(spark):
 
 
 def test_nonconvergence_raises_not_partial(spark):
-    # diameter 5 can't finish in 2 rounds; must raise, never return a
-    # partially-propagated labeling
+    # diameter 5 can't finish in 2 rounds; with the fallback disabled it
+    # must raise, never return a partially-propagated labeling
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(5)], "src long, dst long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2)
+        connected_components(edges, max_iter=2, fallback=False)
+
+
+def test_path_100_converges_via_alternating_fallback(spark):
+    """VERDICT r4 #4: a 100-node path (diameter 99, far past the hash-min
+    budget) converges through the large-star/small-star fallback instead
+    of raising — and to the exact labeling."""
+    comp = _cc_dict(spark, [(i, i + 1) for i in range(99)], max_iter=3)
+    assert comp == {i: 0 for i in range(100)}
+
+
+def test_alternating_equals_hashmin_on_adversarial_shapes(spark):
+    """The fallback path (forced via max_iter=0-ish budgets) must agree
+    with the converged hash-min labeling on every constructed shape —
+    chain, ring, bridged cliques, duplicate/reversed edges, forest."""
+    shapes = [
+        [(i, i + 1) for i in range(9)],                      # chain
+        [(i, (i + 1) % 6) for i in range(6)],                # ring
+        [(1, 2), (1, 3), (2, 3), (10, 11), (10, 12), (11, 12), (3, 10),
+         (20, 21)],                                          # bridged cliques
+        [(5, 4), (4, 5), (3, 4), (5, 4)],                    # dup/reversed
+        [(i, i + 50) for i in range(10)] + [(0, 1), (2, 3)], # forest
+    ]
+    for pairs in shapes:
+        via_hashmin = _cc_dict(spark, pairs, max_iter=25)
+        via_fallback = _cc_dict(spark, pairs, max_iter=1)
+        assert via_fallback == via_hashmin, pairs
+
+
+def test_small_diameter_graphs_never_enter_the_fallback(spark, monkeypatch):
+    """Dup-cluster graphs (near-cliques) must stay on the cheap hash-min
+    path: poison the fallback and prove it is not consulted."""
+    from uav_streamprocessor_spark.operators import graph as graph_mod
+
+    def boom(*a, **kw):  # pragma: no cover - must not run
+        raise AssertionError("fallback used for a small-diameter graph")
+
+    monkeypatch.setattr(graph_mod, "_alternating_components", boom)
+    comp = _cc_dict(
+        spark, [(1, 2), (1, 3), (2, 3), (20, 21)], max_iter=25
+    )
+    assert comp == {1: 1, 2: 1, 3: 1, 20: 20, 21: 20}

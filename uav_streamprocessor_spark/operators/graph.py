@@ -37,6 +37,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    fallback: bool = True,
 ) -> DataFrame:
     """Hash-min label propagation over an undirected edge list.
 
@@ -45,9 +46,13 @@ def connected_components(
     keep isolated nodes. Deterministic: no RNG, no ordering dependence —
     the fixpoint is unique.
 
-    Raises RuntimeError if the fixpoint is not reached in `max_iter`
-    rounds (diameter exceeded the budget) rather than returning a
-    partially-propagated labeling.
+    Hash-min converges in O(diameter) rounds — the right default for
+    dup-cluster graphs (near-cliques, diameter 2-4, cheapest per-round
+    plan). If the fixpoint isn't reached in `max_iter` rounds (an
+    adversarial chain graph has diameter O(n)), the call FALLS BACK to
+    the large-star/small-star alternation (VERDICT r4 #4) — O(log² n)
+    rounds worst case — instead of raising; `fallback=False` restores
+    the raise for callers that want the diameter assertion.
     """
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -88,8 +93,97 @@ def connected_components(
         if new_sum == prev_sum:  # labels only decrease → fixpoint
             return labels
         prev_sum = new_sum
+    if fallback:
+        return _alternating_components(sym)
     raise RuntimeError(
         f"connected_components did not converge in {max_iter} rounds"
+    )
+
+
+def _alternating_components(sym: DataFrame, max_rounds: int = 64) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC'14) — the high-diameter
+    fallback: each round contracts the graph toward per-component stars
+    rooted at the minimum node id, converging in O(log² n) rounds
+    regardless of diameter (vs hash-min's O(diameter)).
+
+    large-star(u): every neighbor v > u re-attaches to m = min(Γ⁺(u));
+    small-star(u): every neighbor v ≤ u (edges directed larger→smaller)
+    plus u itself attaches to m. Both preserve connectivity and only
+    ever point nodes at smaller ids, so the fixpoint is the star graph
+    {(node, component-min)} — read the labels straight off the edges.
+
+    Input `sym` is the symmetrized, self-loop-free, distinct edge list
+    the hash-min path already built. Same per-round hygiene: shuffle
+    keys are node ids, localCheckpoint truncates lineage. Convergence
+    detected by an order-insensitive edge-set signature (count + two
+    independent hash sums: a collision would need simultaneous
+    equality of both 64-bit sums — negligible, and any miss only costs
+    one extra round, not correctness)."""
+    nodes = sym.select(F.col("a").alias("node")).distinct().localCheckpoint(
+        eager=True
+    )
+    edges = sym
+    prev_sig = None
+    for _ in range(max_rounds):
+        # --- large-star ---
+        symmetric = (
+            edges.union(
+                edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        mins = symmetric.groupBy("a").agg(
+            F.min("b").alias("mb")
+        ).select("a", F.least(F.col("a"), F.col("mb")).alias("m"))
+        edges = (
+            symmetric.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # --- small-star (edges directed larger → smaller) ---
+        directed = (
+            edges.select(
+                F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+            )
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+        mins2 = directed.groupBy("a").agg(F.min("b").alias("m"))
+        edges = (
+            directed.join(mins2, "a")
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(mins2.select(F.col("a"), F.col("m").alias("b")))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        sig = tuple(
+            edges.agg(
+                F.count(F.lit(1)),
+                # decimal sums: xxhash64 spans the full int64 range, so a
+                # plain long sum overflows under ANSI arithmetic
+                F.sum(F.xxhash64("a", "b").cast("decimal(38,0)")),
+                F.sum(F.xxhash64("b", "a").cast("decimal(38,0)")),
+            ).first()
+        )
+        if sig == prev_sig:
+            # star fixpoint: every edge is (node, root); roots and
+            # isolated-in-sym nodes label themselves
+            labels = edges.select("a", "b")
+            rooted = nodes.join(
+                labels, nodes["node"] == labels["a"], "left"
+            ).select(
+                "node", F.coalesce(F.col("b"), F.col("node")).alias("comp")
+            )
+            return rooted.localCheckpoint(eager=True)
+        prev_sig = sig
+    raise RuntimeError(
+        f"alternating connected components did not converge in {max_rounds} rounds"
     )
 
 
