@@ -72,10 +72,177 @@ ROTATION = [
 ]
 
 
+N_STREAM_BATCHES = 4
+
+
+def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
+    """Throughput for the streaming-state paths (VERDICT r4 #6): each
+    feed is split into N_STREAM_BATCHES files and ingested with
+    maxFilesPerTrigger=1 under availableNow — wall time covers the whole
+    micro-batch loop (per-batch joins/state writes included), reported
+    as rows-ingested / wall-sec plus per-batch latency. The equivalence
+    suites prove these paths CORRECT; this records how fast the state
+    maintenance runs at bench scale."""
+    import shutil
+    import tempfile
+
+    from uav_streamprocessor_spark.streaming.ann_stream import (
+        run_incremental_ann_index,
+    )
+    from uav_streamprocessor_spark.streaming.curation_stream import (
+        run_incremental_curation,
+    )
+    from uav_streamprocessor_spark.streaming.dedup_stream import (
+        run_incremental_neardup,
+    )
+    from uav_streamprocessor_spark.streaming.rate_limit_stream import (
+        rate_limited_stream,
+    )
+    from uav_streamprocessor_spark.streaming.sketch_stream import (
+        run_incremental_sketches,
+    )
+
+    work = Path(tempfile.mkdtemp(prefix="bench_stream_"))
+    results: dict[str, dict] = {}
+
+    def feed(df, name: str, schema: str, ordered_by=None):
+        """Write df as N time/hash-split files, return a file stream."""
+        src = work / f"src_{name}"
+        if ordered_by is not None:
+            # time-range split (sequential-state contract: per-key ts
+            # order must hold across batches)
+            from pyspark.sql import Window
+
+            import pyspark.sql.functions as _F
+
+            total = df.count()
+            per = -(-total // N_STREAM_BATCHES)
+            ranked = df.withColumn(
+                "_rn", _F.row_number().over(Window.orderBy(*ordered_by))
+            )
+            for i in range(N_STREAM_BATCHES):
+                ranked.filter(
+                    (_F.col("_rn") > i * per) & (_F.col("_rn") <= (i + 1) * per)
+                ).drop("_rn").coalesce(1).write.parquet(str(src / f"f{i}"))
+        else:
+            for i in range(N_STREAM_BATCHES):
+                df.filter(
+                    (df[df.columns[0]] % N_STREAM_BATCHES) == i
+                ).coalesce(1).write.parquet(str(src / f"f{i}"))
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src) + "/*")
+        )
+
+    def record(name: str, rows: int, runner) -> None:
+        t0 = time.perf_counter()
+        runner()
+        sec = round(time.perf_counter() - t0, 3)
+        results[name] = {
+            "rows": rows,
+            "batches": N_STREAM_BATCHES,
+            "sec": sec,
+            "rows_per_sec": round(rows / sec, 1),
+            "sec_per_batch": round(sec / N_STREAM_BATCHES, 3),
+        }
+        print(
+            f"# streaming {name}: {rows} rows / {sec}s "
+            f"= {results[name]['rows_per_sec']} rows/s",
+            file=sys.stderr,
+        )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    n_docs = docs.count()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    n_vec = emb.count()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    n_ev = ev.count()
+
+    record(
+        "dedup_lsh_index",
+        n_docs,
+        lambda: run_incremental_neardup(
+            feed(docs, "dedup", "doc_id long, text string"),
+            index_dir=str(work / "dedup_index"),
+            pairs_dir=str(work / "dedup_pairs"),
+            checkpoint_dir=str(work / "ckpt_dedup"),
+        ).awaitTermination(600),
+    )
+    record(
+        "curation_store",
+        n_docs,
+        lambda: run_incremental_curation(
+            feed(docs, "curation", "doc_id long, text string"),
+            store_dir=str(work / "curation_store"),
+            checkpoint_dir=str(work / "ckpt_curation"),
+        ).awaitTermination(600),
+    )
+    record(
+        "ann_index",
+        n_vec,
+        lambda: run_incremental_ann_index(
+            feed(emb, "ann", "vec_id long, embedding array<float>, label int"),
+            index_dir=str(work / "ann_index"),
+            checkpoint_dir=str(work / "ckpt_ann"),
+        ).awaitTermination(600),
+    )
+    record(
+        "hll_sketch_store",
+        n_ev,
+        lambda: run_incremental_sketches(
+            feed(ev, "sketch", "event_id long, ts timestamp, user_id long, event_type string"),
+            sketch_dir=str(work / "sketch_store"),
+            checkpoint_dir=str(work / "ckpt_sketch"),
+        ).awaitTermination(600),
+    )
+    record(
+        "rate_limit_state",
+        n_ev,
+        lambda: rate_limited_stream(
+            feed(
+                ev,
+                "ratelimit",
+                "event_id long, ts timestamp, user_id long, event_type string",
+                ordered_by=("ts", "event_id"),
+            )
+        )
+        .writeStream.format("memory")
+        .queryName("bench_rate_limit")
+        .outputMode("append")
+        .option("checkpointLocation", str(work / "ckpt_ratelimit"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600),
+    )
+
+    shutil.rmtree(work, ignore_errors=True)
+    return results
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
     spark = get_spark(app_name="bench")
+
+    if "--streaming" in sys.argv:
+        streaming = bench_streaming(spark, sf_dir)
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_ingest",
+                    "value": round(sum(s["sec"] for s in streaming.values()), 3),
+                    "unit": "sec",
+                    "streaming": streaming,
+                    "sf": sf,
+                }
+            )
+        )
+        return
 
     qmap = registry.queries()
     # warmup: build views + run the flagship once (JVM/codegen warm), then
@@ -107,19 +274,21 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "spread": spread,
-                "runs_per_query": n_runs,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "spread": spread,
+        "runs_per_query": n_runs,
+        "sf": sf,
+    }
+    # streaming-state throughput section (VERDICT r4 #6) — single-shot
+    # wall timings, not medians (each run re-ingests the whole feed);
+    # SPARK_GRAFT_BENCH_STREAMING=0 skips it
+    if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        out["streaming"] = bench_streaming(spark, sf_dir)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
