@@ -35,6 +35,17 @@ def norm(v):
     return v
 
 q, o = mod.queries(), mod.oracle_sql()
+# $PARITY_SUBSET: comma-separated query names — the sf0.1 spot-check
+# (VERDICT r4 #7) runs the heaviest oracled queries at 10x the driver's
+# scale factor to catch scale-dependent divergence (overflow, percentile
+# interpolation) that sf0.01 can't.
+subset = os.environ.get("PARITY_SUBSET")
+if subset:
+    names = [n.strip() for n in subset.split(",") if n.strip()]
+    unknown = [n for n in names if n not in q]
+    if unknown:
+        raise SystemExit(f"unknown queries in PARITY_SUBSET: {unknown}")
+    q = {n: q[n] for n in names}
 n_ok = n_rows_only = 0
 fails = []
 report = {}
