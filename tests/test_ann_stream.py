@@ -64,33 +64,34 @@ def test_incremental_index_equals_batch_ann_and_replay_idempotent(
 
 def test_cross_batch_redelivery_dedups_at_read(spark, tmp_path):
     """ADVICE r4: source-level at-least-once can re-deliver a vec_id in
-    a DIFFERENT batch (partition overwrite only covers same-batch
-    replay). index_topk must keep one row per vec_id (latest src_batch)
-    so candidate lists carry no duplicates."""
+    a DIFFERENT (later) batch of the same feed — partition overwrite
+    only covers same-batch replay. index_topk must keep one row per
+    vec_id (latest src_batch) so candidate lists carry no duplicates."""
     register_uav_views(spark, SF_SMALL)
     batch = {tuple(r) for r in ann_lsh_topk(spark).collect()}
     got = _run_stream(spark, tmp_path, "run1")
     assert got == batch
 
-    # simulate a late re-delivery: re-ingest the first third as a NEW
-    # batch (fresh checkpoint so it lands in src_batch=0 of a second
-    # stream run's numbering — a different partition than the original)
+    # simulate a late re-delivery: the SOURCE re-sends the first third
+    # as a NEW file in the same feed directory; resuming the SAME
+    # checkpoint picks it up as a later batch, so the rows land in a
+    # fresh src_batch partition alongside their original delivery
     emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
-    redelivery = tmp_path / "redelivery"
+    src = tmp_path / "vec_src_run1"
     emb.filter("vec_id % 3 = 0").coalesce(1).write.mode("overwrite").parquet(
-        str(redelivery / "f0")
+        str(src / "f3_redelivered")
     )
     stream = (
         spark.readStream.schema(
             "vec_id long, embedding array<float>, label int"
         )
         .option("maxFilesPerTrigger", "1")
-        .parquet(str(redelivery) + "/*")
+        .parquet(str(src) + "/*")
     )
     q = run_incremental_ann_index(
         stream,
         index_dir=str(tmp_path / "index"),
-        checkpoint_dir=str(tmp_path / "ckpt_redelivery"),
+        checkpoint_dir=str(tmp_path / "ckpt_run1"),
     )
     q.awaitTermination(180)
 

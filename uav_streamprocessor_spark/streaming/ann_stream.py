@@ -30,6 +30,13 @@ Scale properties:
   fraction ≈ C(planes, <=h) / 2^planes, same as batch ANN.
 - Replay rewrites a batch's partition with identical bytes (dynamic
   partition overwrite): at-least-once -> exactly-once convergence.
+- ONE producer (one checkpoint lineage) per index dir: `src_batch` is
+  the checkpoint's batch id, so a second stream started with a FRESH
+  checkpoint against the same index dir would reuse batch ids from 0
+  and clobber the first run's partitions. Re-deliveries within a feed
+  (a later batch re-sending an earlier vector — the at-least-once case)
+  land in a new partition and are collapsed at read time by
+  index_topk's latest-src_batch dedup.
 """
 
 from __future__ import annotations
