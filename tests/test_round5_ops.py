@@ -279,3 +279,110 @@ def test_semdedup_k_derives_from_corpus_size(spark):
         assert sum(r["n_docs"] for r in prof2) == 2 * n
     finally:
         emb.createOrReplaceTempView("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk / text_char_entropy / text_bpe_pairs (round-5 session 2)
+# ---------------------------------------------------------------------------
+
+def _docs_view(spark, rows):
+    df = spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(rows)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.createOrReplaceTempView("documents")
+
+
+def test_bm25_length_normalization_bites(spark):
+    """Perturbation: same tf, different doc length -> shorter doc wins;
+    with b=0 the length penalty is off and the scores tie."""
+    docs = spark.table("documents")
+    try:
+        _docs_view(spark, [
+            "query query pad",
+            "query query " + " ".join(["pad"] * 28),
+            # extra docs so df/avgdl aren't degenerate
+            "other words here entirely",
+            "more filler content rows",
+        ])
+        res = {r["doc_id"]: r["bm25"] for r in
+               text.bm25_topk(spark).collect() if r["term"] == "query"}
+        assert res[0] > res[1], "shorter doc must outscore at same tf"
+        flat = {r["doc_id"]: r["bm25"] for r in
+                text.bm25_topk(spark, b=0.0).collect() if r["term"] == "query"}
+        assert flat[0] == flat[1], "b=0 removes the length penalty"
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+def test_bm25_tf_saturates(spark):
+    """tf grows the score sub-linearly and saturates near idf*(k1+1):
+    doubling tf must gain less than the first occurrence did."""
+    docs = spark.table("documents")
+    try:
+        _docs_view(spark, [
+            "query alpha alpha alpha",
+            "query query alpha alpha",
+            "query query query query",
+            "unrelated filler words here",
+        ])
+        res = {r["doc_id"]: r["bm25"] for r in text.bm25_topk(spark).collect()
+               if r["term"] == "query"}
+        gain1 = res[1] - res[0]
+        gain2 = res[2] - res[1]
+        assert 0 < gain2 < gain1
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+def test_char_entropy_flags_planted_flood(spark):
+    docs = spark.table("documents")
+    base_low = sum(
+        r["low_entropy"] for r in text.char_entropy_gate(spark).collect()
+    )
+    flood = spark.createDataFrame(
+        [(10**9, "a" * 200, "en", "src0", 200)], docs.schema
+    )
+    try:
+        docs.unionByName(flood).createOrReplaceTempView("documents")
+        res = {r["doc_id"]: r for r in text.char_entropy_gate(spark).collect()}
+        assert res[10**9]["char_entropy"] == 0.0
+        assert res[10**9]["low_entropy"] == 1
+        # the flood adds exactly one flagged doc on top of the corpus's
+        # natural short-doc tail
+        n_low = sum(r["low_entropy"] for r in res.values())
+        assert n_low == base_low + 1
+        # knob: an impossible threshold flags nothing
+        none = text.char_entropy_gate(spark, min_bits=-1.0).collect()
+        assert sum(r["low_entropy"] for r in none) == 0
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+def test_char_entropy_exact_on_known_string(spark):
+    """'aabb' -> two symbols at p=.5 each -> exactly 1 bit."""
+    docs = spark.table("documents")
+    try:
+        _docs_view(spark, ["aabb", "abcd"])
+        res = {r["doc_id"]: r["char_entropy"]
+               for r in text.char_entropy_gate(spark).collect()}
+        assert res[0] == 1.0
+        assert res[1] == 2.0
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+def test_bpe_pairs_word_internal_only(spark):
+    """Pairs never cross word boundaries, and the dominant planted pair
+    wins the count."""
+    docs = spark.table("documents")
+    try:
+        _docs_view(spark, ["ab cd " * 5, "zz zz zz zz zz zz zz"])
+        rows = text.bpe_pair_counts(spark).collect()
+        counts = {r["pair"]: r["n"] for r in rows}
+        assert counts["zz"] == 7
+        assert counts["ab"] == 5 and counts["cd"] == 5
+        assert "bc" not in counts and "dz" not in counts
+        assert rows[0]["pair"] == "zz"
+    finally:
+        docs.createOrReplaceTempView("documents")

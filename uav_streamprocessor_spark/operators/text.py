@@ -483,3 +483,141 @@ def quality_classifier(spark: SparkSession) -> DataFrame:
         score.alias("quality_score"),
         (score >= 0.5).cast("int").alias("pred_keep"),
     )
+
+
+def bm25_topk(
+    spark: SparkSession,
+    n_query_terms: int = 5,
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 retrieval (Robertson/Sparck-Jones): for each query term,
+    the top-k documents by the Okapi BM25 score
+
+        idf(t) * tf * (k1+1) / (tf + k1 * (1 - b + b * dl/avgdl))
+
+    with idf(t) = ln((N - df + 0.5)/(df + 0.5) + 1). Query terms are
+    corpus-derived deterministically — the n most document-frequent
+    terms of length >= 5 (ties on the term string) — so the query set
+    needs no external input and is identical in the oracle.
+
+    Plan shape: ONE tokenize/explode feeding both the per-(doc, term)
+    tf aggregation and the df aggregation (map-side combined); doc
+    length and its corpus average come from the same tf rows (sum over
+    terms = token count), so no second scan of `text`. The query-term
+    and corpus-stat sides are tiny by construction (n terms, 1 row) and
+    broadcast; the only data-sized shuffles are the two token
+    aggregations, then a per-term top-k window over the MATCHING docs
+    only (inner join on the n query terms prunes everything else
+    first). At 100 TB, tf/df are the classic inverted-index build —
+    linear, combinable, no skew beyond natural term skew (and the
+    top-k window partitions by query term, bounded by n)."""
+    docs = spark.table("documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("term")
+    ).filter(F.col("term") != "")
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # doc length (in tokens) from the tf rows — no re-scan of text
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    corpus = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        F.avg("dl").alias("avgdl"),
+    )
+    qterms = (
+        df_.filter(F.length("term") >= 5)
+        .orderBy(F.col("df").desc(), "term")
+        .limit(n_query_terms)
+        .select("term", "df")
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corpus))
+    )
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    norm = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    score = F.round(idf * F.col("tf") * (k1 + 1.0) / norm, 6)
+    w = Window.partitionBy("term").orderBy(
+        F.col("bm25").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select("term", "doc_id", "tf", "dl", score.alias("bm25"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("term", "rnk")
+    )
+
+
+def char_entropy_gate(spark: SparkSession, min_bits: float = 3.8) -> DataFrame:
+    """Character-level Shannon entropy per document, with a low-entropy
+    gate — the cheap screen that catches degenerate text (single-char
+    floods, template spam, base64-ish blobs sit HIGH, natural prose in
+    this corpus ~4 bits/char).
+
+    Spark-first shape: entirely IN-ROW via higher-order functions — the
+    distinct chars of the doc (array_distinct, bounded by the alphabet,
+    ~30 here) drive a transform that counts each char with a filter
+    over the char array, and the entropy fold is an aggregate over the
+    count array. ZERO shuffle, one codegen'd projection — contrast the
+    naive explode-chars plan, which shuffles one row per CHARACTER of
+    the corpus (at 100 TB that's the whole corpus through the wire for
+    a per-doc statistic). Per-row cost is O(alphabet * len) JVM
+    comparisons; for huge alphabets (CJK) swap the filter-count for a
+    sorted-run count at the same zero-shuffle shape."""
+    docs = spark.table("documents")
+    # drop any ''-element the regex split may emit (engine-dependent) so
+    # counts match DuckDB's string_split exactly
+    chars = F.filter(F.split(F.col("text"), ""), lambda x: x != "")
+    n = F.size(chars).cast("double")
+    counts = F.transform(
+        F.array_distinct(chars),
+        lambda c: F.size(F.filter(chars, lambda x: x == c)).cast("double"),
+    )
+    # -sum(p * log2 p); log2(x) = ln(x)/ln(2)
+    entropy = F.aggregate(
+        counts,
+        F.lit(0.0),
+        lambda acc, c: acc - (c / n) * F.log(c / n) / F.log(F.lit(2.0)),
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").alias("n_chars"),
+        F.round(entropy, 6).alias("char_entropy"),
+        (F.round(entropy, 6) < min_bits).cast("int").alias("low_entropy"),
+    )
+
+
+def bpe_pair_counts(spark: SparkSession, k: int = 20) -> DataFrame:
+    """The counting core of one BPE merge step (Sennrich et al.,
+    arXiv:1508.07909): frequency of every ADJACENT symbol pair inside
+    words across the corpus; the argmax pair is the next merge. Symbols
+    here are characters (step 0 of training); the plan is identical for
+    later steps with multi-char symbols.
+
+    Pairs are built IN-ROW: tokenize to words, chars per word, then
+    zip_with over the two offset slices — no per-character explode.
+    The only shuffle is the final pair count (map-side combined,
+    alphabet^2-bounded key space, so the reduce side is tiny no matter
+    the corpus size). Top-k by (count desc, pair) for determinism."""
+    docs = spark.table("documents")
+    words = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.length("word") >= 2)
+    chars = F.filter(F.split(F.col("word"), ""), lambda x: x != "")
+    left = F.slice(chars, 1, F.size(chars) - 1)
+    right = F.slice(chars, 2, F.size(chars) - 1)
+    pairs = F.zip_with(left, right, lambda a, b_: F.concat(a, b_))
+    return (
+        words.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "pair")
+        .limit(k)
+    )

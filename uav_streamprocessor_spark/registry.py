@@ -989,6 +989,89 @@ _register(
 )(lambda spark: similarity.ann_lsh_topk(spark))
 
 
+_register(
+    "text_bm25_topk",
+    """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+q AS (
+  SELECT term, df FROM df WHERE length(term) >= 5
+  ORDER BY df DESC, term LIMIT 5
+),
+scored AS (
+  SELECT q.term, tf.doc_id, tf.tf, dl.dl,
+         round(ln((c.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)),
+               6) AS bm25
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id)
+           AS rnk
+  FROM scored
+)
+SELECT term, doc_id, tf, dl, bm25, rnk FROM ranked WHERE rnk <= 10
+ORDER BY term, rnk
+""",
+    notes="Okapi BM25 top-k retrieval; query terms corpus-derived "
+    "(top-df terms len>=5) so the oracle shares the query set",
+)(lambda spark: text.bm25_topk(spark))
+
+
+_register(
+    "text_char_entropy",
+    """
+WITH chars AS (
+  SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents
+),
+cnt AS (
+  SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS c FROM chars GROUP BY 1, 2
+),
+tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY 1),
+ent AS (
+  SELECT cnt.doc_id, round(-sum((c / n) * log2(c / n)), 6) AS char_entropy
+  FROM cnt JOIN tot USING (doc_id) GROUP BY cnt.doc_id
+)
+SELECT d.doc_id, d.lang, d.n_chars, e.char_entropy,
+       CAST(e.char_entropy < 3.8 AS INT) AS low_entropy
+FROM documents d JOIN ent e USING (doc_id)
+""",
+    notes="per-doc character Shannon entropy, zero-shuffle HOF plan "
+    "(oracle uses the equivalent explode+agg formulation)",
+)(lambda spark: text.char_entropy_gate(spark))
+
+
+_register(
+    "text_bpe_pairs",
+    """
+WITH words AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents
+),
+w2 AS (SELECT string_split(word, '') AS l FROM words WHERE length(word) >= 2),
+pairs AS (
+  SELECT p[1] || p[2] AS pair
+  FROM w2, unnest(list_zip(l[1:len(l) - 1], l[2:])) AS u(p)
+)
+SELECT pair, CAST(count(*) AS BIGINT) AS n
+FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
+""",
+    notes="BPE merge-step pair counting (Sennrich 1508.07909); in-row "
+    "zip_with pair build, alphabet^2-bounded reduce",
+)(lambda spark: text.bpe_pair_counts(spark))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1031,6 +1114,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_cluster_removals",
     "emb_semdedup",
     # --- 3. round-5 additions ---
+    "text_bm25_topk",
+    "text_char_entropy",
+    "text_bpe_pairs",
     "ev_rate_limit_windows",
     "text_paragraph_dedup",
     "media_phash_neardups",
@@ -1064,9 +1150,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rel_approx_distinct",
     "rel_correlated_exists",
     "ev_hourly_tumbling",
-    "ev_sliding_window",
-    "ev_json_props",
-    "dedup_docs_exact",
 ]
 
 
