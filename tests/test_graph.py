@@ -105,3 +105,98 @@ def test_small_diameter_graphs_never_enter_the_fallback(spark, monkeypatch):
         spark, [(1, 2), (1, 3), (2, 3), (20, 21)], max_iter=25
     )
     assert comp == {1: 1, 2: 1, 3: 1, 20: 20, 21: 20}
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def _numpy_pagerank(pairs, iters=10, damping=0.85):
+    """Dense reference: same update rule, same iteration count."""
+    import numpy as np
+
+    edges = set()
+    for a, b in pairs:
+        if a != b:
+            edges.add((a, b))
+            edges.add((b, a))
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {node: r[idx[node]] for node in nodes}
+
+
+def _pr_dict(spark, pairs, **kw):
+    from uav_streamprocessor_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {r["node"]: r["rank"] for r in pagerank(edges, **kw).collect()}
+
+
+def test_pagerank_matches_numpy_exactly(spark):
+    # star + chain + separate pair: hubs, leaves, and a dangling-free mix
+    pairs = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8), (20, 21)]
+    got = _pr_dict(spark, pairs)
+    want = _numpy_pagerank(pairs)
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-9, node
+
+
+def test_pagerank_hub_outranks_leaves_and_sums_to_one(spark):
+    pairs = [(0, i) for i in range(1, 8)]
+    got = _pr_dict(spark, pairs)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    hub = got[0]
+    for leaf in range(1, 8):
+        assert hub > got[leaf]
+    # leaves are symmetric -> identical ranks
+    leaf_vals = {round(got[i], 12) for i in range(1, 8)}
+    assert len(leaf_vals) == 1
+
+
+def test_pagerank_damping_zero_is_uniform(spark):
+    pairs = [(0, 1), (1, 2), (2, 3)]
+    got = _pr_dict(spark, pairs, damping=0.0)
+    for v in got.values():
+        assert abs(v - 0.25) < 1e-12
+
+
+def test_pagerank_directed_dangling_mass_conserved(spark):
+    # directed chain 0->1->2: node 2 is dangling; ranks must still sum to 1
+    pairs = [(0, 1), (1, 2)]
+    got = _pr_dict(spark, pairs, undirected=False)
+    want = _numpy_pagerank_directed(pairs)
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-9
+
+
+def _numpy_pagerank_directed(pairs, iters=10, damping=0.85):
+    import numpy as np
+
+    edges = sorted({(a, b) for a, b in pairs if a != b})
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        dangling = r[outdeg == 0].sum()
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {node: r[idx[node]] for node in nodes}

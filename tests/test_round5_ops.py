@@ -386,3 +386,72 @@ def test_bpe_pairs_word_internal_only(spark):
         assert rows[0]["pair"] == "zz"
     finally:
         docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# rel_scd2_snapshot / text_weighted_sample / dedup_pagerank_centrality
+# ---------------------------------------------------------------------------
+
+def test_scd2_snapshot_point_in_time_unique_and_consistent(spark):
+    from uav_streamprocessor_spark.operators import relational
+
+    snap = relational.scd2_snapshot(spark, as_of="1997-06-01").collect()
+    custs = [r["o_custkey"] for r in snap]
+    assert len(custs) == len(set(custs)), "one version per customer"
+    for r in snap:
+        assert r["effective_from"].strftime("%Y-%m-%d") <= "1997-06-01"
+        if r["effective_to"] is not None:
+            assert r["effective_to"].strftime("%Y-%m-%d") > "1997-06-01"
+    # snapshot before any order: empty reconstruction
+    assert relational.scd2_snapshot(spark, as_of="1960-01-01").count() == 0
+    # coverage grows monotonically with the snapshot date
+    later = relational.scd2_snapshot(spark, as_of="2099-01-01").collect()
+    assert set(custs) <= {r["o_custkey"] for r in later}
+    # the far-future snapshot is exactly the is_current slice of history
+    current = relational.scd2_order_priority_history(spark).filter(
+        "is_current = 1"
+    )
+    cur = {(r["o_custkey"], r["priority"]) for r in current.collect()}
+    assert {(r["o_custkey"], r["priority"]) for r in later} == cur
+
+
+def test_weighted_sample_quota_and_weight_bites(spark):
+    from uav_streamprocessor_spark.operators import sampling
+
+    docs = spark.table("documents")
+    per_lang = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    res = sampling.weighted_sample_topk(spark, k=10).collect()
+    got = {}
+    for r in res:
+        got.setdefault(r["lang"], []).append(r)
+    for lang, n in per_lang.items():
+        assert len(got[lang]) == min(10, n), lang
+    # deterministic: a second build returns the identical sample
+    res2 = sampling.weighted_sample_topk(spark, k=10).collect()
+    assert {tuple(r) for r in res2} == {tuple(r) for r in res}
+    # weight dominance: a planted doc with overwhelming weight is always
+    # drawn (its key ln(u)/w -> 0-, above any natural key)
+    whale = spark.createDataFrame(
+        [(10**9, "whale doc unique text", "en", "src0", 10**9)], docs.schema
+    )
+    try:
+        docs.unionByName(whale).createOrReplaceTempView("documents")
+        sampled = sampling.weighted_sample_topk(spark, k=10).collect()
+        en = [r for r in sampled if r["lang"] == "en"]
+        assert any(r["doc_id"] == 10**9 for r in en)
+        assert en[0]["doc_id"] == 10**9, "whale takes rank 1"
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+def test_pagerank_centrality_query_shape(spark):
+    from uav_streamprocessor_spark.operators import dedup
+
+    rows = dedup.pagerank_centrality(spark, k=50).collect()
+    assert 0 < len(rows) <= 50
+    ranks = [r["rank"] for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    assert all(r["rank"] > 0 for r in rows)

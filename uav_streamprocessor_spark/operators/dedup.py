@@ -542,3 +542,22 @@ def doc_cluster_quality_survivors(spark: SparkSession) -> DataFrame:
         )
         .orderBy("cluster_id")
     )
+
+
+def pagerank_centrality(spark: SparkSession, k: int = 50) -> DataFrame:
+    """Template-hub ranking: PageRank centrality over the blocking
+    near-dup graph (doc_block_edges). High-rank docs are connected to
+    many other duplicates — the boilerplate ancestors a curation pass
+    should inspect or drop first. Fixed 10 power-iteration rounds
+    (graph.pagerank); ranks rounded 8dp pre-rank, top-k with doc_id
+    tie-break."""
+    from uav_streamprocessor_spark.operators.graph import pagerank
+
+    ranks = pagerank(doc_block_edges(spark))
+    return (
+        ranks.select(
+            F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
+        )
+        .orderBy(F.col("rank").desc(), "doc_id")
+        .limit(k)
+    )

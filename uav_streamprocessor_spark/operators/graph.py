@@ -196,3 +196,89 @@ def components_with_sizes(edges: DataFrame, src: str = "src", dst: str = "dst") 
     return comp.join(sizes, comp["comp"] == sizes["c2"]).select(
         "node", "comp", "comp_size"
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 10,
+    damping: float = 0.85,
+    undirected: bool = True,
+) -> DataFrame:
+    """Power-iteration PageRank over an edge list — the third iterative
+    graph/ML operator next to connected_components and k-means.
+    Centrality over a NEAR-DUP graph ranks the "template hubs" of a
+    corpus: documents connected to many other duplicates (boilerplate
+    ancestors) float to the top, which is exactly the removal-priority
+    signal a curation pipeline wants.
+
+    Returns (node, rank) after `iters` rounds of
+        r = (1-d)/N + d * (sum of r(u)/outdeg(u) over in-neighbors u
+                           + dangling_mass / N)
+    Deterministic up to float summation order; the registered query
+    rounds before ranking.
+
+    Scale shape (the standard distributed PageRank):
+    - out-degrees computed ONCE; the per-round plan is one edge⋈rank
+      hash join on the src key + one dst-keyed partial-aggregating
+      shuffle — node-id keys only, payload is a single double.
+    - dangling mass is a scalar agg (treeAggregate-shaped), folded back
+      as a broadcast literal — no driver-side loop over rows.
+    - localCheckpoint per round truncates lineage exactly like the CC
+      fixpoint; round count is FIXED (no convergence join).
+    - edges/degrees are checkpointed once and reused every round —
+      at 100 TB these are the big invariant sides, re-read from cache,
+      never re-shuffled (degree join keyed the same as the contrib
+      groupBy)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    if undirected:
+        e = e.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    e = e.filter(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=True)
+
+    nodes = (
+        e.select(F.col("u").alias("node"))
+        .union(e.select(F.col("v").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()  # scalar N: one narrow job, reused as a literal
+    deg = e.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    ranks = nodes.select(
+        "node", F.lit(1.0 / n_nodes).alias("rank")
+    ).localCheckpoint(eager=True)
+
+    for _ in range(iters):
+        with_deg = ranks.join(deg, "node", "left")
+        # dangling nodes (no out-edges) leak their whole rank to everyone
+        dangling = (
+            with_deg.filter(F.col("outdeg").isNull())
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        contribs = (
+            e.join(
+                with_deg.filter(F.col("outdeg").isNotNull()).select(
+                    F.col("node").alias("u"),
+                    (F.col("rank") / F.col("outdeg")).alias("w"),
+                ),
+                "u",
+            )
+            .groupBy(F.col("v").alias("node"))
+            .agg(F.sum("w").alias("in_sum"))
+        )
+        base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    F.lit(base)
+                    + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks

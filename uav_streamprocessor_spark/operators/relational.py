@@ -1227,3 +1227,26 @@ def k_anonymity_audit(spark: SparkSession, k: int = 5) -> DataFrame:
         ).alias("rows_exposed"),
         F.min("class_size").alias("min_class_size"),
     )
+
+
+def scd2_snapshot(spark: SparkSession, as_of: str = "1997-06-01") -> DataFrame:
+    """Point-in-time dimension reconstruction over the SCD2 history:
+    the priority version of every customer AS OF `as_of` — the temporal
+    query the [effective_from, effective_to) ranges exist to answer
+    (time-travel joins, backtesting, training-data snapshot cuts).
+
+    Semantics: half-open validity — a version applies when
+    effective_from <= as_of < effective_to (NULL effective_to = open).
+    Exactly one row per customer with any history on/before the date.
+
+    Plan: the history build's two stacked windows (one o_custkey
+    shuffle, reused) + a codegen'd range filter — the filter prunes to
+    <= 1 row per customer, no further shuffle. At 100 TB the history
+    table would be materialized once (storage.write_bucketed on the
+    dimension key) and snapshot reads become a bucket-pruned scan."""
+    snap = F.lit(as_of).cast("date")
+    hist = scd2_order_priority_history(spark)
+    return hist.filter(
+        (F.col("effective_from") <= snap)
+        & (F.col("effective_to").isNull() | (F.col("effective_to") > snap))
+    ).select("o_custkey", "priority", "effective_from", "effective_to")

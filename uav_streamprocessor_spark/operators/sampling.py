@@ -133,3 +133,36 @@ def stratified_topk_sample(spark: SparkSession, k: int = 20) -> DataFrame:
         )
         .orderBy("lang", "rnk")
     )
+
+
+def weighted_sample_topk(spark: SparkSession, k: int = 10) -> DataFrame:
+    """Efraimidis-Spirakis A-ES weighted sampling WITHOUT replacement:
+    per language, k docs drawn with inclusion probability proportional
+    to n_chars (importance-weighted corpus sampling — longer docs carry
+    more training signal, so mixture builders upsample them).
+
+    A-ES: each item draws uniform u, gets key u^(1/w); the k largest
+    keys are a without-replacement weighted sample (Efraimidis &
+    Spirakis, IPL 97(5), 2006). As everywhere in sampling.py, u is a
+    CONTENT HASH, not an RNG — first 8 md5 hex chars scaled to (0,1) —
+    so the sample is deterministic, reproducible across engines, and
+    shardable. We rank by the monotone-equivalent ln(u)/w (better float
+    spread than u^(1/w), which crushes toward 1 for large w), rounded
+    6dp pre-rank so the oracle ranks identically.
+
+    Scale: one lang-keyed shuffle for the per-stratum top-k window,
+    O(k) rank state per partition; the key is a codegen'd projection.
+    Same skew caveat as stratified_topk_sample."""
+    docs = spark.table("documents")
+    u = (
+        F.conv(F.substring(F.md5("text"), 1, 8), 16, 10).cast("double")
+        + 1.0
+    ) / (2.0**32 + 2.0)
+    es_key = F.round(F.log(u) / F.col("n_chars"), 6)
+    w = Window.partitionBy("lang").orderBy(F.col("es_key").desc(), "doc_id")
+    return (
+        docs.select("lang", "doc_id", "n_chars", es_key.alias("es_key"))
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("lang", "rnk")
+    )

@@ -1072,6 +1072,67 @@ FROM pairs GROUP BY pair ORDER BY n DESC, pair LIMIT 20
 )(lambda spark: text.bpe_pair_counts(spark))
 
 
+_register(
+    "rel_scd2_snapshot",
+    """
+WITH obs AS (
+  SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+         lag(o_orderpriority) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS prev_p
+  FROM orders
+), changes AS (
+  SELECT * FROM obs WHERE prev_p IS NULL OR prev_p <> o_orderpriority
+), hist AS (
+  SELECT o_custkey, o_orderpriority AS priority,
+         o_orderdate AS effective_from,
+         lead(o_orderdate) OVER (
+           PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+         ) AS effective_to
+  FROM changes
+)
+SELECT o_custkey, priority, effective_from, effective_to
+FROM hist
+WHERE effective_from <= DATE '1997-06-01'
+  AND (effective_to IS NULL OR effective_to > DATE '1997-06-01')
+""",
+    notes="point-in-time SCD2 reconstruction (AS OF date): half-open "
+    "validity filter over the rel_scd2_history build",
+)(lambda spark: relational.scd2_snapshot(spark))
+
+
+_register(
+    "text_weighted_sample",
+    """
+WITH keyed AS (
+  SELECT lang, doc_id, n_chars,
+         round(ln((CAST(('0x' || substr(md5(text), 1, 8)) AS UBIGINT) + 1.0)
+                  / (4294967298.0)) / n_chars, 6) AS es_key
+  FROM documents
+), ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY lang ORDER BY es_key DESC, doc_id)
+           AS rnk
+  FROM keyed
+)
+SELECT lang, doc_id, n_chars, es_key, rnk FROM ranked WHERE rnk <= 10
+ORDER BY lang, rnk
+""",
+    notes="Efraimidis-Spirakis weighted sampling w/o replacement, "
+    "inclusion prob ~ n_chars; content-hash uniform draw so the sample "
+    "is deterministic and engine-portable",
+)(lambda spark: sampling.weighted_sample_topk(spark))
+
+
+_register(
+    "dedup_pagerank_centrality",
+    None,
+    notes="power-iteration PageRank over the blocking near-dup graph "
+    "(template-hub removal priority); fixed 10 rounds, exact-vs-numpy "
+    "pinned in test_graph.py — float summation order isn't SQL-portable",
+)(lambda spark: dedup.pagerank_centrality(spark))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1117,6 +1178,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_bm25_topk",
     "text_char_entropy",
     "text_bpe_pairs",
+    "rel_scd2_snapshot",
+    "text_weighted_sample",
+    "dedup_pagerank_centrality",
     "ev_rate_limit_windows",
     "text_paragraph_dedup",
     "media_phash_neardups",
@@ -1147,9 +1211,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rel_orders_rollup",
     "rel_orders_cube",
     "rel_pivot_linestatus",
-    "rel_approx_distinct",
-    "rel_correlated_exists",
-    "ev_hourly_tumbling",
 ]
 
 
