@@ -455,3 +455,91 @@ def test_pagerank_centrality_query_shape(spark):
     ranks = [r["rank"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
     assert all(r["rank"] > 0 for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# ev_attribution_credit / ev_markov_transitions
+# ---------------------------------------------------------------------------
+
+def test_attribution_planted_purchase_credits_exactly(spark):
+    """Perturbation: one new user with 2 views + 1 click then a purchase
+    -> linear credit +2/3 view +1/3 click, first touch = view, last =
+    click; a touch just OUTSIDE the lookback earns nothing."""
+    ev = spark.table("events")
+    base = {r["touch_type"]: r for r in
+            events_ops.attribution_credit(spark).collect()}
+    uid = 31337
+    rows = [
+        # outside the 7-day lookback: never credited
+        (3 * 10**9 + 0, "2099-05-20 00:00:00", "view"),
+        (3 * 10**9 + 1, "2099-06-01 10:00:00", "view"),
+        (3 * 10**9 + 2, "2099-06-01 11:00:00", "view"),
+        (3 * 10**9 + 3, "2099-06-01 12:00:00", "click"),
+        (3 * 10**9 + 4, "2099-06-01 13:00:00", "purchase"),
+    ]
+    planted = spark.createDataFrame(
+        [(i, t, uid, et, 1.0, "{}") for i, t, et in rows],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    try:
+        ev.unionByName(planted.select(ev.columns)).createOrReplaceTempView("events")
+        got = {r["touch_type"]: r for r in
+               events_ops.attribution_credit(spark).collect()}
+        assert got["view"]["n_touches"] == base["view"]["n_touches"] + 2
+        assert got["click"]["n_touches"] == base["click"]["n_touches"] + 1
+        assert abs(got["view"]["linear_credit"]
+                   - base["view"]["linear_credit"] - 2 / 3) < 1e-5
+        assert abs(got["click"]["linear_credit"]
+                   - base["click"]["linear_credit"] - 1 / 3) < 1e-5
+        assert got["view"]["n_first_touch"] == base["view"]["n_first_touch"] + 1
+        assert got["click"]["n_last_touch"] == base["click"]["n_last_touch"] + 1
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+def test_attribution_linear_credit_conserves_purchases(spark):
+    """Sum of linear credit over touch types == number of purchases that
+    had at least one in-window touch (each splits exactly 1.0)."""
+    res = events_ops.attribution_credit(spark).collect()
+    total_linear = sum(r["linear_credit"] for r in res)
+    assert abs(total_linear - round(total_linear)) < 1e-3
+    n_first = sum(r["n_first_touch"] for r in res)
+    n_last = sum(r["n_last_touch"] for r in res)
+    assert n_first == n_last == round(total_linear)
+
+
+def test_markov_row_stochastic_and_planted_chain(spark):
+    ev = spark.table("events")
+    res = events_ops.markov_transitions(spark).collect()
+    by_prev = {}
+    for r in res:
+        by_prev.setdefault(r["prev_type"], []).append(r)
+    for prev, rows in by_prev.items():
+        assert abs(sum(r["p"] for r in rows) - 1.0) < 1e-4, prev
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n"] for r in res) == n_events - n_users
+    # planted deterministic loop user: signup->error->error->error
+    uid = 71717
+    planted = spark.createDataFrame(
+        [(4 * 10**9 + i, f"2099-07-01 00:0{i}:00", uid, et, 1.0, "{}")
+         for i, et in enumerate(["signup", "error", "error", "error"])],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    base = {(r["prev_type"], r["next_type"]): r["n"] for r in res}
+    try:
+        ev.unionByName(planted.select(ev.columns)).createOrReplaceTempView("events")
+        got = {(r["prev_type"], r["next_type"]): r["n"]
+               for r in events_ops.markov_transitions(spark).collect()}
+        assert got[("signup", "error")] == base.get(("signup", "error"), 0) + 1
+        assert got[("error", "error")] == base.get(("error", "error"), 0) + 2
+    finally:
+        ev.createOrReplaceTempView("events")

@@ -583,3 +583,100 @@ def debounce_events(spark: SparkSession, window_minutes: int = 5) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def attribution_credit(spark: SparkSession, lookback_days: int = 7) -> DataFrame:
+    """Multi-touch attribution — the marketing-analytics twin of the
+    funnel: every purchase credits the view/click touchpoints of the
+    SAME user in the `lookback_days` before it. Three standard models
+    in one result, per touch event_type:
+      - linear: each of the n touches of a purchase earns 1/n
+      - first_touch / last_touch: the earliest / latest touch earns 1
+    Ties break on event_id; purchases with no in-window touch drop out
+    (they have nothing to credit).
+
+    Plan: touches ⋈ purchases is a user-keyed equi-join with the time
+    range as a join-level filter — both sides pre-filtered by type, so
+    only view/click and purchase rows shuffle, keyed by user_id. Per
+    purchase, ONE window (partition = purchase event, order = touch ts)
+    ranks touches for first/last and carries count(*) for the linear
+    share — window state bounded by touches-per-purchase-window, not by
+    user history. At 100 TB this inherits the interval-join playbook:
+    heavy-hitter users salt cleanly because the purchase id, not the
+    user, is the window key."""
+    ev = spark.table("events")
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.col("event_id").alias("p_id"),
+    )
+    lb = F.expr(f"INTERVAL {lookback_days} DAYS")
+    pairs = touches.join(
+        purchases,
+        (F.col("t_user") == F.col("p_user"))
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - lb),
+    )
+    w = Window.partitionBy("p_id")
+    wo = w.orderBy("t_ts", "t_id")
+    ranked = pairs.select(
+        "touch_type",
+        (1.0 / F.count(F.lit(1)).over(w)).alias("linear_share"),
+        (F.row_number().over(wo) == 1).cast("int").alias("is_first"),
+        (
+            F.row_number().over(wo.orderBy(F.col("t_ts").desc(), F.col("t_id").desc()))
+            == 1
+        ).cast("int").alias("is_last"),
+    )
+    return (
+        ranked.groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.round(F.sum("linear_share"), 6).alias("linear_credit"),
+            F.sum("is_first").cast("long").alias("n_first_touch"),
+            F.sum("is_last").cast("long").alias("n_last_touch"),
+        )
+        .orderBy("touch_type")
+    )
+
+
+def markov_transitions(spark: SparkSession) -> DataFrame:
+    """First-order Markov model of user behavior: P(next event type |
+    current event type), estimated from per-user event sequences — the
+    sequence-analytics screen for loops (error→error), dead ends, and
+    conversion paths.
+
+    Plan: ONE user-keyed window (lag of event_type by (ts, event_id))
+    emits transition pairs in-place — no self-join; the pair count is a
+    25-key aggregation that partial-aggregates map-side, and the row
+    normalization joins the 5-row margin back broadcast. The window
+    partitions by user, so it scales with the user key like every
+    sessionization here."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        ev.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    margin = pairs.groupBy("prev_type").agg(F.sum("n").alias("row_total"))
+    return (
+        pairs.join(F.broadcast(margin), "prev_type")
+        .select(
+            "prev_type",
+            "next_type",
+            "n",
+            F.round(F.col("n") / F.col("row_total"), 6).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

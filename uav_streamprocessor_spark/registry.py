@@ -1133,6 +1133,70 @@ _register(
 )(lambda spark: dedup.pagerank_centrality(spark))
 
 
+_register(
+    "ev_attribution_credit",
+    """
+WITH touches AS (
+  SELECT user_id AS t_user, event_type AS touch_type, ts AS t_ts,
+         event_id AS t_id
+  FROM events WHERE event_type IN ('view', 'click')
+), purchases AS (
+  SELECT user_id AS p_user, ts AS p_ts, event_id AS p_id
+  FROM events WHERE event_type = 'purchase'
+), pairs AS (
+  SELECT touch_type, t_ts, t_id, p_id
+  FROM touches JOIN purchases
+    ON t_user = p_user
+   AND t_ts < p_ts
+   AND t_ts >= p_ts - INTERVAL 7 DAY
+), ranked AS (
+  SELECT touch_type,
+         1.0 / count(*) OVER (PARTITION BY p_id) AS linear_share,
+         CASE WHEN row_number() OVER (
+           PARTITION BY p_id ORDER BY t_ts, t_id) = 1 THEN 1 ELSE 0
+         END AS is_first,
+         CASE WHEN row_number() OVER (
+           PARTITION BY p_id ORDER BY t_ts DESC, t_id DESC) = 1 THEN 1 ELSE 0
+         END AS is_last
+  FROM pairs
+)
+SELECT touch_type,
+       CAST(count(*) AS BIGINT) AS n_touches,
+       round(sum(linear_share), 6) AS linear_credit,
+       CAST(sum(is_first) AS BIGINT) AS n_first_touch,
+       CAST(sum(is_last) AS BIGINT) AS n_last_touch
+FROM ranked GROUP BY touch_type ORDER BY touch_type
+""",
+    notes="multi-touch attribution (linear/first/last in one pass): "
+    "user-keyed interval join, per-purchase windows",
+)(lambda spark: events_ops.attribution_credit(spark))
+
+
+_register(
+    "ev_markov_transitions",
+    """
+WITH seq AS (
+  SELECT user_id, event_type AS next_type,
+         lag(event_type) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) AS prev_type
+  FROM events
+), pairs AS (
+  SELECT prev_type, next_type, CAST(count(*) AS BIGINT) AS n
+  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+), margin AS (
+  SELECT prev_type, CAST(sum(n) AS BIGINT) AS row_total FROM pairs GROUP BY 1
+)
+SELECT p.prev_type, p.next_type, p.n, round(p.n * 1.0 / m.row_total, 6) AS p
+FROM pairs p JOIN margin m USING (prev_type)
+ORDER BY p.prev_type, p.next_type
+""",
+    notes="first-order Markov transition matrix over per-user event "
+    "sequences: one lag window, map-side-combined pair counts, "
+    "broadcast margin",
+)(lambda spark: events_ops.markov_transitions(spark))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1181,6 +1245,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rel_scd2_snapshot",
     "text_weighted_sample",
     "dedup_pagerank_centrality",
+    "ev_attribution_credit",
+    "ev_markov_transitions",
     "ev_rate_limit_windows",
     "text_paragraph_dedup",
     "media_phash_neardups",
@@ -1209,8 +1275,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q3_priority",
     "tpch_q5_region_revenue",
     "rel_orders_rollup",
-    "rel_orders_cube",
-    "rel_pivot_linestatus",
 ]
 
 
