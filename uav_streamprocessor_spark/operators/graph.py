@@ -246,18 +246,26 @@ def pagerank(
     deg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
+    deg = deg.localCheckpoint(eager=True)
     ranks = nodes.select(
         "node", F.lit(1.0 / n_nodes).alias("rank")
     ).localCheckpoint(eager=True)
 
     for _ in range(iters):
         with_deg = ranks.join(deg, "node", "left")
-        # dangling nodes (no out-edges) leak their whole rank to everyone
-        dangling = (
-            with_deg.filter(F.col("outdeg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
+        if undirected:
+            # symmetrized graph: every node has out-edges AND in-edges,
+            # so dangling mass is identically 0 and contribs covers all
+            # nodes — skip the per-round scalar job and the nodes join
+            # (one job per round instead of two)
+            dangling = 0.0
+        else:
+            # dangling nodes (no out-edges) leak their rank to everyone
+            dangling = (
+                with_deg.filter(F.col("outdeg").isNull())
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+                .first()[0]
+            )
         contribs = (
             e.join(
                 with_deg.filter(F.col("outdeg").isNotNull()).select(
@@ -270,15 +278,18 @@ def pagerank(
             .agg(F.sum("w").alias("in_sum"))
         )
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
-        ranks = (
-            nodes.join(contribs, "node", "left")
-            .select(
+        if undirected:
+            new_ranks = contribs.select(
+                "node",
+                (F.lit(base) + damping * F.col("in_sum")).alias("rank"),
+            )
+        else:
+            new_ranks = nodes.join(contribs, "node", "left").select(
                 "node",
                 (
                     F.lit(base)
                     + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),
             )
-            .localCheckpoint(eager=True)
-        )
+        ranks = new_ranks.localCheckpoint(eager=True)
     return ranks
