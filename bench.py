@@ -60,6 +60,9 @@ HEADLINE = [
     # r4 additions: training-batch assembly + substring-dedup approximation
     "text_sequence_packing",       # per-shard cumsum packing window
     "text_substring_dup_spans",    # tuple-hashed 8-gram span coverage
+    # r5 additions: retrieval + iterative graph centrality
+    "text_bm25_topk",              # inverted-index build + BM25 top-k
+    "dedup_pagerank_centrality",   # 10-round power iteration over dup graph
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at

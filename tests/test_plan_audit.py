@@ -66,16 +66,20 @@ def test_no_unpartitioned_windows_in_oracle_queries(spark):
 
 
 @pytest.mark.parametrize("name", ["dedup_minhash_candidates", "dedup_simhash_neardups"])
-def test_lsh_self_join_reuses_exchange(spark, name):
-    """The banded self-join must plan identical subtrees on both sides so
-    ReusedExchange computes the signature UDF once, not twice. AQE applies
-    exchange reuse at runtime, so assert on the FINAL plan after an
-    action."""
+def test_lsh_signature_udf_planned_once(spark, name):
+    """Group-and-emit-pairs candidate generation (dedup._bucket_pairs)
+    must leave exactly ONE signature-UDF node in the plan — the r5
+    rewrite replaced the banded self-join, whose two sides each
+    instantiated the UDF subtree and relied on runtime exchange reuse
+    to dedupe the work. One node = structurally impossible to compute
+    signatures twice, with no reuse machinery to depend on."""
     df = _Q[name](spark, SF_SMALL)
     df.collect()
-    plan = formatted_plan(df)
-    assert "isFinalPlan=true" in plan
-    assert "ReusedExchange" in plan, f"{name}: signature UDF runs twice\n{plan[:1500]}"
+    # formatted output repeats the tree under "== Initial Plan ==";
+    # count only the final (executed) section
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    n_udf = plan.count("ArrowEvalPython")
+    assert n_udf == 1, f"{name}: expected 1 signature UDF node, got {n_udf}\n{plan[:1500]}"
 
 
 def test_knn_broadcasts_queries_not_corpus(spark):

@@ -216,12 +216,47 @@ def band_signatures(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.band_sig")
 
 
+def _bucket_pairs(bands: DataFrame, key_cols: list[str], member) -> DataFrame:
+    """Group-and-emit-pairs LSH candidate generation: group band rows by
+    the bucket key, collect the (sorted) member structs, and expand the
+    within-bucket pairs IN-ROW (ordered i<j slices, so doc_id_a <
+    doc_id_b by construction), then explode.
+
+    This replaces the band-key SELF-JOIN: a self-join instantiates the
+    signature-UDF subtree on BOTH sides — the intended ReusedExchange
+    dedup does NOT survive AQE stage planning (verified in the executed
+    plan: two ArrowEvalPython nodes), so signatures were computed twice.
+    Here the signature branch exists ONCE; the only shuffle is the
+    bucket groupBy, and the quadratic pair expansion is confined to a
+    bucket (the LSH guarantee). At 100 TB, cap pathological buckets
+    with a size filter before expansion — the standard production LSH
+    shape (same note as doc_block_edges)."""
+    members = F.array_sort(F.collect_list(member))
+    buckets = (
+        bands.groupBy(*[F.col(c) for c in key_cols])
+        .agg(members.alias("ms"))
+        .filter(F.size("ms") > 1)
+    )
+    n = F.size("ms")
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda m, i: F.transform(
+                F.slice(F.col("ms"), i + 2, n - i - 1),
+                lambda m2: F.struct(m.alias("a"), m2.alias("b")),
+            ),
+        )
+    )
+    return buckets.select(F.explode(pairs).alias("p"))
+
+
 def minhash_candidates(spark: SparkSession) -> DataFrame:
     """MinHash+LSH near-duplicate candidate pairs.
 
-    signature(64) → 16 bands of 4 → explode to (band, band_sig) → self-join
-    on the band bucket. The only shuffle is on the band bucket key; all-pairs
-    comparison never happens. Candidates with doc_id_a < doc_id_b, distinct.
+    signature(64) → 16 bands of 4 → explode to (band, band_sig) →
+    group-and-emit-pairs per bucket (_bucket_pairs). ONE signature
+    computation, ONE shuffle (the bucket groupBy); all-pairs comparison
+    never happens. Candidates with doc_id_a < doc_id_b, distinct.
     """
     # small parquet files arrive as 1 partition — spread before the UDF so
     # signature hashing uses every core (at 100 TB the scan is already
@@ -233,21 +268,11 @@ def minhash_candidates(spark: SparkSession) -> DataFrame:
     )
     sigs = docs.withColumn("sig", minhash_signature("text")).select("doc_id", "sig")
     bands = band_signatures(sigs)
-    # shuffle-hash (not broadcast) self-join: both sides then plan the
-    # IDENTICAL shuffle over the signature-UDF subtree, so ReusedExchange
-    # computes MinHash signatures once instead of twice
-    a = bands.alias("a").hint("shuffle_hash")
-    b = bands.alias("b")
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        _bucket_pairs(bands, ["band", "band_sig"], F.col("doc_id"))
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
+            F.col("p.a").alias("doc_id_a"),
+            F.col("p.b").alias("doc_id_b"),
         )
         .distinct()
     )
@@ -278,12 +303,19 @@ def word_ngrams(toks_col, n: int = 3):
     )
 
 
-def doc_ngram_sets(spark: SparkSession, n: int = 3) -> DataFrame:
+def doc_ngram_sets(
+    spark: SparkSession, n: int = 3, base: DataFrame | None = None
+) -> DataFrame:
     """doc_id → distinct word-n-gram array. The repartition between token
     split and gram assembly is an optimizer barrier: without it Catalyst
     collapses the projections and re-inlines split() into every lambda
-    evaluation (O(tokens²) per doc — measured 10× slower)."""
-    docs = spark.table("documents")
+    evaluation (O(tokens²) per doc — measured 10× slower).
+
+    `base` lets a caller pre-prune the doc set BEFORE the gram build
+    (e.g. semi-join to candidate ids) — Catalyst will not push a join
+    beneath the gram projection on its own, so pruning must happen on
+    the raw (doc_id, text) frame."""
+    docs = base if base is not None else spark.table("documents")
     toks = docs.select(
         "doc_id", F.split(F.lower("text"), " ").alias("toks")
     ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
@@ -295,9 +327,24 @@ def minhash_near_duplicates(spark: SparkSession, threshold: float = 0.7) -> Data
     similarity space the MinHash signatures sample, so banding theory
     applies: P(candidate | j) = 1-(1-j^4)^16 ≈ 0.99 at j=0.7. Verify step
     is built-in array ops, no UDF."""
-    cands = minhash_candidates(spark)
-    docs = doc_ngram_sets(spark)
-    docs = docs.withColumnRenamed("grams", "toks")
+    # materialize the (tiny) candidate set so the verify side can PRUNE:
+    # without this, referencing cands from the id list would re-instantiate
+    # the whole signature branch, and without the semi-join the 3-gram
+    # arrays get built for EVERY doc on both join sides (two corpus
+    # scans for a candidate set that touches a few % of docs). This is
+    # the standard candidates-then-verify materialization boundary.
+    cands = minhash_candidates(spark).localCheckpoint(eager=True)
+    ids = (
+        cands.select(F.col("doc_id_a").alias("doc_id"))
+        .union(cands.select(F.col("doc_id_b").alias("doc_id")))
+        .distinct()
+    )
+    pruned = spark.table("documents").select("doc_id", "text").join(
+        ids, "doc_id", "left_semi"
+    )
+    docs = doc_ngram_sets(spark, base=pruned).withColumnRenamed(
+        "grams", "toks"
+    )
     a = docs.alias("ta")
     b = docs.alias("tb")
     joined = (
@@ -363,28 +410,25 @@ def simhash_buckets(spark: SparkSession) -> DataFrame:
 
 
 def simhash_near_duplicates(spark: SparkSession, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-duplicates: banded candidate self-join, then exact
-    hamming verify with built-in bit ops (bit_count(a ^ b)).
+    """SimHash near-duplicates: banded group-and-emit-pairs candidates
+    (_bucket_pairs — one simhash computation, one bucket shuffle, no
+    self-join), then exact hamming verify with built-in bit ops
+    (bit_count(a ^ b)).
 
     For max_hamming <= _SIMHASH_BANDS - 1 recall is exactly 1.0 (pigeonhole
-    over the bands; pinned in tests against a brute-force oracle). The only
-    shuffle is on (band, band_val); identical subtrees on both join sides
-    let ReusedExchange compute the simhash UDF once."""
+    over the bands; pinned in tests against a brute-force oracle)."""
     bands = _simhash_banded(spark)
-    a = bands.alias("a").hint("shuffle_hash")
-    b = bands.alias("b")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        _bucket_pairs(
+            bands,
+            ["band", "band_val"],
+            F.struct(F.col("doc_id"), F.col("simhash")),
         )
         .select(
-            F.col("a.doc_id").alias("doc_id_a"),
-            F.col("b.doc_id").alias("doc_id_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.col("b.simhash").alias("sim_b"),
+            F.col("p.a.doc_id").alias("doc_id_a"),
+            F.col("p.b.doc_id").alias("doc_id_b"),
+            F.col("p.a.simhash").alias("sim_a"),
+            F.col("p.b.simhash").alias("sim_b"),
         )
         .distinct()
     )

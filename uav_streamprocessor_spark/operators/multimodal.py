@@ -302,16 +302,20 @@ def image_ahash(media: DataFrame) -> DataFrame:
 def _banded_hamming_pairs(
     hashed: DataFrame, hash_col: str, max_hamming: int
 ) -> DataFrame:
-    """Banded 4x16 candidate self-join over a 64-bit hash column + exact
+    """Banded 4x16 group-and-emit-pairs over a 64-bit hash column + exact
     bit_count(a ^ b) verify — recall 1.0 for hamming <= 3 by pigeonhole
     (4 bands, <= 3 flipped bits -> one band untouched; same scheme and
-    proof as text SimHash, operators/dedup.py). The join moves only
-    (media_id, hash, 16-bit band key); identical subtrees on both sides
-    -> ReusedExchange computes the upstream decode+hash UDF once."""
+    proof as text SimHash, operators/dedup.py). Bucket rows carry only
+    (media_id, hash, 16-bit band key), and the decode+hash UDF exists
+    ONCE in the plan — the r5 dedup rewrite applied here too (the old
+    self-join instantiated the UDF subtree on both sides and leaned on
+    runtime exchange reuse; see dedup._bucket_pairs)."""
+    from uav_streamprocessor_spark.operators.dedup import _bucket_pairs
+
     mask = (1 << _AHASH_BAND_BITS) - 1
     bands = hashed.select(
-        "media_id",
-        hash_col,
+        F.col("media_id").alias("doc_id"),
+        F.col(hash_col).alias("h"),
         F.explode(
             F.array(*[
                 F.struct(
@@ -323,20 +327,16 @@ def _banded_hamming_pairs(
                 for b in range(_AHASH_BANDS)
             ])
         ).alias("bb"),
-    ).select("media_id", hash_col, "bb.band", "bb.band_val")
-    a, b = bands.alias("a").hint("shuffle_hash"), bands.alias("b")
+    ).select("doc_id", "h", "bb.band", "bb.band_val")
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+        _bucket_pairs(
+            bands, ["band", "band_val"], F.struct(F.col("doc_id"), F.col("h"))
         )
         .select(
-            F.col("a.media_id").alias("media_id_a"),
-            F.col("b.media_id").alias("media_id_b"),
-            F.col(f"a.{hash_col}").alias("hash_a"),
-            F.col(f"b.{hash_col}").alias("hash_b"),
+            F.col("p.a.doc_id").alias("media_id_a"),
+            F.col("p.b.doc_id").alias("media_id_b"),
+            F.col("p.a.h").alias("hash_a"),
+            F.col("p.b.h").alias("hash_b"),
         )
         .distinct()
     )
