@@ -543,3 +543,70 @@ def test_markov_row_stochastic_and_planted_chain(spark):
         assert got[("error", "error")] == base.get(("error", "error"), 0) + 2
     finally:
         ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# text_hybrid_retrieval / text_bigram_ce
+# ---------------------------------------------------------------------------
+
+def test_hybrid_alpha_endpoints_recover_pure_rankers(spark):
+    """alpha=1 must reproduce BM25's own top-10 ordering; alpha=0 must
+    order by cosine alone — the mixing knob provably bites."""
+    pure_bm = {(r["term"], r["rnk"]): r["doc_id"]
+               for r in text.bm25_topk(spark, k=10).collect()}
+    a1 = text.hybrid_retrieval(spark, alpha=1.0).collect()
+    for r in a1:
+        assert pure_bm[(r["term"], r["rnk"])] == r["doc_id"]
+    a0 = text.hybrid_retrieval(spark, alpha=0.0).collect()
+    by_term = {}
+    for r in a0:
+        by_term.setdefault(r["term"], []).append(r)
+    for term, rows in by_term.items():
+        cosines = [r["cosine"] for r in sorted(rows, key=lambda r: r["rnk"])]
+        assert cosines == sorted(cosines, reverse=True), term
+        # the query doc itself (cosine 1.0 with its own vector) ranks 1
+        assert rows[0]["cosine"] == 1.0
+
+
+def test_hybrid_scores_bounded_and_deterministic(spark):
+    res = text.hybrid_retrieval(spark).collect()
+    assert len(res) > 0
+    for r in res:
+        assert -1.0 <= r["cosine"] <= 1.0
+        assert r["hybrid"] <= 0.5 + 0.5 + 1e-9
+    res2 = text.hybrid_retrieval(spark).collect()
+    assert {tuple(r) for r in res} == {tuple(r) for r in res2}
+
+
+def test_bigram_ce_planted_repetition_scores_fluent(spark):
+    """Perturbation: a doc that is one high-frequency bigram repeated
+    must score far LOWER cross-entropy than the corpus median — the LM
+    rewards predictable sequences."""
+    docs = spark.table("documents")
+    base = text.bigram_cross_entropy(spark).collect()
+    med = sorted(r["bigram_ce"] for r in base)[len(base) // 2]
+    planted = spark.createDataFrame(
+        [(10**9, "the " * 200 + "the", "en", "src0", 803)], docs.schema
+    )
+    try:
+        docs.unionByName(planted).createOrReplaceTempView("documents")
+        res = {r["doc_id"]: r for r in text.bigram_cross_entropy(spark).collect()}
+        assert res[10**9]["n_bigrams"] == 200
+        assert res[10**9]["bigram_ce"] < med / 2
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+def test_bigram_ce_counts_match_token_arithmetic(spark):
+    """n_bigrams per doc == token-array length - 1 (all bigrams join the
+    model because the corpus contains the doc)."""
+    res = {r["doc_id"]: r["n_bigrams"]
+           for r in text.bigram_cross_entropy(spark).collect()}
+    toks = {
+        r["doc_id"]: r["n"]
+        for r in spark.table("documents")
+        .select("doc_id", F.size(F.split(F.lower("text"), " ")).alias("n"))
+        .collect()
+    }
+    for doc_id, nb in res.items():
+        assert nb == toks[doc_id] - 1, doc_id

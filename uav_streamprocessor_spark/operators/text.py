@@ -647,3 +647,140 @@ def bpe_pair_counts(spark: SparkSession, k: int = 20) -> DataFrame:
         .orderBy(F.col("n").desc(), "pair")
         .limit(k)
     )
+
+
+def hybrid_retrieval(
+    spark: SparkSession,
+    n_candidates: int = 20,
+    k: int = 10,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Hybrid lexical+vector retrieval — the modern RAG retrieval stack
+    in one plan: BM25 produces per-term candidates, the term's rank-1
+    document supplies the query VECTOR (pseudo-relevance feedback — the
+    deterministic stand-in for an external query embedding), and
+    candidates re-rank by
+
+        hybrid = alpha * bm25 / max_bm25(term)  +  (1-alpha) * cosine
+
+    (min-max-free normalization: BM25 scaled by the term's top score,
+    cosine already in [-1, 1]).
+
+    Plan: the candidate set is MATERIALIZED once (localCheckpoint —
+    same candidates-then-rerank boundary as minhash verify; the BM25
+    plan would otherwise re-instantiate per reference: once for the
+    per-term max, once for the query-vector pick, once as the rerank
+    input). Vectors join candidate rows by id — the embeddings scan is
+    pruned to ~n_candidates x terms rows by the join; the query-vector
+    side is ≤ n_terms rows, broadcast. At 100 TB this is exactly a
+    production two-stage retriever: cheap lexical stage bounds the
+    expensive vector stage."""
+    from uav_streamprocessor_spark.operators.similarity import _cosine
+
+    cands = bm25_topk(spark, k=n_candidates).localCheckpoint(eager=True)
+    max_bm25 = cands.groupBy("term").agg(F.max("bm25").alias("max_bm25"))
+    qvec = (
+        cands.filter(F.col("rnk") == 1)
+        .select(F.col("term"), F.col("doc_id").alias("q_doc_id"))
+    )
+    emb = spark.table("embeddings").select(
+        F.col("vec_id"), F.col("embedding")
+    )
+    qvec_e = qvec.join(
+        emb, qvec["q_doc_id"] == emb["vec_id"]
+    ).select("term", F.col("embedding").alias("qv"))
+    scored = (
+        cands.join(emb, cands["doc_id"] == emb["vec_id"])
+        .join(F.broadcast(qvec_e), "term")
+        .join(F.broadcast(max_bm25), "term")
+    )
+    cos = F.round(_cosine(F.col("qv"), F.col("embedding")), 6)
+    hybrid = F.round(
+        alpha * F.col("bm25") / F.col("max_bm25")
+        + (1.0 - alpha) * F.col("cosine"),
+        6,
+    )
+    w = Window.partitionBy("term").orderBy(
+        F.col("hybrid").desc(), F.col("doc_id")
+    )
+    return (
+        scored.select(
+            "term", "doc_id", "bm25", "max_bm25", cos.alias("cosine")
+        )
+        .withColumn("hybrid", hybrid)
+        .drop("max_bm25")
+        .withColumn("new_rnk", F.row_number().over(w))
+        .filter(F.col("new_rnk") <= k)
+        .select(
+            "term",
+            F.col("new_rnk").alias("rnk"),
+            "doc_id",
+            "bm25",
+            "cosine",
+            "hybrid",
+        )
+        .orderBy("term", "rnk")
+    )
+
+
+def bigram_cross_entropy(spark: SparkSession) -> DataFrame:
+    """Bigram-LM fluency scoring — the sequence-aware upgrade of
+    unigram_cross_entropy: per doc, average -log2 P(w2 | w1) under an
+    add-one-smoothed corpus bigram model,
+
+        P(w2 | w1) = (c(w1 w2) + 1) / (c(w1) + V).
+
+    Plan: doc bigrams are built IN-ROW (zip_with over offset slices of
+    the token array — the word-level twin of bpe_pair_counts), so the
+    only data-scale shuffles are the bigram/unigram count aggs and the
+    per-(doc, bigram) probability join, all keyed by compact gram
+    strings; V is a 1-row broadcast. The model tables are vocabulary-
+    (not corpus-) sized — at 100 TB they're the small side and the join
+    broadcasts or bucket-joins on gram."""
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id", "lang", F.split(F.lower("text"), " ").alias("ws")
+    )
+    bi = F.zip_with(
+        F.slice(F.col("ws"), 1, F.size("ws") - 1),
+        F.slice(F.col("ws"), 2, F.size("ws") - 1),
+        lambda a, b_: F.concat_ws(" ", a, b_),
+    )
+    doc_bi = toks.select(
+        "doc_id", "lang", F.explode(bi).alias("bigram")
+    )
+    bi_counts = doc_bi.groupBy("bigram").agg(
+        F.count(F.lit(1)).alias("c_bi")
+    )
+    uni = docs.select(
+        F.explode(F.split(F.lower("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    uni_counts = uni.groupBy("w").agg(F.count(F.lit(1)).alias("c_uni"))
+    vocab = uni_counts.agg(
+        F.count(F.lit(1)).cast("double").alias("v_size")
+    )
+    model = (
+        bi_counts.withColumn(
+            "w1", F.substring_index("bigram", " ", 1)
+        )
+        .join(uni_counts, F.col("w1") == F.col("w"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            (
+                -F.log(
+                    (F.col("c_bi") + 1.0)
+                    / (F.col("c_uni") + F.col("v_size"))
+                )
+                / F.log(F.lit(2.0))
+            ).alias("nll_bits"),
+        )
+    )
+    return (
+        doc_bi.join(model, "bigram")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg("nll_bits"), 6).alias("bigram_ce"),
+        )
+    )

@@ -1197,6 +1197,119 @@ ORDER BY p.prev_type, p.next_type
 )(lambda spark: events_ops.markov_transitions(spark))
 
 
+_register(
+    "text_hybrid_retrieval",
+    """
+WITH terms AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents
+),
+tf AS (
+  SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+  FROM terms WHERE term <> '' GROUP BY 1, 2
+),
+dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+corpus AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dl
+),
+q AS (
+  SELECT term, df FROM df WHERE length(term) >= 5
+  ORDER BY df DESC, term LIMIT 5
+),
+scored AS (
+  SELECT q.term, tf.doc_id, tf.tf, dl.dl,
+         round(ln((c.n_docs - q.df + 0.5) / (q.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.dl / c.avgdl)),
+               6) AS bm25
+  FROM tf JOIN q USING (term) JOIN dl USING (doc_id) CROSS JOIN corpus c
+),
+cands AS (
+  SELECT * FROM (
+    SELECT term, doc_id, bm25,
+           row_number() OVER (PARTITION BY term ORDER BY bm25 DESC, doc_id)
+             AS rnk
+    FROM scored
+  ) WHERE rnk <= 20
+),
+maxb AS (SELECT term, max(bm25) AS max_bm25 FROM cands GROUP BY 1),
+qv AS (SELECT term, doc_id AS q_doc_id FROM cands WHERE rnk = 1),
+pair AS (
+  SELECT c.term, c.doc_id, c.bm25, m.max_bm25,
+         e.embedding AS cv, eq.embedding AS qvv
+  FROM cands c
+  JOIN maxb m USING (term)
+  JOIN qv USING (term)
+  JOIN embeddings e ON e.vec_id = c.doc_id
+  JOIN embeddings eq ON eq.vec_id = qv.q_doc_id
+),
+el AS (
+  SELECT term, doc_id, bm25, max_bm25,
+         CAST(unnest(cv) AS DOUBLE) AS x, CAST(unnest(qvv) AS DOUBLE) AS y
+  FROM pair
+),
+cos AS (
+  SELECT term, doc_id, bm25, max_bm25,
+         round(sum(x * y) / (sqrt(sum(x * x)) * sqrt(sum(y * y))), 6)
+           AS cosine
+  FROM el GROUP BY 1, 2, 3, 4
+),
+hyb AS (
+  SELECT term, doc_id, bm25, cosine,
+         round(0.5 * bm25 / max_bm25 + 0.5 * cosine, 6) AS hybrid
+  FROM cos
+),
+ranked AS (
+  SELECT term, doc_id, bm25, cosine, hybrid,
+         row_number() OVER (PARTITION BY term ORDER BY hybrid DESC, doc_id)
+           AS rnk
+  FROM hyb
+)
+SELECT term, rnk, doc_id, bm25, cosine, hybrid
+FROM ranked WHERE rnk <= 10 ORDER BY term, rnk
+""",
+    notes="two-stage hybrid retrieval: BM25 candidates re-ranked by "
+    "alpha*bm25/max + (1-alpha)*cosine to the rank-1 doc's vector "
+    "(pseudo-relevance feedback); the RAG retriever shape",
+)(lambda spark: text.hybrid_retrieval(spark))
+
+
+_register(
+    "text_bigram_ce",
+    """
+WITH toks AS (
+  SELECT doc_id, lang, string_split(lower(text), ' ') AS ws FROM documents
+),
+doc_bi AS (
+  SELECT doc_id, lang, p[1] || ' ' || p[2] AS bigram
+  FROM toks, unnest(list_zip(ws[1:len(ws) - 1], ws[2:])) AS u(p)
+),
+bi_counts AS (
+  SELECT bigram, CAST(count(*) AS BIGINT) AS c_bi FROM doc_bi GROUP BY 1
+),
+uni AS (
+  SELECT unnest(string_split(lower(text), ' ')) AS w FROM documents
+),
+uni_counts AS (
+  SELECT w, CAST(count(*) AS BIGINT) AS c_uni
+  FROM uni WHERE w <> '' GROUP BY 1
+),
+vocab AS (SELECT CAST(count(*) AS DOUBLE) AS v_size FROM uni_counts),
+model AS (
+  SELECT bigram, -ln((c_bi + 1.0) / (c_uni + v_size)) / ln(2) AS nll_bits
+  FROM bi_counts
+  JOIN uni_counts ON split_part(bigram, ' ', 1) = w
+  CROSS JOIN vocab
+)
+SELECT doc_id, lang, CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(nll_bits), 6) AS bigram_ce
+FROM doc_bi JOIN model USING (bigram) GROUP BY doc_id, lang
+""",
+    notes="add-one-smoothed bigram-LM cross-entropy per doc; in-row "
+    "bigram build (word-level zip_with), vocabulary-sized model tables",
+)(lambda spark: text.bigram_cross_entropy(spark))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1247,6 +1360,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_pagerank_centrality",
     "ev_attribution_credit",
     "ev_markov_transitions",
+    "text_hybrid_retrieval",
+    "text_bigram_ce",
     "ev_rate_limit_windows",
     "text_paragraph_dedup",
     "media_phash_neardups",
@@ -1273,8 +1388,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_top_confidence",
     "tpch_q1_pricing",
     "tpch_q3_priority",
-    "tpch_q5_region_revenue",
-    "rel_orders_rollup",
 ]
 
 
