@@ -10,7 +10,7 @@ Five strategies, scale-ranked:
                  pairs verified with exact Jaccard. Near-dup at scale:
                  shuffle is on (band, bucket-hash), never all-pairs.
 - simhash      : 64-bit simhash in 4 bands of 16 bits (Manku et al.
-                 WWW'07): banded bucket self-join for candidates, exact
+                 WWW'07): banded group-and-emit-pairs candidates, exact
                  hamming verify with bit_count(a ^ b) — recall 1.0 for
                  hamming <= 3 by pigeonhole.
 - ngram_jaccard: exact n-gram Jaccard on candidate pairs (the verifier the
@@ -102,7 +102,8 @@ def minhash_signature(texts: pd.Series) -> pd.Series:
     The per-doc (shingles × 64) modular product is cache-resident and
     measured FASTER than a concatenated-batch reduceat variant (memory-
     bandwidth-bound); the UDF is <5% of the LSH query's cost — the plan
-    around it (one ReusedExchange shuffle) is what matters at scale."""
+    around it (one signature pass feeding the bucket groupBy) is what
+    matters at scale."""
     a, b = _perm_params()
     sigs = []
     for text in texts:
@@ -486,10 +487,12 @@ def doc_block_edges(spark: SparkSession) -> DataFrame:
     """Candidate edges from two overlapping blocking-key families (md5 of
     words 1-5 and of words 3-8): docs sharing either key are near-dup
     candidates. Two families let clusters merge ACROSS families — the
-    bridge case single-key grouping cannot express. The self-join keys on
-    a 16-byte hash, never text; at 100 TB, cap pathological block sizes
-    (boilerplate prefixes) with a count<=N semi-join before the pair
-    expansion — uncapped here because the oracle must see every pair."""
+    bridge case single-key grouping cannot express. Pairs come from the
+    group-and-emit _bucket_pairs (r5 — one key-build, one shuffle, no
+    self-join); buckets key on a 16-byte hash, never text. At 100 TB,
+    cap pathological block sizes (boilerplate prefixes) with a size
+    filter before the pair expansion — uncapped here because the oracle
+    must see every pair."""
     words = F.split(F.col("text"), " ")
     docs = spark.table("documents")
     keys = docs.select(
@@ -501,11 +504,8 @@ def doc_block_edges(spark: SparkSession) -> DataFrame:
             F.concat(F.lit("m:"), F.md5(F.concat_ws(" ", F.slice(words, 3, 6)))).alias("key"),
         )
     )
-    a, b = keys.alias("a"), keys.alias("b")
-    return (
-        a.join(b, "key")
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    return _bucket_pairs(keys, ["key"], F.col("doc_id")).select(
+        F.col("p.a").alias("src"), F.col("p.b").alias("dst")
     )
 
 
