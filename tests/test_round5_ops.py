@@ -610,3 +610,41 @@ def test_bigram_ce_counts_match_token_arithmetic(spark):
     }
     for doc_id, nb in res.items():
         assert nb == toks[doc_id] - 1, doc_id
+
+
+# ---------------------------------------------------------------------------
+# ev_top_session_paths
+# ---------------------------------------------------------------------------
+
+def test_session_paths_conserve_sessions_and_split_on_gap(spark):
+    """Path counts (unlimited k) must sum to the session count from the
+    gaps-and-islands sessionizer; a planted sequence appears as one path
+    with a tight gap and shatters into singletons past the gap knob."""
+    n_sessions = events_ops.sessionize_gap_method(spark).count()
+    all_paths = events_ops.top_session_paths(spark, k=10**9).collect()
+    assert sum(r["n_sessions"] for r in all_paths) == n_sessions
+
+    ev = spark.table("events")
+    seq = ["view", "click", "purchase"]
+    planted = spark.createDataFrame(
+        [(5 * 10**9 + i, f"2099-08-01 00:{i:02d}:00", 90909, et, 1.0, "{}")
+         for i, et in enumerate(seq)],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"),
+        "user_id", "event_type", "value", "props",
+    )
+    try:
+        ev.unionByName(planted.select(ev.columns)).createOrReplaceTempView("events")
+        tight = {r["path"]: r["n_sessions"]
+                 for r in events_ops.top_session_paths(spark, k=10**9).collect()}
+        base = {r["path"]: r["n_sessions"] for r in all_paths}
+        assert tight.get("view>click>purchase", 0) == base.get("view>click>purchase", 0) + 1
+        # gap knob: 30s sessions shatter the 1-minute-spaced plant
+        shattered = {r["path"]: r["n_sessions"] for r in
+                     events_ops.top_session_paths(spark, gap_minutes=0.5, k=10**9).collect()}
+        total = sum(shattered.values())
+        assert total > sum(base.values()) + 1  # more, smaller sessions
+    finally:
+        ev.createOrReplaceTempView("events")

@@ -680,3 +680,48 @@ def markov_transitions(spark: SparkSession) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def top_session_paths(
+    spark: SparkSession, gap_minutes: int = 30, k: int = 15
+) -> DataFrame:
+    """Navigation-path mining: the most common within-session event-type
+    SEQUENCES (view>click>purchase ...) — the product-analytics query
+    behind funnels-you-didn't-think-to-ask-for. Sessions come from the
+    same exact-microsecond lag-gap rule as sessionize_gap_method; the
+    path string is assembled IN-ROW from one per-session
+    array_sort(collect_list(struct)) aggregation (deterministic: the
+    struct sorts by (us, event_id) before the types are joined — no
+    reliance on collect_list order, which Spark does not guarantee).
+
+    Scale: one user-keyed window (shared sort for lag + running sum),
+    one (user, session) aggregation whose state is bounded by session
+    length, one path-keyed count (map-side combined), top-k. Path
+    cardinality is a power-law — the count agg's reduce side is small;
+    a length cap on pathological sessions is the standard guard."""
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (gap.isNull() | (gap > gap_us)).cast("long")
+    sess = ev.withColumn(
+        "session_seq",
+        F.sum(new_sess).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    ).select("user_id", us.alias("us"), "event_id", "event_type", "session_seq")
+    steps = F.array_sort(
+        F.collect_list(F.struct("us", "event_id", "event_type"))
+    )
+    paths = sess.groupBy("user_id", "session_seq").agg(
+        F.concat_ws(
+            ">", F.transform(steps, lambda s: s["event_type"])
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(k)
+    )

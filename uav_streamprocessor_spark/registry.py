@@ -1310,6 +1310,38 @@ FROM doc_bi JOIN model USING (bigram) GROUP BY doc_id, lang
 )(lambda spark: text.bigram_cross_entropy(spark))
 
 
+_register(
+    "ev_top_session_paths",
+    """
+WITH ordered AS (
+  SELECT user_id, epoch_us(ts) AS us, event_id, event_type,
+         CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, us, event_id, event_type,
+         sum(new_s) OVER (
+           PARTITION BY user_id ORDER BY us, event_id
+           ROWS UNBOUNDED PRECEDING
+         ) AS session_seq
+  FROM ordered
+),
+paths AS (
+  SELECT user_id, session_seq,
+         string_agg(event_type, '>' ORDER BY us, event_id) AS path
+  FROM sess GROUP BY 1, 2
+)
+SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15
+""",
+    notes="within-session event-type path mining (top-k sequences); "
+    "deterministic path assembly via sorted struct aggregation",
+)(lambda spark: events_ops.top_session_paths(spark))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1362,6 +1394,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ev_markov_transitions",
     "text_hybrid_retrieval",
     "text_bigram_ce",
+    "ev_top_session_paths",
     "ev_rate_limit_windows",
     "text_paragraph_dedup",
     "media_phash_neardups",
@@ -1387,7 +1420,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_metadata_json",
     "uav_top_confidence",
     "tpch_q1_pricing",
-    "tpch_q3_priority",
 ]
 
 
