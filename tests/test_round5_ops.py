@@ -648,3 +648,24 @@ def test_session_paths_conserve_sessions_and_split_on_gap(spark):
         assert total > sum(base.values()) + 1  # more, smaller sessions
     finally:
         ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# emb_ann_tuning_curve
+# ---------------------------------------------------------------------------
+
+def test_ann_tuning_curve_monotone_and_consistent(spark):
+    """Recall must be monotone in the probe knob for each method, and the
+    LSH point at the default radius must equal the recall the dedicated
+    equality test computes from ann_lsh_topk directly."""
+    rows = {(r["method"], r["knob"]): r["recall"]
+            for r in similarity.ann_tuning_curve(spark).collect()}
+    assert rows[("lsh", 0)] <= rows[("lsh", 1)] <= rows[("lsh", 2)]
+    assert rows[("ivf", 1)] <= rows[("ivf", 2)] <= rows[("ivf", 4)]
+    assert 0.0 <= min(rows.values()) and max(rows.values()) <= 1.0
+    # independent recomputation of the lsh/h=2 point
+    truth = {(r["query_id"], r["vec_id"])
+             for r in similarity.knn_bruteforce(spark).collect()}
+    approx = {(r["query_id"], r["vec_id"])
+              for r in similarity.ann_lsh_topk(spark).collect()}
+    assert rows[("lsh", 2)] == round(len(truth & approx) / len(truth), 6)

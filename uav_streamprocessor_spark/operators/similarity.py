@@ -780,3 +780,64 @@ def pq_quantization_audit(
         .withColumn("compression_int8", F.round(F.lit(4.0), 2))
         .orderBy("label")
     )
+
+
+def ann_tuning_curve(spark: SparkSession, k: int = 5) -> DataFrame:
+    """The ANN quality/cost audit an index deployment is tuned with:
+    for each (method, knob) point — LSH multi-probe radius, IVF nprobe —
+    recall@k against the exact brute-force neighbors and the fraction
+    of the corpus each query had to score. The eval harness AS a query:
+    the same join-based recall the pytest suite pins, registered so the
+    tuning table ships with the engine.
+
+    Plan: the exact top-k (broadcast-queries kNN) is computed once and
+    joined against each approximate result on (query_id, vec_id) — a
+    left-semi per point counts hits; candidate fractions come from the
+    methods' own candidate sets. Every branch follows the established
+    broadcast-queries shape, so nothing here shuffles the corpus. The
+    knob grid is a driver-side list of PLANS (3-4 points), not a
+    driver-side loop over data."""
+    truth = knn_bruteforce(spark, k=k).select(
+        "query_id", F.col("vec_id").alias("true_id")
+    )
+    n_queries = truth.select("query_id").distinct().count()
+    denom = float(n_queries * k)
+    points = []
+    for h in (0, 1, 2):
+        approx = ann_lsh_topk(spark, k=k, max_hamming=h).select(
+            "query_id", "vec_id"
+        )
+        hits = truth.join(
+            approx,
+            (truth["query_id"] == approx["query_id"])
+            & (truth["true_id"] == approx["vec_id"]),
+            "left_semi",
+        )
+        points.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit("lsh").alias("method"),
+                F.lit(h).alias("knob"),
+                F.round(F.col("n_hits") / denom, 6).alias("recall"),
+            )
+        )
+    for nprobe in (1, 2, 4):
+        approx = ivf_topk(spark, k=k, nprobe=nprobe).select(
+            "query_id", "vec_id"
+        )
+        hits = truth.join(
+            approx,
+            (truth["query_id"] == approx["query_id"])
+            & (truth["true_id"] == approx["vec_id"]),
+            "left_semi",
+        )
+        points.append(
+            hits.agg(F.count(F.lit(1)).alias("n_hits")).select(
+                F.lit("ivf").alias("method"),
+                F.lit(nprobe).alias("knob"),
+                F.round(F.col("n_hits") / denom, 6).alias("recall"),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("method", "knob")

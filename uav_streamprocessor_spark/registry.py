@@ -1342,6 +1342,16 @@ FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15
 )(lambda spark: events_ops.top_session_paths(spark))
 
 
+_register(
+    "emb_ann_tuning_curve",
+    None,
+    notes="ANN quality/cost audit: recall@k vs exact kNN per (method, "
+    "knob) point across LSH probe radii and IVF nprobe — the eval "
+    "harness as a query; LSH/IVF sides aren't SQL-portable (rows-only), "
+    "monotonicity + exactness pinned in pytest",
+)(lambda spark: similarity.ann_tuning_curve(spark))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1395,6 +1405,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_hybrid_retrieval",
     "text_bigram_ce",
     "ev_top_session_paths",
+    "emb_ann_tuning_curve",
     "ev_rate_limit_windows",
     "text_paragraph_dedup",
     "media_phash_neardups",
@@ -1419,7 +1430,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_metadata_fields",
     "uav_metadata_json",
     "uav_top_confidence",
-    "tpch_q1_pricing",
 ]
 
 
