@@ -98,6 +98,9 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     from uav_streamprocessor_spark.streaming.dedup_stream import (
         run_incremental_neardup,
     )
+    from uav_streamprocessor_spark.streaming.packing_stream import (
+        packed_stream,
+    )
     from uav_streamprocessor_spark.streaming.rate_limit_stream import (
         rate_limited_stream,
     )
@@ -218,6 +221,28 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         .queryName("bench_rate_limit")
         .outputMode("append")
         .option("checkpointLocation", str(work / "ckpt_ratelimit"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600),
+    )
+
+    full_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    record(
+        "packing_state",
+        n_docs,
+        lambda: packed_stream(
+            feed(
+                full_docs,
+                "packing",
+                "doc_id long, text string, lang string, source string, "
+                "n_chars long",
+                ordered_by=("doc_id",),
+            )
+        )
+        .writeStream.format("memory")
+        .queryName("bench_packing")
+        .outputMode("append")
+        .option("checkpointLocation", str(work / "ckpt_packing"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination(600),

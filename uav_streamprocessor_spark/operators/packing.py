@@ -54,22 +54,12 @@ def sequence_packing(
     independent narrow task after one hash shuffle; there is no global
     ordering anywhere. Sequence ids use integer `div` (exact, no double
     rounding at large cumulative counts)."""
-    docs = spark.table("documents")
-    n_tokens = (
-        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))) + 1
-    ).cast("long")
-    shard = (
-        _nibble(F.substring(F.md5("text"), 5, 1)) * 16
-        + _nibble(F.substring(F.md5("text"), 6, 1))
-    ) % n_shards
-    w = Window.partitionBy("shard").orderBy("doc_id")
     staged = (
-        docs.select(
-            "doc_id",
-            shard.cast("int").alias("shard"),
-            n_tokens.alias("n_tokens"),
+        doc_tokens_shard(spark.table("documents"), n_shards)
+        .withColumn(
+            "cum",
+            F.sum("n_tokens").over(Window.partitionBy("shard").orderBy("doc_id")),
         )
-        .withColumn("cum", F.sum("n_tokens").over(w))
         .select(
             "doc_id",
             "shard",
@@ -78,6 +68,30 @@ def sequence_packing(
             F.expr(f"(cum - 1) div {budget}").alias("seq_id_last"),
         )
     )
+    return pack_summary(staged)
+
+
+def doc_tokens_shard(docs: DataFrame, n_shards: int = _N_PACK_SHARDS) -> DataFrame:
+    """(doc_id, shard, n_tokens) — the packing input frame, shared by the
+    batch window form and the streaming state twin
+    (streaming/packing_stream.py) so both pack the SAME shard streams
+    with the SAME token arithmetic."""
+    n_tokens = (
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(" ")))) + 1
+    ).cast("long")
+    shard = (
+        _nibble(F.substring(F.md5("text"), 5, 1)) * 16
+        + _nibble(F.substring(F.md5("text"), 6, 1))
+    ) % n_shards
+    return docs.select(
+        "doc_id", shard.cast("int").alias("shard"), n_tokens.alias("n_tokens")
+    )
+
+
+def pack_summary(staged: DataFrame) -> DataFrame:
+    """Per-(shard, sequence) roll-up of staged packing assignments —
+    shared by the batch and streaming packers (identical downstream
+    semantics ⇒ the equality proof compares this one output)."""
     return (
         staged.groupBy("shard", "seq_id")
         .agg(
