@@ -621,7 +621,7 @@ def test_session_paths_conserve_sessions_and_split_on_gap(spark):
     gaps-and-islands sessionizer; a planted sequence appears as one path
     with a tight gap and shatters into singletons past the gap knob."""
     n_sessions = events_ops.sessionize_gap_method(spark).count()
-    all_paths = events_ops.top_session_paths(spark, k=10**9).collect()
+    all_paths = events_ops.top_session_paths(spark, k=None).collect()
     assert sum(r["n_sessions"] for r in all_paths) == n_sessions
 
     ev = spark.table("events")
@@ -638,12 +638,12 @@ def test_session_paths_conserve_sessions_and_split_on_gap(spark):
     try:
         ev.unionByName(planted.select(ev.columns)).createOrReplaceTempView("events")
         tight = {r["path"]: r["n_sessions"]
-                 for r in events_ops.top_session_paths(spark, k=10**9).collect()}
+                 for r in events_ops.top_session_paths(spark, k=None).collect()}
         base = {r["path"]: r["n_sessions"] for r in all_paths}
         assert tight.get("view>click>purchase", 0) == base.get("view>click>purchase", 0) + 1
         # gap knob: 30s sessions shatter the 1-minute-spaced plant
         shattered = {r["path"]: r["n_sessions"] for r in
-                     events_ops.top_session_paths(spark, gap_minutes=0.5, k=10**9).collect()}
+                     events_ops.top_session_paths(spark, gap_minutes=0.5, k=None).collect()}
         total = sum(shattered.values())
         assert total > sum(base.values()) + 1  # more, smaller sessions
     finally:

@@ -683,7 +683,7 @@ def markov_transitions(spark: SparkSession) -> DataFrame:
 
 
 def top_session_paths(
-    spark: SparkSession, gap_minutes: int = 30, k: int = 15
+    spark: SparkSession, gap_minutes: float = 30, k: int | None = 15
 ) -> DataFrame:
     """Navigation-path mining: the most common within-session event-type
     SEQUENCES (view>click>purchase ...) — the product-analytics query
@@ -719,9 +719,13 @@ def top_session_paths(
             ">", F.transform(steps, lambda s: s["event_type"])
         ).alias("path")
     )
-    return (
+    out = (
         paths.groupBy("path")
         .agg(F.count(F.lit(1)).alias("n_sessions"))
         .orderBy(F.col("n_sessions").desc(), "path")
-        .limit(k)
     )
+    # k=None returns every path. NEVER emulate that with a huge limit:
+    # sort+limit plans a TakeOrderedAndProject whose priority queue is
+    # sized by the limit — a 10^9 "unbounded" limit allocates at driver
+    # scale and can kill the JVM (observed in the test suite).
+    return out if k is None else out.limit(k)
