@@ -669,3 +669,44 @@ def test_ann_tuning_curve_monotone_and_consistent(spark):
     approx = {(r["query_id"], r["vec_id"])
               for r in similarity.ann_lsh_topk(spark).collect()}
     assert rows[("lsh", 2)] == round(len(truth & approx) / len(truth), 6)
+
+
+# ---------------------------------------------------------------------------
+# text_classifier_calibration
+# ---------------------------------------------------------------------------
+
+def test_classifier_calibration_conserves_and_gate_consistent(spark):
+    """Bucket counts sum to the corpus; gate passes sum to the aggregate
+    Gopher report's pass count; gate_rate recomputes from the counts."""
+    from uav_streamprocessor_spark.operators import repetition
+
+    rows = text.classifier_calibration(spark).collect()
+    n_docs = spark.table("documents").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    gopher = repetition.gopher_quality_flags(spark).collect()
+    n_pass = sum(r["n_docs"] for r in gopher if r["passes"] == 1)
+    assert sum(r["n_gate_pass"] for r in rows) == n_pass
+    for r in rows:
+        assert abs(r["gate_rate"] - r["n_gate_pass"] / r["n_docs"]) < 1e-5
+        assert 0 <= r["score_bucket"] <= 9
+
+
+def test_classifier_calibration_flood_lands_in_fail_bucket(spark):
+    """Perturbation: a stopword-free single-char flood must land with
+    gate=0 and not perturb other buckets' gate passes."""
+    docs = spark.table("documents")
+    base = {r["score_bucket"]: r for r in text.classifier_calibration(spark).collect()}
+    flood = spark.createDataFrame(
+        [(10**9, ("zq " * 40).strip(), "en", "src0", 119)], docs.schema
+    )
+    try:
+        docs.unionByName(flood).createOrReplaceTempView("documents")
+        got = {r["score_bucket"]: r for r in text.classifier_calibration(spark).collect()}
+        assert sum(r["n_docs"] for r in got.values()) == sum(
+            r["n_docs"] for r in base.values()
+        ) + 1
+        assert sum(r["n_gate_pass"] for r in got.values()) == sum(
+            r["n_gate_pass"] for r in base.values()
+        ), "the flood fails the stopword rule, so gate passes are unchanged"
+    finally:
+        docs.createOrReplaceTempView("documents")

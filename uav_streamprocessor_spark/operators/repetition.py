@@ -103,6 +103,34 @@ def boilerplate_ngrams(
     )
 
 
+def gopher_doc_flags(spark: SparkSession) -> DataFrame:
+    """Per-document Gopher gate verdict: (doc_id, passes INT) with the
+    SAME four rules and thresholds as gopher_quality_flags (which is
+    this frame aggregated). Docs under 3 words carry no row — callers
+    left-join and treat absence as fail, exactly like the aggregate
+    form's filter. Exposed so downstream audits (classifier
+    calibration) can join the verdict without re-deriving the rules."""
+    docs = spark.table("documents")
+    n_words = F.size("ws")
+    padded = F.concat(F.lit(" "), F.lower("text"), F.lit(" "))
+    the_hits = (F.length(padded) - F.length(F.replace(padded, F.lit(" the ")))) / 5
+    grams = F.col("grams")
+    return (
+        _with_tokens(docs)
+        .filter(n_words >= 3)
+        .withColumn("grams", _grams_col(3))
+        .select(
+            "doc_id",
+            (
+                (n_words >= 30)
+                & (F.length("text") / n_words <= 5.5)
+                & (the_hits / n_words >= 0.02)
+                & (F.size(F.array_distinct(grams)) == F.size(grams))
+            ).cast("int").alias("passes"),
+        )
+    )
+
+
 def gopher_quality_flags(spark: SparkSession) -> DataFrame:
     """Composite Gopher-style quality gate, summarized per (lang, passes):
     word count >= 30, mean word length <= 5.5, stopword ('the') ratio

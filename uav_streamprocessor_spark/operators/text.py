@@ -784,3 +784,39 @@ def bigram_cross_entropy(spark: SparkSession) -> DataFrame:
             F.round(F.avg("nll_bits"), 6).alias("bigram_ce"),
         )
     )
+
+
+def classifier_calibration(spark: SparkSession) -> DataFrame:
+    """Classifier calibration audit — does the linear quality scorer's
+    score MEAN anything? Per absolute score decile (floor(score*10),
+    top bucket closed), the fraction of docs that pass the independent
+    Gopher rule gate. A well-calibrated scorer shows gate_rate rising
+    with the bucket; a flat curve means the scorer is noise. The same
+    eval-as-a-query pattern as emb_ann_tuning_curve, fully
+    SQL-expressible this time.
+
+    Plan: two map-only per-doc projections (scorer, gate) joined on
+    doc_id, one 10-key aggregation — the join is the only shuffle, and
+    absolute-bin bucketing avoids the global ntile sort on purpose."""
+    from uav_streamprocessor_spark.operators.repetition import gopher_doc_flags
+
+    scores = quality_classifier(spark)
+    gate = gopher_doc_flags(spark)
+    joined = scores.join(gate, "doc_id", "left").select(
+        "doc_id",
+        "quality_score",
+        F.coalesce(F.col("passes"), F.lit(0)).alias("gate"),
+    )
+    bucket = F.least(
+        F.floor(F.col("quality_score") * 10).cast("int"), F.lit(9)
+    )
+    return (
+        joined.groupBy(bucket.alias("score_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("gate").cast("long").alias("n_gate_pass"),
+            F.round(F.avg("gate"), 6).alias("gate_rate"),
+            F.round(F.avg("quality_score"), 6).alias("avg_score"),
+        )
+        .orderBy("score_bucket")
+    )

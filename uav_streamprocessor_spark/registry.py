@@ -1352,6 +1352,68 @@ _register(
 )(lambda spark: similarity.ann_tuning_curve(spark))
 
 
+_register(
+    "text_classifier_calibration",
+    """
+WITH f AS (
+  SELECT doc_id,
+         ((length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0)
+         / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+           AS stop_ratio,
+         length(text)
+         / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+           AS mean_word_len,
+         ln(length(text) + 1.0) AS log_len
+  FROM documents
+),
+scores AS (
+  SELECT doc_id,
+         round(1.0 / (1.0 + exp(-(-6.0 + 12.0 * stop_ratio
+                                  + 0.55 * mean_word_len
+                                  + 0.35 * log_len))), 6) AS quality_score
+  FROM f
+),
+w AS (
+  SELECT doc_id, text, string_split(lower(text), ' ') AS ws,
+         ' ' || lower(text) || ' ' AS p
+  FROM documents
+),
+gate AS (
+  SELECT doc_id,
+         CAST((len(ws) >= 30)
+          AND (length(text) / CAST(len(ws) AS DOUBLE) <= 5.5)
+          AND ((length(p) - length(replace(p, ' the ', ''))) / 5 / len(ws)
+               >= 0.02)
+          AND (len(list_distinct(list_transform(
+                 generate_series(1, len(ws) - 2),
+                 i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])))
+               = len(ws) - 2) AS INT) AS passes
+  FROM w WHERE len(ws) >= 3
+),
+joined AS (
+  SELECT s.doc_id, s.quality_score, coalesce(g.passes, 0) AS gate
+  FROM scores s LEFT JOIN gate g USING (doc_id)
+)
+SELECT CAST(least(floor(quality_score * 10), 9) AS INT) AS score_bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(gate) AS BIGINT) AS n_gate_pass,
+       round(avg(gate), 6) AS gate_rate,
+       round(avg(quality_score), 6) AS avg_score
+FROM joined GROUP BY 1 ORDER BY 1
+""",
+    notes="scorer-vs-gate calibration audit: per absolute score decile, "
+    "the independent Gopher-gate pass rate — eval-as-a-query, fully "
+    "oracled",
+)(lambda spark: text.classifier_calibration(spark))
+
+
 # ---------------------------------------------------------------------------
 # Driver correctness-window ordering.
 #
@@ -1406,6 +1468,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_bigram_ce",
     "ev_top_session_paths",
     "emb_ann_tuning_curve",
+    "text_classifier_calibration",
     "ev_rate_limit_windows",
     "text_paragraph_dedup",
     "media_phash_neardups",
@@ -1429,7 +1492,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_fps_fallback",
     "uav_metadata_fields",
     "uav_metadata_json",
-    "uav_top_confidence",
 ]
 
 
