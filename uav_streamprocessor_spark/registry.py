@@ -787,8 +787,30 @@ _register(
 
 _register(
     "dedup_ngram_jaccard",
-    None,
-    notes="word-3-gram Jaccard on bounded candidate pairs (array built-ins)",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM t
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         round(len(list_intersect(a.grams, b.grams)) * 1.0
+               / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+           AS jaccard3
+  FROM g a JOIN g b
+    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+)
+SELECT doc_id_a, doc_id_b, jaccard3 FROM pairs WHERE jaccard3 > 0
+""",
+    notes="word-3-gram Jaccard on bounded candidate pairs (array "
+    "built-ins). Oracled in r5: DuckDB list_intersect/list_distinct "
+    "reproduce the set arithmetic (previously rows-only)",
 )(lambda spark: dedup.ngram_jaccard_pairs(spark))
 
 
@@ -1455,6 +1477,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_doc_clusters",
     "dedup_cluster_removals",
     "emb_semdedup",
+    "dedup_ngram_jaccard",
     # --- 3. round-5 additions ---
     "text_bm25_topk",
     "text_char_entropy",
@@ -1491,7 +1514,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_filename_order",
     "uav_fps_fallback",
     "uav_metadata_fields",
-    "uav_metadata_json",
 ]
 
 
