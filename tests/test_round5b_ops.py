@@ -1,0 +1,78 @@
+"""Behavioral invariants + perturbation controls for the round-5 second
+batch of operators (VERDICT r4 #8 pattern: every new op ships with a
+perturbed-input positive control proving its gate/threshold bites;
+value-level correctness is the DuckDB oracle's job in
+test_oracle_parity.py / PARITY artifacts)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from uav_streamprocessor_spark.fixtures import register_uav_views
+from uav_streamprocessor_spark.operators import similarity
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _views(spark):
+    register_uav_views(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# emb_semantic_decontam
+# ---------------------------------------------------------------------------
+
+def test_semantic_decontam_threshold_monotone_and_excludes_test_set(spark):
+    loose = similarity.semantic_decontamination(spark, threshold=0.30).collect()
+    # derive the tighter threshold from the observed score distribution
+    # (not a corpus-shape literal — ADVICE r4): median of the loose hits
+    # splits them, so the tight run must return a strict non-empty subset
+    cosines = sorted(r["cosine"] for r in loose)
+    assert len(cosines) >= 2 and cosines[0] < cosines[-1]
+    mid = cosines[len(cosines) // 2]
+    tight = similarity.semantic_decontamination(spark, threshold=mid).collect()
+    assert 0 < len(tight) < len(loose)
+    assert {r["vec_id"] for r in tight} < {r["vec_id"] for r in loose}
+    # held-out vectors are never flagged as their own contamination
+    for r in loose:
+        assert r["vec_id"] % 50 != 0
+        assert r["closest_test_id"] % 50 == 0
+        assert r["cosine"] >= 0.30
+    # an impossible threshold yields nothing
+    assert similarity.semantic_decontamination(spark, threshold=1.01).count() == 0
+
+
+def test_semantic_decontam_flags_planted_paraphrase(spark):
+    """Perturbation: plant a training vector that is a near-copy of a
+    held-out test vector (tiny additive shift — a 'paraphrase' in
+    embedding space). The decontamination pass must flag it, attribute
+    it to THAT test vector, and score it above every organic hit."""
+    emb = spark.table("embeddings")
+    test_vec = emb.filter(F.col("vec_id") == 50)
+    plant = test_vec.select(
+        F.lit(999_999).cast("long").alias("vec_id"),
+        F.transform(
+            F.col("embedding"), lambda x: (x + F.lit(0.001)).cast("float")
+        ).alias("embedding"),
+        F.col("label"),
+    )
+    organic_max = max(
+        r["cosine"]
+        for r in similarity.semantic_decontamination(spark).collect()
+    )
+    try:
+        emb.unionByName(plant.select(emb.columns)).createOrReplaceTempView(
+            "embeddings"
+        )
+        flagged = {
+            r["vec_id"]: r
+            for r in similarity.semantic_decontamination(spark).collect()
+        }
+        hit = flagged[999_999]
+        assert hit["closest_test_id"] == 50
+        assert hit["label_match"] is True
+        assert hit["cosine"] > max(organic_max, 0.999)
+    finally:
+        emb.createOrReplaceTempView("embeddings")

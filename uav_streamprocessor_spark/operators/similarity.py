@@ -841,3 +841,63 @@ def ann_tuning_curve(spark: SparkSession, k: int = 5) -> DataFrame:
     for p in points[1:]:
         out = out.unionByName(p)
     return out.orderBy("method", "knob")
+
+
+def semantic_decontamination(
+    spark: SparkSession, test_stride: int = 50, threshold: float = 0.35
+) -> DataFrame:
+    """Embedding-level decontamination: flag training vectors whose cosine
+    against ANY held-out test vector reaches `threshold` — the semantic
+    sibling of the n-gram decontamination in repetition.py (paraphrased
+    test questions that no exact-gram overlap can catch; the WMDP /
+    Phi-style decontam pass).
+
+    Held-out set = vec_id % test_stride == 0 (deterministic, ~2% of the
+    corpus). Same scale shape as knn_bruteforce/hard_negatives: the test
+    set is broadcast (it is small by construction — benchmarks are KBs,
+    corpora are TBs), the training corpus streams map-side through one
+    zip_with/aggregate projection and NEVER shuffles; the per-vector
+    argmax folds into a groupBy on vec_id, partial-aggregated map-side.
+    At 100 TB the only change is bucketing the test side by an LSH code
+    to skip the full test scan per vector (tuning curve as in
+    ann_recall_tuning).
+
+    Output: one row per flagged training vector — its closest test
+    vector, the cosine, and whether the stub labels agree (label
+    agreement distinguishes true paraphrase leakage from topical
+    collision in the audit)."""
+    emb = spark.table("embeddings")
+    test = emb.filter(F.col("vec_id") % test_stride == 0).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("tvec"),
+        F.col("label").alias("test_label"),
+    )
+    train = emb.filter(F.col("vec_id") % test_stride != 0)
+    sim = F.round(_cosine(F.col("embedding"), F.col("tvec")), 6)
+    scored = train.join(F.broadcast(test)).select(
+        "vec_id", "label", "test_id", "test_label", sim.alias("cosine")
+    )
+    # per-vector argmax as a single struct-max (partial-aggregable, unlike
+    # a window): order (cosine, -test_id) makes ties resolve to the
+    # SMALLEST test_id deterministically
+    best = F.max(
+        F.struct(
+            F.col("cosine").alias("c"),
+            (-F.col("test_id")).alias("neg_tid"),
+            F.col("test_id").alias("tid"),
+            F.col("test_label").alias("tlabel"),
+        )
+    ).alias("best")
+    return (
+        scored.groupBy("vec_id", "label")
+        .agg(best)
+        .filter(F.col("best.c") >= threshold)
+        .select(
+            "vec_id",
+            "label",
+            F.col("best.tid").alias("closest_test_id"),
+            F.col("best.c").alias("cosine"),
+            (F.col("label") == F.col("best.tlabel")).alias("label_match"),
+        )
+        .orderBy("vec_id")
+    )

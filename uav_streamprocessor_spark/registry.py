@@ -1498,6 +1498,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "emb_pq_quantization",
     "text_zipf_slope",
     "ev_user_anomaly_zscore",
+    # --- 3b. round-5 additions landed after the first window cut (each
+    #         displaces the newest filler, oldest staples keep their slots) ---
+    "emb_semantic_decontam",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
@@ -1513,7 +1516,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_running_counters",
     "uav_filename_order",
     "uav_fps_fallback",
-    "uav_metadata_fields",
 ]
 
 
@@ -3859,3 +3861,39 @@ _register(
     "k-means codebooks aren't SQL -> rows-only, determinism + "
     "knob-monotonicity pinned in tests",
 )(lambda spark: similarity.pq_quantization_audit(spark))
+
+
+_register(
+    "emb_semantic_decontam",
+    """
+WITH test AS (
+  SELECT vec_id AS test_id, embedding AS tvec, label AS test_label
+  FROM embeddings WHERE vec_id % 50 = 0
+),
+el AS (
+  SELECT e.vec_id, e.label, t.test_id, t.test_label,
+         CAST(unnest(e.embedding) AS DOUBLE) AS ex,
+         CAST(unnest(t.tvec) AS DOUBLE) AS tx
+  FROM embeddings e JOIN test t ON e.vec_id % 50 <> 0
+),
+sims AS (
+  SELECT vec_id, label, test_id, test_label,
+         round(sum(ex * tx) / (sqrt(sum(ex * ex)) * sqrt(sum(tx * tx))), 6)
+           AS cosine
+  FROM el GROUP BY vec_id, label, test_id, test_label
+),
+best AS (
+  SELECT vec_id, label, test_id AS closest_test_id, cosine,
+         label = test_label AS label_match,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY cosine DESC, test_id) AS rn
+  FROM sims
+)
+SELECT vec_id, label, closest_test_id, cosine, label_match
+FROM best WHERE rn = 1 AND cosine >= 0.35 ORDER BY vec_id
+""",
+    notes="embedding-level decontamination: training vectors whose max "
+    "cosine vs the held-out set (vec_id % 50 = 0) reaches 0.35 — the "
+    "semantic sibling of the n-gram decontam pass; broadcast test set, "
+    "corpus never shuffles, argmax as partial-aggregable struct-max",
+)(lambda spark: similarity.semantic_decontamination(spark))
