@@ -200,3 +200,53 @@ def _numpy_pagerank_directed(pairs, iters=10, damping=0.85):
             contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
         r = (1 - damping) / n + damping * (contrib + dangling / n)
     return {node: r[idx[node]] for node in nodes}
+
+
+# ---------------------------------------------------------------------------
+# triangle_stats
+# ---------------------------------------------------------------------------
+
+def _tri_dict(spark, pairs):
+    from uav_streamprocessor_spark.operators.graph import triangle_stats
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {
+        r["node"]: (r["degree"], r["n_triangles"], r["clustering_coeff"])
+        for r in triangle_stats(edges).collect()
+    }
+
+
+def test_triangle_single(spark):
+    t = _tri_dict(spark, [(1, 2), (2, 3), (1, 3)])
+    assert t == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)}
+
+
+def test_triangle_star_has_none(spark):
+    # star K1,4: hub degree 4, zero triangles, coefficient 0
+    t = _tri_dict(spark, [(0, i) for i in range(1, 5)])
+    assert t[0] == (4, 0, 0.0)
+    for leaf in range(1, 5):
+        assert t[leaf] == (1, 0, 0.0)
+
+
+def test_triangle_k4_counts(spark):
+    # K4: C(4,3)=4 triangles, each node in C(3,2)=3 of them, coeff 1.0
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    t = _tri_dict(spark, k4)
+    assert t == {i: (3, 3, 1.0) for i in range(4)}
+
+
+def test_triangle_orientation_and_duplicates_irrelevant(spark):
+    # same triangle given with reversed + duplicated edges
+    t = _tri_dict(spark, [(2, 1), (1, 2), (3, 2), (1, 3), (3, 1)])
+    assert t == {1: (2, 1, 1.0), 2: (2, 1, 1.0), 3: (2, 1, 1.0)}
+
+
+def test_triangle_bowtie_coefficients(spark):
+    # two triangles sharing node 0: deg(0)=4, in 2 triangles ->
+    # coeff = 2*2/(4*3) = 1/3; the wings are full triangles
+    bowtie = [(0, 1), (0, 2), (1, 2), (0, 3), (0, 4), (3, 4)]
+    t = _tri_dict(spark, bowtie)
+    assert t[0] == (4, 2, round(1 / 3, 6))
+    for wing in (1, 2, 3, 4):
+        assert t[wing] == (2, 1, 1.0)

@@ -76,3 +76,56 @@ def test_semantic_decontam_flags_planted_paraphrase(spark):
         assert hit["cosine"] > max(organic_max, 0.999)
     finally:
         emb.createOrReplaceTempView("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# dedup_graph_triangles
+# ---------------------------------------------------------------------------
+
+def test_graph_triangles_corpus_invariants(spark):
+    from uav_streamprocessor_spark.operators import dedup
+
+    rows = dedup.doc_graph_triangles(spark).collect()
+    assert len(rows) > 0
+    clustered = {
+        r["doc_id"] for r in dedup.doc_dup_clusters(spark).collect()
+    }
+    assert {r["doc_id"] for r in rows} == clustered
+    for r in rows:
+        assert 0.0 <= r["clustering_coeff"] <= 1.0
+        assert r["n_triangles"] <= r["degree"] * (r["degree"] - 1) // 2
+        if r["degree"] < 2:
+            assert r["n_triangles"] == 0
+    # triangle incidence sums to a multiple of 3 (each triangle counted
+    # at exactly its three corners)
+    assert sum(r["n_triangles"] for r in rows) % 3 == 0
+
+
+def test_graph_triangles_planted_clique(spark):
+    """Perturbation: plant three docs sharing a unique 5-word prefix —
+    the blocking graph gains a 3-clique and each planted doc must report
+    exactly one triangle with coefficient 1.0."""
+    from uav_streamprocessor_spark.operators import dedup
+
+    docs = spark.table("documents")
+    prefix = "zzzq plantt trii uniq prefx"
+    plant = spark.createDataFrame(
+        [
+            (9_000_001, prefix + " alpha one", "en", "plant", 40),
+            (9_000_002, prefix + " beta two", "en", "plant", 39),
+            (9_000_003, prefix + " gamma three", "en", "plant", 41),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs.unionByName(plant).createOrReplaceTempView("documents")
+        t = {
+            r["doc_id"]: r
+            for r in dedup.doc_graph_triangles(spark).collect()
+        }
+        for did in (9_000_001, 9_000_002, 9_000_003):
+            assert t[did]["degree"] == 2
+            assert t[did]["n_triangles"] == 1
+            assert t[did]["clustering_coeff"] == 1.0
+    finally:
+        docs.createOrReplaceTempView("documents")

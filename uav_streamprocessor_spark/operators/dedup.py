@@ -605,3 +605,25 @@ def pagerank_centrality(spark: SparkSession, k: int = 50) -> DataFrame:
         .orderBy(F.col("rank").desc(), "doc_id")
         .limit(k)
     )
+
+
+def doc_graph_triangles(spark: SparkSession) -> DataFrame:
+    """Cluster-density audit of the blocking near-dup graph: per-doc
+    triangle counts + local clustering coefficient (graph.triangle_stats)
+    over the same edge set connected components resolves. Coefficient
+    ~1.0 = true mutual-dup clique (collapse to one survivor); low
+    coefficient at high degree = template hub whose variants are NOT
+    mutual duplicates — the two cases a survivor policy must treat
+    differently."""
+    from uav_streamprocessor_spark.operators.graph import triangle_stats
+
+    return (
+        triangle_stats(doc_block_edges(spark))
+        .select(
+            F.col("node").alias("doc_id"),
+            "degree",
+            "n_triangles",
+            "clustering_coeff",
+        )
+        .orderBy("doc_id")
+    )

@@ -293,3 +293,86 @@ def pagerank(
             )
         ranks = new_ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def triangle_stats(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Per-node triangle count + local clustering coefficient over an
+    undirected edge list — the cluster-density audit for a near-dup
+    graph: a blocking component whose nodes have coefficient ~1.0 is a
+    true mutual-duplicate clique (safe to collapse to one survivor),
+    while a low-coefficient hub is a star of pairwise-similar-to-center
+    docs (template + variants) where survivor selection should keep more
+    than one document.
+
+    Algorithm: degree-ordered orientation ("compact-forward", Latapy
+    2008) — orient every edge from the lower-(degree, id) endpoint to the
+    higher, enumerate wedges only between the OUT-neighbors of each
+    pivot, and close them against the canonical edge set. Each triangle
+    is found exactly once (at its unique minimum-rank vertex), and the
+    wedge expansion at a node is quadratic in its OUT-degree, which
+    orientation bounds by O(sqrt(m)) even when the raw degree is hub-
+    sized — the reason this shape survives boilerplate hubs at 100 TB
+    where naive id-ordered enumeration goes quadratic on the hub. Three
+    hash joins on node keys + one explode-groupBy; the edge set is
+    checkpointed once and reused by orientation, wedge, and closure.
+
+    Returns (node, degree, n_triangles, clustering_coeff) for every
+    non-isolated node; coefficient = 2T / deg(deg-1), 0.0 for degree-1
+    nodes, rounded 6dp."""
+    canon = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("a"),
+            F.greatest(F.col(src), F.col(dst)).alias("b"),
+        )
+        .filter(F.col("a") < F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sym = canon.select(F.col("a").alias("node")).union(
+        canon.select(F.col("b").alias("node"))
+    )
+    deg = (
+        sym.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=True)
+    )
+    ranked = canon.join(
+        deg.select(F.col("node").alias("a"), F.col("degree").alias("deg_a")), "a"
+    ).join(deg.select(F.col("node").alias("b"), F.col("degree").alias("deg_b")), "b")
+    a_first = (F.col("deg_a") < F.col("deg_b")) | (
+        (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
+    )
+    out = ranked.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    wedges = (
+        out.select("u", F.col("w").alias("v1"))
+        .join(out.select("u", F.col("w").alias("v2")), "u")
+        .filter(F.col("v1") < F.col("v2"))
+    )
+    tri = wedges.join(
+        canon,
+        (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
+    ).select("u", "v1", "v2")
+    tcnt = (
+        tri.select(
+            F.explode(F.array(F.col("u"), F.col("v1"), F.col("v2"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    coeff = F.when(
+        F.col("degree") >= 2,
+        2.0 * F.col("n_triangles") / (F.col("degree") * (F.col("degree") - 1.0)),
+    ).otherwise(F.lit(0.0))
+    return (
+        deg.join(tcnt, "node", "left")
+        .withColumn("n_triangles", F.coalesce(F.col("n_triangles"), F.lit(0)))
+        .select(
+            "node",
+            "degree",
+            "n_triangles",
+            F.round(coeff, 6).alias("clustering_coeff"),
+        )
+    )

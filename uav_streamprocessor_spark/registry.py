@@ -1501,6 +1501,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # --- 3b. round-5 additions landed after the first window cut (each
     #         displaces the newest filler, oldest staples keep their slots) ---
     "emb_semantic_decontam",
+    "dedup_graph_triangles",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
@@ -1515,7 +1516,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_detection_lag",
     "uav_running_counters",
     "uav_filename_order",
-    "uav_fps_fallback",
 ]
 
 
@@ -3897,3 +3897,50 @@ FROM best WHERE rn = 1 AND cosine >= 0.35 ORDER BY vec_id
     "semantic sibling of the n-gram decontam pass; broadcast test set, "
     "corpus never shuffles, argmax as partial-aggregable struct-max",
 )(lambda spark: similarity.semantic_decontamination(spark))
+
+
+_register(
+    "dedup_graph_triangles",
+    """
+WITH keys AS (
+  SELECT doc_id, 'p:' || md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'm:' || md5(array_to_string(string_split(text, ' ')[3:8], ' ')) AS key
+  FROM documents
+), e0 AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y USING (key)
+  WHERE x.doc_id < y.doc_id
+), deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT a AS node FROM e0 UNION ALL SELECT b AS node FROM e0)
+  GROUP BY node
+), tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e0 e1
+  JOIN e0 e2 ON e2.a = e1.b
+  JOIN e0 e3 ON e3.a = e1.a AND e3.b = e2.b
+), tcnt AS (
+  SELECT node, count(*) AS n_triangles
+  FROM (SELECT x AS node FROM tri
+        UNION ALL SELECT y AS node FROM tri
+        UNION ALL SELECT z AS node FROM tri)
+  GROUP BY node
+)
+SELECT deg.node AS doc_id,
+       CAST(degree AS BIGINT) AS degree,
+       CAST(coalesce(n_triangles, 0) AS BIGINT) AS n_triangles,
+       round(CASE WHEN degree >= 2
+                  THEN 2.0 * coalesce(n_triangles, 0) / (degree * (degree - 1.0))
+                  ELSE 0.0 END, 6) AS clustering_coeff
+FROM deg LEFT JOIN tcnt USING (node)
+ORDER BY doc_id
+""",
+    notes="triangle count + local clustering coefficient over the "
+    "blocking near-dup graph (degree-ordered compact-forward "
+    "orientation — each triangle found once at its min-rank vertex, "
+    "wedge work bounded by out-degree <= O(sqrt(m)) on hubs); the "
+    "oracle enumerates id-ordered triangles, which is the same "
+    "triangle SET",
+)(lambda spark: dedup.doc_graph_triangles(spark))
