@@ -129,3 +129,57 @@ def test_graph_triangles_planted_clique(spark):
             assert t[did]["clustering_coeff"] == 1.0
     finally:
         docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# ev_ewma_deviation
+# ---------------------------------------------------------------------------
+
+def test_ewma_deviation_invariants(spark):
+    from uav_streamprocessor_spark.operators import events_ops
+
+    rows = events_ops.ewma_deviation(spark).collect()
+    assert len(rows) == 50
+    devs = [r["deviation"] for r in rows]
+    assert devs == sorted(devs, reverse=True)
+    for r in rows:
+        # reported deviation reconciles with the reported smoothed value
+        assert abs(abs(r["value"] - r["ewma_prev"]) - r["deviation"]) < 2e-6
+    # first event of every user carries no prior state -> never scored
+    first_ids = {
+        r["event_id"]
+        for r in spark.sql(
+            "SELECT min_by(event_id, (ts, event_id)) AS event_id "
+            "FROM events GROUP BY user_id"
+        ).collect()
+    }
+    assert first_ids.isdisjoint({r["event_id"] for r in rows})
+
+
+def test_ewma_deviation_flags_planted_level_shift(spark):
+    """Perturbation: a user emitting value=2.0 forever then one 500.0 —
+    the spike's deviation is 498 and must take rank 1; the constant
+    prefix events must not appear at all (deviation 0)."""
+    from uav_streamprocessor_spark.operators import events_ops
+
+    ev = spark.table("events")
+    seq = [(3_000_000 + i, f"2099-03-01 00:{i:02d}:00", 2.0) for i in range(20)]
+    seq.append((3_000_020, "2099-03-01 00:20:00", 500.0))
+    plant = spark.createDataFrame(
+        [(eid, ts, 777_777, "meter", v, "{}") for eid, ts, v in seq],
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    try:
+        ev.unionByName(plant.select(ev.columns)).createOrReplaceTempView("events")
+        rows = events_ops.ewma_deviation(spark).collect()
+        top = rows[0]
+        assert top["event_id"] == 3_000_020
+        assert abs(top["deviation"] - 498.0) < 1e-6
+        assert abs(top["ewma_prev"] - 2.0) < 1e-6
+        planted_scored = [
+            r for r in rows if 3_000_000 <= r["event_id"] < 3_000_020
+        ]
+        assert planted_scored == []
+    finally:
+        ev.createOrReplaceTempView("events")

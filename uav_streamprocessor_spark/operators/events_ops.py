@@ -729,3 +729,57 @@ def top_session_paths(
     # sized by the limit — a 10^9 "unbounded" limit allocates at driver
     # scale and can kill the JVM (observed in the test suite).
     return out if k is None else out.limit(k)
+
+
+def ewma_deviation(
+    spark: SparkSession,
+    alpha: float = 0.4,
+    horizon: int = 8,
+    top_n: int = 50,
+) -> DataFrame:
+    """Time-decayed change detection: for each event, the exponentially
+    weighted moving average of the user's PREVIOUS `horizon` values
+    (weights alpha*(1-alpha)^(j-1), renormalized over the lags that
+    exist near sequence starts) and the absolute deviation of the
+    current value from it; returns the top_n largest deviations — the
+    metering/fraud screen that reacts to level shifts faster than the
+    daily median/MAD screen (user_anomaly_zscore) because old history
+    decays geometrically instead of voting forever.
+
+    The infinite-memory EWMA recursion is sequential state (the
+    streaming modules' territory); truncating at `horizon` bounds the
+    omitted tail at (1-alpha)^horizon (<1.7% of the weight at the
+    defaults) and makes it a FIXED bundle of lag() columns over one
+    (user_id)-partitioned window — one narrow shuffle, no recursion, no
+    UDF, and expressible identically in the oracle. Ranking is a
+    TakeOrderedAndProject (top_n per partition, merged on the driver) —
+    no global sort at any corpus size."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    weights = [alpha * (1.0 - alpha) ** (j - 1) for j in range(1, horizon + 1)]
+    lags = [F.lag("value", j).over(w) for j in range(1, horizon + 1)]
+    num = sum(
+        (F.coalesce(lag, F.lit(0.0)) * F.lit(wj) for lag, wj in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    den = sum(
+        (F.when(lag.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
+         for lag, wj in zip(lags, weights)),
+        F.lit(0.0),
+    )
+    ev = spark.table("events")
+    scored = (
+        ev.select("event_id", "ts", "user_id", "event_type", "value")
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .filter(F.col("_den") > 0)
+        .select(
+            "event_id",
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("value"),
+            F.round(F.col("_num") / F.col("_den"), 6).alias("ewma_prev"),
+            F.round(F.abs(F.col("value") - F.col("_num") / F.col("_den")), 6)
+              .alias("deviation"),
+        )
+    )
+    return scored.orderBy(F.col("deviation").desc(), "event_id").limit(top_n)

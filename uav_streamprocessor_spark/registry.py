@@ -1502,6 +1502,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #         displaces the newest filler, oldest staples keep their slots) ---
     "emb_semantic_decontam",
     "dedup_graph_triangles",
+    "ev_ewma_deviation",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
@@ -1515,7 +1516,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_detection_rank",
     "uav_detection_lag",
     "uav_running_counters",
-    "uav_filename_order",
 ]
 
 
@@ -3944,3 +3944,43 @@ ORDER BY doc_id
     "oracle enumerates id-ordered triangles, which is the same "
     "triangle SET",
 )(lambda spark: dedup.doc_graph_triangles(spark))
+
+
+def _ewma_oracle(alpha: float = 0.4, horizon: int = 8, top_n: int = 50) -> str:
+    # weight literals emitted with full repr precision — round-trip exact,
+    # so DuckDB computes bit-identical doubles to the Spark expression
+    ws = [alpha * (1.0 - alpha) ** (j - 1) for j in range(1, horizon + 1)]
+    lag_cols = ",\n         ".join(
+        f"lag(value, {j}) OVER w AS l{j}" for j in range(1, horizon + 1)
+    )
+    num = " + ".join(f"coalesce(l{j}, 0.0) * {ws[j-1]!r}" for j in range(1, horizon + 1))
+    den = " + ".join(
+        f"CASE WHEN l{j} IS NOT NULL THEN {ws[j-1]!r} ELSE 0.0 END"
+        for j in range(1, horizon + 1)
+    )
+    return f"""
+WITH lagged AS (
+  SELECT event_id, user_id, event_type, value,
+         {lag_cols}
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), scored AS (
+  SELECT event_id, user_id, event_type,
+         round(value, 6) AS value,
+         round(({num}) / ({den}), 6) AS ewma_prev,
+         round(abs(value - ({num}) / ({den})), 6) AS deviation
+  FROM lagged
+  WHERE ({den}) > 0
+)
+SELECT * FROM scored ORDER BY deviation DESC, event_id LIMIT {top_n}
+"""
+
+
+_register(
+    "ev_ewma_deviation",
+    _ewma_oracle(),
+    notes="finite-horizon EWMA change detection: deviation of each value "
+    "from the time-decayed average of the user's previous 8 values "
+    "(truncation tail < 1.7% of the weight); fixed lag() bundle over one "
+    "user-keyed window, top-k via TakeOrderedAndProject",
+)(lambda spark: events_ops.ewma_deviation(spark))
