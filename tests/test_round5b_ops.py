@@ -183,3 +183,79 @@ def test_ewma_deviation_flags_planted_level_shift(spark):
         assert planted_scored == []
     finally:
         ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_train
+# ---------------------------------------------------------------------------
+
+def _bpe_reference(word_freq, rounds):
+    """Canonical tuple-based BPE (Sennrich alg. 1): all adjacent pairs
+    counted, argmax by (count desc, pair asc), greedy left-to-right
+    non-overlapping merge per word."""
+    vocab = {tuple(w): f for w, f in word_freq.items()}
+    merges = []
+    for rnd in range(1, rounds + 1):
+        counts = {}
+        for sym, f in vocab.items():
+            for i in range(len(sym) - 1):
+                p = (sym[i], sym[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), total = best
+        merges.append((rnd, f"{a} {b}", a + b, total))
+        new_vocab = {}
+        for sym, f in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == a and sym[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            key = tuple(out)
+            new_vocab[key] = new_vocab.get(key, 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_canonical_reference(spark):
+    """The replace-chain merge equals canonical tuple-based BPE whenever
+    same-pair runs stay under length 8 — verify end-to-end on the real
+    corpus against a pure-Python implementation of Sennrich alg. 1."""
+    from collections import Counter
+    from uav_streamprocessor_spark.operators import text
+
+    docs = [r["text"] for r in spark.table("documents").collect()]
+    freq = Counter(
+        w for t in docs for w in t.lower().split(" ") if len(w) >= 2
+    )
+    expected = _bpe_reference(freq, rounds=6)
+    got = [
+        (r["round"], r["pair"], r["new_symbol"], r["total"])
+        for r in text.bpe_train_merges(spark).collect()
+    ]
+    assert got == expected
+
+
+def test_bpe_train_prefix_consistency_and_planted_pair(spark):
+    from uav_streamprocessor_spark.operators import text
+
+    full = text.bpe_train_merges(spark, rounds=4).collect()
+    short = text.bpe_train_merges(spark, rounds=2).collect()
+    assert [tuple(r) for r in short] == [tuple(r) for r in full[:2]]
+
+    # Perturbation: flood with a pair more frequent than any organic one
+    docs = spark.table("documents")
+    flood = spark.createDataFrame(
+        [(8_500_000 + i, "qx " * 3000, "en", "plant", 9000) for i in range(2)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs.unionByName(flood).createOrReplaceTempView("documents")
+        planted = text.bpe_train_merges(spark, rounds=1).collect()[0]
+        assert planted["pair"] == "q x"
+        assert planted["new_symbol"] == "qx"
+    finally:
+        docs.createOrReplaceTempView("documents")

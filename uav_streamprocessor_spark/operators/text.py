@@ -820,3 +820,77 @@ def classifier_calibration(spark: SparkSession) -> DataFrame:
         )
         .orderBy("score_bucket")
     )
+
+
+def bpe_train_merges(
+    spark: SparkSession, rounds: int = 6, passes: int = 3
+) -> DataFrame:
+    """Iterative BPE training (Sennrich et al., arXiv:1508.07909): run
+    `rounds` merge steps, each selecting the most frequent adjacent
+    symbol pair and fusing it corpus-wide; returns the merge table
+    (round, pair, new_symbol, weighted count at selection) — the actual
+    artifact a tokenizer trainer produces, of which bpe_pair_counts is
+    the single-step counting core.
+
+    Scale design (the industrial BPE shape, cf. HF tokenizers): ONE
+    corpus-sized aggregation up front (word -> frequency), then every
+    round runs over the DISTINCT-WORD table — vocab-sized, not
+    corpus-sized — with occurrences weighted by word freq. Words are
+    space-delimited symbol strings (' h e l l o '); pair counting is
+    in-row zip_with over offset slices + one map-side-combined groupBy
+    (key space bounded by the live symbol-pair vocabulary); the argmax
+    is ONE collected row per round (same O(1)-rows driver state as the
+    k-means centroid step); the merge itself is a JVM replace() chain,
+    map-only. localCheckpoint after each merge keeps the plan flat
+    across rounds.
+
+    Merge semantics: ' a b ' -> ' ab ' applied `passes` times — one
+    replace() pass resolves alternating occurrences only (consecutive
+    matches share the delimiter space), and each extra pass doubles the
+    resolved run length, so passes=3 is exact for same-pair runs up to
+    length 7 (beyond any real word). Both engines run the identical
+    chain, so Spark and the oracle agree bit-for-bit regardless."""
+    docs = spark.table("documents")
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
+            ).alias("seq"),
+            "freq",
+        )
+        .localCheckpoint(eager=True)
+    )
+    merges = []
+    for rnd in range(1, rounds + 1):
+        toks = F.split(F.trim(F.col("seq")), " ")
+        pairs = F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b_: F.concat(a, F.lit(" "), b_),
+        )
+        best = (
+            words.select(F.explode(pairs).alias("pair"), "freq")
+            .groupBy("pair")
+            .agg(F.sum("freq").alias("total"))
+            .orderBy(F.col("total").desc(), "pair")
+            .limit(1)
+            .collect()[0]
+        )
+        pat = " " + best["pair"] + " "
+        rep = " " + best["pair"].replace(" ", "") + " "
+        merges.append((rnd, best["pair"], best["pair"].replace(" ", ""), best["total"]))
+        # build the replace chain with column expressions (no SQL-string
+        # interpolation of corpus-derived text)
+        merged = F.col("seq")
+        for _ in range(passes):
+            merged = F.replace(merged, F.lit(pat), F.lit(rep))
+        words = words.select(merged.alias("seq"), "freq").localCheckpoint(
+            eager=True
+        )
+    return spark.createDataFrame(
+        merges, "round int, pair string, new_symbol string, total bigint"
+    ).orderBy("round")

@@ -1503,6 +1503,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "emb_semantic_decontam",
     "dedup_graph_triangles",
     "ev_ewma_deviation",
+    "text_bpe_train",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
@@ -1515,7 +1516,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_segment_stats",
     "uav_detection_rank",
     "uav_detection_lag",
-    "uav_running_counters",
 ]
 
 
@@ -3984,3 +3984,59 @@ _register(
     "(truncation tail < 1.7% of the weight); fixed lag() bundle over one "
     "user-keyed window, top-k via TakeOrderedAndProject",
 )(lambda spark: events_ops.ewma_deviation(spark))
+
+
+def _bpe_oracle(rounds: int = 6, passes: int = 3) -> str:
+    """Generated R-round BPE-training replica: each round is a pair-count
+    CTE + argmax CTE + merge CTE; the merge is the same fixed
+    replace()-chain the Spark operator applies, so both engines produce
+    the identical merge table including the degenerate-run edge cases."""
+
+    def rep_chain(expr: str) -> str:
+        for _ in range(passes):
+            expr = (
+                f"replace({expr}, ' ' || pair || ' ', "
+                f"' ' || replace(pair, ' ', '') || ' ')"
+            )
+        return expr
+
+    parts = [
+        """
+WITH w0 AS (
+  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+         CAST(count(*) AS BIGINT) AS freq
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f""", p{r} AS (
+  SELECT toks[i] || ' ' || toks[i + 1] AS pair, freq
+  FROM (SELECT toks, freq, unnest(range(1, len(toks))) AS i
+        FROM (SELECT string_split(trim(seq), ' ') AS toks, freq FROM w{r - 1}))
+), b{r} AS (
+  SELECT pair, CAST(sum(freq) AS BIGINT) AS total
+  FROM p{r} GROUP BY pair ORDER BY total DESC, pair LIMIT 1
+), w{r} AS (
+  SELECT {rep_chain("seq")} AS seq, freq FROM w{r - 1}, b{r}
+)"""
+        )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS INT) AS round, pair, "
+        f"replace(pair, ' ', '') AS new_symbol, total FROM b{r}"
+        for r in range(1, rounds + 1)
+    )
+    return "".join(parts) + "\n" + selects + "\nORDER BY round"
+
+
+_register(
+    "text_bpe_train",
+    _bpe_oracle(),
+    notes="iterative BPE training (6 merge rounds): one corpus-sized "
+    "word-count up front, then every round runs on the DISTINCT-WORD "
+    "table (vocab-sized working set — the industrial tokenizer-trainer "
+    "shape); argmax is one collected row per round, merges are JVM "
+    "replace() chains; oracle replays all 6 rounds as generated CTEs",
+)(lambda spark: text.bpe_train_merges(spark))
