@@ -259,3 +259,79 @@ def test_bpe_train_prefix_consistency_and_planted_pair(spark):
         assert planted["new_symbol"] == "qx"
     finally:
         docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# text_group_holdout_split
+# ---------------------------------------------------------------------------
+
+def _split_rows(spark):
+    from uav_streamprocessor_spark.operators import sampling
+
+    return {
+        (r["mode"], r["split"]): r
+        for r in sampling.group_holdout_split(spark).collect()
+    }
+
+
+def test_group_holdout_split_invariants(spark):
+    rows = _split_rows(spark)
+    n_docs = spark.table("documents").count()
+    for mode in ("grouped", "naive_doc_hash"):
+        assert (
+            rows[(mode, "train")]["n_docs"] + rows[(mode, "test")]["n_docs"]
+            == n_docs
+        )
+    # cluster-level assignment can never straddle; doc-hash organically does
+    assert rows[("grouped", "train")]["n_leaky_groups"] == 0
+    assert rows[("grouped", "test")]["n_leaky_groups"] == 0
+    assert rows[("naive_doc_hash", "train")]["n_leaky_groups"] > 0
+    # a leaky group touches BOTH splits, so both rows report the same count
+    assert (
+        rows[("naive_doc_hash", "train")]["n_leaky_groups"]
+        == rows[("naive_doc_hash", "test")]["n_leaky_groups"]
+    )
+
+
+def test_group_holdout_split_planted_twin_pair(spark):
+    """Perturbation: plant two blocking-twin docs engineered to land in
+    DIFFERENT doc-hash splits — naive leakage must rise by exactly one
+    group; grouped stays at zero."""
+    import hashlib
+
+    docs = spark.table("documents")
+    base_rows = _split_rows(spark)
+    prefix = "zzzv leakk plnt uniq prefx"
+
+    def nib(t):
+        return "train" if hashlib.md5(t.encode()).hexdigest()[0] <= "c" else "test"
+
+    # deterministic search for a suffix pair on opposite sides
+    t_train = t_test = None
+    for i in range(64):
+        cand = f"{prefix} variant {i}"
+        if nib(cand) == "train" and t_train is None:
+            t_train = cand
+        if nib(cand) == "test" and t_test is None:
+            t_test = cand
+        if t_train and t_test:
+            break
+    assert t_train and t_test
+    plant = spark.createDataFrame(
+        [
+            (9_100_001, t_train, "en", "plant", len(t_train)),
+            (9_100_002, t_test, "en", "plant", len(t_test)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs.unionByName(plant).createOrReplaceTempView("documents")
+        rows = _split_rows(spark)
+        assert (
+            rows[("naive_doc_hash", "train")]["n_leaky_groups"]
+            == base_rows[("naive_doc_hash", "train")]["n_leaky_groups"] + 1
+        )
+        assert rows[("grouped", "train")]["n_leaky_groups"] == 0
+        assert rows[("grouped", "test")]["n_leaky_groups"] == 0
+    finally:
+        docs.createOrReplaceTempView("documents")

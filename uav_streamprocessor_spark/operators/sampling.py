@@ -166,3 +166,77 @@ def weighted_sample_topk(spark: SparkSession, k: int = 10) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .orderBy("lang", "rnk")
     )
+
+
+def group_holdout_split(spark: SparkSession) -> DataFrame:
+    """Leakage-safe train/test split: split at the NEAR-DUP-CLUSTER
+    level, not the document level. A doc-hash split puts near-duplicate
+    pairs on opposite sides of the train/test boundary — the classic
+    eval-contamination bug (the test half 'leaks' via its train-side
+    twins). Here every doc inherits its blocking-cluster's split
+    (group_key = connected component id, singletons key on themselves),
+    so a cluster can never straddle.
+
+    Output compares both policies on the same corpus at (mode, split)
+    grain: docs/chars/groups touched per split, plus the count of LEAKY
+    groups (members in both splits) — structurally 0 for grouped mode,
+    organically >0 for the naive doc-hash mode. The audit is computed,
+    not asserted, so the oracle value-checks the leakage claim itself.
+
+    Scale shape: the CC labeling (one O(diameter) fixpoint, shared with
+    the dedup pipeline — in production the SAME label table feeds both
+    survivor selection and splitting) + one left join on doc_id + two
+    map-only split assignments + grouped aggs keyed on (mode, split).
+    The md5 split keys are content-derived, so re-ingest, replay, or
+    engine change cannot reshuffle the assignment."""
+    from uav_streamprocessor_spark.operators import dedup
+
+    docs = spark.table("documents")
+    clusters = dedup.doc_dup_clusters(spark).select(
+        F.col("doc_id").alias("c_doc_id"), "cluster_id"
+    )
+    base = docs.join(
+        clusters, docs["doc_id"] == clusters["c_doc_id"], "left"
+    ).select(
+        "doc_id",
+        "n_chars",
+        "text",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("group_key"),
+    )
+
+    def nibble_split(col):
+        return F.when(
+            F.substring(F.md5(col), 1, 1) <= _TRAIN_MAX_NIBBLE, "train"
+        ).otherwise("test")
+
+    assigned = base.select(
+        F.lit("naive_doc_hash").alias("mode"),
+        "doc_id",
+        "n_chars",
+        "group_key",
+        nibble_split(F.col("text")).alias("split"),
+    ).unionByName(
+        base.select(
+            F.lit("grouped").alias("mode"),
+            "doc_id",
+            "n_chars",
+            "group_key",
+            nibble_split(F.col("group_key").cast("string")).alias("split"),
+        )
+    )
+    leaky = assigned.groupBy("mode", "group_key").agg(
+        (F.countDistinct("split") > 1).alias("is_leaky")
+    )
+    return (
+        assigned.join(leaky, ["mode", "group_key"])
+        .groupBy("mode", "split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.countDistinct("group_key").alias("n_groups"),
+            F.countDistinct(
+                F.when(F.col("is_leaky"), F.col("group_key"))
+            ).alias("n_leaky_groups"),
+        )
+        .orderBy("mode", "split")
+    )

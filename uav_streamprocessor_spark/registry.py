@@ -1504,6 +1504,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_graph_triangles",
     "ev_ewma_deviation",
     "text_bpe_train",
+    "text_group_holdout_split",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
@@ -1515,7 +1516,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_frames_with_detections",
     "uav_segment_stats",
     "uav_detection_rank",
-    "uav_detection_lag",
 ]
 
 
@@ -4040,3 +4040,43 @@ _register(
     "shape); argmax is one collected row per round, merges are JVM "
     "replace() chains; oracle replays all 6 rounds as generated CTEs",
 )(lambda spark: text.bpe_train_merges(spark))
+
+
+_register(
+    "text_group_holdout_split",
+    _CC_GRAPH_CTE
+    + """
+, docs2 AS (
+  SELECT d.doc_id, d.n_chars, d.text,
+         coalesce(c.component, d.doc_id) AS group_key
+  FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+), assigned AS (
+  SELECT 'naive_doc_hash' AS mode, doc_id, n_chars, group_key,
+         CASE WHEN substring(md5(text), 1, 1) <= 'c'
+              THEN 'train' ELSE 'test' END AS split
+  FROM docs2
+  UNION ALL
+  SELECT 'grouped' AS mode, doc_id, n_chars, group_key,
+         CASE WHEN substring(md5(CAST(group_key AS VARCHAR)), 1, 1) <= 'c'
+              THEN 'train' ELSE 'test' END AS split
+  FROM docs2
+), leaky AS (
+  SELECT mode, group_key, count(DISTINCT split) > 1 AS is_leaky
+  FROM assigned GROUP BY mode, group_key
+)
+SELECT mode, split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(count(DISTINCT a.group_key) AS BIGINT) AS n_groups,
+       CAST(count(DISTINCT CASE WHEN is_leaky THEN a.group_key END) AS BIGINT)
+         AS n_leaky_groups
+FROM assigned a JOIN leaky USING (mode, group_key)
+GROUP BY mode, split
+ORDER BY mode, split
+""",
+    notes="leakage-safe split: docs inherit their near-dup cluster's "
+    "content-hash split (CC label table shared with the dedup pipeline), "
+    "compared against the naive doc-hash policy at (mode, split) grain — "
+    "leaky-group counts are COMPUTED, so the oracle value-checks that "
+    "grouped mode's leakage is structurally zero while naive's is not",
+)(lambda spark: sampling.group_holdout_split(spark))
