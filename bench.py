@@ -98,6 +98,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     from uav_streamprocessor_spark.streaming.dedup_stream import (
         run_incremental_neardup,
     )
+    from uav_streamprocessor_spark.streaming.ewma_stream import ewma_stream
     from uav_streamprocessor_spark.streaming.packing_stream import (
         packed_stream,
     )
@@ -243,6 +244,29 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         .queryName("bench_packing")
         .outputMode("append")
         .option("checkpointLocation", str(work / "ckpt_packing"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600),
+    )
+
+    ev_val = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    record(
+        "ewma_state",
+        n_ev,
+        lambda: ewma_stream(
+            feed(
+                ev_val,
+                "ewma",
+                "event_id long, ts timestamp, user_id long, value double",
+                ordered_by=("ts", "event_id"),
+            )
+        )
+        .writeStream.format("memory")
+        .queryName("bench_ewma")
+        .outputMode("append")
+        .option("checkpointLocation", str(work / "ckpt_ewma"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination(600),

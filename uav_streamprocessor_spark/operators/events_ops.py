@@ -735,51 +735,65 @@ def ewma_deviation(
     spark: SparkSession,
     alpha: float = 0.4,
     horizon: int = 8,
-    top_n: int = 50,
+    top_n: int | None = 50,
 ) -> DataFrame:
     """Time-decayed change detection: for each event, the exponentially
-    weighted moving average of the user's PREVIOUS `horizon` values
-    (weights alpha*(1-alpha)^(j-1), renormalized over the lags that
-    exist near sequence starts) and the absolute deviation of the
-    current value from it; returns the top_n largest deviations — the
-    metering/fraud screen that reacts to level shifts faster than the
-    daily median/MAD screen (user_anomaly_zscore) because old history
-    decays geometrically instead of voting forever.
+    weighted moving average of the user's PREVIOUS values and the
+    absolute deviation of the current value from it; returns the top_n
+    largest deviations — the metering/fraud screen that reacts to level
+    shifts faster than the daily median/MAD screen (user_anomaly_zscore)
+    because old history decays geometrically instead of voting forever.
 
-    The infinite-memory EWMA recursion is sequential state (the
-    streaming modules' territory); truncating at `horizon` bounds the
-    omitted tail at (1-alpha)^horizon (<1.7% of the weight at the
-    defaults) and makes it a FIXED bundle of lag() columns over one
-    (user_id)-partitioned window — one narrow shuffle, no recursion, no
-    UDF, and expressible identically in the oracle. Ranking is a
-    TakeOrderedAndProject (top_n per partition, merged on the driver) —
-    no global sort at any corpus size."""
+    The infinite-memory EWMA recursion is sequential state (the exact
+    form lives in streaming/ewma_stream.py); here it is truncated to a
+    FIXED bundle of `horizon` lag() columns over one (user_id)-
+    partitioned window — no recursion, no UDF, and expressible
+    identically in the oracle. Weighting: lag j gets alpha*(1-alpha)^
+    (j-1), and the OLDEST available lag gets the full residual
+    (1-alpha)^(j-1) — i.e. the recursion is restarted AT that lag.
+    Weights always sum to exactly 1, so for users with <= horizon prior
+    events the truncation is EXACT (it equals the true recursion), and
+    beyond that the error is bounded by (1-alpha)^(horizon-1) * the
+    user's value range (<3% of the range at the defaults) — both
+    properties pinned against the streaming recursion in
+    test_ewma_stream.py. Ranking is a TakeOrderedAndProject (top_n per
+    partition, merged on the driver) — no global sort at any corpus
+    size."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    weights = [alpha * (1.0 - alpha) ** (j - 1) for j in range(1, horizon + 1)]
     lags = [F.lag("value", j).over(w) for j in range(1, horizon + 1)]
-    num = sum(
-        (F.coalesce(lag, F.lit(0.0)) * F.lit(wj) for lag, wj in zip(lags, weights)),
-        F.lit(0.0),
-    )
-    den = sum(
-        (F.when(lag.isNotNull(), F.lit(wj)).otherwise(F.lit(0.0))
-         for lag, wj in zip(lags, weights)),
-        F.lit(0.0),
-    )
+    terms = []
+    for j, lag in enumerate(lags, start=1):
+        head_w = alpha * (1.0 - alpha) ** (j - 1)
+        rest_w = (1.0 - alpha) ** (j - 1)
+        if j < horizon:
+            nxt = lags[j]  # lag j+1
+            terms.append(
+                F.when(nxt.isNotNull(), lag * F.lit(head_w))
+                .when(lag.isNotNull(), lag * F.lit(rest_w))
+                .otherwise(F.lit(0.0))
+            )
+        else:
+            terms.append(
+                F.when(lag.isNotNull(), lag * F.lit(rest_w)).otherwise(F.lit(0.0))
+            )
+    ewma_prev = sum(terms[1:], terms[0])
     ev = spark.table("events")
     scored = (
         ev.select("event_id", "ts", "user_id", "event_type", "value")
-        .withColumn("_num", num)
-        .withColumn("_den", den)
-        .filter(F.col("_den") > 0)
+        .withColumn("_has_prev", lags[0].isNotNull())
+        .withColumn("_ewma", ewma_prev)
+        .filter(F.col("_has_prev"))
         .select(
             "event_id",
             "user_id",
             "event_type",
             F.round("value", 6).alias("value"),
-            F.round(F.col("_num") / F.col("_den"), 6).alias("ewma_prev"),
-            F.round(F.abs(F.col("value") - F.col("_num") / F.col("_den")), 6)
-              .alias("deviation"),
+            F.round(F.col("_ewma"), 6).alias("ewma_prev"),
+            F.round(F.abs(F.col("value") - F.col("_ewma")), 6).alias("deviation"),
         )
     )
-    return scored.orderBy(F.col("deviation").desc(), "event_id").limit(top_n)
+    # top_n=None -> all scored rows (plain sort — TakeOrderedAndProject
+    # pre-allocates O(k) per task, so a huge sentinel limit would OOM;
+    # same guard as top_session_paths)
+    ranked = scored.orderBy(F.col("deviation").desc(), "event_id")
+    return ranked if top_n is None else ranked.limit(top_n)

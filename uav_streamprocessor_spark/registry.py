@@ -3948,16 +3948,27 @@ ORDER BY doc_id
 
 def _ewma_oracle(alpha: float = 0.4, horizon: int = 8, top_n: int = 50) -> str:
     # weight literals emitted with full repr precision — round-trip exact,
-    # so DuckDB computes bit-identical doubles to the Spark expression
-    ws = [alpha * (1.0 - alpha) ** (j - 1) for j in range(1, horizon + 1)]
+    # so DuckDB computes bit-identical doubles to the Spark expression.
+    # Lag j carries alpha*(1-alpha)^(j-1); the OLDEST available lag takes
+    # the full residual (1-alpha)^(j-1) (recursion restarted there), so
+    # weights sum to exactly 1 — same rule as events_ops.ewma_deviation.
     lag_cols = ",\n         ".join(
         f"lag(value, {j}) OVER w AS l{j}" for j in range(1, horizon + 1)
     )
-    num = " + ".join(f"coalesce(l{j}, 0.0) * {ws[j-1]!r}" for j in range(1, horizon + 1))
-    den = " + ".join(
-        f"CASE WHEN l{j} IS NOT NULL THEN {ws[j-1]!r} ELSE 0.0 END"
-        for j in range(1, horizon + 1)
-    )
+    terms = []
+    for j in range(1, horizon + 1):
+        head_w = alpha * (1.0 - alpha) ** (j - 1)
+        rest_w = (1.0 - alpha) ** (j - 1)
+        if j < horizon:
+            terms.append(
+                f"CASE WHEN l{j + 1} IS NOT NULL THEN l{j} * {head_w!r} "
+                f"WHEN l{j} IS NOT NULL THEN l{j} * {rest_w!r} ELSE 0.0 END"
+            )
+        else:
+            terms.append(
+                f"CASE WHEN l{j} IS NOT NULL THEN l{j} * {rest_w!r} ELSE 0.0 END"
+            )
+    num = " + ".join(terms)
     return f"""
 WITH lagged AS (
   SELECT event_id, user_id, event_type, value,
@@ -3967,10 +3978,10 @@ WITH lagged AS (
 ), scored AS (
   SELECT event_id, user_id, event_type,
          round(value, 6) AS value,
-         round(({num}) / ({den}), 6) AS ewma_prev,
-         round(abs(value - ({num}) / ({den})), 6) AS deviation
+         round({num}, 6) AS ewma_prev,
+         round(abs(value - ({num})), 6) AS deviation
   FROM lagged
-  WHERE ({den}) > 0
+  WHERE l1 IS NOT NULL
 )
 SELECT * FROM scored ORDER BY deviation DESC, event_id LIMIT {top_n}
 """
@@ -3980,9 +3991,11 @@ _register(
     "ev_ewma_deviation",
     _ewma_oracle(),
     notes="finite-horizon EWMA change detection: deviation of each value "
-    "from the time-decayed average of the user's previous 8 values "
-    "(truncation tail < 1.7% of the weight); fixed lag() bundle over one "
-    "user-keyed window, top-k via TakeOrderedAndProject",
+    "from the time-decayed average of the user's previous 8 values; the "
+    "oldest available lag takes the residual weight, so the truncation "
+    "is EXACT under 8 priors and tail-bounded beyond (pinned vs the "
+    "streaming recursion); fixed lag() bundle over one user-keyed "
+    "window, top-k via TakeOrderedAndProject",
 )(lambda spark: events_ops.ewma_deviation(spark))
 
 
