@@ -335,3 +335,79 @@ def test_group_holdout_split_planted_twin_pair(spark):
         assert rows[("grouped", "test")]["n_leaky_groups"] == 0
     finally:
         docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# dedup_ngram_containment
+# ---------------------------------------------------------------------------
+
+def test_containment_bounds_and_dominates_jaccard(spark):
+    from uav_streamprocessor_spark.operators import dedup
+
+    rows = dedup.ngram_containment_pairs(spark, threshold=0.0).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["jaccard"] <= r["containment"] <= 1.0 + 1e-9
+
+
+def test_containment_catches_planted_subset_dup(spark):
+    """Perturbation: doc B = a verbatim chunk of doc A plus nothing else
+    (adjacent ids so the block join pairs them). Containment must be 1.0
+    while Jaccard stays low — the asymmetric case the operator exists
+    for; the Jaccard screen at the same threshold misses it."""
+    from uav_streamprocessor_spark.operators import dedup
+
+    docs = spark.table("documents")
+    chunk = "alpha beta gamma delta epsilon zeta eta theta"
+    long_text = chunk + " " + " ".join(f"filler{i}" for i in range(80))
+    plant = spark.createDataFrame(
+        [
+            (9_200_001, long_text, "en", "plant", len(long_text)),
+            (9_200_002, chunk, "en", "plant", len(chunk)),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs.unionByName(plant).createOrReplaceTempView("documents")
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"]): r
+            for r in dedup.ngram_containment_pairs(spark).collect()
+        }
+        hit = pairs[(9_200_001, 9_200_002)]
+        assert hit["containment"] == 1.0
+        assert hit["jaccard"] < 0.1
+        jac = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in dedup.ngram_jaccard_pairs(spark).collect()
+            if r["jaccard3"] >= 0.5
+        }
+        assert (9_200_001, 9_200_002) not in jac
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# text_bpe_fertility
+# ---------------------------------------------------------------------------
+
+def test_bpe_fertility_invariants_and_rounds_knob(spark):
+    from uav_streamprocessor_spark.operators import text
+
+    after = {r["lang"]: r for r in text.bpe_fertility(spark, rounds=6).collect()}
+    # rounds=0: no merges — every char is a token, so fertility ==
+    # chars/word exactly and chars_per_token == 1
+    before = {r["lang"]: r for r in text.bpe_fertility(spark, rounds=0).collect()}
+    assert set(after) == set(before) and len(after) > 0
+    for lang, b in before.items():
+        a = after[lang]
+        assert b["chars_per_token"] == 1.0
+        assert abs(
+            b["fertility"] - b["total_tokens"] / b["n_words"]
+        ) < 1e-6
+        # merges only ever fuse tokens: fertility strictly drops, word
+        # counts unchanged
+        assert a["n_words"] == b["n_words"]
+        assert a["fertility"] < b["fertility"]
+        assert a["chars_per_token"] > 1.0
+        # totals reconcile with the reported ratios
+        assert abs(a["fertility"] - a["total_tokens"] / a["n_words"]) < 1e-6

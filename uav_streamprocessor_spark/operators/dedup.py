@@ -627,3 +627,52 @@ def doc_graph_triangles(spark: SparkSession) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def ngram_containment_pairs(
+    spark: SparkSession, n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """Asymmetric near-dup detection: n-gram CONTAINMENT
+    |A∩B| / min(|A|, |B|) over the same bounded candidate blocks as
+    ngram_jaccard_pairs. Jaccard misses subset duplication — a short doc
+    embedded verbatim inside a long one scores |B|/|A| under Jaccard
+    (arbitrarily low) but 1.0 under containment; this is the Broder
+    containment measure quote/boilerplate-inclusion pipelines gate on.
+
+    Same scale shape as the Jaccard form: block keys make the candidate
+    join a hash join touching ~2w rows per doc (no range nested-loop),
+    array_intersect runs in-row, and the unbounded version replaces the
+    blocks with MinHash-style LSH on the SHORTER side's grams. Output
+    reports both measures so the asymmetric pairs (high containment,
+    low Jaccard) are visible."""
+    g = doc_ngram_sets(spark, n)
+    width = 5
+    a = g.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / width),
+                F.floor(F.col("doc_id") / width) + 1,
+            )
+        ).alias("blk"),
+    ).alias("a")
+    b = g.withColumn("blk", F.floor(F.col("doc_id") / width)).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    uni = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    mn = F.least(F.size(F.col("a.grams")), F.size(F.col("b.grams")))
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + width)
+            & (mn > 0)
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(inter / mn, 6).alias("containment"),
+            F.round(inter / uni, 6).alias("jaccard"),
+        )
+        .filter(F.col("containment") >= threshold)
+    )

@@ -850,6 +850,17 @@ def bpe_train_merges(
     resolved run length, so passes=3 is exact for same-pair runs up to
     length 7 (beyond any real word). Both engines run the identical
     chain, so Spark and the oracle agree bit-for-bit regardless."""
+    words, merges = _bpe_train(spark, rounds, passes)
+    return spark.createDataFrame(
+        merges, "round int, pair string, new_symbol string, total bigint"
+    ).orderBy("round")
+
+
+def _bpe_train(spark: SparkSession, rounds: int, passes: int):
+    """Shared trainer core: returns (final vocab DataFrame with columns
+    (word, seq, freq), merge list). The `word` column rides along so
+    downstream evals (bpe_fertility) can join vocab state back to
+    per-language frequencies."""
     docs = spark.table("documents")
     words = (
         docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
@@ -857,6 +868,7 @@ def bpe_train_merges(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
         .select(
+            "word",
             F.concat(
                 F.lit(" "), F.regexp_replace(F.col("word"), "(.)", "$1 ")
             ).alias("seq"),
@@ -888,9 +900,56 @@ def bpe_train_merges(
         merged = F.col("seq")
         for _ in range(passes):
             merged = F.replace(merged, F.lit(pat), F.lit(rep))
-        words = words.select(merged.alias("seq"), "freq").localCheckpoint(
-            eager=True
+        words = words.select(
+            "word", merged.alias("seq"), "freq"
+        ).localCheckpoint(eager=True)
+    return words, merges
+
+
+def bpe_fertility(
+    spark: SparkSession, rounds: int = 6, passes: int = 3
+) -> DataFrame:
+    """Tokenizer-quality eval over the trained merges: per-language
+    fertility (tokens per word) and compression (chars per token) after
+    `rounds` BPE merges — the standard multilingual-tokenizer fairness
+    audit (a vocabulary trained on a corpus mix tokenizes some languages
+    into more pieces; fertility gaps quantify it).
+
+    The vocab state from _bpe_train joins back to per-(lang, word)
+    frequencies by word — the join is vocab-sized on both sides; the
+    corpus-sized work is the same two word-count shuffles the trainer
+    already does. Token counts per word fall out of the seq string
+    relationally (space arithmetic), so the eval adds zero Python."""
+    words, _ = _bpe_train(spark, rounds, passes)
+    docs = spark.table("documents")
+    per_lang = (
+        docs.select(
+            "lang", F.explode(F.split(F.lower("text"), " ")).alias("word")
         )
-    return spark.createDataFrame(
-        merges, "round int, pair string, new_symbol string, total bigint"
-    ).orderBy("round")
+        .filter(F.length("word") >= 2)
+        .groupBy("lang", "word")
+        .agg(F.count(F.lit(1)).alias("freq_l"))
+    )
+    n_tokens = F.size(F.split(F.trim(F.col("seq")), " "))
+    vocab = words.select("word", n_tokens.alias("n_tokens"))
+    joined = per_lang.join(vocab, "word")
+    return (
+        joined.groupBy("lang")
+        .agg(
+            F.sum("freq_l").alias("n_words"),
+            F.sum(F.col("freq_l") * F.col("n_tokens")).alias("total_tokens"),
+            F.sum(F.col("freq_l") * F.length("word")).alias("total_chars"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "total_tokens",
+            F.round(F.col("total_tokens") / F.col("n_words"), 6).alias(
+                "fertility"
+            ),
+            F.round(F.col("total_chars") / F.col("total_tokens"), 6).alias(
+                "chars_per_token"
+            ),
+        )
+        .orderBy("lang")
+    )

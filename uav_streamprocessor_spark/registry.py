@@ -1505,6 +1505,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ev_ewma_deviation",
     "text_bpe_train",
     "text_group_holdout_split",
+    "dedup_ngram_containment",
+    "text_bpe_fertility",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
@@ -1514,8 +1516,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_frames_detections_join",
     "uav_frames_without_detections",
     "uav_frames_with_detections",
-    "uav_segment_stats",
-    "uav_detection_rank",
 ]
 
 
@@ -3999,11 +3999,13 @@ _register(
 )(lambda spark: events_ops.ewma_deviation(spark))
 
 
-def _bpe_oracle(rounds: int = 6, passes: int = 3) -> str:
-    """Generated R-round BPE-training replica: each round is a pair-count
-    CTE + argmax CTE + merge CTE; the merge is the same fixed
+def _bpe_ctes(rounds: int = 6, passes: int = 3) -> str:
+    """Generated R-round BPE-training CTE chain: each round is a
+    pair-count CTE + argmax CTE + merge CTE; the merge is the same fixed
     replace()-chain the Spark operator applies, so both engines produce
-    the identical merge table including the degenerate-run edge cases."""
+    identical state including the degenerate-run edge cases. The `word`
+    column rides through the rounds so evals can join final vocab state
+    back to per-language frequencies."""
 
     def rep_chain(expr: str) -> str:
         for _ in range(passes):
@@ -4016,7 +4018,7 @@ def _bpe_oracle(rounds: int = 6, passes: int = 3) -> str:
     parts = [
         """
 WITH w0 AS (
-  SELECT ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
+  SELECT word, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS seq,
          CAST(count(*) AS BIGINT) AS freq
   FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
   WHERE length(word) >= 2
@@ -4033,15 +4035,44 @@ WITH w0 AS (
   SELECT pair, CAST(sum(freq) AS BIGINT) AS total
   FROM p{r} GROUP BY pair ORDER BY total DESC, pair LIMIT 1
 ), w{r} AS (
-  SELECT {rep_chain("seq")} AS seq, freq FROM w{r - 1}, b{r}
+  SELECT word, {rep_chain("seq")} AS seq, freq FROM w{r - 1}, b{r}
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_oracle(rounds: int = 6, passes: int = 3) -> str:
     selects = "\nUNION ALL\n".join(
         f"SELECT CAST({r} AS INT) AS round, pair, "
         f"replace(pair, ' ', '') AS new_symbol, total FROM b{r}"
         for r in range(1, rounds + 1)
     )
-    return "".join(parts) + "\n" + selects + "\nORDER BY round"
+    return _bpe_ctes(rounds, passes) + "\n" + selects + "\nORDER BY round"
+
+
+def _bpe_fertility_oracle(rounds: int = 6, passes: int = 3) -> str:
+    return (
+        _bpe_ctes(rounds, passes)
+        + f"""
+, per_lang AS (
+  SELECT lang, word, CAST(count(*) AS BIGINT) AS freq_l
+  FROM (SELECT lang, unnest(string_split(lower(text), ' ')) AS word
+        FROM documents)
+  WHERE length(word) >= 2
+  GROUP BY lang, word
+), vocab AS (
+  SELECT word, len(string_split(trim(seq), ' ')) AS n_tokens FROM w{rounds}
+)
+SELECT lang,
+       CAST(sum(freq_l) AS BIGINT) AS n_words,
+       CAST(sum(freq_l * n_tokens) AS BIGINT) AS total_tokens,
+       round(sum(freq_l * n_tokens) * 1.0 / sum(freq_l), 6) AS fertility,
+       round(sum(freq_l * length(word)) * 1.0 / sum(freq_l * n_tokens), 6)
+         AS chars_per_token
+FROM per_lang JOIN vocab USING (word)
+GROUP BY lang ORDER BY lang
+"""
+    )
 
 
 _register(
@@ -4093,3 +4124,49 @@ ORDER BY mode, split
     "leaky-group counts are COMPUTED, so the oracle value-checks that "
     "grouped mode's leakage is structurally zero while naive's is not",
 )(lambda spark: sampling.group_holdout_split(spark))
+
+
+_register(
+    "dedup_ngram_containment",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM t
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         round(len(list_intersect(a.grams, b.grams)) * 1.0
+               / least(len(a.grams), len(b.grams)), 6) AS containment,
+         round(len(list_intersect(a.grams, b.grams)) * 1.0
+               / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+           AS jaccard
+  FROM g a JOIN g b
+    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+  WHERE least(len(a.grams), len(b.grams)) > 0
+)
+SELECT doc_id_a, doc_id_b, containment, jaccard
+FROM pairs WHERE containment >= 0.5
+""",
+    notes="asymmetric near-dup: Broder containment |A∩B|/min(|A|,|B|) "
+    "catches subset duplication Jaccard misses (short doc embedded in a "
+    "long one scores 1.0 vs |B|/|A|); both measures reported so "
+    "asymmetric pairs are visible; same bounded block join as the "
+    "Jaccard form",
+)(lambda spark: dedup.ngram_containment_pairs(spark))
+
+
+_register(
+    "text_bpe_fertility",
+    _bpe_fertility_oracle(),
+    notes="tokenizer fairness audit: per-language fertility (tokens/"
+    "word) and chars/token after the 6 trained merges; vocab state "
+    "joins back to per-(lang, word) frequencies — vocab-sized join, "
+    "corpus-sized work is the two word-count shuffles the trainer "
+    "already does",
+)(lambda spark: text.bpe_fertility(spark))
