@@ -411,3 +411,151 @@ def test_bpe_fertility_invariants_and_rounds_knob(spark):
         assert a["chars_per_token"] > 1.0
         # totals reconcile with the reported ratios
         assert abs(a["fertility"] - a["total_tokens"] / a["n_words"]) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# ev_hll_overlap
+# ---------------------------------------------------------------------------
+
+def test_hll_overlap_matches_exact_truth(spark):
+    from uav_streamprocessor_spark.operators import sketches
+
+    rows = sketches.hll_audience_overlap(spark).collect()
+    types = [
+        r["event_type"]
+        for r in spark.table("events").select("event_type").distinct().collect()
+    ]
+    assert len(rows) == len(types) * (len(types) - 1) // 2
+    users = {
+        t: {
+            r["user_id"]
+            for r in spark.table("events")
+            .filter(F.col("event_type") == t)
+            .select("user_id")
+            .distinct()
+            .collect()
+        }
+        for t in types
+    }
+    # relative HLL error ~1.04/sqrt(2^12) per sketch; inclusion-exclusion
+    # compounds three estimates -> tolerance 5 sigma on the largest term
+    sigma = 1.04 / (2**12) ** 0.5
+    for r in rows:
+        exact_a = len(users[r["type_a"]])
+        exact_b = len(users[r["type_b"]])
+        exact_union = len(users[r["type_a"]] | users[r["type_b"]])
+        exact_inter = len(users[r["type_a"]] & users[r["type_b"]])
+        tol = 5 * sigma * exact_union + 2
+        assert abs(r["est_users_a"] - exact_a) <= 5 * sigma * exact_a + 2
+        assert abs(r["est_users_b"] - exact_b) <= 5 * sigma * exact_b + 2
+        assert abs(r["est_union"] - exact_union) <= tol
+        assert abs(r["est_overlap"] - exact_inter) <= tol
+        assert 0.0 <= r["overlap_coeff"] <= 1.0 + 3 * sigma
+
+
+def test_hll_overlap_planted_disjoint_type(spark):
+    """Perturbation: a new event type whose users are entirely novel ids
+    must show ~zero overlap with every existing type."""
+    from uav_streamprocessor_spark.operators import sketches
+
+    ev = spark.table("events")
+    plant = spark.range(200).select(
+        (F.lit(4_000_000) + F.col("id")).alias("event_id"),
+        F.expr(
+            "timestamp '2099-07-01 00:00:00' + make_interval(0,0,0,0,0,0,id)"
+        ).alias("ts"),
+        (F.lit(5_000_000) + F.col("id")).alias("user_id"),
+        F.lit("zz_isolated").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    try:
+        ev.unionByName(plant.select(ev.columns)).createOrReplaceTempView("events")
+        rows = sketches.hll_audience_overlap(spark).collect()
+        iso = [
+            r
+            for r in rows
+            if r["type_a"] == "zz_isolated" or r["type_b"] == "zz_isolated"
+        ]
+        assert len(iso) > 0
+        sigma = 1.04 / (2**12) ** 0.5
+        for r in iso:
+            assert r["overlap_coeff"] <= 5 * sigma + 0.02
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# text_typo_variants
+# ---------------------------------------------------------------------------
+
+def test_typo_variants_brute_force_recall(spark):
+    """Deletion-neighborhood blocking must find EVERY edit-distance-1
+    pair the brute-force vocabulary scan finds (recall 1.0)."""
+    from uav_streamprocessor_spark.operators import text
+
+    got = {
+        (r["canonical"], r["variant"])
+        for r in text.typo_variant_pairs(spark).collect()
+    }
+    vocab = {
+        r["word"]: r["n"]
+        for r in spark.table("documents")
+        .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 3)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+
+    def lev1(a, b):
+        if abs(len(a) - len(b)) > 1 or a == b:
+            return False
+        if len(a) == len(b):
+            return sum(x != y for x, y in zip(a, b)) == 1
+        s, l_ = (a, b) if len(a) < len(b) else (b, a)
+        for i in range(len(l_)):
+            if l_[:i] + l_[i + 1:] == s:
+                return True
+        return False
+
+    words = list(vocab)
+    expected = set()
+    for i, wa in enumerate(words):
+        for wb in words[i + 1:]:
+            for canon, var in ((wa, wb), (wb, wa)):
+                if (
+                    vocab[canon] >= 5 * vocab[var]
+                    and vocab[canon] >= 5
+                    and lev1(canon, var)
+                ):
+                    expected.add((canon, var))
+    assert got == expected
+
+
+def test_typo_variants_planted_ocr_noise(spark):
+    """Perturbation: flood a word, plant one damaged copy — the pair
+    must surface with the frequent form as canonical, and never the
+    reverse attribution."""
+    from uav_streamprocessor_spark.operators import text
+
+    docs = spark.table("documents")
+    plant = spark.createDataFrame(
+        [
+            (9_300_001, ("qvzwords " * 50).strip(), "en", "plant", 450),
+            (9_300_002, "qvzw0rds appears once only", "en", "plant", 26),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs.unionByName(plant).createOrReplaceTempView("documents")
+        pairs = {
+            (r["canonical"], r["variant"]): r
+            for r in text.typo_variant_pairs(spark).collect()
+        }
+        assert ("qvzwords", "qvzw0rds") in pairs
+        assert ("qvzw0rds", "qvzwords") not in pairs
+        hit = pairs[("qvzwords", "qvzw0rds")]
+        assert hit["n_canonical"] == 50 and hit["n_variant"] == 1
+    finally:
+        docs.createOrReplaceTempView("documents")

@@ -148,3 +148,51 @@ def topk_users_rollup(
         .select("event_type", "rnk", "user_id", "est_count")
         .orderBy("event_type", "rnk")
     )
+
+
+def hll_audience_overlap(spark: SparkSession, lg_k: int = 12) -> DataFrame:
+    """Sketch-based audience-overlap matrix: estimated |users(A) ∩
+    users(B)| for every event-type pair via inclusion-exclusion over
+    HLL sketches — |A∩B| ≈ |A| + |B| - |A∪B|, with |A∪B| from
+    hll_union (lossless on HLL registers). The segment-overlap question
+    every audience/attribution system answers WITHOUT re-scanning raw
+    events: per-type sketches build in one pass (KBs each), and any
+    pair intersects driver-free from the stored sketches.
+
+    Inclusion-exclusion error compounds both sketches' relative error
+    (~1.04/sqrt(2^lg_k) each) and is the standard caveat for SMALL
+    intersections of LARGE sets — the test pins estimates against the
+    exact countDistinct truth at a tolerance derived from that bound.
+
+    One event scan -> |types| sketches -> |types|² in-row pair math
+    (the pair join is sketch-count-sized, never event-sized). Sketches
+    aren't oracle-portable -> rows-only + pytest exactness."""
+    ev = spark.table("events")
+    sk = ev.groupBy("event_type").agg(
+        F.hll_sketch_agg("user_id", F.lit(lg_k)).alias("sketch"),
+    )
+    a = sk.select(
+        F.col("event_type").alias("type_a"), F.col("sketch").alias("sk_a")
+    )
+    b = sk.select(
+        F.col("event_type").alias("type_b"), F.col("sketch").alias("sk_b")
+    )
+    est_a = F.hll_sketch_estimate("sk_a")
+    est_b = F.hll_sketch_estimate("sk_b")
+    est_union = F.hll_sketch_estimate(F.hll_union("sk_a", "sk_b"))
+    inter = est_a + est_b - est_union
+    return (
+        a.join(b, F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a",
+            "type_b",
+            est_a.cast("long").alias("est_users_a"),
+            est_b.cast("long").alias("est_users_b"),
+            est_union.cast("long").alias("est_union"),
+            F.greatest(inter, F.lit(0.0)).cast("long").alias("est_overlap"),
+            F.round(
+                F.greatest(inter, F.lit(0.0)) / F.least(est_a, est_b), 6
+            ).alias("overlap_coeff"),
+        )
+        .orderBy("type_a", "type_b")
+    )

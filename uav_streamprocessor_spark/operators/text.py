@@ -953,3 +953,65 @@ def bpe_fertility(
         )
         .orderBy("lang")
     )
+
+
+def typo_variant_pairs(
+    spark: SparkSession, min_ratio: int = 5, min_canon: int = 5
+) -> DataFrame:
+    """OCR/typo noise screen over the corpus vocabulary: rare words at
+    edit distance 1 from a much more frequent word are likely damaged
+    variants of it (the spell-noise signal quality pipelines use to
+    flag scanned/OCR'd sources). Emits (canonical, variant) pairs where
+    freq(canonical) >= min_ratio * freq(variant).
+
+    Candidate generation is SymSpell deletion-neighborhood blocking
+    (Garbe): every word keys on itself plus its single-char deletions;
+    any two words within edit distance 1 provably share a key (the
+    shorter word IS a deletion of the longer, or both share the
+    deletion at the edit position for substitutions), so recall is 1.0
+    WITHOUT an all-pairs scan — candidate work is O(word_len) keys per
+    vocab type, and the verify (levenshtein == 1) runs only inside
+    key buckets. The whole pipeline is vocab-sized after one corpus
+    word-count shuffle: the same sublinear-working-set shape as the
+    BPE trainer. Bucket keys are strings; at 100 TB hash them to
+    16-byte keys exactly like the blocking-edge families."""
+    docs = spark.table("documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
+        .filter(F.length("word") >= 3)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length("word")),
+        lambda i: F.concat(
+            F.col("word").substr(F.lit(1), i - 1),
+            F.col("word").substr(i + 1, F.length("word")),
+        ),
+    )
+    keys = vocab.select(
+        "word",
+        "n",
+        F.explode(
+            F.array_distinct(F.concat(F.array(F.col("word")), dels))
+        ).alias("key"),
+    )
+    a = keys.select(
+        F.col("word").alias("canonical"), F.col("n").alias("n_canonical"), "key"
+    )
+    b = keys.select(
+        F.col("word").alias("variant"), F.col("n").alias("n_variant"), "key"
+    )
+    return (
+        a.join(b, "key")
+        .filter(
+            (F.col("canonical") != F.col("variant"))
+            & (F.levenshtein("canonical", "variant") == 1)
+            & (F.col("n_canonical") >= min_ratio * F.col("n_variant"))
+            & (F.col("n_canonical") >= min_canon)
+        )
+        .select("canonical", "variant", "n_canonical", "n_variant")
+        .distinct()
+        .orderBy("canonical", "variant")
+    )

@@ -1507,6 +1507,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_group_holdout_split",
     "dedup_ngram_containment",
     "text_bpe_fertility",
+    "ev_hll_overlap",
+    "text_typo_variants",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
@@ -1514,8 +1516,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_detections_filtered",
     "uav_class_stats",
     "uav_frames_detections_join",
-    "uav_frames_without_detections",
-    "uav_frames_with_detections",
 ]
 
 
@@ -4170,3 +4170,46 @@ _register(
     "corpus-sized work is the two word-count shuffles the trainer "
     "already does",
 )(lambda spark: text.bpe_fertility(spark))
+
+
+_register(
+    "ev_hll_overlap",
+    None,
+    notes="sketch-based audience-overlap matrix: |A∩B| by inclusion-"
+    "exclusion over per-type HLL sketches (hll_union is lossless on "
+    "registers); pair math is sketch-count-sized, never event-sized; "
+    "estimates pinned against exact countDistinct truth in pytest -> "
+    "rows-only",
+)(lambda spark: sketches.hll_audience_overlap(spark))
+
+
+_register(
+    "text_typo_variants",
+    """
+WITH vocab AS (
+  SELECT word, CAST(count(*) AS BIGINT) AS n
+  FROM (SELECT unnest(string_split(lower(text), ' ')) AS word FROM documents)
+  WHERE length(word) >= 3
+  GROUP BY word
+), keys AS (
+  SELECT word, n, unnest(list_distinct(list_concat(
+           [word],
+           list_transform(range(1, length(word) + 1),
+             i -> substr(word, 1, i - 1)
+                  || substr(word, i + 1, length(word)))))) AS key
+  FROM vocab
+)
+SELECT DISTINCT a.word AS canonical, b.word AS variant,
+       a.n AS n_canonical, b.n AS n_variant
+FROM keys a JOIN keys b USING (key)
+WHERE a.word <> b.word
+  AND levenshtein(a.word, b.word) = 1
+  AND a.n >= 5 * b.n
+  AND a.n >= 5
+ORDER BY canonical, variant
+""",
+    notes="OCR/typo noise screen: SymSpell deletion-neighborhood "
+    "blocking (recall 1.0 for edit distance 1, O(word_len) keys per "
+    "vocab type, no all-pairs) + exact levenshtein verify inside "
+    "buckets; vocab-sized after one word-count shuffle",
+)(lambda spark: text.typo_variant_pairs(spark))
