@@ -491,16 +491,44 @@ def test_hll_overlap_planted_disjoint_type(spark):
 
 def test_typo_variants_brute_force_recall(spark):
     """Deletion-neighborhood blocking must find EVERY edit-distance-1
-    pair the brute-force vocabulary scan finds (recall 1.0)."""
+    pair the brute-force vocabulary scan finds (recall 1.0). The
+    synthetic corpus has a ~30-word vocabulary with no organic pairs
+    (the registered query's 0-row result IS the corpus truth), so the
+    comparison runs on a perturbed corpus seeded with realistic typo
+    families — substitution, deletion, insertion, plus a decoy at
+    distance 2 and a decoy below the frequency ratio."""
     from uav_streamprocessor_spark.operators import text
 
-    got = {
-        (r["canonical"], r["variant"])
-        for r in text.typo_variant_pairs(spark).collect()
-    }
+    docs = spark.table("documents")
+    seeds = [
+        ("receive " * 40).strip(),      # canonical x40
+        "recieve noise",                 # transposition -> distance 2 decoy
+        "receive0 noise",                # insertion variant x1
+        "receve noise",                  # deletion variant x1
+        "rezeive noise",                 # substitution variant x1
+        ("beleive " * 8).strip(),       # second family, canonical x8
+        "believe " * 3,                  # distance-2 from beleive? (check brute force)
+    ]
+    plant = spark.createDataFrame(
+        [
+            (9_400_000 + i, t, "en", "plant", len(t))
+            for i, t in enumerate(seeds)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    perturbed = docs.unionByName(plant)
+    perturbed.createOrReplaceTempView("documents")
+    try:
+        got = {
+            (r["canonical"], r["variant"])
+            for r in text.typo_variant_pairs(spark).collect()
+        }
+    finally:
+        docs.createOrReplaceTempView("documents")
+    assert len(got) >= 3
     vocab = {
         r["word"]: r["n"]
-        for r in spark.table("documents")
+        for r in perturbed
         .select(F.explode(F.split(F.lower("text"), " ")).alias("word"))
         .filter(F.length("word") >= 3)
         .groupBy("word")
