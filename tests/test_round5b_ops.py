@@ -587,3 +587,43 @@ def test_typo_variants_planted_ocr_noise(spark):
         assert hit["n_canonical"] == 50 and hit["n_variant"] == 1
     finally:
         docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# rel_l_diversity
+# ---------------------------------------------------------------------------
+
+def test_l_diversity_invariants_and_planted_homogeneous_class(spark):
+    from uav_streamprocessor_spark.operators import relational
+
+    rows = {r["c_nationkey"]: r for r in relational.l_diversity_audit(spark).collect()}
+    assert len(rows) > 0
+    for r in rows.values():
+        # entropy-l (effective values) is bounded by distinct-l, >= 1
+        assert 1.0 - 1e-9 <= r["entropy_l"] <= r["distinct_l"] + 1e-6
+        assert r["below_l"] == (r["distinct_l"] < 3)
+    # Perturbation: a new nation whose customers ALL share one segment —
+    # k-anonymity-fine (large class) but maximally homogeneous
+    cust = spark.table("customer")
+    plant = spark.range(50).select(
+        (F.lit(7_000_000) + F.col("id")).alias("c_custkey"),
+        F.lit("Customer#plant").alias("c_name"),
+        F.lit(99).cast("int").alias("c_nationkey"),
+        F.lit(0.0).alias("c_acctbal"),
+        F.lit("BUILDING").alias("c_mktsegment"),
+    )
+    try:
+        cust.unionByName(plant.select(cust.columns)).createOrReplaceTempView(
+            "customer"
+        )
+        audited = {
+            r["c_nationkey"]: r
+            for r in relational.l_diversity_audit(spark).collect()
+        }
+        hom = audited[99]
+        assert hom["class_size"] == 50
+        assert hom["distinct_l"] == 1
+        assert hom["entropy_l"] == 1.0
+        assert hom["below_l"] is True
+    finally:
+        cust.createOrReplaceTempView("customer")

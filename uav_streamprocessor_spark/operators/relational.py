@@ -1250,3 +1250,41 @@ def scd2_snapshot(spark: SparkSession, as_of: str = "1997-06-01") -> DataFrame:
         (F.col("effective_from") <= snap)
         & (F.col("effective_to").isNull() | (F.col("effective_to") > snap))
     ).select("o_custkey", "priority", "effective_from", "effective_to")
+
+
+def l_diversity_audit(spark: SparkSession, l_threshold: int = 3) -> DataFrame:
+    """l-diversity audit (Machanavajjhala et al., ICDE'06) — the
+    homogeneity-attack check k-anonymity misses: a class can hold >= k
+    rows yet leak the sensitive attribute if every row shares one
+    value. Quasi-identifier: c_nationkey; sensitive: c_mktsegment.
+    Per class: distinct-l (distinct sensitive values), entropy-l
+    (exp of Shannon entropy of the in-class sensitive distribution —
+    the effective number of values), and the below-threshold flag.
+
+    One (QI, sensitive) count agg + one QI-level rollup; entropy folds
+    from the value counts relationally (sum p*ln p), so the audit is
+    two map-side-combined shuffles at any scale — same posture as the
+    k-anonymity audit it extends."""
+    customer = spark.table("customer")
+    counts = customer.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # p computed against the class total via a window over the VALUE-COUNT
+    # table (|QI| x |sensitive| rows — tiny at any corpus scale)
+    p = F.col("n") / F.sum("n").over(Window.partitionBy("c_nationkey"))
+    per_class = (
+        counts.withColumn("p", p)
+        .groupBy("c_nationkey")
+        .agg(
+            F.sum("n").alias("class_size"),
+            F.count(F.lit(1)).alias("distinct_l"),
+            (-F.sum(F.col("p") * F.log("p"))).alias("_h"),
+        )
+    )
+    return per_class.select(
+        "c_nationkey",
+        "class_size",
+        "distinct_l",
+        F.round(F.exp("_h"), 6).alias("entropy_l"),
+        (F.col("distinct_l") < l_threshold).alias("below_l"),
+    ).orderBy("c_nationkey")

@@ -1509,13 +1509,13 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_bpe_fertility",
     "ev_hll_overlap",
     "text_typo_variants",
+    "rel_l_diversity",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
     "uav_letterbox_geometry",
     "uav_detections_filtered",
     "uav_class_stats",
-    "uav_frames_detections_join",
 ]
 
 
@@ -4213,3 +4213,28 @@ ORDER BY canonical, variant
     "vocab type, no all-pairs) + exact levenshtein verify inside "
     "buckets; vocab-sized after one word-count shuffle",
 )(lambda spark: text.typo_variant_pairs(spark))
+
+
+_register(
+    "rel_l_diversity",
+    """
+WITH counts AS (
+  SELECT c_nationkey, c_mktsegment, CAST(count(*) AS BIGINT) AS n
+  FROM customer GROUP BY 1, 2
+), withp AS (
+  SELECT c_nationkey, n,
+         n * 1.0 / sum(n) OVER (PARTITION BY c_nationkey) AS p
+  FROM counts
+)
+SELECT c_nationkey,
+       CAST(sum(n) AS BIGINT) AS class_size,
+       CAST(count(*) AS BIGINT) AS distinct_l,
+       round(exp(-sum(p * ln(p))), 6) AS entropy_l,
+       count(*) < 3 AS below_l
+FROM withp GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    notes="l-diversity audit (homogeneity-attack check k-anonymity "
+    "misses): distinct-l + entropy-l (effective number of sensitive "
+    "values) per c_nationkey class over c_mktsegment; two map-side-"
+    "combined shuffles, window runs on the |QI|x|sensitive| count table",
+)(lambda spark: relational.l_diversity_audit(spark))
