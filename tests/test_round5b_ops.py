@@ -627,3 +627,56 @@ def test_l_diversity_invariants_and_planted_homogeneous_class(spark):
         assert hom["below_l"] is True
     finally:
         cust.createOrReplaceTempView("customer")
+
+
+# ---------------------------------------------------------------------------
+# dedup_lsh_tuning
+# ---------------------------------------------------------------------------
+
+def test_lsh_tuning_corpus_curve(spark):
+    from uav_streamprocessor_spark.operators import dedup
+
+    pts = {(r["bands"], r["rows_per_band"]): r
+           for r in dedup.lsh_band_tuning(spark).collect()}
+    assert set(pts) == {(8, 8), (16, 4), (32, 2)}
+    truths = {r["n_truth"] for r in pts.values()}
+    assert len(truths) == 1 and truths.pop() > 0
+    # organic near-dups sit at jaccard >= 0.9 where banding theory puts
+    # every config near recall 1; candidate volume must grow with bands
+    for r in pts.values():
+        assert 0.9 <= r["recall"] <= 1.0
+    assert pts[(32, 2)]["n_candidates"] > pts[(8, 8)]["n_candidates"]
+
+
+def test_lsh_tuning_medium_similarity_separates_configs(spark):
+    """Perturbation: plant ~15 doc pairs at jaccard ~0.55-0.6 (24 shared
+    + 8 unique words). Banding theory: P(candidate | j=0.55) is ~3% for
+    8x8, ~60% for 16x4, ~99.99% for 32x2 — with the medium band diluting
+    the organic j>=0.9 truth, wide-band recall must fall well below 1
+    while 32x2 stays near 1, and recall must be monotone in bands."""
+    from uav_streamprocessor_spark.operators import dedup
+
+    docs = spark.table("documents")
+    rows = []
+    for p in range(15):
+        shared = " ".join(f"pl{p}w{i}" for i in range(24))
+        ua = " ".join(f"pl{p}a{i}" for i in range(8))
+        ub = " ".join(f"pl{p}b{i}" for i in range(8))
+        rows.append((9_500_000 + 2 * p, f"{shared} {ua}", "en", "plant", 200))
+        rows.append((9_500_001 + 2 * p, f"{shared} {ub}", "en", "plant", 200))
+    plant = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    try:
+        docs.unionByName(plant).createOrReplaceTempView("documents")
+        pts = {(r["bands"], r["rows_per_band"]): r
+               for r in dedup.lsh_band_tuning(spark, threshold=0.5).collect()}
+        base_truth = pts[(8, 8)]["n_truth"]
+        assert base_truth >= 40  # organic + the 15 planted medium pairs
+        r8, r16, r32 = (pts[(8, 8)]["recall"], pts[(16, 4)]["recall"],
+                        pts[(32, 2)]["recall"])
+        assert r8 <= r16 <= r32
+        assert r8 < 0.9          # wide bands provably miss medium pairs
+        assert r32 > 0.95        # narrow bands catch nearly everything
+    finally:
+        docs.createOrReplaceTempView("documents")

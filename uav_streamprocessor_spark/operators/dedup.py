@@ -676,3 +676,85 @@ def ngram_containment_pairs(
         )
         .filter(F.col("containment") >= threshold)
     )
+
+
+def lsh_band_tuning(
+    spark: SparkSession, threshold: float = 0.7, configs=((8, 8), (16, 4), (32, 2))
+) -> DataFrame:
+    """Banding-parameter tuning curve for the MinHash LSH path — the
+    dedup-family twin of emb_ann_tuning_curve: candidate recall and
+    candidate volume per (bands, rows_per_band) split of the same
+    64-permutation signature. Banding theory: P(candidate | jaccard=j)
+    = 1 - (1 - j^rows)^bands, so more/narrower bands raise recall AND
+    candidate cost; the curve makes the trade measurable instead of
+    folklore.
+
+    Ground truth is the blocking-edge candidate pairs (doc_block_edges
+    — the same pair family the CC dedup resolves) verified with exact
+    word-3-gram Jaccard >= threshold: a bounded high-similarity sample
+    (~25 pairs at sf0.01, all organic near-dups) whose recall estimate
+    is unbiased for pairs the blocking families surface. Signatures
+    compute ONCE (localCheckpoint) and every config re-bands the same
+    frame in-row; per config the only shuffle is its bucket groupBy.
+    Hit-counting is a left-semi on id pairs."""
+    docs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = (
+        docs.withColumn("sig", minhash_signature("text"))
+        .select("doc_id", "sig")
+        .localCheckpoint(eager=True)
+    )
+    edges = doc_block_edges(spark).select(
+        F.least("src", "dst").alias("doc_id_a"),
+        F.greatest("src", "dst").alias("doc_id_b"),
+    ).distinct()
+    g = doc_ngram_sets(spark)
+    ga = g.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b"))
+    jac = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
+        F.array_union("grams_a", "grams_b")
+    )
+    truth = (
+        edges.join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .filter(jac >= threshold)
+        .select("doc_id_a", "doc_id_b")
+        .localCheckpoint(eager=True)
+    )
+    n_truth = truth.count()
+    points = []
+    for bands, rows_per_band in configs:
+        banded = sigs.select(
+            "doc_id",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            *[
+                                F.element_at("sig", b * rows_per_band + r + 1)
+                                for r in range(rows_per_band)
+                            ]
+                        ).alias("band_sig"),
+                    )
+                    for b in range(bands)
+                ])
+            ).alias("bs"),
+        ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.band_sig").alias("band_sig"))
+        cands = _bucket_pairs(banded, ["band", "band_sig"], F.col("doc_id")).select(
+            F.col("p.a").alias("doc_id_a"), F.col("p.b").alias("doc_id_b")
+        ).distinct()
+        n_cands = cands.count()
+        n_hits = truth.join(cands, ["doc_id_a", "doc_id_b"], "left_semi").count()
+        points.append(
+            (bands, rows_per_band, n_cands, n_truth,
+             round(n_hits / n_truth, 6) if n_truth else None)
+        )
+    return spark.createDataFrame(
+        points,
+        "bands int, rows_per_band int, n_candidates bigint, "
+        "n_truth bigint, recall double",
+    ).orderBy("bands")

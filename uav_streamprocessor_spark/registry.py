@@ -1510,12 +1510,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ev_hll_overlap",
     "text_typo_variants",
     "rel_l_diversity",
+    "dedup_lsh_tuning",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
     "uav_letterbox_geometry",
     "uav_detections_filtered",
-    "uav_class_stats",
 ]
 
 
@@ -4238,3 +4238,14 @@ FROM withp GROUP BY c_nationkey ORDER BY c_nationkey
     "values) per c_nationkey class over c_mktsegment; two map-side-"
     "combined shuffles, window runs on the |QI|x|sensitive| count table",
 )(lambda spark: relational.l_diversity_audit(spark))
+
+
+_register(
+    "dedup_lsh_tuning",
+    None,
+    notes="MinHash banding tuning curve (dedup twin of the ANN curve): "
+    "candidate recall vs exact block-sample Jaccard truth + candidate "
+    "volume per (bands, rows_per_band) split of ONE signature pass; "
+    "banding theory made measurable; signature UDF not oracle-portable "
+    "-> rows-only",
+)(lambda spark: dedup.lsh_band_tuning(spark))
