@@ -680,3 +680,94 @@ def test_lsh_tuning_medium_similarity_separates_configs(spark):
         assert r32 > 0.95        # narrow bands catch nearly everything
     finally:
         docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# rel_benford_audit
+# ---------------------------------------------------------------------------
+
+def test_benford_math_and_planted_populations(spark):
+    from uav_streamprocessor_spark.operators import relational
+
+    rows = relational.benford_audit(spark).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["observed_share"] for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 1e-4
+    assert all(r["chi2_term"] >= 0 for r in rows)
+
+    orders = spark.table("orders")
+
+    def run_with(prices):
+        plant = spark.createDataFrame(
+            [(i, 0, "O", p, "1995-01-01", "1-URGENT") for i, p in enumerate(prices)],
+            "o_orderkey long, o_custkey long, o_orderstatus string, "
+            "o_totalprice double, o_orderdate string, o_orderpriority string",
+        ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        try:
+            plant.select(orders.columns).createOrReplaceTempView("orders")
+            return relational.benford_audit(spark).collect()
+        finally:
+            orders.createOrReplaceTempView("orders")
+
+    # population drawn EXACTLY at Benford proportions -> chi2 ~ 0
+    import math
+
+    benford = [
+        (d, round(1000 * math.log10(1 + 1 / d))) for d in range(1, 10)
+    ]
+    conforming = [
+        float(f"{d}{i % 7}{i % 10}.5") for d, n in benford for i in range(n)
+    ]
+    chi2_conf = sum(r["chi2_term"] for r in run_with(conforming))
+    # fabricated population: every amount starts with 5 -> chi2 explodes
+    fabricated = [500.0 + i for i in range(1000)]
+    rows_fab = run_with(fabricated)
+    chi2_fab = sum(r["chi2_term"] for r in rows_fab)
+    assert chi2_conf < 1.0
+    assert chi2_fab > 1000 * chi2_conf or chi2_conf == 0
+    assert chi2_fab > 100
+
+
+# ---------------------------------------------------------------------------
+# ev_daily_autocorr
+# ---------------------------------------------------------------------------
+
+def test_autocorr_bounds_and_planted_weekly_period(spark):
+    from uav_streamprocessor_spark.operators import events_ops
+
+    rows = events_ops.daily_autocorrelation(spark).collect()
+    assert [r["lag_days"] for r in rows] == list(range(1, 8))
+    n_days = (
+        spark.table("events").select(F.to_date("ts").alias("d")).distinct().count()
+    )
+    for r in rows:
+        assert abs(r["autocorr"]) <= 1.0 + 1e-9
+        assert r["n_points"] == n_days - r["lag_days"]
+
+    # Perturbation: a strictly period-7 daily series -> lag-7 autocorr
+    # is exactly 1, and every other lag is strictly lower
+    ev = spark.table("events")
+    import datetime
+
+    rows_synth = []
+    eid = 0
+    d0 = datetime.date(2099, 1, 1)
+    for day in range(35):
+        stamp = (d0 + datetime.timedelta(days=day)).isoformat()
+        for _ in range((day % 7) * 3 + 1):
+            rows_synth.append((eid, f"{stamp} 12:00:00", 1, "tick", 1.0, "{}"))
+            eid += 1
+    plant = spark.createDataFrame(
+        rows_synth,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    try:
+        plant.select(ev.columns).createOrReplaceTempView("events")
+        synth = {r["lag_days"]: r["autocorr"]
+                 for r in events_ops.daily_autocorrelation(spark).collect()}
+        assert synth[7] == 1.0
+        for k in range(1, 7):
+            assert synth[k] < 1.0
+    finally:
+        ev.createOrReplaceTempView("events")

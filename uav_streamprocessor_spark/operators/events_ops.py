@@ -797,3 +797,40 @@ def ewma_deviation(
     # same guard as top_session_paths)
     ranked = scored.orderBy(F.col("deviation").desc(), "event_id")
     return ranked if top_n is None else ranked.limit(top_n)
+
+
+def daily_autocorrelation(spark: SparkSession, max_lag: int = 7) -> DataFrame:
+    """Seasonality screen over the event stream: lag-k Pearson
+    autocorrelation of the corpus-wide daily event-count series for
+    k = 1..max_lag — the diagnostic that decides whether a forecast /
+    anomaly model needs weekly seasonality terms (a spike at lag 7) or
+    day-over-day momentum (lag 1).
+
+    The series aggregates to one row per DAY before any correlation
+    math — O(days) rows regardless of corpus size — so the lag windows
+    and corr() aggregates run on a frame that fits anywhere; the only
+    corpus-sized work is the one date-keyed count shuffle. corr() is
+    the built-in two-pass-free Pearson aggregate, identical in DuckDB.
+    Days with no events simply don't exist as rows (the fixture stream
+    is dense); a production variant would left-join a date spine the
+    way rel_monthly_revenue_spine builds one."""
+    ev = spark.table("events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.orderBy("day")
+    cols = [F.lag("n", k).over(w).alias(f"lag{k}") for k in range(1, max_lag + 1)]
+    lagged = daily.select("n", *cols)
+    points = []
+    for k in range(1, max_lag + 1):
+        points.append(
+            lagged.filter(F.col(f"lag{k}").isNotNull()).agg(
+                F.lit(k).alias("lag_days"),
+                F.count(F.lit(1)).alias("n_points"),
+                F.round(F.corr("n", f"lag{k}"), 6).alias("autocorr"),
+            )
+        )
+    out = points[0]
+    for p in points[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("lag_days")

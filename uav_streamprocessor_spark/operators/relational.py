@@ -1288,3 +1288,47 @@ def l_diversity_audit(spark: SparkSession, l_threshold: int = 3) -> DataFrame:
         F.round(F.exp("_h"), 6).alias("entropy_l"),
         (F.col("distinct_l") < l_threshold).alias("below_l"),
     ).orderBy("c_nationkey")
+
+
+def benford_audit(spark: SparkSession) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-numbers forensic (organic multiplicative amounts follow
+    P(d) = log10(1 + 1/d); uniform or hand-entered values don't). Per
+    leading digit: observed count/share, expected share, and the
+    chi-square contribution; the total chi-square is the fraud-screen
+    statistic.
+
+    Leading digit extraction is string arithmetic on the absolute
+    value (portable, no float-log edge cases); one 9-key groupBy with
+    map-side combine — nothing wide moves at any scale."""
+    orders = spark.table("orders")
+    # strip zeros and the dot per-character ([0.] — no zero-width regex,
+    # which Java and RE2 handle differently), then the first remaining
+    # char is the leading significant digit
+    digit = F.substring(
+        F.regexp_replace(F.abs(F.col("o_totalprice")).cast("string"), "[0.]", ""),
+        1,
+        1,
+    ).cast("int")
+    by_digit = (
+        orders.select(digit.alias("digit"))
+        .filter(F.col("digit").between(1, 9))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    # denominator as a broadcast scalar agg — no driver action at build
+    n_total = by_digit.agg(F.sum("n_orders").cast("double").alias("n_total"))
+    expected = F.log10(1.0 + 1.0 / F.col("digit"))
+    obs_share = F.col("n_orders") / F.col("n_total")
+    chi2 = F.pow(obs_share - expected, 2) / expected * F.col("n_total")
+    return (
+        by_digit.crossJoin(F.broadcast(n_total))
+        .select(
+            "digit",
+            "n_orders",
+            F.round(obs_share, 6).alias("observed_share"),
+            F.round(expected, 6).alias("benford_share"),
+            F.round(chi2, 6).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

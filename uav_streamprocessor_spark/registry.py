@@ -1511,11 +1511,11 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_typo_variants",
     "rel_l_diversity",
     "dedup_lsh_tuning",
+    "rel_benford_audit",
+    "ev_daily_autocorr",
     # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
     "uav_keyframe_decimation",
     "uav_frame_counters",
-    "uav_letterbox_geometry",
-    "uav_detections_filtered",
 ]
 
 
@@ -4249,3 +4249,63 @@ _register(
     "banding theory made measurable; signature UDF not oracle-portable "
     "-> rows-only",
 )(lambda spark: dedup.lsh_band_tuning(spark))
+
+
+_register(
+    "rel_benford_audit",
+    """
+WITH digits AS (
+  SELECT CAST(substring(
+           regexp_replace(CAST(abs(o_totalprice) AS VARCHAR), '[0.]', '', 'g'),
+           1, 1) AS INT) AS digit
+  FROM orders
+), by_digit AS (
+  SELECT digit, CAST(count(*) AS BIGINT) AS n_orders
+  FROM digits WHERE digit BETWEEN 1 AND 9 GROUP BY digit
+), tot AS (
+  SELECT CAST(sum(n_orders) AS DOUBLE) AS n_total FROM by_digit
+)
+SELECT digit, n_orders,
+       round(n_orders / n_total, 6) AS observed_share,
+       round(log10(1.0 + 1.0 / digit), 6) AS benford_share,
+       round(pow(n_orders / n_total - log10(1.0 + 1.0 / digit), 2)
+             / log10(1.0 + 1.0 / digit) * n_total, 6) AS chi2_term
+FROM by_digit, tot ORDER BY digit
+""",
+    notes="Benford's-law first-digit forensic over order totals: "
+    "observed vs log10(1+1/d) expected share + chi-square terms; "
+    "leading digit via per-char [0.] strip (no zero-width regex — "
+    "Java/RE2 divergence), 9-key groupBy, scalar total broadcast back",
+)(lambda spark: relational.benford_audit(spark))
+
+
+def _autocorr_oracle(max_lag: int = 7) -> str:
+    lag_cols = ",\n         ".join(
+        f"lag(n, {k}) OVER (ORDER BY day) AS lag{k}" for k in range(1, max_lag + 1)
+    )
+    selects = "\nUNION ALL\n".join(
+        f"SELECT {k} AS lag_days, CAST(count(*) AS BIGINT) AS n_points, "
+        f"round(corr(n, lag{k}), 6) AS autocorr "
+        f"FROM lagged WHERE lag{k} IS NOT NULL"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
+), lagged AS (
+  SELECT n,
+         {lag_cols}
+  FROM daily
+)
+{selects}
+ORDER BY lag_days
+"""
+
+
+_register(
+    "ev_daily_autocorr",
+    _autocorr_oracle(),
+    notes="lag-1..7 Pearson autocorrelation of the daily event-count "
+    "series (weekly-seasonality diagnostic); series is O(days) rows "
+    "after one date-keyed count shuffle, corr() built-in both engines",
+)(lambda spark: events_ops.daily_autocorrelation(spark))
