@@ -807,30 +807,31 @@ def daily_autocorrelation(spark: SparkSession, max_lag: int = 7) -> DataFrame:
     day-over-day momentum (lag 1).
 
     The series aggregates to one row per DAY before any correlation
-    math — O(days) rows regardless of corpus size — so the lag windows
-    and corr() aggregates run on a frame that fits anywhere; the only
-    corpus-sized work is the one date-keyed count shuffle. corr() is
-    the built-in two-pass-free Pearson aggregate, identical in DuckDB.
-    Days with no events simply don't exist as rows (the fixture stream
-    is dense); a production variant would left-join a date spine the
-    way rel_monthly_revenue_spine builds one."""
+    math — O(days) rows regardless of corpus size — so the only
+    corpus-sized work is the one date-keyed count shuffle. Lags come
+    from a CALENDAR self-join (b.day = a.day - k) rather than a lag()
+    window: no unpartitioned window anywhere (the plan-audit ban), the
+    join is a hash join on a tiny frame, and calendar alignment is the
+    correct autocorrelation semantics when days are missing (a row
+    lag() would silently correlate across gaps). corr() is the
+    built-in Pearson aggregate, identical in DuckDB."""
     ev = spark.table("events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
-    )
-    w = Window.orderBy("day")
-    cols = [F.lag("n", k).over(w).alias(f"lag{k}") for k in range(1, max_lag + 1)]
-    lagged = daily.select("n", *cols)
+    ).localCheckpoint(eager=True)
     points = []
     for k in range(1, max_lag + 1):
+        prev = daily.select(
+            F.date_add(F.col("day"), k).alias("day"), F.col("n").alias("n_prev")
+        )
         points.append(
-            lagged.filter(F.col(f"lag{k}").isNotNull()).agg(
+            daily.join(prev, "day").agg(
                 F.lit(k).alias("lag_days"),
                 F.count(F.lit(1)).alias("n_points"),
-                F.round(F.corr("n", f"lag{k}"), 6).alias("autocorr"),
+                F.round(F.corr("n", "n_prev"), 6).alias("autocorr"),
             )
         )
     out = points[0]
-    for p in points[1:]:
-        out = out.unionByName(p)
+    for pt in points[1:]:
+        out = out.unionByName(pt)
     return out.orderBy("lag_days")

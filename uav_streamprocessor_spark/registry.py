@@ -1454,7 +1454,9 @@ FROM joined GROUP BY 1 ORDER BY 1
 #   3. round-5 additions (inserted here as they land, displacing tail
 #      fillers, so no never-driver-checked surface accumulates);
 #   4. fillers: the OLDEST driver rows (r01-era, §2.1 staples first) to
-#      re-validate against drift.
+#      re-validate against drift. (All filler slots were displaced by
+#      late-r5 additions — the staples hold r01/r02 rows and rotate back
+#      in r6; never-driver-checked queries always take priority.)
 # Names listed here sort first, in this order; everything else follows in
 # registration order.
 # ---------------------------------------------------------------------------
@@ -4280,22 +4282,17 @@ FROM by_digit, tot ORDER BY digit
 
 
 def _autocorr_oracle(max_lag: int = 7) -> str:
-    lag_cols = ",\n         ".join(
-        f"lag(n, {k}) OVER (ORDER BY day) AS lag{k}" for k in range(1, max_lag + 1)
-    )
+    # calendar self-join lags (b.day + k = a.day) — mirrors the Spark
+    # plan: no unpartitioned window, correct alignment across gaps
     selects = "\nUNION ALL\n".join(
         f"SELECT {k} AS lag_days, CAST(count(*) AS BIGINT) AS n_points, "
-        f"round(corr(n, lag{k}), 6) AS autocorr "
-        f"FROM lagged WHERE lag{k} IS NOT NULL"
+        f"round(corr(a.n, b.n), 6) AS autocorr "
+        f"FROM daily a JOIN daily b ON a.day = b.day + INTERVAL {k} DAY"
         for k in range(1, max_lag + 1)
     )
     return f"""
 WITH daily AS (
   SELECT CAST(ts AS DATE) AS day, count(*) AS n FROM events GROUP BY 1
-), lagged AS (
-  SELECT n,
-         {lag_cols}
-  FROM daily
 )
 {selects}
 ORDER BY lag_days
