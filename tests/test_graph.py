@@ -250,3 +250,82 @@ def test_triangle_bowtie_coefficients(spark):
     assert t[0] == (4, 2, round(1 / 3, 6))
     for wing in (1, 2, 3, 4):
         assert t[wing] == (2, 1, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# coreness (h-index fixpoint)
+# ---------------------------------------------------------------------------
+
+def _coreness_reference(pairs):
+    """Textbook peeling: repeatedly remove min-degree nodes; a node's
+    coreness is the k level at which it gets peeled."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    core = {}
+    alive = dict(adj)
+    deg = {n: len(v) for n, v in alive.items()}
+    k = 0
+    while deg:
+        k = max(k, min(deg.values()))
+        peel = [n for n, d in deg.items() if d <= k]
+        for n in peel:
+            core[n] = k
+            for m in adj[n]:
+                if m in deg and m != n:
+                    deg[m] -= 1
+            del deg[n]
+    return core
+
+
+def _coreness_dict(spark, pairs):
+    from uav_streamprocessor_spark.operators.graph import coreness
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    return {r["node"]: r["coreness"] for r in coreness(edges).collect()}
+
+
+def test_coreness_shapes(spark):
+    # path: everything coreness 1
+    assert _coreness_dict(spark, [(i, i + 1) for i in range(5)]) == {
+        i: 1 for i in range(6)
+    }
+    # cycle: coreness 2
+    assert _coreness_dict(spark, [(i, (i + 1) % 5) for i in range(5)]) == {
+        i: 2 for i in range(5)
+    }
+    # K4 with a pendant: clique 3, pendant 1
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = _coreness_dict(spark, k4 + [(3, 9)])
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 1}
+
+
+def test_coreness_matches_peeling_reference_on_random_graph(spark):
+    import random
+
+    rng = random.Random(7)
+    pairs = list({tuple(sorted((rng.randrange(30), rng.randrange(30))))
+                  for _ in range(120)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    assert _coreness_dict(spark, pairs) == _coreness_reference(pairs)
+
+
+def test_coreness_corpus_matches_reference(spark):
+    from uav_streamprocessor_spark.fixtures import register_uav_views
+    from uav_streamprocessor_spark.operators import dedup
+
+    register_uav_views(spark, "/root/testdata/sf0.001")
+    got = {
+        r["doc_id"]: r["coreness"]
+        for r in dedup.doc_graph_coreness(spark).collect()
+    }
+    pairs = [
+        (r["src"], r["dst"])
+        for r in dedup.doc_block_edges(spark).collect()
+    ]
+    assert got == _coreness_reference(pairs)
+    assert len(got) > 0 and max(got.values()) >= 2

@@ -758,3 +758,16 @@ def lsh_band_tuning(
         "bands int, rows_per_band int, n_candidates bigint, "
         "n_truth bigint, recall double",
     ).orderBy("bands")
+
+
+def doc_graph_coreness(spark: SparkSession) -> DataFrame:
+    """Coreness of every clustered doc in the blocking near-dup graph
+    (graph.coreness h-index fixpoint): the k-core nucleus = boilerplate
+    to remove first; coreness-1 fringe = incidental matches to keep."""
+    from uav_streamprocessor_spark.operators.graph import coreness
+
+    return (
+        coreness(doc_block_edges(spark))
+        .select(F.col("node").alias("doc_id"), "coreness")
+        .orderBy("doc_id")
+    )

@@ -1457,6 +1457,9 @@ FROM joined GROUP BY 1 ORDER BY 1
 #      re-validate against drift. (All filler slots were displaced by
 #      late-r5 additions — the staples hold r01/r02 rows and rotate back
 #      in r6; never-driver-checked queries always take priority.)
+# Post-window-cut r5 additions queued FIRST for the r6 window:
+# dedup_graph_coreness (and any further late-r5 registrations below) —
+# each is sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
 # Names listed here sort first, in this order; everything else follows in
 # registration order.
 # ---------------------------------------------------------------------------
@@ -4306,3 +4309,14 @@ _register(
     "series (weekly-seasonality diagnostic); series is O(days) rows "
     "after one date-keyed count shuffle, corr() built-in both engines",
 )(lambda spark: events_ops.daily_autocorrelation(spark))
+
+
+_register(
+    "dedup_graph_coreness",
+    None,
+    notes="k-core decomposition of the blocking near-dup graph via the "
+    "distributed h-index fixpoint (Lu et al. 2016) — boilerplate-"
+    "nucleus vs fringe ranking; per-round work is one node-keyed join "
+    "+ one degree-bounded window; iterative fixpoint not SQL-"
+    "expressible -> rows-only, exact peeling reference in pytest",
+)(lambda spark: dedup.doc_graph_coreness(spark))
