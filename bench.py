@@ -63,6 +63,9 @@ HEADLINE = [
     # r5 additions: retrieval + iterative graph centrality
     "text_bm25_topk",              # inverted-index build + BM25 top-k
     "dedup_pagerank_centrality",   # 10-round power iteration over dup graph
+    # late-r5 additions: iterative tokenizer training + triangle census
+    "text_bpe_train",              # 6 argmax+merge rounds on the vocab table
+    "dedup_graph_triangles",       # degree-ordered wedge join + closure
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at
