@@ -771,3 +771,98 @@ def test_autocorr_bounds_and_planted_weekly_period(spark):
             assert synth[k] < 1.0
     finally:
         ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# ev_cuped_readout
+# ---------------------------------------------------------------------------
+
+def test_cuped_reduces_variance_without_biasing_means(spark):
+    from uav_streamprocessor_spark.operators import events_ops
+
+    rows = {r["variant"]: r for r in events_ops.cuped_experiment_readout(spark).collect()}
+    assert set(rows) == {0, 1}
+    n_users = spark.table("events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows.values()) == n_users
+    for r in rows.values():
+        # the fixture's per-user pre/post sums are nearly uncorrelated,
+        # so organic reduction is ~0 — bounded, never catastrophic
+        assert -0.1 < r["var_reduction"] < 1.0
+        assert abs(r["mean_y"] - r["mean_y_cuped"]) < abs(r["mean_y"])
+    pooled_raw = sum(r["n_users"] * r["mean_y"] for r in rows.values())
+    pooled_adj = sum(r["n_users"] * r["mean_y_cuped"] for r in rows.values())
+    assert abs(pooled_raw - pooled_adj) / abs(pooled_raw) < 1e-3
+
+    # Positive control for the variance-reduction property itself: plant
+    # users whose activity SCALE varies widely and identically across
+    # periods (X ~ Y) — corr ~ 1, so CUPED must strip most variance
+    import datetime
+
+    ev = spark.table("events")
+    rows_plant = []
+    eid = 8_000_000
+    for u in range(40):
+        m = 5 + 10 * u
+        for period, day in (("pre", 1), ("post", 20)):
+            for i in range(3):
+                rows_plant.append(
+                    (eid, datetime.datetime(2099, 8, day, 0, 0, i),
+                     8_000_000 + u, "scale", float(m), "{}")
+                )
+                eid += 1
+    plant = spark.createDataFrame(
+        rows_plant,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    try:
+        plant.select(ev.columns).createOrReplaceTempView("events")
+        planted = {
+            r["variant"]: r
+            for r in events_ops.cuped_experiment_readout(spark).collect()
+        }
+        for r in planted.values():
+            assert r["var_reduction"] > 0.9
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+def test_cuped_flags_planted_treatment_effect(spark):
+    """Perturbation: add a constant +25 post-period lift to every
+    treatment user (odd user_id). The CUPED delta between variants must
+    move by ~the lift, and variance reduction must not degrade."""
+    from uav_streamprocessor_spark.operators import events_ops
+
+    base = {r["variant"]: r for r in events_ops.cuped_experiment_readout(spark).collect()}
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(((F.min(us) + F.max(us)) / 2).alias("cut_us")).collect()[0]
+    cut = bounds["cut_us"]
+    treated_users = [
+        r["user_id"]
+        for r in ev.select("user_id").distinct().collect()
+        if r["user_id"] % 2 == 1
+    ]
+    import datetime
+
+    lift = spark.createDataFrame(
+        [
+            (6_000_000 + i, datetime.datetime.fromtimestamp(cut / 1e6 + 3600),
+             u, "lift", 25.0, "{}")
+            for i, u in enumerate(treated_users)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    try:
+        ev.unionByName(lift.select(ev.columns)).createOrReplaceTempView("events")
+        lifted = {r["variant"]: r
+                  for r in events_ops.cuped_experiment_readout(spark).collect()}
+        base_delta = base[1]["mean_y_cuped"] - base[0]["mean_y_cuped"]
+        lift_delta = lifted[1]["mean_y_cuped"] - lifted[0]["mean_y_cuped"]
+        assert abs((lift_delta - base_delta) - 25.0) < 2.0
+        # a constant additive lift can't change X/Y covariance structure
+        # materially (variance property proven by the scale-users control)
+        assert lifted[1]["var_reduction"] > -0.1
+    finally:
+        ev.createOrReplaceTempView("events")

@@ -835,3 +835,60 @@ def daily_autocorrelation(spark: SparkSession, max_lag: int = 7) -> DataFrame:
     for pt in points[1:]:
         out = out.unionByName(pt)
     return out.orderBy("lag_days")
+
+
+def cuped_experiment_readout(spark: SparkSession) -> DataFrame:
+    """CUPED experiment readout (Deng et al., WSDM'13) — the variance-
+    reduction every experimentation platform applies before calling a
+    winner: adjust each user's in-experiment metric Y by their
+    PRE-experiment covariate X, adjusted = Y - theta*(X - mean(X)) with
+    theta = cov(X,Y)/var(X), which strips the between-user variance X
+    explains (~var reduction = corr(X,Y)^2) without biasing the mean.
+
+    Deterministic derivations (no external assignment table needed):
+    variant = user_id % 2; the pre/post boundary is the midpoint of the
+    corpus time range (scalar agg, broadcast back — no driver action).
+    Per-user X/Y are conditional sums in ONE user-keyed aggregation;
+    theta/x-mean are one tiny scalar agg broadcast into a map-only
+    adjustment; the readout is a 2-row variant agg. Nothing but the
+    user rollup touches corpus-sized data. X, Y, theta, and mean(X)
+    are rounded to 6dp before the adjustment so both engines feed the
+    identical numbers through the identical arithmetic."""
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        ((F.min(us) + F.max(us)) / 2).alias("cut_us")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.when(us < F.col("cut_us"), F.col("value")).otherwise(0.0)), 6
+            ).alias("x"),
+            F.round(
+                F.sum(F.when(us >= F.col("cut_us"), F.col("value")).otherwise(0.0)), 6
+            ).alias("y"),
+        )
+    )
+    stats = per_user.agg(
+        F.round(F.covar_samp("x", "y") / F.var_samp("x"), 6).alias("theta"),
+        F.round(F.avg("x"), 6).alias("xbar"),
+    )
+    adjusted = per_user.crossJoin(F.broadcast(stats)).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        "y",
+        (F.col("y") - F.col("theta") * (F.col("x") - F.col("xbar"))).alias("y_adj"),
+    )
+    return (
+        adjusted.groupBy("variant")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.avg("y"), 6).alias("mean_y"),
+            F.round(F.avg("y_adj"), 6).alias("mean_y_cuped"),
+            F.round(1.0 - F.var_samp("y_adj") / F.var_samp("y"), 6).alias(
+                "var_reduction"
+            ),
+        )
+        .orderBy("variant")
+    )

@@ -4320,3 +4320,37 @@ _register(
     "+ one degree-bounded window; iterative fixpoint not SQL-"
     "expressible -> rows-only, exact peeling reference in pytest",
 )(lambda spark: dedup.doc_graph_coreness(spark))
+
+
+_register(
+    "ev_cuped_readout",
+    """
+WITH bounds AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS cut_us FROM events
+), per_user AS (
+  SELECT user_id,
+         round(sum(CASE WHEN epoch_us(ts) < cut_us THEN value ELSE 0.0 END), 6) AS x,
+         round(sum(CASE WHEN epoch_us(ts) >= cut_us THEN value ELSE 0.0 END), 6) AS y
+  FROM events, bounds GROUP BY user_id
+), stats AS (
+  SELECT round(covar_samp(x, y) / var_samp(x), 6) AS theta,
+         round(avg(x), 6) AS xbar
+  FROM per_user
+), adjusted AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant, y,
+         y - theta * (x - xbar) AS y_adj
+  FROM per_user, stats
+)
+SELECT variant,
+       CAST(count(*) AS BIGINT) AS n_users,
+       round(avg(y), 6) AS mean_y,
+       round(avg(y_adj), 6) AS mean_y_cuped,
+       round(1.0 - var_samp(y_adj) / var_samp(y), 6) AS var_reduction
+FROM adjusted GROUP BY variant ORDER BY variant
+""",
+    notes="CUPED variance reduction (Deng et al. WSDM'13): per-user "
+    "pre-period covariate strips explained variance from the "
+    "experiment metric without biasing the mean; one user-keyed "
+    "rollup + scalar theta broadcast, 2-row readout; X/Y/theta/xbar "
+    "rounded 6dp pre-adjustment for cross-engine determinism",
+)(lambda spark: events_ops.cuped_experiment_readout(spark))
