@@ -866,3 +866,31 @@ def test_cuped_flags_planted_treatment_effect(spark):
         assert lifted[1]["var_reduction"] > -0.1
     finally:
         ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# rel_snapshot_diff
+# ---------------------------------------------------------------------------
+
+def test_snapshot_diff_reconciles_with_derivation(spark):
+    from uav_streamprocessor_spark.operators import relational
+
+    rows = {r["change"]: r for r in relational.snapshot_diff(spark).collect()}
+    assert set(rows) == {"unchanged", "updated", "deleted", "inserted"}
+    orders = spark.table("orders")
+    keys = [r["o_orderkey"] for r in orders.select("o_orderkey").collect()]
+    exp_deleted = sum(1 for k in keys if k % 1000 == 7)
+    exp_inserted = sum(1 for k in keys if k % 100 == 0)
+    exp_updated = sum(1 for k in keys if k % 10 == 0 and k % 1000 != 7)
+    assert rows["deleted"]["n_keys"] == exp_deleted
+    assert rows["inserted"]["n_keys"] == exp_inserted
+    assert rows["updated"]["n_keys"] == exp_updated
+    assert (
+        sum(r["n_keys"] for r in rows.values())
+        == len(keys) + exp_inserted
+    )
+    # every update adds exactly +100; deletes subtract old price
+    assert abs(rows["updated"]["price_delta"] - 100.0 * exp_updated) < 0.01
+    assert rows["unchanged"]["price_delta"] == 0.0
+    assert rows["inserted"]["price_delta"] == 1000.0 * exp_inserted
+    assert rows["deleted"]["price_delta"] < 0

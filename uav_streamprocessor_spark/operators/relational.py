@@ -1332,3 +1332,69 @@ def benford_audit(spark: SparkSession) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+def snapshot_diff(spark: SparkSession) -> DataFrame:
+    """Dataset-release diff: classify every key across two table
+    versions as unchanged / updated / deleted / inserted, with value
+    deltas per class — what a corpus release pipeline publishes next to
+    each new snapshot (and the audit that catches a bad upstream merge
+    before training sees it). v2 derives deterministically from
+    `orders` with the same mutation pattern merge_upsert uses (every
+    10th key re-priced +100 and re-statused, every 100th key a fresh
+    insert above the key range) plus every 7th-mod-1000 key DELETED.
+
+    Plan shape: one full-outer join on the key — the single shuffle —
+    then the per-key class falls out of null-side tests and a value
+    comparison; the readout aggregates to 4 rows with map-side combine.
+    At 100 TB both snapshot scans prune to the compared columns, and
+    bucketed-by-key storage (storage.write_bucketed) makes the diff
+    join shuffle-free."""
+    orders = spark.table("orders")
+    v1 = orders.select(
+        F.col("o_orderkey").alias("key"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"),
+    )
+    v2 = (
+        v1.filter(F.col("key") % 1000 != 7)  # deletions
+        .select(
+            "key",
+            F.when(F.col("key") % 10 == 0, F.lit("U")).otherwise(F.col("status")).alias("status"),
+            F.when(F.col("key") % 10 == 0, F.col("price") + 100.0).otherwise(F.col("price")).alias("price"),
+        )
+        .unionAll(
+            v1.filter(F.col("key") % 100 == 0).select(
+                (F.col("key") + 30000000).alias("key"),
+                F.lit("N").alias("status"),
+                F.lit(1000.0).alias("price"),
+            )
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    joined = a.join(b, F.col("a.key") == F.col("b.key"), "full_outer")
+    cls = (
+        F.when(F.col("b.key").isNull(), "deleted")
+        .when(F.col("a.key").isNull(), "inserted")
+        .when(
+            (F.col("a.status") == F.col("b.status"))
+            & (F.col("a.price") == F.col("b.price")),
+            "unchanged",
+        )
+        .otherwise("updated")
+    )
+    return (
+        joined.select(
+            cls.alias("change"),
+            F.coalesce(F.col("b.price"), F.lit(0.0)).alias("new_price"),
+            F.coalesce(F.col("a.price"), F.lit(0.0)).alias("old_price"),
+        )
+        .groupBy("change")
+        .agg(
+            F.count(F.lit(1)).alias("n_keys"),
+            F.round(F.sum(F.col("new_price") - F.col("old_price")), 2).alias(
+                "price_delta"
+            ),
+        )
+        .orderBy("change")
+    )

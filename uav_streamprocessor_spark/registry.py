@@ -4354,3 +4354,39 @@ FROM adjusted GROUP BY variant ORDER BY variant
     "rollup + scalar theta broadcast, 2-row readout; X/Y/theta/xbar "
     "rounded 6dp pre-adjustment for cross-engine determinism",
 )(lambda spark: events_ops.cuped_experiment_readout(spark))
+
+
+_register(
+    "rel_snapshot_diff",
+    """
+WITH v1 AS (
+  SELECT o_orderkey AS key, o_orderstatus AS status, o_totalprice AS price
+  FROM orders
+), v2 AS (
+  SELECT key,
+         CASE WHEN key % 10 = 0 THEN 'U' ELSE status END AS status,
+         CASE WHEN key % 10 = 0 THEN price + 100.0 ELSE price END AS price
+  FROM v1 WHERE key % 1000 <> 7
+  UNION ALL
+  SELECT key + 30000000 AS key, 'N' AS status, 1000.0 AS price
+  FROM v1 WHERE key % 100 = 0
+), joined AS (
+  SELECT a.key AS akey, b.key AS bkey, a.status AS astatus, b.status AS bstatus,
+         a.price AS aprice, b.price AS bprice
+  FROM v1 a FULL OUTER JOIN v2 b ON a.key = b.key
+)
+SELECT CASE WHEN bkey IS NULL THEN 'deleted'
+            WHEN akey IS NULL THEN 'inserted'
+            WHEN astatus = bstatus AND aprice = bprice THEN 'unchanged'
+            ELSE 'updated' END AS change,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       round(sum(coalesce(bprice, 0.0) - coalesce(aprice, 0.0)), 2)
+         AS price_delta
+FROM joined GROUP BY 1 ORDER BY 1
+""",
+    notes="dataset-release diff: unchanged/updated/deleted/inserted "
+    "classes + value deltas via one full-outer key join (the single "
+    "shuffle; bucketed storage makes it shuffle-free); v2 derives "
+    "deterministically with the merge_upsert mutation pattern + "
+    "deletions",
+)(lambda spark: relational.snapshot_diff(spark))
