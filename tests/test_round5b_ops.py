@@ -894,3 +894,27 @@ def test_snapshot_diff_reconciles_with_derivation(spark):
     assert rows["unchanged"]["price_delta"] == 0.0
     assert rows["inserted"]["price_delta"] == 1000.0 * exp_inserted
     assert rows["deleted"]["price_delta"] < 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_estimate
+# ---------------------------------------------------------------------------
+
+def test_minhash_estimate_within_sampling_bound(spark):
+    """Every candidate pair's estimate must sit within 5 sigma of the
+    exact Jaccard (sigma = sqrt(j(1-j)/64)) plus a small collision
+    allowance — the unbiased-estimator guarantee the banding math
+    assumes."""
+    from uav_streamprocessor_spark.operators import dedup
+
+    rows = dedup.minhash_estimate_audit(spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        j = r["exact_jaccard"]
+        sigma = (j * (1 - j) / 64) ** 0.5
+        assert r["abs_err"] <= 5 * sigma + 0.05, (r, sigma)
+        assert abs(abs(r["est_jaccard"] - j) - r["abs_err"]) < 2e-6
+    # the mean error across pairs must be far tighter than the per-pair
+    # bound (errors are zero-mean)
+    mean_err = sum(r["est_jaccard"] - r["exact_jaccard"] for r in rows) / len(rows)
+    assert abs(mean_err) < 0.05

@@ -771,3 +771,51 @@ def doc_graph_coreness(spark: SparkSession) -> DataFrame:
         .select(F.col("node").alias("doc_id"), "coreness")
         .orderBy("doc_id")
     )
+
+
+def minhash_estimate_audit(spark: SparkSession) -> DataFrame:
+    """Signature-calibration audit: for every LSH candidate pair, the
+    MinHash-ESTIMATED Jaccard (fraction of agreeing signature
+    positions — the unbiased estimator banding theory is built on, var
+    j(1-j)/k) next to the exact word-3-gram Jaccard and the error.
+    This is the check that the signature family actually estimates the
+    similarity the verifier measures — a broken hash family silently
+    degrades recall while the pipeline keeps running.
+
+    Bounded by the candidate set like the verify step; signatures and
+    gram sets each compute once; agreement counting is an in-row
+    zip_with fold over the 64 positions."""
+    cands = minhash_candidates(spark).localCheckpoint(eager=True)
+    docs = (
+        spark.table("documents")
+        .select("doc_id", "text")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sigs = docs.withColumn("sig", minhash_signature("text")).select("doc_id", "sig")
+    g = doc_ngram_sets(spark)
+    sa = sigs.select(F.col("doc_id").alias("doc_id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_id_b"), F.col("sig").alias("sig_b"))
+    ga = g.select(F.col("doc_id").alias("doc_id_a"), F.col("grams").alias("grams_a"))
+    gb = g.select(F.col("doc_id").alias("doc_id_b"), F.col("grams").alias("grams_b"))
+    agree = F.aggregate(
+        F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    )
+    exact = F.size(F.array_intersect("grams_a", "grams_b")) / F.size(
+        F.array_union("grams_a", "grams_b")
+    )
+    return (
+        cands.join(sa, "doc_id_a")
+        .join(sb, "doc_id_b")
+        .join(ga, "doc_id_a")
+        .join(gb, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            F.round(agree / float(_N_PERM), 6).alias("est_jaccard"),
+            F.round(exact, 6).alias("exact_jaccard"),
+            F.round(F.abs(agree / float(_N_PERM) - exact), 6).alias("abs_err"),
+        )
+        .orderBy("doc_id_a", "doc_id_b")
+    )

@@ -4390,3 +4390,14 @@ FROM joined GROUP BY 1 ORDER BY 1
     "deterministically with the merge_upsert mutation pattern + "
     "deletions",
 )(lambda spark: relational.snapshot_diff(spark))
+
+
+_register(
+    "dedup_minhash_estimate",
+    None,
+    notes="signature-calibration audit: MinHash-estimated Jaccard "
+    "(agreeing positions / 64, the unbiased estimator with var "
+    "j(1-j)/k) vs exact word-3-gram Jaccard per candidate pair; "
+    "candidate-bounded, signatures/grams computed once; UDF hashes -> "
+    "rows-only, 5-sigma bound pinned in pytest",
+)(lambda spark: dedup.minhash_estimate_audit(spark))
