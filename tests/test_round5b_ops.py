@@ -918,3 +918,49 @@ def test_minhash_estimate_within_sampling_bound(spark):
     # bound (errors are zero-mean)
     mean_err = sum(r["est_jaccard"] - r["exact_jaccard"] for r in rows) / len(rows)
     assert abs(mean_err) < 0.05
+
+
+# ---------------------------------------------------------------------------
+# text_score_normalization
+# ---------------------------------------------------------------------------
+
+def test_score_normalization_invariants_and_planted_weak_source(spark):
+    from uav_streamprocessor_spark.operators import text
+
+    rows = text.score_quantile_normalization(spark).collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, qs in by_src.items():
+        qs.sort(key=lambda r: r["local_q"])
+        assert [r["local_q"] for r in qs] == [1, 2, 3, 4, 5]
+        # ntile balance: bucket sizes differ by at most 1
+        sizes = [r["n_docs"] for r in qs]
+        assert max(sizes) - min(sizes) <= 1
+        # raw score and global quintile are monotone in the local rank
+        scores = [r["mean_score"] for r in qs]
+        gq = [r["mean_global_q"] for r in qs]
+        assert scores == sorted(scores)
+        assert gq == sorted(gq)
+        assert all(1.0 <= g <= 5.0 for g in gq)
+
+    # Perturbation: a source of uniformly junk (tiny, stopword-free)
+    # docs — even its TOP local quintile must sit in the global bottom,
+    # the exact mis-calibration the readout exists to expose
+    docs = spark.table("documents")
+    junk = spark.createDataFrame(
+        [
+            (9_600_000 + i, f"qq{i} zz{i}", "en", "junksrc", 10)
+            for i in range(50)
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs.unionByName(junk).createOrReplaceTempView("documents")
+        rows2 = {
+            (r["source"], r["local_q"]): r
+            for r in text.score_quantile_normalization(spark).collect()
+        }
+        assert rows2[("junksrc", 5)]["mean_global_q"] <= 2.0
+    finally:
+        docs.createOrReplaceTempView("documents")

@@ -1015,3 +1015,54 @@ def typo_variant_pairs(
         .distinct()
         .orderBy("canonical", "variant")
     )
+
+
+def score_quantile_normalization(spark: SparkSession) -> DataFrame:
+    """Cross-source score calibration: the same classifier score means
+    different things on different sources (a 0.6 on a clean source can
+    be worse than a 0.4 on a noisy one), so source-fair selection ranks
+    WITHIN source and compares ranks, not raw scores. Per (source,
+    within-source quintile): doc count, mean raw score, and the mean
+    GLOBAL quintile those docs land in — a well-calibrated source shows
+    global ~= local on every row; divergence tells quota selection to
+    use the within-source rank.
+
+    Reuses the quality_classifier scorer (one codegen'd projection).
+    No global window anywhere (the plan-audit ban): global quintile
+    boundaries come from ONE exact-percentile scalar aggregate
+    broadcast back as four literals (the rel_price_statistics
+    pattern), and the within-source quintile is an ntile(5) window
+    partitioned by source with (score, doc_id) tie-breaks —
+    deterministic and identical in DuckDB."""
+    docs = spark.table("documents").select("doc_id", "source")
+    scored = (
+        quality_classifier(spark)
+        .select("doc_id", "quality_score")
+        .join(docs, "doc_id")
+    )
+    brk = scored.agg(
+        F.percentile("quality_score", F.lit(0.2)).alias("p20"),
+        F.percentile("quality_score", F.lit(0.4)).alias("p40"),
+        F.percentile("quality_score", F.lit(0.6)).alias("p60"),
+        F.percentile("quality_score", F.lit(0.8)).alias("p80"),
+    )
+    w = Window.partitionBy("source").orderBy("quality_score", "doc_id")
+    global_q = (
+        F.when(F.col("quality_score") <= F.col("p20"), 1)
+        .when(F.col("quality_score") <= F.col("p40"), 2)
+        .when(F.col("quality_score") <= F.col("p60"), 3)
+        .when(F.col("quality_score") <= F.col("p80"), 4)
+        .otherwise(5)
+    )
+    return (
+        scored.crossJoin(F.broadcast(brk))
+        .withColumn("local_q", F.ntile(5).over(w))
+        .withColumn("global_q", global_q)
+        .groupBy("source", "local_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("quality_score"), 6).alias("mean_score"),
+            F.round(F.avg("global_q"), 6).alias("mean_global_q"),
+        )
+        .orderBy("source", "local_q")
+    )

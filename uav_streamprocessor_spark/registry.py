@@ -4401,3 +4401,65 @@ _register(
     "candidate-bounded, signatures/grams computed once; UDF hashes -> "
     "rows-only, 5-sigma bound pinned in pytest",
 )(lambda spark: dedup.minhash_estimate_audit(spark))
+
+
+_SCORE_CTE = """
+WITH f AS (
+  SELECT doc_id, source,
+         ((length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' the ', ''))) / 5.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' a ', ''))) / 3.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' of ', ''))) / 4.0
+        + (length(' ' || lower(text) || ' ')
+           - length(replace(' ' || lower(text) || ' ', ' and ', ''))) / 5.0)
+         / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+           AS stop_ratio,
+         length(text)
+         / CAST(length(text) - length(replace(text, ' ', '')) + 1 AS DOUBLE)
+           AS mean_word_len,
+         ln(length(text) + 1.0) AS log_len
+  FROM documents
+), scored AS (
+  SELECT doc_id, source,
+         round(1.0 / (1.0 + exp(-(-6.0 + 12.0 * stop_ratio
+                                  + 0.55 * mean_word_len
+                                  + 0.35 * log_len))), 6) AS quality_score
+  FROM f
+)"""
+
+
+_register(
+    "text_score_normalization",
+    _SCORE_CTE
+    + """
+, brk AS (
+  SELECT quantile_cont(quality_score, 0.2) AS p20,
+         quantile_cont(quality_score, 0.4) AS p40,
+         quantile_cont(quality_score, 0.6) AS p60,
+         quantile_cont(quality_score, 0.8) AS p80
+  FROM scored
+), ranked AS (
+  SELECT source, quality_score,
+         ntile(5) OVER (PARTITION BY source
+                        ORDER BY quality_score, doc_id) AS local_q,
+         CASE WHEN quality_score <= p20 THEN 1
+              WHEN quality_score <= p40 THEN 2
+              WHEN quality_score <= p60 THEN 3
+              WHEN quality_score <= p80 THEN 4
+              ELSE 5 END AS global_q
+  FROM scored, brk
+)
+SELECT source, CAST(local_q AS INT) AS local_q,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       round(avg(quality_score), 6) AS mean_score,
+       round(avg(global_q), 6) AS mean_global_q
+FROM ranked GROUP BY source, local_q ORDER BY source, local_q
+""",
+    notes="cross-source score calibration: within-source quintile "
+    "(ntile, source-partitioned) vs the GLOBAL quintile from exact-"
+    "percentile breakpoints broadcast as literals — no global window "
+    "anywhere; divergence per quintile = source mis-calibration, the "
+    "signal for rank-based quota selection",
+)(lambda spark: text.score_quantile_normalization(spark))
