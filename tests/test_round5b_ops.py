@@ -964,3 +964,47 @@ def test_score_normalization_invariants_and_planted_weak_source(spark):
         assert rows2[("junksrc", 5)]["mean_global_q"] <= 2.0
     finally:
         docs.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# emb_label_noise
+# ---------------------------------------------------------------------------
+
+def test_label_noise_knob_and_planted_mislabel(spark):
+    from uav_streamprocessor_spark.operators import similarity
+
+    strict = similarity.label_noise_screen(spark, min_disagree=7).collect()
+    loose = similarity.label_noise_screen(spark, min_disagree=5).collect()
+    assert {r["vec_id"] for r in strict} <= {r["vec_id"] for r in loose}
+    for r in loose:
+        assert 5 <= r["n_disagree"] <= 7
+        assert r["suggested_label"] != r["label"] or r["n_disagree"] < 7
+
+    # Perturbation: clone an existing vector 8 times under label A, then
+    # plant a 9th copy labeled B — its whole neighborhood is A, so it
+    # must be flagged with n_disagree == 7 and suggestion A
+    emb = spark.table("embeddings")
+    src = emb.filter(F.col("vec_id") == 3).select("embedding").collect()[0]
+    vec = src["embedding"]
+    clones = [(9_700_000 + i, vec, 2) for i in range(8)]
+    clones.append((9_700_008, vec, 5))
+    plant = spark.createDataFrame(
+        clones, "vec_id long, embedding array<float>, label int"
+    )
+    try:
+        emb.unionByName(plant.select(emb.columns)).createOrReplaceTempView(
+            "embeddings"
+        )
+        flagged = {
+            r["vec_id"]: r
+            for r in similarity.label_noise_screen(spark).collect()
+        }
+        hit = flagged[9_700_008]
+        assert hit["n_disagree"] == 7
+        assert hit["suggested_label"] == 2
+        # the consistent clones must NOT be flagged (their neighbors are
+        # overwhelmingly their own label)
+        for i in range(8):
+            assert 9_700_000 + i not in flagged
+    finally:
+        emb.createOrReplaceTempView("embeddings")

@@ -901,3 +901,60 @@ def semantic_decontamination(
         )
         .orderBy("vec_id")
     )
+
+
+def label_noise_screen(
+    spark: SparkSession, k: int = 7, min_disagree: int = 5
+) -> DataFrame:
+    """Mislabel screen over the embedding space (the k-NN disagreement
+    core of confident-learning dataset QA): a vector whose k nearest
+    neighbors overwhelmingly carry a DIFFERENT label is a suspected
+    labeling error — flag it with its disagreement count and the
+    neighbors' majority label (the suggested correction).
+
+    Here every vector is a query (exact, oracle-checkable); the
+    all-pairs stage is a broadcast nested-loop bounded by the corpus
+    at test scale. At 100 TB the neighbor lists come from the SAME
+    LSH/IVF candidate generation the ANN queries use (only the final
+    disagreement agg differs), so the screen inherits ANN's scale
+    shape — this exact form is its correctness reference, the same
+    relationship ann_lsh_topk has to knn_bruteforce."""
+    emb = spark.table("embeddings")
+    q = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("query_label"),
+    )
+    joined = emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    sim = F.round(_cosine(F.col("qvec"), F.col("embedding")), 6)
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), "vec_id")
+    neighbors = (
+        joined.select(
+            "query_id", "query_label", "vec_id", "label", sim.alias("cosine")
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    # neighbor majority label: deterministic argmax (count desc, label asc)
+    counts = neighbors.groupBy("query_id", "query_label", "label").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    best = F.max(
+        F.struct(F.col("n").alias("n"), (-F.col("label")).alias("neg"),
+                 F.col("label").alias("lbl"))
+    )
+    per_query = counts.groupBy("query_id", "query_label").agg(
+        F.sum(F.when(F.col("label") != F.col("query_label"), F.col("n"))
+              .otherwise(0)).alias("n_disagree"),
+        best.alias("b"),
+    )
+    return (
+        per_query.filter(F.col("n_disagree") >= min_disagree)
+        .select(
+            F.col("query_id").alias("vec_id"),
+            F.col("query_label").alias("label"),
+            F.col("n_disagree").cast("int").alias("n_disagree"),
+            F.col("b.lbl").alias("suggested_label"),
+        )
+        .orderBy("vec_id")
+    )

@@ -4463,3 +4463,63 @@ FROM ranked GROUP BY source, local_q ORDER BY source, local_q
     "anywhere; divergence per quintile = source mis-calibration, the "
     "signal for rank-based quota selection",
 )(lambda spark: text.score_quantile_normalization(spark))
+
+
+_register(
+    "emb_label_noise",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, label AS query_label
+  FROM embeddings
+),
+el AS (
+  SELECT q.query_id, q.query_label, e.vec_id, e.label,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(e.embedding) AS DOUBLE) AS ex
+  FROM q JOIN embeddings e ON e.vec_id <> q.query_id
+),
+sims AS (
+  SELECT query_id, query_label, vec_id, label,
+         round(sum(qx * ex) / (sqrt(sum(qx * qx)) * sqrt(sum(ex * ex))), 6)
+           AS cosine
+  FROM el GROUP BY query_id, query_label, vec_id, label
+),
+nb AS (
+  SELECT query_id, query_label, label
+  FROM (SELECT query_id, query_label, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cosine DESC, vec_id) AS rnk
+        FROM sims)
+  WHERE rnk <= 7
+),
+cnt AS (
+  SELECT query_id, query_label, label, count(*) AS n
+  FROM nb GROUP BY query_id, query_label, label
+),
+maj AS (
+  SELECT query_id, label AS suggested_label
+  FROM (SELECT query_id, label,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY n DESC, label) AS rn
+        FROM cnt)
+  WHERE rn = 1
+),
+dis AS (
+  SELECT query_id, query_label,
+         CAST(sum(CASE WHEN label <> query_label THEN n ELSE 0 END) AS INT)
+           AS n_disagree
+  FROM cnt GROUP BY query_id, query_label
+)
+SELECT dis.query_id AS vec_id, dis.query_label AS label,
+       n_disagree, maj.suggested_label
+FROM dis JOIN maj USING (query_id)
+WHERE n_disagree >= 5
+ORDER BY vec_id
+""",
+    notes="mislabel screen (k-NN disagreement, the confident-learning "
+    "core): vectors whose 7 nearest neighbors overwhelmingly carry a "
+    "different label, with the neighbor-majority label as suggested "
+    "correction; exact all-queries form is the oracle-checkable "
+    "reference — at 100 TB neighbors come from the ANN candidate "
+    "generation",
+)(lambda spark: similarity.label_noise_screen(spark))
