@@ -1008,3 +1008,54 @@ def test_label_noise_knob_and_planted_mislabel(spark):
             assert 9_700_000 + i not in flagged
     finally:
         emb.createOrReplaceTempView("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# ev_power_analysis
+# ---------------------------------------------------------------------------
+
+def test_power_analysis_scaling_and_cuped_gain(spark):
+    from uav_streamprocessor_spark.operators import events_ops
+
+    rows = {r["n_per_variant"]: r
+            for r in events_ops.experiment_power_analysis(spark).collect()}
+    assert set(rows) == {100, 500, 1000, 5000, 10000}
+    base = rows[100]
+    for n, r in rows.items():
+        # MDE scales exactly as 1/sqrt(n)
+        assert abs(r["mde"] - base["mde"] * (100 / n) ** 0.5) < 1e-4
+        assert r["mde_cuped"] <= r["mde"] + 1e-9
+        assert abs(
+            r["mde_cuped"] - r["mde"] * (1 - r["cuped_r2"]) ** 0.5
+        ) < 1e-4
+
+    # Perturbation: wide-activity-scale users (X ~ Y, corr ~ 1) must
+    # collapse the CUPED MDE far below the raw MDE
+    import datetime
+
+    ev = spark.table("events")
+    rows_plant = []
+    eid = 8_100_000
+    for u in range(40):
+        m = 5 + 10 * u
+        for day in (1, 20):
+            for i in range(3):
+                rows_plant.append(
+                    (eid, datetime.datetime(2099, 8, day, 0, 0, i),
+                     8_100_000 + u, "scale", float(m), "{}")
+                )
+                eid += 1
+    plant = spark.createDataFrame(
+        rows_plant,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    try:
+        plant.select(ev.columns).createOrReplaceTempView("events")
+        planted = {r["n_per_variant"]: r
+                   for r in events_ops.experiment_power_analysis(spark).collect()}
+        p = planted[1000]
+        assert p["cuped_r2"] > 0.9
+        assert p["mde_cuped"] < 0.35 * p["mde"]
+    finally:
+        ev.createOrReplaceTempView("events")

@@ -892,3 +892,63 @@ def cuped_experiment_readout(spark: SparkSession) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+def experiment_power_analysis(spark: SparkSession) -> DataFrame:
+    """Pre-registration power analysis from observed data — the
+    companion every CUPED readout needs: given the per-user metric's
+    observed variance, the minimum detectable effect (MDE) at 80%
+    power / alpha 0.05 for a range of per-variant sample sizes,
+    MDE = (z_{alpha/2} + z_{beta}) * sqrt(2 * var / n), both raw and
+    CUPED-adjusted (variance scaled by the observed 1 - corr(X,Y)^2 —
+    the standard CUPED variance multiple). The table answers 'how long
+    must this experiment run' before it starts.
+
+    One user-keyed rollup (shared shape with cuped_experiment_readout)
+    + one scalar variance/correlation aggregate fanned out over a tiny
+    literal grid of sample sizes — corpus-sized work is the single
+    rollup. z constants are literals (1.959964 + 0.841621), identical
+    both engines."""
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(((F.min(us) + F.max(us)) / 2).alias("cut_us"))
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                F.sum(F.when(us < F.col("cut_us"), F.col("value")).otherwise(0.0)), 6
+            ).alias("x"),
+            F.round(
+                F.sum(F.when(us >= F.col("cut_us"), F.col("value")).otherwise(0.0)), 6
+            ).alias("y"),
+        )
+    )
+    stats = per_user.agg(
+        F.round(F.var_samp("y"), 6).alias("var_y"),
+        F.round(F.pow(F.corr("x", "y"), 2), 6).alias("r2"),
+    )
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in (100, 500, 1000, 5000, 10000)]))
+        .alias("n_per_variant")
+    )
+    z = 1.959964 + 0.841621  # z_{0.025} + z_{0.20}: 80% power two-sided
+    mde = F.round(
+        F.lit(z) * F.sqrt(2.0 * F.col("var_y") / F.col("n_per_variant")), 6
+    )
+    mde_cuped = F.round(
+        F.lit(z)
+        * F.sqrt(2.0 * F.col("var_y") * (1.0 - F.col("r2")) / F.col("n_per_variant")),
+        6,
+    )
+    return (
+        sizes.crossJoin(F.broadcast(stats))
+        .select(
+            "n_per_variant",
+            "var_y",
+            F.col("r2").alias("cuped_r2"),
+            mde.alias("mde"),
+            mde_cuped.alias("mde_cuped"),
+        )
+        .orderBy("n_per_variant")
+    )

@@ -4523,3 +4523,34 @@ ORDER BY vec_id
     "reference — at 100 TB neighbors come from the ANN candidate "
     "generation",
 )(lambda spark: similarity.label_noise_screen(spark))
+
+
+_register(
+    "ev_power_analysis",
+    """
+WITH bounds AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) / 2 AS cut_us FROM events
+), per_user AS (
+  SELECT user_id,
+         round(sum(CASE WHEN epoch_us(ts) < cut_us THEN value ELSE 0.0 END), 6) AS x,
+         round(sum(CASE WHEN epoch_us(ts) >= cut_us THEN value ELSE 0.0 END), 6) AS y
+  FROM events, bounds GROUP BY user_id
+), stats AS (
+  SELECT round(var_samp(y), 6) AS var_y,
+         round(pow(corr(x, y), 2), 6) AS r2
+  FROM per_user
+), sizes AS (
+  SELECT unnest([100, 500, 1000, 5000, 10000]) AS n_per_variant
+)
+SELECT CAST(n_per_variant AS BIGINT) AS n_per_variant, var_y,
+       r2 AS cuped_r2,
+       round(2.801585 * sqrt(2.0 * var_y / n_per_variant), 6) AS mde,
+       round(2.801585 * sqrt(2.0 * var_y * (1.0 - r2) / n_per_variant), 6)
+         AS mde_cuped
+FROM sizes, stats ORDER BY n_per_variant
+""",
+    notes="experiment power analysis: minimum detectable effect at 80% "
+    "power / alpha .05 across a sample-size grid, raw and CUPED-"
+    "scaled by observed 1-corr(X,Y)^2; one user rollup + scalar "
+    "stats over a 5-row literal grid",
+)(lambda spark: events_ops.experiment_power_analysis(spark))
