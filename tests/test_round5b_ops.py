@@ -1059,3 +1059,39 @@ def test_power_analysis_scaling_and_cuped_gain(spark):
         assert p["mde_cuped"] < 0.35 * p["mde"]
     finally:
         ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# text_score_psi
+# ---------------------------------------------------------------------------
+
+def test_score_psi_bounds_and_planted_drifted_source(spark):
+    from uav_streamprocessor_spark.operators import text
+
+    rows = {r["source"]: r for r in text.score_psi_by_source(spark).collect()}
+    assert len(rows) > 1
+    n_docs = spark.table("documents").count()
+    assert sum(r["n_docs"] for r in rows.values()) == n_docs
+    for r in rows.values():
+        assert r["psi"] >= 0.0  # PSI is a (smoothed) f-divergence
+        # sample-size-aware flag: max(conventional 0.2, 3x null mean)
+        assert r["drifted"] == (r["psi"] > max(0.2, 27.0 / r["n_docs"]))
+    # organic sources draw from the same generator: PSI is pure sampling
+    # noise, which the size-aware flag must absorb
+    assert not any(r["drifted"] for r in rows.values())
+
+    # Perturbation: a source whose scores all land in the global top
+    # decile (long, stopword-heavy docs) must blow past the 0.2 flag
+    docs = spark.table("documents")
+    txt = ("the a of and " * 120).strip()
+    plant = spark.createDataFrame(
+        [(9_800_000 + i, txt, "en", "driftsrc", len(txt)) for i in range(40)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs.unionByName(plant).createOrReplaceTempView("documents")
+        rows2 = {r["source"]: r for r in text.score_psi_by_source(spark).collect()}
+        assert rows2["driftsrc"]["drifted"] is True
+        assert rows2["driftsrc"]["psi"] > 1.0
+    finally:
+        docs.createOrReplaceTempView("documents")

@@ -1066,3 +1066,83 @@ def score_quantile_normalization(spark: SparkSession) -> DataFrame:
         )
         .orderBy("source", "local_q")
     )
+
+
+def score_psi_by_source(spark: SparkSession) -> DataFrame:
+    """Population stability index per source — THE industry drift
+    metric (credit-scoring heritage, now standard ML monitoring):
+    PSI(source) = sum_i (p_i - q_i) * ln(p_i / q_i) over score deciles,
+    where q is the reference distribution. The reference here is the
+    POOLED corpus cut at its own global deciles, which makes q uniform
+    (0.1 per bucket) by construction — so each source's PSI measures
+    exactly how far its score distribution sits from the corpus-wide
+    one. PSI < 0.1 = stable, 0.1-0.2 = moderate, > 0.2 = drifted are
+    the conventional thresholds — but they assume large samples: under
+    the null PSI is ~chi-square with E[PSI] ~ (buckets-1)/n, which at
+    25 docs/source is 0.36 on its own. The flag therefore uses
+    max(0.2, 3*(buckets-1)/n_docs): the conventional cut once n is
+    large, a 3x-null-mean cut before that, so small sources aren't
+    spuriously flagged by sampling noise.
+
+    Shares the quality_classifier scorer and the exact-percentile
+    breakpoint pattern of score_normalization (scalar agg broadcast as
+    9 literals, no global window); counts are Laplace-smoothed
+    (+0.5/bucket) so empty buckets don't blow up the log. Readout is
+    an O(sources) aggregate."""
+    docs = spark.table("documents").select("doc_id", "source")
+    scored = (
+        quality_classifier(spark)
+        .select("doc_id", "quality_score")
+        .join(docs, "doc_id")
+    )
+    qs = [i / 10.0 for i in range(1, 10)]
+    brk = scored.agg(
+        *[
+            F.percentile("quality_score", F.lit(q)).alias(f"p{int(q * 100)}")
+            for q in qs
+        ]
+    )
+    decile = F.lit(10)
+    for q in reversed(qs):
+        decile = F.when(
+            F.col("quality_score") <= F.col(f"p{int(q * 100)}"),
+            F.lit(int(q * 10)),
+        ).otherwise(decile)
+    counts = (
+        scored.crossJoin(F.broadcast(brk))
+        .select("source", decile.alias("decile"))
+        .groupBy("source", "decile")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("n").alias("n_docs"))
+    # smoothed share per (source, decile); missing buckets contribute via
+    # the 10-bucket smoothing denominator and the q=0.1 reference term
+    # handled below by unioning the zero rows in relationally
+    full = (
+        totals.crossJoin(
+            spark.range(1, 11).select(F.col("id").cast("int").alias("decile"))
+        )
+        .join(counts, ["source", "decile"], "left")
+        .select(
+            "source",
+            "n_docs",
+            "decile",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+        )
+    )
+    p = (F.col("n") + 0.5) / (F.col("n_docs") + 5.0)
+    term = (p - 0.1) * F.log(p / 0.1)
+    return (
+        full.select("source", "n_docs", term.alias("term"))
+        .groupBy("source", "n_docs")
+        .agg(F.round(F.sum("term"), 6).alias("psi"))
+        .select(
+            "source",
+            "n_docs",
+            "psi",
+            (
+                F.col("psi") > F.greatest(F.lit(0.2), 27.0 / F.col("n_docs"))
+            ).alias("drifted"),
+        )
+        .orderBy("source")
+    )

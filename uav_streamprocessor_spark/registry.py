@@ -4554,3 +4554,57 @@ FROM sizes, stats ORDER BY n_per_variant
     "scaled by observed 1-corr(X,Y)^2; one user rollup + scalar "
     "stats over a 5-row literal grid",
 )(lambda spark: events_ops.experiment_power_analysis(spark))
+
+
+_register(
+    "text_score_psi",
+    _SCORE_CTE
+    + """
+, brk AS (
+  SELECT quantile_cont(quality_score, 0.1) AS p10,
+         quantile_cont(quality_score, 0.2) AS p20,
+         quantile_cont(quality_score, 0.3) AS p30,
+         quantile_cont(quality_score, 0.4) AS p40,
+         quantile_cont(quality_score, 0.5) AS p50,
+         quantile_cont(quality_score, 0.6) AS p60,
+         quantile_cont(quality_score, 0.7) AS p70,
+         quantile_cont(quality_score, 0.8) AS p80,
+         quantile_cont(quality_score, 0.9) AS p90
+  FROM scored
+), assigned AS (
+  SELECT source,
+         CASE WHEN quality_score <= p10 THEN 1
+              WHEN quality_score <= p20 THEN 2
+              WHEN quality_score <= p30 THEN 3
+              WHEN quality_score <= p40 THEN 4
+              WHEN quality_score <= p50 THEN 5
+              WHEN quality_score <= p60 THEN 6
+              WHEN quality_score <= p70 THEN 7
+              WHEN quality_score <= p80 THEN 8
+              WHEN quality_score <= p90 THEN 9
+              ELSE 10 END AS decile
+  FROM scored, brk
+), counts AS (
+  SELECT source, decile, count(*) AS n FROM assigned GROUP BY source, decile
+), totals AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs FROM counts GROUP BY source
+), filled AS (
+  SELECT t.source, t.n_docs, d.decile, coalesce(c.n, 0) AS n
+  FROM totals t
+  CROSS JOIN (SELECT unnest(range(1, 11)) AS decile) d
+  LEFT JOIN counts c ON c.source = t.source AND c.decile = d.decile
+)
+SELECT source, n_docs,
+       round(sum(((n + 0.5) / (n_docs + 5.0) - 0.1)
+                 * ln(((n + 0.5) / (n_docs + 5.0)) / 0.1)), 6) AS psi,
+       round(sum(((n + 0.5) / (n_docs + 5.0) - 0.1)
+                 * ln(((n + 0.5) / (n_docs + 5.0)) / 0.1)), 6)
+         > greatest(0.2, 27.0 / n_docs) AS drifted
+FROM filled GROUP BY source, n_docs ORDER BY source
+""",
+    notes="population stability index per source vs the pooled corpus "
+    "(uniform reference by construction of global deciles): the "
+    "industry drift metric with its conventional 0.2 flag; Laplace-"
+    "smoothed shares, exact-percentile breakpoints as literals, "
+    "O(sources) readout",
+)(lambda spark: text.score_psi_by_source(spark))
