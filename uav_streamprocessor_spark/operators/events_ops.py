@@ -952,3 +952,52 @@ def experiment_power_analysis(spark: SparkSession) -> DataFrame:
         )
         .orderBy("n_per_variant")
     )
+
+
+def seasonal_adjustment(spark: SparkSession) -> DataFrame:
+    """Day-of-week seasonal decomposition of the corpus-wide daily event
+    series: baseline = the median count for that weekday, residual =
+    observed - baseline, robust z = residual / (1.4826 * weekday MAD).
+    This is the screen user_anomaly_zscore can't do — traffic with a
+    strong weekly cycle (quiet Sundays, busy Mondays) makes a global
+    median flag every Monday; deseasonalizing by weekday first means a
+    flag says "unusual FOR a Monday".
+
+    Shape at scale: one date-truncated count over events (map-side
+    combinable, the only corpus-sized shuffle), then all medians/joins
+    run on the O(days) series — grouped by weekday (7 keys), never
+    windowed over events. Weekdays with MAD = 0 keep their rows but
+    carry a NULL z (deviation from a constant baseline has no robust
+    scale; the residual column still shows it)."""
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn("dow", F.dayofweek("day"))
+    )
+    base = daily.groupBy("dow").agg(
+        F.median("n_events").alias("baseline"),
+        F.count(F.lit(1)).alias("n_weeks"),
+    )
+    with_base = daily.join(base, "dow")
+    mad = with_base.groupBy("dow").agg(
+        F.median(F.abs(F.col("n_events") - F.col("baseline"))).alias("mad")
+    )
+    z = (F.col("n_events") - F.col("baseline")) / (1.4826 * F.col("mad"))
+    return (
+        with_base.join(mad, "dow")
+        .select(
+            "day",
+            "dow",
+            "n_events",
+            F.round("baseline", 6).alias("baseline"),
+            F.round(F.col("n_events") - F.col("baseline"), 6).alias(
+                "residual"
+            ),
+            F.round(F.when(F.col("mad") > 0, z), 6).alias("robust_z"),
+            F.coalesce(
+                F.abs(F.when(F.col("mad") > 0, z)) > 2.0, F.lit(False)
+            ).alias("is_anomaly"),
+        )
+        .orderBy("day")
+    )

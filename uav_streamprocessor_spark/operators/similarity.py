@@ -958,3 +958,298 @@ def label_noise_screen(
         )
         .orderBy("vec_id")
     )
+
+
+def _sq_dist(a, b):
+    """Squared L2 distance between two float-array columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(
+            a, b, lambda x, y: (x.cast("double") - y.cast("double")) ** 2
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def kcenter_greedy_sample(spark: SparkSession, k: int = 10) -> DataFrame:
+    """k-center greedy coreset selection (farthest-first traversal — the
+    2-approximation of Gonzalez 1985, the active-learning/data-pruning
+    selector of Sener & Savarese 2018, arXiv:1708.00489): pick the max-
+    norm vector as the seed, then repeatedly pick the vector FARTHEST
+    from everything chosen so far. The chosen set maximizes diversity —
+    the opposite end of the sampling spectrum from uniform draws, and
+    the standard way to cut an embedding corpus to a budget while
+    keeping its extremes.
+
+    Distributed shape: the corpus keeps a running `min_dist`-to-chosen
+    column — each of the k rounds is ONE map (squared-L2 vs the single
+    newest center, JVM-side zip_with/aggregate) + ONE top-1 reduce
+    (TakeOrdered on (min_dist desc, vec_id): per-partition argmax then
+    a k-way driver merge — O(partitions) rows move, never the corpus).
+    No shuffle at any point; lineage is truncated by re-persisting the
+    3-column (vec_id, embedding, min_dist) projection each round and
+    the driver holds one 64-float center at a time. dist_at_selection
+    is the corpus cover radius BEFORE each pick, so it is non-
+    increasing by construction (asserted in tests) — the seed row
+    carries NULL.
+
+    k is a budget parameter (10 here); each extra center costs one
+    map+argmax pass, so runtime is O(k · scan). At 100 TB you run this
+    on the deduplicated/filtered survivor set, not the raw pool."""
+    emb = spark.table("embeddings")
+    base = emb.select("vec_id", "label", "embedding")
+    norm = F.aggregate(
+        "embedding",
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    seed = (
+        base.select("vec_id", "label", "embedding", norm.alias("n2"))
+        .orderBy(F.col("n2").desc(), "vec_id")
+        .first()
+    )
+    chosen = [(0, seed.vec_id, seed.label, None)]
+    cur = base.filter(F.col("vec_id") != seed.vec_id).select(
+        "vec_id",
+        "label",
+        "embedding",
+        F.round(
+            _sq_dist(F.col("embedding"), F.lit(seed.embedding)), 9
+        ).alias("min_dist"),
+    )
+    cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        for order in range(1, k):
+            far = cur.orderBy(F.col("min_dist").desc(), "vec_id").first()
+            chosen.append(
+                (order, far.vec_id, far.label, float(far.min_dist))
+            )
+            center = far.embedding  # already in the argmax row
+            nxt = cur.filter(F.col("vec_id") != far.vec_id).select(
+                "vec_id",
+                "label",
+                "embedding",
+                F.least(
+                    F.col("min_dist"),
+                    F.round(
+                        _sq_dist(F.col("embedding"), F.lit(center)), 9
+                    ),
+                ).alias("min_dist"),
+            )
+            nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)
+            nxt.count()  # materialize before dropping the parent
+            cur.unpersist()
+            cur = nxt
+    finally:
+        cur.unpersist()
+    return spark.createDataFrame(
+        chosen,
+        schema="selection_order INT, vec_id BIGINT, label INT, "
+        "dist_at_selection DOUBLE",
+    ).orderBy("selection_order")
+
+
+def ivfpq_topk(
+    spark: SparkSession,
+    n_queries: int = 5,
+    k: int = 5,
+    nprobe: int = 4,
+    m: int = 8,
+    ksub: int = 16,
+    n_train: int = 256,
+    iters: int = 8,
+) -> DataFrame:
+    """IVFADC — the composite index that actually runs billion-vector
+    ANN (Jégou et al. TPAMI 2011; the FAISS `IVFx,PQy` default): IVF
+    coarse cells bound WHICH vectors a query scores (nprobe of n_cells),
+    and product-quantized RESIDUALS bound the BYTES each score touches
+    (m codes vs dim floats — 8 bytes vs 256 here). Distances are
+    asymmetric (ADC): the query stays exact, each candidate is looked
+    up subspace-by-subspace in a per-(query, cell) table of
+    ||residual_j(q) - codebook_j[c]||² — m table gathers + a sum per
+    candidate, no float reconstruction.
+
+    Everything is L2-normalized first so squared-L2 ranks exactly like
+    cosine (||a-b||² = 2 - 2cosθ) — the recall numbers compare directly
+    against knn_bruteforce. Cells reuse the label coarse quantizer of
+    ivf_topk; centroids are means of the normalized members.
+
+    Scale shape: codebooks train driver-side on a bounded deterministic
+    residual sample (same md5-order draw as pq_quantization_audit — how
+    FAISS trains, sample not corpus). Encoding is ONE Arrow-batched
+    mapInPandas pass producing (vec_id, label, m uint8-ish codes) — at
+    100 TB this is the materialized index, written once and re-read by
+    every query batch. Queries: probes + LUTs are O(n_queries · nprobe
+    · m · ksub) driver floats; candidate scoring is a broadcast-probe
+    semi-filter then a map-only LUT gather — the corpus never shuffles
+    and never moves full vectors after encode."""
+    emb = spark.table("embeddings")
+
+    # --- normalized corpus + cell centroids (distributed, 2 shuffles of
+    # O(cells·dim) rows total) ---
+    nrm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    normed = emb.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double") / nrm).alias(
+            "nvec"
+        ),
+    )
+    cents = {
+        r["label"]: np.asarray(r["centroid"], dtype=np.float64)
+        for r in normed.select(
+            "label", F.posexplode("nvec").alias("pos", "x")
+        )
+        .groupBy("label", "pos")
+        .agg(F.avg("x").alias("x"))
+        .groupBy("label")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "x"))
+            ).alias("sx")
+        )
+        .select(
+            "label", F.col("sx.x").alias("centroid")
+        )
+        .collect()
+    }
+
+    # --- codebooks on a deterministic residual sample (driver-side, the
+    # FAISS training recipe; O(n_train·dim) collect) ---
+    sample = (
+        normed.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+        .orderBy("h", "vec_id")
+        .limit(n_train)
+        .collect()
+    )
+    R = np.array(
+        [np.asarray(r["nvec"]) - cents[r["label"]] for r in sample],
+        dtype=np.float64,
+    )
+    books = _pq_codebooks(R, m, ksub, iters)  # (m, ksub, dsub)
+    dim = R.shape[1]
+    dsub = dim // m
+
+    # --- encode the corpus: one map-only Arrow pass → the PQ index ---
+    from pyspark.sql import types as T
+
+    enc_schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("label", T.IntegerType(), True),
+            T.StructField("codes", T.ArrayType(T.IntegerType()), False),
+        ]
+    )
+
+    def encode(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(columns=["vec_id", "label", "codes"])
+                continue
+            V = np.array(pdf["nvec"].tolist(), dtype=np.float64)
+            C = np.array(
+                [cents[int(l)] for l in pdf["label"]], dtype=np.float64
+            )
+            Rb = V - C
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                sub = Rb[:, j * dsub : (j + 1) * dsub]
+                d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(
+                    axis=2
+                )
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "codes": list(codes),
+                }
+            )
+
+    index = normed.mapInPandas(encode, schema=enc_schema)
+
+    # --- query side: probes + ADC lookup tables, all O(queries) driver
+    # floats ---
+    queries = [
+        (int(r["vec_id"]), np.asarray(r["nvec"], dtype=np.float64))
+        for r in normed.filter(F.col("vec_id") < n_queries).collect()
+    ]
+    probes = []  # (query_id, label)
+    luts = {}  # (query_id, label) -> (m, ksub) float64
+    for qid, qv in queries:
+        ranked = sorted(
+            cents, key=lambda c: (((qv - cents[c]) ** 2).sum(), c)
+        )[:nprobe]
+        for cell in ranked:
+            rq = qv - cents[cell]
+            lut = np.empty((m, ksub), dtype=np.float64)
+            for j in range(m):
+                lut[j] = (
+                    (rq[j * dsub : (j + 1) * dsub][None, :] - books[j]) ** 2
+                ).sum(axis=1)
+            probes.append((qid, int(cell)))
+            luts[(qid, int(cell))] = lut
+
+    probe_df = spark.createDataFrame(
+        probes, schema="query_id BIGINT, label INT"
+    )
+    cands = index.join(F.broadcast(probe_df), "label").filter(
+        F.col("vec_id") != F.col("query_id")
+    )
+
+    adc_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType(), False),
+            T.StructField("vec_id", T.LongType(), False),
+            T.StructField("label", T.IntegerType(), True),
+            T.StructField("adc_dist", T.DoubleType(), False),
+        ]
+    )
+
+    def score(batches):
+        cols = np.arange(m)
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pd.DataFrame(
+                    columns=["query_id", "vec_id", "label", "adc_dist"]
+                )
+                continue
+            codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
+            out = np.empty(len(pdf), dtype=np.float64)
+            key = list(zip(pdf["query_id"], pdf["label"]))
+            for pair in set(key):
+                mask = np.array([kk == pair for kk in key])
+                lut = luts[(int(pair[0]), int(pair[1]))]
+                out[mask] = lut[cols[None, :], codes[mask]].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"],
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "adc_dist": out,
+                }
+            )
+
+    scored = cands.select("query_id", "vec_id", "label", "codes").mapInPandas(
+        score, schema=adc_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id")
+    )
+    return (
+        scored.select(
+            "query_id",
+            "vec_id",
+            "label",
+            F.round("adc_dist", 6).alias("adc_dist"),
+        )
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .orderBy("query_id", "rnk")
+    )

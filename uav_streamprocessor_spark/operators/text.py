@@ -1146,3 +1146,85 @@ def score_psi_by_source(spark: SparkSession) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def dsir_importance_weights(
+    spark: SparkSession, min_count: int = 5
+) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw document by the log-likelihood
+    ratio of its unigrams under a *target* LM vs the *raw-corpus* LM,
+    then select the docs whose per-token average ratio is positive
+    (they look more like the target than like the average of the pool).
+
+    Target definition is deterministic and in-corpus: English docs of
+    >= 200 chars (the Gopher-ish "clean prose" proxy this corpus
+    affords). Both LMs are Laplace-smoothed over the SAME shared
+    vocabulary (add-0.5 / +0.5*V), so a vocab token unseen in the
+    target still gets a finite (negative) log ratio instead of -inf.
+
+    The vocabulary keeps only words with raw count >= `min_count`
+    (tokenizer-LM min-frequency cutoff). Without it, a token unseen in
+    BOTH corpora scores ln((0.5/(T_t+0.5V)) / (1.5/(T_r+0.5V))) > 0
+    whenever the target corpus is much smaller than the raw pool — a
+    smoothing artifact that would rank pure OOV junk ABOVE genuine
+    target-like text (caught by the planted-junk control in
+    tests/test_round5c_ops.py). The paper avoids this by hashing into
+    a dense feature space where every bucket is observed; word-level
+    min-count is the exact-vocabulary equivalent. Consequence: n_tokens
+    counts scored (in-vocab) tokens, and a doc with ZERO in-vocab
+    tokens is excluded from the output rather than given an artifact
+    score. At 100 TB swap the `word` key for `xxhash64(word) % 2^20`
+    and the plan is unchanged — the LM stays feature-space-sized.
+
+    Shape at scale: one explode + one word-keyed count per LM (shared
+    scan, conditional aggregation — a single shuffle), a vocab-sized
+    ratio table joined back to the token stream (AQE broadcasts while
+    it fits, exactly like unigram_cross_entropy), then a per-doc avg.
+    No Python anywhere."""
+    docs = spark.table("documents")
+    is_target = (F.col("lang") == "en") & (F.col("n_chars") >= 200)
+    toks = docs.select(
+        "doc_id",
+        "lang",
+        is_target.alias("is_target"),
+        F.explode(F.split("text", " ")).alias("word"),
+    )
+    counts = toks.groupBy("word").agg(
+        F.count(F.lit(1)).alias("n_raw"),
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).alias("n_tgt"),
+    ).filter(F.col("n_raw") >= min_count)
+    totals = counts.agg(
+        F.sum("n_raw").alias("tot_raw"),
+        F.sum("n_tgt").alias("tot_tgt"),
+        F.count(F.lit(1)).alias("vocab"),
+    )
+    lm = counts.crossJoin(F.broadcast(totals)).select(
+        "word",
+        (
+            F.log(
+                (F.col("n_tgt") + 0.5)
+                / (F.col("tot_tgt") + 0.5 * F.col("vocab"))
+            )
+            - F.log(
+                (F.col("n_raw") + 0.5)
+                / (F.col("tot_raw") + 0.5 * F.col("vocab"))
+            )
+        ).alias("log_ratio"),
+    )
+    return (
+        toks.join(lm, "word")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("log_ratio"), 6).alias("avg_log_ratio"),
+        )
+        .select(
+            "doc_id",
+            "lang",
+            "n_tokens",
+            "avg_log_ratio",
+            (F.col("avg_log_ratio") > 0).alias("selected"),
+        )
+        .orderBy("doc_id")
+    )

@@ -4608,3 +4608,107 @@ FROM filled GROUP BY source, n_docs ORDER BY source
     "smoothed shares, exact-percentile breakpoints as literals, "
     "O(sources) readout",
 )(lambda spark: text.score_psi_by_source(spark))
+
+
+_register(
+    "text_dsir_weights",
+    """
+WITH toks AS (
+  SELECT doc_id, lang,
+         (lang = 'en' AND n_chars >= 200) AS is_target,
+         unnest(string_split(text, ' ')) AS word
+  FROM documents
+),
+counts AS (
+  SELECT word, count(*) AS n_raw,
+         sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS n_tgt
+  FROM toks GROUP BY word
+  HAVING count(*) >= 5
+),
+totals AS (
+  SELECT sum(n_raw) AS tot_raw, sum(n_tgt) AS tot_tgt,
+         count(*) AS vocab
+  FROM counts
+),
+lm AS (
+  SELECT word,
+         ln((n_tgt + 0.5) / (tot_tgt + 0.5 * vocab))
+         - ln((n_raw + 0.5) / (tot_raw + 0.5 * vocab)) AS log_ratio
+  FROM counts, totals
+)
+SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       round(avg(log_ratio), 6) AS avg_log_ratio,
+       round(avg(log_ratio), 6) > 0 AS selected
+FROM toks t JOIN lm USING (word)
+GROUP BY t.doc_id, t.lang
+ORDER BY t.doc_id
+""",
+    notes="DSIR importance resampling (arXiv:2302.03169): per-doc "
+    "unigram log-likelihood ratio target-LM vs raw-LM, Laplace-"
+    "smoothed over a min-count-5 shared vocabulary (the cutoff kills "
+    "the OOV smoothing artifact — see operator docstring); one corpus "
+    "shuffle + a vocab-sized LM join back — the hashed-ngram variant "
+    "at 100 TB swaps the word key for xxhash64(word) % 2^20",
+)(lambda spark: text.dsir_importance_weights(spark))
+
+
+_register(
+    "ev_seasonal_adjustment",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+d2 AS (
+  SELECT day, n_events, CAST(dayofweek(day) + 1 AS INT) AS dow FROM daily
+),
+base AS (SELECT dow, median(n_events) AS baseline FROM d2 GROUP BY dow),
+mad AS (
+  SELECT d2.dow, median(abs(n_events - baseline)) AS mad
+  FROM d2 JOIN base USING (dow) GROUP BY d2.dow
+)
+SELECT day, dow, n_events,
+       round(baseline, 6) AS baseline,
+       round(n_events - baseline, 6) AS residual,
+       round(CASE WHEN mad > 0
+                  THEN (n_events - baseline) / (1.4826 * mad) END, 6)
+         AS robust_z,
+       coalesce(abs(CASE WHEN mad > 0
+                         THEN (n_events - baseline) / (1.4826 * mad) END)
+                > 2.0, FALSE) AS is_anomaly
+FROM d2 JOIN base USING (dow) JOIN mad USING (dow)
+ORDER BY day
+""",
+    notes="day-of-week seasonal decomposition: weekday-median baseline "
+    "+ weekday-MAD robust z over the daily series — deseasonalized "
+    "anomalies a global median would mis-flag; one corpus-sized "
+    "count shuffle, everything after runs on O(days) rows",
+)(lambda spark: events_ops.seasonal_adjustment(spark))
+
+
+_register(
+    "emb_kcenter_sample",
+    None,
+    notes="k-center greedy coreset (farthest-first traversal, "
+    "arXiv:1708.00489): k rounds of map + top-1 reduce over a running "
+    "min-dist column — no shuffle ever; iterative argmax is not SQL-"
+    "expressible, so rows-only for the driver; pytest replicates the "
+    "full trace exactly against a numpy reference and pins the non-"
+    "increasing cover-radius invariant plus a planted-duplicate "
+    "control (test_round5c_ops.py)",
+)(lambda spark: similarity.kcenter_greedy_sample(spark))
+
+
+_register(
+    "emb_ivfpq_topk",
+    None,
+    notes="IVFADC composite ANN (Jégou et al. TPAMI 2011, the FAISS "
+    "IVFx,PQy shape): coarse cells bound which vectors are scored, "
+    "PQ residual codes bound the bytes per score, asymmetric-distance "
+    "LUT gathers replace float math; codebooks train on a bounded "
+    "deterministic sample, the encoded index is one map-only pass, "
+    "queries never shuffle the corpus — k-means codebooks are not "
+    "SQL-expressible, so rows-only for the driver; pytest pins "
+    "recall vs knn_bruteforce, determinism, and the probe-subset "
+    "contract (test_round5c_ops.py)",
+)(lambda spark: similarity.ivfpq_topk(spark))
