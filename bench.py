@@ -108,6 +108,9 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     from uav_streamprocessor_spark.streaming.rate_limit_stream import (
         rate_limited_stream,
     )
+    from uav_streamprocessor_spark.streaming.session_stream import (
+        session_stream,
+    )
     from uav_streamprocessor_spark.streaming.sketch_stream import (
         run_incremental_sketches,
     )
@@ -270,6 +273,26 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         .queryName("bench_ewma")
         .outputMode("append")
         .option("checkpointLocation", str(work / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600),
+    )
+
+    record(
+        "session_state",
+        n_ev,
+        lambda: session_stream(
+            feed(
+                ev_val,
+                "session",
+                "event_id long, ts timestamp, user_id long, value double",
+                ordered_by=("ts", "event_id"),
+            )
+        )
+        .writeStream.format("memory")
+        .queryName("bench_session")
+        .outputMode("append")
+        .option("checkpointLocation", str(work / "ckpt_session"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination(600),

@@ -1,0 +1,136 @@
+"""Streaming gap-sessionization — the stateful twin of the batch
+lag-gap method (events_ops.sessionize_gap_method) and the portable
+form of Spark's session_window (ev_session_windows).
+
+A session is a maximal run of a user's events with consecutive gaps
+<= `gap_minutes`. Batch computes it with lag + running-sum windows;
+in a stream the session boundary is genuine sequential state: whether
+THIS event opens a new session depends on the previous event's
+timestamp, which may live many micro-batches back. State per user is
+one open session: (session_seq, last_ts_us, start_us, n_events,
+total_value) — five scalars, no event retention.
+
+Emission contract (append mode can't rewrite rows, so this mirrors
+curation_stream's read-time-fold): after every micro-batch each
+session TOUCHED in that batch emits one row with its aggregates so
+far — closed sessions are final, the still-open session is a partial
+that a later batch supersedes with a bigger n_events. The reader
+folds with max_by(n_events) per (user_id, session_seq)
+(`fold_session_store`): n_events grows strictly within a session, so
+the fold is deterministic, replay-idempotent (a replayed batch emits
+byte-identical rows), and — pinned in tests — EXACTLY equal to the
+batch query over the same prefix, open sessions included.
+
+Ordering contract: per-key event-time order non-decreasing across
+micro-batches (log replay); intra-batch arrival order is irrelevant —
+the processor sorts each batch on (ts_us, event_id) itself.
+
+Scale: one shuffle per micro-batch on user_id; per-group work is a
+linear scan of that key's batch rows; state is O(active users), the
+same five-scalar footprint regardless of session length.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+_OUT_SCHEMA = (
+    "user_id long, session_seq long, n_events long, "
+    "session_start_epoch long, session_end_epoch long, total_value double"
+)
+_STATE_SCHEMA = (
+    "session_seq long, last_ts_us long, start_us long, "
+    "n_events long, total_value double"
+)
+
+
+def make_session_processor(gap_minutes: int = 30):
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            seq, last_us, start_us, n_ev, tot = state.get
+        else:
+            seq, last_us, start_us, n_ev, tot = 0, None, None, 0, 0.0
+        batch = pd.concat(list(pdfs), ignore_index=True)
+        batch = batch.sort_values(["ts_us", "event_id"], ignore_index=True)
+        out = []  # one row per touched session, final aggregates last
+        for ts_us, value in zip(batch["ts_us"], batch["value"]):
+            ts_us = int(ts_us)
+            if last_us is None or ts_us - last_us > gap_us:
+                if n_ev > 0:  # close the previous session
+                    out.append((seq, n_ev, start_us, last_us, tot))
+                seq, start_us, n_ev, tot = seq + 1, ts_us, 0, 0.0
+            last_us = ts_us
+            n_ev += 1
+            tot += float(value)
+        out.append((seq, n_ev, start_us, last_us, tot))  # open partial
+        state.update(
+            (int(seq), int(last_us), int(start_us), int(n_ev), float(tot))
+        )
+        yield pd.DataFrame(
+            {
+                "user_id": key[0],
+                "session_seq": [o[0] for o in out],
+                "n_events": [o[1] for o in out],
+                "session_start_epoch": [o[2] // 1_000_000 for o in out],
+                "session_end_epoch": [o[3] // 1_000_000 for o in out],
+                "total_value": [o[4] for o in out],
+            }
+        )
+
+    return update
+
+
+def _prepared(events: DataFrame) -> DataFrame:
+    return events.select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def session_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Wire the sessionizer onto a streaming events DataFrame."""
+    return _prepared(events).groupBy("user_id").applyInPandasWithState(
+        make_session_processor(gap_minutes),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def fold_session_store(store: DataFrame) -> DataFrame:
+    """Read-time fold of the append-only session emissions: the newest
+    emission per (user_id, session_seq) — identified by max n_events,
+    which grows strictly within a session — is that session's current
+    truth. Matches the batch query's output schema (total_value rounded
+    2dp like every money aggregate in the registry)."""
+    picked = store.groupBy("user_id", "session_seq").agg(
+        F.max_by(
+            F.struct(
+                "n_events",
+                "session_start_epoch",
+                "session_end_epoch",
+                "total_value",
+            ),
+            F.col("n_events"),
+        ).alias("s")
+    )
+    return picked.select(
+        "user_id",
+        "session_seq",
+        F.col("s.n_events").alias("n_events"),
+        F.col("s.session_start_epoch").alias("session_start_epoch"),
+        F.col("s.session_end_epoch").alias("session_end_epoch"),
+        F.round(F.col("s.total_value"), 2).alias("total_value"),
+    )
