@@ -7,6 +7,7 @@ test_oracle_parity.py / PARITY artifacts)."""
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from uav_streamprocessor_spark.fixtures import register_uav_views
@@ -291,3 +292,77 @@ def test_ivfpq_candidates_come_from_probed_cells_and_recall(spark):
     # >= 0.2 recall@5 (weak label clustering + PQ distortion; same corpus
     # regime as ivf_topk's pinned ~0.32 — PQ costs some of that)
     assert recall_full >= 0.2
+
+
+# ---------------------------------------------------------------------------
+# ev_cusum_changepoints
+# ---------------------------------------------------------------------------
+
+def test_cusum_closed_form_equals_textbook_recursion(spark):
+    """The windowed closed form S_t = P_t - min(0, running_min(P)) must
+    equal the sequential recursion S_t = max(0, S_{t-1} + z_t -/+ k)
+    replayed in plain Python over the same z series."""
+    got = sorted(
+        events_ops.cusum_changepoints(spark).collect(),
+        key=lambda r: r["day"],
+    )
+    s_up = s_dn = 0.0
+    for r in got:
+        s_up = max(0.0, s_up + r["z"] - 0.5)
+        s_dn = max(0.0, s_dn - r["z"] - 0.5)
+        assert abs(r["cusum_up"] - s_up) < 1e-4, r["day"]
+        assert abs(r["cusum_down"] - s_dn) < 1e-4, r["day"]
+        assert r["alarm"] == (r["cusum_up"] > 4.0 or r["cusum_down"] > 4.0)
+        # re-anchor the recursion on the op's rounded values to stop
+        # 6dp rounding drift compounding across days
+        s_up, s_dn = r["cusum_up"], r["cusum_down"]
+
+
+def test_cusum_sustained_shift_alarms_where_point_screen_cannot(spark):
+    """Perturbation: inflate the LAST 10 days by a uniform ~3σ of the
+    ORIGINAL spread. Post-plant standardization re-estimates mu/sd over
+    the shifted series, which dilutes each late day to a modest z (the
+    shift inflates sd and drags mu up) — no late day becomes a 3σ point
+    outlier, yet the accumulated CUSUM must alarm by the series end."""
+    ev = spark.table("events")
+    base = sorted(
+        events_ops.cusum_changepoints(spark).collect(),
+        key=lambda r: r["day"],
+    )
+    sd = float(
+        spark.table("events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .count()
+        .agg(F.stddev_samp("count"))
+        .first()[0]
+    )
+    days = [r["day"] for r in base]
+    late = days[-10:]
+    # +3 sigma (of the original spread) extra events per late day
+    per_day_extra = max(1, int(round(3.0 * sd)))
+    clones = (
+        ev.filter(F.to_date("ts").isin(late))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy(F.to_date("ts")).orderBy("event_id")
+            ),
+        )
+        .filter(F.col("rn") <= per_day_extra)
+        .drop("rn")
+    )
+    try:
+        ev.unionByName(clones).createOrReplaceTempView("events")
+        got = sorted(
+            events_ops.cusum_changepoints(spark).collect(),
+            key=lambda r: r["day"],
+        )
+        by_day = {r["day"]: r for r in got}
+        # post-plant z of every late day stays a modest point value
+        # (sd inflation + mean drag dilute the per-day signal)
+        for d in late:
+            assert by_day[d]["z"] < 3.0
+        assert got[-1]["cusum_up"] > base[-1]["cusum_up"]
+        assert got[-1]["alarm"] is True
+    finally:
+        ev.createOrReplaceTempView("events")

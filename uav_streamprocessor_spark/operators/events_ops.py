@@ -1001,3 +1001,63 @@ def seasonal_adjustment(spark: SparkSession) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def cusum_changepoints(
+    spark: SparkSession, slack_k: float = 0.5, threshold_h: float = 4.0
+) -> DataFrame:
+    """CUSUM change detection over the standardized daily event series
+    (Page 1954 — the sequential test behind most production drift
+    alarms): accumulate standardized deviations beyond a slack `k` and
+    alarm when the accumulation crosses `h`. Detects small SUSTAINED
+    level shifts that per-point screens (seasonal_adjustment, z-scores)
+    can't see — ten days each 1σ high never trips a 2σ point test but
+    sums to 10σ - 10k here.
+
+    The textbook recursion S_t = max(0, S_{t-1} + z_t - k) looks
+    sequential, but one-sided CUSUM has an exact closed form:
+      S_t = P_t - min_{i<=t}(P_i),  P_t = Σ_{j<=t}(z_j - k), P_0 = 0
+    (subtracting the running minimum restarts the sum at every point a
+    plain sum would have clipped to 0). Both directions come from the
+    same prefix sum: the downward statistic uses the running MAX. So
+    the whole detector is two cumulative windows over the O(days)
+    series — fully relational, exactly SQL-expressible, oracle-checked;
+    no driver loop, no UDF.
+
+    Shape at scale: one corpus-sized date-truncated count (map-side
+    combinable), then windows over O(days) rows in one partition —
+    fine because the series length is days, not events; shard by
+    (series_id) when monitoring many series."""
+    daily = (
+        spark.table("events")
+        .groupBy(F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    stats = daily.agg(
+        F.avg("n_events").alias("mu"), F.stddev_samp("n_events").alias("sd")
+    )
+    z = (F.col("n_events") - F.col("mu")) / F.col("sd")
+    seq = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    scored = (
+        daily.crossJoin(F.broadcast(stats))
+        .withColumn("p_up", F.sum(z - slack_k).over(seq))
+        .withColumn("p_dn", F.sum(z + slack_k).over(seq))
+        .withColumn(
+            "s_up", F.col("p_up") - F.least(F.min("p_up").over(seq), F.lit(0.0))
+        )
+        .withColumn(
+            "s_dn", F.greatest(F.max("p_dn").over(seq), F.lit(0.0)) - F.col("p_dn")
+        )
+    )
+    return scored.select(
+        "day",
+        "n_events",
+        F.round(z, 6).alias("z"),
+        F.round("s_up", 6).alias("cusum_up"),
+        F.round("s_dn", 6).alias("cusum_down"),
+        (
+            (F.col("s_up") > threshold_h) | (F.col("s_dn") > threshold_h)
+        ).alias("alarm"),
+    ).orderBy("day")

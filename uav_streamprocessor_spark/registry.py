@@ -4712,3 +4712,44 @@ _register(
     "recall vs knn_bruteforce, determinism, and the probe-subset "
     "contract (test_round5c_ops.py)",
 )(lambda spark: similarity.ivfpq_topk(spark))
+
+
+_register(
+    "ev_cusum_changepoints",
+    """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY CAST(ts AS DATE)
+),
+stats AS (
+  SELECT avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM daily
+),
+scored AS (
+  SELECT day, n_events,
+         (n_events - mu) / sd AS z,
+         sum((n_events - mu) / sd - 0.5) OVER w AS p_up,
+         sum((n_events - mu) / sd + 0.5) OVER w AS p_dn
+  FROM daily, stats
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+cs AS (
+  SELECT day, n_events, z,
+         p_up - least(min(p_up) OVER w, 0.0) AS s_up,
+         greatest(max(p_dn) OVER w, 0.0) - p_dn AS s_dn
+  FROM scored
+  WINDOW w AS (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+)
+SELECT day, n_events, round(z, 6) AS z, round(s_up, 6) AS cusum_up,
+       round(s_dn, 6) AS cusum_down,
+       (s_up > 4.0 OR s_dn > 4.0) AS alarm
+FROM cs ORDER BY day
+""",
+    notes="CUSUM changepoint detection (Page 1954) over the daily "
+    "series via the exact closed form S_t = P_t - running_min(P) — "
+    "the 'sequential' recursion as two cumulative windows, fully "
+    "relational and oracle-checked; catches sustained small shifts "
+    "per-point z screens miss; O(days) window work after one "
+    "corpus-sized count",
+)(lambda spark: events_ops.cusum_changepoints(spark))
