@@ -366,3 +366,77 @@ def test_cusum_sustained_shift_alarms_where_point_screen_cannot(spark):
         assert got[-1]["alarm"] is True
     finally:
         ev.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# text_heaps_law / rel_join_skew_audit
+# ---------------------------------------------------------------------------
+
+def test_heaps_curve_invariants_and_template_corpus_control(spark):
+    docs = spark.table("documents")
+    got = sorted(
+        text.heaps_law_curve(spark).collect(), key=lambda r: r["doc_id"]
+    )
+    assert len(got) == docs.count()
+    # both series strictly/weakly monotone; vocab can never exceed tokens
+    for a, b in zip(got, got[1:]):
+        assert b["cum_tokens"] > a["cum_tokens"]
+        assert b["cum_vocab"] >= a["cum_vocab"]
+    assert all(r["cum_vocab"] <= r["cum_tokens"] for r in got)
+    beta_real = got[0]["heaps_beta"]
+    assert 0.0 < beta_real < 1.0
+    # perturbation: a pure-template corpus (every doc the same text)
+    # exhausts its vocabulary in doc 1 -> beta collapses toward 0
+    template = docs.select(
+        "doc_id",
+        F.lit("alpha beta gamma delta").alias("text"),
+        "lang",
+        "source",
+        F.lit(23).cast("long").alias("n_chars"),
+    )
+    try:
+        template.createOrReplaceTempView("documents")
+        flat = text.heaps_law_curve(spark).collect()
+        assert all(r["cum_vocab"] == 4 for r in flat)
+        assert abs(flat[0]["heaps_beta"]) < 0.05
+        assert flat[0]["heaps_beta"] < beta_real / 4
+    finally:
+        docs.createOrReplaceTempView("documents")
+
+
+def test_skew_audit_flags_planted_hot_key(spark):
+    from uav_streamprocessor_spark.operators import skew
+
+    li = spark.table("lineitem")
+    base = {r["key_column"]: r for r in skew.join_key_skew_audit(spark).collect()}
+    assert set(base) == {"l_orderkey", "l_partkey", "l_suppkey"}
+    for r in base.values():
+        assert r["n_rows"] == li.count()
+        assert r["max_per_key"] >= r["p99_per_key"] >= r["p50_per_key"]
+        assert abs(r["straggler_ratio"] - r["max_per_key"] / r["avg_per_key"]) < 1e-3
+    # TPC-H keys are near-uniform: nothing should demand salting
+    assert not any(r["needs_salting"] for r in base.values())
+    # perturbation: funnel ~30% of rows onto ONE orderkey (the high-
+    # cardinality key, where avg rows/key is small) -> that column's
+    # straggler ratio explodes and the flag flips; suppkey barely moves
+    hot = li.withColumn(
+        "l_orderkey",
+        F.when(F.col("l_partkey") % 3 == 0, F.lit(1)).otherwise(
+            F.col("l_orderkey")
+        ),
+    )
+    try:
+        hot.createOrReplaceTempView("lineitem")
+        skewed = {
+            r["key_column"]: r
+            for r in skew.join_key_skew_audit(spark).collect()
+        }
+        assert skewed["l_orderkey"]["needs_salting"] is True
+        assert (
+            skewed["l_orderkey"]["straggler_ratio"]
+            > 10 * base["l_orderkey"]["straggler_ratio"]
+        )
+        assert skewed["l_orderkey"]["top1_share"] > 0.25
+        assert skewed["l_suppkey"]["needs_salting"] is False
+    finally:
+        li.createOrReplaceTempView("lineitem")

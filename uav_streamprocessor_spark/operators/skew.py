@@ -92,3 +92,50 @@ def salted_priority_revenue(spark: SparkSession, n_salts: int = 8) -> DataFrame:
         .alias("revenue"),
         F.count(F.lit(1)).alias("n_rows"),
     )
+
+
+def join_key_skew_audit(spark: SparkSession) -> DataFrame:
+    """Pre-join skew probe — the numbers you read BEFORE deciding
+    whether a join needs salting/AQE-splitting: per candidate join key,
+    the rows-per-key distribution of the fact side (lineitem) and how
+    concentrated it is. Reports for each key column: distinct keys,
+    max/avg rows per key (the straggler ratio — a key holding 100× the
+    average lands one task with 100× the work), exact p50/p99 of the
+    per-key histogram, and the share of rows behind the single hottest
+    key. The decision inputs of SCALE.md's salting rules, AS a query.
+
+    Shape at scale: one map-side-combinable count per key column over
+    the fact scan (the per-key histogram is |keys| rows, not |rows|),
+    then scalar aggs over that histogram — exact percentiles over
+    key-count rows, never event rows. Fully relational, DuckDB-oracled."""
+    li = spark.table("lineitem")
+
+    def profile(keycol: str):
+        hist = li.groupBy(keycol).agg(F.count(F.lit(1)).alias("n"))
+        return hist.agg(
+            F.lit(keycol).alias("key_column"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.sum("n").alias("n_rows"),
+            F.max("n").alias("max_per_key"),
+            F.round(F.avg("n"), 6).alias("avg_per_key"),
+            F.round(F.expr("percentile(n, 0.5)"), 6).alias("p50_per_key"),
+            F.round(F.expr("percentile(n, 0.99)"), 6).alias("p99_per_key"),
+            F.round(F.max("n") / F.avg("n"), 6).alias("straggler_ratio"),
+            F.round(F.max("n") / F.sum("n"), 6).alias("top1_share"),
+        )
+
+    out = profile("l_orderkey")
+    for c in ("l_partkey", "l_suppkey"):
+        out = out.unionByName(profile(c))
+    return out.select(
+        "key_column",
+        "n_keys",
+        "n_rows",
+        "max_per_key",
+        "avg_per_key",
+        "p50_per_key",
+        "p99_per_key",
+        "straggler_ratio",
+        "top1_share",
+        (F.col("straggler_ratio") > 10.0).alias("needs_salting"),
+    ).orderBy("key_column")

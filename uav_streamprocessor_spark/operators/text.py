@@ -1228,3 +1228,53 @@ def dsir_importance_weights(
         )
         .orderBy("doc_id")
     )
+
+
+def heaps_law_curve(spark: SparkSession) -> DataFrame:
+    """Heaps'-law vocabulary growth: cumulative distinct words V(n) vs
+    cumulative tokens n in doc_id order, plus the fitted log-log
+    exponent beta (V ≈ K·n^beta; natural corpora sit near beta ≈
+    0.4-0.6 — a curve that flattens early means the corpus is
+    recycling a closed vocabulary, i.e. template/synthetic text; one
+    that stays near 1 is ID-like noise). The companion screen to
+    zipf_slope: Zipf reads the frequency RANKS, Heaps reads vocabulary
+    GROWTH — template corpora can pass one and fail the other.
+
+    Relational decomposition: a word's first occurrence is min(doc_id)
+    over its postings (one word-keyed shuffle, map-side combinable);
+    new-words-per-doc is a count over those firsts; both cumulative
+    sums are windows over the O(docs) per-doc aggregate, never over
+    tokens. beta fits with the built-in least-squares aggregate
+    (regr_slope of ln V on ln n — same closed form in DuckDB) and
+    rides every row via a 1-row broadcast crossJoin. At 100 TB the
+    curve rows would be sampled checkpoints (every 2^j tokens); the
+    shuffles stay word- and doc-keyed either way."""
+    docs = spark.table("documents")
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_toks"))
+    firsts = toks.groupBy("word").agg(F.min("doc_id").alias("first_doc"))
+    new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    seq = Window.orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    curve = (
+        per_doc.join(new_per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_toks",
+            F.coalesce("new_words", F.lit(0)).alias("new_words"),
+        )
+        .withColumn("cum_tokens", F.sum("n_toks").over(seq))
+        .withColumn("cum_vocab", F.sum("new_words").over(seq))
+        .select("doc_id", "cum_tokens", "cum_vocab")
+    )
+    fit = curve.agg(
+        F.round(
+            F.regr_slope(F.log("cum_vocab"), F.log("cum_tokens")), 6
+        ).alias("heaps_beta")
+    )
+    return curve.crossJoin(F.broadcast(fit)).orderBy("doc_id")

@@ -4753,3 +4753,75 @@ FROM cs ORDER BY day
     "per-point z screens miss; O(days) window work after one "
     "corpus-sized count",
 )(lambda spark: events_ops.cusum_changepoints(spark))
+
+
+_register(
+    "text_heaps_law",
+    """
+WITH toks AS (
+  SELECT doc_id, unnest(string_split(lower(text), ' ')) AS word
+  FROM documents
+),
+toks_nz AS (SELECT doc_id, word FROM toks WHERE word <> ''),
+per_doc AS (
+  SELECT doc_id, count(*) AS n_toks FROM toks_nz GROUP BY doc_id
+),
+firsts AS (
+  SELECT word, min(doc_id) AS first_doc FROM toks_nz GROUP BY word
+),
+new_per_doc AS (
+  SELECT first_doc AS doc_id, count(*) AS new_words
+  FROM firsts GROUP BY first_doc
+),
+curve AS (
+  SELECT d.doc_id,
+         CAST(sum(d.n_toks) OVER w AS BIGINT) AS cum_tokens,
+         CAST(sum(coalesce(n.new_words, 0)) OVER w AS BIGINT) AS cum_vocab
+  FROM per_doc d LEFT JOIN new_per_doc n USING (doc_id)
+  WINDOW w AS (ORDER BY d.doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+),
+fit AS (
+  SELECT round(regr_slope(ln(cum_vocab), ln(cum_tokens)), 6) AS heaps_beta
+  FROM curve
+)
+SELECT doc_id, cum_tokens, cum_vocab, heaps_beta
+FROM curve, fit ORDER BY doc_id
+""",
+    notes="Heaps'-law vocabulary growth curve + fitted log-log exponent "
+    "(V ~ K n^beta): first-occurrence doc per word -> new-words-per-doc "
+    "-> cumulative windows over O(docs) rows; the synthetic-corpus "
+    "screen complementary to zipf_slope (ranks vs growth); at 100 TB "
+    "the curve samples checkpoints, shuffles stay word/doc-keyed",
+)(lambda spark: text.heaps_law_curve(spark))
+
+
+_register(
+    "rel_join_skew_audit",
+    """
+WITH h AS (
+  SELECT 'l_orderkey' AS key_column, l_orderkey AS k, count(*) AS n
+  FROM lineitem GROUP BY l_orderkey
+  UNION ALL
+  SELECT 'l_partkey', l_partkey, count(*) FROM lineitem GROUP BY l_partkey
+  UNION ALL
+  SELECT 'l_suppkey', l_suppkey, count(*) FROM lineitem GROUP BY l_suppkey
+)
+SELECT key_column,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(max(n) AS BIGINT) AS max_per_key,
+       round(avg(n), 6) AS avg_per_key,
+       round(quantile_cont(n, 0.5), 6) AS p50_per_key,
+       round(quantile_cont(n, 0.99), 6) AS p99_per_key,
+       round(max(n) / avg(n), 6) AS straggler_ratio,
+       round(max(n) / sum(n), 6) AS top1_share,
+       (max(n) / avg(n)) > 10.0 AS needs_salting
+FROM h GROUP BY key_column ORDER BY key_column
+""",
+    notes="pre-join skew probe: rows-per-key histogram stats (straggler "
+    "ratio, exact p50/p99, hottest-key share) for the three lineitem "
+    "join keys — the decision inputs of SCALE.md's salting rules as a "
+    "query; per-key histograms are map-side combinable and |keys|-"
+    "sized, scalar aggs run over the histogram not the fact rows",
+)(lambda spark: skew.join_key_skew_audit(spark))
