@@ -440,3 +440,39 @@ def test_skew_audit_flags_planted_hot_key(spark):
         assert skewed["l_suppkey"]["needs_salting"] is False
     finally:
         li.createOrReplaceTempView("lineitem")
+
+
+# ---------------------------------------------------------------------------
+# text_pmi_collocations
+# ---------------------------------------------------------------------------
+
+def test_pmi_planted_exclusive_pair_tops_ranking(spark):
+    """Invariants + perturbation: PMI of every reported pair must match
+    the count-derived formula; a planted pair of tokens that ONLY ever
+    occur together (across enough docs to clear the count floor) is the
+    definition of maximal PMI and must rank first."""
+    docs = spark.table("documents")
+    base = text.pmi_collocations(spark).collect()
+    assert 0 < len(base) <= 50
+    for r in base:
+        assert r["n_pair"] >= 25
+    pmis = [r["pmi"] for r in base]
+    assert pmis == sorted(pmis, reverse=True)
+    # plant: append " qqglue qqbond" to 30 docs — the two tokens appear
+    # exactly once each per planted doc and never apart
+    planted = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") < 30,
+            F.concat(F.col("text"), F.lit(" qqglue qqbond")),
+        ).otherwise(F.col("text")),
+    )
+    try:
+        planted.createOrReplaceTempView("documents")
+        got = text.pmi_collocations(spark).collect()
+        top = got[0]
+        assert (top["w1"], top["w2"]) == ("qqglue", "qqbond")
+        assert top["n_pair"] == top["n_w1"] == top["n_w2"] == 30
+        assert top["pmi"] > base[0]["pmi"]
+    finally:
+        docs.createOrReplaceTempView("documents")

@@ -1278,3 +1278,76 @@ def heaps_law_curve(spark: SparkSession) -> DataFrame:
         ).alias("heaps_beta")
     )
     return curve.crossJoin(F.broadcast(fit)).orderBy("doc_id")
+
+
+def pmi_collocations(
+    spark: SparkSession, min_pair_count: int = 25, k: int = 50
+) -> DataFrame:
+    """PMI collocation extraction (Church & Hanks 1990 — the standard
+    multi-word-expression miner): score every adjacent word bigram by
+    pointwise mutual information ln(p(ab) / (p(a)·p(b))). High-PMI
+    pairs co-occur far above chance — named entities, fixed phrases,
+    template fragments; a tokenizer/vocab pipeline promotes them to
+    single units, and a contamination screen reads them as signatures.
+    PMI is the probabilistic upgrade of raw bigram counts
+    (text_top_bigrams_udtf): frequency finds "of the", PMI finds pairs
+    that are RARE apart. The min_pair_count floor is the standard
+    guard against PMI's low-count bias (a pair seen twice, each word
+    seen twice, maxes PMI on noise).
+
+    Bigrams build IN-ROW (zip_with over offset slices of the token
+    array, the bpe_pair_counts idiom — no per-token explode for the
+    pair stage); unigram and bigram counts are two map-side-combinable
+    shuffles; the unigram table joins back twice on the (vocab-sized)
+    word keys. Top-k by (pmi desc, pair) for determinism."""
+    docs = spark.table("documents")
+    toks = F.filter(
+        F.split(F.lower("text"), " "), lambda x: x != F.lit("")
+    )
+    left = F.slice(toks, 1, F.size(toks) - 1)
+    right = F.slice(toks, 2, F.size(toks) - 1)
+    pair_rows = docs.select(
+        F.explode(
+            F.zip_with(left, right, lambda a, b_: F.struct(a.alias("w1"), b_.alias("w2")))
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    n_pairs_total = pair_rows.agg(
+        F.count(F.lit(1)).cast("double").alias("total_pairs")
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_uni_total = uni.agg(F.sum("n").cast("double").alias("total_words"))
+    pairs = (
+        pair_rows.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .filter(F.col("n_pair") >= min_pair_count)
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("n").alias("n_w1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("n").alias("n_w2"))
+    scored = (
+        pairs.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_pairs_total))
+        .crossJoin(F.broadcast(n_uni_total))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            "n_w1",
+            "n_w2",
+            F.round(
+                F.log(
+                    (F.col("n_pair") / F.col("total_pairs"))
+                    / (
+                        (F.col("n_w1") / F.col("total_words"))
+                        * (F.col("n_w2") / F.col("total_words"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)

@@ -4825,3 +4825,46 @@ FROM h GROUP BY key_column ORDER BY key_column
     "query; per-key histograms are map-side combinable and |keys|-"
     "sized, scalar aggs run over the histogram not the fact rows",
 )(lambda spark: skew.join_key_skew_audit(spark))
+
+
+_register(
+    "text_pmi_collocations",
+    """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest(ws) AS word,
+         unnest(range(1, len(ws) + 1)) AS pos
+  FROM base
+),
+uni AS (SELECT word, count(*) AS n FROM toks GROUP BY word),
+tot_u AS (SELECT CAST(sum(n) AS DOUBLE) AS total_words FROM uni),
+bi AS (
+  SELECT a.word AS w1, b.word AS w2
+  FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+),
+tot_b AS (SELECT CAST(count(*) AS DOUBLE) AS total_pairs FROM bi),
+pairs AS (
+  SELECT w1, w2, count(*) AS n_pair FROM bi GROUP BY w1, w2
+  HAVING count(*) >= 25
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(u1.n AS BIGINT) AS n_w1, CAST(u2.n AS BIGINT) AS n_w2,
+       round(ln((n_pair / total_pairs) /
+                ((u1.n / total_words) * (u2.n / total_words))), 6) AS pmi
+FROM pairs
+JOIN uni u1 ON u1.word = pairs.w1
+JOIN uni u2 ON u2.word = pairs.w2
+CROSS JOIN tot_b CROSS JOIN tot_u
+ORDER BY pmi DESC, w1, w2 LIMIT 50
+""",
+    notes="PMI collocations (Church & Hanks 1990): adjacent bigrams "
+    "scored by ln(p(ab)/(p(a)p(b))) with a min-count floor against "
+    "low-frequency PMI bias — finds pairs rare APART where raw "
+    "frequency finds common pairs; bigrams build in-row via zip_with "
+    "slices, two map-side-combinable count shuffles, vocab-sized "
+    "unigram joins back",
+)(lambda spark: text.pmi_collocations(spark))
