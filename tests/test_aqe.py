@@ -70,3 +70,46 @@ def test_aqe_coalesces_small_shuffle_partitions(spark):
     assert "AQEShuffleRead coalesced" in plan, (
         f"AQE did not coalesce:\n{plan[:2000]}"
     )
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark):
+    """The third runtime mechanism SCALE.md leans on for fact-to-fact
+    joins too big to broadcast: Spark's runtime bloom-filter join
+    (SPARK-32268) builds a bloom filter from the SELECTIVE side's join
+    keys and pushes it into the large side's scan, discarding
+    never-matching rows before the shuffle. Demonstrated ENGAGING
+    (BloomFilterMightContain in the optimized plan), not just enabled:
+    with the creation thresholds floored, a selective dim filter must
+    inject the filter; and the join result must equal the un-hinted
+    plan (pruning is semantically free)."""
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep it a SMJ
+    }
+    old = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        fact = spark.range(300_000).select(
+            (F.col("id") % 50_000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(50_000).select(
+            F.col("id").alias("k"), (F.col("id") % 97).alias("attr")
+        ).filter(F.col("attr") == 3)  # selective: ~1/97 of keys survive
+        joined = fact.join(dim, "k").groupBy("attr").count()
+        optimized = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in optimized or "BloomFilterMightContain" in optimized, (
+            f"runtime bloom filter not injected:\n{optimized[:2000]}"
+        )
+        got = {(r["attr"], r["count"]) for r in joined.collect()}
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    want = {(r["attr"], r["count"]) for r in fact.join(dim, "k").groupBy("attr").count().collect()}
+    assert got == want and len(got) == 1
