@@ -1457,9 +1457,16 @@ FROM joined GROUP BY 1 ORDER BY 1
 #      re-validate against drift. (All filler slots were displaced by
 #      late-r5 additions — the staples hold r01/r02 rows and rotate back
 #      in r6; never-driver-checked queries always take priority.)
-# Post-window-cut r5 additions queued FIRST for the r6 window:
-# dedup_graph_coreness (and any further late-r5 registrations below) —
-# each is sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
+# Post-window-cut r5 additions queued FIRST for the r6 window (they
+# follow this list in registration order, so the driver reaches them the
+# moment the r6 rotation promotes them): dedup_graph_coreness,
+# ev_cuped_readout, rel_snapshot_diff, dedup_minhash_estimate,
+# text_score_normalization, emb_label_noise, ev_power_analysis,
+# text_score_psi, and the session-2 batch — text_dsir_weights,
+# ev_seasonal_adjustment, emb_kcenter_sample (rows-only),
+# emb_ivfpq_topk (rows-only), ev_cusum_changepoints, text_heaps_law,
+# rel_join_skew_audit, text_pmi_collocations — each sf0.01-parity-proven
+# in PARITY_sf0.01.json / pytest-exact.
 # Names listed here sort first, in this order; everything else follows in
 # registration order.
 # ---------------------------------------------------------------------------
