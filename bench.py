@@ -66,6 +66,9 @@ HEADLINE = [
     # late-r5 additions: iterative tokenizer training + triangle census
     "text_bpe_train",              # 6 argmax+merge rounds on the vocab table
     "dedup_graph_triangles",       # degree-ordered wedge join + closure
+    # r5 session-3 additions: LM-ratio selection + composite ANN
+    "text_dsir_weights",           # dual-LM build + vocab join back
+    "emb_ivfpq_topk",              # IVFADC: encode pass + LUT scoring
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at
