@@ -1,0 +1,372 @@
+"""Behavioral invariants + perturbation controls for the round-5 third
+batch (VERDICT r4 #8 pattern: every new op ships with a perturbed-input
+positive control proving its gate/threshold/knob bites; value-level
+correctness is the DuckDB oracle's job in test_oracle_parity.py /
+PARITY artifacts)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from uav_streamprocessor_spark.fixtures import register_uav_views
+from uav_streamprocessor_spark.operators import (
+    dedup,
+    events_ops,
+    relational,
+    similarity,
+    text,
+    uav_extra,
+)
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _views(spark):
+    register_uav_views(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# ev_concurrent_sessions
+# ---------------------------------------------------------------------------
+
+def test_concurrent_sessions_conserves_session_count_and_peak_bounds(spark):
+    days = events_ops.concurrent_sessions(spark).collect()
+    assert len(days) > 0
+    n_sessions = events_ops.sessionize_gap_method(spark).count()
+    assert sum(r["n_sessions_started"] for r in days) == n_sessions
+    # a started session implies at least one concurrent session that day
+    for r in days:
+        assert r["peak_concurrency"] >= 1 or r["n_sessions_started"] == 0
+        # peak can never exceed sessions alive that day (started today or
+        # carried in — bounded loosely by total sessions)
+        assert r["peak_concurrency"] <= n_sessions
+
+
+def test_concurrent_sessions_planted_burst_raises_peak(spark):
+    """Perturbation: 7 fresh users all online in the same minute on a
+    quiet future day — that day's peak must be >= 7."""
+    ev = spark.table("events")
+    burst = spark.range(14).select(
+        (F.lit(2 * 10**9) + F.col("id")).alias("event_id"),
+        F.expr(
+            "timestamp '2099-06-01 12:00:00' + make_interval(0,0,0,0,0,0,id % 2)"
+        ).alias("ts"),
+        (F.lit(700_000) + F.col("id") % 7).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    try:
+        ev.unionByName(burst.select(ev.columns)).createOrReplaceTempView("events")
+        days = {
+            str(r["day"]): r for r in events_ops.concurrent_sessions(spark).collect()
+        }
+        planted = days["2099-06-01"]
+        assert planted["peak_concurrency"] >= 7
+        assert planted["n_sessions_started"] == 7
+    finally:
+        ev.createOrReplaceTempView("events")
+
+
+def test_concurrent_sessions_gap_knob_merges_sessions(spark):
+    small = events_ops.concurrent_sessions(spark, gap_minutes=5).collect()
+    big = events_ops.concurrent_sessions(spark, gap_minutes=24 * 60).collect()
+    assert sum(r["n_sessions_started"] for r in big) < sum(
+        r["n_sessions_started"] for r in small
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_revenue_gini / rel_abc_pareto
+# ---------------------------------------------------------------------------
+
+def _plant_segment_orders(spark, revenues: list[float]):
+    """Replace orders/customer views with a single synthetic segment whose
+    per-customer revenues are exactly `revenues`."""
+    orders = spark.createDataFrame(
+        [(i, i, rev) for i, rev in enumerate(revenues)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    customer = spark.createDataFrame(
+        [(i, "PLANTED") for i in range(len(revenues))],
+        "c_custkey long, c_mktsegment string",
+    )
+    return orders, customer
+
+
+def test_gini_zero_on_uniform_and_rises_with_planted_whale(spark):
+    orders0 = spark.table("orders")
+    customer0 = spark.table("customer")
+    try:
+        o, c = _plant_segment_orders(spark, [100.0] * 20)
+        o.createOrReplaceTempView("orders")
+        c.createOrReplaceTempView("customer")
+        uniform = relational.revenue_gini(spark).collect()
+        assert len(uniform) == 1 and abs(uniform[0]["gini"]) < 1e-9
+
+        o, c = _plant_segment_orders(spark, [100.0] * 19 + [100_000.0])
+        o.createOrReplaceTempView("orders")
+        c.createOrReplaceTempView("customer")
+        whale = relational.revenue_gini(spark).collect()
+        assert whale[0]["gini"] > 0.8
+    finally:
+        orders0.createOrReplaceTempView("orders")
+        customer0.createOrReplaceTempView("customer")
+
+
+def test_gini_bounds_on_corpus(spark):
+    rows = relational.revenue_gini(spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0.0 <= r["gini"] < 1.0
+
+
+def test_abc_conserves_and_c_class_always_present(spark):
+    rows = relational.abc_classification(spark).collect()
+    segs = {}
+    for r in rows:
+        segs.setdefault(r["c_mktsegment"], []).append(r)
+    n_with_orders = (
+        spark.table("orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_with_orders
+    for seg, rs in segs.items():
+        # shares sum to 1 and the tail class always exists (the last
+        # customer's cumulative share is exactly 1 > 0.95)
+        assert abs(sum(r["revenue_share"] for r in rs) - 1.0) < 1e-5
+        assert any(r["abc_class"] == "C" for r in rs)
+
+
+def test_abc_planted_whale_classed_by_threshold(spark):
+    """One customer at 90% of segment revenue: cum_share 0.9 > 0.8 puts
+    the whale in B (not A — the 80% threshold bites), and the next five
+    1%-customers ride along in B until the 95% cut; the rest are C."""
+    orders0 = spark.table("orders")
+    customer0 = spark.table("customer")
+    try:
+        o, c = _plant_segment_orders(spark, [1.0] * 10 + [90.0])
+        o.createOrReplaceTempView("orders")
+        c.createOrReplaceTempView("customer")
+        rows = {r["abc_class"]: r for r in relational.abc_classification(spark).collect()}
+        assert set(rows) == {"B", "C"}
+        assert rows["B"]["n_customers"] == 6  # whale + 5 until cum 0.95
+        assert abs(rows["B"]["class_revenue"] - 95.0) < 1e-9
+        assert rows["C"]["n_customers"] == 5
+    finally:
+        orders0.createOrReplaceTempView("orders")
+        customer0.createOrReplaceTempView("customer")
+
+
+# ---------------------------------------------------------------------------
+# text_readability_scores
+# ---------------------------------------------------------------------------
+
+def _plant_docs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+
+
+def test_readability_closed_form_and_sentence_split_bites(spark):
+    docs0 = spark.table("documents")
+    try:
+        _plant_docs(
+            spark, ["The cat sat. The dog ran.", "The cat sat The dog ran."]
+        ).createOrReplaceTempView("documents")
+        rows = {r["doc_id"]: r for r in text.readability_scores(spark).collect()}
+        r2 = rows[0]  # two sentences
+        assert (r2["n_words"], r2["n_sentences"], r2["n_syllables"]) == (6, 2, 6)
+        expected = 206.835 - 1.015 * (6 / 2) - 84.6 * (6 / 6)
+        assert abs(r2["flesch"] - round(expected, 6)) < 1e-9
+        assert r2["band"] == "very_easy"
+        r1 = rows[1]  # periods removed -> one long sentence -> harder
+        assert r1["n_sentences"] == 1
+        assert r1["flesch"] < r2["flesch"]
+    finally:
+        docs0.createOrReplaceTempView("documents")
+
+
+def test_readability_corpus_sane(spark):
+    rows = text.readability_scores(spark).collect()
+    assert len(rows) == spark.table("documents").count()
+    for r in rows:
+        assert r["n_words"] >= 1 and r["n_sentences"] >= 1
+        assert r["band"] in {
+            "very_easy",
+            "easy",
+            "medium",
+            "difficult",
+            "very_difficult",
+        }
+
+
+# ---------------------------------------------------------------------------
+# text_lang_source_chi2
+# ---------------------------------------------------------------------------
+
+def test_chi2_zero_on_independent_and_positive_on_planted_dependence(spark):
+    docs0 = spark.table("documents")
+    try:
+        # perfectly balanced 2x2 -> expected == observed -> chi2 == 0
+        balanced = spark.createDataFrame(
+            [
+                (i, "t", lang, src, 1)
+                for i, (lang, src) in enumerate(
+                    [(l, s) for l in ("en", "de") for s in ("a", "b")] * 5
+                )
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        balanced.createOrReplaceTempView("documents")
+        rows = text.lang_source_chi2(spark).collect()
+        assert all(abs(r["chi2_total"]) < 1e-9 for r in rows)
+        assert all(abs(r["contribution"]) < 1e-9 for r in rows)
+
+        # diagonal dependence: en only in a, de only in b -> chi2 == N, V == 1
+        diagonal = spark.createDataFrame(
+            [
+                (i, "t", ("en" if i % 2 == 0 else "de"), ("a" if i % 2 == 0 else "b"), 1)
+                for i in range(20)
+            ],
+            "doc_id long, text string, lang string, source string, n_chars long",
+        )
+        diagonal.createOrReplaceTempView("documents")
+        rows = text.lang_source_chi2(spark).collect()
+        assert all(abs(r["chi2_total"] - 20.0) < 1e-6 for r in rows)
+        assert all(abs(r["cramers_v"] - 1.0) < 1e-6 for r in rows)
+    finally:
+        docs0.createOrReplaceTempView("documents")
+
+
+def test_chi2_contributions_sum_to_total_on_corpus(spark):
+    rows = text.lang_source_chi2(spark).collect()
+    assert len(rows) > 0
+    total = rows[0]["chi2_total"]
+    assert all(r["chi2_total"] == total for r in rows)
+    assert abs(sum(r["contribution"] for r in rows) - total) < 1e-3
+    assert sum(r["observed"] for r in rows) == spark.table("documents").count()
+    assert 0.0 <= rows[0]["cramers_v"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_edit_distance
+# ---------------------------------------------------------------------------
+
+def test_edit_distance_finds_planted_near_copy_not_scramble(spark):
+    docs0 = spark.table("documents")
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    try:
+        _plant_docs(
+            spark,
+            [
+                base,
+                base.replace("quick", "quack"),  # 1 substitution
+                base[::-1],  # same length, same lang, scrambled
+            ],
+        ).createOrReplaceTempView("documents")
+        pairs = {
+            (r["doc_id_a"], r["doc_id_b"]): r
+            for r in dedup.edit_distance_pairs(spark).collect()
+        }
+        assert (0, 1) in pairs
+        assert pairs[(0, 1)]["edit_distance"] == 1
+        assert pairs[(0, 1)]["similarity"] > 0.95
+        # the reversal shares the block (same length) but fails the floor
+        assert (0, 2) not in pairs and (1, 2) not in pairs
+    finally:
+        docs0.createOrReplaceTempView("documents")
+
+
+def test_edit_distance_threshold_monotone_on_corpus(spark):
+    loose = dedup.edit_distance_pairs(spark, min_similarity=0.5).collect()
+    tight = dedup.edit_distance_pairs(spark, min_similarity=0.9).collect()
+    assert len(loose) > 0  # the corpus near-dups surface here too
+    keys = lambda rows: {(r["doc_id_a"], r["doc_id_b"]) for r in rows}
+    assert keys(tight) <= keys(loose)
+    for r in loose:
+        # edit distance lower-bounds on length difference held by blocking
+        assert r["similarity"] >= 0.5
+        assert r["doc_id_a"] < r["doc_id_b"]
+    # no pair reported twice
+    assert len(keys(loose)) == len(loose)
+
+
+# ---------------------------------------------------------------------------
+# emb_dimension_variance
+# ---------------------------------------------------------------------------
+
+def test_dimension_variance_planted_dominant_dim_wins(spark):
+    emb0 = spark.table("embeddings")
+    try:
+        boosted = emb0.select(
+            "vec_id",
+            F.expr(
+                "transform(embedding, (x, i) -> CASE WHEN i = 7 THEN x * 10 "
+                "ELSE x END)"
+            ).alias("embedding"),
+            "label",
+        )
+        boosted.createOrReplaceTempView("embeddings")
+        top = similarity.dimension_variance_profile(spark, top_k=3).collect()
+        assert top[0]["dim"] == 7
+    finally:
+        emb0.createOrReplaceTempView("embeddings")
+
+
+def test_dimension_variance_full_profile_consistent(spark):
+    rows = similarity.dimension_variance_profile(spark, top_k=10_000).collect()
+    dim = len(spark.table("embeddings").first()["embedding"])
+    assert len(rows) == dim
+    for r in rows:
+        assert r["variance"] >= 0.0
+        assert r["min_x"] <= r["mean"] <= r["max_x"]
+    # ordered by variance desc
+    vs = [r["variance"] for r in rows]
+    assert vs == sorted(vs, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# uav_motion_vectors
+# ---------------------------------------------------------------------------
+
+def test_motion_vectors_exact_on_planted_track_and_zero_when_static(spark):
+    planted = spark.createDataFrame(
+        # moving car: center steps 30px right every 30 frames -> speed 1.0
+        [(1, "camX", 0, 0, 0, 20, 20, 0.9, 2, "car"),
+         (2, "camX", 30, 30, 0, 50, 20, 0.9, 2, "car"),
+         (3, "camX", 60, 60, 0, 80, 20, 0.9, 2, "car"),
+         # static person: same box every keyframe -> speed 0
+         (4, "camX", 0, 100, 100, 120, 120, 0.8, 0, "person"),
+         (5, "camX", 30, 100, 100, 120, 120, 0.8, 0, "person"),
+         # low-confidence decoy must be ignored by the whitelist filter
+         (6, "camX", 30, 500, 500, 600, 600, 0.1, 2, "car")],
+        "det_id long, camera_id string, frame_number long, x_min int, "
+        "y_min int, x_max int, y_max int, confidence double, class_id int, "
+        "class_name string",
+    )
+    rows = {
+        (r["camera_id"], r["class_name"]): r
+        for r in uav_extra.motion_vectors(planted).collect()
+    }
+    car = rows[("camX", "car")]
+    assert car["n_moves"] == 2
+    assert abs(car["avg_speed"] - 1.0) < 1e-9
+    assert abs(car["max_speed"] - 1.0) < 1e-9
+    person = rows[("camX", "person")]
+    assert person["n_moves"] == 1
+    assert person["avg_speed"] == 0.0
+
+
+def test_motion_vectors_corpus_nonempty_and_positive(spark):
+    rows = uav_extra.motion_vectors(spark.table("detections")).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["class_name"] in ("car", "person")
+        assert r["n_moves"] >= 1
+        assert 0.0 <= r["avg_speed"] <= r["max_speed"]
+        assert math.isfinite(r["max_speed"])

@@ -1020,13 +1020,17 @@ def cusum_changepoints(
     (subtracting the running minimum restarts the sum at every point a
     plain sum would have clipped to 0). Both directions come from the
     same prefix sum: the downward statistic uses the running MAX. So
-    the whole detector is two cumulative windows over the O(days)
+    the whole detector is cumulative sums/extrema over the O(days)
     series — fully relational, exactly SQL-expressible, oracle-checked;
     no driver loop, no UDF.
 
     Shape at scale: one corpus-sized date-truncated count (map-side
-    combinable), then windows over O(days) rows in one partition —
-    fine because the series length is days, not events; shard by
+    combinable), then prefix ops over the day series. The prefix
+    sums/extrema are two-phase — windows PARTITIONED by month plus a
+    month-level carry (sum for P, min/max of the months' prefix
+    extrema) from a triangular join over the O(months) month aggregate
+    (the fixture's kf_offset pattern) — so no single-partition window
+    exists even when the series spans decades; shard additionally by
     (series_id) when monitoring many series."""
     daily = (
         spark.table("events")
@@ -1037,19 +1041,79 @@ def cusum_changepoints(
         F.avg("n_events").alias("mu"), F.stddev_samp("n_events").alias("sd")
     )
     z = (F.col("n_events") - F.col("mu")) / F.col("sd")
-    seq = Window.orderBy("day").rowsBetween(
+    month = F.trunc("day", "month")
+    in_month = Window.partitionBy("month").orderBy("day").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    scored = (
+    base = (
         daily.crossJoin(F.broadcast(stats))
-        .withColumn("p_up", F.sum(z - slack_k).over(seq))
-        .withColumn("p_dn", F.sum(z + slack_k).over(seq))
+        .withColumn("month", month)
+        .withColumn("zu", z - slack_k)
+        .withColumn("zd", z + slack_k)
+        .withColumn("z", z)
+    )
+    # within-month prefix sums and their running extrema
+    local = (
+        base.withColumn("lp_up", F.sum("zu").over(in_month))
+        .withColumn("lp_dn", F.sum("zd").over(in_month))
+        .withColumn("lmin_up", F.min(F.col("lp_up")).over(in_month))
+        .withColumn("lmax_dn", F.max(F.col("lp_dn")).over(in_month))
+    )
+    # month-level totals + full-month prefix extrema (relative to the
+    # month's own start); the triangular join cumulates them globally
+    m = local.groupBy("month").agg(
+        F.sum("zu").alias("m_up"),
+        F.sum("zd").alias("m_dn"),
+        F.min("lmin_up").alias("m_min_up"),
+        F.max("lmax_dn").alias("m_max_dn"),
+    )
+    carry = (
+        m.alias("c")
+        .join(m.alias("p"), F.col("p.month") < F.col("c.month"), "left")
+        .groupBy(F.col("c.month").alias("month"))
+        .agg(
+            F.coalesce(F.sum("p.m_up"), F.lit(0.0)).alias("up_carry"),
+            F.coalesce(F.sum("p.m_dn"), F.lit(0.0)).alias("dn_carry"),
+        )
+    )
+    # global prefix extrema over completed earlier months: each earlier
+    # month p contributes (carry before p) + p's own prefix extremum;
+    # cumulate via the same triangular shape
+    mc = m.join(carry, "month")
+    prev_ext = (
+        mc.alias("c")
+        .join(mc.alias("p"), F.col("p.month") < F.col("c.month"), "left")
+        .groupBy(F.col("c.month").alias("month"))
+        .agg(
+            F.min(F.col("p.up_carry") + F.col("p.m_min_up")).alias("prev_min_up"),
+            F.max(F.col("p.dn_carry") + F.col("p.m_max_dn")).alias("prev_max_dn"),
+        )
+    )
+    offsets = carry.join(prev_ext, "month").select(
+        "month", "up_carry", "dn_carry", "prev_min_up", "prev_max_dn"
+    )
+    scored = (
+        local.join(F.broadcast(offsets), "month")
+        .withColumn("p_up", F.col("up_carry") + F.col("lp_up"))
+        .withColumn("p_dn", F.col("dn_carry") + F.col("lp_dn"))
         .withColumn(
-            "s_up", F.col("p_up") - F.least(F.min("p_up").over(seq), F.lit(0.0))
+            "min_up",
+            F.least(
+                F.coalesce("prev_min_up", F.lit(0.0)),
+                F.col("up_carry") + F.col("lmin_up"),
+                F.lit(0.0),
+            ),
         )
         .withColumn(
-            "s_dn", F.greatest(F.max("p_dn").over(seq), F.lit(0.0)) - F.col("p_dn")
+            "max_dn",
+            F.greatest(
+                F.coalesce("prev_max_dn", F.lit(0.0)),
+                F.col("dn_carry") + F.col("lmax_dn"),
+                F.lit(0.0),
+            ),
         )
+        .withColumn("s_up", F.col("p_up") - F.col("min_up"))
+        .withColumn("s_dn", F.col("max_dn") - F.col("p_dn"))
     )
     return scored.select(
         "day",
@@ -1061,3 +1125,78 @@ def cusum_changepoints(
             (F.col("s_up") > threshold_h) | (F.col("s_dn") > threshold_h)
         ).alias("alarm"),
     ).orderBy("day")
+
+
+def concurrent_sessions(spark: SparkSession, gap_minutes: int = 30) -> DataFrame:
+    """Peak concurrent sessions per day — the sweep-line (+1/-1) interval
+    overlap count, the standard capacity-planning query the per-user
+    sessionizer can't answer (it never compares users' intervals).
+
+    Sessions come from the same gap rule as sessionize_gap_method;
+    each closed interval [start, end] contributes +1 at its start and
+    -1 at its end, ordered (ts asc, +1 before -1, then user/session) so
+    a session that starts at the exact microsecond another ends counts
+    as overlapping — a deterministic, documented tie rule.
+
+    Scale shape: the textbook form is ONE global running sum — a single-
+    partition sort, the 100 TB anti-pattern. Here the running sum is
+    two-phase, the same trick as the fixture's kf_idx: a per-DAY window
+    over that day's boundary points plus a day-level carry-in offset
+    from a triangular join over the O(days) day aggregate — no
+    unpartitioned window anywhere. Work per partition is one day of
+    boundaries; the carry join is days × days, negligible.
+    Single events form zero-length sessions ([t, t]): +1 then -1, peak
+    contribution 1 — exactly what "one user online" means."""
+    ev = spark.table("events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    gap_us = gap_minutes * 60 * 1_000_000
+    new_sess = (gap.isNull() | (gap > gap_us)).cast("long")
+    sessions = (
+        ev.withColumn(
+            "session_seq",
+            F.sum(new_sess).over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(us).alias("start_us"),
+            F.max(us).alias("end_us"),
+        )
+    )
+    starts = sessions.select(
+        "user_id", "session_seq", F.col("start_us").alias("t_us"), F.lit(1).alias("delta")
+    )
+    ends = sessions.select(
+        "user_id", "session_seq", F.col("end_us").alias("t_us"), F.lit(-1).alias("delta")
+    )
+    sweep = starts.unionByName(ends).withColumn(
+        "day", F.to_date(F.timestamp_micros(F.col("t_us")))
+    )
+    in_day = Window.partitionBy("day").orderBy(
+        "t_us", F.col("delta").desc(), "user_id", "session_seq"
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    day_totals = sweep.groupBy("day").agg(F.sum("delta").alias("day_delta"))
+    offsets = (
+        day_totals.alias("c")
+        .join(day_totals.alias("p"), F.col("p.day") < F.col("c.day"), "left")
+        .groupBy(F.col("c.day").alias("day"))
+        .agg(
+            F.coalesce(F.sum("p.day_delta"), F.lit(0)).cast("long").alias("carry_in")
+        )
+    )
+    swept = sweep.join(F.broadcast(offsets), "day").withColumn(
+        "concurrency", F.col("carry_in") + F.sum("delta").over(in_day)
+    )
+    return (
+        swept.groupBy("day")
+        .agg(
+            F.max("concurrency").cast("long").alias("peak_concurrency"),
+            F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_sessions_started"),
+        )
+        .orderBy("day")
+    )

@@ -1398,3 +1398,97 @@ def snapshot_diff(spark: SparkSession) -> DataFrame:
         )
         .orderBy("change")
     )
+
+
+def revenue_gini(spark: SparkSession) -> DataFrame:
+    """Gini coefficient of customer revenue per market segment — the
+    standard inequality / concentration audit (is a segment's revenue
+    spread evenly or carried by a few whales?).
+
+    Closed form over ascending ranks: G = 2·Σ(i·x_i)/(n·Σx) − (n+1)/n
+    with x sorted ascending. Ranks are per-SEGMENT windows (a handful of
+    balanced partitions, each sorted distributedly within its task — not
+    a global sort); ties broken on custkey so both engines rank
+    identically. Customers without orders are excluded (revenue joins
+    from orders); segment revenue rounded 2dp, gini 6dp."""
+    rev = (
+        _t(spark, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .join(
+            F.broadcast(
+                _t(spark, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("revenue", "o_custkey")
+    ranked = rev.withColumn("rnk", F.row_number().over(w))
+    return (
+        ranked.groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("total_revenue"),
+            F.round(
+                2.0
+                * F.sum(F.col("rnk") * F.col("revenue"))
+                / (F.count(F.lit(1)) * F.sum("revenue"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
+                6,
+            ).alias("gini"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+def abc_classification(spark: SparkSession) -> DataFrame:
+    """ABC / Pareto classification of customers by revenue within each
+    market segment: class A = customers covering the first 80% of
+    segment revenue (by descending-revenue cumulative share), B to 95%,
+    C the tail. The classic inventory/CRM curation split.
+
+    The cumulative share is a per-segment window (descending revenue,
+    custkey tie-break) — segments bound the sort. At 100 TB, replace the
+    exact per-segment cumsum with revenue-quantile bucketing
+    (approx_percentile on revenue, then a broadcast threshold join);
+    the exact window form here is the oracle-checkable reference
+    semantics. A customer's class uses the cumulative share INCLUDING
+    its own revenue, so the first customer of a segment is always A."""
+    rev = (
+        _t(spark, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("revenue"))
+        .join(
+            F.broadcast(
+                _t(spark, "customer").select("c_custkey", "c_mktsegment")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy(F.col("revenue").desc(), "o_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    seg_total = Window.partitionBy("c_mktsegment")
+    share = F.sum("revenue").over(w) / F.sum("revenue").over(seg_total)
+    cls = (
+        F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C")
+    )
+    classed = rev.withColumn("abc_class", cls).withColumn("cum_share", share)
+    return (
+        classed.groupBy("c_mktsegment", "abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+        .withColumn(
+            "revenue_share",
+            F.round(
+                F.col("class_revenue")
+                / F.sum("class_revenue").over(Window.partitionBy("c_mktsegment")),
+                6,
+            ),
+        )
+        .orderBy("c_mktsegment", "abc_class")
+    )

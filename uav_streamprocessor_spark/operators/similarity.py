@@ -1253,3 +1253,27 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= k)
         .orderBy("query_id", "rnk")
     )
+
+
+def dimension_variance_profile(spark: SparkSession, top_k: int = 8) -> DataFrame:
+    """Per-dimension mean/variance profile of the embedding space with
+    the top-k highest-variance dimensions — the PCA-prep / whitening
+    audit (dead dimensions, dominant axes, un-normalized features all
+    show up here before any projection is chosen).
+
+    posexplode flattens (vec_id, embedding) to (dim, x) — dims × rows
+    narrow longs/doubles, no binary payload — and one map-side-combined
+    aggregate per dim yields mean / var_pop / min / max. Top-k over the
+    64-row dim aggregate is TakeOrderedAndProject. The DuckDB oracle
+    zips parallel unnest(embedding) with unnest(range(len)) — identical
+    population-variance closed form, so values hash-check."""
+    flat = spark.table("embeddings").select(
+        F.posexplode("embedding").alias("dim", "xf")
+    ).select("dim", F.col("xf").cast("double").alias("x"))
+    stats = flat.groupBy("dim").agg(
+        F.round(F.avg("x"), 6).alias("mean"),
+        F.round(F.var_pop("x"), 6).alias("variance"),
+        F.round(F.min("x"), 6).alias("min_x"),
+        F.round(F.max("x"), 6).alias("max_x"),
+    )
+    return stats.orderBy(F.col("variance").desc(), "dim").limit(top_k)

@@ -1243,12 +1243,18 @@ def heaps_law_curve(spark: SparkSession) -> DataFrame:
     Relational decomposition: a word's first occurrence is min(doc_id)
     over its postings (one word-keyed shuffle, map-side combinable);
     new-words-per-doc is a count over those firsts; both cumulative
-    sums are windows over the O(docs) per-doc aggregate, never over
-    tokens. beta fits with the built-in least-squares aggregate
-    (regr_slope of ln V on ln n — same closed form in DuckDB) and
-    rides every row via a 1-row broadcast crossJoin. At 100 TB the
-    curve rows would be sampled checkpoints (every 2^j tokens); the
-    shuffles stay word- and doc-keyed either way."""
+    sums run over the O(docs) per-doc aggregate, never over tokens.
+    The doc-order cumsum is TWO-PHASE (the fixture's kf_offset trick):
+    a window partitioned by doc_id bucket plus a bucket-level carry-in
+    from a triangular join over the O(buckets) bucket aggregate — no
+    single-partition window anywhere (the global-window form would
+    serialize the per-doc table through one task at corpus scale; the
+    plan audit bans it). beta fits with the built-in least-squares
+    aggregate (regr_slope of ln V on ln n — same closed form in
+    DuckDB) and rides every row via a 1-row broadcast crossJoin. At
+    100 TB the curve rows would be sampled checkpoints (every 2^j
+    tokens); the shuffles stay word-, doc- and bucket-keyed either
+    way."""
     docs = spark.table("documents")
     toks = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
@@ -1258,18 +1264,40 @@ def heaps_law_curve(spark: SparkSession) -> DataFrame:
     new_per_doc = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
         F.count(F.lit(1)).alias("new_words")
     )
-    seq = Window.orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    curve = (
+    base = (
         per_doc.join(new_per_doc, "doc_id", "left")
         .select(
             "doc_id",
             "n_toks",
             F.coalesce("new_words", F.lit(0)).alias("new_words"),
         )
-        .withColumn("cum_tokens", F.sum("n_toks").over(seq))
-        .withColumn("cum_vocab", F.sum("new_words").over(seq))
+        .withColumn("bucket", (F.col("doc_id") / 64).cast("long"))
+    )
+    in_bucket = Window.partitionBy("bucket").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    bucket_totals = base.groupBy("bucket").agg(
+        F.sum("n_toks").alias("b_toks"), F.sum("new_words").alias("b_words")
+    )
+    carry = (
+        bucket_totals.alias("c")
+        .join(
+            bucket_totals.alias("p"),
+            F.col("p.bucket") < F.col("c.bucket"),
+            "left",
+        )
+        .groupBy(F.col("c.bucket").alias("bucket"))
+        .agg(
+            F.coalesce(F.sum("p.b_toks"), F.lit(0)).alias("tok_carry"),
+            F.coalesce(F.sum("p.b_words"), F.lit(0)).alias("word_carry"),
+        )
+    )
+    curve = (
+        base.join(F.broadcast(carry), "bucket")
+        .withColumn("cum_tokens", F.col("tok_carry") + F.sum("n_toks").over(in_bucket))
+        .withColumn(
+            "cum_vocab", F.col("word_carry") + F.sum("new_words").over(in_bucket)
+        )
         .select("doc_id", "cum_tokens", "cum_vocab")
     )
     fit = curve.agg(
@@ -1351,3 +1379,104 @@ def pmi_collocations(
         )
     )
     return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(k)
+
+
+def readability_scores(spark: SparkSession) -> DataFrame:
+    """Flesch reading-ease per document with the standard vowel-group
+    syllable approximation (syllables ≈ maximal [aeiouy]+ runs — the
+    heuristic every pure-SQL readability implementation uses; exact
+    syllabification needs a dictionary).
+
+    flesch = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words).
+    Sentences = runs of [.!?], floored at 1 so fragment-only docs score
+    instead of dividing by zero. Everything is regexp_extract_all +
+    size — JVM codegen, map-only, zero shuffle; the identical regexes
+    run in the DuckDB oracle, so the whole score is value-checked.
+    Grade buckets follow the conventional Flesch bands."""
+    docs = spark.table("documents")
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sentences = F.greatest(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1),
+    )
+    syllables = F.size(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(r"[aeiouy]+"), F.lit(0))
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words.cast("double") / sentences)
+        - F.lit(84.6) * (syllables.cast("double") / words)
+    )
+    band = (
+        F.when(flesch >= 90, "very_easy")
+        .when(flesch >= 70, "easy")
+        .when(flesch >= 50, "medium")
+        .when(flesch >= 30, "difficult")
+        .otherwise("very_difficult")
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        words.cast("long").alias("n_words"),
+        sentences.cast("long").alias("n_sentences"),
+        syllables.cast("long").alias("n_syllables"),
+        F.round(flesch, 6).alias("flesch"),
+        band.alias("band"),
+    )
+
+
+def lang_source_chi2(spark: SparkSession) -> DataFrame:
+    """Chi-square independence test of the lang × source contingency
+    table — "does source composition differ by language?", the
+    first-order corpus-mix audit before training-mix decisions.
+
+    Per-cell rows carry observed, expected = row·col/N, and the cell's
+    χ² contribution; the table-level statistic, degrees of freedom and
+    Cramér's V ride along as columns via a 1-row broadcast crossJoin of
+    the cell-level aggregate (no unpartitioned window, no second corpus
+    pass). Cells, margins and the total are three partial-agg passes
+    over the cell aggregate, not the corpus."""
+    docs = spark.table("documents")
+    observed = docs.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("double").alias("obs")
+    )
+    lang_tot = observed.groupBy("lang").agg(F.sum("obs").alias("lang_n"))
+    src_tot = observed.groupBy("source").agg(F.sum("obs").alias("src_n"))
+    total = observed.agg(
+        F.sum("obs").alias("n"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    # the FULL grid, structural zeros included: a (lang, source) cell the
+    # corpus never produced still has expected > 0 and contributes — the
+    # observed-only form silently understates dependence (a perfectly
+    # diagonal table would score half its true χ²)
+    cells = (
+        lang_tot.crossJoin(F.broadcast(src_tot))
+        .join(observed, ["lang", "source"], "left")
+        .withColumn("obs", F.coalesce("obs", F.lit(0.0)))
+    )
+    joined = (
+        cells.crossJoin(F.broadcast(total))
+        .withColumn("expected", F.col("lang_n") * F.col("src_n") / F.col("n"))
+        .withColumn(
+            "contribution",
+            F.pow(F.col("obs") - F.col("expected"), 2) / F.col("expected"),
+        )
+    )
+    total_chi2 = joined.agg(F.sum("contribution").alias("chi2"))
+    chi2 = F.col("chi2")
+    dof = (F.col("n_langs") - 1) * (F.col("n_sources") - 1)
+    cramers_v = F.sqrt(
+        chi2 / (F.col("n") * F.least(F.col("n_langs"), F.col("n_sources")) - F.col("n"))
+    )
+    return joined.crossJoin(F.broadcast(total_chi2)).select(
+        "lang",
+        "source",
+        F.col("obs").cast("long").alias("observed"),
+        F.round("expected", 6).alias("expected"),
+        F.round("contribution", 6).alias("contribution"),
+        F.round(chi2, 6).alias("chi2_total"),
+        dof.cast("long").alias("dof"),
+        F.round(cramers_v, 6).alias("cramers_v"),
+    ).orderBy("lang", "source")

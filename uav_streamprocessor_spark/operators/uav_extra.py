@@ -4,7 +4,7 @@ projections of the frame→detections nesting, frame-file export (U1).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from uav_streamprocessor_spark.config import DEFAULT_CONFIG, PipelineConfig
@@ -277,4 +277,56 @@ def nms_greedy_survivors(detections: DataFrame, iou_pct: int = 10) -> DataFrame:
     )
     return d.groupBy("camera_id", "frame_number", "class_name").applyInPandas(
         suppress, schema=out_schema
+    )
+
+
+def motion_vectors(detections: DataFrame) -> DataFrame:
+    """Per-(camera, class) motion estimate from the detection stream —
+    the tracking-lite analytics the reference's downstream command
+    center would compute from its POSTed keyframes: follow the
+    most-confident box of each class between consecutive keyframes and
+    report its displacement statistics.
+
+    Track proxy: per (camera_id, class_name, frame_number) keep the
+    max-confidence detection (det_id tie-break — deterministic), then
+    lag its center across the keyframe sequence. speed is px/frame
+    (displacement over the actual frame gap, so missing keyframes don't
+    inflate it). All window partitions are (camera, class) — bounded,
+    shuffle-friendly; no global sort. Fully oracle-checkable: centers
+    and hypot are exact arithmetic both engines."""
+    best = Window.partitionBy(
+        "camera_id", "class_name", "frame_number"
+    ).orderBy(F.col("confidence").desc(), "det_id")
+    track = Window.partitionBy("camera_id", "class_name").orderBy("frame_number")
+    cx = (F.col("x_min") + F.col("x_max")) / 2.0
+    cy = (F.col("y_min") + F.col("y_max")) / 2.0
+    top = (
+        filter_detections(detections)
+        .withColumn("_rn", F.row_number().over(best))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "camera_id",
+            "class_name",
+            "frame_number",
+            cx.alias("cx"),
+            cy.alias("cy"),
+        )
+    )
+    dx = F.col("cx") - F.lag("cx").over(track)
+    dy = F.col("cy") - F.lag("cy").over(track)
+    gap = F.col("frame_number") - F.lag("frame_number").over(track)
+    moved = top.select(
+        "camera_id",
+        "class_name",
+        "frame_number",
+        (F.sqrt(dx * dx + dy * dy) / gap).alias("speed_px_per_frame"),
+    ).filter(F.col("speed_px_per_frame").isNotNull())
+    return (
+        moved.groupBy("camera_id", "class_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_moves"),
+            F.round(F.avg("speed_px_per_frame"), 6).alias("avg_speed"),
+            F.round(F.max("speed_px_per_frame"), 6).alias("max_speed"),
+        )
+        .orderBy("camera_id", "class_name")
     )

@@ -1465,8 +1465,12 @@ FROM joined GROUP BY 1 ORDER BY 1
 # text_score_psi, and the session-2 batch — text_dsir_weights,
 # ev_seasonal_adjustment, emb_kcenter_sample (rows-only),
 # emb_ivfpq_topk (rows-only), ev_cusum_changepoints, text_heaps_law,
-# rel_join_skew_audit, text_pmi_collocations — each sf0.01-parity-proven
-# in PARITY_sf0.01.json / pytest-exact.
+# rel_join_skew_audit, text_pmi_collocations — and the session-3 batch —
+# ev_concurrent_sessions, rel_revenue_gini, rel_abc_pareto,
+# text_readability_scores, text_lang_source_chi2, dedup_edit_distance,
+# emb_dimension_variance, uav_motion_vectors (plus re-proves for the
+# replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
+# each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
 # Names listed here sort first, in this order; everything else follows in
 # registration order.
 # ---------------------------------------------------------------------------
@@ -4875,3 +4879,302 @@ ORDER BY pmi DESC, w1, w2 LIMIT 50
     "slices, two map-side-combinable count shuffles, vocab-sized "
     "unigram joins back",
 )(lambda spark: text.pmi_collocations(spark))
+
+
+# ===========================================================================
+# round-5 session-3 additions: interval analytics, inequality/Pareto audits,
+# readability, chi-square mix audit, edit-distance dedup, embedding
+# dimension profile, UAV motion vectors
+# ===========================================================================
+
+_register(
+    "ev_concurrent_sessions",
+    """
+WITH us AS (
+  SELECT user_id, event_id, epoch_us(ts) AS t FROM events
+),
+flagged AS (
+  SELECT user_id, t, event_id,
+         CASE WHEN t - lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM us WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+),
+sess AS (
+  SELECT user_id, t,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY t, event_id
+                             ROWS UNBOUNDED PRECEDING) AS session_seq
+  FROM flagged
+),
+iv AS (
+  SELECT user_id, session_seq, min(t) AS start_us, max(t) AS end_us
+  FROM sess GROUP BY user_id, session_seq
+),
+sweep AS (
+  SELECT user_id, session_seq, start_us AS t_us, 1 AS delta FROM iv
+  UNION ALL
+  SELECT user_id, session_seq, end_us, -1 FROM iv
+),
+sweep2 AS (
+  SELECT *, CAST(make_timestamp(t_us) AS DATE) AS day FROM sweep
+),
+offsets AS (
+  SELECT c.day,
+         CAST(coalesce(sum(p.day_delta), 0) AS BIGINT) AS carry_in
+  FROM (SELECT day, sum(delta) AS day_delta FROM sweep2 GROUP BY day) c
+  LEFT JOIN (SELECT day, sum(delta) AS day_delta FROM sweep2 GROUP BY day) p
+    ON p.day < c.day
+  GROUP BY c.day
+),
+runs AS (
+  SELECT s.day, s.delta,
+         o.carry_in + sum(s.delta) OVER (
+           PARTITION BY s.day
+           ORDER BY s.t_us, s.delta DESC, s.user_id, s.session_seq
+           ROWS UNBOUNDED PRECEDING) AS concurrency
+  FROM sweep2 s JOIN offsets o ON o.day = s.day
+)
+SELECT day, CAST(max(concurrency) AS BIGINT) AS peak_concurrency,
+       CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_sessions_started
+FROM runs GROUP BY day ORDER BY day
+""",
+    notes="peak concurrent sessions per day: gap-sessionize -> closed "
+    "intervals -> sweep-line (+1/-1) with ends-after-starts tie rule; "
+    "running sum is two-phase (per-day window + triangular-join day "
+    "carry) so no single-partition window exists at any series length",
+)(lambda spark: events_ops.concurrent_sessions(spark))
+
+
+_register(
+    "rel_revenue_gini",
+    """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT o_custkey, revenue, c_mktsegment
+  FROM rev JOIN customer ON c_custkey = o_custkey
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_mktsegment
+                               ORDER BY revenue, o_custkey) AS rnk
+  FROM seg
+)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+       round(sum(revenue), 2) AS total_revenue,
+       round(2.0 * sum(rnk * revenue) / (count(*) * sum(revenue))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+    notes="Gini concentration of customer revenue per market segment "
+    "(closed form over ascending per-segment ranks, custkey "
+    "tie-break); segment-partitioned windows only",
+)(lambda spark: relational.revenue_gini(spark))
+
+
+_register(
+    "rel_abc_pareto",
+    """
+WITH rev AS (
+  SELECT o_custkey, sum(o_totalprice) AS revenue
+  FROM orders GROUP BY o_custkey
+),
+seg AS (
+  SELECT o_custkey, revenue, c_mktsegment
+  FROM rev JOIN customer ON c_custkey = o_custkey
+),
+shares AS (
+  SELECT c_mktsegment, revenue,
+         sum(revenue) OVER (PARTITION BY c_mktsegment
+                            ORDER BY revenue DESC, o_custkey
+                            ROWS UNBOUNDED PRECEDING)
+           / sum(revenue) OVER (PARTITION BY c_mktsegment) AS cum_share
+  FROM seg
+),
+agg AS (
+  SELECT c_mktsegment,
+         CASE WHEN cum_share <= 0.80 THEN 'A'
+              WHEN cum_share <= 0.95 THEN 'B' ELSE 'C' END AS abc_class,
+         CAST(count(*) AS BIGINT) AS n_customers,
+         round(sum(revenue), 2) AS class_revenue
+  FROM shares GROUP BY 1, 2
+)
+SELECT c_mktsegment, abc_class, n_customers, class_revenue,
+       round(class_revenue
+             / sum(class_revenue) OVER (PARTITION BY c_mktsegment), 6)
+         AS revenue_share
+FROM agg ORDER BY c_mktsegment, abc_class
+""",
+    notes="ABC/Pareto classification (A to 80% cumulative segment "
+    "revenue, B to 95%, C tail); per-segment descending-revenue "
+    "window; 100 TB variant = approx_percentile threshold bucketing "
+    "(docstring)",
+)(lambda spark: relational.abc_classification(spark))
+
+
+_register(
+    "text_readability_scores",
+    """
+WITH r AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+')) AS n_syllables
+  FROM documents
+),
+f AS (
+  SELECT *,
+         206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch_raw
+  FROM r
+)
+SELECT doc_id, lang,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       round(flesch_raw, 6) AS flesch,
+       CASE WHEN flesch_raw >= 90 THEN 'very_easy'
+            WHEN flesch_raw >= 70 THEN 'easy'
+            WHEN flesch_raw >= 50 THEN 'medium'
+            WHEN flesch_raw >= 30 THEN 'difficult'
+            ELSE 'very_difficult' END AS band
+FROM f
+""",
+    notes="Flesch reading ease with vowel-group syllable approximation "
+    "(identical regexes both engines); map-only, zero shuffle",
+)(lambda spark: text.readability_scores(spark))
+
+
+_register(
+    "text_lang_source_chi2",
+    """
+WITH observed AS (
+  SELECT lang, source, CAST(count(*) AS DOUBLE) AS obs
+  FROM documents GROUP BY lang, source
+),
+lt AS (SELECT lang, sum(obs) AS lang_n FROM observed GROUP BY lang),
+st AS (SELECT source, sum(obs) AS src_n FROM observed GROUP BY source),
+tot AS (
+  SELECT sum(obs) AS n, count(DISTINCT lang) AS n_langs,
+         count(DISTINCT source) AS n_sources
+  FROM observed
+),
+cells AS (
+  -- full grid incl. structural zeros: unseen (lang, source) cells still
+  -- have expected > 0 and contribute to the statistic
+  SELECT lt.lang, st.source, lang_n, src_n, coalesce(o.obs, 0.0) AS obs
+  FROM lt CROSS JOIN st
+  LEFT JOIN observed o ON o.lang = lt.lang AND o.source = st.source
+),
+j AS (
+  SELECT lang, source, obs,
+         lang_n * src_n / n AS expected,
+         pow(obs - lang_n * src_n / n, 2)
+           / (lang_n * src_n / n) AS contribution,
+         n, n_langs, n_sources
+  FROM cells CROSS JOIN tot
+),
+tc AS (SELECT sum(contribution) AS chi2 FROM j)
+SELECT lang, source, CAST(obs AS BIGINT) AS observed,
+       round(expected, 6) AS expected,
+       round(contribution, 6) AS contribution,
+       round(chi2, 6) AS chi2_total,
+       CAST((n_langs - 1) * (n_sources - 1) AS BIGINT) AS dof,
+       round(sqrt(chi2 / (n * least(n_langs, n_sources) - n)), 6) AS cramers_v
+FROM j CROSS JOIN tc ORDER BY lang, source
+""",
+    notes="chi-square independence audit of the lang x source "
+    "contingency table with per-cell contributions + Cramer's V; "
+    "margins/total are partial-agg passes over the cell aggregate",
+)(lambda spark: text.lang_source_chi2(spark))
+
+
+_register(
+    "dedup_edit_distance",
+    """
+WITH d AS (
+  SELECT doc_id, lang, text, n_chars,
+         CAST(floor(n_chars / 25) AS BIGINT) AS band
+  FROM documents
+),
+a AS (
+  SELECT doc_id AS doc_id_a, lang AS lang_a, text AS text_a,
+         n_chars AS len_a, band + x AS band
+  FROM d, unnest([0, 1]) AS t(x)
+),
+pairs AS (
+  SELECT doc_id_a, b.doc_id AS doc_id_b, lang_a AS lang,
+         levenshtein(text_a, b.text) AS lev,
+         greatest(len_a, b.n_chars) AS mx
+  FROM a JOIN d b USING (band)
+  WHERE b.doc_id > doc_id_a AND lang_a = b.lang
+    AND abs(len_a - b.n_chars) <= 25
+)
+SELECT doc_id_a, doc_id_b, lang,
+       CAST(lev AS BIGINT) AS edit_distance,
+       round(1.0 - CAST(lev AS DOUBLE) / mx, 6) AS similarity
+FROM pairs WHERE 1.0 - CAST(lev AS DOUBLE) / mx >= 0.5
+""",
+    notes="blocked Levenshtein near-dup verify: (lang, length-band) "
+    "blocking with dual-emit boundary coverage bounds the O(len^2) DP "
+    "to same-scale pairs; identical unit-cost levenshtein both "
+    "engines; at 100 TB the block key swaps to MinHash band buckets",
+)(lambda spark: dedup.edit_distance_pairs(spark))
+
+
+_register(
+    "emb_dimension_variance",
+    """
+WITH flat AS (
+  SELECT CAST(unnest(range(len(embedding))) AS INT) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+)
+SELECT dim, round(avg(x), 6) AS mean, round(var_pop(x), 6) AS variance,
+       round(min(x), 6) AS min_x, round(max(x), 6) AS max_x
+FROM flat GROUP BY dim ORDER BY variance DESC, dim LIMIT 8
+""",
+    notes="per-dimension embedding profile (PCA/whitening audit): "
+    "posexplode -> map-side-combined per-dim aggregate; top-k over the "
+    "64-row dim table is TakeOrderedAndProject; oracle zips parallel "
+    "unnests",
+)(lambda spark: similarity.dimension_variance_profile(spark))
+
+
+_register(
+    "uav_motion_vectors",
+    with_fixture_ctes(
+        """
+, det AS (
+  SELECT * FROM detections
+  WHERE class_name IN ('car', 'person') AND confidence >= 0.4
+),
+top AS (
+  SELECT camera_id, class_name, frame_number,
+         (x_min + x_max) / 2.0 AS cx, (y_min + y_max) / 2.0 AS cy,
+         row_number() OVER (PARTITION BY camera_id, class_name, frame_number
+                            ORDER BY confidence DESC, det_id) AS rn
+  FROM det
+),
+moved AS (
+  SELECT camera_id, class_name,
+         sqrt((cx - lag(cx) OVER w) * (cx - lag(cx) OVER w)
+              + (cy - lag(cy) OVER w) * (cy - lag(cy) OVER w))
+           / (frame_number - lag(frame_number) OVER w) AS speed
+  FROM (SELECT * FROM top WHERE rn = 1) t
+  WINDOW w AS (PARTITION BY camera_id, class_name ORDER BY frame_number)
+)
+SELECT camera_id, class_name, CAST(count(*) AS BIGINT) AS n_moves,
+       round(avg(speed), 6) AS avg_speed,
+       round(max(speed), 6) AS max_speed
+FROM moved WHERE speed IS NOT NULL
+GROUP BY camera_id, class_name ORDER BY camera_id, class_name
+"""
+    ),
+    notes="tracking-lite motion estimate: max-confidence box per "
+    "(camera, class, keyframe) -> center displacement via lag over the "
+    "keyframe sequence, speed normalized by actual frame gap; all "
+    "windows (camera, class)-partitioned",
+)(lambda spark: uav_extra.motion_vectors(spark.table("detections")))
