@@ -104,6 +104,9 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     from uav_streamprocessor_spark.streaming.dedup_stream import (
         run_incremental_neardup,
     )
+    from uav_streamprocessor_spark.streaming.anomaly_stream import (
+        anomaly_stream,
+    )
     from uav_streamprocessor_spark.streaming.ewma_stream import ewma_stream
     from uav_streamprocessor_spark.streaming.packing_stream import (
         packed_stream,
@@ -276,6 +279,26 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         .queryName("bench_ewma")
         .outputMode("append")
         .option("checkpointLocation", str(work / "ckpt_ewma"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600),
+    )
+
+    record(
+        "anomaly_state",
+        n_ev,
+        lambda: anomaly_stream(
+            feed(
+                ev_val,
+                "anomaly",
+                "event_id long, ts timestamp, user_id long, value double",
+                ordered_by=("ts", "event_id"),
+            )
+        )
+        .writeStream.format("memory")
+        .queryName("bench_anomaly")
+        .outputMode("append")
+        .option("checkpointLocation", str(work / "ckpt_anomaly"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination(600),

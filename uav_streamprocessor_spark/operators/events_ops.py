@@ -1200,3 +1200,45 @@ def concurrent_sessions(spark: SparkSession, gap_minutes: int = 30) -> DataFrame
         )
         .orderBy("day")
     )
+
+
+def prequential_zscore(
+    spark: SparkSession, min_history: int = 8, threshold: float = 3.0
+) -> DataFrame:
+    """Prequential (test-then-train) z-score anomaly screen: each event
+    scored against its user's PRIOR history only — mean and sample
+    stddev over an expanding window ending one row back. The leak-free
+    scoring rule (an event never sees itself or its future), and the
+    exact batch twin of the streaming Welford state in
+    streaming/anomaly_stream.py.
+
+    Complements ev_user_anomaly_zscore (whole-history median/MAD, robust
+    but retrospective): this one is what a live monitor would have
+    flagged AT THE TIME. Expanding windows are per-user partitions —
+    bounded by a user's history, never global. sd_prev > 0 guards
+    constant prefixes; min_history keeps early noise out."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts").cast("timestamp")), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    scored = spark.table("events").select(
+        "user_id",
+        "event_id",
+        "value",
+        F.count(F.lit(1)).over(w).alias("n_prior"),
+        F.avg("value").over(w).alias("mu_prev"),
+        F.stddev_samp("value").over(w).alias("sd_prev"),
+    )
+    z = (F.col("value") - F.col("mu_prev")) / F.col("sd_prev")
+    return scored.filter(
+        (F.col("n_prior") >= min_history)
+        & (F.col("sd_prev") > 0)
+        & (F.abs(z) > threshold)
+    ).select(
+        "user_id",
+        "event_id",
+        F.round("value", 6).alias("value"),
+        F.col("n_prior").cast("long").alias("n_prior"),
+        F.round(z, 6).alias("z"),
+    )

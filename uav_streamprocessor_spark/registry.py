@@ -1468,7 +1468,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # rel_join_skew_audit, text_pmi_collocations — and the session-3 batch —
 # ev_concurrent_sessions, rel_revenue_gini, rel_abc_pareto,
 # text_readability_scores, text_lang_source_chi2, dedup_edit_distance,
-# emb_dimension_variance, uav_motion_vectors (plus re-proves for the
+# emb_dimension_variance, uav_motion_vectors, ev_prequential_zscore
+# (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
 # Names listed here sort first, in this order; everything else follows in
@@ -5178,3 +5179,30 @@ GROUP BY camera_id, class_name ORDER BY camera_id, class_name
     "keyframe sequence, speed normalized by actual frame gap; all "
     "windows (camera, class)-partitioned",
 )(lambda spark: uav_extra.motion_vectors(spark.table("detections")))
+
+
+_register(
+    "ev_prequential_zscore",
+    """
+WITH seq AS (
+  SELECT user_id, event_id, value,
+         count(*) OVER w AS n_prior,
+         avg(value) OVER w AS mu_prev,
+         stddev_samp(value) OVER w AS sd_prev
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT user_id, event_id, round(value, 6) AS value,
+       CAST(n_prior AS BIGINT) AS n_prior,
+       round((value - mu_prev) / sd_prev, 6) AS z
+FROM seq
+WHERE n_prior >= 8 AND sd_prev > 0
+  AND abs((value - mu_prev) / sd_prev) > 3
+""",
+    notes="prequential (test-then-train) z-score: each event vs its "
+    "user's PRIOR history via expanding windows ending one row back — "
+    "the leak-free live-monitor rule; batch twin of the streaming "
+    "Welford state (streaming/anomaly_stream.py); per-user partitions "
+    "only",
+)(lambda spark: events_ops.prequential_zscore(spark))
