@@ -370,3 +370,147 @@ def test_motion_vectors_corpus_nonempty_and_positive(spark):
         assert r["n_moves"] >= 1
         assert 0.0 <= r["avg_speed"] <= r["max_speed"]
         assert math.isfinite(r["max_speed"])
+
+
+# ---------------------------------------------------------------------------
+# text_ngram_novelty
+# ---------------------------------------------------------------------------
+
+def test_ngram_novelty_conserves_and_planted_copy_adds_nothing(spark):
+    rows = dedup.ngram_novelty_by_source(spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 0 <= r["n_novel"] <= r["n_grams"]
+        assert 0.0 <= r["novelty_rate"] <= 1.0
+    # every distinct gram is novel exactly once -> totals conserve
+    from uav_streamprocessor_spark.operators.dedup import doc_ngram_sets
+
+    total_distinct = (
+        doc_ngram_sets(spark)
+        .select(F.explode("grams").alias("g"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == total_distinct
+
+    docs0 = spark.table("documents")
+    base = {r["source"]: r for r in rows}
+    src0_doc = docs0.filter(F.col("source") == "src0").orderBy("doc_id").first()
+    copy = spark.createDataFrame(
+        [(10**9, src0_doc["text"], src0_doc["lang"], "src0",
+          len(src0_doc["text"]))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs0.unionByName(copy).createOrReplaceTempView("documents")
+        pert = {
+            r["source"]: r
+            for r in dedup.ngram_novelty_by_source(spark).collect()
+        }
+        # the verbatim copy adds grams to src0 but zero novel ones
+        assert pert["src0"]["n_novel"] == base["src0"]["n_novel"]
+        assert pert["src0"]["n_grams"] > base["src0"]["n_grams"]
+        assert pert["src0"]["novelty_rate"] < base["src0"]["novelty_rate"]
+    finally:
+        docs0.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# ev_dau_mau_stickiness
+# ---------------------------------------------------------------------------
+
+def test_dau_mau_bounds_and_window_knob(spark):
+    rows = events_ops.dau_mau_stickiness(spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert 1 <= r["dau"] <= r["mau"]
+        assert 0.0 < r["stickiness"] <= 1.0
+    # first day's trailing window holds only itself
+    first = min(rows, key=lambda r: r["day"])
+    assert first["dau"] == first["mau"]
+    # a 1-day window collapses MAU to DAU everywhere
+    for r in events_ops.dau_mau_stickiness(spark, window_days=1).collect():
+        assert r["dau"] == r["mau"] and r["stickiness"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# emb_mmr_rerank
+# ---------------------------------------------------------------------------
+
+def test_mmr_lam1_equals_pure_relevance_order(spark):
+    mmr = {
+        (r["query_id"], r["rank"]): r
+        for r in similarity.mmr_rerank(spark, k=5, lam=1.0).collect()
+    }
+    knn = {
+        (r["query_id"], r["rnk"]): r
+        for r in similarity.knn_bruteforce(spark, k=5).collect()
+    }
+    assert set(mmr) == set(knn)
+    for key, m in mmr.items():
+        assert m["vec_id"] == knn[key]["vec_id"]
+
+
+def test_mmr_scores_match_numpy_reference(spark):
+    import numpy as np
+
+    out = similarity.mmr_rerank(spark, n_queries=2, k=6, lam=0.6).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.table("embeddings").collect()
+    }
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r["rank"])
+        picked = []
+        for r in rs:
+            if picked:
+                max_sim = max(cos(emb[r["vec_id"]], emb[p]) for p in picked)
+            else:
+                max_sim = 0.0
+            expected = 0.6 * r["relevance"] - 0.4 * max_sim
+            assert abs(r["mmr_score"] - round(expected, 6)) < 1e-5
+            picked.append(r["vec_id"])
+
+
+def test_mmr_demotes_planted_duplicate(spark):
+    """Plant an exact copy of each query's top hit: pure relevance ranks
+    the copy adjacent to the original; MMR's diversity term must push it
+    out of rank 2."""
+    emb0 = spark.table("embeddings")
+    top1 = {
+        r["query_id"]: r["vec_id"]
+        for r in similarity.knn_bruteforce(spark, k=1).collect()
+    }
+    q0_top = top1[0]
+    dup = emb0.filter(F.col("vec_id") == q0_top).select(
+        F.lit(999_999).cast("long").alias("vec_id"), "embedding", "label"
+    )
+    try:
+        emb0.unionByName(dup).createOrReplaceTempView("embeddings")
+        pure = [
+            r
+            for r in similarity.mmr_rerank(spark, k=4, lam=1.0).collect()
+            if r["query_id"] == 0
+        ]
+        diverse = [
+            r
+            for r in similarity.mmr_rerank(spark, k=4, lam=0.5).collect()
+            if r["query_id"] == 0
+        ]
+        pure.sort(key=lambda r: r["rank"])
+        diverse.sort(key=lambda r: r["rank"])
+        pure_ids = [r["vec_id"] for r in pure]
+        # relevance-only: original and its planted copy sit at ranks 1-2
+        assert set(pure_ids[:2]) == {q0_top, 999_999}
+        div_ids = [r["vec_id"] for r in diverse]
+        assert div_ids[0] in (q0_top, 999_999)
+        assert div_ids[1] not in (q0_top, 999_999)
+    finally:
+        emb0.createOrReplaceTempView("embeddings")

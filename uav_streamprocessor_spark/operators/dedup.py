@@ -876,3 +876,42 @@ def edit_distance_pairs(
         )
         .filter(F.col("similarity") >= min_similarity)
     )
+
+
+def ngram_novelty_by_source(spark: SparkSession, n: int = 3) -> DataFrame:
+    """Per-source n-gram novelty: of each source's word-3-grams, what
+    fraction had NEVER appeared in any earlier document (doc_id order)?
+    The corpus-freshness decay curve — a source full of already-seen
+    grams is recycled/templated content that dedup thresholds may miss
+    pair-by-pair but which adds no new information to a training mix.
+
+    Relational shape: one gram-keyed shuffle for first occurrences
+    (min(doc_id), map-side combinable), one doc-keyed count, and a
+    source-level rollup; a gram's novelty attribution is exact and
+    deterministic. Docs shorter than n words carry no grams and are
+    excluded from the denominator (noted — the gram-bearing doc count
+    is reported). Reuses doc_ngram_sets' optimizer-barrier gram build."""
+    g = doc_ngram_sets(spark, n)
+    flat = g.select("doc_id", F.explode("grams").alias("gram"))
+    firsts = flat.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
+    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_novel")
+    )
+    docs = spark.table("documents").select("doc_id", "source")
+    return (
+        per_doc.join(docs, "doc_id")
+        .join(novel, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_grams").cast("long").alias("n_grams"),
+            F.coalesce(F.sum("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.round(
+                F.coalesce(F.sum("n_novel"), F.lit(0))
+                / F.sum("n_grams").cast("double"),
+                6,
+            ).alias("novelty_rate"),
+        )
+        .orderBy("source")
+    )

@@ -1242,3 +1242,42 @@ def prequential_zscore(
         F.col("n_prior").cast("long").alias("n_prior"),
         F.round(z, 6).alias("z"),
     )
+
+
+def dau_mau_stickiness(spark: SparkSession, window_days: int = 28) -> DataFrame:
+    """DAU/MAU stickiness per day — daily actives over trailing-28-day
+    actives, the standard engagement ratio. Exact trailing count
+    DISTINCT can't ride a window frame (count distinct isn't
+    frame-aggregable), so the scalable exact form is a bounded range
+    join: the deduped (day, user) table against the tiny day spine
+    (each activity row lands in at most `window_days` spine days).
+
+    Shapes: dedup is one (day, user) shuffle of the corpus; the range
+    join broadcasts the O(days) spine; MAU re-aggregates the fanned-out
+    pairs with a map-side-combinable distinct. At extreme scale the
+    exact distinct swaps for the mergeable HLL sketch rollup
+    (ev_hll_rollup) — same spine, sketch union instead of fan-out."""
+    ev = spark.table("events")
+    day_user = ev.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    dau = day_user.groupBy("day").agg(F.countDistinct("user_id").alias("dau"))
+    days = day_user.select("day").distinct()
+    mau = (
+        day_user.alias("du")
+        .join(
+            F.broadcast(days.alias("d")),
+            (F.col("du.day") <= F.col("d.day"))
+            & (F.col("du.day") >= F.date_sub(F.col("d.day"), window_days - 1)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("du.user_id").alias("mau"))
+    )
+    return (
+        dau.join(mau, "day")
+        .select(
+            "day",
+            F.col("dau").cast("long").alias("dau"),
+            F.col("mau").cast("long").alias("mau"),
+            F.round(F.col("dau") / F.col("mau"), 6).alias("stickiness"),
+        )
+        .orderBy("day")
+    )

@@ -1277,3 +1277,97 @@ def dimension_variance_profile(spark: SparkSession, top_k: int = 8) -> DataFrame
         F.round(F.max("x"), 6).alias("max_x"),
     )
     return stats.orderBy(F.col("variance").desc(), "dim").limit(top_k)
+
+
+def mmr_rerank(
+    spark: SparkSession,
+    n_queries: int = 5,
+    n_candidates: int = 32,
+    k: int = 8,
+    lam: float = 0.7,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein '98)
+    — the diversity-aware top-k every RAG retriever bolts onto plain
+    cosine: greedily pick the candidate maximizing
+    lam·sim(q, d) − (1−lam)·max over already-picked s of sim(d, s),
+    so near-duplicate hits can't crowd the result list.
+
+    Two stages, mirroring the retrieval reality: (1) candidate
+    generation is the kNN shape — broadcast queries, corpus never
+    shuffles, per-query top-`n_candidates` window; (2) the greedy
+    selection is inherently sequential in k but only ever sees
+    n_candidates rows per query, so it runs as one applyInPandas over
+    (query, candidates) groups — O(n_candidates²) numpy work per group,
+    distributed across queries. Ties break on vec_id; lam=1.0 reduces
+    exactly to relevance order (pinned in tests against a numpy
+    reference)."""
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
+    )
+    joined = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    rel = _cosine(F.col("qvec"), F.col("embedding"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("relevance").desc(), F.col("vec_id")
+    )
+    cands = (
+        joined.select(
+            "query_id", "vec_id", "embedding", rel.alias("relevance")
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= n_candidates)
+        .drop("_rn")
+    )
+
+    out_schema = (
+        "query_id long, rank int, vec_id long, relevance double, "
+        "mmr_score double"
+    )
+
+    def select_mmr(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("vec_id", ignore_index=True)
+        vecs = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(vecs, axis=1)
+        norms[norms == 0.0] = 1.0
+        unit = vecs / norms[:, None]
+        sims = unit @ unit.T  # candidate-candidate cosine, n_cand²
+        relv = pdf["relevance"].to_numpy()
+        ids = pdf["vec_id"].to_numpy()
+        n = len(pdf)
+        picked: list[int] = []
+        max_sim = np.zeros(n)  # max cosine to any picked candidate
+        free = np.ones(n, dtype=bool)
+        for _ in range(min(k, n)):
+            score = lam * relv - (1.0 - lam) * max_sim
+            score[~free] = -np.inf
+            best = int(
+                min(
+                    ((-score[i], ids[i], i) for i in range(n) if free[i])
+                )[2]
+            )
+            picked.append(best)
+            free[best] = False
+            max_sim = np.maximum(max_sim, sims[:, best])
+        return pd.DataFrame(
+            {
+                "query_id": key[0],
+                "rank": np.arange(1, len(picked) + 1, dtype="int32"),
+                "vec_id": ids[picked],
+                "relevance": np.round(relv[picked], 6),
+                "mmr_score": np.round(
+                    [
+                        lam * relv[i]
+                        - (1.0 - lam)
+                        * (
+                            max(sims[i, j] for j in picked[:r])
+                            if r > 0
+                            else 0.0
+                        )
+                        for r, i in enumerate(picked)
+                    ],
+                    6,
+                ),
+            }
+        )
+
+    return cands.groupBy("query_id").applyInPandas(select_mmr, out_schema)

@@ -1468,7 +1468,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # rel_join_skew_audit, text_pmi_collocations — and the session-3 batch —
 # ev_concurrent_sessions, rel_revenue_gini, rel_abc_pareto,
 # text_readability_scores, text_lang_source_chi2, dedup_edit_distance,
-# emb_dimension_variance, uav_motion_vectors, ev_prequential_zscore
+# emb_dimension_variance, uav_motion_vectors, ev_prequential_zscore,
+# text_ngram_novelty, ev_dau_mau_stickiness, emb_mmr_rerank (rows-only)
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5206,3 +5207,76 @@ WHERE n_prior >= 8 AND sd_prev > 0
     "Welford state (streaming/anomaly_stream.py); per-user partitions "
     "only",
 )(lambda spark: events_ops.prequential_zscore(spark))
+
+
+_register(
+    "text_ngram_novelty",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM t
+),
+flat AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+firsts AS (SELECT gram, min(doc_id) AS first_doc FROM flat GROUP BY gram),
+per_doc AS (SELECT doc_id, count(*) AS n_grams FROM flat GROUP BY doc_id),
+novel AS (
+  SELECT first_doc AS doc_id, count(*) AS n_novel
+  FROM firsts GROUP BY first_doc
+)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p.n_grams) AS BIGINT) AS n_grams,
+       CAST(coalesce(sum(n.n_novel), 0) AS BIGINT) AS n_novel,
+       round(coalesce(sum(n.n_novel), 0) * 1.0 / sum(p.n_grams), 6)
+         AS novelty_rate
+FROM per_doc p
+JOIN documents d USING (doc_id)
+LEFT JOIN novel n ON n.doc_id = p.doc_id
+GROUP BY d.source ORDER BY d.source
+""",
+    notes="per-source 3-gram novelty (fraction of grams never seen in "
+    "any earlier doc_id) — the corpus-freshness decay audit; one "
+    "gram-keyed + one doc-keyed shuffle, source-level rollup; docs "
+    "shorter than n words carry no grams (excluded, count reported)",
+)(lambda spark: dedup.ngram_novelty_by_source(spark))
+
+
+_register(
+    "ev_dau_mau_stickiness",
+    """
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM du GROUP BY day),
+days AS (SELECT DISTINCT day FROM du),
+mau AS (
+  SELECT d.day, count(DISTINCT du.user_id) AS mau
+  FROM du JOIN days d ON du.day <= d.day AND du.day >= d.day - 27
+  GROUP BY d.day
+)
+SELECT day, CAST(dau AS BIGINT) AS dau, CAST(mau AS BIGINT) AS mau,
+       round(dau * 1.0 / mau, 6) AS stickiness
+FROM dau JOIN mau USING (day) ORDER BY day
+""",
+    notes="DAU/MAU engagement ratio with exact trailing-28-day distinct "
+    "via a bounded range join against the O(days) spine (count distinct "
+    "isn't frame-aggregable); HLL sketch rollup is the documented "
+    "extreme-scale variant",
+)(lambda spark: events_ops.dau_mau_stickiness(spark))
+
+
+_register(
+    "emb_mmr_rerank",
+    None,
+    notes="Maximal Marginal Relevance diversity re-ranking (Carbonell & "
+    "Goldstein '98): kNN-shaped candidate stage (broadcast queries, "
+    "corpus never shuffles) + greedy lam*rel - (1-lam)*max-sim "
+    "selection as applyInPandas over bounded per-query candidate "
+    "groups; greedy selection isn't SQL -> rows-only, numpy-reference "
+    "exactness + diversity perturbation pinned in tests",
+)(lambda spark: similarity.mmr_rerank(spark))
