@@ -514,3 +514,133 @@ def test_mmr_demotes_planted_duplicate(spark):
         assert div_ids[1] not in (q0_top, 999_999)
     finally:
         emb0.createOrReplaceTempView("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# ev_funnel_step_timing
+# ---------------------------------------------------------------------------
+
+def test_funnel_timing_reconciles_with_conversion_counts(spark):
+    timing = {r["step"]: r for r in events_ops.funnel_step_timing(spark).collect()}
+    conv = events_ops.funnel_view_click_purchase(spark).collect()[0]
+    assert timing["view_to_click"]["n_users"] == conv["n_clicked"]
+    assert timing["click_to_purchase"]["n_users"] == conv["n_purchased"]
+    for r in timing.values():
+        assert r["min_gap_s"] <= r["median_gap_s"] <= r["max_gap_s"]
+        assert r["min_gap_s"] >= 0  # steps are time-ordered by construction
+
+
+def test_funnel_timing_exact_median_on_planted_gaps(spark):
+    """5 users with view->click gaps 10/20/30/40/1000s: median 30 (robust
+    to the outlier), mean 220. One user converts to purchase 60s later."""
+    ev0 = spark.table("events")
+    rows = []
+    eid = 0
+    for u, gap in enumerate([10, 20, 30, 40, 1000]):
+        rows.append((eid, "2099-01-01 00:00:00", 900_000 + u, "view", 1.0, "{}")); eid += 1
+        rows.append((eid, f"2099-01-01 00:{gap // 60:02d}:{gap % 60:02d}",
+                     900_000 + u, "click", 1.0, "{}")); eid += 1
+    rows.append((eid, "2099-01-01 00:01:10", 900_000, "purchase", 1.0, "{}"))
+    planted = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, "
+              "value double, props string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    try:
+        planted.createOrReplaceTempView("events")
+        t = {r["step"]: r for r in events_ops.funnel_step_timing(spark).collect()}
+        vc = t["view_to_click"]
+        assert vc["n_users"] == 5
+        assert vc["median_gap_s"] == 30.0
+        assert abs(vc["avg_gap_s"] - 220.0) < 1e-9
+        cp = t["click_to_purchase"]
+        assert cp["n_users"] == 1 and cp["median_gap_s"] == 60.0
+    finally:
+        ev0.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# ev_forecast_backtest
+# ---------------------------------------------------------------------------
+
+def test_forecast_backtest_perfect_on_weekday_periodic_series(spark):
+    """Perturbation control inverted: a perfectly weekday-periodic series
+    must backtest with MAE == MAPE == 0 — proving the weekday keying and
+    the train/test split both work."""
+    ev0 = spark.table("events")
+    rows = []
+    eid = 0
+    # 28 days, weekday w gets w+1 events per day
+    for d in range(28):
+        wd = d % 7
+        for i in range(wd + 1):
+            rows.append((eid, f"2099-03-{d + 1:02d} 12:00:00", 1, "view", 1.0, "{}"))
+            eid += 1
+    planted = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, "
+              "value double, props string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    try:
+        planted.createOrReplaceTempView("events")
+        out = events_ops.forecast_backtest(spark).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_test_days"] == 7
+        assert r["mae"] == 0.0 and r["mape"] == 0.0
+        assert r["actual_mean"] == r["forecast_mean"]
+    finally:
+        ev0.createOrReplaceTempView("events")
+
+
+def test_forecast_backtest_corpus_sane(spark):
+    rows = events_ops.forecast_backtest(spark).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_test_days"] >= 1
+        assert r["mae"] >= 0.0 and r["mape"] >= 0.0
+    # a longer horizon tests more days
+    longer = events_ops.forecast_backtest(spark, horizon_days=14).collect()
+    assert sum(r["n_test_days"] for r in longer) > sum(
+        r["n_test_days"] for r in rows
+    )
+
+
+# ---------------------------------------------------------------------------
+# rel_cohort_repurchase
+# ---------------------------------------------------------------------------
+
+def test_cohort_repurchase_offset_zero_is_full_and_bounded(spark):
+    rows = relational.cohort_repurchase_matrix(spark).collect()
+    assert len(rows) > 0
+    zero = [r for r in rows if r["offset_m"] == 0]
+    assert zero and all(r["retention"] == 1.0 for r in zero)
+    for r in rows:
+        assert 1 <= r["n_active"] <= r["cohort_size"]
+        assert 0.0 < r["retention"] <= 1.0
+        assert 1 <= r["cohort_month"] <= 12
+        assert r["offset_m"] >= 0
+
+
+def test_cohort_repurchase_planted_december_and_offset(spark):
+    """December cohorts stay in their own year (the zero-based month
+    index), and a repurchase k months later lands at offset k exactly."""
+    orders0 = spark.table("orders")
+    planted = spark.createDataFrame(
+        [(1, 11, "2098-12-15"), (2, 11, "2099-03-02"),  # dec cohort, +3
+         (3, 12, "2099-01-05")],
+        "o_orderkey long, o_custkey long, d string",
+    ).select("o_orderkey", "o_custkey",
+             F.col("d").cast("timestamp").alias("o_orderdate"))
+    try:
+        planted.createOrReplaceTempView("orders")
+        rows = relational.cohort_repurchase_matrix(spark).collect()
+        dec = {r["offset_m"]: r for r in rows
+               if r["cohort_year"] == 2098 and r["cohort_month"] == 12}
+        assert set(dec) == {0, 3}
+        assert dec[3]["retention"] == 1.0 and dec[3]["cohort_size"] == 1
+        jan = [r for r in rows
+               if r["cohort_year"] == 2099 and r["cohort_month"] == 1]
+        assert len(jan) == 1 and jan[0]["offset_m"] == 0
+    finally:
+        orders0.createOrReplaceTempView("orders")

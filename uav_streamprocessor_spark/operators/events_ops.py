@@ -1281,3 +1281,133 @@ def dau_mau_stickiness(spark: SparkSession, window_days: int = 28) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def funnel_step_timing(spark: SparkSession) -> DataFrame:
+    """Time-to-convert per funnel step: the gap distribution between a
+    user's funnel stages (same stage chain as funnel_view_click_purchase
+    — earliest view → first click after it → first purchase after that).
+    Conversion RATES say how many users advance; this says how LONG the
+    advance takes — the other half of every funnel readout.
+
+    Median is EXACT and engine-portable via rank arithmetic (avg of the
+    two middle rows per step), not percentile interpolation — Spark and
+    DuckDB interpolate percentiles identically in theory but the
+    two-middle-rows form is integer-indexed and immune to either
+    engine's choice. The per-step window sorts one step's converters in
+    one partition — at extreme scale swap for approx_percentile
+    (documented trade; rates stay exact either way). Gaps in exact
+    integer seconds (µs div 10^6)."""
+    ev = spark.table("events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view")
+    )
+    first_click = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").alias("click_ts"))
+        .join(per_user, "user_id")
+        .filter(F.col("click_ts") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("click_ts").alias("t_click"))
+    )
+    first_purchase = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("purchase_ts"))
+        .join(first_click, "user_id")
+        .filter(F.col("purchase_ts") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("purchase_ts").alias("t_purchase"))
+    )
+    stage = (
+        per_user.join(first_click, "user_id")
+        .join(first_purchase, "user_id", "left")
+        .select(
+            "user_id",
+            ((F.unix_micros(F.col("t_click").cast("timestamp"))
+              - F.unix_micros(F.col("t_view").cast("timestamp"))) / F.lit(1_000_000)
+             ).cast("long").alias("view_to_click_s"),
+            ((F.unix_micros(F.col("t_purchase").cast("timestamp"))
+              - F.unix_micros(F.col("t_click").cast("timestamp"))) / F.lit(1_000_000)
+             ).cast("long").alias("click_to_purchase_s"),
+        )
+    )
+    gaps = stage.select(
+        "user_id", F.lit("view_to_click").alias("step"),
+        F.col("view_to_click_s").alias("gap_s"),
+    ).unionByName(
+        stage.filter(F.col("click_to_purchase_s").isNotNull()).select(
+            "user_id", F.lit("click_to_purchase").alias("step"),
+            F.col("click_to_purchase_s").alias("gap_s"),
+        )
+    )
+    w = Window.partitionBy("step").orderBy("gap_s", "user_id")
+    ranked = gaps.withColumn("rnk", F.row_number().over(w)).withColumn(
+        "n", F.count(F.lit(1)).over(Window.partitionBy("step"))
+    )
+    return (
+        ranked.groupBy("step")
+        .agg(
+            F.max("n").cast("long").alias("n_users"),
+            F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+            F.round(
+                F.avg(
+                    F.when(
+                        (F.col("rnk") == ((F.col("n") + 1) / 2).cast("long"))
+                        | (F.col("rnk") == ((F.col("n") + 2) / 2).cast("long")),
+                        F.col("gap_s"),
+                    )
+                ),
+                6,
+            ).alias("median_gap_s"),
+            F.min("gap_s").cast("long").alias("min_gap_s"),
+            F.max("gap_s").cast("long").alias("max_gap_s"),
+        )
+        .orderBy("step")
+    )
+
+
+def forecast_backtest(spark: SparkSession, horizon_days: int = 7) -> DataFrame:
+    """Seasonal-naive forecast backtest: hold out the last `horizon_days`
+    of the daily per-type series, forecast each held-out day with the
+    TRAINING mean of its weekday, and score MAE / MAPE per event type —
+    the capacity-planning sanity model every forecasting stack is
+    benchmarked against (if a fancy model can't beat weekday means, it
+    ships nothing).
+
+    Weekday is engine-portable integer arithmetic — days-since-epoch
+    mod 7 (datediff both engines) — never dayofweek(), whose origin
+    differs across engines. One date-truncated count shuffle; train
+    aggregates are O(types × 7); the split threshold is a broadcast
+    scalar."""
+    daily = (
+        spark.table("events")
+        .groupBy("event_type", F.to_date("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "weekday", (F.datediff("day", F.lit("1970-01-01")) % 7).cast("int")
+        )
+    )
+    maxd = daily.agg(F.max("day").alias("max_day"))
+    split = daily.crossJoin(F.broadcast(maxd)).withColumn(
+        "is_test", F.datediff("max_day", F.col("day")) < horizon_days
+    )
+    train = (
+        split.filter(~F.col("is_test"))
+        .groupBy("event_type", "weekday")
+        .agg(F.avg("n_events").alias("forecast"))
+    )
+    test = split.filter(F.col("is_test")).join(
+        F.broadcast(train), ["event_type", "weekday"]
+    )
+    err = F.abs(F.col("n_events") - F.col("forecast"))
+    return (
+        test.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.round(F.avg("n_events"), 6).alias("actual_mean"),
+            F.round(F.avg("forecast"), 6).alias("forecast_mean"),
+            F.round(F.avg(err), 6).alias("mae"),
+            F.round(F.avg(err / F.col("n_events")), 6).alias("mape"),
+        )
+        .orderBy("event_type")
+    )

@@ -1492,3 +1492,51 @@ def abc_classification(spark: SparkSession) -> DataFrame:
         )
         .orderBy("c_mktsegment", "abc_class")
     )
+
+
+def cohort_repurchase_matrix(spark: SparkSession) -> DataFrame:
+    """Classic cohort retention over ORDERS: customers grouped by the
+    month of their first order; for each offset k, the fraction of the
+    cohort that ordered again k months later. The lifetime-value /
+    repurchase readout — ev_retention_cohorts' twin on the relational
+    star schema (cohorts in both proves the pattern is schema-agnostic).
+
+    Month index = year*12 + (month−1) — exact integer arithmetic
+    identical in both engines (never month diffs via intervals; the
+    zero-based month keeps December inside its own year when the index
+    is split back). Two shuffles: first-order month per customer
+    (map-side combinable min), then the (cohort, offset) distinct-count
+    rollup; cohort sizes broadcast back for the rate."""
+    o = _t(spark, "orders").select(
+        "o_custkey",
+        (F.year("o_orderdate") * 12 + F.month("o_orderdate") - 1).alias("m_idx"),
+    )
+    firsts = o.groupBy("o_custkey").agg(F.min("m_idx").alias("cohort_m"))
+    activity = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_m",
+            (F.col("m_idx") - F.col("cohort_m")).alias("offset_m"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.countDistinct("o_custkey").alias("cohort_size")
+    )
+    return (
+        activity.groupBy("cohort_m", "offset_m")
+        .agg(F.countDistinct("o_custkey").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.floor(F.col("cohort_m") / 12).cast("int").alias("cohort_year"),
+            (F.col("cohort_m") % 12 + 1).cast("int").alias("cohort_month"),
+            F.col("offset_m").cast("int").alias("offset_m"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.col("cohort_size").cast("long").alias("cohort_size"),
+            F.round(F.col("n_active") / F.col("cohort_size"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_year", "cohort_month", "offset_m")
+    )

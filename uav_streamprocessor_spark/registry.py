@@ -1469,7 +1469,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # ev_concurrent_sessions, rel_revenue_gini, rel_abc_pareto,
 # text_readability_scores, text_lang_source_chi2, dedup_edit_distance,
 # emb_dimension_variance, uav_motion_vectors, ev_prequential_zscore,
-# text_ngram_novelty, ev_dau_mau_stickiness, emb_mmr_rerank (rows-only)
+# text_ngram_novelty, ev_dau_mau_stickiness, emb_mmr_rerank (rows-only),
+# ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5280,3 +5281,137 @@ _register(
     "groups; greedy selection isn't SQL -> rows-only, numpy-reference "
     "exactness + diversity perturbation pinned in tests",
 )(lambda spark: similarity.mmr_rerank(spark))
+
+
+_register(
+    "ev_funnel_step_timing",
+    """
+WITH pu AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+fc AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN pu ON pu.user_id = e.user_id
+  WHERE e.event_type = 'click' AND e.ts >= pu.t_view
+  GROUP BY e.user_id
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e JOIN fc ON fc.user_id = e.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
+  GROUP BY e.user_id
+),
+stage AS (
+  SELECT pu.user_id,
+         CAST((epoch_us(fc.t_click) - epoch_us(pu.t_view)) // 1000000
+              AS BIGINT) AS view_to_click_s,
+         CAST((epoch_us(fp.t_purchase) - epoch_us(fc.t_click)) // 1000000
+              AS BIGINT) AS click_to_purchase_s
+  FROM pu JOIN fc ON fc.user_id = pu.user_id
+  LEFT JOIN fp ON fp.user_id = pu.user_id
+),
+gaps AS (
+  SELECT user_id, 'view_to_click' AS step, view_to_click_s AS gap_s
+  FROM stage
+  UNION ALL
+  SELECT user_id, 'click_to_purchase', click_to_purchase_s
+  FROM stage WHERE click_to_purchase_s IS NOT NULL
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY step ORDER BY gap_s, user_id)
+           AS rnk,
+         count(*) OVER (PARTITION BY step) AS n
+  FROM gaps
+)
+SELECT step, CAST(max(n) AS BIGINT) AS n_users,
+       round(avg(gap_s), 6) AS avg_gap_s,
+       round(avg(CASE WHEN rnk = (n + 1) // 2
+                        OR rnk = (n + 2) // 2
+                      THEN gap_s END), 6) AS median_gap_s,
+       CAST(min(gap_s) AS BIGINT) AS min_gap_s,
+       CAST(max(gap_s) AS BIGINT) AS max_gap_s
+FROM ranked GROUP BY step ORDER BY step
+""",
+    notes="time-to-convert per funnel stage (same chain as "
+    "ev_funnel_conversion): exact median via two-middle-rows rank "
+    "arithmetic — integer-indexed, immune to percentile-interpolation "
+    "differences; approx_percentile is the documented extreme-scale "
+    "swap",
+)(lambda spark: events_ops.funnel_step_timing(spark))
+
+
+_register(
+    "ev_forecast_backtest",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY event_type, CAST(ts AS DATE)
+),
+wd AS (
+  SELECT *, CAST((day - DATE '1970-01-01') % 7 AS INT) AS weekday
+  FROM daily
+),
+mx AS (SELECT max(day) AS max_day FROM daily),
+split AS (
+  SELECT wd.*, (mx.max_day - wd.day) < 7 AS is_test
+  FROM wd CROSS JOIN mx
+),
+train AS (
+  SELECT event_type, weekday, avg(n_events) AS forecast
+  FROM split WHERE NOT is_test GROUP BY event_type, weekday
+)
+SELECT t.event_type,
+       CAST(count(*) AS BIGINT) AS n_test_days,
+       round(avg(t.n_events), 6) AS actual_mean,
+       round(avg(tr.forecast), 6) AS forecast_mean,
+       round(avg(abs(t.n_events - tr.forecast)), 6) AS mae,
+       round(avg(abs(t.n_events - tr.forecast) / t.n_events), 6) AS mape
+FROM split t JOIN train tr
+  ON tr.event_type = t.event_type AND tr.weekday = t.weekday
+WHERE t.is_test
+GROUP BY t.event_type ORDER BY t.event_type
+""",
+    notes="seasonal-naive forecast backtest: last-7-day holdout scored "
+    "against training weekday means (MAE/MAPE per type) — the baseline "
+    "every forecast model must beat; weekday = days-since-epoch mod 7 "
+    "(engine-portable; dayofweek() origins differ)",
+)(lambda spark: events_ops.forecast_backtest(spark))
+
+
+_register(
+    "rel_cohort_repurchase",
+    """
+WITH o AS (
+  SELECT o_custkey,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m_idx
+  FROM orders
+),
+firsts AS (
+  SELECT o_custkey, min(m_idx) AS cohort_m FROM o GROUP BY o_custkey
+),
+activity AS (
+  SELECT DISTINCT o.o_custkey, f.cohort_m, o.m_idx - f.cohort_m AS offset_m
+  FROM o JOIN firsts f ON f.o_custkey = o.o_custkey
+),
+sizes AS (
+  SELECT cohort_m, count(DISTINCT o_custkey) AS cohort_size
+  FROM firsts GROUP BY cohort_m
+)
+SELECT CAST(floor(a.cohort_m / 12.0) AS INT) AS cohort_year,
+       CAST(a.cohort_m % 12 + 1 AS INT) AS cohort_month,
+       CAST(a.offset_m AS INT) AS offset_m,
+       CAST(count(DISTINCT a.o_custkey) AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       round(count(DISTINCT a.o_custkey) * 1.0 / s.cohort_size, 6)
+         AS retention
+FROM activity a JOIN sizes s ON s.cohort_m = a.cohort_m
+GROUP BY a.cohort_m, a.offset_m, s.cohort_size
+ORDER BY cohort_year, cohort_month, offset_m
+""",
+    notes="cohort repurchase matrix over orders: first-order-month "
+    "cohorts x month offsets, retention = active/cohort_size; "
+    "zero-based month index (year*12 + month - 1) keeps December in "
+    "its own year — exact integer arithmetic both engines",
+)(lambda spark: relational.cohort_repurchase_matrix(spark))
