@@ -644,3 +644,78 @@ def test_cohort_repurchase_planted_december_and_offset(spark):
         assert len(jan) == 1 and jan[0]["offset_m"] == 0
     finally:
         orders0.createOrReplaceTempView("orders")
+
+
+# ---------------------------------------------------------------------------
+# dedup_minhash_editdist (block-then-verify composition)
+# ---------------------------------------------------------------------------
+
+def test_minhash_editdist_recall_vs_blocked_exact(spark):
+    """Every high-similarity pair the length-band exact operator finds
+    must also survive the LSH-candidates + verify pipeline (banding at
+    16x4 targets the >= 0.7 Jaccard region, and 0.8+ edit similarity on
+    this corpus implies it), and the verify floor holds on every
+    reported pair."""
+    exact = {
+        (r["doc_id_a"], r["doc_id_b"]): r["similarity"]
+        for r in dedup.edit_distance_pairs(spark, min_similarity=0.8).collect()
+    }
+    lsh = {
+        (r["doc_id_a"], r["doc_id_b"]): r["similarity"]
+        for r in dedup.minhash_editdist_verify(spark, min_similarity=0.8).collect()
+    }
+    assert exact, "the corpus carries 0.8+ near-dups"
+    missed = set(exact) - set(lsh)
+    assert not missed, f"LSH pipeline missed exact pairs: {missed}"
+    for pair, sim in lsh.items():
+        assert sim >= 0.8
+        assert pair[0] < pair[1]
+    # identical values where both report
+    for pair in set(exact) & set(lsh):
+        assert exact[pair] == lsh[pair]
+
+
+def test_minhash_editdist_verify_floor_bites(spark):
+    """The verify stage must cut below the floor. On this corpus every
+    LSH candidate is a genuine near-dup (precision 1.0 at 16x4 banding),
+    so the bite is proven two ways: (a) a floor derived from the
+    observed similarity distribution (its median) keeps a strict
+    non-empty subset, and (b) a planted UPPERCASED copy of an original —
+    shingling lowercases, so the MinHash signature is IDENTICAL and LSH
+    must collide in every band, while Levenshtein sees every alpha char
+    differ — enters the candidate set and is dropped by the verify
+    floor."""
+    scored = dedup.minhash_editdist_verify(spark, min_similarity=0.0).collect()
+    sims = sorted(r["similarity"] for r in scored)
+    assert len(sims) >= 2 and sims[0] < sims[-1]
+    mid = sims[len(sims) // 2]
+    tight = dedup.minhash_editdist_verify(spark, min_similarity=mid).collect()
+    assert 0 < len(tight) < len(scored)
+
+    docs0 = spark.table("documents")
+    src = docs0.orderBy("doc_id").first()
+    shouting = src["text"].upper()
+    assert shouting != src["text"]
+    plant = spark.createDataFrame(
+        [(10**9, shouting, src["lang"], src["source"], len(shouting))],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    try:
+        docs0.unionByName(plant).createOrReplaceTempView("documents")
+        cands = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in dedup.minhash_candidates(spark).collect()
+        }
+        planted_pairs = {p for p in cands if 10**9 in p}
+        assert (src["doc_id"], 10**9) in planted_pairs, (
+            "identical shingle set must collide in LSH"
+        )
+        verified = {
+            (r["doc_id_a"], r["doc_id_b"])
+            for r in dedup.minhash_editdist_verify(
+                spark, min_similarity=0.8
+            ).collect()
+        }
+        assert not (planted_pairs & verified), "case-flip must fail verify"
+    finally:
+        docs0.createOrReplaceTempView("documents")

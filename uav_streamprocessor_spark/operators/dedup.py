@@ -915,3 +915,49 @@ def ngram_novelty_by_source(spark: SparkSession, n: int = 3) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def minhash_editdist_verify(
+    spark: SparkSession, min_similarity: float = 0.8
+) -> DataFrame:
+    """The 100 TB near-dup shape, ASSEMBLED (not just documented):
+    MinHash+LSH candidate generation bounds the pair set, exact
+    Levenshtein verifies each candidate — block-then-verify, the
+    industrial two-stage pipeline (edit_distance_pairs' length-band
+    blocking is the small-corpus oracle-checkable stand-in; its
+    docstring points here).
+
+    Join shape: candidates (doc_id_a < doc_id_b, distinct) semi-bound
+    the text join — texts attach by doc_id equi-joins, so the O(len²)
+    DP runs ONLY on LSH-colliding pairs. Banding (16×4) targets the
+    ~0.7+ Jaccard region, which for same-length docs corresponds to
+    high edit similarity — the verify floor then cuts false LSH
+    collisions exactly. Rows-only (MinHash isn't SQL); the recall test
+    pins it against the blocked-exact operator's >= floor pairs."""
+    cands = minhash_candidates(spark)
+    docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
+    a = docs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("lang").alias("lang"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("len_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("len_b"),
+    )
+    lev = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    sim = 1.0 - lev.cast("double") / F.greatest("len_a", "len_b")
+    return (
+        cands.join(a, "doc_id_a")
+        .join(b, "doc_id_b")
+        .select(
+            "doc_id_a",
+            "doc_id_b",
+            "lang",
+            lev.cast("long").alias("edit_distance"),
+            F.round(sim, 6).alias("similarity"),
+        )
+        .filter(F.col("similarity") >= min_similarity)
+    )

@@ -1470,7 +1470,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # text_readability_scores, text_lang_source_chi2, dedup_edit_distance,
 # emb_dimension_variance, uav_motion_vectors, ev_prequential_zscore,
 # text_ngram_novelty, ev_dau_mau_stickiness, emb_mmr_rerank (rows-only),
-# ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase
+# ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
+# dedup_minhash_editdist (rows-only)
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5415,3 +5416,14 @@ ORDER BY cohort_year, cohort_month, offset_m
     "zero-based month index (year*12 + month - 1) keeps December in "
     "its own year — exact integer arithmetic both engines",
 )(lambda spark: relational.cohort_repurchase_matrix(spark))
+
+
+_register(
+    "dedup_minhash_editdist",
+    None,
+    notes="block-then-verify near-dup at the 100 TB shape: MinHash+LSH "
+    "candidates (one signature pass, bucket-keyed shuffle, no "
+    "all-pairs) x exact Levenshtein verify on colliding pairs only; "
+    "MinHash isn't SQL -> rows-only; recall vs the blocked-exact "
+    "dedup_edit_distance pinned in tests",
+)(lambda spark: dedup.minhash_editdist_verify(spark))
