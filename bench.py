@@ -69,6 +69,9 @@ HEADLINE = [
     # r5 session-3 additions: LM-ratio selection + composite ANN
     "text_dsir_weights",           # dual-LM build + vocab join back
     "emb_ivfpq_topk",              # IVFADC: encode pass + LUT scoring
+    # r5 session-3b additions: blocked-DP verify + gram-novelty shuffles
+    "dedup_edit_distance",         # length-band blocked Levenshtein DP
+    "text_ngram_novelty",          # first-occurrence gram attribution
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at

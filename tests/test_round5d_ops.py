@@ -719,3 +719,53 @@ def test_minhash_editdist_verify_floor_bites(spark):
         assert not (planted_pairs & verified), "case-flip must fail verify"
     finally:
         docs0.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# ev_srm_check
+# ---------------------------------------------------------------------------
+
+def test_srm_balanced_corpus_unflagged_planted_imbalance_flags(spark):
+    rows = events_ops.srm_check(spark).collect()
+    assert len(rows) == 2
+    total = sum(r["n_users"] for r in rows)
+    for r in rows:
+        assert abs(r["expected_users"] - total / 2) < 1e-6
+    # user_id % 2 over a contiguous-ish id space is balanced -> no flag
+    assert not rows[0]["srm_flag"]
+
+    # plant 300 extra EVEN-id users: the split breaks hard and flags
+    ev0 = spark.table("events")
+    extra = spark.range(300).select(
+        (F.lit(3 * 10**9) + F.col("id")).alias("event_id"),
+        F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"),
+        (F.lit(800_000) + F.col("id") * 2).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    try:
+        ev0.unionByName(extra.select(ev0.columns)).createOrReplaceTempView(
+            "events"
+        )
+        pert = events_ops.srm_check(spark).collect()
+        assert pert[0]["srm_flag"] and pert[1]["srm_flag"]
+        assert pert[0]["chi2"] > 10.83
+    finally:
+        ev0.createOrReplaceTempView("events")
+
+
+# ---------------------------------------------------------------------------
+# emb_matryoshka_overlap
+# ---------------------------------------------------------------------------
+
+def test_matryoshka_full_prefix_is_identity_and_degrades_when_cut(spark):
+    # prefix = full dimension -> the two rankings are identical
+    dim = len(spark.table("embeddings").first()["embedding"])
+    ident = similarity.matryoshka_overlap(spark, prefix_dim=dim).collect()
+    assert ident and all(r["overlap_at_k"] == 1.0 for r in ident)
+    # a 4-dim prefix of generic embeddings cannot preserve every top-k
+    brutal = similarity.matryoshka_overlap(spark, prefix_dim=4).collect()
+    assert any(r["overlap_at_k"] < 1.0 for r in brutal)
+    for r in brutal:
+        assert 0 <= r["n_overlap"] <= r["k"]

@@ -840,8 +840,9 @@ def edit_distance_pairs(
     similarity = 1 − lev/greatest(len_a, len_b), the normalized form.
     Both engines implement the identical unit-cost Levenshtein, so the
     whole operator is oracle value-checked. At 100 TB the blocking key
-    swaps to MinHash band buckets (dedup_minhash_candidates) and this
-    stays as the verify stage — same join shape."""
+    swaps to MinHash band buckets — that composition is IMPLEMENTED as
+    minhash_editdist_verify below (dedup_minhash_editdist), recall-
+    pinned against this operator; the verify join shape is the same."""
     docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
     band = F.floor(F.col("n_chars") / band_width)
     a = docs.select(

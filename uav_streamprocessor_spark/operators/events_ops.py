@@ -1411,3 +1411,48 @@ def forecast_backtest(spark: SparkSession, horizon_days: int = 7) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def srm_check(spark: SparkSession, expected_share: float = 0.5) -> DataFrame:
+    """Sample-ratio mismatch check — the first gate of every experiment
+    readout: does the observed user split match the intended assignment
+    ratio? A chi-square test on per-arm DISTINCT user counts (events
+    per user vary, so event counts would be the wrong denominator); an
+    SRM flag invalidates the experiment before any metric is read
+    (Fabijan et al., KDD'19 diagnoses). Same user_id % 2 assignment as
+    ev_cuped_readout / ev_power_analysis, so the three readouts describe
+    ONE experiment.
+
+    chi2 = Σ (obs − exp)²/exp over the two arms, df = 1; the standard
+    alarm is p < 0.001 ≈ chi2 > 10.83, precomputed as a literal (no
+    p-value special functions needed). One distinct-user shuffle; arms
+    aggregate is 2 rows."""
+    users = (
+        spark.table("events")
+        .select("user_id")
+        .distinct()
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n_users")
+    )
+    total = arms.agg(F.sum("n_users").alias("n_total"))
+    exp = F.when(
+        F.col("variant") == 1, F.col("n_total") * expected_share
+    ).otherwise(F.col("n_total") * (1.0 - expected_share))
+    with_exp = arms.crossJoin(F.broadcast(total)).withColumn("expected", exp)
+    chi2_cell = F.pow(F.col("n_users") - F.col("expected"), 2) / F.col("expected")
+    per_arm = with_exp.withColumn("chi2_cell", chi2_cell)
+    stat = per_arm.agg(F.sum("chi2_cell").alias("chi2"))
+    return (
+        per_arm.crossJoin(F.broadcast(stat))
+        .select(
+            "variant",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.round("expected", 6).alias("expected_users"),
+            F.round("chi2_cell", 6).alias("chi2_cell"),
+            F.round("chi2", 6).alias("chi2"),
+            (F.col("chi2") > 10.827566).alias("srm_flag"),
+        )
+        .orderBy("variant")
+    )

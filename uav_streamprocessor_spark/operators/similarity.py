@@ -1371,3 +1371,66 @@ def mmr_rerank(
         )
 
     return cands.groupBy("query_id").applyInPandas(select_mmr, out_schema)
+
+
+def matryoshka_overlap(
+    spark: SparkSession, n_queries: int = 5, k: int = 10, prefix_dim: int = 16
+) -> DataFrame:
+    """Matryoshka truncation audit (Kusupati et al. 2205.13147): how much
+    of each query's full-dimension top-k survives when vectors are cut
+    to their first `prefix_dim` components? MRL-trained embeddings keep
+    overlap high, letting retrieval run on 4× fewer bytes; generic
+    embeddings (this corpus) degrade — the audit MEASURES which regime
+    you're in before you ship truncated vectors.
+
+    Both rankings are the kNN shape (broadcast queries, corpus never
+    shuffles, per-query windows); overlap@k is a pair join on the two
+    top-k sets. Fully relational — slice() is the only vector op the
+    truncated side adds — so the whole audit is oracle value-checked."""
+    emb = spark.table("embeddings")
+
+    def topk(vec_expr, tag: str) -> DataFrame:
+        # the same projection on both sides: queries carry it as qvec,
+        # the corpus side evaluates it inline in the cosine
+        queries = emb.filter(F.col("vec_id") < n_queries).select(
+            F.col("vec_id").alias("query_id"),
+            vec_expr.alias("qvec"),
+        )
+        joined = emb.join(
+            F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+        )
+        sim = F.round(_cosine(F.col("qvec"), vec_expr), 6)
+        w = Window.partitionBy("query_id").orderBy(
+            F.col("cosine").desc(), F.col("vec_id")
+        )
+        return (
+            joined.select("query_id", "vec_id", sim.alias("cosine"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .select("query_id", F.col("vec_id").alias(f"vec_{tag}"))
+        )
+
+    full_topk = topk(F.col("embedding"), "full")
+    cut_topk = topk(F.slice(F.col("embedding"), 1, prefix_dim), "cut")
+    hits = full_topk.alias("f").join(
+        cut_topk.alias("c"),
+        (F.col("f.query_id") == F.col("c.query_id"))
+        & (F.col("f.vec_full") == F.col("c.vec_cut")),
+    )
+    n_hits = hits.groupBy(F.col("f.query_id").alias("query_id")).agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    base = full_topk.groupBy("query_id").agg(F.count(F.lit(1)).alias("k_eff"))
+    return (
+        base.join(n_hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k_eff").cast("long").alias("k"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)) / F.col("k_eff").cast("double"),
+                6,
+            ).alias("overlap_at_k"),
+        )
+        .orderBy("query_id")
+    )

@@ -1471,7 +1471,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # emb_dimension_variance, uav_motion_vectors, ev_prequential_zscore,
 # text_ngram_novelty, ev_dau_mau_stickiness, emb_mmr_rerank (rows-only),
 # ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
-# dedup_minhash_editdist (rows-only)
+# dedup_minhash_editdist (rows-only), ev_srm_check, emb_matryoshka_overlap
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5427,3 +5427,84 @@ _register(
     "MinHash isn't SQL -> rows-only; recall vs the blocked-exact "
     "dedup_edit_distance pinned in tests",
 )(lambda spark: dedup.minhash_editdist_verify(spark))
+
+
+_register(
+    "ev_srm_check",
+    """
+WITH users AS (SELECT DISTINCT user_id FROM events),
+arms AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(count(*) AS DOUBLE) AS n_users
+  FROM users GROUP BY 1
+),
+tot AS (SELECT sum(n_users) AS n_total FROM arms),
+pe AS (
+  SELECT variant, n_users,
+         CASE WHEN variant = 1 THEN n_total * 0.5
+              ELSE n_total * (1.0 - 0.5) END AS expected
+  FROM arms CROSS JOIN tot
+),
+pc AS (
+  SELECT *, pow(n_users - expected, 2) / expected AS chi2_cell FROM pe
+),
+st AS (SELECT sum(chi2_cell) AS chi2 FROM pc)
+SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+       round(expected, 6) AS expected_users,
+       round(chi2_cell, 6) AS chi2_cell,
+       round(chi2, 6) AS chi2,
+       chi2 > 10.827566 AS srm_flag
+FROM pc CROSS JOIN st ORDER BY variant
+""",
+    notes="sample-ratio mismatch gate (chi-square on per-arm DISTINCT "
+    "user counts vs the intended split; alarm at p < 0.001 == chi2 > "
+    "10.83 literal, df=1) — same user_id %% 2 assignment as "
+    "ev_cuped_readout/ev_power_analysis so the three describe one "
+    "experiment",
+)(lambda spark: events_ops.srm_check(spark))
+
+
+_register(
+    "emb_matryoshka_overlap",
+    """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qfull, embedding[1:16] AS qcut
+  FROM embeddings WHERE vec_id < 5
+),
+pairs AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(e.embedding, q.qfull), 6) AS cos_full,
+         round(list_cosine_similarity(e.embedding[1:16], q.qcut), 6)
+           AS cos_cut
+  FROM embeddings e JOIN q ON e.vec_id <> q.query_id
+),
+tf AS (
+  SELECT query_id, vec_id, row_number() OVER
+           (PARTITION BY query_id ORDER BY cos_full DESC, vec_id) AS r
+  FROM pairs
+),
+tc AS (
+  SELECT query_id, vec_id, row_number() OVER
+           (PARTITION BY query_id ORDER BY cos_cut DESC, vec_id) AS r
+  FROM pairs
+),
+f10 AS (SELECT query_id, vec_id FROM tf WHERE r <= 10),
+c10 AS (SELECT query_id, vec_id FROM tc WHERE r <= 10),
+hits AS (
+  SELECT f10.query_id, count(*) AS n_overlap
+  FROM f10 JOIN c10
+    ON f10.query_id = c10.query_id AND f10.vec_id = c10.vec_id
+  GROUP BY f10.query_id
+),
+base AS (SELECT query_id, count(*) AS k_eff FROM f10 GROUP BY query_id)
+SELECT b.query_id, CAST(k_eff AS BIGINT) AS k,
+       CAST(coalesce(n_overlap, 0) AS BIGINT) AS n_overlap,
+       round(coalesce(n_overlap, 0) * 1.0 / k_eff, 6) AS overlap_at_k
+FROM base b LEFT JOIN hits h ON h.query_id = b.query_id
+ORDER BY b.query_id
+""",
+    notes="Matryoshka truncation audit (MRL 2205.13147): top-k overlap "
+    "between full-dim and first-16-dim cosine rankings per query — "
+    "measures whether truncated retrieval is safe; both rankings are "
+    "the broadcast-queries kNN shape, fully oracle value-checked",
+)(lambda spark: similarity.matryoshka_overlap(spark))
