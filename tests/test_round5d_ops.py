@@ -769,3 +769,113 @@ def test_matryoshka_full_prefix_is_identity_and_degrades_when_cut(spark):
     assert any(r["overlap_at_k"] < 1.0 for r in brutal)
     for r in brutal:
         assert 0 <= r["n_overlap"] <= r["k"]
+
+
+# ---------------------------------------------------------------------------
+# uav_class_cooccurrence
+# ---------------------------------------------------------------------------
+
+def test_class_cooccurrence_exact_lift_on_planted_scene(spark):
+    """10 frames: car+person share frames 0-4 (lift 2: together twice as
+    often as independence predicts), dog holds frames 5-9 alone (never
+    pairs). Lift arithmetic verified exactly."""
+    rows = []
+    det_id = 0
+    for f in range(5):
+        for cls_id, cls in [(2, "car"), (0, "person")]:
+            rows.append((det_id, "camP", f * 30, 0, 0, 10, 10, 0.9, cls_id, cls))
+            det_id += 1
+    for f in range(5, 10):
+        rows.append((det_id, "camP", f * 30, 0, 0, 10, 10, 0.9, 16, "dog"))
+        det_id += 1
+    planted = spark.createDataFrame(
+        rows,
+        "det_id long, camera_id string, frame_number long, x_min int, "
+        "y_min int, x_max int, y_max int, confidence double, class_id int, "
+        "class_name string",
+    )
+    out = {(r["class_a"], r["class_b"]): r
+           for r in uav_extra.class_cooccurrence(planted).collect()}
+    assert set(out) == {("car", "person")}
+    r = out[("car", "person")]
+    assert r["n_both"] == 5 and r["n_a"] == 5 and r["n_b"] == 5
+    assert r["lift"] == 2.0  # 5 shared * 10 frames / (5 * 5)
+
+
+def test_class_cooccurrence_corpus_bounds(spark):
+    rows = uav_extra.class_cooccurrence(spark.table("detections")).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert r["lift"] > 0
+        assert r["class_a"] < r["class_b"]
+
+
+# ---------------------------------------------------------------------------
+# ev_bot_regularity
+# ---------------------------------------------------------------------------
+
+def test_bot_regularity_flags_planted_metronome(spark):
+    ev0 = spark.table("events")
+    bot = spark.range(25).select(
+        (F.lit(4 * 10**9) + F.col("id")).alias("event_id"),
+        F.expr(
+            "timestamp '2099-01-01 00:00:00' + make_interval(0,0,0,0,0,id,0)"
+        ).alias("ts"),
+        F.lit(850_000).cast("long").alias("user_id"),
+        F.lit("view").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    try:
+        ev0.unionByName(bot.select(ev0.columns)).createOrReplaceTempView("events")
+        rows = {r["user_id"]: r for r in events_ops.bot_regularity_screen(spark).collect()}
+        b = rows[850_000]
+        assert b["n_events"] == 25
+        assert b["mean_gap_s"] == 60.0
+        assert b["gap_cv"] == 0.0
+        assert b["bot_flag"]
+        # organic users are bursty — none should look metronomic
+        organic_flags = [r["bot_flag"] for u, r in rows.items() if u != 850_000]
+        assert organic_flags and not any(organic_flags)
+    finally:
+        ev0.createOrReplaceTempView("events")
+
+
+def test_bot_regularity_threshold_monotone(spark):
+    loose = {r["user_id"] for r in
+             events_ops.bot_regularity_screen(spark, cv_threshold=5.0).collect()
+             if r["bot_flag"]}
+    tight = {r["user_id"] for r in
+             events_ops.bot_regularity_screen(spark, cv_threshold=0.01).collect()
+             if r["bot_flag"]}
+    assert tight <= loose
+    assert len(loose) > 0  # cv 5 catches essentially everyone reported
+
+
+# ---------------------------------------------------------------------------
+# emb_centroid_separation
+# ---------------------------------------------------------------------------
+
+def test_centroid_separation_bounds_and_planted_twin_label(spark):
+    rows = similarity.centroid_separation(spark).collect()
+    n_labels = spark.table("embeddings").select("label").distinct().count()
+    assert len(rows) == n_labels * (n_labels - 1) // 2
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["centroid_cosine"] <= 1.0 + 1e-9
+
+    emb0 = spark.table("embeddings")
+    twin = emb0.filter(F.col("label") == 0).select(
+        (F.col("vec_id") + 10**9).alias("vec_id"),
+        "embedding",
+        F.lit(99).cast("int").alias("label"),
+    )
+    try:
+        emb0.unionByName(twin).createOrReplaceTempView("embeddings")
+        pert = {
+            (r["label_a"], r["label_b"]): r["centroid_cosine"]
+            for r in similarity.centroid_separation(spark).collect()
+        }
+        assert pert[(0, 99)] == 1.0  # identical centroids
+    finally:
+        emb0.createOrReplaceTempView("embeddings")

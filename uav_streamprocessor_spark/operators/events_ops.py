@@ -1456,3 +1456,44 @@ def srm_check(spark: SparkSession, expected_share: float = 0.5) -> DataFrame:
         )
         .orderBy("variant")
     )
+
+
+def bot_regularity_screen(
+    spark: SparkSession, min_events: int = 20, cv_threshold: float = 0.3
+) -> DataFrame:
+    """Bot-likeness screen on inter-event timing: human activity has
+    bursty, high-variance gaps; scripted clients fire on near-constant
+    intervals. Per user with >= min_events events, the coefficient of
+    variation (stddev/mean) of consecutive gaps — cv below the
+    threshold flags metronomic traffic. The behavioral complement of
+    volume screens (rate limiting) and value screens (z-scores): a
+    slow-but-perfectly-regular scraper passes both and fails this.
+
+    One per-user lag window (exact integer µs gaps), one user-keyed
+    aggregate; the flag recomputes from reported stats so the oracle
+    value-checks the rule, not just the arithmetic."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        spark.table("events")
+        .withColumn("gap_us", us - F.lag(us).over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    stats = gaps.groupBy("user_id").agg(
+        (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
+        F.avg("gap_us").alias("mean_gap_us"),
+        F.stddev_samp("gap_us").alias("sd_gap_us"),
+    )
+    cv = F.col("sd_gap_us") / F.col("mean_gap_us")
+    return (
+        stats.filter(
+            (F.col("n_events") >= min_events) & (F.col("mean_gap_us") > 0)
+        )
+        .select(
+            "user_id",
+            "n_events",
+            F.round((F.col("mean_gap_us") / 1e6), 6).alias("mean_gap_s"),
+            F.round(cv, 6).alias("gap_cv"),
+            (cv < cv_threshold).alias("bot_flag"),
+        )
+    )

@@ -1434,3 +1434,49 @@ def matryoshka_overlap(
         )
         .orderBy("query_id")
     )
+
+
+def centroid_separation(spark: SparkSession) -> DataFrame:
+    """Label-to-label centroid cosine matrix — the inter-class
+    separability audit (which labels will a nearest-centroid classifier
+    confuse?). Complements label_noise_screen: that flags single
+    vectors, this flags entire label PAIRS whose centers nearly
+    coincide.
+
+    Centroids come from the posexplode layout (dims × labels rows, one
+    map-side-combined aggregate); the pair matrix is labels² — tiny —
+    and the cosine is computed dimension-wise on the joined centroid
+    rows, so no vector re-assembly is needed. Fully oracle-checkable
+    (unnest-zip in DuckDB)."""
+    emb = spark.table("embeddings")
+    cent = (
+        emb.select(
+            "label", F.posexplode(F.col("embedding").cast("array<double>"))
+        )
+        .toDF("label", "pos", "v")
+        .groupBy("label", "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+    a = cent.select(
+        F.col("label").alias("label_a"), "pos", F.col("c").alias("ca")
+    )
+    b = cent.select(
+        F.col("label").alias("label_b"), "pos", F.col("c").alias("cb")
+    )
+    dots = (
+        a.join(b, "pos")
+        .filter(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("ca") * F.col("cb")).alias("dot"),
+            F.sqrt(F.sum(F.col("ca") * F.col("ca"))).alias("na"),
+            F.sqrt(F.sum(F.col("cb") * F.col("cb"))).alias("nb"),
+        )
+    )
+    return dots.select(
+        "label_a",
+        "label_b",
+        F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+            "centroid_cosine"
+        ),
+    ).orderBy("label_a", "label_b")

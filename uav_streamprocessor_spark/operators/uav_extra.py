@@ -330,3 +330,68 @@ def motion_vectors(detections: DataFrame) -> DataFrame:
         )
         .orderBy("camera_id", "class_name")
     )
+
+
+def class_cooccurrence(detections: DataFrame) -> DataFrame:
+    """Class co-occurrence lift across keyframes: for each unordered
+    class pair, how often they share a (camera, frame) vs what
+    independence predicts — lift = p(a∧b) / (p(a)·p(b)) over frames.
+    Lift ≫ 1 is scene structure ('person' rides with 'car' at crossings)
+    the per-class counts can't show; the command-center analytics the
+    reference's per-frame POSTs feed into.
+
+    Frame-level presence first (distinct class per frame — box counts
+    don't inflate the statistic), then a self-join on the frame key:
+    pair rows are bounded by (classes-per-frame choose 2) per frame,
+    never all-pairs across frames. Lift denominators ride a 1-row
+    broadcast scalar. All classes participate (only the confidence
+    gate applies — a co-occurrence matrix restricted to the 2-class
+    whitelist would be a single cell)."""
+    present = (
+        detections.filter(F.col("confidence") >= 0.4)
+        .select("camera_id", "frame_number", "class_name")
+        .distinct()
+    )
+    frames_total = (
+        present.select("camera_id", "frame_number")
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("double").alias("n_frames"))
+    )
+    per_class = present.groupBy("class_name").agg(
+        F.count(F.lit(1)).alias("n_class")
+    )
+    a = present.select(
+        "camera_id", "frame_number", F.col("class_name").alias("class_a")
+    )
+    b = present.select(
+        "camera_id", "frame_number", F.col("class_name").alias("class_b")
+    )
+    pairs = (
+        a.join(b, ["camera_id", "frame_number"])
+        .filter(F.col("class_a") < F.col("class_b"))
+        .groupBy("class_a", "class_b")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    ca = per_class.select(
+        F.col("class_name").alias("class_a"), F.col("n_class").alias("n_a")
+    )
+    cb = per_class.select(
+        F.col("class_name").alias("class_b"), F.col("n_class").alias("n_b")
+    )
+    lift = (F.col("n_both") * F.col("n_frames")) / (
+        F.col("n_a") * F.col("n_b")
+    )
+    return (
+        pairs.join(F.broadcast(ca), "class_a")
+        .join(F.broadcast(cb), "class_b")
+        .crossJoin(F.broadcast(frames_total))
+        .select(
+            "class_a",
+            "class_b",
+            F.col("n_both").cast("long").alias("n_both"),
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(lift, 6).alias("lift"),
+        )
+        .orderBy("class_a", "class_b")
+    )

@@ -1471,7 +1471,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # emb_dimension_variance, uav_motion_vectors, ev_prequential_zscore,
 # text_ngram_novelty, ev_dau_mau_stickiness, emb_mmr_rerank (rows-only),
 # ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
-# dedup_minhash_editdist (rows-only), ev_srm_check, emb_matryoshka_overlap
+# dedup_minhash_editdist (rows-only), ev_srm_check, emb_matryoshka_overlap,
+# uav_class_cooccurrence, ev_bot_regularity, emb_centroid_separation
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5508,3 +5509,96 @@ ORDER BY b.query_id
     "measures whether truncated retrieval is safe; both rankings are "
     "the broadcast-queries kNN shape, fully oracle value-checked",
 )(lambda spark: similarity.matryoshka_overlap(spark))
+
+
+_register(
+    "uav_class_cooccurrence",
+    with_fixture_ctes(
+        """
+, det AS (SELECT * FROM detections WHERE confidence >= 0.4),
+present AS (
+  SELECT DISTINCT camera_id, frame_number, class_name FROM det
+),
+ft AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_frames
+  FROM (SELECT DISTINCT camera_id, frame_number FROM present)
+),
+pc AS (
+  SELECT class_name, count(*) AS n_class FROM present GROUP BY class_name
+),
+pairs AS (
+  SELECT a.class_name AS class_a, b.class_name AS class_b,
+         count(*) AS n_both
+  FROM present a JOIN present b
+    ON a.camera_id = b.camera_id AND a.frame_number = b.frame_number
+   AND a.class_name < b.class_name
+  GROUP BY 1, 2
+)
+SELECT class_a, class_b, CAST(n_both AS BIGINT) AS n_both,
+       CAST(ca.n_class AS BIGINT) AS n_a,
+       CAST(cb.n_class AS BIGINT) AS n_b,
+       round((n_both * n_frames) / (ca.n_class * cb.n_class), 6) AS lift
+FROM pairs
+JOIN pc ca ON ca.class_name = pairs.class_a
+JOIN pc cb ON cb.class_name = pairs.class_b
+CROSS JOIN ft ORDER BY class_a, class_b
+"""
+    ),
+    notes="class co-occurrence lift over keyframes (frame-level "
+    "presence, pair join bounded per frame, scalar denominators "
+    "broadcast) — scene-structure analytics downstream of the "
+    "reference's per-frame POSTs",
+)(lambda spark: uav_extra.class_cooccurrence(spark.table("detections")))
+
+
+_register(
+    "ev_bot_regularity",
+    """
+WITH g AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER
+           (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+  FROM events
+),
+s AS (
+  SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
+         avg(gap_us) AS mean_gap_us, stddev_samp(gap_us) AS sd_gap_us
+  FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+)
+SELECT user_id, n_events,
+       round(mean_gap_us / 1000000.0, 6) AS mean_gap_s,
+       round(sd_gap_us / mean_gap_us, 6) AS gap_cv,
+       (sd_gap_us / mean_gap_us) < 0.3 AS bot_flag
+FROM s WHERE n_events >= 20 AND mean_gap_us > 0
+""",
+    notes="bot-likeness screen: coefficient of variation of inter-event "
+    "gaps per user (metronomic traffic has cv << 1 — the behavioral "
+    "complement of volume/value screens); one lag window + one "
+    "user-keyed aggregate",
+)(lambda spark: events_ops.bot_regularity_screen(spark))
+
+
+_register(
+    "emb_centroid_separation",
+    """
+WITH flat AS (
+  SELECT label, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT label, pos, avg(v) AS c FROM flat GROUP BY label, pos),
+d AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         sum(a.c * b.c) AS dot,
+         sqrt(sum(a.c * a.c)) AS na, sqrt(sum(b.c * b.c)) AS nb
+  FROM cent a JOIN cent b ON a.pos = b.pos AND a.label < b.label
+  GROUP BY 1, 2
+)
+SELECT label_a, label_b, round(dot / (na * nb), 6) AS centroid_cosine
+FROM d ORDER BY label_a, label_b
+""",
+    notes="label-pair centroid cosine matrix (inter-class separability "
+    "— which labels a nearest-centroid classifier confuses); centroids "
+    "from the posexplode layout, pair matrix is labels^2, cosine "
+    "computed dimension-wise on joined centroid rows",
+)(lambda spark: similarity.centroid_separation(spark))
