@@ -167,3 +167,42 @@ def test_no_cartesian_product_anywhere(spark):
         if "CartesianProduct" in formatted_plan(spec.build(spark, SF_SMALL)):
             offenders.append(spec.name)
     assert not offenders, f"cartesian products: {offenders}"
+
+
+# --- round-5 session-3 plan shapes ---
+
+def test_edit_distance_blocks_join_on_band_key(spark):
+    """The Levenshtein verify must ride a key-partitioned join on the
+    length band (hash or sort-merge on `band`) — never a nested loop,
+    which would evaluate the O(len²) DP for all pairs."""
+    plan = _plan(spark, "dedup_edit_distance")
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    ), f"no keyed join on band\n{plan[:1500]}"
+
+
+def test_dau_mau_broadcasts_day_spine(spark):
+    """The trailing-window range join must broadcast the O(days) spine
+    (BroadcastNestedLoopJoin over a BroadcastExchange) — the deduped
+    (day, user) side must never be the built side."""
+    plan = _plan(spark, "ev_dau_mau_stickiness")
+    assert "BroadcastExchange" in plan, plan[:1500]
+
+
+def test_matryoshka_both_rankings_broadcast_queries(spark):
+    """Both the full-dim and the prefix-dim kNN stages broadcast the
+    query side — two broadcast joins, corpus never shuffles for them."""
+    plan = _plan(spark, "emb_matryoshka_overlap")
+    assert plan.count("BroadcastNestedLoopJoin") >= 2 or (
+        "BroadcastExchange" in plan
+    ), plan[:1500]
+
+
+def test_minhash_editdist_signature_planned_once(spark):
+    """The composed block-then-verify pipeline inherits the one-
+    signature-pass property of minhash_candidates."""
+    df = _Q["dedup_minhash_editdist"](spark, SF_SMALL)
+    df.collect()
+    plan = formatted_plan(df).split("== Initial Plan ==")[0]
+    assert plan.count("ArrowEvalPython") == 1, plan[:1500]
