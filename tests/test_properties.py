@@ -103,3 +103,70 @@ def test_banding_finds_every_pair_within_hamming_3(base, flips):
         for band in range(4)
     )
     assert shares_band
+
+
+# --- streaming Welford kernel (anomaly_stream) ---
+
+class _FakeState:
+    def __init__(self):
+        self.exists = False
+        self.get = None
+
+    def update(self, v):
+        self.exists = True
+        self.get = v
+
+
+def _run_welford(chunks):
+    """Drive the processor across chunk boundaries with threaded state,
+    exactly as applyInPandasWithState would."""
+    import pandas as pd
+
+    from uav_streamprocessor_spark.streaming.anomaly_stream import (
+        make_welford_processor,
+    )
+
+    proc = make_welford_processor()
+    state = _FakeState()
+    outs = []
+    t = 0
+    for chunk in chunks:
+        pdf = pd.DataFrame(
+            {
+                "user_id": 1,
+                "event_id": range(t, t + len(chunk)),
+                "ts_us": range(t, t + len(chunk)),
+                "value": chunk,
+            }
+        )
+        t += len(chunk)
+        outs.append(next(proc((1,), iter([pdf]), state)))
+    return pd.concat(outs, ignore_index=True)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    values=st.lists(
+        st.floats(
+            min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False
+        ),
+        min_size=3,
+        max_size=40,
+    ),
+    cut=st.integers(min_value=0, max_value=39),
+)
+def test_welford_prequential_z_matches_two_pass_and_split_invariant(values, cut):
+    cut = min(cut, len(values) - 1)
+    whole = _run_welford([values])
+    split = _run_welford([values[:cut], values[cut:]])
+    # batch boundaries are irrelevant: identical output row-for-row
+    assert whole["z"].equals(split["z"])
+    # each emitted z equals the naive two-pass prefix statistics
+    for i in range(len(values)):
+        prior = np.array(values[:i], dtype=np.float64)
+        z = whole["z"].iloc[i]
+        if len(prior) < 2 or float(prior.std(ddof=1)) == 0.0:
+            assert z is None or np.isnan(z)
+        else:
+            expected = (values[i] - prior.mean()) / prior.std(ddof=1)
+            assert np.isclose(z, expected, rtol=1e-7, atol=1e-9)
