@@ -879,3 +879,22 @@ def test_centroid_separation_bounds_and_planted_twin_label(spark):
         assert pert[(0, 99)] == 1.0  # identical centroids
     finally:
         emb0.createOrReplaceTempView("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# rel_incremental_agg
+# ---------------------------------------------------------------------------
+
+def test_incremental_agg_merge_equals_recompute_and_covers_all_days(spark):
+    """The oracle proves merge == recompute by value hash; here the
+    structural half: every order day appears once, counts conserve, and
+    the newest day (the delta partition) is present."""
+    rows = relational.incremental_daily_revenue(spark).collect()
+    o = spark.table("orders")
+    n_days = o.select(F.to_date("o_orderdate")).distinct().count()
+    assert len(rows) == n_days
+    assert sum(r["n_orders"] for r in rows) == o.count()
+    max_day = o.agg(F.max(F.to_date("o_orderdate"))).first()[0]
+    assert rows[-1]["day"] == max_day  # delta day merged in, ordered last
+    for r in rows:
+        assert abs(r["avg_order"] - round(r["revenue"] / r["n_orders"], 6)) < 1e-9

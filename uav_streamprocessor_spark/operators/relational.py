@@ -1540,3 +1540,53 @@ def cohort_repurchase_matrix(spark: SparkSession) -> DataFrame:
         )
         .orderBy("cohort_year", "cohort_month", "offset_m")
     )
+
+
+def incremental_daily_revenue(spark: SparkSession) -> DataFrame:
+    """Incremental aggregate maintenance (IVM): the daily revenue rollup
+    computed the way a warehouse REFRESHES it — a maintained base
+    aggregate (all days before the newest) merged with the newest day's
+    delta via partial-aggregate union — rather than recomputed from
+    scratch. The oracle IS the from-scratch aggregate, so the value
+    hash proves merge-maintenance ≡ recompute, the IVM correctness
+    property, not just this query's output.
+
+    count/sum are the mergeable forms (avg re-derives as sum/count at
+    read time — never merge averages). At scale the base aggregate is a
+    stored table and only the delta partition scans; here both derive
+    from the corpus with the split on max(o_orderdate), broadcast as a
+    scalar."""
+    o = _t(spark, "orders").select(
+        F.to_date("o_orderdate").alias("day"), "o_totalprice"
+    )
+    mx = o.agg(F.max("day").alias("max_day"))
+    tagged = o.crossJoin(F.broadcast(mx))
+    base = (
+        tagged.filter(F.col("day") < F.col("max_day"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+    )
+    delta = (
+        tagged.filter(F.col("day") == F.col("max_day"))
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("o_totalprice").alias("revenue"),
+        )
+    )
+    merged = (
+        base.unionByName(delta)
+        .groupBy("day")
+        .agg(
+            F.sum("n_orders").cast("long").alias("n_orders"),
+            F.round(F.sum("revenue"), 2).alias("revenue"),
+        )
+        .withColumn(
+            "avg_order",
+            F.round(F.col("revenue") / F.col("n_orders"), 6),
+        )
+    )
+    return merged.orderBy("day")

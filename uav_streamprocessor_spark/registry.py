@@ -1472,7 +1472,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # text_ngram_novelty, ev_dau_mau_stickiness, emb_mmr_rerank (rows-only),
 # ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
 # dedup_minhash_editdist (rows-only), ev_srm_check, emb_matryoshka_overlap,
-# uav_class_cooccurrence, ev_bot_regularity, emb_centroid_separation
+# uav_class_cooccurrence, ev_bot_regularity, emb_centroid_separation,
+# rel_incremental_agg
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5602,3 +5603,21 @@ FROM d ORDER BY label_a, label_b
     "from the posexplode layout, pair matrix is labels^2, cosine "
     "computed dimension-wise on joined centroid rows",
 )(lambda spark: similarity.centroid_separation(spark))
+
+
+_register(
+    "rel_incremental_agg",
+    """
+SELECT CAST(o_orderdate AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue,
+       round(round(sum(o_totalprice), 2) / count(*), 6) AS avg_order
+FROM orders GROUP BY 1 ORDER BY day
+""",
+    notes="incremental view maintenance: the Spark side MERGES a "
+    "maintained base aggregate with the newest day's delta (partial-"
+    "aggregate union — the warehouse refresh path); the oracle "
+    "recomputes from scratch, so the value hash proves merge == "
+    "recompute (the IVM correctness property); avg re-derives from "
+    "mergeable count/sum",
+)(lambda spark: relational.incremental_daily_revenue(spark))
