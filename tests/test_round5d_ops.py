@@ -898,3 +898,52 @@ def test_incremental_agg_merge_equals_recompute_and_covers_all_days(spark):
     assert rows[-1]["day"] == max_day  # delta day merged in, ordered last
     for r in rows:
         assert abs(r["avg_order"] - round(r["revenue"] / r["n_orders"], 6)) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# rel_t_closeness
+# ---------------------------------------------------------------------------
+
+def test_t_closeness_bounds_and_planted_skewed_class(spark):
+    rows = relational.t_closeness_audit(spark).collect()
+    n_classes = spark.table("customer").select("c_nationkey").distinct().count()
+    assert len(rows) == n_classes
+    for r in rows:
+        assert 0.0 <= r["t_emd"] <= 1.0  # EMD over probability vectors
+
+    # plant a nation whose members sit ENTIRELY in the global top tail:
+    # its decile distribution concentrates in bucket 9 -> near-max EMD
+    cust0 = spark.table("customer")
+    top = cust0.agg(F.max("c_acctbal")).first()[0]
+    skew = spark.range(30).select(
+        (F.lit(10**6) + F.col("id")).alias("c_custkey"),
+        F.lit(999).cast("int").alias("c_nationkey"),
+        F.lit("SKEWED").alias("c_mktsegment"),
+        (F.lit(float(top)) + F.col("id") + 1).alias("c_acctbal"),
+    )
+    cols = ["c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"]
+    try:
+        cust0.select(cols).unionByName(skew).createOrReplaceTempView("customer")
+        pert = {r["c_nationkey"]: r for r in relational.t_closeness_audit(spark).collect()}
+        planted = pert[999]
+        assert planted["t_flag"]
+        # every other class's EMD stays below the planted outlier's
+        assert all(
+            r["t_emd"] <= planted["t_emd"] for r in pert.values()
+        )
+    finally:
+        cust0.createOrReplaceTempView("customer")
+
+
+def test_t_closeness_uniform_population_scores_zero(spark):
+    """A single-class population IS the population: EMD exactly 0."""
+    cust0 = spark.table("customer")
+    try:
+        cust0.withColumn(
+            "c_nationkey", F.lit(1).cast("int")
+        ).createOrReplaceTempView("customer")
+        rows = relational.t_closeness_audit(spark).collect()
+        assert len(rows) == 1 and rows[0]["t_emd"] == 0.0
+        assert not rows[0]["t_flag"]
+    finally:
+        cust0.createOrReplaceTempView("customer")

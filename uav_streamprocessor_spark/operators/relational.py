@@ -1590,3 +1590,79 @@ def incremental_daily_revenue(spark: SparkSession) -> DataFrame:
         )
     )
     return merged.orderBy("day")
+
+
+def t_closeness_audit(spark: SparkSession, t_threshold: float = 0.2) -> DataFrame:
+    """t-closeness audit (Li et al., ICDE'07) — completes the
+    k-anonymity → l-diversity → t-closeness triad: a class can be
+    diverse yet still leak when its sensitive-attribute DISTRIBUTION
+    differs sharply from the population's (the skewness attack).
+    Quasi-identifier: c_nationkey; sensitive: c_acctbal bucketed by
+    global deciles. For an ordered attribute the right distance is
+    Earth Mover's, which over ordered equal-probability buckets reduces
+    to the mean |cumulative difference| — exactly computable
+    relationally.
+
+    Shapes (same posture as the sibling audits): decile breakpoints are
+    ONE exact-percentile scalar aggregate broadcast back as literals
+    (the score_normalization pattern — no global window anywhere);
+    the (class × bucket) grid is |QI| × 10 rows built from the class
+    list crossed with a literal bucket spine, so zero-count buckets
+    participate in the cumulative; the EMD folds over a 10-row window
+    per class."""
+    customer = spark.table("customer").select("c_nationkey", "c_acctbal")
+    qs = [i / 10.0 for i in range(1, 10)]
+    breaks = customer.agg(
+        *[
+            F.percentile("c_acctbal", F.lit(q)).alias(f"p{int(q * 10)}")
+            for q in qs
+        ]
+    )
+    bucket = sum(
+        (F.col("c_acctbal") > F.col(f"p{i}")).cast("int") for i in range(1, 10)
+    )
+    bucketed = customer.crossJoin(F.broadcast(breaks)).select(
+        "c_nationkey", bucket.alias("bucket")
+    )
+    global_counts = bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("g_n")
+    )
+    class_counts = bucketed.groupBy("c_nationkey", "bucket").agg(
+        F.count(F.lit(1)).alias("c_n")
+    )
+    classes = bucketed.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).alias("class_size")
+    )
+    spine = spark.range(10).select(F.col("id").cast("int").alias("bucket"))
+    total = global_counts.agg(
+        F.sum("g_n").cast("double").alias("n_total")
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(spine))
+        .join(class_counts, ["c_nationkey", "bucket"], "left")
+        .join(F.broadcast(global_counts), "bucket", "left")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "c_nationkey",
+            "class_size",
+            "bucket",
+            (F.coalesce("c_n", F.lit(0)) / F.col("class_size")).alias("c_p"),
+            (F.coalesce("g_n", F.lit(0)) / F.col("n_total")).alias("g_p"),
+        )
+    )
+    cum = Window.partitionBy("c_nationkey").orderBy("bucket").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    emd = F.avg(
+        F.abs(F.sum("c_p").over(cum) - F.sum("g_p").over(cum))
+    ).over(Window.partitionBy("c_nationkey"))
+    return (
+        grid.withColumn("emd", emd)
+        .groupBy("c_nationkey")
+        .agg(
+            F.max("class_size").cast("long").alias("class_size"),
+            F.round(F.max("emd"), 6).alias("t_emd"),
+        )
+        .withColumn("t_flag", F.col("t_emd") > t_threshold)
+        .orderBy("c_nationkey")
+    )

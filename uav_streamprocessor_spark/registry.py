@@ -1473,7 +1473,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
 # dedup_minhash_editdist (rows-only), ev_srm_check, emb_matryoshka_overlap,
 # uav_class_cooccurrence, ev_bot_regularity, emb_centroid_separation,
-# rel_incremental_agg
+# rel_incremental_agg, rel_t_closeness
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5621,3 +5621,70 @@ FROM orders GROUP BY 1 ORDER BY day
     "recompute (the IVM correctness property); avg re-derives from "
     "mergeable count/sum",
 )(lambda spark: relational.incremental_daily_revenue(spark))
+
+
+_register(
+    "rel_t_closeness",
+    """
+WITH cust AS (SELECT c_nationkey, c_acctbal FROM customer),
+brk AS (
+  SELECT quantile_cont(c_acctbal, 0.1) AS p1,
+         quantile_cont(c_acctbal, 0.2) AS p2,
+         quantile_cont(c_acctbal, 0.3) AS p3,
+         quantile_cont(c_acctbal, 0.4) AS p4,
+         quantile_cont(c_acctbal, 0.5) AS p5,
+         quantile_cont(c_acctbal, 0.6) AS p6,
+         quantile_cont(c_acctbal, 0.7) AS p7,
+         quantile_cont(c_acctbal, 0.8) AS p8,
+         quantile_cont(c_acctbal, 0.9) AS p9
+  FROM cust
+),
+b AS (
+  SELECT c_nationkey,
+         CAST((c_acctbal > p1) AS INT) + CAST((c_acctbal > p2) AS INT)
+       + CAST((c_acctbal > p3) AS INT) + CAST((c_acctbal > p4) AS INT)
+       + CAST((c_acctbal > p5) AS INT) + CAST((c_acctbal > p6) AS INT)
+       + CAST((c_acctbal > p7) AS INT) + CAST((c_acctbal > p8) AS INT)
+       + CAST((c_acctbal > p9) AS INT) AS bucket
+  FROM cust CROSS JOIN brk
+),
+gc AS (SELECT bucket, count(*) AS g_n FROM b GROUP BY bucket),
+cc AS (
+  SELECT c_nationkey, bucket, count(*) AS c_n
+  FROM b GROUP BY c_nationkey, bucket
+),
+cl AS (SELECT c_nationkey, count(*) AS class_size FROM b GROUP BY c_nationkey),
+tot AS (SELECT CAST(sum(g_n) AS DOUBLE) AS n_total FROM gc),
+grid AS (
+  SELECT cl.c_nationkey, cl.class_size, sp.bucket,
+         coalesce(cc.c_n, 0) / CAST(cl.class_size AS DOUBLE) AS c_p,
+         coalesce(gc.g_n, 0) / n_total AS g_p
+  FROM cl
+  CROSS JOIN (SELECT unnest(range(10)) AS bucket) sp
+  LEFT JOIN cc ON cc.c_nationkey = cl.c_nationkey AND cc.bucket = sp.bucket
+  LEFT JOIN gc ON gc.bucket = sp.bucket
+  CROSS JOIN tot
+),
+emds AS (
+  SELECT c_nationkey, class_size,
+         avg(abs(cum_c - cum_g)) OVER (PARTITION BY c_nationkey) AS emd
+  FROM (
+    SELECT *,
+           sum(c_p) OVER w AS cum_c, sum(g_p) OVER w AS cum_g
+    FROM grid
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY bucket
+                 ROWS UNBOUNDED PRECEDING)
+  )
+)
+SELECT c_nationkey, CAST(max(class_size) AS BIGINT) AS class_size,
+       round(max(emd), 6) AS t_emd,
+       max(emd) > 0.2 AS t_flag
+FROM emds GROUP BY c_nationkey ORDER BY c_nationkey
+""",
+    notes="t-closeness (Li et al. ICDE'07) — the skewness-attack audit "
+    "completing the k-anonymity/l-diversity triad: EMD between each "
+    "class's sensitive-attribute decile distribution and the "
+    "population's (mean |cumulative difference| over ordered buckets); "
+    "exact-percentile scalar breakpoints broadcast as literals, "
+    "class x 10 grid, per-class 10-row cum windows",
+)(lambda spark: relational.t_closeness_audit(spark))
