@@ -947,3 +947,75 @@ def test_t_closeness_uniform_population_scores_zero(spark):
         assert not rows[0]["t_flag"]
     finally:
         cust0.createOrReplaceTempView("customer")
+
+
+# ---------------------------------------------------------------------------
+# media corpus queries (audio features / scene changes / frame samples)
+# ---------------------------------------------------------------------------
+
+def test_corpus_media_deterministic_and_typed(spark):
+    from uav_streamprocessor_spark.operators import multimodal
+
+    m = multimodal.corpus_media(spark)
+    n_docs = spark.table("documents").count()
+    assert m.count() == n_docs
+    types = dict(
+        (r["media_type"], r["count"])
+        for r in m.groupBy("media_type").count().collect()
+    )
+    assert set(types) == {"image", "video", "audio"}
+    # rerun is byte-identical (rows-only driver checks need stability)
+    a = {r["media_id"]: bytes(r["payload"]) for r in m.collect()}
+    b = {r["media_id"]: bytes(r["payload"]) for r in multimodal.corpus_media(spark).collect()}
+    assert a == b
+
+
+def test_media_audio_features_closed_form_sine(spark):
+    from uav_streamprocessor_spark.operators import multimodal
+
+    rows = multimodal.extract_audio_features(
+        multimodal.corpus_media(spark)
+    ).collect()
+    assert rows
+    for r in rows:
+        # amp-10000 sine: RMS -> 10000/sqrt(2), ZCR -> 2f/rate
+        assert abs(r["rms"] - 10000 / math.sqrt(2)) < 60
+        assert r["peak"] <= 10000
+        assert r["duration_s"] == 0.5
+        freq = 200.0 + (r["media_id"] % 200)
+        if 16000 % int(2 * freq) != 0:
+            assert abs(r["zero_crossing_rate"] - 2 * freq / 16000) < 0.01
+        else:
+            # crossings land EXACTLY on zero samples (2f divides the
+            # rate): the strict sign-change rule sees product == 0, not
+            # < 0 — crossings under-count, bounded by the closed form
+            assert r["zero_crossing_rate"] <= 2 * freq / 16000
+
+
+def test_media_scene_changes_respect_planted_static_half(spark):
+    from uav_streamprocessor_spark.operators import multimodal
+
+    m = multimodal.corpus_media(spark)
+    cuts = multimodal.video_scene_changes(m).collect()
+    by_vid = {}
+    for r in cuts:
+        by_vid.setdefault(r["media_id"], set()).add(r["frame_index"])
+    n_videos = m.filter(F.col("media_type") == "video").count()
+    assert len(by_vid) == n_videos
+    # noise front half cuts at 1..3; the repeated back half is cut-free
+    for vid, idx in by_vid.items():
+        assert idx == {1, 2, 3}, (vid, idx)
+
+
+def test_media_frame_samples_counts(spark):
+    from uav_streamprocessor_spark.operators import multimodal
+
+    m = multimodal.corpus_media(spark)
+    samples = multimodal.frame_sample_video(m, every_n=3).collect()
+    n_videos = m.filter(F.col("media_type") == "video").count()
+    # 8 frames, every 3rd -> indexes 0,3,6 per video
+    assert len(samples) == 3 * n_videos
+    per = {}
+    for r in samples:
+        per.setdefault(r["media_id"], []).append(r["frame_index"])
+    assert all(sorted(v) == [0, 3, 6] for v in per.values())

@@ -473,3 +473,77 @@ def video_scene_changes(media: DataFrame, threshold: float = 12.0) -> DataFrame:
         .select("media_id", "payload", "duration_ms")
         .mapInPandas(run, schema=out_schema)
     )
+
+
+def corpus_media(spark) -> DataFrame:
+    """Deterministic TYPED media corpus keyed 1:1 to `documents` rows —
+    the multimodal twin of documents_as_media with all three modalities,
+    so the audio/video operators register as driver queries instead of
+    living only on test-local fixtures. doc_id % 3 picks the modality:
+
+    - image: 32×32 seeded-noise RGB (seed = doc_id)
+    - video: 8 stacked 16×16 frames (one raw-codec payload, 8 s) whose
+      SECOND HALF repeats frame 3 — a planted static segment, so
+      scene-change output has both cut points and quiet spans
+    - audio: 0.5 s of PCM16 sine at 200 + (doc_id % 200) Hz
+
+    Everything derives from doc_id arithmetic + seeded RNG — stable row
+    counts and payloads across runs and engines (rows-only queries need
+    deterministic counts). Payloads build inside mapInPandas (Arrow
+    batches, metadata-first schema); at 100 TB this table is a real
+    lakehouse table and the generators disappear — the operator
+    plumbing is what's being exercised."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("mime", T.StringType(), False),
+            T.StructField("width", T.IntegerType(), True),
+            T.StructField("height", T.IntegerType(), True),
+            T.StructField("duration_ms", T.LongType(), True),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for did in pdf["doc_id"]:
+                did = int(did)
+                rng = np.random.RandomState(did % (2**31))
+                kind = did % 3
+                if kind == 0:
+                    arr = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+                    rows.append(
+                        (did, "image", "raw", 32, 32, None, encode_image(arr))
+                    )
+                elif kind == 1:
+                    frames = [
+                        rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
+                        for _ in range(4)
+                    ]
+                    frames += [frames[3]] * 4  # planted static back half
+                    stack = np.concatenate(frames, axis=0)
+                    rows.append(
+                        (did, "video", "raw", 16, 16, 8_000,
+                         encode_image(stack))
+                    )
+                else:
+                    freq = 200.0 + (did % 200)
+                    t = np.arange(8000) / 16000.0
+                    pcm = (10000 * np.sin(2 * np.pi * freq * t)).astype("<i2")
+                    rows.append(
+                        (did, "audio", "pcm16", None, None, 500,
+                         pcm.tobytes())
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "media_type", "mime", "width", "height",
+                    "duration_ms", "payload",
+                ],
+            )
+
+    return (
+        spark.table("documents").select("doc_id").mapInPandas(run, out_schema)
+    )

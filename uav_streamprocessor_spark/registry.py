@@ -1473,7 +1473,9 @@ FROM joined GROUP BY 1 ORDER BY 1
 # ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
 # dedup_minhash_editdist (rows-only), ev_srm_check, emb_matryoshka_overlap,
 # uav_class_cooccurrence, ev_bot_regularity, emb_centroid_separation,
-# rel_incremental_agg, rel_t_closeness
+# rel_incremental_agg, rel_t_closeness, and the media batch
+# (media_audio_features / media_scene_changes / media_frame_samples /
+# media_metadata_stats - all rows-only)
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5688,3 +5690,48 @@ FROM emds GROUP BY c_nationkey ORDER BY c_nationkey
     "exact-percentile scalar breakpoints broadcast as literals, "
     "class x 10 grid, per-class 10-row cum windows",
 )(lambda spark: relational.t_closeness_audit(spark))
+
+
+_register(
+    "media_audio_features",
+    None,
+    notes="audio feature extraction over raw PCM payloads (real decode "
+    "- no codec needed for PCM16): duration, RMS, peak, zero-crossing "
+    "rate per clip via one Arrow mapInPandas pass; metadata filter "
+    "precedes decode, payload never reaches a shuffle; rows-only "
+    "(binary UDF path), closed-form sine RMS/ZCR pinned in tests",
+)(lambda spark: multimodal.extract_audio_features(multimodal.corpus_media(spark)))
+
+
+_register(
+    "media_scene_changes",
+    None,
+    notes="content-aware scene-change detection (mean |luma diff| "
+    "between consecutive frames > threshold) over the typed media "
+    "corpus - the reference's every-Nth decimation (uav/main.py:116) "
+    "generalized to content-aware cut points; decode once per video "
+    "inside the worker, only (id, frame, diff) leave the UDF; "
+    "rows-only; the planted static back half is cut-free in tests",
+)(lambda spark: multimodal.video_scene_changes(multimodal.corpus_media(spark)))
+
+
+_register(
+    "media_frame_samples",
+    None,
+    notes="video frame sampling (every-Nth inside the container - F1 "
+    "applied to video payloads): one row per sampled frame, demux in "
+    "one mapInPandas pass; rows-only (binary payload output)",
+)(lambda spark: multimodal.frame_sample_video(
+    multimodal.corpus_media(spark), every_n=3
+))
+
+
+_register(
+    "media_metadata_stats",
+    None,
+    notes="metadata-only rollup over the typed media corpus; with a "
+    "real lakehouse media table the payload column is pruned from the "
+    "scan (ReadSchema excludes it - asserted in "
+    "test_metadata_stats_prunes_payload); rows-only (corpus derives "
+    "via a binary UDF)",
+)(lambda spark: multimodal.media_metadata_stats(multimodal.corpus_media(spark)))
