@@ -1475,7 +1475,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # uav_class_cooccurrence, ev_bot_regularity, emb_centroid_separation,
 # rel_incremental_agg, rel_t_closeness, and the media batch
 # (media_audio_features / media_scene_changes / media_frame_samples /
-# media_metadata_stats - all rows-only)
+# media_metadata_stats / media_image_features / media_resized_thumbs -
+# all rows-only)
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5735,3 +5736,24 @@ _register(
     "test_metadata_stats_prunes_payload); rows-only (corpus derives "
     "via a binary UDF)",
 )(lambda spark: multimodal.media_metadata_stats(multimodal.corpus_media(spark)))
+
+
+_register(
+    "media_image_features",
+    None,
+    notes="image feature extraction (mean/std intensity + 4x4 luma "
+    "fingerprint) over the typed media corpus via one Arrow "
+    "mapInPandas pass; decode once per row inside the worker; "
+    "rows-only (pixel UDF); fingerprint invariants in "
+    "test_multimodal_sources.py",
+)(lambda spark: multimodal.extract_image_features(multimodal.corpus_media(spark)))
+
+
+_register(
+    "media_resized_thumbs",
+    None,
+    notes="batch thumbnail resize (square nearest-neighbor to 16px) - "
+    "the preprocess path before feature extraction/training; rows-only "
+    "(binary payload output); dimension contract in "
+    "test_multimodal_sources.py",
+)(lambda spark: multimodal.resize_images(multimodal.corpus_media(spark), target=16))
