@@ -1019,3 +1019,50 @@ def test_media_frame_samples_counts(spark):
     for r in samples:
         per.setdefault(r["media_id"], []).append(r["frame_index"])
     assert all(sorted(v) == [0, 3, 6] for v in per.values())
+
+
+# ---------------------------------------------------------------------------
+# text_compression_ratio
+# ---------------------------------------------------------------------------
+
+def test_compression_gate_flags_both_planted_tails(spark):
+    docs0 = spark.table("documents")
+    import random
+
+    rng = random.Random(7)
+    noise = "".join(chr(rng.randint(0x21, 0x7E)) for _ in range(400))
+    planted = _plant_docs(
+        spark,
+        ["spam " * 100,            # templated -> tiny ratio
+         noise,                    # random printable ASCII -> ~0.83
+         "The quick brown fox jumps over the lazy dog and then "
+         "wanders through a perfectly ordinary meadow full of "
+         "different words that mostly do not repeat themselves."],
+    )
+    try:
+        planted.createOrReplaceTempView("documents")
+        rows = {r["doc_id"]: r for r in text.compression_ratio_gate(spark).collect()}
+        assert rows[0]["entropy_flag"] and rows[0]["compression_ratio"] < 0.35
+        assert rows[1]["entropy_flag"] and rows[1]["compression_ratio"] > 0.8
+        assert not rows[2]["entropy_flag"]
+        # ordering: noise > prose > template
+        assert (rows[1]["compression_ratio"] > rows[2]["compression_ratio"]
+                > rows[0]["compression_ratio"])
+    finally:
+        docs0.createOrReplaceTempView("documents")
+
+
+def test_compression_ratio_doubling_monotone(spark):
+    """Deterministic repetition control: doubling any document's text
+    strictly lowers its compression ratio (zlib finds the repeat)."""
+    docs0 = spark.table("documents")
+    texts = [r["text"] for r in docs0.orderBy("doc_id").limit(20).collect()]
+    both = _plant_docs(spark, texts + [t + " " + t for t in texts])
+    try:
+        both.createOrReplaceTempView("documents")
+        rows = {r["doc_id"]: r["compression_ratio"]
+                for r in text.compression_ratio_gate(spark).collect()}
+        for i in range(len(texts)):
+            assert rows[i + len(texts)] < rows[i]
+    finally:
+        docs0.createOrReplaceTempView("documents")

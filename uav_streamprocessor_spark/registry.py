@@ -1476,7 +1476,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # rel_incremental_agg, rel_t_closeness, and the media batch
 # (media_audio_features / media_scene_changes / media_frame_samples /
 # media_metadata_stats / media_image_features / media_resized_thumbs -
-# all rows-only)
+# all rows-only), text_compression_ratio (rows-only)
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5757,3 +5757,14 @@ _register(
     "(binary payload output); dimension contract in "
     "test_multimodal_sources.py",
 )(lambda spark: multimodal.resize_images(multimodal.corpus_media(spark), target=16))
+
+
+_register(
+    "text_compression_ratio",
+    None,
+    notes="zlib compression-ratio entropy gate (the model-free cousin "
+    "of perplexity filtering): repetitive/templated text compresses "
+    "hard, binary junk doesn't compress - both tails flagged; one "
+    "Arrow-batched map-only UDF pass; rows-only (no zlib in SQL), "
+    "planted tails + repetition correlation pinned in tests",
+)(lambda spark: text.compression_ratio_gate(spark))
