@@ -1066,3 +1066,69 @@ def test_compression_ratio_doubling_monotone(spark):
             assert rows[i + len(texts)] < rows[i]
     finally:
         docs0.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# emb_procrustes_drift
+# ---------------------------------------------------------------------------
+
+def test_procrustes_recovers_planted_rotation_exactly(spark):
+    """Rotate every ODD vector by a known orthogonal R: the 'new'
+    snapshot differs from 'old' by pure rotation plus the organic pair
+    noise. Alignment must collapse the residual to (near) the level a
+    perfect-rotation world would show, and must beat no-alignment."""
+    import numpy as np
+
+    emb0 = spark.table("embeddings")
+    rows = emb0.collect()
+    dim = len(rows[0]["embedding"])
+    rng = np.random.RandomState(11)
+    q, _ = np.linalg.qr(rng.standard_normal((dim, dim)))
+
+    def rot(vec):
+        return (np.array(vec, dtype=np.float64) @ q).tolist()
+
+    planted = spark.createDataFrame(
+        [
+            (
+                r["vec_id"],
+                [float(x) for x in (
+                    rot(r["embedding"]) if r["vec_id"] % 2 == 1 else r["embedding"]
+                )],
+                r["label"],
+            )
+            for r in rows
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    try:
+        planted.createOrReplaceTempView("embeddings")
+        out = similarity.procrustes_drift(spark).collect()
+        # baseline: the residual structure WITHOUT any rotation planted
+        emb0.createOrReplaceTempView("embeddings")
+        base = similarity.procrustes_drift(spark).collect()
+        planted_aligned = sum(r["mean_residual_aligned"] * r["n_pairs"] for r in out) / sum(
+            r["n_pairs"] for r in out
+        )
+        base_aligned = sum(r["mean_residual_aligned"] * r["n_pairs"] for r in base) / sum(
+            r["n_pairs"] for r in base
+        )
+        # rotating one side is fully repaired: aligned residuals match the
+        # unrotated corpus's aligned residuals (float32 storage tolerance)
+        assert abs(planted_aligned - base_aligned) < 1e-3
+        # and alignment must strictly beat the raw comparison on the
+        # rotated corpus (raw sees the rotation, aligned doesn't)
+        planted_raw = sum(r["mean_residual_raw"] * r["n_pairs"] for r in out) / sum(
+            r["n_pairs"] for r in out
+        )
+        assert planted_aligned < planted_raw * 0.95
+    finally:
+        emb0.createOrReplaceTempView("embeddings")
+
+
+def test_procrustes_aligned_never_worse_on_corpus(spark):
+    rows = similarity.procrustes_drift(spark).collect()
+    assert rows
+    for r in rows:
+        assert r["mean_residual_aligned"] <= r["mean_residual_raw"] + 1e-6
+        assert r["n_pairs"] >= 1

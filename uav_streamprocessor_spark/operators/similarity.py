@@ -1480,3 +1480,87 @@ def centroid_separation(spark: SparkSession) -> DataFrame:
             "centroid_cosine"
         ),
     ).orderBy("label_a", "label_b")
+
+
+def procrustes_drift(spark: SparkSession) -> DataFrame:
+    """Orthogonal Procrustes alignment between two embedding snapshots —
+    the drift repair every long-lived vector store eventually needs:
+    after a model refresh, spaces differ by (approximately) a rotation;
+    solve R = argmin ||A·R − B||_F over orthogonal R (SVD of the
+    cross-covariance, Schönemann 1966), then measure how much residual
+    drift is NOT explained by rotation. Snapshots here are the
+    deterministic halves of the corpus (even vec_ids = "old", each odd
+    vec_id paired to its preceding even one = "new") — a stand-in
+    pairing that keeps the query self-contained; with real snapshots
+    the pairing is vec_id = vec_id.
+
+    Distribution of work: the 64×64 cross-covariance M = Σ aᵢᵀbᵢ
+    aggregates from posexplode pair products — (dim_a, dim_b)-keyed
+    rows, fully map-side-combinable — then the SVD runs driver-side on
+    the 64×64 matrix (the kmeans/PQ codebook pattern: model-sized math
+    on the driver, data-sized passes on executors). Residuals per pair
+    ride one more map-only pass with R broadcast as literals.
+    Output: per-label mean residual before/after alignment — 'after'
+    should collapse toward 0 when drift is rotational (the planted-
+    rotation test proves exactly that)."""
+    emb = spark.table("embeddings")
+    old = emb.filter(F.col("vec_id") % 2 == 0).select(
+        (F.col("vec_id") / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("a"),
+        "label",
+    )
+    new = emb.filter(F.col("vec_id") % 2 == 1).select(
+        ((F.col("vec_id") - 1) / 2).cast("long").alias("pair_id"),
+        F.col("embedding").alias("b"),
+    )
+    pairs = old.join(new, "pair_id")
+    # cross-covariance from exploded pair products: (i, j) keyed partials
+    flat = pairs.select(
+        F.posexplode(F.col("a").cast("array<double>")).alias("i", "ai"),
+        F.col("b").cast("array<double>").alias("b"),
+    ).select(
+        "i", "ai", F.posexplode("b").alias("j", "bj")
+    )
+    m = (
+        flat.groupBy("i", "j")
+        .agg(F.sum(F.col("ai") * F.col("bj")).alias("m"))
+        .collect()
+    )
+    dim = max(r["i"] for r in m) + 1
+    M = np.zeros((dim, dim))
+    for r in m:
+        M[r["i"], r["j"]] = r["m"]
+    u, _, vt = np.linalg.svd(M)
+    R = u @ vt  # the optimal rotation (no scaling — orthogonal form)
+    # residual per pair: ||a·R − b|| vs ||a − b||. Building a·R
+    # column-by-column in Catalyst would be dim² HOF exprs — one Arrow
+    # pass with R as a closure constant is the measured-sane form (same
+    # trade as the kmeans assignment UDF)
+    out_schema = "label int, residual_raw double, residual_aligned double"
+
+    def score(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            A = np.stack(pdf["a"].to_numpy()).astype(np.float64)
+            B = np.stack(pdf["b"].to_numpy()).astype(np.float64)
+            raw = np.linalg.norm(A - B, axis=1)
+            aligned = np.linalg.norm(A @ R - B, axis=1)
+            yield pd.DataFrame(
+                {
+                    "label": pdf["label"],
+                    "residual_raw": raw,
+                    "residual_aligned": aligned,
+                }
+            )
+
+    scored = pairs.select("label", "a", "b").mapInPandas(score, out_schema)
+    return (
+        scored.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("residual_raw"), 6).alias("mean_residual_raw"),
+            F.round(F.avg("residual_aligned"), 6).alias("mean_residual_aligned"),
+        )
+        .orderBy("label")
+    )

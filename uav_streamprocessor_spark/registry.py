@@ -1476,7 +1476,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # rel_incremental_agg, rel_t_closeness, and the media batch
 # (media_audio_features / media_scene_changes / media_frame_samples /
 # media_metadata_stats / media_image_features / media_resized_thumbs -
-# all rows-only), text_compression_ratio (rows-only)
+# all rows-only), text_compression_ratio (rows-only),
+# emb_procrustes_drift (rows-only)
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5768,3 +5769,17 @@ _register(
     "Arrow-batched map-only UDF pass; rows-only (no zlib in SQL), "
     "planted tails + repetition correlation pinned in tests",
 )(lambda spark: text.compression_ratio_gate(spark))
+
+
+_register(
+    "emb_procrustes_drift",
+    None,
+    notes="orthogonal Procrustes snapshot alignment (Schonemann 1966) - "
+    "the drift repair for long-lived vector stores after model "
+    "refreshes: 64x64 cross-covariance from map-side-combinable "
+    "posexplode pair products, SVD driver-side (model-sized math on "
+    "the driver, data-sized passes on executors - the kmeans/codebook "
+    "pattern), residuals per pair in one Arrow pass with R as a "
+    "closure constant; rows-only (SVD isn't SQL), planted-rotation "
+    "recovery pinned in tests",
+)(lambda spark: similarity.procrustes_drift(spark))
