@@ -329,3 +329,79 @@ def test_coreness_corpus_matches_reference(spark):
     ]
     assert got == _coreness_reference(pairs)
     assert len(got) > 0 and max(got.values()) >= 2
+
+
+def test_modularity_closed_forms_on_planted_partitions(spark):
+    """Two disjoint triangles with their CC partition: each community
+    has e_c = 3, m = 6, d_c = 6 -> contribution 3/6 - (6/12)^2 = 0.25,
+    Q = 0.5 exactly. Merging everything into ONE community scores
+    Q = (6/6) - 1^2 = 0 exactly (the null partition)."""
+    from uav_streamprocessor_spark.operators.graph import modularity
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (10, 11), (11, 12), (10, 12)],
+        "src long, dst long",
+    )
+    two = spark.createDataFrame(
+        [(n, 1 if n < 10 else 10) for n in [1, 2, 3, 10, 11, 12]],
+        "node long, community long",
+    )
+    rows = {r["community"]: r for r in modularity(edges, two).collect()}
+    assert set(rows) == {1, 10}
+    for r in rows.values():
+        assert r["within_edges"] == 3 and r["degree_sum"] == 6
+        assert r["contribution"] == 0.25
+        assert r["modularity_q"] == 0.5
+
+    one = spark.createDataFrame(
+        [(n, 1) for n in [1, 2, 3, 10, 11, 12]], "node long, community long"
+    )
+    null_rows = modularity(edges, one).collect()
+    assert len(null_rows) == 1 and null_rows[0]["modularity_q"] == 0.0
+
+
+def test_modularity_duplicate_and_reversed_edges_invariant(spark):
+    """The undirected-simple normalization makes duplicate and reversed
+    edges no-ops."""
+    from uav_streamprocessor_spark.operators.graph import modularity
+
+    base = [(1, 2), (2, 3), (1, 3)]
+    noisy = base + [(b, a) for a, b in base] + base
+    labels = spark.createDataFrame(
+        [(n, 1) for n in (1, 2, 3)], "node long, community long"
+    )
+    clean = modularity(
+        spark.createDataFrame(base, "src long, dst long"), labels
+    ).collect()
+    messy = modularity(
+        spark.createDataFrame(noisy, "src long, dst long"), labels
+    ).collect()
+    assert clean == messy
+
+
+def test_modularity_on_corpus_blocking_graph(spark):
+    """The CC partition of its own graph maximizes within-edges: every
+    edge is within-community, so Q = 1 - Σ(d_c/2m)² > 0, and the
+    within-edge total equals m."""
+    from uav_streamprocessor_spark.fixtures import register_uav_views
+    from uav_streamprocessor_spark.operators import dedup
+    from uav_streamprocessor_spark.operators.graph import modularity
+    from pyspark.sql import functions as F
+
+    register_uav_views(spark, "/root/testdata/sf0.001")
+    edges = dedup.doc_block_edges(spark)
+    labels = dedup.doc_dup_clusters(spark).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("community")
+    )
+    rows = modularity(edges, labels).collect()
+    assert rows
+    m = (
+        edges.select(
+            F.least("src", "dst").alias("u"), F.greatest("src", "dst").alias("v")
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+        .count()
+    )
+    assert sum(r["within_edges"] for r in rows) == m
+    assert 0.0 < rows[0]["modularity_q"] <= 1.0

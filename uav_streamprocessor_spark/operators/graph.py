@@ -432,3 +432,81 @@ def coreness(edges: DataFrame, src: str = "src", dst: str = "dst",
     else:
         raise RuntimeError(f"coreness did not converge in {max_iter} rounds")
     return vals.select("node", F.col("c").alias("coreness"))
+
+
+def modularity(
+    edges: DataFrame, labels: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Newman modularity of a community partition: Q = Σ_c (e_c/m −
+    (d_c/2m)²) — how much denser communities are than a degree-matched
+    random graph. The quality gate for the dup-cluster partition: Q
+    near 1 means tight isolated template families (safe to collapse
+    hard), Q near 0 means the blocking keys built hairball communities
+    (collapse policy should be conservative). `labels` is (node,
+    community) — CC output or any partition.
+
+    Shapes: undirected-simple normalization (least/greatest + distinct)
+    → m and degrees from one edge pass; within-community edge counts
+    from two label equi-joins; the per-community fold is communities-
+    sized; m rides a 1-row broadcast scalar. Everything map-side-
+    combinable; no window anywhere."""
+    und = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).alias("u"),
+            F.greatest(F.col(src), F.col(dst)).alias("v"),
+        )
+        .filter(F.col("u") < F.col("v"))
+        .distinct()
+    )
+    m_total = und.agg(F.count(F.lit(1)).cast("double").alias("m"))
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionAll(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    lab = labels.select(F.col("node"), F.col("community"))
+    d_c = (
+        deg.join(lab, "node")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_nodes"),
+            F.sum("degree").alias("degree_sum"),
+        )
+    )
+    lu = lab.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = lab.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    e_c = (
+        und.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).alias("within_edges"))
+    )
+    per = (
+        d_c.join(e_c, "community", "left")
+        .crossJoin(F.broadcast(m_total))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("within_edges", F.lit(0)).cast("long").alias("within_edges"),
+            F.col("degree_sum").cast("long").alias("degree_sum"),
+            (
+                F.coalesce("within_edges", F.lit(0)) / F.col("m")
+                - F.pow(F.col("degree_sum") / (2.0 * F.col("m")), 2)
+            ).alias("contribution"),
+        )
+    )
+    q = per.agg(F.sum("contribution").alias("q"))
+    return (
+        per.crossJoin(F.broadcast(q))
+        .select(
+            "community",
+            "n_nodes",
+            "within_edges",
+            "degree_sum",
+            F.round("contribution", 6).alias("contribution"),
+            F.round("q", 6).alias("modularity_q"),
+        )
+        .orderBy("community")
+    )

@@ -1477,7 +1477,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # (media_audio_features / media_scene_changes / media_frame_samples /
 # media_metadata_stats / media_image_features / media_resized_thumbs -
 # all rows-only), text_compression_ratio (rows-only),
-# emb_procrustes_drift (rows-only)
+# emb_procrustes_drift (rows-only), dedup_graph_modularity
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5783,3 +5783,63 @@ _register(
     "closure constant; rows-only (SVD isn't SQL), planted-rotation "
     "recovery pinned in tests",
 )(lambda spark: similarity.procrustes_drift(spark))
+
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from uav_streamprocessor_spark.operators import graph  # noqa: E402
+
+_register(
+    "dedup_graph_modularity",
+    _CC_GRAPH_CTE
+    + """
+, und AS (
+  SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+  FROM e WHERE src <> dst
+),
+m AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM und),
+deg AS (
+  SELECT node, count(*) AS degree
+  FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+  GROUP BY node
+),
+dc AS (
+  SELECT c.component AS community, count(*) AS n_nodes,
+         sum(deg.degree) AS degree_sum
+  FROM deg JOIN comp c ON c.node = deg.node GROUP BY c.component
+),
+ec AS (
+  SELECT cu.component AS community, count(*) AS within_edges
+  FROM und
+  JOIN comp cu ON cu.node = und.u
+  JOIN comp cv ON cv.node = und.v
+  WHERE cu.component = cv.component
+  GROUP BY cu.component
+),
+per AS (
+  SELECT dc.community, dc.n_nodes,
+         coalesce(ec.within_edges, 0) AS within_edges, dc.degree_sum,
+         coalesce(ec.within_edges, 0) / m.m
+           - pow(dc.degree_sum / (2 * m.m), 2) AS contribution
+  FROM dc LEFT JOIN ec USING (community) CROSS JOIN m
+),
+qt AS (SELECT sum(contribution) AS q FROM per)
+SELECT community, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(within_edges AS BIGINT) AS within_edges,
+       CAST(degree_sum AS BIGINT) AS degree_sum,
+       round(contribution, 6) AS contribution,
+       round(q, 6) AS modularity_q
+FROM per CROSS JOIN qt ORDER BY community
+""",
+    notes="Newman modularity of the dup-cluster partition over the "
+    "blocking graph (Q near 1 = tight isolated template families, "
+    "near 0 = hairball blocking keys -> conservative collapse policy); "
+    "undirected-simple normalization, two label equi-joins, "
+    "communities-sized fold, scalar m broadcast — fully value-checked "
+    "incl. the recursive-CTE CC labels",
+)(lambda spark: graph.modularity(
+    dedup.doc_block_edges(spark),
+    dedup.doc_dup_clusters(spark).select(
+        F.col("doc_id").alias("node"), F.col("cluster_id").alias("community")
+    ),
+))
