@@ -1132,3 +1132,64 @@ def test_procrustes_aligned_never_worse_on_corpus(spark):
     for r in rows:
         assert r["mean_residual_aligned"] <= r["mean_residual_raw"] + 1e-6
         assert r["n_pairs"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# emb_dbscan_lite
+# ---------------------------------------------------------------------------
+
+def test_dbscan_planted_blob_clusters_and_noise(spark):
+    """Two tight planted blobs + the organic corpus: each blob's members
+    are core points of ONE cluster; an isolated far-out vector is
+    noise. Blob vectors are near-copies (cosine ~1), organic corpus
+    vectors sit near orthogonal (max pairwise ~0.5 at threshold 0.35
+    they may form their own structures — only the planted ids are
+    asserted)."""
+    import numpy as np
+
+    emb0 = spark.table("embeddings")
+    dim = len(emb0.first()["embedding"])
+    rng = np.random.RandomState(3)
+    b1 = rng.standard_normal(dim)
+    b2 = rng.standard_normal(dim)
+    rows = []
+    for i in range(4):
+        rows.append((int(2_000_000 + i),
+                     [float(x) for x in b1 + 0.01 * rng.standard_normal(dim)], 0))
+        rows.append((int(3_000_000 + i),
+                     [float(x) for x in b2 + 0.01 * rng.standard_normal(dim)], 1))
+    # the isolate: orthogonal-ish one-hot far from everything
+    lone = np.zeros(dim); lone[dim - 1] = 100.0
+    rows.append((4_000_000, [float(x) for x in lone], 2))
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    try:
+        emb0.unionByName(planted).createOrReplaceTempView("embeddings")
+        out = {r["vec_id"]: r for r in similarity.dbscan_lite(spark).collect()}
+        blob1 = [out[2_000_000 + i] for i in range(4)]
+        blob2 = [out[3_000_000 + i] for i in range(4)]
+        assert all(r["role"] == "core" for r in blob1 + blob2)
+        assert len({r["cluster_id"] for r in blob1}) == 1
+        assert len({r["cluster_id"] for r in blob2}) == 1
+        assert blob1[0]["cluster_id"] != blob2[0]["cluster_id"]
+        assert out[4_000_000]["role"] == "noise"
+        assert out[4_000_000]["cluster_id"] is None
+    finally:
+        emb0.createOrReplaceTempView("embeddings")
+
+
+def test_dbscan_partition_invariants(spark):
+    rows = similarity.dbscan_lite(spark).collect()
+    n = spark.table("embeddings").count()
+    assert len(rows) == n  # every vector labeled exactly once
+    by_role = {}
+    for r in rows:
+        by_role.setdefault(r["role"], []).append(r)
+        if r["role"] == "noise":
+            assert r["cluster_id"] is None
+        else:
+            assert r["cluster_id"] is not None
+    # raising the threshold to impossible makes everything noise
+    all_noise = similarity.dbscan_lite(spark, threshold=1.01).collect()
+    assert all(r["role"] == "noise" for r in all_noise)

@@ -1564,3 +1564,80 @@ def procrustes_drift(spark: SparkSession) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+def dbscan_lite(
+    spark: SparkSession, threshold: float = 0.35, min_pts: int = 2
+) -> DataFrame:
+    """Density-based clustering (DBSCAN, Ester et al. KDD'96) in exact
+    relational form: neighbors = cosine ≥ threshold; CORE points have
+    ≥ min_pts neighbors; clusters are connected components of the
+    core-core neighbor graph; BORDER points attach to their minimum
+    core neighbor's cluster; everything else is NOISE. The labels are
+    deterministic (min-id components, min-label border assignment) —
+    no frontier-expansion order dependence, unlike textbook DBSCAN.
+
+    Pipeline: the exact pair stage is cosine_near_duplicates' broadcast
+    shape (LSH-bucketed candidates at 100 TB — same swap as every
+    neighbor op here); components ride graph.connected_components
+    (hash-min + large-star fallback); border resolution is one more
+    label join. Fully oracle-checked — DuckDB recomputes pairs with
+    list_cosine_similarity and the components with a recursive CTE."""
+    from uav_streamprocessor_spark.operators import graph as _graph
+
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    a = emb.select(F.col("vec_id").alias("va"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("vb"), F.col("embedding").alias("eb"))
+    sim = F.round(_cosine(F.col("ea"), F.col("eb")), 6)
+    nbr = (
+        a.join(F.broadcast(b), F.col("va") != F.col("vb"))
+        .select("va", "vb", sim.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+    counts = nbr.groupBy(F.col("va").alias("vec_id")).agg(
+        F.count(F.lit(1)).alias("n_neighbors")
+    )
+    core = counts.filter(F.col("n_neighbors") >= min_pts).select("vec_id")
+    core_edges = (
+        nbr.join(core.withColumnRenamed("vec_id", "va"), "va")
+        .join(core.withColumnRenamed("vec_id", "vb"), "vb")
+        .filter(F.col("va") < F.col("vb"))
+        .select(F.col("va").alias("src"), F.col("vb").alias("dst"))
+    )
+    comp = _graph.connected_components(core_edges).select(
+        F.col("node").alias("vec_id"), F.col("comp").alias("cluster_id")
+    )
+    # isolated core points (>= min_pts neighbors, none of them core)
+    # form their own singleton clusters
+    core_labeled = core.join(comp, "vec_id", "left").select(
+        "vec_id",
+        F.coalesce("cluster_id", F.col("vec_id")).alias("cluster_id"),
+        F.lit("core").alias("role"),
+    )
+    border = (
+        nbr.join(
+            core_labeled.select(
+                F.col("vec_id").alias("vb"), F.col("cluster_id").alias("cb")
+            ),
+            "vb",
+        )
+        .join(
+            core_labeled.select(F.col("vec_id").alias("va")),
+            "va",
+            "left_anti",
+        )
+        .groupBy(F.col("va").alias("vec_id"))
+        .agg(F.min("cb").alias("cluster_id"))
+        .select("vec_id", "cluster_id", F.lit("border").alias("role"))
+    )
+    labeled = core_labeled.unionByName(border)
+    noise = (
+        emb.select("vec_id")
+        .join(labeled.select("vec_id"), "vec_id", "left_anti")
+        .select(
+            "vec_id",
+            F.lit(None).cast("long").alias("cluster_id"),
+            F.lit("noise").alias("role"),
+        )
+    )
+    return labeled.unionByName(noise).orderBy("vec_id")

@@ -1477,7 +1477,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # (media_audio_features / media_scene_changes / media_frame_samples /
 # media_metadata_stats / media_image_features / media_resized_thumbs -
 # all rows-only), text_compression_ratio (rows-only),
-# emb_procrustes_drift (rows-only), dedup_graph_modularity
+# emb_procrustes_drift (rows-only), dedup_graph_modularity, emb_dbscan_lite
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5843,3 +5843,54 @@ FROM per CROSS JOIN qt ORDER BY community
         F.col("doc_id").alias("node"), F.col("cluster_id").alias("community")
     ),
 ))
+
+
+_register(
+    "emb_dbscan_lite",
+    """
+WITH RECURSIVE nbr AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+  WHERE round(list_cosine_similarity(a.embedding, b.embedding), 6) >= 0.35
+),
+counts AS (SELECT va AS vec_id, count(*) AS n FROM nbr GROUP BY va),
+core AS (SELECT vec_id FROM counts WHERE n >= 2),
+ce AS (
+  SELECT n.va AS src, n.vb AS dst FROM nbr n
+  JOIN core c1 ON c1.vec_id = n.va
+  JOIN core c2 ON c2.vec_id = n.vb
+  WHERE n.va < n.vb
+),
+e2 AS (SELECT src, dst FROM ce UNION ALL SELECT dst, src FROM ce),
+nodes AS (SELECT DISTINCT src AS node FROM e2),
+reach(node, lbl) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT e2.dst, r.lbl FROM reach r JOIN e2 ON e2.src = r.node
+),
+comp AS (SELECT node AS vec_id, min(lbl) AS cluster_id FROM reach GROUP BY node),
+core_labeled AS (
+  SELECT c.vec_id, coalesce(comp.cluster_id, c.vec_id) AS cluster_id,
+         'core' AS role
+  FROM core c LEFT JOIN comp ON comp.vec_id = c.vec_id
+),
+border AS (
+  SELECT n.va AS vec_id, min(cl.cluster_id) AS cluster_id, 'border' AS role
+  FROM nbr n JOIN core_labeled cl ON cl.vec_id = n.vb
+  WHERE n.va NOT IN (SELECT vec_id FROM core)
+  GROUP BY n.va
+),
+lab AS (SELECT * FROM core_labeled UNION ALL SELECT * FROM border)
+SELECT e.vec_id, lab.cluster_id AS cluster_id,
+       coalesce(lab.role, 'noise') AS role
+FROM embeddings e LEFT JOIN lab ON lab.vec_id = e.vec_id
+ORDER BY e.vec_id
+""",
+    notes="exact relational DBSCAN (Ester et al. KDD'96): cosine >= "
+    "0.35 neighbors, core = >= 2 neighbors, clusters = CC of the "
+    "core-core graph (deterministic min-id labels - no frontier-order "
+    "dependence), border attaches to its min core neighbor, rest is "
+    "noise; pair stage is the broadcast cosine shape (LSH-bucketed at "
+    "100 TB), components ride graph.connected_components; fully "
+    "value-checked incl. the recursive-CTE components",
+)(lambda spark: similarity.dbscan_lite(spark))
