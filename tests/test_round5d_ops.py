@@ -1193,3 +1193,76 @@ def test_dbscan_partition_invariants(spark):
     # raising the threshold to impossible makes everything noise
     all_noise = similarity.dbscan_lite(spark, threshold=1.01).collect()
     assert all(r["role"] == "noise" for r in all_noise)
+
+
+# ---------------------------------------------------------------------------
+# ev_experiment_readout / rel_rfm_segmentation
+# ---------------------------------------------------------------------------
+
+def test_experiment_readout_conserves_and_planted_lift_significant(spark):
+    rows = events_ops.experiment_readout(spark).collect()
+    assert len(rows) == 2
+    n_users = spark.table("events").select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 0.0 <= r["conv_rate"] <= 1.0
+    # same z/lift on both rows (broadcast scalars)
+    assert rows[0]["z_stat"] == rows[1]["z_stat"]
+
+    # plant 120 treatment-arm users who all convert -> strong real lift
+    ev0 = spark.table("events")
+    boost = spark.range(120 * 14).select(
+        (F.lit(5 * 10**9) + F.col("id")).alias("event_id"),
+        F.lit("2099-01-01 00:00:00").cast("timestamp").alias("ts"),
+        (F.lit(900_001) + (F.col("id") % 120) * 2).cast("long").alias("user_id"),
+        F.lit("purchase").alias("event_type"),
+        F.lit(1.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    try:
+        ev0.unionByName(boost.select(ev0.columns)).createOrReplaceTempView("events")
+        pert = events_ops.experiment_readout(spark).collect()
+        assert pert[0]["significant_95"]
+        assert pert[0]["lift_abs"] > 0  # treatment (odd ids) boosted
+        assert pert[0]["z_stat"] > 1.96
+    finally:
+        ev0.createOrReplaceTempView("events")
+
+
+def test_rfm_scores_bounded_and_conserve_customers(spark):
+    rows = relational.rfm_segmentation(spark).collect()
+    n_cust = spark.table("orders").select("o_custkey").distinct().count()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    names = set()
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+        names.add(r["segment"])
+    assert "champions" in names  # the top corner is populated
+
+
+def test_rfm_planted_whale_is_champion(spark):
+    """A customer ordering EVERY day of the window with giant totals
+    maxes every dimension: cell (5,5,5) -> champions."""
+    orders0 = spark.table("orders")
+    days = [r[0] for r in orders0.select(
+        F.to_date("o_orderdate").alias("d")).distinct().collect()]
+    whale_rows = [(9_000_000 + i, 777_777, str(d)) for i, d in enumerate(days)]
+    whale = spark.createDataFrame(
+        whale_rows, "o_orderkey long, o_custkey long, d string"
+    ).select(
+        "o_orderkey", "o_custkey",
+        F.col("d").cast("timestamp").alias("o_orderdate"),
+        F.lit(10**9).cast("double").alias("o_totalprice"),
+    )
+    keep = ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"]
+    try:
+        orders0.select(keep).unionByName(whale.select(keep)) \
+            .createOrReplaceTempView("orders")
+        rows = relational.rfm_segmentation(spark).collect()
+        top = [r for r in rows if (r["r_score"], r["f_score"], r["m_score"]) == (5, 5, 5)]
+        assert top and top[0]["segment"] == "champions"
+        assert top[0]["n_customers"] >= 1
+    finally:
+        orders0.createOrReplaceTempView("orders")

@@ -1497,3 +1497,75 @@ def bot_regularity_screen(
             (cv < cv_threshold).alias("bot_flag"),
         )
     )
+
+
+def experiment_readout(spark: SparkSession, min_purchases: int = 14) -> DataFrame:
+    """The experiment result readout completing the kit (ev_srm_check →
+    gate, ev_power_analysis → design, ev_cuped_readout → variance
+    reduction, THIS → decision): per-variant purchase conversion with
+    the two-proportion pooled z statistic. Same user_id % 2 assignment
+    as the rest of the kit, so all four describe one experiment.
+
+    Conversion = "heavy purchaser" (>= `min_purchases` purchases):
+    on this corpus EVERY user purchases at least once, so the binary
+    any-purchase rule is degenerate (p_pool = 1 → zero-variance z);
+    the count threshold sits at the corpus median (~14) so both arms
+    carry real rates. The z denominator is nullif-guarded anyway — a
+    degenerate pool reads as NULL, never a crash.
+
+    Shape: one per-user conditional count, a 2-row variant aggregate,
+    and the z statistic broadcast back from a scalar crossJoin — the
+    readout is arithmetic over 2 rows regardless of corpus size."""
+    users = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                >= min_purchases
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("double").alias("n_users"),
+        F.sum("converted").cast("double").alias("n_converted"),
+    )
+    wide = (
+        arms.agg(
+            F.sum(F.when(F.col("variant") == 0, F.col("n_users"))).alias("n0"),
+            F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+            F.sum(F.when(F.col("variant") == 1, F.col("n_users"))).alias("n1"),
+            F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+        )
+        .withColumn("p0", F.col("c0") / F.col("n0"))
+        .withColumn("p1", F.col("c1") / F.col("n1"))
+        .withColumn("p_pool", (F.col("c0") + F.col("c1")) / (F.col("n0") + F.col("n1")))
+        .withColumn(
+            "z",
+            (F.col("p1") - F.col("p0"))
+            / F.nullif(
+                F.sqrt(
+                    F.col("p_pool")
+                    * (1.0 - F.col("p_pool"))
+                    * (1.0 / F.col("n0") + 1.0 / F.col("n1"))
+                ),
+                F.lit(0.0),
+            ),
+        )
+    )
+    return (
+        arms.crossJoin(F.broadcast(wide))
+        .select(
+            "variant",
+            F.col("n_users").cast("long").alias("n_users"),
+            F.col("n_converted").cast("long").alias("n_converted"),
+            F.round(F.col("n_converted") / F.col("n_users"), 6).alias("conv_rate"),
+            F.round(F.col("p1") - F.col("p0"), 6).alias("lift_abs"),
+            F.round("z", 6).alias("z_stat"),
+            (F.abs(F.col("z")) > 1.959964).alias("significant_95"),
+        )
+        .orderBy("variant")
+    )

@@ -1477,7 +1477,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # (media_audio_features / media_scene_changes / media_frame_samples /
 # media_metadata_stats / media_image_features / media_resized_thumbs -
 # all rows-only), text_compression_ratio (rows-only),
-# emb_procrustes_drift (rows-only), dedup_graph_modularity, emb_dbscan_lite
+# emb_procrustes_drift (rows-only), dedup_graph_modularity, emb_dbscan_lite,
+# ev_experiment_readout, rel_rfm_segmentation
 # (plus re-proves for the
 # replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
 # each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
@@ -5894,3 +5895,104 @@ ORDER BY e.vec_id
     "100 TB), components ride graph.connected_components; fully "
     "value-checked incl. the recursive-CTE components",
 )(lambda spark: similarity.dbscan_lite(spark))
+
+
+_register(
+    "ev_experiment_readout",
+    """
+WITH users AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+              AS INT) AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(count(*) AS DOUBLE) AS n_users,
+         CAST(sum(converted) AS DOUBLE) AS n_converted
+  FROM users GROUP BY 1
+),
+wide AS (
+  SELECT sum(CASE WHEN variant = 0 THEN n_users END) AS n0,
+         sum(CASE WHEN variant = 0 THEN n_converted END) AS c0,
+         sum(CASE WHEN variant = 1 THEN n_users END) AS n1,
+         sum(CASE WHEN variant = 1 THEN n_converted END) AS c1
+  FROM arms
+),
+stats AS (
+  SELECT *, c0 / n0 AS p0, c1 / n1 AS p1,
+         (c0 + c1) / (n0 + n1) AS p_pool
+  FROM wide
+),
+z AS (
+  SELECT *, (p1 - p0) / nullif(
+           sqrt(p_pool * (1 - p_pool) * (1.0/n0 + 1.0/n1)), 0.0) AS z
+  FROM stats
+)
+SELECT variant, CAST(n_users AS BIGINT) AS n_users,
+       CAST(n_converted AS BIGINT) AS n_converted,
+       round(n_converted / n_users, 6) AS conv_rate,
+       round(p1 - p0, 6) AS lift_abs,
+       round(z.z, 6) AS z_stat,
+       abs(z.z) > 1.959964 AS significant_95
+FROM arms CROSS JOIN z ORDER BY variant
+""",
+    notes="experiment decision readout completing the kit (SRM gate -> "
+    "power design -> CUPED variance -> THIS): per-variant heavy-"
+    "purchaser conversion (>= 14 purchases - the binary any-purchase "
+    "rule is degenerate on this corpus) + pooled two-proportion z, "
+    "nullif-guarded; arithmetic over 2 rows after one per-user count; "
+    "same user_id %% 2 assignment",
+)(lambda spark: events_ops.experiment_readout(spark))
+
+
+_register(
+    "rel_rfm_segmentation",
+    """
+WITH o AS (
+  SELECT o_custkey, CAST(o_orderdate AS DATE) AS day, o_totalprice
+  FROM orders
+),
+mx AS (SELECT max(day) AS max_day FROM o),
+pc AS (
+  SELECT o_custkey,
+         min(max_day - day) AS recency_days,
+         count(*) AS frequency,
+         sum(o_totalprice) AS monetary
+  FROM o CROSS JOIN mx GROUP BY o_custkey
+),
+bp AS (
+  SELECT quantile_cont(recency_days, 0.2) AS r20, quantile_cont(recency_days, 0.4) AS r40,
+         quantile_cont(recency_days, 0.6) AS r60, quantile_cont(recency_days, 0.8) AS r80,
+         quantile_cont(frequency, 0.2) AS f20, quantile_cont(frequency, 0.4) AS f40,
+         quantile_cont(frequency, 0.6) AS f60, quantile_cont(frequency, 0.8) AS f80,
+         quantile_cont(monetary, 0.2) AS m20, quantile_cont(monetary, 0.4) AS m40,
+         quantile_cont(monetary, 0.6) AS m60, quantile_cont(monetary, 0.8) AS m80
+  FROM pc
+),
+scored AS (
+  SELECT o_custkey,
+         6 - (1 + CAST(recency_days > r20 AS INT) + CAST(recency_days > r40 AS INT)
+                + CAST(recency_days > r60 AS INT) + CAST(recency_days > r80 AS INT)) AS r_score,
+         1 + CAST(frequency > f20 AS INT) + CAST(frequency > f40 AS INT)
+           + CAST(frequency > f60 AS INT) + CAST(frequency > f80 AS INT) AS f_score,
+         1 + CAST(monetary > m20 AS INT) + CAST(monetary > m40 AS INT)
+           + CAST(monetary > m60 AS INT) + CAST(monetary > m80 AS INT) AS m_score
+  FROM pc CROSS JOIN bp
+)
+SELECT r_score, f_score, m_score,
+       CAST(count(*) AS BIGINT) AS n_customers,
+       CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4 THEN 'champions'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk_loyal'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new_or_returning'
+            WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2 THEN 'hibernating'
+            ELSE 'core' END AS segment
+FROM scored GROUP BY r_score, f_score, m_score
+ORDER BY r_score, f_score, m_score
+""",
+    notes="RFM customer segmentation: 1-5 quintile scores per dimension "
+    "against exact population breakpoints (recency inverted), counted "
+    "per (R,F,M) cell with conventional corner names; breakpoints are "
+    "one exact-percentile scalar aggregate broadcast back - no global "
+    "window; ties to the lower score identically in both engines",
+)(lambda spark: relational.rfm_segmentation(spark))
