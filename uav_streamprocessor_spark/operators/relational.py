@@ -1585,8 +1585,13 @@ def incremental_daily_revenue(spark: SparkSession) -> DataFrame:
             F.round(F.sum("revenue"), 2).alias("revenue"),
         )
         .withColumn(
+            # integer-scaled rounding (the detection_labels idiom):
+            # Spark's round(x, 6) HALF_UPs a decimal string while DuckDB
+            # rounds the binary value — they disagree on exact .xxxxxx5
+            # doubles (first seen at sf0.1: 16958984.06/64 lands on one);
+            # round(x*1e6)/1e6 sees the same IEEE product in both engines
             "avg_order",
-            F.round(F.col("revenue") / F.col("n_orders"), 6),
+            F.round(F.col("revenue") / F.col("n_orders") * 1000000) / 1000000,
         )
     )
     return merged.orderBy("day")

@@ -5616,7 +5616,7 @@ _register(
 SELECT CAST(o_orderdate AS DATE) AS day,
        CAST(count(*) AS BIGINT) AS n_orders,
        round(sum(o_totalprice), 2) AS revenue,
-       round(round(sum(o_totalprice), 2) / count(*), 6) AS avg_order
+       round(round(sum(o_totalprice), 2) / count(*) * 1000000) / 1000000 AS avg_order
 FROM orders GROUP BY 1 ORDER BY day
 """,
     notes="incremental view maintenance: the Spark side MERGES a "
