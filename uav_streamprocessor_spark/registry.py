@@ -5126,12 +5126,15 @@ pairs AS (
 SELECT doc_id_a, doc_id_b, lang,
        CAST(lev AS BIGINT) AS edit_distance,
        round(1.0 - CAST(lev AS DOUBLE) / mx, 6) AS similarity
-FROM pairs WHERE 1.0 - CAST(lev AS DOUBLE) / mx >= 0.5
+FROM pairs WHERE 1.0 - CAST(lev AS DOUBLE) / mx >= 0.8
 """,
     notes="blocked Levenshtein near-dup verify: (lang, length-band) "
-    "blocking with dual-emit boundary coverage bounds the O(len^2) DP "
-    "to same-scale pairs; identical unit-cost levenshtein both "
-    "engines; at 100 TB the block key swaps to MinHash band buckets",
+    "JOIN key with dual-emit boundary coverage bounds candidates; "
+    "thresholded (early-abandon) DP returns -1 past the floor's "
+    "implied max and is filtered - exact values survive for every "
+    "reported row, so the oracle's full-DP recompute hashes "
+    "identically; at 100 TB the block key swaps to MinHash band "
+    "buckets (dedup_minhash_editdist)",
 )(lambda spark: dedup.edit_distance_pairs(spark))
 
 
