@@ -317,9 +317,17 @@ def doc_ngram_sets(
     beneath the gram projection on its own, so pruning must happen on
     the raw (doc_id, text) frame."""
     docs = base if base is not None else spark.table("documents")
-    toks = docs.select(
-        "doc_id", F.split(F.lower("text"), " ").alias("toks")
-    ).repartition(spark.sparkContext.defaultParallelism, "doc_id")
+    toks = (
+        docs.select("doc_id", F.split(F.lower("text"), " ").alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism, "doc_id")
+        # the repartition ALONE is not a barrier: AQE's local shuffle
+        # reader collapses it back to the mapper count (one, for a small
+        # parquet file) whenever the consumer needs no partitioning, and
+        # the interpreted gram lambda then runs single-task (measured
+        # 10s -> ~1s at sf0.1 with the pin). Lazy localCheckpoint pins
+        # the spread token partitions; the lambda evaluates on them.
+        .localCheckpoint(eager=False)
+    )
     return toks.select("doc_id", word_ngrams("toks", n).alias("grams"))
 
 
