@@ -165,8 +165,24 @@ def test_welford_prequential_z_matches_two_pass_and_split_invariant(values, cut)
     for i in range(len(values)):
         prior = np.array(values[:i], dtype=np.float64)
         z = whole["z"].iloc[i]
-        if len(prior) < 2 or float(prior.std(ddof=1)) == 0.0:
+        # ptp()==0 is the EXACT constant-prefix check: the streaming
+        # Welford M2 is identically 0 there (delta is 0 every step) and
+        # the operator rightly emits null — but numpy's two-pass std can
+        # report ~2e-16 binary-representation noise for e.g. three 1.9s,
+        # so an `std == 0.0` guard takes the wrong branch (the r5
+        # Hypothesis counterexample [1.9, 1.9, 1.9, 0.0]).
+        if len(prior) < 2 or float(np.ptp(prior)) == 0.0:
             assert z is None or np.isnan(z)
+        elif z is None or (isinstance(z, float) and np.isnan(z)):
+            # operator's single-pass M2 underflowed to 0 on a prefix
+            # whose true spread is at rounding-noise scale — accept
+            # null ONLY when the two-pass std sits below that floor
+            floor = (
+                len(prior)
+                * np.finfo(np.float64).eps
+                * max(float(np.abs(prior).max()), 1.0)
+            )
+            assert float(prior.std(ddof=1)) <= floor
         else:
             expected = (values[i] - prior.mean()) / prior.std(ddof=1)
             assert np.isclose(z, expected, rtol=1e-7, atol=1e-9)

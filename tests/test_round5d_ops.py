@@ -282,6 +282,34 @@ def test_edit_distance_finds_planted_near_copy_not_scramble(spark):
         docs0.createOrReplaceTempView("documents")
 
 
+def test_edit_distance_boundary_pair_lower_id_in_higher_band(spark):
+    """r5 ADVICE regression: with band_width 25, a 100-char doc sits in
+    band 4 and a 99-char doc in band 3. When the LOWER doc_id holds the
+    HIGHER band, the old one-sided (band, band+1) a-side emit never met
+    the pair (orientation is doc_id_b > doc_id_a, so doc 0's upward walk
+    missed doc 1 sitting one band BELOW); the symmetric 3-band emit
+    finds it — and still exactly once."""
+    docs0 = spark.table("documents")
+    t100 = ("x" * 9 + " ") * 10  # 100 chars -> band 4
+    t99 = t100[:-1]  # 99 chars -> band 3, edit distance 1
+    assert (len(t100), len(t99)) == (100, 99)
+    try:
+        _plant_docs(spark, [t100, t99]).createOrReplaceTempView("documents")
+        rows = dedup.edit_distance_pairs(spark).collect()
+        assert len(rows) == 1  # found, and not double-counted
+        r = rows[0]
+        assert (r["doc_id_a"], r["doc_id_b"]) == (0, 1)
+        assert r["edit_distance"] == 1
+        assert abs(r["similarity"] - 0.99) < 1e-9
+        # mirrored orientation (lower id in the LOWER band) still meets once
+        _plant_docs(spark, [t99, t100]).createOrReplaceTempView("documents")
+        rows = dedup.edit_distance_pairs(spark).collect()
+        assert len(rows) == 1
+        assert (rows[0]["doc_id_a"], rows[0]["doc_id_b"]) == (0, 1)
+    finally:
+        docs0.createOrReplaceTempView("documents")
+
+
 def test_edit_distance_threshold_monotone_on_corpus(spark):
     loose = dedup.edit_distance_pairs(spark, min_similarity=0.5).collect()
     tight = dedup.edit_distance_pairs(spark, min_similarity=0.9).collect()

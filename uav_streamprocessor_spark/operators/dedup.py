@@ -851,7 +851,7 @@ def edit_distance_candidate_plan(spark: SparkSession, band_width: int = 25) -> D
         F.col("lang").alias("lang_a"),
         F.col("text").alias("text_a"),
         F.col("n_chars").alias("len_a"),
-        F.explode(F.array(band, band + 1)).alias("band"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
     )
     b = docs.select(
         F.col("doc_id").alias("doc_id_b"),
@@ -870,14 +870,18 @@ def edit_distance_pairs(
     classic entity-resolution verifier: exact edit distance is O(len²)
     per pair, so candidate pairs must be bounded BEFORE it runs.
 
-    Blocking: (lang, floor(n_chars / band_width)), with every doc ALSO
-    emitted to the next band up (the dual-emit trick), so a pair split
-    across a band boundary still meets in one bucket; a |len_a − len_b|
-    ≤ band_width filter then bounds the DP cost, because edit distance
-    ≥ length difference — a pair further apart than the band can never
-    reach the similarity floor anyway. Pairs are deduped by taking the
-    bucket join only where b's band equals b's OWN band (a's emit walks
-    up), so each qualifying pair meets exactly once.
+    Blocking: (lang, floor(n_chars / band_width)), with the a-side
+    emitted to its own band AND both neighbors (band−1, band, band+1);
+    the b-side sits only in its own band. Pair orientation is fixed by
+    doc_id_b > doc_id_a, so the lower-id doc of a boundary-straddling
+    pair may sit in EITHER the lower or the higher band — a one-sided
+    (band, band+1) emit silently drops pairs whose lower-id doc is one
+    band above its partner. With the symmetric 3-band emit every
+    qualifying pair meets exactly once, because the |len_a − len_b| ≤
+    band_width filter implies the two bands differ by at most 1 and the
+    band offset (−1/0/+1) is unique per pair. That length filter also
+    bounds the DP cost: edit distance ≥ length difference, so a pair
+    further apart than the band can never reach the similarity floor.
 
     similarity = 1 − lev/greatest(len_a, len_b), the normalized form.
     Both engines implement the identical unit-cost Levenshtein, so the
@@ -900,7 +904,7 @@ def edit_distance_pairs(
         F.col("lang").alias("lang_a"),
         F.col("text").alias("text_a"),
         F.col("n_chars").alias("len_a"),
-        F.explode(F.array(band, band + 1)).alias("band"),
+        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
     )
     b = docs.select(
         F.col("doc_id").alias("doc_id_b"),
@@ -1001,8 +1005,12 @@ def minhash_editdist_verify(
     DP runs ONLY on LSH-colliding pairs. Banding (16×4) targets the
     ~0.7+ Jaccard region, which for same-length docs corresponds to
     high edit similarity — the verify floor then cuts false LSH
-    collisions exactly. Rows-only (MinHash isn't SQL); the recall test
-    pins it against the blocked-exact operator's >= floor pairs."""
+    collisions exactly. Lang is carried on BOTH sides and pairs kept
+    only where they agree, matching edit_distance_pairs' contract (the
+    blocked-exact operator blocks on (lang, band), so without this
+    filter the LSH path could report cross-language pairs the exact
+    path excludes by construction). Rows-only (MinHash isn't SQL); the
+    recall test pins it against the blocked-exact >= floor pairs."""
     cands = minhash_candidates(spark)
     docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
     a = docs.select(
@@ -1013,6 +1021,7 @@ def minhash_editdist_verify(
     )
     b = docs.select(
         F.col("doc_id").alias("doc_id_b"),
+        F.col("lang").alias("lang_b"),
         F.col("text").alias("text_b"),
         F.col("n_chars").alias("len_b"),
     )
@@ -1021,6 +1030,7 @@ def minhash_editdist_verify(
     return (
         cands.join(a, "doc_id_a")
         .join(b, "doc_id_b")
+        .filter(F.col("lang") == F.col("lang_b"))
         .select(
             "doc_id_a",
             "doc_id_b",

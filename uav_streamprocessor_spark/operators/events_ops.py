@@ -1190,10 +1190,18 @@ def concurrent_sessions(spark: SparkSession, gap_minutes: int = 30) -> DataFrame
     swept = sweep.join(F.broadcast(offsets), "day").withColumn(
         "concurrency", F.col("carry_in") + F.sum("delta").over(in_day)
     )
+    # Peak must also consider the day-START level (carry_in): if a day's
+    # first boundary event is a session END, the concurrency held from
+    # 00:00 until that event is carry_in — higher than any boundary-row
+    # running sum that day. Days with zero boundary events (sessions
+    # spanning the whole day) carry no sweep rows and are absent from
+    # the output — documented contract, shared with the oracle.
     return (
         swept.groupBy("day")
         .agg(
-            F.max("concurrency").cast("long").alias("peak_concurrency"),
+            F.greatest(F.max("concurrency"), F.max("carry_in"))
+            .cast("long")
+            .alias("peak_concurrency"),
             F.sum(F.when(F.col("delta") == 1, 1).otherwise(0))
             .cast("long")
             .alias("n_sessions_started"),
@@ -1378,7 +1386,14 @@ def forecast_backtest(spark: SparkSession, horizon_days: int = 7) -> DataFrame:
     mod 7 (datediff both engines) — never dayofweek(), whose origin
     differs across engines. One date-truncated count shuffle; train
     aggregates are O(types × 7); the split threshold is a broadcast
-    scalar."""
+    scalar.
+
+    Coverage is explicit (no-silent-caps): the train join is LEFT, so a
+    test day whose (event_type, weekday) never appears in the training
+    span is COUNTED in n_test_days and surfaced in n_dropped_days
+    rather than silently shrinking the denominator; MAE/MAPE average
+    over the covered days only (the honest score — there is no
+    forecast to err against on uncovered days)."""
     daily = (
         spark.table("events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
@@ -1397,13 +1412,16 @@ def forecast_backtest(spark: SparkSession, horizon_days: int = 7) -> DataFrame:
         .agg(F.avg("n_events").alias("forecast"))
     )
     test = split.filter(F.col("is_test")).join(
-        F.broadcast(train), ["event_type", "weekday"]
+        F.broadcast(train), ["event_type", "weekday"], "left"
     )
     err = F.abs(F.col("n_events") - F.col("forecast"))
     return (
         test.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_test_days"),
+            F.sum(F.col("forecast").isNull().cast("long"))
+            .cast("long")
+            .alias("n_dropped_days"),
             F.round(F.avg("n_events"), 6).alias("actual_mean"),
             F.round(F.avg("forecast"), 6).alias("forecast_mean"),
             F.round(F.avg(err), 6).alias("mae"),

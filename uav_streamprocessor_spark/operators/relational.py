@@ -1610,9 +1610,13 @@ def t_closeness_audit(spark: SparkSession, t_threshold: float = 0.2) -> DataFram
     differs sharply from the population's (the skewness attack).
     Quasi-identifier: c_nationkey; sensitive: c_acctbal bucketed by
     global deciles. For an ordered attribute the right distance is
-    Earth Mover's, which over ordered equal-probability buckets reduces
-    to the mean |cumulative difference| — exactly computable
-    relationally.
+    Earth Mover's, which over m ordered equal-probability buckets
+    reduces (Li et al.'s ordered-distance definition) to
+    Σ|cumulative difference| / (m − 1) — divide by 9 here, not 10: the
+    last bucket's cumulative difference is identically 0 (both
+    distributions sum to 1), so a mean over all m buckets would scale
+    t by (m−1)/m and make the 0.2 threshold incomparable to literature
+    t values. Exactly computable relationally.
 
     Shapes (same posture as the sibling audits): decile breakpoints are
     ONE exact-percentile scalar aggregate broadcast back as literals
@@ -1664,9 +1668,12 @@ def t_closeness_audit(spark: SparkSession, t_threshold: float = 0.2) -> DataFram
     cum = Window.partitionBy("c_nationkey").orderBy("bucket").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    emd = F.avg(
-        F.abs(F.sum("c_p").over(cum) - F.sum("g_p").over(cum))
-    ).over(Window.partitionBy("c_nationkey"))
+    emd = (
+        F.sum(F.abs(F.sum("c_p").over(cum) - F.sum("g_p").over(cum))).over(
+            Window.partitionBy("c_nationkey")
+        )
+        / F.lit(9.0)
+    )
     return (
         grid.withColumn("emd", emd)
         .groupBy("c_nationkey")

@@ -4938,14 +4938,16 @@ offsets AS (
   GROUP BY c.day
 ),
 runs AS (
-  SELECT s.day, s.delta,
+  SELECT s.day, s.delta, o.carry_in,
          o.carry_in + sum(s.delta) OVER (
            PARTITION BY s.day
            ORDER BY s.t_us, s.delta DESC, s.user_id, s.session_seq
            ROWS UNBOUNDED PRECEDING) AS concurrency
   FROM sweep2 s JOIN offsets o ON o.day = s.day
 )
-SELECT day, CAST(max(concurrency) AS BIGINT) AS peak_concurrency,
+SELECT day,
+       CAST(greatest(max(concurrency), max(carry_in)) AS BIGINT)
+         AS peak_concurrency,
        CAST(sum(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT)
          AS n_sessions_started
 FROM runs GROUP BY day ORDER BY day
@@ -4953,7 +4955,10 @@ FROM runs GROUP BY day ORDER BY day
     notes="peak concurrent sessions per day: gap-sessionize -> closed "
     "intervals -> sweep-line (+1/-1) with ends-after-starts tie rule; "
     "running sum is two-phase (per-day window + triangular-join day "
-    "carry) so no single-partition window exists at any series length",
+    "carry) so no single-partition window exists at any series "
+    "length; peak includes the day-START level (carry_in) so a day "
+    "whose first boundary is a session end is not understated; days "
+    "with zero boundary events are absent by contract",
 )(lambda spark: events_ops.concurrent_sessions(spark))
 
 
@@ -5113,7 +5118,7 @@ WITH d AS (
 a AS (
   SELECT doc_id AS doc_id_a, lang AS lang_a, text AS text_a,
          n_chars AS len_a, band + x AS band
-  FROM d, unnest([0, 1]) AS t(x)
+  FROM d, unnest([-1, 0, 1]) AS t(x)
 ),
 pairs AS (
   SELECT doc_id_a, b.doc_id AS doc_id_b, lang_a AS lang,
@@ -5129,7 +5134,10 @@ SELECT doc_id_a, doc_id_b, lang,
 FROM pairs WHERE 1.0 - CAST(lev AS DOUBLE) / mx >= 0.8
 """,
     notes="blocked Levenshtein near-dup verify: (lang, length-band) "
-    "JOIN key with dual-emit boundary coverage bounds candidates; "
+    "JOIN key with symmetric 3-band a-side emit (band-1,band,band+1) "
+    "so boundary pairs meet regardless of which side holds the lower "
+    "doc_id; bands of a qualifying pair differ by <=1 so each pair "
+    "meets exactly once; "
     "thresholded (early-abandon) DP returns -1 past the floor's "
     "implied max and is filtered - exact values survive for every "
     "reported row, so the oracle's full-DP recompute hashes "
@@ -5375,11 +5383,13 @@ train AS (
 )
 SELECT t.event_type,
        CAST(count(*) AS BIGINT) AS n_test_days,
+       CAST(sum(CASE WHEN tr.forecast IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dropped_days,
        round(avg(t.n_events), 6) AS actual_mean,
        round(avg(tr.forecast), 6) AS forecast_mean,
        round(avg(abs(t.n_events - tr.forecast)), 6) AS mae,
        round(avg(abs(t.n_events - tr.forecast) / t.n_events), 6) AS mape
-FROM split t JOIN train tr
+FROM split t LEFT JOIN train tr
   ON tr.event_type = t.event_type AND tr.weekday = t.weekday
 WHERE t.is_test
 GROUP BY t.event_type ORDER BY t.event_type
@@ -5387,7 +5397,9 @@ GROUP BY t.event_type ORDER BY t.event_type
     notes="seasonal-naive forecast backtest: last-7-day holdout scored "
     "against training weekday means (MAE/MAPE per type) — the baseline "
     "every forecast model must beat; weekday = days-since-epoch mod 7 "
-    "(engine-portable; dayofweek() origins differ)",
+    "(engine-portable; dayofweek() origins differ); LEFT train join "
+    "keeps uncovered test days in n_test_days and surfaces them as "
+    "n_dropped_days (no silent denominator shrink)",
 )(lambda spark: events_ops.forecast_backtest(spark))
 
 
@@ -5675,7 +5687,8 @@ grid AS (
 ),
 emds AS (
   SELECT c_nationkey, class_size,
-         avg(abs(cum_c - cum_g)) OVER (PARTITION BY c_nationkey) AS emd
+         sum(abs(cum_c - cum_g)) OVER (PARTITION BY c_nationkey) / 9.0
+           AS emd
   FROM (
     SELECT *,
            sum(c_p) OVER w AS cum_c, sum(g_p) OVER w AS cum_g
@@ -5692,7 +5705,9 @@ FROM emds GROUP BY c_nationkey ORDER BY c_nationkey
     notes="t-closeness (Li et al. ICDE'07) — the skewness-attack audit "
     "completing the k-anonymity/l-diversity triad: EMD between each "
     "class's sensitive-attribute decile distribution and the "
-    "population's (mean |cumulative difference| over ordered buckets); "
+    "population's (sum |cumulative difference| / (m-1) over ordered "
+    "buckets, per Li et al.'s ordered distance - the last bucket's "
+    "cumdiff is identically 0, so /9 not /10); "
     "exact-percentile scalar breakpoints broadcast as literals, "
     "class x 10 grid, per-class 10-row cum windows",
 )(lambda spark: relational.t_closeness_audit(spark))
