@@ -1441,108 +1441,72 @@ FROM joined GROUP BY 1 ORDER BY 1
 #
 # The driver checks the FIRST 50 entries of queries() (registration order) at
 # sf0.01. r01/r02 covered the original first-50; r03 rotated in the next 50;
-# r04 covered the 45 round-3 additions + 5 fillers (all passed —
-# CORRECTNESS_r01..r04, zero failures). This round-5 window (VERDICT r4
-# "Next round" #1):
-#   1. the 12 round-4 additions — sf0.01-parity-proven but never
-#      driver-checked; a green r05 row for each restores full-registry
-#      driver coverage;
-#   2. queries whose physical plans change THIS round (connected-components
-#      large-star fallback -> dedup_doc_clusters / dedup_cluster_removals;
-#      SemDeDup bounded-pair guard -> emb_semdedup), so the driver re-proves
-#      them post-change rather than trusting stale r04 rows;
-#   3. round-5 additions (inserted here as they land, displacing tail
-#      fillers, so no never-driver-checked surface accumulates);
-#   4. fillers: the OLDEST driver rows (r01-era, §2.1 staples first) to
-#      re-validate against drift. (All filler slots were displaced by
-#      late-r5 additions — the staples hold r01/r02 rows and rotate back
-#      in r6; never-driver-checked queries always take priority.)
-# Post-window-cut r5 additions queued FIRST for the r6 window (they
-# follow this list in registration order, so the driver reaches them the
-# moment the r6 rotation promotes them): dedup_graph_coreness,
-# ev_cuped_readout, rel_snapshot_diff, dedup_minhash_estimate,
-# text_score_normalization, emb_label_noise, ev_power_analysis,
-# text_score_psi, and the session-2 batch — text_dsir_weights,
-# ev_seasonal_adjustment, emb_kcenter_sample (rows-only),
-# emb_ivfpq_topk (rows-only), ev_cusum_changepoints, text_heaps_law,
-# rel_join_skew_audit, text_pmi_collocations — and the session-3 batch —
-# ev_concurrent_sessions, rel_revenue_gini, rel_abc_pareto,
-# text_readability_scores, text_lang_source_chi2, dedup_edit_distance,
-# emb_dimension_variance, uav_motion_vectors, ev_prequential_zscore,
-# text_ngram_novelty, ev_dau_mau_stickiness, emb_mmr_rerank (rows-only),
-# ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
-# dedup_minhash_editdist (rows-only), ev_srm_check, emb_matryoshka_overlap,
-# uav_class_cooccurrence, ev_bot_regularity, emb_centroid_separation,
-# rel_incremental_agg, rel_t_closeness, and the media batch
-# (media_audio_features / media_scene_changes / media_frame_samples /
-# media_metadata_stats / media_image_features / media_resized_thumbs -
-# all rows-only), text_compression_ratio (rows-only),
-# emb_procrustes_drift (rows-only), dedup_graph_modularity, emb_dbscan_lite,
-# ev_experiment_readout, rel_rfm_segmentation
-# (plus re-proves for the
-# replanned text_heaps_law / ev_cusum_changepoints two-phase cumsums) —
-# each sf0.01-parity-proven in PARITY_sf0.01.json / pytest-exact.
+# r04 covered the 45 round-3 additions + 5 fillers; r05 covered the 12
+# round-4 additions, 4 plan-changed re-proves, and 32 round-5 additions
+# (CORRECTNESS_r01..r05: 189 distinct queries, zero failures ever). This
+# round-6 window (VERDICT r5 "Next round" #1) is exactly the 50 oldest of
+# the 51 queries that have NEVER had a driver row — the late-round-5
+# session-2/3 batches, in their original registration order. The one
+# holdover, rel_rfm_segmentation (the newest), leads the r7 queue together
+# with any round-6 additions and the re-proves for plans changed this round
+# (dedup_edit_distance / ev_concurrent_sessions / rel_t_closeness /
+# ev_forecast_backtest are IN this window, so their r5 audit fixes get
+# driver rows immediately). Every name below is sf0.01-parity-proven in
+# the committed PARITY_sf0.01.json.
 # Names listed here sort first, in this order; everything else follows in
 # registration order.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # --- 1. round-4 additions (never driver-checked; 11 oracled,
-    #        ev_topk_users_rollup rows-only by design) ---
-    "text_sequence_packing",
-    "text_mix_weights",
-    "text_perplexity_buckets",
-    "text_quality_classifier",
-    "text_chunk_windows",
-    "text_substring_dup_spans",
-    "text_stratified_topk_sample",
-    "emb_hard_negatives",
-    "emb_quantization_error",
-    "ev_debounce_bursts",
-    "ev_topk_users_rollup",
-    "dedup_cluster_best_quality",
-    # --- 2. plans changed in round 5 (re-prove post-change) ---
-    "dedup_doc_clusters",
-    "dedup_cluster_removals",
-    "emb_semdedup",
-    "dedup_ngram_jaccard",
-    # --- 3. round-5 additions ---
-    "text_bm25_topk",
-    "text_char_entropy",
-    "text_bpe_pairs",
-    "rel_scd2_snapshot",
-    "text_weighted_sample",
-    "dedup_pagerank_centrality",
-    "ev_attribution_credit",
-    "ev_markov_transitions",
-    "text_hybrid_retrieval",
-    "text_bigram_ce",
-    "ev_top_session_paths",
-    "emb_ann_tuning_curve",
-    "text_classifier_calibration",
-    "ev_rate_limit_windows",
-    "text_paragraph_dedup",
-    "media_phash_neardups",
-    "emb_pq_quantization",
-    "text_zipf_slope",
-    "ev_user_anomaly_zscore",
-    # --- 3b. round-5 additions landed after the first window cut (each
-    #         displaces the newest filler, oldest staples keep their slots) ---
-    "emb_semantic_decontam",
-    "dedup_graph_triangles",
-    "ev_ewma_deviation",
-    "text_bpe_train",
-    "text_group_holdout_split",
-    "dedup_ngram_containment",
-    "text_bpe_fertility",
-    "ev_hll_overlap",
-    "text_typo_variants",
-    "rel_l_diversity",
-    "dedup_lsh_tuning",
-    "rel_benford_audit",
-    "ev_daily_autocorr",
-    # --- 4. fillers: oldest (r01-era) driver rows, §2.1 staples first ---
-    "uav_keyframe_decimation",
-    "uav_frame_counters",
+    "dedup_graph_coreness",
+    "ev_cuped_readout",
+    "rel_snapshot_diff",
+    "dedup_minhash_estimate",
+    "text_score_normalization",
+    "emb_label_noise",
+    "ev_power_analysis",
+    "text_score_psi",
+    "text_dsir_weights",
+    "ev_seasonal_adjustment",
+    "emb_kcenter_sample",
+    "emb_ivfpq_topk",
+    "ev_cusum_changepoints",
+    "text_heaps_law",
+    "rel_join_skew_audit",
+    "text_pmi_collocations",
+    "ev_concurrent_sessions",
+    "rel_revenue_gini",
+    "rel_abc_pareto",
+    "text_readability_scores",
+    "text_lang_source_chi2",
+    "dedup_edit_distance",
+    "emb_dimension_variance",
+    "uav_motion_vectors",
+    "ev_prequential_zscore",
+    "text_ngram_novelty",
+    "ev_dau_mau_stickiness",
+    "emb_mmr_rerank",
+    "ev_funnel_step_timing",
+    "ev_forecast_backtest",
+    "rel_cohort_repurchase",
+    "dedup_minhash_editdist",
+    "ev_srm_check",
+    "emb_matryoshka_overlap",
+    "uav_class_cooccurrence",
+    "ev_bot_regularity",
+    "emb_centroid_separation",
+    "rel_incremental_agg",
+    "rel_t_closeness",
+    "media_audio_features",
+    "media_scene_changes",
+    "media_frame_samples",
+    "media_metadata_stats",
+    "media_image_features",
+    "media_resized_thumbs",
+    "text_compression_ratio",
+    "emb_procrustes_drift",
+    "dedup_graph_modularity",
+    "emb_dbscan_lite",
+    "ev_experiment_readout",
 ]
 
 
