@@ -395,7 +395,51 @@ def main() -> None:
     # SPARK_GRAFT_BENCH_STREAMING=0 skips it
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
         out["streaming"] = bench_streaming(spark, sf_dir)
-    print(json.dumps(out))
+
+    # VERDICT r5 #2/#3: the driver records only the LAST 2000 chars of
+    # stdout, and the full dict (36+ queries + spreads + streaming) no
+    # longer fits — r5's medians were unrecoverable from BENCH_r05.json.
+    # So: the full artifact goes to a committed per-round file, and stdout
+    # carries ONE compact medians-only line (~1.2 KB) that always parses.
+    full_path = _full_artifact_path(sf)
+    if full_path is not None:
+        full_path.write_text(json.dumps(out, indent=1) + "\n")
+        print(f"# full bench artifact: {full_path}", file=sys.stderr)
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "runs_per_query": n_runs,
+    }
+    if "streaming" in out:
+        compact["streaming_total_sec"] = round(
+            sum(s["sec"] for s in out["streaming"].values()), 3
+        )
+    if full_path is not None:
+        compact["full"] = full_path.name
+    print(json.dumps(compact))
+
+
+def _full_artifact_path(sf: float) -> Path | None:
+    """Committed per-round artifact path: BENCH_full_r{N}.json, where N is
+    one past the newest driver-recorded BENCH_r*.json. Re-runs within a
+    round overwrite the same file (last full measurement wins). Returns
+    None when the repo root isn't writable (e.g. a sandboxed run)."""
+    import re
+
+    root = Path(__file__).resolve().parent
+    if sf != 0.1:
+        return None  # only the driver-scale run is the round artifact
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("BENCH_r*.json")
+        if (m := re.fullmatch(r"BENCH_r(\d+)", p.stem))
+    ]
+    n = (max(rounds) + 1) if rounds else 1
+    path = root / f"BENCH_full_r{n:02d}.json"
+    return path if os.access(root, os.W_OK) else None
 
 
 if __name__ == "__main__":
