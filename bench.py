@@ -419,25 +419,44 @@ def main() -> None:
         )
     if full_path is not None:
         compact["full"] = full_path.name
-    print(json.dumps(compact))
+    # the driver captures only the last 2000 chars of stdout: if the
+    # per-query dict has grown past the budget (rotation + BENCH_FULL),
+    # drop it from the compact line — the totals still parse and the full
+    # artifact file carries every timing (r6 ADVICE)
+    line = json.dumps(compact)
+    if len(line) > 1800:
+        compact["queries"] = {
+            "_elided": f"{len(timings)} timings in {full_path.name}"
+            if full_path is not None
+            else f"{len(timings)} timings elided (stdout budget)"
+        }
+        line = json.dumps(compact)
+    print(line)
 
 
 def _full_artifact_path(sf: float) -> Path | None:
-    """Committed per-round artifact path: BENCH_full_r{N}.json, where N is
-    one past the newest driver-recorded BENCH_r*.json. Re-runs within a
-    round overwrite the same file (last full measurement wins). Returns
-    None when the repo root isn't writable (e.g. a sandboxed run)."""
+    """Committed per-round artifact path: BENCH_full_r{N}.json. N comes
+    from $SPARK_GRAFT_ROUND when set (authoritative — glob inference
+    mislabels a re-run made AFTER the driver records the current round's
+    BENCH_r{N}.json, r6 ADVICE); otherwise it is inferred as one past the
+    newest driver-recorded BENCH_r*.json. Re-runs within a round
+    overwrite the same file (last full measurement wins). Returns None
+    when the repo root isn't writable (e.g. a sandboxed run)."""
     import re
 
     root = Path(__file__).resolve().parent
     if sf != 0.1:
         return None  # only the driver-scale run is the round artifact
-    rounds = [
-        int(m.group(1))
-        for p in root.glob("BENCH_r*.json")
-        if (m := re.fullmatch(r"BENCH_r(\d+)", p.stem))
-    ]
-    n = (max(rounds) + 1) if rounds else 1
+    env_round = os.environ.get("SPARK_GRAFT_ROUND")
+    if env_round and env_round.isdigit():
+        n = int(env_round)
+    else:
+        rounds = [
+            int(m.group(1))
+            for p in root.glob("BENCH_r*.json")
+            if (m := re.fullmatch(r"BENCH_r(\d+)", p.stem))
+        ]
+        n = (max(rounds) + 1) if rounds else 1
     path = root / f"BENCH_full_r{n:02d}.json"
     return path if os.access(root, os.W_OK) else None
 

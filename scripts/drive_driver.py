@@ -53,6 +53,21 @@ for name, fn in q.items():
     sdf = fn(spark, SF)
     srows = [tuple(r) for r in sdf.collect()]
     if name not in o:
+        # replicate the driver's pandas value-hash canonicalization even on
+        # rows-only queries — r6's media_image_features driver ERR (unhashable
+        # ArrayType cells) was invisible here because this path only counted
+        # rows. A crash below is a FAIL, exactly as it is for the driver.
+        try:
+            import pandas as pd
+            pdf = sdf.toPandas()
+            if len(pdf):
+                pd.util.hash_pandas_object(pdf, index=False)
+        except Exception as exc:
+            fails.append(name)
+            report[name] = {"check": "rows_only", "rows": len(srows),
+                            "canon_err": repr(exc)[:200]}
+            print(f"  FAIL {name}: canonicalization error {exc!r}", flush=True)
+            continue
         n_rows_only += 1
         report[name] = {"check": "rows_only", "rows": len(srows)}
         print(f"  rows-only {name}: {len(srows)} rows", flush=True)

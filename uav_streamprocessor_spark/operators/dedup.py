@@ -832,11 +832,24 @@ def minhash_estimate_audit(spark: SparkSession) -> DataFrame:
 def _edit_distance_candidates(a: DataFrame, b: DataFrame, band_width: int) -> DataFrame:
     """The blocked candidate join, pre-barrier — factored out so the plan
     audit can assert its join shape (the production operator hides it
-    behind the localCheckpoint barrier below)."""
+    behind the localCheckpoint barrier below).
+
+    Meet-exactly-once under the 2-emit scheme (a-side emits its own band
+    and band+1, carrying `band_a` = its origin band): pairs whose docs
+    share a band meet in that band under the doc_id_a < doc_id_b
+    tie-break; pairs straddling a band boundary meet exactly once in the
+    HIGHER band, oriented lower-band-doc-as-a (band_a < band), with no
+    doc_id constraint — this replaces the r6 3-band emit, which bought
+    the same exactly-once guarantee by orienting on doc_id alone at the
+    cost of ~50% more candidate rows through the DP (r6 VERDICT #4)."""
     return a.join(
         b.withColumnRenamed("lang_b", "lang_a"), ["band", "lang_a"]
     ).filter(
-        (F.col("doc_id_b") > F.col("doc_id_a"))
+        (
+            ((F.col("band_a") == F.col("band"))
+             & (F.col("doc_id_a") < F.col("doc_id_b")))
+            | (F.col("band_a") < F.col("band"))
+        )
         & (F.abs(F.col("len_a") - F.col("len_b")) <= band_width)
     )
 
@@ -845,22 +858,32 @@ def edit_distance_candidate_plan(spark: SparkSession, band_width: int = 25) -> D
     """Plan-audit surface: the candidate join exactly as the operator
     builds it, without the barrier."""
     docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
+    a = _edit_a_side(docs, band_width)
+    b = _edit_b_side(docs, band_width)
+    return _edit_distance_candidates(a, b, band_width)
+
+
+def _edit_a_side(docs: DataFrame, band_width: int = 25) -> DataFrame:
     band = F.floor(F.col("n_chars") / band_width)
-    a = docs.select(
+    return docs.select(
         F.col("doc_id").alias("doc_id_a"),
         F.col("lang").alias("lang_a"),
         F.col("text").alias("text_a"),
         F.col("n_chars").alias("len_a"),
-        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
+        band.alias("band_a"),
+        F.explode(F.array(band, band + 1)).alias("band"),
     )
-    b = docs.select(
+
+
+def _edit_b_side(docs: DataFrame, band_width: int = 25) -> DataFrame:
+    band = F.floor(F.col("n_chars") / band_width)
+    return docs.select(
         F.col("doc_id").alias("doc_id_b"),
         F.col("lang").alias("lang_b"),
         F.col("text").alias("text_b"),
         F.col("n_chars").alias("len_b"),
         band.alias("band"),
     )
-    return _edit_distance_candidates(a, b, band_width)
 
 
 def edit_distance_pairs(
@@ -871,17 +894,21 @@ def edit_distance_pairs(
     per pair, so candidate pairs must be bounded BEFORE it runs.
 
     Blocking: (lang, floor(n_chars / band_width)), with the a-side
-    emitted to its own band AND both neighbors (band−1, band, band+1);
-    the b-side sits only in its own band. Pair orientation is fixed by
-    doc_id_b > doc_id_a, so the lower-id doc of a boundary-straddling
-    pair may sit in EITHER the lower or the higher band — a one-sided
-    (band, band+1) emit silently drops pairs whose lower-id doc is one
-    band above its partner. With the symmetric 3-band emit every
-    qualifying pair meets exactly once, because the |len_a − len_b| ≤
-    band_width filter implies the two bands differ by at most 1 and the
-    band offset (−1/0/+1) is unique per pair. That length filter also
-    bounds the DP cost: edit distance ≥ length difference, so a pair
-    further apart than the band can never reach the similarity floor.
+    emitted to its own band AND the band above (2-emit, carrying its
+    origin band as band_a); the b-side sits only in its own band. The
+    |len_a − len_b| ≤ band_width filter implies a qualifying pair's
+    bands differ by at most 1, so every pair meets exactly once: same-
+    band pairs under the doc_id_a < doc_id_b tie-break in their own
+    band, boundary-straddling pairs exactly once in the HIGHER band
+    oriented lower-band-doc-as-a (band_a < band) with NO doc_id
+    constraint — so recall is independent of which side holds the lower
+    doc_id (the r5 recall bug), at 2 emitted rows per doc instead of
+    the r6 fix's 3 (the r6 VERDICT #4 cost win-back; the boundary-pair
+    regression test covers both orientations). Output pairs are re-
+    oriented doc_id_a < doc_id_b via least/greatest, matching the
+    oracle. The length filter also bounds the DP cost: edit distance ≥
+    length difference, so a pair further apart than the band can never
+    reach the similarity floor.
 
     similarity = 1 − lev/greatest(len_a, len_b), the normalized form.
     Both engines implement the identical unit-cost Levenshtein, so the
@@ -898,21 +925,8 @@ def edit_distance_pairs(
     minhash_editdist_verify below (dedup_minhash_editdist), recall-
     pinned against this operator; the verify join shape is the same."""
     docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
-    band = F.floor(F.col("n_chars") / band_width)
-    a = docs.select(
-        F.col("doc_id").alias("doc_id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("text").alias("text_a"),
-        F.col("n_chars").alias("len_a"),
-        F.explode(F.array(band - 1, band, band + 1)).alias("band"),
-    )
-    b = docs.select(
-        F.col("doc_id").alias("doc_id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("text").alias("text_b"),
-        F.col("n_chars").alias("len_b"),
-        band.alias("band"),
-    )
+    a = _edit_a_side(docs, band_width)
+    b = _edit_b_side(docs, band_width)
     # early-abandon ceiling: a surviving pair needs lev <= (1-floor)*mx;
     # mx is bounded by the longest doc, so one global literal works
     max_len = docs.agg(F.max("n_chars")).first()[0] or 0
@@ -938,8 +952,10 @@ def edit_distance_pairs(
     )
     return (
         cands.select(
-            "doc_id_a",
-            "doc_id_b",
+            # cross-band pairs arrive oriented by band, not id — re-orient
+            # so output matches the oracle's doc_id_b > doc_id_a convention
+            F.least("doc_id_a", "doc_id_b").alias("doc_id_a"),
+            F.greatest("doc_id_a", "doc_id_b").alias("doc_id_b"),
             F.col("lang_a").alias("lang"),
             lev.cast("long").alias("edit_distance"),
             F.round(sim, 6).alias("similarity"),

@@ -1391,9 +1391,11 @@ def forecast_backtest(spark: SparkSession, horizon_days: int = 7) -> DataFrame:
     Coverage is explicit (no-silent-caps): the train join is LEFT, so a
     test day whose (event_type, weekday) never appears in the training
     span is COUNTED in n_test_days and surfaced in n_dropped_days
-    rather than silently shrinking the denominator; MAE/MAPE average
-    over the covered days only (the honest score — there is no
-    forecast to err against on uncovered days)."""
+    rather than silently shrinking the denominator; MAE/MAPE AND
+    actual_mean average over the covered days only (the honest score —
+    there is no forecast to err against on uncovered days, and scoring
+    actual_mean over a different day set than forecast_mean would bias
+    their comparison whenever n_dropped_days > 0; r6 ADVICE)."""
     daily = (
         spark.table("events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
@@ -1422,7 +1424,9 @@ def forecast_backtest(spark: SparkSession, horizon_days: int = 7) -> DataFrame:
             F.sum(F.col("forecast").isNull().cast("long"))
             .cast("long")
             .alias("n_dropped_days"),
-            F.round(F.avg("n_events"), 6).alias("actual_mean"),
+            F.round(
+                F.avg(F.when(F.col("forecast").isNotNull(), F.col("n_events"))), 6
+            ).alias("actual_mean"),
             F.round(F.avg("forecast"), 6).alias("forecast_mean"),
             F.round(F.avg(err), 6).alias("mae"),
             F.round(F.avg(err / F.col("n_events")), 6).alias("mape"),

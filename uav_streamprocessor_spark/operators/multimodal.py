@@ -64,17 +64,25 @@ def media_metadata_stats(media: DataFrame) -> DataFrame:
 def extract_image_features(media: DataFrame) -> DataFrame:
     """Feature extraction over image payloads via mapInPandas: mean/std
     channel intensities + downsampled 4x4 luma fingerprint. Batch shape:
-    Arrow record batches; decode happens once per row inside the worker."""
+    Arrow record batches; decode happens once per row inside the worker.
+
+    The fingerprint is emitted as a JSON string (16 values rounded to 6
+    decimals), not ArrayType — downstream canonicalization/hashing layers
+    (including the driver's pandas-based value hash) require atomic column
+    types, and a JSON string round-trips losslessly for consumers that
+    need the vector back (from_json / json.loads)."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
             T.StructField("mean_intensity", T.DoubleType(), True),
             T.StructField("std_intensity", T.DoubleType(), True),
-            T.StructField("luma_fingerprint", T.ArrayType(T.DoubleType()), True),
+            T.StructField("luma_fingerprint", T.StringType(), True),
         ]
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import json
+
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
@@ -86,8 +94,11 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 h, w = luma.shape
                 fp = luma[: h - h % 4, : w - w % 4] \
                     .reshape(4, h // 4, 4, w // 4).mean(axis=(1, 3))
+                fp_json = json.dumps(
+                    [round(float(v), 6) for v in fp.flatten()]
+                )
                 rows.append(
-                    (mid, float(img.mean()), float(img.std()), fp.flatten().tolist())
+                    (mid, float(img.mean()), float(img.std()), fp_json)
                 )
             yield pd.DataFrame(
                 rows, columns=["media_id", "mean_intensity", "std_intensity",

@@ -1442,71 +1442,85 @@ FROM joined GROUP BY 1 ORDER BY 1
 # The driver checks the FIRST 50 entries of queries() (registration order) at
 # sf0.01. r01/r02 covered the original first-50; r03 rotated in the next 50;
 # r04 covered the 45 round-3 additions + 5 fillers; r05 covered the 12
-# round-4 additions, 4 plan-changed re-proves, and 32 round-5 additions
-# (CORRECTNESS_r01..r05: 189 distinct queries, zero failures ever). This
-# round-6 window (VERDICT r5 "Next round" #1) is exactly the 50 oldest of
-# the 51 queries that have NEVER had a driver row — the late-round-5
-# session-2/3 batches, in their original registration order. The one
-# holdover, rel_rfm_segmentation (the newest), leads the r7 queue together
-# with any round-6 additions and the re-proves for plans changed this round
-# (dedup_edit_distance / ev_concurrent_sessions / rel_t_closeness /
-# ev_forecast_backtest are IN this window, so their r5 audit fixes get
-# driver rows immediately). Every name below is sf0.01-parity-proven in
-# the committed PARITY_sf0.01.json.
-# Names listed here sort first, in this order; everything else follows in
-# registration order.
+# round-4 additions, 4 plan-changed re-proves, and 32 round-5 additions;
+# r06 covered the 50 late-round-5 queries that had never had a driver row
+# (CORRECTNESS_r01..r06: 239 distinct queries, zero wrong answers ever).
+#
+# This round-7 window (VERDICT r6 "Next round" #2):
+#  1. rel_rfm_segmentation — the ONLY query never driver-checked (held in
+#     the r6 queue by design) → completes 240/240 cumulative coverage.
+#  2. media_image_features — re-proves the r7 canon-hashability fix for
+#     the r6 driver ERR (ArrayType fingerprint → JSON string).
+#  3. 48 re-proves drawn from the r01/r02 cohort, whose driver rows are
+#     the oldest in the repo and predate heavy operator rewrites. Ordered
+#     by how much their backing code changed since round 2 (git diff
+#     b85f5f6..HEAD): dedup.py (+738: group-and-emit LSH rewrite, banded
+#     edit-distance) first, then relational.py (+1072) / TPC-H plans,
+#     events_ops.py (+1271), and finally the uav set (pixel.py +23;
+#     uav_core.py unchanged — included so current fixtures/session confs
+#     re-prove them, minus 3 unchanged source-metadata trivia
+#     (uav_filename_order / uav_fps_fallback / uav_metadata_fields) that
+#     didn't fit the 50).
+# Every name below is sf0.01-parity-proven in the committed
+# PARITY_sf0.01.json. Names listed here sort first, in this order;
+# everything else follows in registration order.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    "dedup_graph_coreness",
-    "ev_cuped_readout",
-    "rel_snapshot_diff",
-    "dedup_minhash_estimate",
-    "text_score_normalization",
-    "emb_label_noise",
-    "ev_power_analysis",
-    "text_score_psi",
-    "text_dsir_weights",
-    "ev_seasonal_adjustment",
-    "emb_kcenter_sample",
-    "emb_ivfpq_topk",
-    "ev_cusum_changepoints",
-    "text_heaps_law",
-    "rel_join_skew_audit",
-    "text_pmi_collocations",
-    "ev_concurrent_sessions",
-    "rel_revenue_gini",
-    "rel_abc_pareto",
-    "text_readability_scores",
-    "text_lang_source_chi2",
-    "dedup_edit_distance",
-    "emb_dimension_variance",
-    "uav_motion_vectors",
-    "ev_prequential_zscore",
-    "text_ngram_novelty",
-    "ev_dau_mau_stickiness",
-    "emb_mmr_rerank",
-    "ev_funnel_step_timing",
-    "ev_forecast_backtest",
-    "rel_cohort_repurchase",
-    "dedup_minhash_editdist",
-    "ev_srm_check",
-    "emb_matryoshka_overlap",
-    "uav_class_cooccurrence",
-    "ev_bot_regularity",
-    "emb_centroid_separation",
-    "rel_incremental_agg",
-    "rel_t_closeness",
-    "media_audio_features",
-    "media_scene_changes",
-    "media_frame_samples",
-    "media_metadata_stats",
+    # -- never-checked + fresh-fix head --
+    "rel_rfm_segmentation",
     "media_image_features",
-    "media_resized_thumbs",
-    "text_compression_ratio",
-    "emb_procrustes_drift",
-    "dedup_graph_modularity",
-    "emb_dbscan_lite",
-    "ev_experiment_readout",
+    # -- dedup.py re-proves (group-and-emit rewrite landed r5) --
+    "dedup_docs_exact",
+    "dedup_docs_survivors",
+    "dedup_fingerprints",
+    "dedup_minhash_candidates",
+    "dedup_minhash_neardups",
+    "dedup_simhash_buckets",
+    "dedup_simhash_neardups",
+    "dedup_ngram_jaccard",
+    # -- relational.py / TPC-H re-proves --
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_region_revenue",
+    "rel_revenue_by_region",
+    "rel_top_customers",
+    "rel_orders_rollup",
+    "rel_orders_cube",
+    "rel_pivot_linestatus",
+    "rel_distinct_segments",
+    "rel_approx_distinct",
+    "rel_customer_order_rank",
+    "rel_intersect_customers",
+    "rel_except_customers",
+    "rel_suppliers_no_lineitems",
+    "rel_string_functions",
+    "rel_orders_by_month",
+    "rel_math_functions",
+    "rel_correlated_exists",
+    # -- events_ops.py re-proves --
+    "ev_type_stats",
+    "ev_hourly_tumbling",
+    "ev_sliding_window",
+    "ev_session_windows",
+    "ev_json_props",
+    "ev_dedup_exact",
+    "ev_user_daily_running",
+    # -- uav re-proves (pixel.py letterbox/detector touched r3) --
+    "uav_letterbox_geometry",
+    "uav_detections_filtered",
+    "uav_class_stats",
+    "uav_top_confidence",
+    "uav_keyframe_decimation",
+    "uav_frame_counters",
+    "uav_frames_detections_join",
+    "uav_frames_without_detections",
+    "uav_frames_with_detections",
+    "uav_segment_stats",
+    "uav_segment_reassembly",
+    "uav_detection_rank",
+    "uav_detection_lag",
+    "uav_running_counters",
+    "uav_metadata_json",
 ]
 
 
@@ -5098,10 +5112,13 @@ SELECT doc_id_a, doc_id_b, lang,
 FROM pairs WHERE 1.0 - CAST(lev AS DOUBLE) / mx >= 0.8
 """,
     notes="blocked Levenshtein near-dup verify: (lang, length-band) "
-    "JOIN key with symmetric 3-band a-side emit (band-1,band,band+1) "
-    "so boundary pairs meet regardless of which side holds the lower "
-    "doc_id; bands of a qualifying pair differ by <=1 so each pair "
-    "meets exactly once; "
+    "JOIN key with 2-emit a-side (band, band+1) oriented by (band, "
+    "doc_id) - same-band pairs meet under the id tie-break, boundary "
+    "pairs meet once in the higher band regardless of which side "
+    "holds the lower doc_id (r5 recall bug class), output re-oriented "
+    "by least/greatest id; the ORACLE deliberately keeps the distinct "
+    "3-band id-oriented enumeration, so the two engines must agree "
+    "across different blocking schemes; "
     "thresholded (early-abandon) DP returns -1 past the floor's "
     "implied max and is filtered - exact values survive for every "
     "reported row, so the oracle's full-DP recompute hashes "
@@ -5349,7 +5366,8 @@ SELECT t.event_type,
        CAST(count(*) AS BIGINT) AS n_test_days,
        CAST(sum(CASE WHEN tr.forecast IS NULL THEN 1 ELSE 0 END)
             AS BIGINT) AS n_dropped_days,
-       round(avg(t.n_events), 6) AS actual_mean,
+       round(avg(CASE WHEN tr.forecast IS NOT NULL THEN t.n_events END), 6)
+         AS actual_mean,
        round(avg(tr.forecast), 6) AS forecast_mean,
        round(avg(abs(t.n_events - tr.forecast)), 6) AS mae,
        round(avg(abs(t.n_events - tr.forecast) / t.n_events), 6) AS mape
@@ -5363,7 +5381,9 @@ GROUP BY t.event_type ORDER BY t.event_type
     "every forecast model must beat; weekday = days-since-epoch mod 7 "
     "(engine-portable; dayofweek() origins differ); LEFT train join "
     "keeps uncovered test days in n_test_days and surfaces them as "
-    "n_dropped_days (no silent denominator shrink)",
+    "n_dropped_days (no silent denominator shrink); actual_mean / "
+    "forecast_mean / mae / mape all average over COVERED days only, so "
+    "the bias comparison uses one denominator (r6 ADVICE)",
 )(lambda spark: events_ops.forecast_backtest(spark))
 
 
