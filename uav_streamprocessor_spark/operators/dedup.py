@@ -1056,3 +1056,98 @@ def minhash_editdist_verify(
         )
         .filter(F.col("similarity") >= min_similarity)
     )
+
+
+# ---------------------------------------------------------------------------
+# train/val/test split leakage (round 7)
+# ---------------------------------------------------------------------------
+
+def doc_split(doc_col="doc_id"):
+    """Deterministic 80/10/10 train/val/test assignment by doc_id — the
+    standard hash-split, arithmetic (doc_id % 10) so both engines agree
+    exactly. In production the modulus runs over a content hash rather
+    than a surrogate id so re-ingestion keeps docs in their split; the
+    leakage audit below is hash-function-agnostic."""
+    s = F.col(doc_col) % 10
+    return (
+        F.when(s < 8, F.lit("train"))
+        .when(s == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_leakage_pairs(spark: SparkSession, n: int = 3) -> DataFrame:
+    """Cross-split near-duplicate leakage audit: near-dup pairs (word-
+    n-gram Jaccard on the bounded candidate set of ngram_jaccard_pairs)
+    whose two docs landed in DIFFERENT train/val/test splits. Every such
+    pair is eval contamination — the held-out doc's content is (nearly)
+    in training, so eval loss on it is memorization, not generalization
+    (the reason dedup must run BEFORE splitting, and the audit that
+    proves it did).
+
+    Shape: reuses the gram-build + blocked pair join of
+    ngram_jaccard_pairs (two gram-keyed shuffles, candidate set bounded
+    by the doc_id blocks); the split columns are arithmetic, added by
+    broadcast-free projection. At 100 TB the pair source swaps to the
+    MinHash-blocked candidates (minhash_candidates) with this same
+    split-disagreement filter — the audit is pair-source-agnostic."""
+    pairs = ngram_jaccard_pairs(spark, n)
+    return (
+        pairs.withColumn("split_a", doc_split("doc_id_a"))
+        .withColumn("split_b", doc_split("doc_id_b"))
+        .filter(F.col("split_a") != F.col("split_b"))
+        .select("doc_id_a", "doc_id_b", "split_a", "split_b", "jaccard3")
+    )
+
+
+def containment_pairs(
+    spark: SparkSession, n: int = 3, min_containment: float = 0.05
+) -> DataFrame:
+    """Directional containment dedup (Broder's containment coefficient):
+    |A∩B|/|A| and |A∩B|/|B| over word-n-gram sets, on the same bounded
+    id-block candidate sample as ngram_jaccard_pairs. The asymmetric
+    measure catches the dup class symmetric Jaccard structurally MISSES:
+    a short doc quoted verbatim inside a much longer one has containment
+    ≈1 from the short side while Jaccard ≈ |A|/|B| dilutes below any
+    practical threshold. jaccard3 is reported alongside so the gap is
+    visible per pair.
+
+    Pairs kept where max-side containment (|A∩B|/min(|A|,|B|)) ≥
+    `min_containment`; gram-less docs (shorter than n words) are
+    excluded — containment against an empty set is undefined, not 1.0.
+    Same scale shape as the Jaccard sampler: block equi-join, n·width
+    pairs, LSH candidates replace id blocks at 100 TB."""
+    g = doc_ngram_sets(spark, n)
+    width = 5
+    a = g.select(
+        "doc_id",
+        "grams",
+        F.explode(
+            F.array(
+                F.floor(F.col("doc_id") / width),
+                F.floor(F.col("doc_id") / width) + 1,
+            )
+        ).alias("blk"),
+    ).alias("a")
+    b = g.withColumn("blk", F.floor(F.col("doc_id") / width)).alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    uni = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    na = F.size(F.col("a.grams"))
+    nb = F.size(F.col("b.grams"))
+    return (
+        a.join(b, "blk")
+        .filter(
+            (F.col("b.doc_id") > F.col("a.doc_id"))
+            & (F.col("b.doc_id") <= F.col("a.doc_id") + width)
+            & (na > 0)
+            & (nb > 0)
+        )
+        .filter(inter / F.least(na, nb) >= min_containment)
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            F.round(inter / na, 6).alias("containment_ab"),
+            F.round(inter / nb, 6).alias("containment_ba"),
+            F.round(inter / uni, 6).alias("jaccard3"),
+        )
+    )

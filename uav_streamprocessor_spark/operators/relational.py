@@ -1744,3 +1744,47 @@ def rfm_segmentation(spark: SparkSession) -> DataFrame:
         .withColumn("segment", name)
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+# ---------------------------------------------------------------------------
+# small-file compaction planning (round 7)
+# ---------------------------------------------------------------------------
+
+
+def compaction_plan(spark: SparkSession, target_bytes: int = 4000) -> DataFrame:
+    """Small-file compaction planner — the lakehouse maintenance op that
+    turns N tiny files into ceil(bytes/target) right-sized ones. Files
+    are modeled by the documents table (doc_id = file, n_chars = bytes,
+    source = table partition); assignment is NEXT-FIT by fixed byte
+    boundaries: bin = floor(cumulative_bytes_before / target) within
+    each partition, in deterministic file order.
+
+    One partition-keyed window (running sum) + a partial-agg rollup; a
+    partition's plan never looks at another partition — embarrassingly
+    parallel at 100 TB, which is why real compactors (Delta OPTIMIZE,
+    Iceberg rewrite_data_files) shard exactly this way. Output is the
+    per-output-file manifest: how many inputs, total bytes, fill ratio
+    vs target (the tail bin of each partition underfills — that residue
+    is the compaction win)."""
+    files = spark.table("documents").select("doc_id", "source", "n_chars")
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = files.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_chars").over(w) - F.col("n_chars")) / target_bytes)
+        .cast("int"),
+    )
+    return (
+        binned.groupBy("source", "bin_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_chars").cast("long").alias("total_bytes"),
+            F.round(F.sum("n_chars") / F.lit(float(target_bytes)), 6).alias(
+                "fill_ratio"
+            ),
+        )
+        .orderBy("source", "bin_id")
+    )

@@ -1766,3 +1766,57 @@ def dense_topk_neighbors(spark: SparkSession, k: int) -> DataFrame:
             "cosine double, rnk long",
         )
     )
+
+
+def cosine_histogram(spark: SparkSession, width: int = 25) -> DataFrame:
+    """Pairwise-cosine distribution over a bounded, deterministic pair
+    sample (vec_id blocks of `width`, same blocking as the n-gram
+    Jaccard sampler) — the calibration curve a near-dup/SemDeDup
+    threshold is READ OFF of: pick the valley between the duplicate mode
+    and the background mode. Exact and oracle-checkable at calibration
+    scale; at 100 TB the same histogram is estimated from an LSH-
+    bucketed pair sample (the candidates the production dedup already
+    materializes) instead of id-adjacent blocks.
+
+    Shape: block equi-join (hash join on block id — a range join would
+    nested-loop), JVM-side zip_with/aggregate cosine, 0.1-wide bins via
+    floor on the 6dp-rounded cosine so both engines bin identically at
+    boundaries. Pair count is n·width, never n²."""
+    emb = spark.table("embeddings").select("vec_id", "embedding")
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("embedding").alias("va"),
+        F.explode(
+            F.array(
+                F.floor(F.col("vec_id") / width),
+                F.floor(F.col("vec_id") / width) + 1,
+            )
+        ).alias("blk"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("vb"),
+        F.floor(F.col("vec_id") / width).alias("blk"),
+    )
+    cos = F.round(_cosine(F.col("va"), F.col("vb")), 6)
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_b") > F.col("id_a"))
+            & (F.col("id_b") <= F.col("id_a") + width)
+        )
+        .select(cos.alias("cosine"))
+    )
+    return (
+        pairs.withColumn(
+            "bin", (F.floor(F.col("cosine") * 10) / 10.0)
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("cosine"), 6).alias("avg_cosine"),
+            F.round(F.min("cosine"), 6).alias("min_cosine"),
+            F.round(F.max("cosine"), 6).alias("max_cosine"),
+        )
+        .orderBy("bin")
+    )

@@ -1523,3 +1523,130 @@ def compression_ratio_gate(
             (r > max_ratio) | (r < min_ratio)
         ).alias("entropy_flag"),
     )
+
+
+# ---------------------------------------------------------------------------
+# per-source quota, length bucketing, exact source-overlap matrix (round 7)
+# ---------------------------------------------------------------------------
+
+
+def source_quota(spark: SparkSession, cap: int = 10) -> DataFrame:
+    """Per-source document quota — the crawl-politeness / anti-dominance
+    curation step: within each source, rank docs by quality (longest
+    first; doc_id breaks ties deterministically) and keep the top `cap`.
+    Uncapped, a handful of giant hosts dominate a web-scale mix; every
+    production corpus recipe carries a per-domain cap.
+
+    Doc-level output (kept flag rather than a filtered set) so the audit
+    trail shows WHAT was dropped and at which rank — the no-silent-caps
+    convention. One source-partitioned window (row_number), no global
+    sort; at 100 TB source is the natural partition key and skewed
+    mega-sources are exactly the rows this op exists to cut."""
+    docs = spark.table("documents")
+    w = Window.partitionBy("source").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("int").alias("quota_rank"),
+    ).withColumn("kept", (F.col("quota_rank") <= cap).cast("int"))
+
+
+def length_buckets(spark: SparkSession, n_buckets: int = 8) -> DataFrame:
+    """Length-bucketed batch scheduling stats: ntile buckets over doc
+    length WITHIN each language, and the padding waste a batcher would
+    pay if it padded every doc in a bucket to the bucket max — the
+    quantity length-bucketing exists to minimize (uniform batching pads
+    everything to the corpus max; bucketing cuts the waste to the
+    within-bucket spread).
+
+    Windows are lang-partitioned (ntile + the order it rides on) — no
+    global sort; per-bucket rollup is a partial agg. Ties broken by
+    doc_id so both engines produce identical bucket assignments."""
+    docs = spark.table("documents")
+    w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+    b = docs.select(
+        "lang", "n_chars", F.ntile(n_buckets).over(w).cast("int").alias("bucket")
+    )
+    return (
+        b.groupBy("lang", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("n_chars").cast("long").alias("min_chars"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            (F.max("n_chars") * F.count(F.lit(1)) - F.sum("n_chars"))
+            .cast("long")
+            .alias("padding_waste"),
+        )
+        .orderBy("lang", "bucket")
+    )
+
+
+def source_overlap_exact(spark: SparkSession, n: int = 3) -> DataFrame:
+    """Exact pairwise source-overlap matrix: for every source pair, how
+    many distinct word-n-grams they share, with containment ratios both
+    ways — the inter-source duplication audit that tells a mix designer
+    which "independent" corpora are actually the same crawl twice. The
+    EXACT twin of the HLL/top-k sketch-overlap ops: at calibration scale
+    this oracle-checkable matrix validates the sketches; at 100 TB only
+    the sketch path runs (gram vocab × sources would still be fine, but
+    the sketch is one pass and mergeable).
+
+    Shape: distinct (source, gram) via the pinned gram builder (one
+    gram-keyed shuffle), then a gram-keyed equi-self-join bounded by
+    gram frequency across sources (a gram appearing in k sources emits
+    k(k-1)/2 pairs — bounded by #sources², never by corpus size), then
+    a source-pair rollup."""
+    from uav_streamprocessor_spark.operators.dedup import doc_ngram_sets
+
+    docs = spark.table("documents").select("doc_id", "source")
+    grams = (
+        doc_ngram_sets(spark, n)
+        .join(docs, "doc_id")
+        .select("source", F.explode("grams").alias("gram"))
+        .distinct()
+        # three consumers below (both self-join sides + the per-source
+        # denominators); without a barrier each one re-evaluates the gram
+        # build and the distinct shuffle — the same multi-consumer hazard
+        # the LSH group-and-emit rewrite removed. Lazy localCheckpoint
+        # materializes the (source, gram) set exactly once.
+        .localCheckpoint(eager=False)
+    )
+    per_source = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_grams")
+    )
+    a = grams.alias("a")
+    b = grams.alias("b")
+    shared = (
+        a.join(b, "gram")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
+    )
+    pa = per_source.select(
+        F.col("source").alias("source_a"), F.col("n_grams").alias("grams_a")
+    )
+    pb = per_source.select(
+        F.col("source").alias("source_b"), F.col("n_grams").alias("grams_b")
+    )
+    return (
+        shared.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared_grams",
+            F.round(F.col("n_shared_grams") / F.col("grams_a"), 6).alias(
+                "containment_a"
+            ),
+            F.round(F.col("n_shared_grams") / F.col("grams_b"), 6).alias(
+                "containment_b"
+            ),
+        )
+        .orderBy("source_a", "source_b")
+    )

@@ -49,6 +49,13 @@ _SPECS: list[QuerySpec] = []
 
 
 def _register(name: str, oracle: str | None, notes: str = ""):
+    # duplicate names would silently shadow each other in queries()'s dict
+    # (latest wins), leaving a driver CORRECTNESS row attributed to code it
+    # never ran — caught live in r7 when a new registration collided with
+    # rel_scd2_history. Fail at import instead.
+    if any(s.name == name for s in _SPECS):
+        raise ValueError(f"duplicate query registration: {name!r}")
+
     def deco(fn):
         def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
             register_uav_views(spark, sf_dir)
@@ -1464,6 +1471,14 @@ FROM joined GROUP BY 1 ORDER BY 1
 # Every name below is sf0.01-parity-proven in the committed
 # PARITY_sf0.01.json. Names listed here sort first, in this order;
 # everything else follows in registration order.
+#
+# r8 queue: the eight round-7 additions (dedup_split_leakage,
+# text_source_quota, text_length_buckets, text_source_overlap,
+# dedup_containment, rel_compaction_plan, ev_mad_outliers,
+# emb_cosine_histogram — all sf0.01 AND sf0.1 parity-proven this round)
+# lead the next window, then continue the oldest-row re-prove rotation
+# (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
+# uav_metadata_fields, then the r03 cohort).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- never-checked + fresh-fix head --
@@ -5998,3 +6013,270 @@ ORDER BY r_score, f_score, m_score
     "one exact-percentile scalar aggregate broadcast back - no global "
     "window; ties to the lower score identically in both engines",
 )(lambda spark: relational.rfm_segmentation(spark))
+
+
+# ---------------------------------------------------------------------------
+# round 7: training-mix curation additions (split leakage, source quota,
+# length bucketing, exact source-overlap matrix)
+# ---------------------------------------------------------------------------
+
+
+_register(
+    "dedup_split_leakage",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM t
+),
+pairs AS (
+  SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+         round(len(list_intersect(a.grams, b.grams)) * 1.0
+               / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+           AS jaccard3
+  FROM g a JOIN g b
+    ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+),
+sp AS (
+  SELECT doc_id_a, doc_id_b, jaccard3,
+         CASE WHEN doc_id_a % 10 < 8 THEN 'train'
+              WHEN doc_id_a % 10 = 8 THEN 'val' ELSE 'test' END AS split_a,
+         CASE WHEN doc_id_b % 10 < 8 THEN 'train'
+              WHEN doc_id_b % 10 = 8 THEN 'val' ELSE 'test' END AS split_b
+  FROM pairs WHERE jaccard3 > 0
+)
+SELECT doc_id_a, doc_id_b, split_a, split_b, jaccard3
+FROM sp WHERE split_a <> split_b
+""",
+    notes="cross-split near-dup leakage audit: near-dup pairs (bounded "
+    "word-3-gram Jaccard, same candidate set as dedup_ngram_jaccard) "
+    "whose docs landed in different train/val/test splits (doc_id % 10 "
+    "-> 80/10/10) - each pair is eval contamination; pair source swaps "
+    "to MinHash candidates at 100 TB (audit is pair-source-agnostic)",
+)(lambda spark: dedup.split_leakage_pairs(spark))
+
+
+_register(
+    "text_source_quota",
+    """
+WITH r AS (
+  SELECT doc_id, source,
+         CAST(row_number() OVER (
+           PARTITION BY source ORDER BY n_chars DESC, doc_id
+         ) AS INT) AS quota_rank
+  FROM documents
+)
+SELECT doc_id, source, quota_rank,
+       CAST(CASE WHEN quota_rank <= 10 THEN 1 ELSE 0 END AS INT) AS kept
+FROM r
+""",
+    notes="per-source document quota (anti-dominance cap, top-10 by "
+    "length with doc_id tie-break): doc-level kept/dropped audit trail "
+    "rather than a silently filtered set; one source-partitioned "
+    "row_number window, no global sort",
+)(lambda spark: text.source_quota(spark))
+
+
+_register(
+    "text_length_buckets",
+    """
+WITH b AS (
+  SELECT lang, n_chars,
+         CAST(ntile(8) OVER (
+           PARTITION BY lang ORDER BY n_chars, doc_id
+         ) AS INT) AS bucket
+  FROM documents
+)
+SELECT lang, bucket,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(max(n_chars) * count(*) - sum(n_chars) AS BIGINT)
+         AS padding_waste
+FROM b GROUP BY lang, bucket ORDER BY lang, bucket
+""",
+    notes="length-bucketed batch-scheduling stats: lang-partitioned "
+    "ntile(8) over (n_chars, doc_id) with per-bucket padding waste "
+    "(bucket_max*count - sum) - the pad cost bucketing minimizes; "
+    "windows stay partitioned, rollup is a partial agg",
+)(lambda spark: text.length_buckets(spark))
+
+
+_register(
+    "text_source_overlap",
+    """
+WITH t AS (
+  SELECT doc_id, source, string_split(lower(text), ' ') AS ws FROM documents
+),
+g0 AS (
+  SELECT source,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM t
+),
+sg AS (
+  SELECT DISTINCT source, unnest(grams) AS gram FROM g0
+),
+ps AS (SELECT source, count(*) AS n_grams FROM sg GROUP BY source),
+sh AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_shared_grams
+  FROM sg a JOIN sg b ON a.gram = b.gram AND a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared_grams,
+       round(n_shared_grams * 1.0 / pa.n_grams, 6) AS containment_a,
+       round(n_shared_grams * 1.0 / pb.n_grams, 6) AS containment_b
+FROM sh
+JOIN ps pa ON pa.source = sh.source_a
+JOIN ps pb ON pb.source = sh.source_b
+ORDER BY source_a, source_b
+""",
+    notes="exact pairwise source-overlap matrix (distinct shared word-"
+    "3-grams + containment both ways) - the inter-source duplication "
+    "audit; EXACT calibration twin of the HLL/top-k sketch-overlap ops "
+    "(the 100 TB path); gram-keyed join bounded by sources^2 per gram, "
+    "never corpus^2",
+)(lambda spark: text.source_overlap_exact(spark))
+
+
+_register(
+    "dedup_containment",
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM t
+)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0
+             / len(a.grams), 6) AS containment_ab,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0
+             / len(b.grams), 6) AS containment_ba,
+       round(len(list_intersect(a.grams, b.grams)) * 1.0
+             / len(list_distinct(list_concat(a.grams, b.grams))), 6)
+         AS jaccard3
+FROM g a JOIN g b
+  ON b.doc_id > a.doc_id AND b.doc_id <= a.doc_id + 5
+WHERE len(a.grams) > 0 AND len(b.grams) > 0
+  AND len(list_intersect(a.grams, b.grams)) * 1.0
+      / least(len(a.grams), len(b.grams)) >= 0.05
+""",
+    notes="directional containment dedup (Broder): |A∩B|/|A| vs |A∩B|/"
+    "|B| on the bounded id-block pair sample - catches the short-doc-"
+    "quoted-inside-long-doc dups that symmetric Jaccard dilutes below "
+    "any threshold (jaccard3 reported alongside to show the gap); "
+    "same bounded candidate shape as dedup_ngram_jaccard, LSH "
+    "candidates at 100 TB",
+)(lambda spark: dedup.containment_pairs(spark))
+
+
+_register(
+    "rel_compaction_plan",
+    """
+WITH c AS (
+  SELECT source, doc_id, n_chars,
+         sum(n_chars) OVER (
+           PARTITION BY source ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) - n_chars AS bytes_before
+  FROM documents
+),
+b AS (
+  SELECT source, CAST(floor(bytes_before / 4000) AS INT) AS bin_id, n_chars
+  FROM c
+)
+SELECT source, bin_id,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_chars) AS BIGINT) AS total_bytes,
+       round(CAST(sum(n_chars) AS DOUBLE) / 4000, 6) AS fill_ratio
+FROM b GROUP BY source, bin_id ORDER BY source, bin_id
+""",
+    notes="small-file compaction planner (Delta OPTIMIZE / Iceberg "
+    "rewrite shape): next-fit byte-boundary binning per table "
+    "partition via one partition-keyed running-sum window; "
+    "embarrassingly parallel across partitions; output is the per-"
+    "output-file manifest with fill ratio",
+)(lambda spark: relational.compaction_plan(spark))
+
+
+_register(
+    "ev_mad_outliers",
+    """
+WITH daily AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n_events
+  FROM events GROUP BY 1, 2
+),
+med AS (
+  SELECT event_type, median(n_events) AS med FROM daily GROUP BY 1
+),
+dev AS (
+  SELECT d.event_type, d.day, d.n_events,
+         abs(d.n_events - m.med) AS absdev
+  FROM daily d JOIN med m ON m.event_type = d.event_type
+),
+mad AS (
+  SELECT event_type, median(absdev) AS mad FROM dev GROUP BY 1
+)
+SELECT dev.event_type, dev.day,
+       CAST(dev.n_events AS BIGINT) AS n_events,
+       round(dev.absdev / (1.4826 * nullif(mad.mad, 0.0)), 6) AS robust_z,
+       coalesce(CAST(dev.absdev / (1.4826 * nullif(mad.mad, 0.0)) > 3.0
+                     AS INT), 0) AS is_outlier
+FROM dev JOIN mad ON mad.event_type = dev.event_type
+ORDER BY dev.event_type, dev.day
+""",
+    notes="median/MAD robust outlier days per event type (robust_z = "
+    "absdev/(1.4826*MAD), 50% breakdown point - the robust twin of the "
+    "CUSUM/prequential monitors); exact medians on the tiny per-type "
+    "day series broadcast back, heavy work is one count shuffle; "
+    "MAD=0 -> NULL z, no flag",
+)(lambda spark: events_ops.mad_outlier_days(spark))
+
+
+_register(
+    "emb_cosine_histogram",
+    """
+WITH p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         a.embedding AS va, b.embedding AS vb
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25
+),
+el AS (
+  SELECT id_a, id_b,
+         CAST(unnest(va) AS DOUBLE) AS xa,
+         CAST(unnest(vb) AS DOUBLE) AS xb
+  FROM p
+),
+cosines AS (
+  SELECT id_a, id_b,
+         round(sum(xa * xb) / (sqrt(sum(xa * xa)) * sqrt(sum(xb * xb))), 6)
+           AS cosine
+  FROM el GROUP BY id_a, id_b
+)
+SELECT floor(cosine * 10) / 10.0 AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(cosine), 6) AS avg_cosine,
+       round(min(cosine), 6) AS min_cosine,
+       round(max(cosine), 6) AS max_cosine
+FROM cosines GROUP BY 1 ORDER BY 1
+""",
+    notes="pairwise-cosine calibration histogram on the deterministic "
+    "id-block pair sample (n*width pairs, never n^2): the curve a "
+    "near-dup/SemDeDup threshold is read off of; JVM zip_with cosine, "
+    "0.1 bins on the 6dp-rounded value so engines bin identically; at "
+    "100 TB the pair sample comes from the LSH candidates instead",
+)(lambda spark: similarity.cosine_histogram(spark))
