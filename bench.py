@@ -100,6 +100,9 @@ ROTATION = [
     "rel_compaction_plan",      # small-file compaction planner
     "ev_mad_outliers",          # median/MAD robust outlier days
     "emb_cosine_histogram",     # cosine calibration histogram
+    "ev_bounce_rate",           # daily single-event-session rate
+    "text_chunk_manifest",      # context-window chunk planning
+    "emb_pca_spectrum",         # covariance eigenspectrum (D² reduction)
 ]
 
 

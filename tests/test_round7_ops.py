@@ -351,3 +351,138 @@ def test_cosine_histogram_corpus_conservation(spark):
     assert sum(r["n_pairs"] for r in out) == expected_pairs
     for r in out:
         assert r["bin"] - 1e-9 <= r["min_cosine"] <= r["max_cosine"] < r["bin"] + 0.1 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# ev_bounce_rate
+# ---------------------------------------------------------------------------
+
+def test_bounce_rate_exact_on_planted_sessions(spark):
+    """One user with 2 single-event sessions + 1 three-event session on
+    one day → bounce rate exactly 2/3; session gap boundary (30 min)
+    respected."""
+    ev0 = spark.table("events")
+    rows = [
+        (1, "2099-05-01 08:00:00"),   # bounce 1
+        (2, "2099-05-01 10:00:00"),   # bounce 2
+        (3, "2099-05-01 12:00:00"),   # session of 3 (gaps < 30 min)
+        (4, "2099-05-01 12:10:00"),
+        (5, "2099-05-01 12:39:00"),
+    ]
+    planted = spark.createDataFrame(
+        [(i, t, 7, "view", 1.0, "{}") for i, t in rows],
+        "event_id long, ts_s string, user_id long, event_type string, "
+        "value double, props string",
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "event_type", "value", "props")
+    try:
+        planted.createOrReplaceTempView("events")
+        from uav_streamprocessor_spark.operators import events_ops
+        out = events_ops.bounce_rate_daily(spark).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["n_sessions"] == 3 and r["n_bounces"] == 2
+        assert r["bounce_rate"] == pytest.approx(2 / 3, abs=1e-6)
+        assert r["avg_session_events"] == pytest.approx(5 / 3, abs=1e-6)
+    finally:
+        ev0.createOrReplaceTempView("events")
+
+
+def test_bounce_rate_conserves_sessions(spark):
+    from uav_streamprocessor_spark.operators import events_ops
+
+    out = events_ops.bounce_rate_daily(spark)
+    total = out.agg(F.sum("n_sessions")).first()[0]
+    sess = events_ops.sessionize_gap_method(spark).count()
+    assert total == sess
+
+
+# ---------------------------------------------------------------------------
+# text_chunk_manifest
+# ---------------------------------------------------------------------------
+
+def test_chunk_manifest_covers_tokens_with_exact_overlap(spark):
+    """A 120-token doc at size 64 / overlap 8 (stride 56) must produce
+    chunks [0,64) and [56,120): full coverage, exactly 8 overlapping
+    tokens, no token past n_tokens; a 5-token doc gets one short chunk."""
+    rows = [
+        (1, " ".join(f"t{i}" for i in range(120)), "en", "s", 120 * 4),
+        (2, "a b c d e", "en", "s", 9),
+    ]
+    orig = _with_docs(spark, rows)
+    try:
+        out = {}
+        for r in text.chunk_manifest(spark).collect():
+            out.setdefault(r["doc_id"], []).append(r)
+        c1 = sorted(out[1], key=lambda r: r["chunk_id"])
+        assert [(r["start_token"], r["end_token"]) for r in c1] == [(0, 64), (56, 120)]
+        assert c1[0]["end_token"] - c1[1]["start_token"] == 8  # the overlap
+        c2 = out[2]
+        assert len(c2) == 1
+        assert (c2[0]["start_token"], c2[0]["end_token"], c2[0]["n_chunk_tokens"]) \
+            == (0, 5, 5)
+    finally:
+        orig.createOrReplaceTempView("documents")
+
+
+def test_chunk_manifest_corpus_invariants(spark):
+    rows = text.chunk_manifest(spark).collect()
+    toks = dict(
+        spark.table("documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    )
+    per = {}
+    for r in rows:
+        per.setdefault(r["doc_id"], []).append(r)
+        assert r["n_chunk_tokens"] == r["end_token"] - r["start_token"] > 0
+    assert set(per) == set(toks)
+    for did, cs in per.items():
+        cs.sort(key=lambda r: r["chunk_id"])
+        assert cs[0]["start_token"] == 0
+        assert cs[-1]["end_token"] == toks[did]
+        for a, b in zip(cs, cs[1:]):
+            assert b["start_token"] < a["end_token"]  # overlap, no gaps
+
+
+# ---------------------------------------------------------------------------
+# emb_pca_spectrum
+# ---------------------------------------------------------------------------
+
+def test_pca_spectrum_recovers_planted_single_direction(spark):
+    """Embeddings varying along exactly ONE axis must yield one dominant
+    eigenvalue carrying ~100% of the variance."""
+    e0 = spark.table("embeddings")
+    rows = [(i, [float(i), 5.0, 5.0, 5.0], 0) for i in range(20)]
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    try:
+        planted.createOrReplaceTempView("embeddings")
+        from uav_streamprocessor_spark.operators import similarity
+        out = sorted(similarity.pca_spectrum(spark).collect(),
+                     key=lambda r: r["component"])
+        assert out[0]["explained_ratio"] == pytest.approx(1.0, abs=1e-6)
+        assert all(abs(r["eigenvalue"]) < 1e-6 for r in out[1:])
+        # exact variance of 0..19 along the active axis: (n²-1)/12
+        assert out[0]["eigenvalue"] == pytest.approx((20**2 - 1) / 12, abs=1e-4)
+    finally:
+        e0.createOrReplaceTempView("embeddings")
+
+
+def test_pca_spectrum_trace_matches_total_variance(spark):
+    """Σ eigenvalues == Σ per-dimension population variance (trace
+    invariant) — ties the rows-only op to SQL-checkable arithmetic."""
+    from uav_streamprocessor_spark.operators import similarity
+
+    out = similarity.pca_spectrum(spark).collect()
+    trace = sum(r["eigenvalue"] for r in out)
+    flat = spark.table("embeddings").select(
+        F.posexplode(F.col("embedding").cast("array<double>"))
+    ).toDF("pos", "v")
+    total_var = flat.groupBy("pos").agg(F.var_pop("v").alias("v")) \
+        .agg(F.sum("v")).first()[0]
+    assert trace == pytest.approx(total_var, rel=1e-3)
+    rs = sorted(out, key=lambda r: r["component"])
+    assert all(a["eigenvalue"] >= b["eigenvalue"] - 1e-9 for a, b in zip(rs, rs[1:]))
+    assert rs[-1]["cumulative_ratio"] == pytest.approx(1.0, abs=1e-4)

@@ -1634,3 +1634,34 @@ def mad_outlier_days(spark: SparkSession, k: float = 3.0) -> DataFrame:
         )
         .orderBy("event_type", "day")
     )
+
+
+def bounce_rate_daily(spark: SparkSession, gap_minutes: int = 30) -> DataFrame:
+    """Daily bounce rate: fraction of sessions containing exactly ONE
+    event, grouped by session-start day — the engagement-quality KPI
+    every web/product analytics stack reports next to DAU. Rides the
+    exact gaps-and-islands sessionizer (sessionize_gap_method), so the
+    session definition is shared with ev_session_windows /
+    ev_session_gap_method rather than re-derived.
+
+    Session rollup is a partial agg over the user-partitioned session
+    frame; the daily rollup is a second partial agg keyed by day —
+    both map-side combinable, no new shuffle shapes at 100 TB."""
+    sess = sessionize_gap_method(spark, gap_minutes)
+    day = F.to_date(F.from_unixtime("session_start_epoch"))
+    return (
+        sess.groupBy(day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            F.sum((F.col("n_events") == 1).cast("long"))
+            .cast("long")
+            .alias("n_bounces"),
+            F.round(
+                F.sum((F.col("n_events") == 1).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("bounce_rate"),
+            F.round(F.avg("n_events"), 6).alias("avg_session_events"),
+        )
+        .orderBy("day")
+    )

@@ -1820,3 +1820,69 @@ def cosine_histogram(spark: SparkSession, width: int = 25) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+def pca_spectrum(spark: SparkSession) -> DataFrame:
+    """PCA eigenvalue spectrum of the embedding covariance — the
+    dimensionality audit behind whitening, rank selection, and the
+    Matryoshka-truncation decision (emb_matryoshka_overlap measures a
+    chosen truncation; this op says which ranks are worth keeping).
+
+    Distributed shape (the standard D²-bounded reduction): each Arrow
+    batch emits its partial (n, Σx, ΣxᵀX) — one (1 + D + D²)-float row
+    per batch — and the driver combines partials and eigendecomposes
+    the D×D covariance (D=64 → 4 KB matrix, firmly inside the model
+    budget; the corpus itself never leaves the executors and never
+    shuffles). Rows-only (eigendecomposition isn't SQL); the trace
+    invariant Σλ = Σ per-dim variance IS SQL-checkable and pinned in
+    tests against emb_dimension_variance's oracle arithmetic."""
+    from pyspark.sql import types as T
+
+    emb = spark.table("embeddings").select("embedding")
+    dim = len(emb.first()["embedding"])
+    fields = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+            T.StructField("xtx", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "s": [X.sum(axis=0).tolist()],
+                    "xtx": [(X.T @ X).ravel().tolist()],
+                }
+            )
+
+    parts = emb.mapInPandas(partials, schema=fields).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    xtx = np.sum([np.array(p["xtx"]).reshape(dim, dim) for p in parts], axis=0)
+    mean = s / n
+    cov = xtx / n - np.outer(mean, mean)  # population covariance
+    evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(evals.sum())
+    rows = []
+    cum = 0.0
+    for i, ev in enumerate(evals):
+        cum += float(ev)
+        rows.append(
+            (
+                i,
+                round(float(ev), 6),
+                round(float(ev) / total, 6) if total else None,
+                round(cum / total, 6) if total else None,
+            )
+        )
+    return spark.createDataFrame(
+        rows,
+        "component int, eigenvalue double, explained_ratio double, "
+        "cumulative_ratio double",
+    )

@@ -1650,3 +1650,43 @@ def source_overlap_exact(spark: SparkSession, n: int = 3) -> DataFrame:
         )
         .orderBy("source_a", "source_b")
     )
+
+
+def chunk_manifest(
+    spark: SparkSession, chunk_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """Context-window chunking manifest: split each doc into fixed-size
+    token windows with overlap — the preprocessing step that turns a
+    variable-length corpus into training-context-sized pieces (overlap
+    preserves cross-boundary n-grams so no phrase is unlearnable). The
+    MANIFEST (doc, chunk, token range) is computed relationally from
+    token counts alone; the text slices materialize later in the
+    tokenizer pass, so the planning stage never shuffles document
+    bodies.
+
+    Pure per-row arithmetic + one bounded sequence explode (≤
+    ceil(n_tokens/stride) rows per doc) — map-only, no shuffle at all;
+    the final chunk is short rather than padded (end = min(start+size,
+    n_tokens)), and its true length is reported."""
+    stride = chunk_tokens - overlap
+    docs = spark.table("documents").select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.col("n_tokens") - F.lit(overlap)) / F.lit(stride)).cast("int"),
+    )
+    chunks = docs.select(
+        "doc_id",
+        "n_tokens",
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * stride
+    end = F.least(start + chunk_tokens, F.col("n_tokens"))
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_id").cast("int").alias("chunk_id"),
+        start.cast("long").alias("start_token"),
+        end.cast("long").alias("end_token"),
+        (end - start).cast("long").alias("n_chunk_tokens"),
+    )

@@ -1472,10 +1472,11 @@ FROM joined GROUP BY 1 ORDER BY 1
 # PARITY_sf0.01.json. Names listed here sort first, in this order;
 # everything else follows in registration order.
 #
-# r8 queue: the eight round-7 additions (dedup_split_leakage,
+# r8 queue: the eleven round-7 additions (dedup_split_leakage,
 # text_source_quota, text_length_buckets, text_source_overlap,
 # dedup_containment, rel_compaction_plan, ev_mad_outliers,
-# emb_cosine_histogram — all sf0.01 AND sf0.1 parity-proven this round)
+# emb_cosine_histogram, ev_bounce_rate, text_chunk_manifest,
+# emb_pca_spectrum — all sf0.01 AND sf0.1 parity-proven this round)
 # lead the next window, then continue the oldest-row re-prove rotation
 # (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
 # uav_metadata_fields, then the r03 cohort).
@@ -6280,3 +6281,85 @@ FROM cosines GROUP BY 1 ORDER BY 1
     "0.1 bins on the 6dp-rounded value so engines bin identically; at "
     "100 TB the pair sample comes from the LSH candidates instead",
 )(lambda spark: similarity.cosine_histogram(spark))
+
+
+_register(
+    "ev_bounce_rate",
+    """
+WITH e AS (
+  SELECT user_id, event_id, ts, epoch_us(ts) AS us FROM events
+),
+flags AS (
+  SELECT user_id, us,
+         CASE WHEN us - lag(us) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) > 30 * 60 * 1000000 OR lag(us) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+         ) IS NULL THEN 1 ELSE 0 END AS new_sess
+  FROM e
+),
+sess AS (
+  SELECT user_id, us,
+         sum(new_sess) OVER (
+           PARTITION BY user_id ORDER BY us
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS session_seq
+  FROM flags
+),
+per_sess AS (
+  SELECT user_id, session_seq, count(*) AS n_events,
+         min(us) // 1000000 AS start_epoch
+  FROM sess GROUP BY user_id, session_seq
+)
+SELECT CAST(to_timestamp(start_epoch) AS DATE) AS day,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bounces,
+       round(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS bounce_rate,
+       round(avg(n_events), 6) AS avg_session_events
+FROM per_sess GROUP BY 1 ORDER BY 1
+""",
+    notes="daily bounce rate (single-event sessions / sessions, by "
+    "session-start day) on the shared gaps-and-islands sessionizer - "
+    "the engagement KPI next to DAU; two map-side-combinable rollups "
+    "over the user-partitioned session frame, no new shuffle shapes",
+)(lambda spark: events_ops.bounce_rate_daily(spark))
+
+
+_register(
+    "text_chunk_manifest",
+    """
+WITH d AS (
+  SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+),
+n AS (
+  SELECT doc_id, n_tokens,
+         greatest(1, CAST(ceil((n_tokens - 8) / 56.0) AS INT)) AS n_chunks
+  FROM d
+)
+SELECT doc_id,
+       CAST(c AS INT) AS chunk_id,
+       CAST(c * 56 AS BIGINT) AS start_token,
+       CAST(least(c * 56 + 64, n_tokens) AS BIGINT) AS end_token,
+       CAST(least(c * 56 + 64, n_tokens) - c * 56 AS BIGINT)
+         AS n_chunk_tokens
+FROM n, unnest(range(n_chunks)) AS t(c)
+""",
+    notes="context-window chunking manifest (64-token chunks, 8 overlap "
+    "-> stride 56): the plan stage computes (doc, chunk, token range) "
+    "from token counts alone - map-only, zero shuffles, bodies never "
+    "move; final chunk short, its true length reported",
+)(lambda spark: text.chunk_manifest(spark))
+
+
+_register(
+    "emb_pca_spectrum",
+    None,
+    notes="PCA eigenvalue spectrum of the embedding covariance via the "
+    "D^2-bounded distributed reduction (per-batch partials n/Sum x/"
+    "X^T X, driver eigh on the 64x64 matrix - model budget, corpus "
+    "never shuffles); rows-only (eigendecomposition isn't SQL); trace "
+    "invariant sum(lambda) == sum(per-dim variance) pinned in "
+    "test_round7_ops.py against the emb_dimension_variance arithmetic",
+)(lambda spark: similarity.pca_spectrum(spark))
