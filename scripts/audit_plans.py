@@ -28,6 +28,15 @@ AUDIT = [
     "emb_hard_negatives",
     "text_sequence_packing",
     "text_substring_dup_spans",
+    # round-7 additions
+    "dedup_split_leakage",
+    "text_source_overlap",
+    "dedup_containment",
+    "rel_compaction_plan",
+    "ev_mad_outliers",
+    "emb_cosine_histogram",
+    "ev_bounce_rate",
+    "text_chunk_manifest",
 ]
 
 

@@ -1612,6 +1612,11 @@ def mad_outlier_days(spark: SparkSession, k: float = 3.0) -> DataFrame:
         spark.table("events")
         .groupBy("event_type", F.to_date("ts").alias("day"))
         .agg(F.count(F.lit(1)).alias("n_events"))
+        # three consumers (median branch, deviation join, MAD branch over
+        # the join) would each re-run the raw-events count shuffle — the
+        # heavy pass at 100 TB. Lazy localCheckpoint materializes the tiny
+        # (type, day) series once; everything downstream is scalar-sized.
+        .localCheckpoint(eager=False)
     )
     med = daily.groupBy("event_type").agg(
         F.expr("percentile(n_events, 0.5)").alias("med")
