@@ -145,6 +145,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     from uav_streamprocessor_spark.streaming.sketch_stream import (
         run_incremental_sketches,
     )
+    from uav_streamprocessor_spark.streaming.topk_stream import topk_stream
 
     work = Path(tempfile.mkdtemp(prefix="bench_stream_"))
     results: dict[str, dict] = {}
@@ -344,6 +345,29 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         .queryName("bench_session")
         .outputMode("append")
         .option("checkpointLocation", str(work / "ckpt_session"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600),
+    )
+
+    ev_type = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "user_id", "event_type"
+    )
+    record(
+        "topk_state",
+        n_ev,
+        lambda: topk_stream(
+            feed(
+                ev_type,
+                "topk",
+                "event_id long, ts timestamp, user_id long, event_type string",
+                ordered_by=("ts", "event_id"),
+            )
+        )
+        .writeStream.format("memory")
+        .queryName("bench_topk")
+        .outputMode("append")
+        .option("checkpointLocation", str(work / "ckpt_topk"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination(600),
