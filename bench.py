@@ -145,6 +145,9 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     from uav_streamprocessor_spark.streaming.sketch_stream import (
         run_incremental_sketches,
     )
+    from uav_streamprocessor_spark.streaming.kll_stream import (
+        run_incremental_kll,
+    )
     from uav_streamprocessor_spark.streaming.topk_stream import topk_stream
 
     work = Path(tempfile.mkdtemp(prefix="bench_stream_"))
@@ -243,6 +246,21 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             feed(ev, "sketch", "event_id long, ts timestamp, user_id long, event_type string"),
             sketch_dir=str(work / "sketch_store"),
             checkpoint_dir=str(work / "ckpt_sketch"),
+        ).awaitTermination(600),
+    )
+    import pyspark.sql.functions as _F2
+
+    ev_kll = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "ts", "event_type",
+        _F2.col("value").cast("double").alias("value"),
+    )
+    record(
+        "kll_sketch_store",
+        n_ev,
+        lambda: run_incremental_kll(
+            feed(ev_kll, "kll", "event_id long, ts timestamp, event_type string, value double"),
+            store_dir=str(work / "kll_store"),
+            checkpoint_dir=str(work / "ckpt_kll"),
         ).awaitTermination(600),
     )
     record(
