@@ -167,3 +167,102 @@ def test_processor_splits_and_carries_state_across_batches():
     assert rows == [(1, 3, 6.0), (2, 1, 4.0)]
     # the fold keeps the 3-event version of session 1
     assert st.get[0] == 2 and st.get[3] == 1
+
+
+# ---------------------------------------------------------------------------
+# evict=True: watermark-driven state eviction (r7)
+# ---------------------------------------------------------------------------
+
+def _run_evicting(spark, src, tmp_path, name, gap_minutes=30):
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        session_stream(stream, gap_minutes=gap_minutes, evict=True)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / f"ckpt_{name}"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    return spark.table(name)
+
+
+def _by_start(df):
+    from uav_streamprocessor_spark.streaming.session_stream import (
+        fold_session_sessions,
+    )
+
+    return {
+        (r["user_id"], r["session_start_epoch"]): (
+            r["n_events"],
+            r["session_end_epoch"],
+            r["total_value"],
+        )
+        for r in fold_session_sessions(df).collect()
+    }
+
+
+def test_evicting_mode_matches_unbounded_results(spark, tmp_path):
+    """Eviction changes the state footprint, never the sessions: the
+    (user, start_epoch)-keyed fold of the evicting run must equal the
+    unbounded run's — timeouts only finalize sessions the gap rule had
+    already sealed."""
+    src = tmp_path / "feed_evict_eq"
+    _write_feed(spark, src, 4)
+    evicting = _by_start(_run_evicting(spark, src, tmp_path, "sess_evict"))
+    stream = (
+        spark.readStream.schema(_SCHEMA)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = (
+        session_stream(stream)  # unbounded twin
+        .writeStream.format("memory")
+        .queryName("sess_unbounded_twin")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_unb"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    unbounded = _by_start(spark.table("sess_unbounded_twin"))
+    assert evicting == unbounded
+    assert len(evicting) > 0
+
+
+def test_eviction_fires_and_emits_final_without_new_events(spark, tmp_path):
+    """A user silent past gap + watermark gets their open session
+    finalized by the TIMEOUT path: the evicting run emits an extra row
+    for that user in a later batch with no new events — observable as
+    more raw emissions than the unbounded twin — and the session
+    content is unchanged."""
+    rows = [
+        # user 1: two events in batch 1, then silent forever
+        (1, "2099-01-01 10:00:00", 1, 1.0),
+        (2, "2099-01-01 10:05:00", 1, 2.0),
+        # user 2: events far later (batch 2) push the watermark past
+        # user 1's last event + gap
+        (3, "2099-01-02 10:00:00", 2, 1.0),
+        (4, "2099-01-02 10:01:00", 2, 1.0),
+    ]
+    src = tmp_path / "feed_evict_fire"
+    df = spark.createDataFrame(
+        rows, "event_id long, ts_s string, user_id long, value double"
+    ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+             "user_id", "value")
+    df.filter("event_id <= 2").coalesce(1).write.parquet(str(src / "f0"))
+    df.filter("event_id > 2").coalesce(1).write.parquet(str(src / "f1"))
+    raw = _run_evicting(spark, src, tmp_path, "sess_evict_fire", gap_minutes=30)
+    u1 = [r for r in raw.collect() if r["user_id"] == 1]
+    # batch-1 partial + timeout-final = 2 emissions for the silent user
+    assert len(u1) == 2
+    assert all(
+        (r["n_events"], r["total_value"]) == (2, 3.0) for r in u1
+    )
+    folded = _by_start(raw)
+    assert len([k for k in folded if k[0] == 1]) == 1  # fold absorbs the dup

@@ -49,12 +49,36 @@ _STATE_SCHEMA = (
 )
 
 
-def make_session_processor(gap_minutes: int = 30):
+def make_session_processor(gap_minutes: int = 30, evict: bool = False):
     gap_us = gap_minutes * 60 * 1_000_000
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if evict and state.hasTimedOut:
+            # the watermark passed last_ts + gap: no future event can
+            # extend this session (any such event would itself open a NEW
+            # session by the gap rule), so the open partial is promoted to
+            # FINAL — emitted one last time, byte-identical to its last
+            # partial, which the read-time fold absorbs — and the user's
+            # state is DROPPED. This is what bounds state to ACTIVE users
+            # under churn; without it every user ever seen holds five
+            # scalars forever. Note: after eviction a returning user's
+            # session_seq restarts, so under eviction session identity is
+            # (user_id, session_start_epoch) — see fold_session_sessions.
+            seq, last_us, start_us, n_ev, tot = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": key[0],
+                    "session_seq": [seq],
+                    "n_events": [n_ev],
+                    "session_start_epoch": [start_us // 1_000_000],
+                    "session_end_epoch": [last_us // 1_000_000],
+                    "total_value": [tot],
+                }
+            )
+            return
         if state.exists:
             seq, last_us, start_us, n_ev, tot = state.get
         else:
@@ -75,6 +99,13 @@ def make_session_processor(gap_minutes: int = 30):
         state.update(
             (int(seq), int(last_us), int(start_us), int(n_ev), float(tot))
         )
+        if evict:
+            # arm the event-time alarm at last + gap; Spark requires the
+            # timestamp to sit beyond the current watermark, so clamp when
+            # the session is already expirable (it then fires next batch)
+            timeout_ms = last_us // 1000 + gap_minutes * 60 * 1000
+            wm = state.getCurrentWatermarkMs()
+            state.setTimeoutTimestamp(max(timeout_ms, wm + 1))
         yield pd.DataFrame(
             {
                 "user_id": key[0],
@@ -93,19 +124,41 @@ def _prepared(events: DataFrame) -> DataFrame:
     return events.select(
         "user_id",
         "event_id",
+        F.col("ts").cast("timestamp").alias("ts"),
         F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
         F.col("value").cast("double").alias("value"),
     )
 
 
-def session_stream(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
-    """Wire the sessionizer onto a streaming events DataFrame."""
-    return _prepared(events).groupBy("user_id").applyInPandasWithState(
-        make_session_processor(gap_minutes),
+def session_stream(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    evict: bool = False,
+    watermark_delay: str = "0 seconds",
+) -> DataFrame:
+    """Wire the sessionizer onto a streaming events DataFrame.
+
+    evict=True bounds state to ACTIVE users: an event-time timeout fires
+    once the watermark passes a session's last event + gap — provably
+    past the point where any event could extend it — emitting the final
+    row and dropping the user's state. Results are identical to the
+    unbounded mode (pinned in tests via the (user, start_epoch) session
+    identity); only the state footprint changes. This is the knob that
+    matters at 100 TB streaming, where 'every user ever seen' dwarfs
+    'users active this gap-window'."""
+    prepared = _prepared(events)
+    if evict:
+        prepared = prepared.withWatermark("ts", watermark_delay)
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        make_session_processor(gap_minutes, evict=evict),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if evict
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -131,6 +184,30 @@ def fold_session_store(store: DataFrame) -> DataFrame:
         "session_seq",
         F.col("s.n_events").alias("n_events"),
         F.col("s.session_start_epoch").alias("session_start_epoch"),
+        F.col("s.session_end_epoch").alias("session_end_epoch"),
+        F.round(F.col("s.total_value"), 2).alias("total_value"),
+    )
+
+
+def fold_session_sessions(store: DataFrame) -> DataFrame:
+    """Eviction-safe read-time fold: session identity is (user_id,
+    session_start_epoch) rather than session_seq. Under evict=True a
+    returning user's seq counter restarts with the fresh state, so seq
+    can collide across state lifetimes — but two sessions of one user
+    can never share a start epoch (the gap rule separates their first
+    events by more than the gap), making the start the durable key.
+    Output drops the seq column; otherwise identical to
+    fold_session_store."""
+    picked = store.groupBy("user_id", "session_start_epoch").agg(
+        F.max_by(
+            F.struct("n_events", "session_end_epoch", "total_value"),
+            F.col("n_events"),
+        ).alias("s")
+    )
+    return picked.select(
+        "user_id",
+        "session_start_epoch",
+        F.col("s.n_events").alias("n_events"),
         F.col("s.session_end_epoch").alias("session_end_epoch"),
         F.round(F.col("s.total_value"), 2).alias("total_value"),
     )
