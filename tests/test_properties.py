@@ -186,3 +186,109 @@ def test_welford_prequential_z_matches_two_pass_and_split_invariant(values, cut)
         else:
             expected = (values[i] - prior.mean()) / prior.std(ddof=1)
             assert np.isclose(z, expected, rtol=1e-7, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# round-7 kernels: space-saving summary + chunk-manifest arithmetic
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=12), min_size=1, max_size=300),
+    capacity=st.integers(min_value=1, max_value=8),
+    cut=st.integers(min_value=0, max_value=300),
+)
+def test_space_saving_bounds_and_split_invariance(xs, capacity, cut):
+    """For EVERY stream and capacity: est−err ≤ true ≤ est for all
+    tracked items, any item with freq > n/capacity is tracked, and
+    feeding the stream in two chunks through carried state equals the
+    one-shot pass (the micro-batch boundary invariance the Spark tests
+    check on one corpus, swept here over hundreds)."""
+    import pandas as pd
+
+    from collections import Counter
+
+    from uav_streamprocessor_spark.streaming.topk_stream import (
+        make_topk_processor,
+    )
+
+    class _State:
+        def __init__(self):
+            self.exists = False
+            self.get = None
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    def pdf(seq, start):
+        return pd.DataFrame(
+            {
+                "user_id": seq,
+                "event_id": range(start, start + len(seq)),
+                "ts_us": range(start, start + len(seq)),
+            }
+        )
+
+    proc = make_topk_processor(capacity)
+    one = _State()
+    out_one = next(proc(("t",), iter([pdf(xs, 0)]), one))
+
+    cut = min(cut, len(xs))
+    split = _State()
+    proc2 = make_topk_processor(capacity)
+    if cut:
+        next(proc2(("t",), iter([pdf(xs[:cut], 0)]), split))
+    if cut < len(xs) or not cut:
+        out_split = next(proc2(("t",), iter([pdf(xs[cut:], cut)]), split))
+    else:
+        out_split = out_one if cut == len(xs) and not xs[cut:] else out_one
+    if xs[cut:]:
+        rows_one = list(
+            zip(out_one["user_id"], out_one["est_count"], out_one["error"])
+        )
+        rows_split = list(
+            zip(out_split["user_id"], out_split["est_count"], out_split["error"])
+        )
+        assert rows_one == rows_split
+
+    truth = Counter(xs)
+    n = len(xs)
+    tracked = dict(zip(out_one["user_id"], zip(out_one["est_count"], out_one["error"])))
+    for item, (est, err) in tracked.items():
+        assert est - err <= truth[item] <= est
+    for item, freq in truth.items():
+        if freq > n / capacity:
+            assert item in tracked, (item, freq, n, capacity)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    n_tokens=st.integers(min_value=1, max_value=5000),
+    chunk=st.integers(min_value=2, max_value=256),
+    overlap_frac=st.floats(min_value=0.0, max_value=0.9),
+)
+def test_chunk_manifest_arithmetic_covers_every_token(n_tokens, chunk, overlap_frac):
+    """The chunk-count/offset arithmetic registered in
+    text_chunk_manifest, swept over every (doc length, chunk size,
+    overlap): chunks start at 0, end at n_tokens, overlap by exactly
+    `overlap` internally, and cover every token with no gaps."""
+    import math
+
+    overlap = min(int(chunk * overlap_frac), chunk - 1)
+    stride = chunk - overlap
+    n_chunks = max(1, math.ceil((n_tokens - overlap) / stride))
+    spans = []
+    for c in range(n_chunks):
+        start = c * stride
+        end = min(start + chunk, n_tokens)
+        spans.append((start, end))
+        assert end > start  # never an empty chunk
+    assert spans[0][0] == 0
+    assert spans[-1][1] == n_tokens
+    for (s1, e1), (s2, e2) in zip(spans, spans[1:]):
+        assert s2 <= e1  # no gaps (adjacent when overlap == 0)
+        if overlap:
+            assert s2 < e1  # genuine overlap when requested
+        assert s2 == s1 + stride
