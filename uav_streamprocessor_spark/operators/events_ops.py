@@ -1670,3 +1670,170 @@ def bounce_rate_daily(spark: SparkSession, gap_minutes: int = 30) -> DataFrame:
         )
         .orderBy("day")
     )
+
+
+def kaplan_meier_survival(spark: SparkSession, censor_days: int = 3) -> DataFrame:
+    """Kaplan–Meier survival curve of user lifetime, per experiment
+    variant — the churn/retention readout survival analysis gives that
+    plain retention curves cannot: users still active near the end of
+    the observation window are CENSORED (we do not know when they will
+    churn), not counted as churned, so the curve is unbiased by the
+    window edge.
+
+    Lifetime t = days between a user's first and last event; a user
+    whose last event falls within `censor_days` of the corpus max day
+    is censored at t. Variant = user_id % 2 (the same assignment as the
+    experiment kit, making this its retention companion). The KM
+    estimator: S(t) = prod_{s<=t} (1 - d_s/n_s) with d_s = churn events
+    at s and n_s = at-risk count (reverse cumulative of d+c).
+
+    Scale shape: one per-user span aggregate (map-side combinable
+    min/max), then ALL windows ride the life-table frame — grouped by
+    (variant, t) so its row count is bounded by the observation span,
+    never the user count; both cumulations are variant-partitioned (no
+    global windows). The product is exp(sum(ln .)) with the factor
+    floored at 1e-300 so a terminal d==n step underflows to exactly
+    0.0 in both engines instead of diverging on ln(0) semantics."""
+    spans = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            F.min(F.to_date("ts")).alias("first_day"),
+            F.max(F.to_date("ts")).alias("last_day"),
+        )
+    )
+    obs = spans.agg(F.max("last_day").alias("obs_end"))
+    users = spans.crossJoin(F.broadcast(obs)).select(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.datediff("last_day", "first_day").cast("int").alias("t_days"),
+        (F.datediff("obs_end", "last_day") < censor_days)
+        .cast("int")
+        .alias("censored"),
+    )
+    table = users.groupBy("variant", "t_days").agg(
+        F.sum(1 - F.col("censored")).cast("long").alias("n_churned"),
+        F.sum("censored").cast("long").alias("n_censored"),
+    )
+    w_rev = (
+        Window.partitionBy("variant")
+        .orderBy("t_days")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    w_cum = (
+        Window.partitionBy("variant")
+        .orderBy("t_days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    at_risk = F.sum(F.col("n_churned") + F.col("n_censored")).over(w_rev)
+    factor = 1.0 - F.col("n_churned") / F.col("n_at_risk").cast("double")
+    return (
+        table.withColumn("n_at_risk", at_risk.cast("long"))
+        .withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(F.log(F.greatest(factor, F.lit(1e-300)))).over(w_cum)
+                ),
+                6,
+            ),
+        )
+        .select(
+            "variant", "t_days", "n_at_risk", "n_churned", "n_censored",
+            "survival",
+        )
+        .orderBy("variant", "t_days")
+    )
+
+
+def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
+    """Difference-in-differences readout on per-user purchase value —
+    the quasi-experimental companion to the A/B kit (ev_srm_check /
+    ev_cuped_readout / ev_experiment_readout): when assignment is not
+    randomized-at-exposure, the treatment effect is estimated as the
+    treated group's pre→post change minus the control group's, netting
+    out shared time trends.
+
+    Period split: the corpus midpoint day (integer arithmetic on the
+    broadcast min/max scalar). Metric y = per-user purchase value sum
+    within the period, with the user×period frame built explicitly
+    (users silent in a period contribute y=0, not a dropped row — the
+    panel is balanced by construction). DiD = (T_post − T_pre) −
+    (C_post − C_pre); SE from the four cell sample variances
+    (unequal-variance normal approximation); every output row carries
+    the scalar verdict so the 4-row cell table is self-contained.
+
+    Scale shape: one events pass (map-side-combinable conditional sum),
+    a distinct-users frame joined LEFT to period sums, a 4-row cell
+    aggregate, and the scalar DiD broadcast back. No windows at all."""
+    ev = spark.table("events")
+    span = ev.agg(
+        F.min(F.to_date("ts")).alias("min_day"),
+        F.max(F.to_date("ts")).alias("max_day"),
+    )
+    tagged = ev.crossJoin(F.broadcast(span)).select(
+        "user_id",
+        (
+            F.datediff(F.to_date("ts"), "min_day")
+            >= F.floor(F.datediff("max_day", "min_day") / 2)
+        )
+        .cast("int")
+        .alias("period"),
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0)
+        .alias("purchase_value"),
+    )
+    sums = tagged.groupBy("user_id", "period").agg(
+        F.sum("purchase_value").alias("y")
+    )
+    frame = (
+        ev.select("user_id")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(2).select(F.col("id").cast("int").alias("period"))))
+        .join(sums, ["user_id", "period"], "left")
+        .select(
+            (F.col("user_id") % 2).cast("int").alias("variant"),
+            "period",
+            F.coalesce("y", F.lit(0.0)).alias("y"),
+        )
+    )
+    cells = frame.groupBy("variant", "period").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.avg("y").alias("mean_y"),
+        F.var_samp("y").alias("var_y"),
+    )
+    wide = cells.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col("variant") == v) & (F.col("period") == p),
+                    F.col(c),
+                )
+            ).alias(f"{c}_{v}{p}")
+            for v in (0, 1)
+            for p in (0, 1)
+            for c in ("mean_y", "var_y", "n_users")
+        ]
+    )
+    did = (F.col("mean_y_11") - F.col("mean_y_10")) - (
+        F.col("mean_y_01") - F.col("mean_y_00")
+    )
+    se = F.sqrt(
+        F.col("var_y_00") / F.col("n_users_00")
+        + F.col("var_y_01") / F.col("n_users_01")
+        + F.col("var_y_10") / F.col("n_users_10")
+        + F.col("var_y_11") / F.col("n_users_11")
+    )
+    return (
+        cells.crossJoin(F.broadcast(wide.select(did.alias("_did"), se.alias("_se"))))
+        .select(
+            "variant",
+            "period",
+            "n_users",
+            F.round("mean_y", 6).alias("mean_y"),
+            F.round("var_y", 6).alias("var_y"),
+            F.round("_did", 6).alias("did_estimate"),
+            F.round("_se", 6).alias("did_se"),
+            F.round(F.col("_did") / F.nullif("_se", F.lit(0.0)), 6).alias("did_z"),
+        )
+        .orderBy("variant", "period")
+    )

@@ -1690,3 +1690,113 @@ def chunk_manifest(
         end.cast("long").alias("end_token"),
         (end - start).cast("long").alias("n_chunk_tokens"),
     )
+
+
+def _ngram_rows(docs: DataFrame, n: int) -> DataFrame:
+    """Per-doc word n-grams (space-joined), built array-side: tokens =
+    non-empty lowercase whitespace split; gram i = slice(toks, i, n)
+    for i in 1..len-n+1. The sequence is guarded for short docs —
+    Spark's sequence(1, 0) would count DOWN, not return empty."""
+    toks = F.filter(F.split(F.lower("text"), " "), lambda x: x != "")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return docs.select(
+        "doc_id", "source", F.lit(n).alias("n"), F.explode(grams).alias("gram")
+    )
+
+
+def distinct_ngram_diversity(spark: SparkSession, max_n: int = 3) -> DataFrame:
+    """Distinct-n diversity per source: distinct n-grams / total
+    n-grams for n = 1..max_n — the standard corpus-diversity metric for
+    training data (a low distinct-2 means the source repeats itself;
+    generation-quality papers report exactly this ratio). Complements
+    text_ngram_repetition (within-doc) by measuring ACROSS the source.
+
+    Map-only gram emission (one pass per n over the token arrays, doc
+    boundaries respected — grams never cross documents), then one
+    (source, n)-keyed aggregate; count(DISTINCT) shuffles gram-keyed,
+    which is the unavoidable cost of an exact type count. At 100 TB,
+    swap the exact distinct for approx_count_distinct — the ratio is a
+    curation signal, not an accounting number; the exact form here is
+    the oracle-checkable reference semantics."""
+    docs = spark.table("documents")
+    grams = _ngram_rows(docs, 1)
+    for n in range(2, max_n + 1):
+        grams = grams.unionByName(_ngram_rows(docs, n))
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.countDistinct("gram").cast("long").alias("n_distinct"),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.round(F.col("n_distinct") / F.col("n_total").cast("double"), 6),
+        )
+        .orderBy("source", "n")
+    )
+
+
+def kneser_ney_bigrams(
+    spark: SparkSession, discount: float = 0.75, top_k: int = 50
+) -> DataFrame:
+    """Interpolated Kneser–Ney bigram probabilities for the corpus's
+    top bigrams — the smoothing every n-gram LM baseline (KenLM et al.)
+    ships with, next to the raw MLE the existing cross-entropy ops use.
+    The KN insight: back off to how many CONTEXTS a word continues
+    ("continuation probability"), not its raw frequency, so "Francisco"
+    (frequent but only ever after "San") stops stealing mass.
+
+      P_kn(w2|w1) = max(c12 − d, 0)/c1 + (d·N1+(w1·)/c1) · N1+(·w2)/B
+
+    with c1 = Σ_w2 c12, N1+(w1·)/N1+(·w2) the distinct right/left
+    neighbor counts, B the total bigram-type count, d = `discount`.
+
+    Everything derives from ONE bigram-count table (doc-boundary-safe
+    grams): two keyed re-aggregations (by w1, by w2) joined back on
+    their own keys — vocab-sized sides, so they shuffle-join (AQE may
+    still broadcast at small SF) rather than being force-broadcast;
+    only the type total is a broadcast scalar. Top-k is TakeOrdered —
+    no windows anywhere."""
+    docs = spark.table("documents")
+    c12 = (
+        _ngram_rows(docs, 2)
+        .select(F.split("gram", " ").alias("ws"))
+        .select(
+            F.element_at("ws", 1).alias("w1"), F.element_at("ws", 2).alias("w2")
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+    )
+    left = c12.groupBy("w1").agg(
+        F.sum("c12").alias("c1"),
+        F.count(F.lit(1)).alias("n1p_fwd"),
+    )
+    right = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("n1p_bwd"))
+    types = c12.agg(F.count(F.lit(1)).cast("double").alias("n_types"))
+    d = F.lit(float(discount))
+    p_cont = F.col("n1p_bwd") / F.col("n_types")
+    p_kn = (
+        F.greatest(F.col("c12") - d, F.lit(0.0)) / F.col("c1")
+        + d * F.col("n1p_fwd") / F.col("c1") * p_cont
+    )
+    return (
+        c12.join(left, "w1")
+        .join(right, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("long").alias("c12"),
+            F.round(F.col("c12") / F.col("c1").cast("double"), 6).alias("p_mle"),
+            F.round(p_kn, 6).alias("p_kn"),
+            F.round(p_cont, 6).alias("p_cont"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+        .limit(top_k)
+    )

@@ -6363,3 +6363,172 @@ _register(
     "invariant sum(lambda) == sum(per-dim variance) pinned in "
     "test_round7_ops.py against the emb_dimension_variance arithmetic",
 )(lambda spark: similarity.pca_spectrum(spark))
+
+
+_register(
+    "ev_kaplan_meier",
+    """
+WITH spans AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+         max(CAST(ts AS DATE)) AS last_day
+  FROM events GROUP BY user_id
+),
+obs AS (SELECT max(last_day) AS obs_end FROM spans),
+users AS (
+  SELECT CAST(user_id % 2 AS INT) AS variant,
+         CAST(datediff('day', first_day, last_day) AS INT) AS t_days,
+         CASE WHEN datediff('day', last_day, obs_end) < 3
+              THEN 1 ELSE 0 END AS censored
+  FROM spans, obs
+),
+lt AS (
+  SELECT variant, t_days,
+         CAST(sum(1 - censored) AS BIGINT) AS n_churned,
+         CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM users GROUP BY variant, t_days
+),
+risk AS (
+  SELECT *, CAST(sum(n_churned + n_censored) OVER (
+      PARTITION BY variant ORDER BY t_days
+      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      AS n_at_risk
+  FROM lt
+)
+SELECT variant, t_days, n_at_risk, n_churned, n_censored,
+       round(exp(sum(ln(greatest(
+           1.0 - n_churned / CAST(n_at_risk AS DOUBLE), 1e-300)))
+         OVER (PARTITION BY variant ORDER BY t_days
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)), 6)
+         AS survival
+FROM risk ORDER BY variant, t_days
+""",
+    notes="Kaplan-Meier survival of user lifetime per variant, with "
+    "edge-of-window censoring (last event within 3 days of corpus end "
+    "= censored, not churned); life-table frame is bounded by the "
+    "observation span so the variant-partitioned cumulations never see "
+    "user-count rows; product via exp-sum-ln with a 1e-300 factor "
+    "floor so terminal d==n underflows identically in both engines",
+)(lambda spark: events_ops.kaplan_meier_survival(spark))
+
+
+_register(
+    "ev_diff_in_diff",
+    """
+WITH span AS (
+  SELECT min(CAST(ts AS DATE)) AS min_day, max(CAST(ts AS DATE)) AS max_day
+  FROM events
+),
+tagged AS (
+  SELECT user_id,
+         CASE WHEN datediff('day', min_day, CAST(ts AS DATE))
+              >= floor(datediff('day', min_day, max_day) / 2)
+              THEN 1 ELSE 0 END AS period,
+         CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS pv
+  FROM events, span
+),
+sums AS (SELECT user_id, period, sum(pv) AS y FROM tagged GROUP BY 1, 2),
+frame AS (
+  SELECT CAST(u.user_id % 2 AS INT) AS variant, p.period,
+         coalesce(s.y, 0.0) AS y
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN (VALUES (0), (1)) p(period)
+  LEFT JOIN sums s ON s.user_id = u.user_id AND s.period = p.period
+),
+cells AS (
+  SELECT variant, period, CAST(count(*) AS BIGINT) AS n_users,
+         avg(y) AS mean_y, var_samp(y) AS var_y
+  FROM frame GROUP BY 1, 2
+),
+wide AS (
+  SELECT
+    (max(CASE WHEN variant = 1 AND period = 1 THEN mean_y END)
+     - max(CASE WHEN variant = 1 AND period = 0 THEN mean_y END))
+    - (max(CASE WHEN variant = 0 AND period = 1 THEN mean_y END)
+     - max(CASE WHEN variant = 0 AND period = 0 THEN mean_y END)) AS did,
+    sqrt(max(CASE WHEN variant = 0 AND period = 0 THEN var_y / n_users END)
+       + max(CASE WHEN variant = 0 AND period = 1 THEN var_y / n_users END)
+       + max(CASE WHEN variant = 1 AND period = 0 THEN var_y / n_users END)
+       + max(CASE WHEN variant = 1 AND period = 1 THEN var_y / n_users END))
+      AS se
+  FROM cells
+)
+SELECT variant, period, n_users, round(mean_y, 6) AS mean_y,
+       round(var_y, 6) AS var_y, round(did, 6) AS did_estimate,
+       round(se, 6) AS did_se, round(did / nullif(se, 0.0), 6) AS did_z
+FROM cells, wide ORDER BY variant, period
+""",
+    notes="difference-in-differences on per-user purchase value (pre/"
+    "post split at the corpus midpoint day, treated = user_id % 2 like "
+    "the rest of the experiment kit): the quasi-experimental estimator "
+    "netting out shared time trends; balanced user x period panel by "
+    "construction (silent periods are y=0 rows), 4-cell table carries "
+    "the broadcast scalar verdict on every row; zero windows",
+)(lambda spark: events_ops.diff_in_diff_readout(spark))
+
+
+# shared gram CTE for the two n-gram-table oracles below: per-doc word
+# n-grams with doc boundaries respected; DuckDB range(a, b) is [a, b)
+# and empty when b <= a, so short docs emit nothing (the Spark side
+# guards its sequence() for the same reason).
+_GRAM_CTE = """
+toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split(lower(text), ' '), x -> x <> '') AS t
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, source, v.n,
+         array_to_string(list_slice(t, CAST(i AS INT), CAST(i + v.n - 1 AS INT)), ' ') AS gram
+  FROM toks
+  CROSS JOIN (VALUES (1), (2), (3)) v(n)
+  CROSS JOIN unnest(range(1, len(t) - v.n + 2)) AS r(i)
+)
+"""
+
+
+_register(
+    "text_distinct_ngrams",
+    "WITH " + _GRAM_CTE + """
+SELECT source, n,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct,
+       CAST(count(*) AS BIGINT) AS n_total,
+       round(count(DISTINCT gram) / CAST(count(*) AS DOUBLE), 6)
+         AS distinct_ratio
+FROM grams GROUP BY source, n ORDER BY source, n
+""",
+    notes="distinct-n corpus diversity per source (n=1..3): distinct "
+    "n-gram types / total n-grams, the generation-quality diversity "
+    "ratio applied to curation (low distinct-2 = self-repeating "
+    "source); map-only gram emission with doc boundaries respected, "
+    "one gram-keyed exact distinct (approx_count_distinct is the "
+    "100 TB swap)",
+)(lambda spark: text.distinct_ngram_diversity(spark))
+
+
+_register(
+    "text_kneser_ney",
+    "WITH " + _GRAM_CTE + """,
+c12 AS (
+  SELECT string_split(gram, ' ')[1] AS w1, string_split(gram, ' ')[2] AS w2,
+         count(*) AS c12
+  FROM grams WHERE n = 2 GROUP BY 1, 2
+),
+lft AS (SELECT w1, sum(c12) AS c1, count(*) AS n1p_fwd FROM c12 GROUP BY w1),
+rgt AS (SELECT w2, count(*) AS n1p_bwd FROM c12 GROUP BY w2),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_types FROM c12)
+SELECT c12.w1, c12.w2, CAST(c12.c12 AS BIGINT) AS c12,
+       round(c12.c12 / CAST(lft.c1 AS DOUBLE), 6) AS p_mle,
+       round(greatest(c12.c12 - 0.75, 0.0) / lft.c1
+             + 0.75 * lft.n1p_fwd / lft.c1 * (rgt.n1p_bwd / tot.n_types), 6)
+         AS p_kn,
+       round(rgt.n1p_bwd / tot.n_types, 6) AS p_cont
+FROM c12 JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN tot
+ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 50
+""",
+    notes="interpolated Kneser-Ney bigram LM (d=0.75) over doc-"
+    "boundary-safe bigrams: absolute discounting plus continuation-"
+    "probability backoff (distinct left-context counts, the KenLM "
+    "smoothing), reported for the top-50 bigrams next to raw MLE; one "
+    "bigram-count table re-aggregated by w1/w2 and joined back on its "
+    "own keys, type total a broadcast scalar, TakeOrdered top-k",
+)(lambda spark: text.kneser_ney_bigrams(spark))
