@@ -245,3 +245,204 @@ def test_kneser_ney_real_corpus_probability_bounds(spark):
         assert 0.0 < r["p_kn"] <= 1.0
         assert 0.0 < r["p_mle"] <= 1.0
         assert 0.0 < r["p_cont"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# emb_silhouette
+# ---------------------------------------------------------------------------
+
+from uav_streamprocessor_spark.operators import relational, similarity  # noqa: E402
+
+
+def _with_embeddings(spark, rows):
+    orig = spark.table("embeddings")
+    planted = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    planted.createOrReplaceTempView("embeddings")
+    return orig
+
+
+def test_silhouette_separated_vs_misplaced_point(spark):
+    """Two tight well-separated clusters → silhouette near 1 and no
+    negatives; then a label-0 point sitting ON the label-1 centroid
+    must score negative (b < a) — the interleaving that
+    centroid_separation alone cannot see."""
+    tight = [
+        (0, [0.0, 0.0], 0), (1, [0.2, 0.0], 0),
+        (2, [10.0, 0.0], 1), (3, [10.2, 0.0], 1),
+    ]
+    orig = _with_embeddings(spark, tight)
+    try:
+        out = {r["label"]: r for r in similarity.silhouette_by_label(spark).collect()}
+        assert out[0]["avg_silhouette"] > 0.9
+        assert out[1]["avg_silhouette"] > 0.9
+        assert out[0]["frac_negative"] == 0.0
+
+        misplaced = tight + [(4, [10.1, 0.0], 0)]  # label 0, inside cluster 1
+        _with_embeddings(spark, misplaced)
+        out2 = {r["label"]: r for r in similarity.silhouette_by_label(spark).collect()}
+        assert out2[0]["min_silhouette"] < 0
+        assert out2[0]["frac_negative"] == pytest.approx(1 / 3, abs=1e-6)
+    finally:
+        orig.createOrReplaceTempView("embeddings")
+
+
+def test_silhouette_degenerate_single_label_zero_guard(spark):
+    """With only one label there is no 'other' centroid: b is NULL, so
+    the score collapses through the coalesce to the defined-neutral 0.0
+    (same convention as the a==b==0 tie) — never a crash."""
+    rows = [(0, [1.0, 1.0], 7), (1, [1.0, 1.0], 7)]
+    orig = _with_embeddings(spark, rows)
+    try:
+        out = similarity.silhouette_by_label(spark).collect()
+        assert len(out) == 1 and out[0]["n_vecs"] == 2
+        assert out[0]["avg_silhouette"] == 0.0
+        assert out[0]["frac_negative"] == 0.0
+    finally:
+        orig.createOrReplaceTempView("embeddings")
+
+
+# ---------------------------------------------------------------------------
+# rel_zone_map_pruning
+# ---------------------------------------------------------------------------
+
+
+def test_zone_map_prunes_planted_layout_exactly(spark):
+    """Three planted ship-months: 1997-06 (qty ≤ 45), 1998-03 (has a
+    50), 1999-01 (qty ≤ 45, discount 0.2). shipdate_1998 must prune
+    exactly the two non-1998 zones; quantity_gt45 the two ≤45 zones;
+    discount_05_07 the two zones whose whole range sits OUTSIDE
+    [0.05, 0.07] — 1998-03 entirely below it, 1999-01 entirely above —
+    while 1997-06 (0.06 inside the band) must survive."""
+    li0 = spark.table("lineitem")
+    rows = [
+        # (orderkey, partkey, suppkey, linenumber, qty, price, disc, tax, rf, ls, shipdate)
+        (1, 1, 1, 1, 10.0, 100.0, 0.06, 0.0, "N", "O", "1997-06-10"),
+        (2, 1, 1, 1, 45.0, 100.0, 0.06, 0.0, "N", "O", "1997-06-20"),
+        (3, 1, 1, 1, 50.0, 100.0, 0.00, 0.0, "N", "O", "1998-03-05"),
+        (4, 1, 1, 1, 20.0, 100.0, 0.00, 0.0, "N", "O", "1998-03-06"),
+        (5, 1, 1, 1, 30.0, 100.0, 0.20, 0.0, "N", "O", "1999-01-15"),
+    ]
+    planted = spark.createDataFrame(
+        rows,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, "
+        "l_shipdate_s string",
+    ).withColumn("l_shipdate", F.col("l_shipdate_s").cast("timestamp")).drop(
+        "l_shipdate_s"
+    )
+    try:
+        planted.createOrReplaceTempView("lineitem")
+        out = {r["predicate"]: r
+               for r in relational.zone_map_pruning_audit(spark).collect()}
+        assert out["shipdate_1998"]["n_zones"] == 3
+        assert out["shipdate_1998"]["n_pruned"] == 2
+        assert out["shipdate_1998"]["rows_skipped"] == 3  # 2 + 1 rows
+        assert out["quantity_gt45"]["n_pruned"] == 2     # 1997-06, 1999-01
+        assert out["discount_05_07"]["n_pruned"] == 2    # 1998-03 + 1999-01
+        assert all(r["rows_total"] == 5 for r in out.values())
+    finally:
+        li0.createOrReplaceTempView("lineitem")
+
+
+def test_zone_map_rows_conserved_on_real_corpus(spark):
+    """rows_total is identical across predicates (same zone table) and
+    the 1998 clustering-column predicate must skip a large majority of
+    zones on the 1995–2001 corpus."""
+    out = {r["predicate"]: r
+           for r in relational.zone_map_pruning_audit(spark).collect()}
+    totals = {r["rows_total"] for r in out.values()}
+    assert len(totals) == 1
+    ship = out["shipdate_1998"]
+    assert ship["zone_prune_ratio"] > 0.7
+    assert ship["rows_skipped"] < ship["rows_total"]
+
+
+# ---------------------------------------------------------------------------
+# dedup_winnowing
+# ---------------------------------------------------------------------------
+
+from uav_streamprocessor_spark.operators import dedup  # noqa: E402
+
+
+def test_winnowing_guarantee_shared_substring_yields_shared_fp(spark):
+    """The winnowing guarantee (Schleimer et al.): any shared substring
+    of length >= k + w - 1 (= 11 at k=8, w=4) must yield at least one
+    shared fingerprint — even when the docs are otherwise disjoint."""
+    shared = "zqxjkvbwpmyg"  # 12 chars, > k+w-1, alphabet unlike filler
+    rows = [
+        (1, "aaaa bbbb cccc " + shared + " dddd eeee ffff", "en", "s", 40),
+        (2, "1111 2222 3333 4444 " + shared + " 5555 6666", "en", "s", 40),
+        (3, "pppp qqqq rrrr ssss tttt uuuu vvvv wwww xxxx", "en", "s", 44),
+    ]
+    orig = _with_docs(spark, rows)
+    try:
+        fp = dedup.winnowing_fingerprints(spark).collect()
+        by_doc: dict[int, set] = {}
+        for r in fp:
+            by_doc.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+        assert by_doc[1] & by_doc[2], "guarantee violated: no shared fp"
+        assert not (by_doc[1] & by_doc[3])
+        assert not (by_doc[2] & by_doc[3])
+    finally:
+        orig.createOrReplaceTempView("documents")
+
+
+def test_winnowing_identical_docs_score_full_overlap(spark):
+    """Byte-identical docs select identical fingerprint sets → exactly
+    one pair at overlap 1.0; a disjoint doc pairs with neither."""
+    txt = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, txt, "en", "s", len(txt)),
+        (2, txt, "en", "s", len(txt)),
+        (3, "0000 1111 2222 3333 4444 5555 6666 7777 8888", "en", "s", 44),
+    ]
+    orig = _with_docs(spark, rows)
+    try:
+        out = dedup.winnowing_near_duplicates(spark).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert (r["doc_a"], r["doc_b"]) == (1, 2)
+        assert r["overlap"] == pytest.approx(1.0)
+        assert r["n_shared"] == r["n_fp_a"] == r["n_fp_b"]
+    finally:
+        orig.createOrReplaceTempView("documents")
+
+
+def test_winnowing_stop_fingerprint_guard_kills_boilerplate_pairs(spark):
+    """30 docs sharing only a boilerplate sentence: its fingerprints
+    appear in >25 docs and must be dropped before pairing (the LSH
+    hot-bucket analogue), leaving NO pairs — without the guard this
+    emits up to 30*29/2 quadratic junk pairs."""
+    boiler = "subscribe to our newsletter for updates "
+    rows = [
+        (i, boiler + f"unique tail {i:04d} " + "x" * (i % 7), "en", "s", 60)
+        for i in range(30)
+    ]
+    orig = _with_docs(spark, rows)
+    try:
+        out = dedup.winnowing_near_duplicates(spark).collect()
+        assert out == []
+    finally:
+        orig.createOrReplaceTempView("documents")
+
+
+def test_winnowing_density_matches_theory_on_real_corpus(spark):
+    """Winnowing selects ~2/(w+1) of k-gram positions (density 0.4 at
+    w=4); allow a generous band since short docs truncate windows."""
+    fp_per_doc = (
+        dedup.winnowing_fingerprints(spark)
+        .groupBy("doc_id")
+        .count()
+        .join(
+            spark.table("documents").select(
+                "doc_id", (F.length("text") - 8 + 1).alias("n_grams")
+            ),
+            "doc_id",
+        )
+        .selectExpr("avg(count / n_grams) AS density")
+        .collect()[0]["density"]
+    )
+    assert 0.2 < fp_per_doc < 0.6

@@ -1151,3 +1151,112 @@ def containment_pairs(
             F.round(inter / uni, 6).alias("jaccard3"),
         )
     )
+
+
+def winnowing_fingerprints(
+    spark: SparkSession, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Per-doc winnowing (MOSS) fingerprint selection: hash every
+    character k-gram, then keep the MINIMUM hash of each window of w
+    consecutive k-grams (distinct per doc). Winnowing's guarantee —
+    any shared substring of length >= k + w - 1 yields at least one
+    shared fingerprint — with expected density 2/(w+1), so a doc's
+    fingerprint set is ~25x smaller than its k-gram set at w=4.
+
+    The hash is the first 12 hex chars of md5 over the lowercased
+    k-gram, compared LEXICOGRAPHICALLY — byte-identical in Spark and
+    DuckDB (hex alphabet, binary collation both sides), where a native
+    integer hash() would never agree across engines. The window min is
+    a doc_id-partitioned sliding frame (ROWS CURRENT..w-1 FOLLOWING)
+    over the position order; per-doc row counts bound every partition.
+
+    Reference parity note: the reference has no text dedup at all —
+    this extends dedup_fingerprints (whole-doc md5) down to substring
+    granularity, the standard plagiarism / near-dup fingerprinting
+    scheme (Schleimer, Wilkerson & Aiken, SIGMOD'03)."""
+    docs = spark.table("documents").select(
+        "doc_id", F.lower("text").alias("t"), F.length(F.lower("text")).alias("n")
+    )
+    # positions 1..n-k+1, guarded: sequence(1, 0) would count DOWN
+    pos = F.when(
+        F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        "doc_id", "t", "n", F.explode(pos).alias("p")
+    ).select(
+        "doc_id",
+        "n",
+        "p",
+        # substring with a COLUMN start goes through expr (the python
+        # wrapper's pos parameter is int-only)
+        F.substring(F.md5(F.expr(f"substring(t, p, {k})")), 1, 12).alias("h"),
+    )
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("p")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    selected = (
+        grams.withColumn("wmin", F.min("h").over(win))
+        # only full windows select (positions past n-k+1-(w-1) are partial)
+        .filter(F.col("p") <= F.col("n") - k + 1 - (w - 1))
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+    return selected
+
+
+def winnowing_near_duplicates(
+    spark: SparkSession,
+    k: int = 8,
+    w: int = 4,
+    min_overlap: float = 0.3,
+    max_docs_per_fp: int = 25,
+) -> DataFrame:
+    """Winnowing-based near-duplicate pairs: docs sharing a large
+    fraction of selected fingerprints. overlap = shared / min(|A|,|B|)
+    (containment-style, so a doc embedded in a larger one still
+    scores high).
+
+    Scale shape: the pair generation is a fingerprint-keyed
+    group-and-emit — never an all-pairs product — and fingerprints
+    seen in more than `max_docs_per_fp` docs are dropped first
+    (stop-fingerprints: boilerplate shingles whose buckets would
+    otherwise emit quadratic pairs; the exact analogue of the LSH
+    hot-bucket guard). At 100 TB this is the same plan: one window
+    pass per doc partition, one fingerprint-keyed shuffle, pair counts
+    keyed by (doc_a, doc_b)."""
+    fp = winnowing_fingerprints(spark, k, w)
+    fp_counts = fp.groupBy("fingerprint").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    live = fp.join(
+        fp_counts.filter(F.col("n_docs") <= max_docs_per_fp).select("fingerprint"),
+        "fingerprint",
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = live.select(F.col("doc_id").alias("doc_a"), "fingerprint")
+    b = live.select(F.col("doc_id").alias("doc_b"), "fingerprint")
+    shared = (
+        a.join(b, "fingerprint")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_fp").alias("n_fp_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_fp").alias("n_fp_b"))
+    return (
+        shared.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "overlap",
+            F.round(
+                F.col("n_shared")
+                / F.least("n_fp_a", "n_fp_b").cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("overlap") >= min_overlap)
+        .select("doc_a", "doc_b", "n_shared", "n_fp_a", "n_fp_b", "overlap")
+        .orderBy("doc_a", "doc_b")
+    )

@@ -1788,3 +1788,71 @@ def compaction_plan(spark: SparkSession, target_bytes: int = 4000) -> DataFrame:
         )
         .orderBy("source", "bin_id")
     )
+
+
+def zone_map_pruning_audit(spark: SparkSession) -> DataFrame:
+    """Zone-map / data-skipping effectiveness audit: lineitem is zoned
+    by ship-month (the proxy for parquet files laid down by an
+    ingest-time-partitioned writer), per-zone min/max statistics are
+    collected exactly as a lakehouse manifest would store them, and
+    three representative predicates are evaluated against the STATS
+    ALONE to count how many zones a scan could skip.
+
+    The audit answers the 100 TB question before the cluster does:
+    a predicate on the clustering column (ship year) prunes almost
+    everything; predicates on columns uniform within every zone
+    (quantity, discount) prune nothing — the signal that those
+    workloads need sort/Z-ordering, not more partitions, and exactly
+    what Spark's own partition pruning + parquet row-group skipping
+    would achieve on this layout.
+
+    One map-side-combinable aggregate over lineitem (the stats pass),
+    then arithmetic over the ~80-row zone table via stack() — the
+    audit itself never rescans the data."""
+    li = _t(spark, "lineitem")
+    month = F.to_date("l_shipdate")
+    zone = (F.year(month) * 12 + F.month(month) - 1).alias("zone_m")
+    zones = li.groupBy(zone).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.max("l_quantity").alias("max_q"),
+        F.min("l_discount").alias("min_d"),
+        F.max("l_discount").alias("max_d"),
+    )
+    y1998 = 1998 * 12
+    p_ship = (F.col("zone_m") < y1998) | (F.col("zone_m") > y1998 + 11)
+    p_qty = F.col("max_q") <= 45
+    p_disc = (F.col("max_d") < 0.05) | (F.col("min_d") > 0.07)
+    # three predicate rows via explicit union over the ~80-row zone
+    # table (driver-free arithmetic; a stack() would need expr-string
+    # plumbing for computed booleans)
+    parts = [
+        ("shipdate_1998", p_ship),
+        ("quantity_gt45", p_qty),
+        ("discount_05_07", p_disc),
+    ]
+    tagged = None
+    for name, pred in parts:
+        t = zones.select(
+            F.lit(name).alias("predicate"),
+            pred.cast("int").alias("pruned"),
+            "n_rows",
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    return (
+        tagged.groupBy("predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_zones"),
+            F.sum("pruned").cast("long").alias("n_pruned"),
+            F.sum("n_rows").cast("long").alias("rows_total"),
+            F.sum(F.col("pruned") * F.col("n_rows")).cast("long").alias("rows_skipped"),
+            F.round(F.sum("pruned") / F.count(F.lit(1)).cast("double"), 6).alias(
+                "zone_prune_ratio"
+            ),
+            F.round(
+                F.sum(F.col("pruned") * F.col("n_rows"))
+                / F.sum("n_rows").cast("double"),
+                6,
+            ).alias("row_skip_ratio"),
+        )
+        .orderBy("predicate")
+    )

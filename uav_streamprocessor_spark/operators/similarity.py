@@ -1886,3 +1886,162 @@ def pca_spectrum(spark: SparkSession) -> DataFrame:
         "component int, eigenvalue double, explained_ratio double, "
         "cumulative_ratio double",
     )
+
+
+def silhouette_by_label(spark: SparkSession) -> DataFrame:
+    """Simplified (centroid-based) silhouette per label: for each
+    vector, a = distance to its OWN label centroid, b = distance to the
+    nearest OTHER centroid, s = (b − a)/max(a, b) — the clustering-
+    quality score read per class. Complements centroid_separation
+    (which looks only at centers): a label pair can have distant
+    centers yet interleaved members, and only silhouette sees it.
+
+    The classic silhouette is all-pairs (n² distances); the centroid
+    form is the standard large-scale surrogate (Spark MLlib ships the
+    same squared-euclidean variant) and is what survives 100 TB: the
+    corpus is touched ONCE in the posexplode layout, joined to a
+    labels×dims centroid table that is broadcast-sized by construction,
+    and reduced per (vector, candidate-label) then per vector — no
+    pairwise anything. The zero-distance edge (a == b == 0) reads s=0
+    via the nullif guard, matching sklearn's convention."""
+    emb = spark.table("embeddings")
+    dims = emb.select(
+        "vec_id", "label",
+        F.posexplode(F.col("embedding").cast("array<double>")),
+    ).toDF("vec_id", "label", "pos", "v")
+    cent = (
+        dims.groupBy(F.col("label").alias("label_c"), "pos")
+        .agg(F.avg("v").alias("c"))
+    )
+    per_cand = (
+        dims.join(F.broadcast(cent), "pos")
+        .groupBy("vec_id", "label", "label_c")
+        .agg(F.sqrt(F.sum((F.col("v") - F.col("c")) ** 2)).alias("dist"))
+    )
+    per_vec = per_cand.groupBy("vec_id", "label").agg(
+        F.min(F.when(F.col("label_c") == F.col("label"), F.col("dist"))).alias("a"),
+        F.min(F.when(F.col("label_c") != F.col("label"), F.col("dist"))).alias("b"),
+    )
+    s = F.coalesce(
+        (F.col("b") - F.col("a"))
+        / F.nullif(F.greatest("a", "b"), F.lit(0.0)),
+        F.lit(0.0),
+    )
+    return (
+        per_vec.select("label", s.alias("s"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.round(F.avg("s"), 6).alias("avg_silhouette"),
+            F.round(F.min("s"), 6).alias("min_silhouette"),
+            F.round(
+                F.sum((F.col("s") < 0).cast("long")) / F.count(F.lit(1)), 6
+            ).alias("frac_negative"),
+        )
+        .orderBy("label")
+    )
+
+
+def random_projection_distortion(
+    spark: SparkSession, m: int = 16, width: int = 25
+) -> DataFrame:
+    """Johnson–Lindenstrauss audit: project the 64-d embeddings to m
+    dims with a deterministic ±1/√m sign matrix (Achlioptas'01 — the
+    database-friendly JL construction) and histogram the pairwise
+    distance distortion ‖y_a−y_b‖ / ‖x_a−x_b‖ over the deterministic
+    id-block pair sample shared with emb_cosine_histogram. The curve
+    answers the pre-ANN engineering question: how few dimensions can
+    the index hold before neighborhoods scramble?
+
+    The sign matrix derives from integer arithmetic on (j, k) — no
+    RNG, so Spark and DuckDB materialize bit-identical matrices. The
+    projection is one broadcast join (64×m sign rows) + one
+    (vec_id, k) aggregate — map-side combinable, corpus touched once;
+    projected vectors re-assemble via sort_array(collect_list) and the
+    pair distances run JVM-side (zip_with fold). Pair count is
+    n·width, never n²; identical-vector pairs (d_orig = 0) are
+    excluded — distortion is undefined there."""
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x")
+    )
+    dims = emb.select("vec_id", F.posexplode("x")).toDF("vec_id", "j", "v")
+    proj = (
+        spark.range(64)
+        .select(F.col("id").cast("int").alias("j"))
+        .crossJoin(spark.range(m).select(F.col("id").cast("int").alias("k")))
+        .select(
+            "j",
+            "k",
+            F.when(
+                (
+                    (F.col("j") * F.lit(2654435761) + F.col("k") * F.lit(40503))
+                    % 97
+                )
+                % 2
+                == 0,
+                1.0,
+            )
+            .otherwise(-1.0)
+            .alias("s"),
+        )
+    )
+    y = (
+        dims.join(F.broadcast(proj), "j")
+        .groupBy("vec_id", "k")
+        .agg((F.sum(F.col("v") * F.col("s")) / float(m) ** 0.5).alias("yv"))
+    )
+    yvec = y.groupBy("vec_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("k", "yv"))), lambda s: s["yv"]
+        ).alias("y")
+    )
+    vecs = emb.join(yvec, "vec_id")
+    blk = F.floor(F.col("vec_id") / width)
+    a = vecs.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
+    )
+    b = vecs.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        blk.alias("blk"),
+    )
+
+    def dist(u, w):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(u, w, lambda p, q: (p - q) * (p - q)),
+                F.lit(0.0),
+                lambda acc, z: acc + z,
+            )
+        )
+
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_b") > F.col("id_a"))
+            & (F.col("id_b") <= F.col("id_a") + width)
+        )
+        .select(
+            dist(F.col("xa"), F.col("xb")).alias("d_orig"),
+            dist(F.col("ya"), F.col("yb")).alias("d_proj"),
+        )
+        .filter(F.col("d_orig") > 0)
+        .select(
+            F.round(F.col("d_proj") / F.col("d_orig"), 6).alias("distortion")
+        )
+    )
+    return (
+        pairs.withColumn("bin", F.floor(F.col("distortion") * 10) / 10.0)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            F.round(F.avg("distortion"), 6).alias("avg_distortion"),
+            F.round(F.min("distortion"), 6).alias("min_distortion"),
+            F.round(F.max("distortion"), 6).alias("max_distortion"),
+        )
+        .orderBy("bin")
+    )

@@ -6532,3 +6532,145 @@ ORDER BY c12.c12 DESC, c12.w1, c12.w2 LIMIT 50
     "bigram-count table re-aggregated by w1/w2 and joined back on its "
     "own keys, type total a broadcast scalar, TakeOrdered top-k",
 )(lambda spark: text.kneser_ney_bigrams(spark))
+
+
+_register(
+    "emb_silhouette",
+    """
+WITH flat AS (
+  SELECT vec_id, label, CAST(unnest(range(len(embedding))) AS INT) AS pos,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+cent AS (SELECT label AS label_c, pos, avg(v) AS c
+         FROM flat GROUP BY label, pos),
+per_cand AS (
+  SELECT f.vec_id, f.label, ct.label_c,
+         sqrt(sum((f.v - ct.c) * (f.v - ct.c))) AS dist
+  FROM flat f JOIN cent ct ON f.pos = ct.pos
+  GROUP BY 1, 2, 3
+),
+per_vec AS (
+  SELECT vec_id, label,
+         min(CASE WHEN label_c = label THEN dist END) AS a,
+         min(CASE WHEN label_c <> label THEN dist END) AS b
+  FROM per_cand GROUP BY 1, 2
+),
+scored AS (
+  SELECT label,
+         coalesce((b - a) / nullif(greatest(a, b), 0.0), 0.0) AS s
+  FROM per_vec
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(avg(s), 6) AS avg_silhouette,
+       round(min(s), 6) AS min_silhouette,
+       round(sum(CASE WHEN s < 0 THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS frac_negative
+FROM scored GROUP BY label ORDER BY label
+""",
+    notes="simplified (centroid-based) silhouette per label - the "
+    "clustering-quality score Spark MLlib ships the same surrogate "
+    "of; corpus touched once in the posexplode layout against a "
+    "broadcast labels x dims centroid table, reduced per (vector, "
+    "candidate label) then per vector - no pairwise distances; "
+    "a==b==0 reads s=0 via the nullif guard like sklearn",
+)(lambda spark: similarity.silhouette_by_label(spark))
+
+
+_register(
+    "rel_zone_map_pruning",
+    """
+WITH zones AS (
+  SELECT year(CAST(l_shipdate AS DATE)) * 12
+         + month(CAST(l_shipdate AS DATE)) - 1 AS zone_m,
+         count(*) AS n_rows,
+         max(l_quantity) AS max_q,
+         min(l_discount) AS min_d, max(l_discount) AS max_d
+  FROM lineitem GROUP BY 1
+),
+tagged AS (
+  SELECT p.predicate, z.n_rows,
+         CASE p.predicate
+           WHEN 'shipdate_1998' THEN
+             CASE WHEN z.zone_m < 1998 * 12 OR z.zone_m > 1998 * 12 + 11
+                  THEN 1 ELSE 0 END
+           WHEN 'quantity_gt45' THEN
+             CASE WHEN z.max_q <= 45 THEN 1 ELSE 0 END
+           ELSE CASE WHEN z.max_d < 0.05 OR z.min_d > 0.07
+                     THEN 1 ELSE 0 END
+         END AS pruned
+  FROM zones z
+  CROSS JOIN (VALUES ('shipdate_1998'), ('quantity_gt45'),
+                     ('discount_05_07')) p(predicate)
+)
+SELECT predicate, CAST(count(*) AS BIGINT) AS n_zones,
+       CAST(sum(pruned) AS BIGINT) AS n_pruned,
+       CAST(sum(n_rows) AS BIGINT) AS rows_total,
+       CAST(sum(pruned * n_rows) AS BIGINT) AS rows_skipped,
+       round(sum(pruned) / CAST(count(*) AS DOUBLE), 6)
+         AS zone_prune_ratio,
+       round(sum(pruned * n_rows) / CAST(sum(n_rows) AS DOUBLE), 6)
+         AS row_skip_ratio
+FROM tagged GROUP BY predicate ORDER BY predicate
+""",
+    notes="zone-map / data-skipping audit: ship-month zones (the "
+    "ingest-partitioned file proxy) with manifest-style min/max stats, "
+    "three predicates evaluated against stats alone - the clustering-"
+    "column predicate prunes ~85% of zones, the uniform-column ones "
+    "prune zero (the sort/Z-order signal); one stats pass, then "
+    "arithmetic over the ~80-row zone table",
+)(lambda spark: relational.zone_map_pruning_audit(spark))
+
+
+_register(
+    "dedup_winnowing",
+    """
+WITH docs AS (
+  SELECT doc_id, lower(text) AS t, length(lower(text)) AS n FROM documents
+),
+grams AS (
+  SELECT doc_id, n, CAST(i AS INT) AS p,
+         substring(md5(substring(t, CAST(i AS INT), 8)), 1, 12) AS h
+  FROM docs, unnest(range(1, n - 8 + 2)) AS r(i)
+),
+wins AS (
+  SELECT doc_id, p, n,
+         min(h) OVER (PARTITION BY doc_id ORDER BY p
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin
+  FROM grams
+),
+fp AS (
+  SELECT DISTINCT doc_id, wmin AS fingerprint
+  FROM wins WHERE p <= n - 8 + 1 - 3
+),
+cnt AS (SELECT fingerprint, count(*) AS n_docs FROM fp GROUP BY 1),
+live AS (SELECT fp.doc_id, fp.fingerprint
+         FROM fp JOIN cnt USING (fingerprint) WHERE cnt.n_docs <= 25),
+sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_fp
+          FROM fp GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS BIGINT) AS n_shared
+  FROM live a JOIN live b
+    ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+scored AS (
+  SELECT doc_a, doc_b, n_shared, sa.n_fp AS n_fp_a, sb.n_fp AS n_fp_b,
+         round(n_shared / CAST(least(sa.n_fp, sb.n_fp) AS DOUBLE), 6)
+           AS overlap
+  FROM shared
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+)
+SELECT * FROM scored WHERE overlap >= 0.3 ORDER BY doc_a, doc_b
+""",
+    notes="winnowing (MOSS, SIGMOD'03) near-dup pairs: per-doc window "
+    "minima over char-8-gram md5 hashes (w=4, density 2/(w+1), the "
+    "guarantee that any shared substring >= k+w-1 chars yields a "
+    "shared fingerprint), containment-style overlap vs the smaller "
+    "fingerprint set; pair generation is fingerprint-keyed group-and-"
+    "emit with a 25-doc stop-fingerprint guard (the LSH hot-bucket "
+    "analogue) - never all-pairs; hashes compared lexicographically "
+    "on hex so Spark and DuckDB agree byte-for-byte",
+)(lambda spark: dedup.winnowing_near_duplicates(spark))
