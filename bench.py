@@ -82,6 +82,8 @@ HEADLINE = [
     # r5 session-3b additions: blocked-DP verify + gram-novelty shuffles
     "dedup_edit_distance",         # length-band blocked Levenshtein DP
     "text_ngram_novelty",          # first-occurrence gram attribution
+    # late-r7 addition: char-gram fingerprint selection + fp-keyed pair join
+    "dedup_winnowing",             # MOSS winnowing near-dup pairs
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at
@@ -103,6 +105,14 @@ ROTATION = [
     "ev_bounce_rate",           # daily single-event-session rate
     "text_chunk_manifest",      # context-window chunk planning
     "emb_pca_spectrum",         # covariance eigenspectrum (D² reduction)
+    # late-round-7 additions
+    "ev_kaplan_meier",          # per-variant KM survival curve
+    "ev_diff_in_diff",          # DiD causal readout (balanced panel)
+    "text_distinct_ngrams",     # distinct-n diversity per source
+    "text_kneser_ney",          # interpolated KN bigram LM
+    "emb_silhouette",           # centroid-based silhouette per label
+    "rel_zone_map_pruning",     # zone-map data-skipping audit
+    "emb_random_projection",    # JL sign-projection distortion histogram
 ]
 
 

@@ -446,3 +446,43 @@ def test_winnowing_density_matches_theory_on_real_corpus(spark):
         .collect()[0]["density"]
     )
     assert 0.2 < fp_per_doc < 0.6
+
+
+# ---------------------------------------------------------------------------
+# emb_random_projection
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_single_coordinate_pairs_distort_exactly_one(spark):
+    """Vectors differing in ONE coordinate have distortion exactly 1.0
+    under ANY ±1/√m sign matrix: d_proj = |δ|·√(Σ_k s_jk²)/√m =
+    |δ|·√m/√m. Eleven colinear vectors → all 55 block pairs land in
+    bin 1.0 with avg exactly 1.0 — the Parseval check on the
+    projection arithmetic."""
+    rows = [(i, [float(i * 2)] + [0.0] * 63, 0) for i in range(11)]
+    orig = _with_embeddings(spark, rows)
+    try:
+        out = similarity.random_projection_distortion(spark).collect()
+        assert len(out) == 1
+        r = out[0]
+        assert r["bin"] == 1.0
+        assert r["n_pairs"] == 55
+        assert r["avg_distortion"] == pytest.approx(1.0, abs=1e-6)
+        assert r["min_distortion"] == pytest.approx(1.0, abs=1e-6)
+    finally:
+        orig.createOrReplaceTempView("embeddings")
+
+
+def test_random_projection_real_corpus_pair_accounting(spark):
+    """Every sampled pair lands in exactly one bin; the bin count total
+    equals the cosine-histogram sample (same blocking) minus the
+    d_orig=0 exclusions; distortions are strictly positive."""
+    rp = similarity.random_projection_distortion(spark).collect()
+    ch = similarity.cosine_histogram(spark).collect()
+    n_rp = sum(r["n_pairs"] for r in rp)
+    n_ch = sum(r["n_pairs"] for r in ch)
+    assert 0 < n_rp <= n_ch
+    for r in rp:
+        assert r["min_distortion"] > 0
+        assert r["bin"] <= r["min_distortion"] <= r["max_distortion"]
+        assert r["max_distortion"] < r["bin"] + 0.1 + 1e-9

@@ -1472,11 +1472,15 @@ FROM joined GROUP BY 1 ORDER BY 1
 # PARITY_sf0.01.json. Names listed here sort first, in this order;
 # everything else follows in registration order.
 #
-# r8 queue: the eleven round-7 additions (dedup_split_leakage,
-# text_source_quota, text_length_buckets, text_source_overlap,
-# dedup_containment, rel_compaction_plan, ev_mad_outliers,
-# emb_cosine_histogram, ev_bounce_rate, text_chunk_manifest,
-# emb_pca_spectrum — all sf0.01 AND sf0.1 parity-proven this round)
+# r8 queue: the nineteen round-7 additions — the mid-round eleven
+# (dedup_split_leakage, text_source_quota, text_length_buckets,
+# text_source_overlap, dedup_containment, rel_compaction_plan,
+# ev_mad_outliers, emb_cosine_histogram, ev_bounce_rate,
+# text_chunk_manifest, emb_pca_spectrum — sf0.01 AND sf0.1
+# parity-proven) plus the late-round eight (ev_kaplan_meier,
+# ev_diff_in_diff, text_distinct_ngrams, text_kneser_ney,
+# emb_silhouette, rel_zone_map_pruning, dedup_winnowing,
+# emb_random_projection — sf0.01 parity-proven in PARITY_sf0.01.json)
 # lead the next window, then continue the oldest-row re-prove rotation
 # (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
 # uav_metadata_fields, then the r03 cohort).
@@ -6674,3 +6678,64 @@ SELECT * FROM scored WHERE overlap >= 0.3 ORDER BY doc_a, doc_b
     "analogue) - never all-pairs; hashes compared lexicographically "
     "on hex so Spark and DuckDB agree byte-for-byte",
 )(lambda spark: dedup.winnowing_near_duplicates(spark))
+
+
+_register(
+    "emb_random_projection",
+    """
+WITH flat AS (
+  SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+proj AS (
+  SELECT CAST(t1.j AS INT) AS j, CAST(t2.k AS INT) AS k,
+         CASE WHEN ((t1.j * 2654435761 + t2.k * 40503) % 97) % 2 = 0
+              THEN 1.0 ELSE -1.0 END AS s
+  FROM range(64) t1(j), range(16) t2(k)
+),
+y AS (
+  SELECT vec_id, k, sum(v * s) / sqrt(16.0) AS yv
+  FROM flat JOIN proj USING (j) GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25
+   AND floor(b.vec_id / 25) IN (floor(a.vec_id / 25),
+                                floor(a.vec_id / 25) + 1)
+),
+d_orig AS (
+  SELECT p.id_a, p.id_b, sqrt(sum((fa.v - fb.v) * (fa.v - fb.v))) AS d
+  FROM pairs p
+  JOIN flat fa ON fa.vec_id = p.id_a
+  JOIN flat fb ON fb.vec_id = p.id_b AND fb.j = fa.j
+  GROUP BY 1, 2
+),
+d_proj AS (
+  SELECT p.id_a, p.id_b, sqrt(sum((ya.yv - yb.yv) * (ya.yv - yb.yv))) AS d
+  FROM pairs p
+  JOIN y ya ON ya.vec_id = p.id_a
+  JOIN y yb ON yb.vec_id = p.id_b AND yb.k = ya.k
+  GROUP BY 1, 2
+),
+dist AS (
+  SELECT round(pj.d / o.d, 6) AS distortion
+  FROM d_orig o JOIN d_proj pj ON o.id_a = pj.id_a AND o.id_b = pj.id_b
+  WHERE o.d > 0
+)
+SELECT floor(distortion * 10) / 10.0 AS bin,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(avg(distortion), 6) AS avg_distortion,
+       round(min(distortion), 6) AS min_distortion,
+       round(max(distortion), 6) AS max_distortion
+FROM dist GROUP BY 1 ORDER BY 1
+""",
+    notes="Johnson-Lindenstrauss distortion audit: deterministic "
+    "Achlioptas +-1/sqrt(m) sign projection 64d -> 16d (integer-"
+    "arithmetic sign matrix, bit-identical across engines), pairwise "
+    "distance ratio histogram over the id-block pair sample shared "
+    "with emb_cosine_histogram; one broadcast 64 x m join + one "
+    "map-side-combinable (vec, k) aggregate, pair count n x width "
+    "never n^2; d_orig = 0 pairs excluded (undefined ratio)",
+)(lambda spark: similarity.random_projection_distortion(spark))
