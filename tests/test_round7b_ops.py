@@ -486,3 +486,116 @@ def test_random_projection_real_corpus_pair_accounting(spark):
         assert r["min_distortion"] > 0
         assert r["bin"] <= r["min_distortion"] <= r["max_distortion"]
         assert r["max_distortion"] < r["bin"] + 0.1 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# text_burstiness / text_keyness
+# ---------------------------------------------------------------------------
+
+
+def test_burstiness_bunched_word_scores_below_spread_word(spark):
+    """'bursty' carries 10 tokens in ONE doc of 10, 'spread' one token
+    in EACH of 10: same Poisson expectation D(1−e⁻¹) ≈ 6.321, so their
+    ratios must straddle 1 exactly as Church–Gale predicts."""
+    import math
+    rows = (
+        [(1, "bursty " * 10, "en", "s", 60)]
+        + [(i, "spread filler" + str(i), "en", "s", 10) for i in range(2, 11)]
+    )
+    # make 'spread' appear once in docs 2..10 AND once in doc 1's tail
+    rows[0] = (1, ("bursty " * 10) + "spread", "en", "s", 66)
+    orig = _with_docs(spark, rows)
+    try:
+        out = {r["word"]: r for r in text.word_burstiness(spark).collect()}
+        exp = 10 * (1 - math.exp(-1))
+        b, s = out["bursty"], out["spread"]
+        assert (b["cf"], b["df"]) == (10, 1)
+        assert (s["cf"], s["df"]) == (10, 10)
+        assert b["expected_df"] == pytest.approx(exp, abs=1e-5)
+        assert b["burstiness"] == pytest.approx(1 / exp, abs=1e-5)
+        assert s["burstiness"] == pytest.approx(10 / exp, abs=1e-5)
+        assert b["burstiness"] < 1 < s["burstiness"]
+    finally:
+        orig.createOrReplaceTempView("documents")
+
+
+def test_keyness_hand_computed_g2_and_exclusivity(spark):
+    """Two one-doc sources 'ml common' / 'law common': the exclusive
+    words get G² = 2·ln 2 ≈ 1.386294 (a=1,b=0,c=2,d=2,E1=0.5) and rank
+    first for their OWN source only; the shared word is never enriched
+    in either."""
+    rows = [
+        (1, "ml common", "en", "A", 9),
+        (2, "law common", "en", "B", 10),
+    ]
+    orig = _with_docs(spark, rows)
+    try:
+        out = text.source_keyness(spark).collect()
+        by_src = {}
+        for r in out:
+            by_src.setdefault(r["source"], []).append(r)
+        a_words = {r["word"] for r in by_src["A"]}
+        assert "ml" in a_words and "law" not in a_words and "common" not in a_words
+        top_a = [r for r in by_src["A"] if r["rank"] == 1][0]
+        assert top_a["word"] == "ml"
+        assert top_a["g2"] == pytest.approx(2 * 0.6931471805599453, abs=1e-5)
+        top_b = [r for r in by_src["B"] if r["rank"] == 1][0]
+        assert top_b["word"] == "law"
+    finally:
+        orig.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# rel_bloom_join_audit / emb_knn_label_agreement
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_join_audit_arithmetic_and_monotonicity(spark):
+    """match_rows must equal the direct semi-join count; fpr and
+    est_probe_out strictly decrease with bits/key; scan_reduction is
+    exactly 1 − est/probe for every row."""
+    out = sorted(
+        relational.bloom_join_audit(spark).collect(),
+        key=lambda r: r["bits_per_key"],
+    )
+    direct = (
+        spark.table("orders")
+        .join(
+            spark.table("customer").filter(F.col("c_mktsegment") == "BUILDING"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_semi",
+        )
+        .count()
+    )
+    assert all(r["match_rows"] == direct for r in out)
+    fprs = [r["fpr"] for r in out]
+    ests = [r["est_probe_out_rows"] for r in out]
+    assert fprs == sorted(fprs, reverse=True) and len(set(fprs)) == 3
+    assert ests == sorted(ests, reverse=True)
+    for r in out:
+        assert r["scan_reduction"] == pytest.approx(
+            1 - r["est_probe_out_rows"] / r["probe_rows"], abs=1e-4
+        )
+        assert r["est_probe_out_rows"] >= r["match_rows"]
+
+
+def test_knn_label_agreement_planted_neighborhoods(spark):
+    """Two tight pairs of same-label vectors → agreement 1.0 for both
+    labels; inserting a label-0 vector INSIDE cluster 1 flips cluster
+    1's nearest neighbors to the intruder (agreement 0) and drops
+    label 0 to 2/3 — the local scrambling the centroid screen misses."""
+    clean = [
+        (0, [0.0, 0.0], 0), (1, [0.1, 0.0], 0),
+        (2, [10.0, 0.0], 1), (3, [10.1, 0.0], 1),
+    ]
+    orig = _with_embeddings(spark, clean)
+    try:
+        out = {r["label"]: r for r in similarity.knn_label_agreement(spark).collect()}
+        assert out[0]["agreement"] == 1.0 and out[1]["agreement"] == 1.0
+
+        _with_embeddings(spark, clean + [(4, [10.05, 0.0], 0)])
+        out2 = {r["label"]: r for r in similarity.knn_label_agreement(spark).collect()}
+        assert out2[1]["agreement"] == 0.0      # both NNs are the intruder
+        assert out2[0]["agreement"] == pytest.approx(2 / 3, abs=1e-6)
+    finally:
+        orig.createOrReplaceTempView("embeddings")

@@ -217,7 +217,12 @@ def band_signatures(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", "bb.band", "bb.band_sig")
 
 
-def _bucket_pairs(bands: DataFrame, key_cols: list[str], member) -> DataFrame:
+def _bucket_pairs(
+    bands: DataFrame,
+    key_cols: list[str],
+    member,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Group-and-emit-pairs LSH candidate generation: group band rows by
     the bucket key, collect the (sorted) member structs, and expand the
     within-bucket pairs IN-ROW (ordered i<j slices, so doc_id_a <
@@ -229,15 +234,19 @@ def _bucket_pairs(bands: DataFrame, key_cols: list[str], member) -> DataFrame:
     plan: two ArrowEvalPython nodes), so signatures were computed twice.
     Here the signature branch exists ONCE; the only shuffle is the
     bucket groupBy, and the quadratic pair expansion is confined to a
-    bucket (the LSH guarantee). At 100 TB, cap pathological buckets
-    with a size filter before expansion — the standard production LSH
-    shape (same note as doc_block_edges)."""
+    bucket (the LSH guarantee). `max_bucket` caps pathological buckets
+    BEFORE expansion (dropped whole — the caller's hot-bucket/stop-key
+    semantics, e.g. winnowing stop-fingerprints); callers that leave it
+    None keep every bucket — the standard production LSH shape (same
+    note as doc_block_edges)."""
     members = F.array_sort(F.collect_list(member))
     buckets = (
         bands.groupBy(*[F.col(c) for c in key_cols])
         .agg(members.alias("ms"))
         .filter(F.size("ms") > 1)
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("ms") <= max_bucket)
     n = F.size("ms")
     pairs = F.flatten(
         F.transform(
@@ -1218,28 +1227,26 @@ def winnowing_near_duplicates(
     (containment-style, so a doc embedded in a larger one still
     scores high).
 
-    Scale shape: the pair generation is a fingerprint-keyed
-    group-and-emit — never an all-pairs product — and fingerprints
-    seen in more than `max_docs_per_fp` docs are dropped first
+    Scale shape: the fingerprint table is computed ONCE and pinned
+    with a lazy localCheckpoint — without the pin, the counts/sizes/
+    pair branches re-instantiate the gram-explode + window subtree SIX
+    times (verified in the physical plan: 12 scans, 12 windows before
+    the pin; the same AQE exchange-reuse failure the LSH group-and-emit
+    rewrite root-caused). Pair generation is _bucket_pairs group-and-
+    emit per fingerprint — never an all-pairs product, no self-join —
+    with buckets larger than `max_docs_per_fp` docs dropped whole
     (stop-fingerprints: boilerplate shingles whose buckets would
     otherwise emit quadratic pairs; the exact analogue of the LSH
-    hot-bucket guard). At 100 TB this is the same plan: one window
-    pass per doc partition, one fingerprint-keyed shuffle, pair counts
-    keyed by (doc_a, doc_b)."""
-    fp = winnowing_fingerprints(spark, k, w)
-    fp_counts = fp.groupBy("fingerprint").agg(
-        F.count(F.lit(1)).alias("n_docs")
-    )
-    live = fp.join(
-        fp_counts.filter(F.col("n_docs") <= max_docs_per_fp).select("fingerprint"),
-        "fingerprint",
-    )
+    hot-bucket guard). At 100 TB the plan reads: one gram+window pass,
+    one fingerprint-keyed shuffle, pair counts keyed by (doc_a,
+    doc_b)."""
+    fp = winnowing_fingerprints(spark, k, w).localCheckpoint(eager=False)
     sizes = fp.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_fp"))
-    a = live.select(F.col("doc_id").alias("doc_a"), "fingerprint")
-    b = live.select(F.col("doc_id").alias("doc_b"), "fingerprint")
     shared = (
-        a.join(b, "fingerprint")
-        .filter(F.col("doc_a") < F.col("doc_b"))
+        _bucket_pairs(
+            fp, ["fingerprint"], F.col("doc_id"), max_bucket=max_docs_per_fp
+        )
+        .select(F.col("p.a").alias("doc_a"), F.col("p.b").alias("doc_b"))
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
     )

@@ -1856,3 +1856,66 @@ def zone_map_pruning_audit(spark: SparkSession) -> DataFrame:
         )
         .orderBy("predicate")
     )
+
+
+def bloom_join_audit(spark: SparkSession) -> DataFrame:
+    """Runtime-filter (bloom join) payoff audit for the classic Q3
+    shape — orders semi-joined to BUILDING-segment customers: from the
+    build-side key count and probe-side match rate alone, compute the
+    expected false-positive rate and scan reduction of pushing a bloom
+    filter of b bits/key down to the probe scan, for b in {8, 12, 16}.
+
+      fpr(b) ≈ 0.6185^b   (optimal hash count k = b·ln2)
+      est_probe_out = matches + non_matches · fpr
+
+    This is the decision Spark's own runtime row-level filtering
+    (spark.sql.optimizer.runtime.bloomFilter) makes implicitly; the
+    audit makes it explicit so a 100 TB job can size the filter — or
+    skip it when the join is not selective enough to pay for the
+    broadcast.
+
+    Shape: one distinct-count on the build side, one boolean rollup on
+    the probe side (left-semi flag via a broadcast hash join), then
+    closed-form arithmetic over a 3-row literal frame. The probe table
+    is scanned ONCE."""
+    cust = (
+        _t(spark, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    build = cust.agg(F.countDistinct("c_custkey").cast("long").alias("build_keys"))
+    probe = (
+        _t(spark, "orders")
+        .join(
+            F.broadcast(cust.withColumn("matched", F.lit(1))),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("probe_rows"),
+            F.sum(F.coalesce("matched", F.lit(0))).cast("long").alias("match_rows"),
+        )
+    )
+    bits = spark.range(1).select(
+        F.explode(F.array(F.lit(8), F.lit(12), F.lit(16))).alias("bits_per_key")
+    )
+    fpr = F.pow(F.lit(0.6185), F.col("bits_per_key"))
+    est_out = F.col("match_rows") + (
+        F.col("probe_rows") - F.col("match_rows")
+    ) * fpr
+    return (
+        bits.crossJoin(F.broadcast(build))
+        .crossJoin(F.broadcast(probe))
+        .select(
+            F.col("bits_per_key").cast("int").alias("bits_per_key"),
+            "build_keys",
+            "probe_rows",
+            "match_rows",
+            F.round(fpr, 6).alias("fpr"),
+            F.round(est_out, 2).alias("est_probe_out_rows"),
+            F.round(1.0 - est_out / F.col("probe_rows"), 6).alias(
+                "scan_reduction"
+            ),
+        )
+        .orderBy("bits_per_key")
+    )

@@ -2045,3 +2045,83 @@ def random_projection_distortion(
         )
         .orderBy("bin")
     )
+
+
+def knn_label_agreement(spark: SparkSession, width: int = 25) -> DataFrame:
+    """Leave-one-out 1-NN label agreement over the deterministic
+    id-block pair sample: each vector's nearest sampled neighbor
+    predicts its label; per-label agreement is the local-consistency
+    complement of label_noise_screen (which compares against CENTROIDS
+    — a label can be centroid-coherent yet locally scrambled, and only
+    the 1-NN view sees it).
+
+    Pairs materialize once (block equi-join, n·width never n²), both
+    orientations derive from the SAME pair rows, and the argmin is a
+    vec_id-partitioned row_number over (distance, neighbor_id) — exact
+    deterministic tie-break, no global windows. At 100 TB the pair
+    source swaps to the ANN candidate lists; the metric is unchanged."""
+    emb = spark.table("embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("x"), "label"
+    )
+    blk = F.floor(F.col("vec_id") / width)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("label").alias("label_a"),
+        F.explode(F.array(blk, blk + 1)).alias("blk"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("label").alias("label_b"),
+        blk.alias("blk"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("xa"), F.col("xb"), lambda p, q: (p - q) * (p - q)),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    pairs = (
+        a.join(b, "blk")
+        .filter(
+            (F.col("id_b") > F.col("id_a"))
+            & (F.col("id_b") <= F.col("id_a") + width)
+        )
+        .select(
+            "id_a", "label_a", "id_b", "label_b", F.round(d2, 6).alias("d2")
+        )
+    )
+    directed = pairs.select(
+        F.col("id_a").alias("vec_id"),
+        F.col("label_a").alias("label"),
+        F.col("id_b").alias("nbr_id"),
+        F.col("label_b").alias("nbr_label"),
+        "d2",
+    ).unionByName(
+        pairs.select(
+            F.col("id_b").alias("vec_id"),
+            F.col("label_b").alias("label"),
+            F.col("id_a").alias("nbr_id"),
+            F.col("label_a").alias("nbr_label"),
+            "d2",
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy("d2", "nbr_id")
+    nearest = directed.withColumn("rn", F.row_number().over(w)).filter(
+        F.col("rn") == 1
+    )
+    return (
+        nearest.groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_vecs"),
+            F.sum((F.col("nbr_label") == F.col("label")).cast("long"))
+            .cast("long")
+            .alias("n_agree"),
+            F.round(
+                F.sum((F.col("nbr_label") == F.col("label")).cast("long"))
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("agreement"),
+        )
+        .orderBy("label")
+    )

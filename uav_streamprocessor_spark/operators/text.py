@@ -1800,3 +1800,106 @@ def kneser_ney_bigrams(
         .orderBy(F.col("c12").desc(), "w1", "w2")
         .limit(top_k)
     )
+
+
+def word_burstiness(spark: SparkSession, top_k: int = 50) -> DataFrame:
+    """Church–Gale word burstiness: compare each word's OBSERVED
+    document frequency with the Poisson expectation from its corpus
+    rate. Content words are bursty — once a doc mentions "kernel" it
+    mentions it again, so they appear in FAR fewer docs than a Poisson
+    spread of the same token mass would (ratio << 1); function words
+    sit near 1. The curation signal: a "common" word with low
+    burstiness ratio is topical, not boilerplate, and deserves to
+    survive stopword-style pruning.
+
+      expected_df = D · (1 − exp(−cf/D)),  burstiness = df/expected_df
+
+    One token pass producing (word, cf, df) via a single groupBy
+    (distinct doc counting rides count(DISTINCT doc_id) on the same
+    shuffle), the doc total a broadcast scalar, top-k by collection
+    frequency via TakeOrdered — no windows."""
+    docs = spark.table("documents")
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    stats = words.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("cf"),
+        F.countDistinct("doc_id").cast("long").alias("df"),
+    )
+    totals = docs.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    expected = F.col("n_docs") * (
+        1.0 - F.exp(-F.col("cf") / F.col("n_docs"))
+    )
+    return (
+        stats.crossJoin(F.broadcast(totals))
+        .select(
+            "word",
+            "cf",
+            "df",
+            F.round(expected, 6).alias("expected_df"),
+            F.round(F.col("df") / expected, 6).alias("burstiness"),
+        )
+        .orderBy(F.col("cf").desc(), "word")
+        .limit(top_k)
+    )
+
+
+def source_keyness(spark: SparkSession, top_k: int = 10) -> DataFrame:
+    """Dunning log-likelihood keyness (G²) per source: which words are
+    statistically over-represented in a source versus the rest of the
+    corpus — the corpus-linguistics answer to "what is this source
+    actually about", and the principled version of the raw-TF-IDF
+    top-terms list (G² is robust at low counts where TF-IDF inflates).
+
+      G² = 2·(a·ln(a/E1) + b·ln(b/E2)),
+      E1 = c·(a+b)/(c+d), E2 = d·(a+b)/(c+d)
+
+    with a,b = word counts in source/rest and c,d = source/rest
+    totals; zero cells contribute 0 (the x·ln x → 0 limit, same
+    convention both engines via the explicit CASE). Only enriched
+    terms (a/c > (a+b)/(c+d)) are ranked — depletion is the other
+    source's enrichment.
+
+    Shape: one (source, word) count, one word rollup joined back on
+    its own key, source totals broadcast; ranking is a
+    source-partitioned row_number — no global windows."""
+    docs = spark.table("documents")
+    words = docs.select(
+        "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+    ).filter(F.col("word") != "")
+    sw = words.groupBy("source", "word").agg(
+        F.count(F.lit(1)).cast("double").alias("a")
+    )
+    word_tot = sw.groupBy("word").agg(F.sum("a").alias("ab"))
+    src_tot = sw.groupBy("source").agg(F.sum("a").alias("c"))
+    grand = src_tot.agg(F.sum("c").alias("cd"))
+    j = (
+        sw.join(word_tot, "word")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .withColumn("b", F.col("ab") - F.col("a"))
+        .withColumn("d", F.col("cd") - F.col("c"))
+    )
+    e1 = F.col("c") * F.col("ab") / F.col("cd")
+    e2 = F.col("d") * F.col("ab") / F.col("cd")
+    term_a = F.when(F.col("a") > 0, F.col("a") * F.log(F.col("a") / e1)).otherwise(0.0)
+    term_b = F.when(F.col("b") > 0, F.col("b") * F.log(F.col("b") / e2)).otherwise(0.0)
+    g2 = 2.0 * (term_a + term_b)
+    enriched = j.filter(
+        F.col("a") / F.col("c") > F.col("ab") / F.col("cd")
+    ).select(
+        "source",
+        "word",
+        F.col("a").cast("long").alias("count_in_source"),
+        F.col("b").cast("long").alias("count_in_rest"),
+        F.round(g2, 6).alias("g2"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.col("g2").desc(), "word"
+    )
+    return (
+        enriched.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("source", "rank", "word", "count_in_source", "count_in_rest", "g2")
+        .orderBy("source", "rank")
+    )

@@ -1472,7 +1472,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # PARITY_sf0.01.json. Names listed here sort first, in this order;
 # everything else follows in registration order.
 #
-# r8 queue: the nineteen round-7 additions — the mid-round eleven
+# r8 queue: the twenty-three round-7 additions — the mid-round eleven
 # (dedup_split_leakage, text_source_quota, text_length_buckets,
 # text_source_overlap, dedup_containment, rel_compaction_plan,
 # ev_mad_outliers, emb_cosine_histogram, ev_bounce_rate,
@@ -1481,6 +1481,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # ev_diff_in_diff, text_distinct_ngrams, text_kneser_ney,
 # emb_silhouette, rel_zone_map_pruning, dedup_winnowing,
 # emb_random_projection — sf0.01 parity-proven in PARITY_sf0.01.json)
+# and the final four (text_burstiness, text_keyness,
+# rel_bloom_join_audit, emb_knn_label_agreement)
 # lead the next window, then continue the oldest-row re-prove rotation
 # (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
 # uav_metadata_fields, then the r03 cohort).
@@ -6739,3 +6741,172 @@ FROM dist GROUP BY 1 ORDER BY 1
     "map-side-combinable (vec, k) aggregate, pair count n x width "
     "never n^2; d_orig = 0 pairs excluded (undefined ratio)",
 )(lambda spark: similarity.random_projection_distortion(spark))
+
+
+_register(
+    "text_burstiness",
+    """
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+stats AS (
+  SELECT w AS word, CAST(count(*) AS BIGINT) AS cf,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+  FROM words GROUP BY 1
+),
+tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT word, cf, df,
+       round(n_docs * (1 - exp(-cf / n_docs)), 6) AS expected_df,
+       round(df / (n_docs * (1 - exp(-cf / n_docs))), 6) AS burstiness
+FROM stats, tot ORDER BY cf DESC, word LIMIT 50
+""",
+    notes="Church-Gale word burstiness: observed document frequency vs "
+    "the Poisson expectation D(1-exp(-cf/D)) - content words bunch "
+    "(ratio << 1), function words spread (~1); the topicality signal "
+    "stopword pruning should respect; one token groupBy carrying cf "
+    "and distinct-doc df on the same shuffle, doc total broadcast, "
+    "TakeOrdered top-k",
+)(lambda spark: text.word_burstiness(spark))
+
+
+_register(
+    "text_keyness",
+    """
+WITH words AS (
+  SELECT source, w FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE w <> ''
+),
+sw AS (SELECT source, w AS word, CAST(count(*) AS DOUBLE) AS a
+       FROM words GROUP BY 1, 2),
+wt AS (SELECT word, sum(a) AS ab FROM sw GROUP BY 1),
+st AS (SELECT source, sum(a) AS c FROM sw GROUP BY 1),
+g AS (SELECT sum(c) AS cd FROM st),
+j AS (
+  SELECT sw.source, sw.word, sw.a, wt.ab - sw.a AS b, st.c,
+         g.cd - st.c AS d, wt.ab, g.cd
+  FROM sw JOIN wt USING (word) JOIN st USING (source) CROSS JOIN g
+),
+scored AS (
+  SELECT source, word, CAST(a AS BIGINT) AS count_in_source,
+         CAST(b AS BIGINT) AS count_in_rest,
+         round(2 * (CASE WHEN a > 0 THEN a * ln(a / (c * ab / cd))
+                         ELSE 0 END
+                  + CASE WHEN b > 0 THEN b * ln(b / (d * ab / cd))
+                         ELSE 0 END), 6) AS g2
+  FROM j WHERE a / c > ab / cd
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY g2 DESC, word) AS rank
+  FROM scored
+)
+SELECT source, CAST(rank AS INT) AS rank, word, count_in_source,
+       count_in_rest, g2
+FROM ranked WHERE rank <= 10 ORDER BY source, rank
+""",
+    notes="Dunning log-likelihood keyness (G^2) per source: the "
+    "corpus-linguistics over-representation test, robust at low "
+    "counts where raw TF-IDF inflates; zero cells contribute 0 via "
+    "the explicit x ln x -> 0 CASE both engines; enriched terms only; "
+    "one (source, word) count, word rollup joined back on its key, "
+    "source totals broadcast, source-partitioned row_number ranked "
+    "on the 6dp-rounded G^2 so cross-engine ordering is stable",
+)(lambda spark: text.source_keyness(spark))
+
+
+_register(
+    "rel_bloom_join_audit",
+    """
+WITH cust AS (
+  SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+build AS (
+  SELECT CAST(count(DISTINCT c_custkey) AS BIGINT) AS build_keys FROM cust
+),
+probe AS (
+  SELECT CAST(count(*) AS BIGINT) AS probe_rows,
+         CAST(sum(CASE WHEN c.c_custkey IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS match_rows
+  FROM orders o LEFT JOIN cust c ON o.o_custkey = c.c_custkey
+),
+bits AS (SELECT * FROM (VALUES (8), (12), (16)) t(bits_per_key))
+SELECT CAST(bits_per_key AS INT) AS bits_per_key, build_keys, probe_rows,
+       match_rows,
+       round(pow(0.6185, bits_per_key), 6) AS fpr,
+       round(match_rows + (probe_rows - match_rows)
+             * pow(0.6185, bits_per_key), 2) AS est_probe_out_rows,
+       round(1.0 - (match_rows + (probe_rows - match_rows)
+                    * pow(0.6185, bits_per_key)) / probe_rows, 6)
+         AS scan_reduction
+FROM bits, build, probe ORDER BY bits_per_key
+""",
+    notes="runtime bloom-filter payoff audit for the Q3 semi-join "
+    "shape: from build-side distinct keys and probe-side match rate, "
+    "the closed-form fpr 0.6185^bits (optimal hash count) and scan "
+    "reduction per bits-per-key - the explicit version of Spark's "
+    "runtime.bloomFilter decision, sized before a 100 TB run; one "
+    "distinct count + one probe rollup, probe scanned once",
+)(lambda spark: relational.bloom_join_audit(spark))
+
+
+_register(
+    "emb_knn_label_agreement",
+    """
+WITH flat AS (
+  SELECT vec_id, CAST(unnest(range(len(embedding))) AS INT) AS j,
+         CAST(unnest(embedding) AS DOUBLE) AS v
+  FROM embeddings
+),
+pr AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM embeddings a JOIN embeddings b
+    ON b.vec_id > a.vec_id AND b.vec_id <= a.vec_id + 25
+   AND floor(b.vec_id / 25) IN (floor(a.vec_id / 25),
+                                floor(a.vec_id / 25) + 1)
+),
+d AS (
+  SELECT p.id_a, p.id_b,
+         round(sum((fa.v - fb.v) * (fa.v - fb.v)), 6) AS d2
+  FROM pr p
+  JOIN flat fa ON fa.vec_id = p.id_a
+  JOIN flat fb ON fb.vec_id = p.id_b AND fb.j = fa.j
+  GROUP BY 1, 2
+),
+lab AS (SELECT vec_id, label FROM embeddings),
+directed AS (
+  SELECT d.id_a AS vec_id, la.label AS label, d.id_b AS nbr_id,
+         lb.label AS nbr_label, d.d2
+  FROM d JOIN lab la ON la.vec_id = d.id_a
+         JOIN lab lb ON lb.vec_id = d.id_b
+  UNION ALL
+  SELECT d.id_b, lb.label, d.id_a, la.label, d.d2
+  FROM d JOIN lab la ON la.vec_id = d.id_a
+         JOIN lab lb ON lb.vec_id = d.id_b
+),
+nearest AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY d2, nbr_id) AS rn
+    FROM directed
+  ) WHERE rn = 1
+)
+SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+       CAST(sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_agree,
+       round(sum(CASE WHEN nbr_label = label THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS agreement
+FROM nearest GROUP BY label ORDER BY label
+""",
+    notes="leave-one-out 1-NN label agreement over the shared id-block "
+    "pair sample: local label consistency, the complement of the "
+    "centroid-based label_noise screen (centroid-coherent labels can "
+    "still be locally scrambled); pairs materialize once, both "
+    "directions from the same rows, argmin via vec_id-partitioned "
+    "row_number on (6dp-rounded d2, nbr_id) - deterministic across "
+    "engines; ANN candidates replace the block sample at 100 TB",
+)(lambda spark: similarity.knn_label_agreement(spark))
