@@ -292,3 +292,80 @@ def test_chunk_manifest_arithmetic_covers_every_token(n_tokens, chunk, overlap_f
         if overlap:
             assert s2 < e1  # genuine overlap when requested
         assert s2 == s1 + stride
+
+
+# ---------------------------------------------------------------------------
+# winnowing (dedup_winnowing) — fuzzed guarantee on a pure-python mirror
+# ---------------------------------------------------------------------------
+
+import hashlib
+
+
+def winnow_reference(text: str, k: int = 8, w: int = 4) -> set[str]:
+    """Pure-python mirror of the SQL winnowing selection in
+    dedup.winnowing_fingerprints: lowercase, md5-hex[:12] char-k-gram
+    hashes, per-window minima over all FULL windows, distinct. Kept
+    semantically identical so test_round7b_ops can pin the Spark op
+    against it row-for-row on the real corpus."""
+    t = text.lower()
+    n = len(t)
+    if n < k + w - 1:
+        return set()
+    hashes = [
+        hashlib.md5(t[p : p + k].encode("utf-8")).hexdigest()[:12]
+        for p in range(n - k + 1)
+    ]
+    return {min(hashes[q : q + w]) for q in range(len(hashes) - w + 1)}
+
+
+_filler = st.text(
+    alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+    min_size=0,
+    max_size=40,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    shared=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=11,  # k + w - 1 at k=8, w=4
+        max_size=30,
+    ),
+    a_pre=_filler, a_post=_filler, b_pre=_filler, b_post=_filler,
+)
+def test_winnowing_guarantee_fuzzed(shared, a_pre, a_post, b_pre, b_post):
+    """Schleimer/Wilkerson/Aiken guarantee, fuzzed: ANY two docs sharing
+    a substring of length >= k + w − 1 share at least one fingerprint —
+    whatever surrounds it. (The lesson from the r5 edit-distance
+    band-boundary bug: blocking-scheme recall claims need adversarial
+    sweeps, not just one planted example.) The proof obligation is that
+    some full window of k-grams lies wholly inside the shared substring
+    and its minimum is selected in both documents."""
+    doc_a = a_pre + shared + a_post
+    doc_b = b_pre + shared + b_post
+    fp_a = winnow_reference(doc_a)
+    fp_b = winnow_reference(doc_b)
+    assert fp_a & fp_b, (doc_a, doc_b)
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    doc=st.text(
+        alphabet=st.characters(min_codepoint=97, max_codepoint=122),
+        min_size=11,
+        max_size=200,
+    )
+)
+def test_winnowing_density_and_bounds_fuzzed(doc):
+    """Selected fingerprints are a subset of the doc's k-gram hashes,
+    non-empty once a full window exists, and never exceed the window
+    count (each window selects exactly one)."""
+    fps = winnow_reference(doc)
+    n_windows = len(doc) - 8 + 1 - 3
+    assert 0 < len(fps) <= n_windows
+    all_hashes = {
+        hashlib.md5(doc.lower()[p : p + 8].encode()).hexdigest()[:12]
+        for p in range(len(doc) - 8 + 1)
+    }
+    assert fps <= all_hashes

@@ -599,3 +599,20 @@ def test_knn_label_agreement_planted_neighborhoods(spark):
         assert out2[0]["agreement"] == pytest.approx(2 / 3, abs=1e-6)
     finally:
         orig.createOrReplaceTempView("embeddings")
+
+
+def test_winnowing_spark_matches_python_mirror_on_corpus(spark):
+    """The Spark fingerprint selection equals the pure-python mirror
+    (tests/test_properties.winnow_reference) set-for-set on every real
+    corpus doc — pinning the SQL window/substring arithmetic (1-based
+    positions, full-window filter, hex tie behavior) to the reference
+    the fuzzed guarantee property runs against."""
+    from tests.test_properties import winnow_reference
+
+    got: dict[int, set] = {}
+    for r in dedup.winnowing_fingerprints(spark).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fingerprint"])
+    docs = spark.table("documents").select("doc_id", "text").collect()
+    assert len(docs) > 50
+    for d in docs:
+        assert got.get(d["doc_id"], set()) == winnow_reference(d["text"]), d["doc_id"]
