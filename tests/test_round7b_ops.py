@@ -616,3 +616,77 @@ def test_winnowing_spark_matches_python_mirror_on_corpus(spark):
     assert len(docs) > 50
     for d in docs:
         assert got.get(d["doc_id"], set()) == winnow_reference(d["text"]), d["doc_id"]
+
+
+# ---------------------------------------------------------------------------
+# ev_cohort_ltv / ev_wilson_ci
+# ---------------------------------------------------------------------------
+
+
+def test_cohort_ltv_two_cohorts_exact_curve_with_gap(spark):
+    """Cohort A (day 1): 100 then nothing then 50 → curve 100, 100, 150
+    per user (the gap week must appear with period 0 and a FLAT cum);
+    cohort B (day 8): 30 → single point. Non-purchase events shape
+    cohorts but add no value."""
+    rows = [
+        # cohort A = u10 (signup day 1, week w), purchases at w, w+2
+        _ev(0, 1, 10, "purchase", 100.0),
+        _ev(1, 15, 10, "purchase", 50.0),
+        # cohort B = u11 (signup day 8 = next week), one purchase
+        _ev(2, 8, 11, "purchase", 30.0),
+        _ev(3, 9, 11, "view", 999.0),
+    ]
+    orig = _with_events(spark, rows)
+    try:
+        out = events_ops.cohort_ltv_curve(spark).collect()
+        cohorts = sorted({r["cohort_w"] for r in out})
+        assert len(cohorts) == 2
+        a = [r for r in out if r["cohort_w"] == cohorts[0]]
+        b = [r for r in out if r["cohort_w"] == cohorts[1]]
+        assert [(r["age_w"], r["period_value"], r["cum_ltv_per_user"]) for r in a] == [
+            (0, 100.0, 100.0),
+            (1, 0.0, 100.0),     # gap week materialized, curve flat
+            (2, 50.0, 150.0),
+        ]
+        assert [(r["age_w"], r["cum_ltv_per_user"]) for r in b] == [(0, 30.0)]
+        assert all(r["n_users"] == 1 for r in out)
+    finally:
+        orig.createOrReplaceTempView("events")
+
+
+def test_wilson_ci_brackets_p_and_never_collapses_at_zero(spark):
+    """An all-converter arm and a zero-converter arm: the Wald interval
+    is zero-width at both; Wilson must stay strictly inside [0, 1] with
+    positive width, lo exactly 0 at p=0 and hi exactly 1 at p=1."""
+    rows = []
+    eid = 0
+    for u in (2, 4):       # variant 0: 20 purchases each -> converted
+        for i in range(20):
+            rows.append(_ev(eid, 1 + (i % 9), u, "purchase", 1.0)); eid += 1
+    for u in (1, 3):       # variant 1: views only -> not converted
+        rows.append(_ev(eid, 1, u, "view", 1.0)); eid += 1
+    orig = _with_events(spark, rows)
+    try:
+        out = {r["variant"]: r for r in events_ops.wilson_conversion_ci(spark).collect()}
+        v0, v1 = out[0], out[1]
+        assert v0["conversion"] == 1.0 and v1["conversion"] == 0.0
+        assert v0["wilson_hi"] == pytest.approx(1.0, abs=1e-9)
+        assert 0 < v0["wilson_lo"] < 1.0          # positive width at p=1
+        assert v1["wilson_lo"] == pytest.approx(0.0, abs=1e-9)
+        assert 0 < v1["wilson_hi"] < 1.0          # positive width at p=0
+        # hand check v0's lower bound: n=2, x=2, z=1.959964
+        import math
+        z = 1.959964; n = 2.0; p = 1.0
+        denom = 1 + z * z / n
+        center = (p + z * z / (2 * n)) / denom
+        half = z / denom * math.sqrt(p * (1 - p) / n + z * z / (4 * n * n))
+        assert v0["wilson_lo"] == pytest.approx(center - half, abs=1e-5)
+    finally:
+        orig.createOrReplaceTempView("events")
+
+
+def test_wilson_ci_real_corpus_brackets_conversion(spark):
+    out = events_ops.wilson_conversion_ci(spark).collect()
+    assert len(out) == 2
+    for r in out:
+        assert 0.0 <= r["wilson_lo"] < r["conversion"] < r["wilson_hi"] <= 1.0

@@ -1837,3 +1837,126 @@ def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
         )
         .orderBy("variant", "period")
     )
+
+
+def cohort_ltv_curve(spark: SparkSession) -> DataFrame:
+    """Cumulative lifetime-value curve per signup cohort: users grouped
+    by first-event WEEK; for each cohort age k (weeks since signup),
+    the cohort's cumulative purchase value per member — the payback
+    readout every growth team draws (which cohort recoups acquisition
+    cost, and by what age). ev_retention_cohorts answers "do they come
+    back"; this answers "what are they worth by then".
+
+    Week index = days-since-epoch div 7: exact integer arithmetic
+    identical in both engines (the weekday convention from
+    forecast_backtest — never interval diffs; weekly because the
+    events corpus spans ~a month, where monthly cohorts are a single
+    degenerate cell). Ages with zero purchases still get a row (the
+    period frame spans every age up to the cohort's horizon) so the
+    curve is gap-free and flat segments are visible.
+
+    Shape: one per-user first-week aggregate, one (cohort, age)
+    revenue rollup joined onto a sequence-generated age spine, then a
+    cohort-partitioned running sum over the age frame — rows bounded
+    by cohorts × weeks, never user count."""
+    ev = spark.table("events")
+    m_idx = (
+        F.floor(F.datediff(F.to_date("ts"), F.lit("1970-01-01")) / 7)
+        .cast("long")
+        .alias("m_idx")
+    )
+    base = ev.select(
+        "user_id",
+        m_idx,
+        F.when(F.col("event_type") == "purchase", F.col("value"))
+        .otherwise(0.0)
+        .alias("pv"),
+    )
+    firsts = base.groupBy("user_id").agg(F.min("m_idx").alias("cohort_m"))
+    sizes = firsts.groupBy("cohort_m").agg(
+        F.countDistinct("user_id").cast("long").alias("n_users")
+    )
+    rev = (
+        base.join(firsts, "user_id")
+        .groupBy("cohort_m", (F.col("m_idx") - F.col("cohort_m")).alias("age_m"))
+        .agg(F.sum("pv").alias("period_value"))
+    )
+    horizon = rev.groupBy("cohort_m").agg(F.max("age_m").alias("max_age"))
+    spine = horizon.select(
+        "cohort_m", F.explode(F.sequence(F.lit(0), F.col("max_age"))).alias("age_m")
+    )
+    filled = spine.join(rev, ["cohort_m", "age_m"], "left").select(
+        "cohort_m", "age_m", F.coalesce("period_value", F.lit(0.0)).alias("period_value")
+    )
+    w = (
+        Window.partitionBy("cohort_m")
+        .orderBy("age_m")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        filled.withColumn("cum_value", F.sum("period_value").over(w))
+        .join(F.broadcast(sizes), "cohort_m")
+        .select(
+            F.col("cohort_m").cast("int").alias("cohort_w"),
+            F.col("age_m").cast("int").alias("age_w"),
+            "n_users",
+            F.round("period_value", 2).alias("period_value"),
+            F.round(F.col("cum_value") / F.col("n_users"), 6).alias(
+                "cum_ltv_per_user"
+            ),
+        )
+        .orderBy("cohort_w", "age_w")
+    )
+
+
+def wilson_conversion_ci(
+    spark: SparkSession, min_purchases: int = 14, z: float = 1.959964
+) -> DataFrame:
+    """Wilson score 95% confidence interval on per-variant conversion —
+    the interval the normal (Wald) approximation in
+    ev_experiment_readout degrades from at small n or extreme p: Wilson
+    stays inside [0, 1], never collapses to zero width at p ∈ {0, 1},
+    and is the standard ranking interval for conversion metrics.
+
+      center = (p + z²/2n) / (1 + z²/n)
+      half   = z/(1 + z²/n) · √(p(1−p)/n + z²/4n²)
+
+    Same user_id % 2 assignment and >= min_purchases conversion rule
+    as the rest of the experiment kit, so all five readouts describe
+    one experiment. One per-user conditional count and a 2-row variant
+    aggregate; the interval is closed-form arithmetic on (n, conv)."""
+    users = (
+        spark.table("events")
+        .groupBy("user_id")
+        .agg(
+            (
+                F.sum((F.col("event_type") == "purchase").cast("int"))
+                >= min_purchases
+            )
+            .cast("int")
+            .alias("converted")
+        )
+        .withColumn("variant", (F.col("user_id") % 2).cast("int"))
+    )
+    arms = users.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("converted").cast("long").alias("n_converted"),
+    )
+    n = F.col("n_users").cast("double")
+    p = F.col("n_converted") / n
+    z2 = z * z
+    denom = 1.0 + z2 / n
+    center = (p + z2 / (2.0 * n)) / denom
+    half = (
+        F.lit(z)
+        / denom
+        * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    )
+    return arms.select(
+        "variant",
+        "n_users",
+        "n_converted",
+        F.round(p, 6).alias("conversion"),
+        F.round(center - half, 6).alias("wilson_lo"),
+        F.round(center + half, 6).alias("wilson_hi"),
+    ).orderBy("variant")

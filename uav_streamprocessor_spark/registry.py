@@ -1472,7 +1472,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # PARITY_sf0.01.json. Names listed here sort first, in this order;
 # everything else follows in registration order.
 #
-# r8 queue: the twenty-three round-7 additions — the mid-round eleven
+# r8 queue: the twenty-five round-7 additions — the mid-round eleven
 # (dedup_split_leakage, text_source_quota, text_length_buckets,
 # text_source_overlap, dedup_containment, rel_compaction_plan,
 # ev_mad_outliers, emb_cosine_histogram, ev_bounce_rate,
@@ -1481,8 +1481,9 @@ FROM joined GROUP BY 1 ORDER BY 1
 # ev_diff_in_diff, text_distinct_ngrams, text_kneser_ney,
 # emb_silhouette, rel_zone_map_pruning, dedup_winnowing,
 # emb_random_projection — sf0.01 parity-proven in PARITY_sf0.01.json)
-# and the final four (text_burstiness, text_keyness,
-# rel_bloom_join_audit, emb_knn_label_agreement)
+# and the final six (text_burstiness, text_keyness,
+# rel_bloom_join_audit, emb_knn_label_agreement, ev_cohort_ltv,
+# ev_wilson_ci)
 # lead the next window, then continue the oldest-row re-prove rotation
 # (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
 # uav_metadata_fields, then the r03 cohort).
@@ -6910,3 +6911,97 @@ FROM nearest GROUP BY label ORDER BY label
     "row_number on (6dp-rounded d2, nbr_id) - deterministic across "
     "engines; ANN candidates replace the block sample at 100 TB",
 )(lambda spark: similarity.knn_label_agreement(spark))
+
+
+_register(
+    "ev_cohort_ltv",
+    """
+WITH base AS (
+  SELECT user_id,
+         CAST(floor(datediff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                    / 7) AS BIGINT) AS m_idx,
+         CASE WHEN event_type = 'purchase' THEN value ELSE 0.0 END AS pv
+  FROM events
+),
+firsts AS (SELECT user_id, min(m_idx) AS cohort_m FROM base GROUP BY 1),
+sizes AS (
+  SELECT cohort_m, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM firsts GROUP BY 1
+),
+rev AS (
+  SELECT f.cohort_m, b.m_idx - f.cohort_m AS age_m, sum(b.pv) AS period_value
+  FROM base b JOIN firsts f USING (user_id)
+  GROUP BY 1, 2
+),
+horizon AS (SELECT cohort_m, max(age_m) AS max_age FROM rev GROUP BY 1),
+spine AS (
+  SELECT cohort_m, CAST(a AS BIGINT) AS age_m
+  FROM horizon, unnest(range(max_age + 1)) t(a)
+),
+filled AS (
+  SELECT s.cohort_m, s.age_m, coalesce(r.period_value, 0.0) AS period_value
+  FROM spine s LEFT JOIN rev r
+    ON r.cohort_m = s.cohort_m AND r.age_m = s.age_m
+),
+cum AS (
+  SELECT cohort_m, age_m, period_value,
+         sum(period_value) OVER (PARTITION BY cohort_m ORDER BY age_m
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_value
+  FROM filled
+)
+SELECT CAST(c.cohort_m AS INT) AS cohort_w, CAST(c.age_m AS INT) AS age_w,
+       z.n_users,
+       round(c.period_value, 2) AS period_value,
+       round(c.cum_value / z.n_users, 6) AS cum_ltv_per_user
+FROM cum c JOIN sizes z USING (cohort_m)
+ORDER BY cohort_w, age_w
+""",
+    notes="cumulative LTV curve per signup cohort (first-event week, "
+    "integer week index - monthly is degenerate on the ~30-day events "
+    "span): cohort-age revenue "
+    "on a gap-free sequence spine, cohort-partitioned running sum, "
+    "per-member normalization - the payback readout next to the "
+    "retention matrix; rows bounded by cohorts x months",
+)(lambda spark: events_ops.cohort_ltv_curve(spark))
+
+
+_register(
+    "ev_wilson_ci",
+    """
+WITH users AS (
+  SELECT user_id, CAST(user_id % 2 AS INT) AS variant,
+         CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   >= 14 THEN 1 ELSE 0 END AS converted
+  FROM events GROUP BY user_id
+),
+arms AS (
+  SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(converted) AS BIGINT) AS n_converted
+  FROM users GROUP BY variant
+)
+SELECT variant, n_users, n_converted,
+       round(n_converted / CAST(n_users AS DOUBLE), 6) AS conversion,
+       round((n_converted / CAST(n_users AS DOUBLE)
+              + 1.959964 * 1.959964 / (2 * n_users))
+             / (1 + 1.959964 * 1.959964 / n_users)
+             - 1.959964 / (1 + 1.959964 * 1.959964 / n_users)
+               * sqrt(n_converted / CAST(n_users AS DOUBLE)
+                      * (1 - n_converted / CAST(n_users AS DOUBLE)) / n_users
+                      + 1.959964 * 1.959964 / (4.0 * n_users * n_users)), 6)
+         AS wilson_lo,
+       round((n_converted / CAST(n_users AS DOUBLE)
+              + 1.959964 * 1.959964 / (2 * n_users))
+             / (1 + 1.959964 * 1.959964 / n_users)
+             + 1.959964 / (1 + 1.959964 * 1.959964 / n_users)
+               * sqrt(n_converted / CAST(n_users AS DOUBLE)
+                      * (1 - n_converted / CAST(n_users AS DOUBLE)) / n_users
+                      + 1.959964 * 1.959964 / (4.0 * n_users * n_users)), 6)
+         AS wilson_hi
+FROM arms ORDER BY variant
+""",
+    notes="Wilson score 95% CI on per-variant conversion (same "
+    "user_id % 2 assignment and >= 14-purchase rule as the experiment "
+    "kit): stays in [0,1] and never zero-width at p in {0,1} where the "
+    "Wald interval in ev_experiment_readout degrades; closed-form over "
+    "the 2-row variant table",
+)(lambda spark: events_ops.wilson_conversion_ci(spark))
