@@ -158,6 +158,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     from uav_streamprocessor_spark.streaming.kll_stream import (
         run_incremental_kll,
     )
+    from uav_streamprocessor_spark.streaming.cms_stream import cms_stream
     from uav_streamprocessor_spark.streaming.topk_stream import topk_stream
 
     work = Path(tempfile.mkdtemp(prefix="bench_stream_"))
@@ -396,6 +397,26 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         .queryName("bench_topk")
         .outputMode("append")
         .option("checkpointLocation", str(work / "ckpt_topk"))
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination(600),
+    )
+
+    record(
+        "cms_state",
+        n_ev,
+        lambda: cms_stream(
+            feed(
+                ev_type,
+                "cms",
+                "event_id long, ts timestamp, user_id long, event_type string",
+                ordered_by=("ts", "event_id"),
+            )
+        )
+        .writeStream.format("memory")
+        .queryName("bench_cms")
+        .outputMode("append")
+        .option("checkpointLocation", str(work / "ckpt_cms"))
         .trigger(availableNow=True)
         .start()
         .awaitTermination(600),
