@@ -690,3 +690,19 @@ def test_wilson_ci_real_corpus_brackets_conversion(spark):
     assert len(out) == 2
     for r in out:
         assert 0.0 <= r["wilson_lo"] < r["conversion"] < r["wilson_hi"] <= 1.0
+
+
+def test_distinct_ngrams_approx_tracks_exact_within_rsd_budget(spark):
+    """The approx twin must agree with the exact op on group keys and
+    totals exactly, and on distinct counts within 3× the configured 2%
+    rsd — measuring the 100 TB swap's cost instead of asserting it."""
+    exact = {(r["source"], r["n"]): r
+             for r in text.distinct_ngram_diversity(spark).collect()}
+    approx = {(r["source"], r["n"]): r
+              for r in text.distinct_ngram_diversity_approx(spark).collect()}
+    assert set(exact) == set(approx)
+    for k, e in exact.items():
+        a = approx[k]
+        assert a["n_total"] == e["n_total"], k  # totals are exact either way
+        rel = abs(a["n_distinct_approx"] - e["n_distinct"]) / e["n_distinct"]
+        assert rel <= 0.06, (k, a["n_distinct_approx"], e["n_distinct"])

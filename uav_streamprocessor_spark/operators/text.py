@@ -1903,3 +1903,38 @@ def source_keyness(spark: SparkSession, top_k: int = 10) -> DataFrame:
         .select("source", "rank", "word", "count_in_source", "count_in_rest", "g2")
         .orderBy("source", "rank")
     )
+
+
+def distinct_ngram_diversity_approx(
+    spark: SparkSession, max_n: int = 3, rsd: float = 0.02
+) -> DataFrame:
+    """The 100 TB form of text_distinct_ngrams: HLL++ approximate
+    distinct types (approx_count_distinct at 2% target rsd) instead of
+    the exact gram-keyed count(DISTINCT). The exact twin IS the oracle
+    for this one — the pytest gate pins the relative error inside 3×
+    the configured rsd per (source, n) — so the swap's cost is
+    measured, not asserted. The shuffle carries HLL registers per
+    (source, n) group instead of every distinct gram: map-side
+    combinable, group-count-bounded state, no gram-keyed exchange at
+    all — the difference between a curation dashboard refresh and a
+    full-corpus shuffle at scale."""
+    docs = spark.table("documents")
+    grams = _ngram_rows(docs, 1)
+    for n in range(2, max_n + 1):
+        grams = grams.unionByName(_ngram_rows(docs, n))
+    return (
+        grams.groupBy("source", "n")
+        .agg(
+            F.approx_count_distinct("gram", rsd).cast("long").alias(
+                "n_distinct_approx"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_total"),
+        )
+        .withColumn(
+            "distinct_ratio_approx",
+            F.round(
+                F.col("n_distinct_approx") / F.col("n_total").cast("double"), 6
+            ),
+        )
+        .orderBy("source", "n")
+    )

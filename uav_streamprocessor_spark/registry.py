@@ -1472,7 +1472,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # PARITY_sf0.01.json. Names listed here sort first, in this order;
 # everything else follows in registration order.
 #
-# r8 queue: the twenty-five round-7 additions — the mid-round eleven
+# r8 queue: the twenty-six round-7 additions — the mid-round eleven
 # (dedup_split_leakage, text_source_quota, text_length_buckets,
 # text_source_overlap, dedup_containment, rel_compaction_plan,
 # ev_mad_outliers, emb_cosine_histogram, ev_bounce_rate,
@@ -1483,7 +1483,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # emb_random_projection — sf0.01 parity-proven in PARITY_sf0.01.json)
 # and the final six (text_burstiness, text_keyness,
 # rel_bloom_join_audit, emb_knn_label_agreement, ev_cohort_ltv,
-# ev_wilson_ci)
+# ev_wilson_ci, rows-only text_distinct_ngrams_approx)
 # lead the next window, then continue the oldest-row re-prove rotation
 # (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
 # uav_metadata_fields, then the r03 cohort).
@@ -7005,3 +7005,15 @@ FROM arms ORDER BY variant
     "Wald interval in ev_experiment_readout degrades; closed-form over "
     "the 2-row variant table",
 )(lambda spark: events_ops.wilson_conversion_ci(spark))
+
+
+_register(
+    "text_distinct_ngrams_approx",
+    None,
+    notes="the declared 100 TB swap for text_distinct_ngrams, made "
+    "real and measured: HLL++ approx_count_distinct (2% rsd) replaces "
+    "the exact gram-keyed distinct - the shuffle carries HLL registers "
+    "per (source, n) instead of every gram; rows-only (HLL register "
+    "semantics aren't oracle-portable), relative error vs the exact "
+    "twin pinned <= 3x rsd in test_round7b_ops.py",
+)(lambda spark: text.distinct_ngram_diversity_approx(spark))
