@@ -706,3 +706,64 @@ def test_distinct_ngrams_approx_tracks_exact_within_rsd_budget(spark):
         assert a["n_total"] == e["n_total"], k  # totals are exact either way
         rel = abs(a["n_distinct_approx"] - e["n_distinct"]) / e["n_distinct"]
         assert rel <= 0.06, (k, a["n_distinct_approx"], e["n_distinct"])
+
+
+# ---------------------------------------------------------------------------
+# ev_behavior_entropy / text_js_divergence
+# ---------------------------------------------------------------------------
+
+
+def test_behavior_entropy_flags_single_minded_not_uniform(spark):
+    """A 40-event single-type user reads entropy exactly 0 and flags;
+    a 30-event uniform 3-type user reads normalized entropy exactly 1
+    and passes; a 5-event user is below min_events and absent."""
+    import math
+    rows = []
+    eid = 0
+    for i in range(40):
+        rows.append(_ev(eid, 1 + i % 9, 100, "view")); eid += 1
+    for t in ("view", "click", "purchase"):
+        for i in range(10):
+            rows.append(_ev(eid, 1 + i % 9, 101, t)); eid += 1
+    for i in range(5):
+        rows.append(_ev(eid, 1, 102, "view")); eid += 1
+    orig = _with_events(spark, rows)
+    try:
+        out = {r["user_id"]: r
+               for r in events_ops.behavior_entropy_screen(spark).collect()}
+        assert set(out) == {100, 101}
+        bot, human = out[100], out[101]
+        assert bot["entropy"] == 0.0 and bot["entropy_norm"] == 0.0
+        assert bot["low_entropy_flag"] is True
+        assert human["entropy"] == pytest.approx(math.log(3), abs=1e-6)
+        assert human["entropy_norm"] == pytest.approx(1.0, abs=1e-6)
+        assert human["low_entropy_flag"] is False
+    finally:
+        orig.createOrReplaceTempView("events")
+
+
+def test_js_divergence_zero_for_clones_ln2_for_disjoint(spark):
+    """Identical distributions → JSD exactly 0; disjoint vocabularies →
+    exactly ln 2 (the maximum); a half-overlapping pair sits strictly
+    between."""
+    import math
+    rows = [
+        (1, "alpha beta gamma", "en", "A", 16),
+        (2, "alpha beta gamma", "en", "B", 16),   # clone of A
+        (3, "delta epsilon zeta", "en", "C", 18), # disjoint from A/B
+        (4, "alpha beta delta epsilon", "en", "D", 24),  # half overlap w/ A
+    ]
+    orig = _with_docs(spark, rows)
+    try:
+        out = {(r["source_a"], r["source_b"]): r
+               for r in text.source_js_divergence(spark).collect()}
+        assert len(out) == 6
+        assert out[("A", "B")]["jsd_nats"] == 0.0
+        assert out[("A", "C")]["jsd_nats"] == pytest.approx(math.log(2), abs=1e-6)
+        assert out[("A", "C")]["n_words_union"] == 6
+        mid = out[("A", "D")]["jsd_nats"]
+        assert 0.0 < mid < math.log(2)
+        for r in out.values():  # bounded by ln 2 everywhere
+            assert 0.0 <= r["jsd_nats"] <= math.log(2) + 1e-9
+    finally:
+        orig.createOrReplaceTempView("documents")

@@ -1960,3 +1960,48 @@ def wilson_conversion_ci(
         F.round(center - half, 6).alias("wilson_lo"),
         F.round(center + half, 6).alias("wilson_hi"),
     ).orderBy("variant")
+
+
+def behavior_entropy_screen(
+    spark: SparkSession, min_events: int = 20, flag_below: float = 0.5
+) -> DataFrame:
+    """Behavioral-entropy bot screen: Shannon entropy of a user's
+    event-type mix, normalized by the maximum for their observed type
+    count (H / ln k). The third member of the behavioral screen next
+    to ev_bot_regularity (timing) and ev_rate_limit_windows (volume):
+    a scraper that randomizes its intervals and stays under rate
+    limits still does ONE thing — near-zero mix entropy at high volume
+    is the tell. Humans wander (views, clicks, purchases interleave).
+
+    Single-type users read H = 0 and H_norm = 0 by the explicit k = 1
+    convention (ln 1 would divide by zero). One (user, type) count,
+    one user rollup computing −Σ p ln p from the sum-of-c·ln c
+    identity — H = ln n − (Σ c ln c)/n, exact in one aggregate pass
+    with no per-user fan-back join."""
+    counts = (
+        spark.table("events")
+        .groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    per_user = counts.groupBy("user_id").agg(
+        F.sum("c").cast("long").alias("n_events"),
+        F.count(F.lit(1)).cast("long").alias("n_types"),
+        F.sum(F.col("c") * F.log(F.col("c"))).alias("sum_clnc"),
+    )
+    n = F.col("n_events").cast("double")
+    h = F.log(n) - F.col("sum_clnc") / n
+    h_norm = F.when(F.col("n_types") == 1, 0.0).otherwise(
+        h / F.log(F.col("n_types").cast("double"))
+    )
+    return (
+        per_user.filter(F.col("n_events") >= min_events)
+        .select(
+            "user_id",
+            "n_events",
+            "n_types",
+            F.round(h, 6).alias("entropy"),
+            F.round(h_norm, 6).alias("entropy_norm"),
+            (h_norm < flag_below).alias("low_entropy_flag"),
+        )
+        .orderBy("user_id")
+    )

@@ -1938,3 +1938,70 @@ def distinct_ngram_diversity_approx(
         )
         .orderBy("source", "n")
     )
+
+
+def source_js_divergence(spark: SparkSession) -> DataFrame:
+    """Pairwise Jensen–Shannon divergence between source unigram
+    distributions (nats) — the symmetric, always-finite distributional
+    distance completing the source-similarity kit: chi2
+    (text_lang_source_chi2) tests IF sources differ, vocab overlap
+    counts SHARED types, JSD measures HOW FAR the distributions sit —
+    the quantity mixture-weight tuning (DoReMi-style) actually wants.
+
+    Zero-probability words contribute 0 to their own side's KL term
+    (the x·ln x → 0 limit, explicit CASE both engines) and JSD stays
+    ≤ ln 2 by construction. Shape: one (source, word) count, per-source
+    totals broadcast back, the tiny source-pair frame joined twice on
+    word (the union materializes via the full-outer merge), one
+    (pair)-keyed sum. Word rows scale with vocab × pairs — pairs are
+    sources², a handful."""
+    docs = spark.table("documents")
+    counts = (
+        docs.select(
+            "source", F.explode(F.split(F.lower("text"), " ")).alias("word")
+        )
+        .filter(F.col("word") != "")
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
+    probs = counts.join(F.broadcast(totals), "source").select(
+        "source", "word", (F.col("c") / F.col("tot")).alias("p")
+    )
+    sources = totals.select("source")
+    pairs = (
+        sources.select(F.col("source").alias("source_a"))
+        .crossJoin(sources.select(F.col("source").alias("source_b")))
+        .filter(F.col("source_a") < F.col("source_b"))
+    )
+    wa = probs.join(
+        F.broadcast(pairs), F.col("source") == F.col("source_a")
+    ).select("source_a", "source_b", "word", F.col("p").alias("pa"))
+    wb = probs.join(
+        F.broadcast(pairs), F.col("source") == F.col("source_b")
+    ).select("source_a", "source_b", "word", F.col("p").alias("pb"))
+    merged = (
+        wa.join(wb, ["source_a", "source_b", "word"], "full_outer")
+        .select(
+            "source_a",
+            "source_b",
+            "word",
+            F.coalesce("pa", F.lit(0.0)).alias("p"),
+            F.coalesce("pb", F.lit(0.0)).alias("q"),
+        )
+    )
+    m = (F.col("p") + F.col("q")) / 2.0
+    contrib = 0.5 * F.when(
+        F.col("p") > 0, F.col("p") * F.log(F.col("p") / m)
+    ).otherwise(0.0) + 0.5 * F.when(
+        F.col("q") > 0, F.col("q") * F.log(F.col("q") / m)
+    ).otherwise(0.0)
+    return (
+        merged.groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words_union"),
+            F.round(F.sum(contrib), 6).alias("jsd_nats"),
+            F.round(F.sqrt(F.sum(contrib)), 6).alias("jsd_distance"),
+        )
+        .orderBy("source_a", "source_b")
+    )

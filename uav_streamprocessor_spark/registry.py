@@ -1472,7 +1472,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # PARITY_sf0.01.json. Names listed here sort first, in this order;
 # everything else follows in registration order.
 #
-# r8 queue: the twenty-six round-7 additions — the mid-round eleven
+# r8 queue: the twenty-eight round-7 additions — the mid-round eleven
 # (dedup_split_leakage, text_source_quota, text_length_buckets,
 # text_source_overlap, dedup_containment, rel_compaction_plan,
 # ev_mad_outliers, emb_cosine_histogram, ev_bounce_rate,
@@ -1483,7 +1483,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # emb_random_projection — sf0.01 parity-proven in PARITY_sf0.01.json)
 # and the final six (text_burstiness, text_keyness,
 # rel_bloom_join_audit, emb_knn_label_agreement, ev_cohort_ltv,
-# ev_wilson_ci, rows-only text_distinct_ngrams_approx)
+# ev_wilson_ci, ev_behavior_entropy, text_js_divergence,
+# rows-only text_distinct_ngrams_approx)
 # lead the next window, then continue the oldest-row re-prove rotation
 # (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
 # uav_metadata_fields, then the r03 cohort).
@@ -7017,3 +7018,89 @@ _register(
     "semantics aren't oracle-portable), relative error vs the exact "
     "twin pinned <= 3x rsd in test_round7b_ops.py",
 )(lambda spark: text.distinct_ngram_diversity_approx(spark))
+
+
+_register(
+    "ev_behavior_entropy",
+    """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+per_user AS (
+  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_types,
+         sum(c * ln(c)) AS sum_clnc
+  FROM counts GROUP BY 1
+)
+SELECT user_id, n_events, n_types,
+       round(ln(CAST(n_events AS DOUBLE))
+             - sum_clnc / n_events, 6) AS entropy,
+       round(CASE WHEN n_types = 1 THEN 0.0
+                  ELSE (ln(CAST(n_events AS DOUBLE)) - sum_clnc / n_events)
+                       / ln(CAST(n_types AS DOUBLE)) END, 6) AS entropy_norm,
+       (CASE WHEN n_types = 1 THEN 0.0
+             ELSE (ln(CAST(n_events AS DOUBLE)) - sum_clnc / n_events)
+                  / ln(CAST(n_types AS DOUBLE)) END) < 0.5
+         AS low_entropy_flag
+FROM per_user WHERE n_events >= 20 ORDER BY user_id
+""",
+    notes="behavioral-entropy bot screen: normalized Shannon entropy "
+    "of each user's event-type mix via the one-pass identity "
+    "H = ln n - (sum c ln c)/n - the third behavioral screen next to "
+    "timing (bot_regularity) and volume (rate_limit): interval-"
+    "randomizing scrapers still do ONE thing; k=1 users read 0 by "
+    "explicit convention; no per-user fan-back join",
+)(lambda spark: events_ops.behavior_entropy_screen(spark))
+
+
+_register(
+    "text_js_divergence",
+    """
+WITH counts AS (
+  SELECT source, w AS word, count(*) AS c FROM (
+    SELECT source, unnest(string_split(lower(text), ' ')) AS w
+    FROM documents
+  ) WHERE w <> '' GROUP BY 1, 2
+),
+totals AS (SELECT source, sum(c) AS tot FROM counts GROUP BY 1),
+probs AS (
+  SELECT c.source, c.word, c.c / CAST(t.tot AS DOUBLE) AS p
+  FROM counts c JOIN totals t USING (source)
+),
+pairs AS (
+  SELECT a.source AS source_a, b.source AS source_b
+  FROM totals a JOIN totals b ON a.source < b.source
+),
+keys AS (
+  SELECT pr.source_a, pr.source_b, p.word
+  FROM pairs pr JOIN probs p ON p.source IN (pr.source_a, pr.source_b)
+  GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT k.source_a, k.source_b, k.word,
+         coalesce(pa.p, 0.0) AS p, coalesce(pb.p, 0.0) AS q
+  FROM keys k
+  LEFT JOIN probs pa ON pa.source = k.source_a AND pa.word = k.word
+  LEFT JOIN probs pb ON pb.source = k.source_b AND pb.word = k.word
+),
+contrib AS (
+  SELECT source_a, source_b, word, p, q,
+         0.5 * (CASE WHEN p > 0 THEN p * ln(p / ((p + q) / 2))
+                     ELSE 0 END)
+       + 0.5 * (CASE WHEN q > 0 THEN q * ln(q / ((p + q) / 2))
+                     ELSE 0 END) AS jc
+  FROM merged
+)
+SELECT source_a, source_b,
+       CAST(count(*) AS BIGINT) AS n_words_union,
+       round(sum(jc), 6) AS jsd_nats,
+       round(sqrt(sum(jc)), 6) AS jsd_distance
+FROM contrib GROUP BY 1, 2 ORDER BY 1, 2
+""",
+    notes="pairwise Jensen-Shannon divergence between source unigram "
+    "distributions (nats, <= ln 2 by construction): the distributional "
+    "distance mixture-weight tuning wants, next to the chi2 test and "
+    "vocab-overlap counts; zero cells via the x ln x -> 0 CASE; word "
+    "rows scale with vocab x source-pairs, pair frame broadcast",
+)(lambda spark: text.source_js_divergence(spark))
