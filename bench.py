@@ -113,6 +113,15 @@ ROTATION = [
     "emb_silhouette",           # centroid-based silhouette per label
     "rel_zone_map_pruning",     # zone-map data-skipping audit
     "emb_random_projection",    # JL sign-projection distortion histogram
+    "text_burstiness",          # Church-Gale Poisson burstiness
+    "text_keyness",             # Dunning G^2 source keyness
+    "rel_bloom_join_audit",     # runtime bloom-filter payoff audit
+    "emb_knn_label_agreement",  # 1-NN label agreement on pair sample
+    "ev_cohort_ltv",            # weekly-cohort cumulative LTV curve
+    "ev_wilson_ci",             # Wilson conversion interval
+    "ev_behavior_entropy",      # event-mix entropy bot screen
+    "text_js_divergence",       # pairwise source JSD matrix
+    "text_distinct_ngrams_approx",  # HLL swap for distinct-n
 ]
 
 

@@ -225,3 +225,46 @@ def test_minhash_editdist_signature_planned_once(spark):
     df.collect()
     plan = formatted_plan(df).split("== Initial Plan ==")[0]
     assert plan.count("ArrowEvalPython") == 1, plan[:1500]
+
+
+def test_winnowing_fingerprint_pipeline_planned_once(spark):
+    """The winnowing pair query must read the PINNED fingerprint table
+    (lazy localCheckpoint), not re-derive it per consumer: the physical
+    plan carries zero parquet scans / Window nodes / md5 projects —
+    the unpinned form instantiated the gram+window subtree six times
+    (12 scans), the third occurrence of the AQE exchange-reuse failure
+    (SCALE.md r7 session-2)."""
+    plan = _plan(spark, "dedup_winnowing")
+    assert plan.count("Scan parquet") == 0, plan[:1500]
+    assert plan.count("Window") == 0, plan[:1500]
+    assert "ExistingRDD" in plan, plan[:1500]
+
+
+def test_silhouette_broadcasts_centroid_table(spark):
+    """The labels×dims centroid table must broadcast onto the corpus
+    dims — a shuffle join there would move the corpus for a
+    broadcast-sized model table."""
+    plan = _plan(spark, "emb_silhouette")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_random_projection_broadcasts_sign_matrix(spark):
+    """The 64×m sign matrix joins the corpus dims broadcast-side."""
+    plan = _plan(spark, "emb_random_projection")
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+
+
+def test_kneser_ney_does_not_force_broadcast_vocab_sides(spark):
+    """The w1/w2 re-aggregations are vocab-sized and must not carry a
+    user broadcast HINT — at bench SF AQE may still pick broadcast from
+    measured sizes (fine; sizes are real there), but the LOGICAL plan
+    must leave the choice to the planner. Guarded at the source level:
+    the op builds its joins without F.broadcast on those sides (this
+    test pins the only scalar hint present is the type total)."""
+    from pyspark.sql import DataFrame
+    df = _Q["text_kneser_ney"](spark, SF_SMALL)
+    logical = df._jdf.queryExecution().logical().toString()
+    # exactly one ResolvedHint (the broadcast scalar type-total)
+    assert logical.count("UnresolvedHint") + logical.count("ResolvedHint") <= 1, (
+        logical[:2000]
+    )
