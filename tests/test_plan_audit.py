@@ -249,7 +249,10 @@ def test_silhouette_broadcasts_centroid_table(spark):
 
 
 def test_random_projection_broadcasts_sign_matrix(spark):
-    """The 64×m sign matrix joins the corpus dims broadcast-side."""
+    """The 64×m sign matrix joins the corpus dims broadcast-side.
+    (The pair join's double-consumption of the projected vectors is a
+    measured NON-pin: the checkpoint barrier costs more than the
+    recompute at bench scale — see SCALE.md 'pin economics'.)"""
     plan = _plan(spark, "emb_random_projection")
     assert "BroadcastHashJoin" in plan, plan[:1500]
 

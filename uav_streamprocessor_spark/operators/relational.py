@@ -1817,7 +1817,9 @@ def zone_map_pruning_audit(spark: SparkSession) -> DataFrame:
         F.max("l_quantity").alias("max_q"),
         F.min("l_discount").alias("min_d"),
         F.max("l_discount").alias("max_d"),
-    )
+    ).localCheckpoint(eager=False)
+    # pinned (~80 rows): the three predicate branches each consume zones —
+    # unpinned, the "one stats pass" claim is false (3 lineitem scans)
     y1998 = 1998 * 12
     p_ship = (F.col("zone_m") < y1998) | (F.col("zone_m") > y1998 + 11)
     p_qty = F.col("max_q") <= 45

@@ -1772,6 +1772,9 @@ def kneser_ney_bigrams(
         )
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c12"))
+        # pinned: four consumers (the base join, both re-aggregations and
+        # the type total) would otherwise each re-run the gram explode
+        .localCheckpoint(eager=False)
     )
     left = c12.groupBy("w1").agg(
         F.sum("c12").alias("c1"),
