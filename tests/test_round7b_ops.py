@@ -767,3 +767,74 @@ def test_js_divergence_zero_for_clones_ln2_for_disjoint(spark):
             assert 0.0 <= r["jsd_nats"] <= math.log(2) + 1e-9
     finally:
         orig.createOrReplaceTempView("documents")
+
+
+# ---------------------------------------------------------------------------
+# ev_funnel_windowed / ev_markov_absorption
+# ---------------------------------------------------------------------------
+
+
+def _ev_t(eid, day, hour, user, etype):
+    return (eid, f"2099-06-{day:02d} {hour:02d}:00:00", user, etype, 1.0, "{}")
+
+
+def test_funnel_windowed_enforces_the_attribution_window(spark):
+    """u1 completes inside 24h (depth 3); u2's click lands 30h after
+    the view (outside → depth 1); u3 clicks in-window but purchases
+    30h after the view (outside → depth 2). The unwindowed funnel
+    would count all three journeys complete or deeper."""
+    rows = [
+        _ev_t(0, 1, 6, 1, "view"), _ev_t(1, 1, 7, 1, "click"),
+        _ev_t(2, 1, 8, 1, "purchase"),
+        _ev_t(3, 1, 6, 2, "view"), _ev_t(4, 2, 12, 2, "click"),   # +30h
+        _ev_t(5, 1, 6, 3, "view"), _ev_t(6, 1, 7, 3, "click"),
+        _ev_t(7, 2, 12, 3, "purchase"),                            # +30h
+    ]
+    orig = _with_events(spark, rows)
+    try:
+        r = events_ops.funnel_windowed(spark).collect()[0]
+        assert r["n_viewed"] == 3
+        assert r["n_clicked_in_window"] == 2       # u1, u3
+        assert r["n_purchased_in_window"] == 1     # u1 only
+        assert r["view_to_click_rate"] == pytest.approx(2 / 3, abs=1e-6)
+        assert r["full_funnel_rate"] == pytest.approx(1 / 3, abs=1e-6)
+    finally:
+        orig.createOrReplaceTempView("events")
+
+
+def test_markov_absorption_solves_planted_chain_exactly(spark):
+    """view→click always; click→purchase 2/3, click→(end) 1/3:
+    p_conversion must read exactly 2/3 from BOTH transient states
+    (view feeds click deterministically) and expected transient steps
+    2 (view) / 1 (click). Post-purchase events must not leak back in
+    (u1 gets a view AFTER purchasing — truncation must drop it)."""
+    rows = [
+        _ev_t(0, 1, 6, 1, "view"), _ev_t(1, 1, 7, 1, "click"),
+        _ev_t(2, 1, 8, 1, "purchase"), _ev_t(3, 1, 9, 1, "view"),  # truncated
+        _ev_t(4, 1, 6, 2, "view"), _ev_t(5, 1, 7, 2, "click"),
+        _ev_t(6, 1, 8, 2, "purchase"),
+        _ev_t(7, 1, 6, 3, "view"), _ev_t(8, 1, 7, 3, "click"),     # drop
+    ]
+    orig = _with_events(spark, rows)
+    try:
+        out = {r["state"]: r for r in events_ops.markov_absorption(spark).collect()}
+        assert set(out) == {"view", "click"}
+        for s in ("view", "click"):
+            r = out[s]
+            assert r["p_conversion"] == pytest.approx(2 / 3, abs=1e-6)
+            assert r["p_drop"] == pytest.approx(1 / 3, abs=1e-6)
+            assert r["p_conversion"] + r["p_drop"] == pytest.approx(1.0, abs=1e-6)
+        assert out["view"]["expected_steps"] == pytest.approx(2.0, abs=1e-6)
+        assert out["click"]["expected_steps"] == pytest.approx(1.0, abs=1e-6)
+    finally:
+        orig.createOrReplaceTempView("events")
+
+
+def test_markov_absorption_rows_stochastic_on_real_corpus(spark):
+    """Every transient state's absorption probabilities sum to 1 (the
+    chain has no other exit) and expected steps are >= 1."""
+    out = events_ops.markov_absorption(spark).collect()
+    assert out
+    for r in out:
+        assert r["p_conversion"] + r["p_drop"] == pytest.approx(1.0, abs=1e-5)
+        assert r["expected_steps"] >= 1.0 - 1e-9

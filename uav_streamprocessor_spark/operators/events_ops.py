@@ -2005,3 +2005,142 @@ def behavior_entropy_screen(
         )
         .orderBy("user_id")
     )
+
+
+def funnel_windowed(spark: SparkSession, window_hours: int = 24) -> DataFrame:
+    """Time-windowed ordered funnel (the windowFunnel primitive):
+    anchored at each user's FIRST view, the click must land within
+    `window_hours` of that view and the purchase after the click but
+    still inside the SAME window — ev_funnel_conversion without the
+    window answers "did they ever", this answers "did the journey
+    complete while the intent was live", which is what campaign
+    attribution windows actually measure.
+
+    Same conditional-min chain as the unwindowed funnel (one shuffle
+    per stage on user_id, no self-joins on events), with the window
+    bound pushed into each stage's filter so late events never reach
+    the aggregate."""
+    ev = spark.table("events")
+    t = F.col("ts").cast("timestamp")
+    anchor = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view")
+    )
+    deadline = F.col("t_view") + F.expr(f"INTERVAL {window_hours} HOURS")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", t.alias("click_ts")
+    )
+    first_click = (
+        clicks.join(anchor, "user_id")
+        .filter(
+            (F.col("click_ts") >= F.col("t_view")) & (F.col("click_ts") <= deadline)
+        )
+        .groupBy("user_id")
+        .agg(F.min("click_ts").alias("t_click"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", t.alias("purchase_ts")
+    )
+    first_purchase = (
+        purchases.join(first_click.join(anchor, "user_id"), "user_id")
+        .filter(
+            (F.col("purchase_ts") >= F.col("t_click"))
+            & (F.col("purchase_ts") <= deadline)
+        )
+        .groupBy("user_id")
+        .agg(F.min("purchase_ts").alias("t_purchase"))
+    )
+    funnel = (
+        anchor.filter(F.col("t_view").isNotNull())
+        .join(first_click, "user_id", "left_outer")
+        .join(first_purchase, "user_id", "left_outer")
+    )
+    n1 = F.count(F.lit(1)).cast("long")
+    n2 = F.sum(F.col("t_click").isNotNull().cast("long")).cast("long")
+    n3 = F.sum(F.col("t_purchase").isNotNull().cast("long")).cast("long")
+    return funnel.agg(
+        F.lit(int(window_hours)).alias("window_hours"),
+        n1.alias("n_viewed"),
+        n2.alias("n_clicked_in_window"),
+        n3.alias("n_purchased_in_window"),
+        F.round(n2 / n1.cast("double"), 6).alias("view_to_click_rate"),
+        F.round(
+            n3 / F.greatest(n2, F.lit(1)).cast("double"), 6
+        ).alias("click_to_purchase_rate"),
+        F.round(n3 / n1.cast("double"), 6).alias("full_funnel_rate"),
+    )
+
+
+def markov_absorption(spark: SparkSession) -> DataFrame:
+    """Absorbing-chain conversion analysis over the behavioral Markov
+    model: per-user sequences are truncated at the FIRST purchase
+    (absorbing 'conversion') or, failing that, terminate into an
+    absorbing 'drop' after their last event; the fundamental-matrix
+    solve b = (I − Q)⁻¹R then gives, for every transient event type,
+    the probability a user currently THERE eventually converts — the
+    quantity behind Markov 'removal effect' attribution, which
+    ev_attribution_credit's position rules approximate.
+
+    Distributed part: one user-partitioned window pass emits
+    transition counts truncated at absorption (a types² table). Driver
+    part: a ≤(k+2)² linear solve on that bounded count table — the
+    same model-budget convention as the k-means/PQ codebooks (the
+    matrix is event-type-sized, never data-sized). Rows-only: a matrix
+    inverse isn't SQL; invariants pinned in tests (each state's
+    absorption probabilities sum to 1; a planted deterministic chain
+    solves exactly)."""
+    import numpy as np
+
+    ev = spark.table("events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    purchased_before = F.coalesce(
+        F.max((F.col("event_type") == "purchase").cast("int")).over(
+            w.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    seq = (
+        ev.withColumn("seen", purchased_before)
+        .filter(F.col("seen") == 0)  # keep through the FIRST purchase
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .withColumn(
+            "next_state",
+            F.when(F.col("event_type") == "purchase", F.lit(None)).otherwise(
+                F.coalesce("next_type", F.lit("__drop__"))
+            ),
+        )
+        .filter(F.col("next_state").isNotNull())
+        .select(F.col("event_type").alias("prev_state"), "next_state")
+    )
+    counts = {
+        (r["prev_state"], r["next_state"]): r["n"]
+        for r in seq.groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()  # bounded: (event types + 2)^2 rows — model budget
+    }
+    transient = sorted({p for p, _ in counts} - {"purchase"})
+    absorbing = ["purchase", "__drop__"]
+    idx = {s: i for i, s in enumerate(transient)}
+    k = len(transient)
+    Q = np.zeros((k, k))
+    R = np.zeros((k, 2))
+    for (p, nx), n in counts.items():
+        if p == "purchase":
+            continue
+        row_tot = sum(v for (pp, _), v in counts.items() if pp == p)
+        if nx in idx:
+            Q[idx[p], idx[nx]] = n / row_tot
+        elif nx in ("purchase", "__drop__"):
+            R[idx[p], absorbing.index(nx)] = n / row_tot
+    N = np.linalg.inv(np.eye(k) - Q)  # fundamental matrix
+    B = N @ R
+    steps = N.sum(axis=1)
+    rows = [
+        (s, float(round(B[i, 0], 6)), float(round(B[i, 1], 6)),
+         float(round(steps[i], 6)))
+        for s, i in sorted(idx.items())
+    ]
+    return spark.createDataFrame(
+        rows,
+        "state string, p_conversion double, p_drop double, "
+        "expected_steps double",
+    )

@@ -1472,7 +1472,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # PARITY_sf0.01.json. Names listed here sort first, in this order;
 # everything else follows in registration order.
 #
-# r8 queue: the twenty-eight round-7 additions — the mid-round eleven
+# r8 queue: the thirty round-7 additions — the mid-round eleven
 # (dedup_split_leakage, text_source_quota, text_length_buckets,
 # text_source_overlap, dedup_containment, rel_compaction_plan,
 # ev_mad_outliers, emb_cosine_histogram, ev_bounce_rate,
@@ -1484,7 +1484,8 @@ FROM joined GROUP BY 1 ORDER BY 1
 # and the final six (text_burstiness, text_keyness,
 # rel_bloom_join_audit, emb_knn_label_agreement, ev_cohort_ltv,
 # ev_wilson_ci, ev_behavior_entropy, text_js_divergence,
-# rows-only text_distinct_ngrams_approx)
+# ev_funnel_windowed, rows-only text_distinct_ngrams_approx and
+# ev_markov_absorption)
 # lead the next window, then continue the oldest-row re-prove rotation
 # (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
 # uav_metadata_fields, then the r03 cohort).
@@ -7104,3 +7105,67 @@ FROM contrib GROUP BY 1, 2 ORDER BY 1, 2
     "vocab-overlap counts; zero cells via the x ln x -> 0 CASE; word "
     "rows scale with vocab x source-pairs, pair frame broadcast",
 )(lambda spark: text.source_js_divergence(spark))
+
+
+_register(
+    "ev_funnel_windowed",
+    """
+WITH anchor AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+  FROM events GROUP BY user_id
+),
+fc AS (
+  SELECT e.user_id, min(e.ts) AS t_click
+  FROM events e JOIN anchor a ON e.user_id = a.user_id
+  WHERE e.event_type = 'click' AND e.ts >= a.t_view
+    AND e.ts <= a.t_view + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+),
+fp AS (
+  SELECT e.user_id, min(e.ts) AS t_purchase
+  FROM events e
+  JOIN fc ON e.user_id = fc.user_id
+  JOIN anchor a ON e.user_id = a.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= fc.t_click
+    AND e.ts <= a.t_view + INTERVAL 24 HOURS
+  GROUP BY e.user_id
+)
+SELECT 24 AS window_hours,
+       CAST(count(*) AS BIGINT) AS n_viewed,
+       CAST(sum(CASE WHEN fc.t_click IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_clicked_in_window,
+       CAST(sum(CASE WHEN fp.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchased_in_window,
+       round(sum(CASE WHEN fc.t_click IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS view_to_click_rate,
+       round(sum(CASE WHEN fp.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(greatest(sum(CASE WHEN fc.t_click IS NOT NULL
+                                      THEN 1 ELSE 0 END), 1) AS DOUBLE), 6)
+         AS click_to_purchase_rate,
+       round(sum(CASE WHEN fp.t_purchase IS NOT NULL THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS full_funnel_rate
+FROM anchor LEFT JOIN fc ON anchor.user_id = fc.user_id
+            LEFT JOIN fp ON anchor.user_id = fp.user_id
+WHERE anchor.t_view IS NOT NULL
+""",
+    notes="time-windowed ordered funnel (the windowFunnel primitive): "
+    "click within 24h of the user's FIRST view, purchase after the "
+    "click inside the same window - the attribution-window semantics "
+    "ev_funnel_conversion lacks; same conditional-min chain, window "
+    "bound pushed into each stage filter",
+)(lambda spark: events_ops.funnel_windowed(spark))
+
+
+_register(
+    "ev_markov_absorption",
+    None,
+    notes="absorbing-chain conversion probabilities over the behavioral "
+    "Markov model (sequences truncated at first purchase, else into an "
+    "absorbing drop): b = (I-Q)^-1 R per transient event type - the "
+    "removal-effect attribution core; distributed window pass emits the "
+    "types^2 count table, driver solves the (k+2)^2 system under the "
+    "model-budget convention; rows-only (matrix inverse isn't SQL), "
+    "row-stochastic + planted-chain exactness pinned in "
+    "test_round7b_ops.py",
+)(lambda spark: events_ops.markov_absorption(spark))
