@@ -122,6 +122,8 @@ ROTATION = [
     "ev_behavior_entropy",      # event-mix entropy bot screen
     "text_js_divergence",       # pairwise source JSD matrix
     "text_distinct_ngrams_approx",  # HLL swap for distinct-n
+    "ev_funnel_windowed",       # attribution-window funnel
+    "ev_markov_absorption",     # absorbing-chain conversion solve
 ]
 
 
