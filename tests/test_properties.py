@@ -369,3 +369,45 @@ def test_winnowing_density_and_bounds_fuzzed(doc):
         for p in range(len(doc) - 8 + 1)
     }
     assert fps <= all_hashes
+
+
+# ---------------------------------------------------------------------------
+# count-min sketch hash twins (streaming/cms_stream.py)
+# ---------------------------------------------------------------------------
+
+from uav_streamprocessor_spark.streaming.cms_stream import (  # noqa: E402
+    _bucket_indices,
+    cms_rows,
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    uids=st.lists(
+        st.integers(min_value=0, max_value=2**62 - 1), min_size=1, max_size=50
+    ),
+    width=st.sampled_from([16, 64, 256, 1024]),
+)
+def test_cms_python_and_numpy_hash_twins_agree_everywhere(uids, width):
+    """The pure-python cms_rows (used by tests to verify collision-
+    freeness) and the vectorized _bucket_indices (used by the store)
+    must agree on every row for ANY id up to 2^62 and any width —
+    uint64 wraparound vs python-int masking is exactly the seam where
+    they could drift."""
+    arr = np.array(uids, dtype=np.int64)
+    for i in range(4):
+        vec = list(_bucket_indices(arr, i, width))
+        ref = [cms_rows(u, width=width)[i] for u in uids]
+        assert vec == ref
+
+
+@settings(max_examples=100, deadline=None)
+@given(uid=st.integers(min_value=0, max_value=2**62 - 1))
+def test_cms_rows_decorrelated_across_hash_rows(uid):
+    """Regression for the launch bug: ids congruent mod width collided
+    in ALL rows under the affine-only family. An id and its +width
+    neighbor must now differ in at least one of the four rows (the
+    xor-shift finalizer mixes high bits into the bucket index)."""
+    a = cms_rows(uid, width=256)
+    b = cms_rows(uid + 256, width=256)
+    assert a != b
