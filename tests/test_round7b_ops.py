@@ -838,3 +838,65 @@ def test_markov_absorption_rows_stochastic_on_real_corpus(spark):
     for r in out:
         assert r["p_conversion"] + r["p_drop"] == pytest.approx(1.0, abs=1e-5)
         assert r["expected_steps"] >= 1.0 - 1e-9
+
+
+# ---------------------------------------------------------------------------
+# boundary exactness (the off-by-one class oracle parity can mask when
+# both sides drift together)
+# ---------------------------------------------------------------------------
+
+
+def test_kaplan_meier_censor_boundary_is_strictly_less_than(spark):
+    """censor_days=3: a user whose last event sits EXACTLY 3 days
+    before the corpus end is NOT censored (datediff < 3, not <=) —
+    they churned; 2 days before IS censored."""
+    rows = [
+        _ev(0, 1, 2), _ev(1, 27, 2),   # 3 days before the 30th → churn
+        _ev(2, 1, 4), _ev(3, 28, 4),   # 2 days before → censored
+        _ev(4, 30, 6),                 # pins obs_end at the 30th
+    ]
+    orig = _with_events(spark, rows)
+    try:
+        out = {(r["variant"], r["t_days"]): r
+               for r in events_ops.kaplan_meier_survival(spark, censor_days=3).collect()}
+        assert out[(0, 26)]["n_churned"] == 1 and out[(0, 26)]["n_censored"] == 0
+        assert out[(0, 27)]["n_churned"] == 0 and out[(0, 27)]["n_censored"] == 1
+    finally:
+        orig.createOrReplaceTempView("events")
+
+
+def test_diff_in_diff_midpoint_day_lands_in_post(spark):
+    """Span days 1..9 → split offset floor(8/2)=4: an event EXACTLY on
+    day 5 (offset 4) is POST (>=, not >) — the fencepost both engines
+    must share."""
+    rows = [
+        _ev(0, 1, 10, "purchase", 7.0),   # pre
+        _ev(1, 5, 10, "purchase", 11.0),  # exactly at the midpoint → post
+        _ev(2, 9, 11, "purchase", 3.0),   # pins max day
+    ]
+    orig = _with_events(spark, rows)
+    try:
+        cells = {(r["variant"], r["period"]): r
+                 for r in events_ops.diff_in_diff_readout(spark).collect()}
+        assert cells[(0, 0)]["mean_y"] == pytest.approx(7.0)
+        assert cells[(0, 1)]["mean_y"] == pytest.approx(11.0)
+    finally:
+        orig.createOrReplaceTempView("events")
+
+
+def test_funnel_window_deadline_is_inclusive(spark):
+    """A click landing EXACTLY 24h after the view counts (<=); one
+    second later does not."""
+    rows = [
+        (0, "2099-06-01 06:00:00", 1, "view", 1.0, "{}"),
+        (1, "2099-06-02 06:00:00", 1, "click", 1.0, "{}"),      # exactly +24h
+        (2, "2099-06-01 06:00:00", 2, "view", 1.0, "{}"),
+        (3, "2099-06-02 06:00:01", 2, "click", 1.0, "{}"),      # +24h 1s
+    ]
+    orig = _with_events(spark, rows)
+    try:
+        r = events_ops.funnel_windowed(spark).collect()[0]
+        assert r["n_viewed"] == 2
+        assert r["n_clicked_in_window"] == 1
+    finally:
+        orig.createOrReplaceTempView("events")
