@@ -571,7 +571,32 @@ def _full_artifact_path(sf: float) -> Path | None:
         ]
         n = (max(rounds) + 1) if rounds else 1
     path = root / f"BENCH_full_r{n:02d}.json"
-    return path if os.access(root, os.W_OK) else None
+    if not os.access(root, os.W_OK):
+        return None
+    # Never clobber a FROZEN artifact (VERDICT r8 task #7): once the
+    # round's BENCH_full_r{N}.json is committed, later runs in the same
+    # round (the driver's post-freeze measurement, ad-hoc re-runs) land
+    # in BENCH_full_r{N}_driver.json so committed files stay
+    # byte-identical. Untracked files (the builder iterating before its
+    # commit) still overwrite in place — last measurement wins.
+    # Escape hatch: SPARK_GRAFT_BENCH_OVERWRITE=1.
+    if path.exists() and os.environ.get("SPARK_GRAFT_BENCH_OVERWRITE") != "1":
+        import subprocess
+
+        try:
+            tracked = (
+                subprocess.run(
+                    ["git", "-C", str(root), "ls-files", "--error-unmatch",
+                     path.name],
+                    capture_output=True, timeout=10,
+                ).returncode
+                == 0
+            )
+        except Exception:
+            tracked = False
+        if tracked:
+            path = root / f"BENCH_full_r{n:02d}_driver.json"
+    return path
 
 
 if __name__ == "__main__":

@@ -257,6 +257,56 @@ def test_random_projection_broadcasts_sign_matrix(spark):
     assert "BroadcastHashJoin" in plan, plan[:1500]
 
 
+def _detail_nodes(plan: str, node: str) -> int:
+    """Count physical nodes in the numbered detail section only — raw
+    substring counts double-count (tree view + detail header)."""
+    return len(re.findall(rf"\(\d+\) {node}", plan))
+
+
+def test_distinct_ngrams_one_pass_per_n(spark):
+    """text_distinct_ngrams reads the corpus exactly once per n (3
+    scans for n=1..3, unioned), resolves count(DISTINCT)+count(*) in a
+    single gram-keyed partial-agg chain (no Expand re-scan), and joins
+    nothing — the minimal shape for an exact type count."""
+    plan = _plan(spark, "text_distinct_ngrams").split("== Initial Plan ==")[0]
+    assert _detail_nodes(plan, "Scan parquet") == 3, plan[:1500]
+    assert _detail_nodes(plan, "Window") == 0, plan[:1500]
+    assert "Join" not in plan, plan[:1500]
+
+
+def test_funnel_windowed_pinned_anchor_scans_events_thrice_max(spark):
+    """ev_funnel_windowed pins the per-user anchor and first-click
+    frames (lazy localCheckpoint): the FINAL plan reads one filtered
+    events slice (purchases) plus ExistingRDDs — unpinned, anchor's
+    full-corpus conditional-min subtree instantiated three times (7
+    events scans total, the AQE exchange-reuse failure again)."""
+    plan = _plan(spark, "ev_funnel_windowed").split("== Initial Plan ==")[0]
+    assert _detail_nodes(plan, "Scan parquet") <= 1, plan[:1500]
+    assert "ExistingRDD" in plan, plan[:1500]
+
+
+def test_js_divergence_pinned_counts_scan_corpus_once(spark):
+    """text_js_divergence pins the (source, word) count table: five
+    consumers (totals, both pair-side prob frames, the sources list)
+    all read the vocab×sources-bounded checkpoint, so the FINAL plan
+    carries ZERO parquet scans — unpinned it re-instantiated the
+    corpus scan + explode eight times."""
+    plan = _plan(spark, "text_js_divergence").split("== Initial Plan ==")[0]
+    assert _detail_nodes(plan, "Scan parquet") == 0, plan[:1500]
+    assert "ExistingRDD" in plan, plan[:1500]
+
+
+def test_kaplan_meier_bounded_life_table_shape(spark):
+    """ev_kaplan_meier touches events at most twice (span + per-user
+    lifetimes), broadcasts the O(days) life-table spine (the BNLJ), and
+    keeps both cumulation windows variant-partitioned — user-count rows
+    never enter a window frame."""
+    plan = _plan(spark, "ev_kaplan_meier").split("== Initial Plan ==")[0]
+    assert _detail_nodes(plan, "Scan parquet") <= 2, plan[:1500]
+    assert _detail_nodes(plan, "BroadcastNestedLoopJoin") >= 1, plan[:1500]
+    assert _detail_nodes(plan, "Window") <= 2, plan[:1500]
+
+
 def test_kneser_ney_does_not_force_broadcast_vocab_sides(spark):
     """The w1/w2 re-aggregations are vocab-sized and must not carry a
     user broadcast HINT — at bench SF AQE may still pick broadcast from

@@ -14,7 +14,7 @@ invariants the example-based tests can't sweep:
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings
+from hypothesis import example, given, settings
 from hypothesis import strategies as st
 
 from uav_streamprocessor_spark.operators.dedup import (
@@ -141,7 +141,14 @@ def _run_welford(chunks):
         )
         t += len(chunk)
         outs.append(next(proc((1,), iter([pdf]), state)))
-    return pd.concat(outs, ignore_index=True)
+    # Normalize dtypes before concat: a chunk whose every z is None
+    # infers an all-NA OBJECT column, and pandas 2.x deprecates letting
+    # such entries steer concat dtype inference (FutureWarning, breaking
+    # on the next major). The production path never sees this — Spark's
+    # applyInPandasWithState converts through Arrow with the declared
+    # `z double` schema — so the cast belongs to this test harness.
+    non_empty = [o.astype({"z": "float64"}) for o in outs if len(o)]
+    return pd.concat(non_empty or outs[:1], ignore_index=True)
 
 
 @settings(max_examples=100, deadline=None)
@@ -155,6 +162,13 @@ def _run_welford(chunks):
     ),
     cut=st.integers(min_value=0, max_value=39),
 )
+@example(
+    # r9 Hypothesis counterexample: denormal-scale prefix whose spread is
+    # ~1e-9 of its magnitude — an ill-conditioned z where BOTH Welford and
+    # two-pass carry relative error ~eps*kappa (see the rtol_eff branch)
+    values=[1.1754943508222875e-38, 1.175494351e-38, 0.0],
+    cut=0,
+).via("discovered failure")
 def test_welford_prequential_z_matches_two_pass_and_split_invariant(values, cut):
     cut = min(cut, len(values) - 1)
     whole = _run_welford([values])
@@ -184,8 +198,22 @@ def test_welford_prequential_z_matches_two_pass_and_split_invariant(values, cut)
             )
             assert float(prior.std(ddof=1)) <= floor
         else:
-            expected = (values[i] - prior.mean()) / prior.std(ddof=1)
-            assert np.isclose(z, expected, rtol=1e-7, atol=1e-9)
+            std = float(prior.std(ddof=1))
+            expected = (values[i] - prior.mean()) / std
+            # conditioning-aware tolerance: centering loses ~eps*|mean|
+            # absolutely, so the DEVIATIONS (hence std and z) carry
+            # relative error ~eps*kappa where kappa = |mean|/std — for
+            # well-scaled data kappa≈1 and this floors at 1e-7, but a
+            # denormal-scale prefix with spread 1e-9 of its magnitude
+            # (the r9 counterexample) legitimately diverges at ~1e-6 in
+            # BOTH algorithms. Past kappa*eps ~ 0.1 the statistic is
+            # pure rounding noise and the only meaningful invariants
+            # are the split/NaN ones already asserted above.
+            eps = float(np.finfo(np.float64).eps)
+            kappa = abs(float(prior.mean())) / std if std > 0.0 else np.inf
+            rtol_eff = max(1e-7, 8.0 * len(prior) * eps * kappa)
+            if rtol_eff < 0.1:
+                assert np.isclose(z, expected, rtol=rtol_eff, atol=1e-9)
 
 
 # ---------------------------------------------------------------------------

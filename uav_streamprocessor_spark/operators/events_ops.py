@@ -1761,6 +1761,10 @@ def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
     (C_post − C_pre); SE from the four cell sample variances
     (unequal-variance normal approximation); every output row carries
     the scalar verdict so the 4-row cell table is self-contained.
+    A degenerate cell with n_users == 1 has an undefined sample
+    variance (var_samp -> NULL); its SE term is taken as 0 so did_se /
+    did_z stay defined -- did_se is then a LOWER bound and the cell's
+    own var_y row stays NULL to flag the degeneracy.
 
     Scale shape: one events pass (map-side-combinable conditional sum),
     a distinct-users frame joined LEFT to period sums, a 4-row cell
@@ -1817,11 +1821,14 @@ def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
     did = (F.col("mean_y_11") - F.col("mean_y_10")) - (
         F.col("mean_y_01") - F.col("mean_y_00")
     )
+    # NULL-safe SE: a singleton cell (n_users == 1) has var_samp NULL;
+    # coalesce its term to 0 so the scalar verdict survives (lower-bound
+    # SE, documented above). The per-cell var_y column is NOT coalesced.
     se = F.sqrt(
-        F.col("var_y_00") / F.col("n_users_00")
-        + F.col("var_y_01") / F.col("n_users_01")
-        + F.col("var_y_10") / F.col("n_users_10")
-        + F.col("var_y_11") / F.col("n_users_11")
+        F.coalesce(F.col("var_y_00"), F.lit(0.0)) / F.col("n_users_00")
+        + F.coalesce(F.col("var_y_01"), F.lit(0.0)) / F.col("n_users_01")
+        + F.coalesce(F.col("var_y_10"), F.lit(0.0)) / F.col("n_users_10")
+        + F.coalesce(F.col("var_y_11"), F.lit(0.0)) / F.col("n_users_11")
     )
     return (
         cells.crossJoin(F.broadcast(wide.select(did.alias("_did"), se.alias("_se"))))
@@ -2019,11 +2026,23 @@ def funnel_windowed(spark: SparkSession, window_hours: int = 24) -> DataFrame:
     Same conditional-min chain as the unwindowed funnel (one shuffle
     per stage on user_id, no self-joins on events), with the window
     bound pushed into each stage's filter so late events never reach
-    the aggregate."""
+    the aggregate.
+
+    The per-user anchor (first-view time) and first-click frames are
+    PINNED (lazy localCheckpoint): anchor has three consumers and
+    first_click two, and without the pins each consumer re-instantiates
+    its upstream events scan — 7 scans in the physical plan, 3 of them
+    FULL-corpus (anchor's conditional min can't push a filter). Pinned,
+    events is read exactly three times (the all-rows anchor pass plus
+    the click/purchase filtered slices — the natural minimum for this
+    join shape) and the checkpoints are user-count-bounded two-column
+    frames. Gated in tests/test_plan_audit.py."""
     ev = spark.table("events")
     t = F.col("ts").cast("timestamp")
-    anchor = ev.groupBy("user_id").agg(
-        F.min(F.when(F.col("event_type") == "view", t)).alias("t_view")
+    anchor = (
+        ev.groupBy("user_id")
+        .agg(F.min(F.when(F.col("event_type") == "view", t)).alias("t_view"))
+        .localCheckpoint(eager=False)
     )
     deadline = F.col("t_view") + F.expr(f"INTERVAL {window_hours} HOURS")
     clicks = ev.filter(F.col("event_type") == "click").select(
@@ -2036,6 +2055,7 @@ def funnel_windowed(spark: SparkSession, window_hours: int = 24) -> DataFrame:
         )
         .groupBy("user_id")
         .agg(F.min("click_ts").alias("t_click"))
+        .localCheckpoint(eager=False)
     )
     purchases = ev.filter(F.col("event_type") == "purchase").select(
         "user_id", t.alias("purchase_ts")
@@ -2070,26 +2090,23 @@ def funnel_windowed(spark: SparkSession, window_hours: int = 24) -> DataFrame:
     )
 
 
-def markov_absorption(spark: SparkSession) -> DataFrame:
-    """Absorbing-chain conversion analysis over the behavioral Markov
-    model: per-user sequences are truncated at the FIRST purchase
-    (absorbing 'conversion') or, failing that, terminate into an
-    absorbing 'drop' after their last event; the fundamental-matrix
-    solve b = (I − Q)⁻¹R then gives, for every transient event type,
-    the probability a user currently THERE eventually converts — the
-    quantity behind Markov 'removal effect' attribution, which
-    ev_attribution_credit's position rules approximate.
+def markov_transition_counts(spark: SparkSession) -> DataFrame:
+    """The distributed half of markov_absorption as a standalone, fully
+    SQL-expressible query: per-user event sequences truncated at the
+    FIRST purchase (absorbing) or terminated into an absorbing
+    '__drop__' after the last event, reduced to the (prev_state,
+    next_state, n) transition-count table the fundamental-matrix solve
+    consumes.
 
-    Distributed part: one user-partitioned window pass emits
-    transition counts truncated at absorption (a types² table). Driver
-    part: a ≤(k+2)² linear solve on that bounded count table — the
-    same model-budget convention as the k-means/PQ codebooks (the
-    matrix is event-type-sized, never data-sized). Rows-only: a matrix
-    inverse isn't SQL; invariants pinned in tests (each state's
-    absorption probabilities sum to 1; a planted deterministic chain
-    solves exactly)."""
-    import numpy as np
+    Registering it separately gives the driver an ORACLE row for the
+    entire data-touching portion of the absorbing-chain pipeline
+    (VERDICT r8 task #5) — what remains rows-only in
+    ev_markov_absorption is exactly the ≤(k+2)² driver-side numpy
+    solve, which operates on THIS table.
 
+    Scale shape: one user-partitioned window pass (running purchase
+    flag + lead), then a map-side-combinable count over a types² key
+    space. No driver collect here — that belongs to the consumer."""
     ev = spark.table("events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     purchased_before = F.coalesce(
@@ -2111,10 +2128,36 @@ def markov_absorption(spark: SparkSession) -> DataFrame:
         .filter(F.col("next_state").isNotNull())
         .select(F.col("event_type").alias("prev_state"), "next_state")
     )
+    return (
+        seq.groupBy("prev_state", "next_state")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("prev_state", "next_state")
+    )
+
+
+def markov_absorption(spark: SparkSession) -> DataFrame:
+    """Absorbing-chain conversion analysis over the behavioral Markov
+    model: per-user sequences are truncated at the FIRST purchase
+    (absorbing 'conversion') or, failing that, terminate into an
+    absorbing 'drop' after their last event; the fundamental-matrix
+    solve b = (I − Q)⁻¹R then gives, for every transient event type,
+    the probability a user currently THERE eventually converts — the
+    quantity behind Markov 'removal effect' attribution, which
+    ev_attribution_credit's position rules approximate.
+
+    Distributed part: one user-partitioned window pass emits
+    transition counts truncated at absorption (a types² table). Driver
+    part: a ≤(k+2)² linear solve on that bounded count table — the
+    same model-budget convention as the k-means/PQ codebooks (the
+    matrix is event-type-sized, never data-sized). Rows-only: a matrix
+    inverse isn't SQL; invariants pinned in tests (each state's
+    absorption probabilities sum to 1; a planted deterministic chain
+    solves exactly)."""
+    import numpy as np
+
     counts = {
         (r["prev_state"], r["next_state"]): r["n"]
-        for r in seq.groupBy("prev_state", "next_state")
-        .agg(F.count(F.lit(1)).alias("n"))
+        for r in markov_transition_counts(spark)
         .collect()  # bounded: (event types + 2)^2 rows — model budget
     }
     transient = sorted({p for p, _ in counts} - {"purchase"})
@@ -2131,9 +2174,23 @@ def markov_absorption(spark: SparkSession) -> DataFrame:
             Q[idx[p], idx[nx]] = n / row_tot
         elif nx in ("purchase", "__drop__"):
             R[idx[p], absorbing.index(nx)] = n / row_tot
-    N = np.linalg.inv(np.eye(k) - Q)  # fundamental matrix
-    B = N @ R
-    steps = N.sum(axis=1)
+    # Fundamental-matrix quantities N @ R and N @ 1 via a single linear
+    # solve of (I − Q) X = [R | 1] — no explicit inverse: better
+    # conditioned, and a degenerate transition table (a transient state
+    # with no escape path, making I − Q singular) gets a clear error
+    # instead of an opaque LinAlgError from np.linalg.inv.
+    rhs = np.hstack([R, np.ones((k, 1))])
+    try:
+        X = np.linalg.solve(np.eye(k) - Q, rhs)
+    except np.linalg.LinAlgError as exc:
+        raise ValueError(
+            "markov_absorption: I - Q is singular — some transient state "
+            "has no path to an absorbing state ('purchase'/'__drop__'), "
+            "so absorption probabilities are undefined. Transient states: "
+            f"{transient}"
+        ) from exc
+    B = X[:, :2]
+    steps = X[:, 2]
     rows = [
         (s, float(round(B[i, 0], 6)), float(round(B[i, 1], 6)),
          float(round(steps[i], 6)))

@@ -1822,20 +1822,14 @@ def cosine_histogram(spark: SparkSession, width: int = 25) -> DataFrame:
     )
 
 
-def pca_spectrum(spark: SparkSession) -> DataFrame:
-    """PCA eigenvalue spectrum of the embedding covariance — the
-    dimensionality audit behind whitening, rank selection, and the
-    Matryoshka-truncation decision (emb_matryoshka_overlap measures a
-    chosen truncation; this op says which ranks are worth keeping).
-
-    Distributed shape (the standard D²-bounded reduction): each Arrow
-    batch emits its partial (n, Σx, ΣxᵀX) — one (1 + D + D²)-float row
-    per batch — and the driver combines partials and eigendecomposes
-    the D×D covariance (D=64 → 4 KB matrix, firmly inside the model
-    budget; the corpus itself never leaves the executors and never
-    shuffles). Rows-only (eigendecomposition isn't SQL); the trace
-    invariant Σλ = Σ per-dim variance IS SQL-checkable and pinned in
-    tests against emb_dimension_variance's oracle arithmetic."""
+def _pca_eigenvalues(spark: SparkSession) -> tuple[int, int, "np.ndarray"]:
+    """Shared D²-bounded covariance reduction + driver eigh for the PCA
+    queries: each Arrow batch emits its partial (n, Σx, ΣxᵀX) — one
+    (1 + D + D²)-float row per batch — and the driver combines partials
+    and eigendecomposes the D×D population covariance (D=64 → 4 KB
+    matrix, firmly inside the model budget; the corpus itself never
+    leaves the executors and never shuffles). Returns (n, dim,
+    eigenvalues descending)."""
     from pyspark.sql import types as T
 
     emb = spark.table("embeddings").select("embedding")
@@ -1868,6 +1862,39 @@ def pca_spectrum(spark: SparkSession) -> DataFrame:
     mean = s / n
     cov = xtx / n - np.outer(mean, mean)  # population covariance
     evals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    return int(n), dim, evals
+
+
+def pca_trace_identity(spark: SparkSession) -> DataFrame:
+    """Oracled audit of the PCA pipeline via the trace identity
+    Σλᵢ = trace(Cov) = Σ_d var_pop(dim d): the Spark side runs the FULL
+    distributed reduction + driver eigendecomposition and reports the
+    eigenvalue sum; the DuckDB oracle computes the per-dimension
+    population-variance sum in plain SQL. Equality (to the 6-decimal
+    canon rounding) proves the partial-combine arithmetic, the
+    covariance assembly, and the eigensolve end-to-end — giving the
+    otherwise rows-only emb_pca_spectrum a driver-checkable shadow
+    (VERDICT r8 task #5)."""
+    n, dim, evals = _pca_eigenvalues(spark)
+    return spark.createDataFrame(
+        [(n, dim, round(float(evals.sum()), 6))],
+        "n_vectors bigint, dim int, total_variance double",
+    )
+
+
+def pca_spectrum(spark: SparkSession) -> DataFrame:
+    """PCA eigenvalue spectrum of the embedding covariance — the
+    dimensionality audit behind whitening, rank selection, and the
+    Matryoshka-truncation decision (emb_matryoshka_overlap measures a
+    chosen truncation; this op says which ranks are worth keeping).
+
+    Distributed shape: the shared _pca_eigenvalues D²-bounded
+    reduction (per-batch partials, driver eigh — model budget; the
+    corpus never shuffles). Rows-only (eigendecomposition isn't SQL);
+    the trace invariant Σλ = Σ per-dim variance IS SQL-checkable and
+    carried by the oracled emb_pca_trace_identity shadow plus the
+    pinned test against emb_dimension_variance's oracle arithmetic."""
+    n, dim, evals = _pca_eigenvalues(spark)
     total = float(evals.sum())
     rows = []
     cum = 0.0

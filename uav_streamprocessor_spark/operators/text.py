@@ -1957,7 +1957,16 @@ def source_js_divergence(spark: SparkSession) -> DataFrame:
     totals broadcast back, the tiny source-pair frame joined twice on
     word (the union materializes via the full-outer merge), one
     (pair)-keyed sum. Word rows scale with vocab × pairs — pairs are
-    sources², a handful."""
+    sources², a handful.
+
+    The (source, word) count table is PINNED (lazy localCheckpoint):
+    it has five consumers (totals, both pair-sides' prob frames, and
+    the sources list via totals), and without the pin each one
+    re-instantiates the corpus scan + explode — 8 parquet scans in the
+    physical plan, the same AQE exchange-reuse failure winnowing hit
+    (SCALE.md r7 session-2). Pinned, the corpus is read ONCE and every
+    consumer reads the vocab×sources-bounded table — the shape that
+    survives 100 TB. Gated in tests/test_plan_audit.py."""
     docs = spark.table("documents")
     counts = (
         docs.select(
@@ -1966,6 +1975,7 @@ def source_js_divergence(spark: SparkSession) -> DataFrame:
         .filter(F.col("word") != "")
         .groupBy("source", "word")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     totals = counts.groupBy("source").agg(F.sum("c").alias("tot"))
     probs = counts.join(F.broadcast(totals), "source").select(

@@ -1453,99 +1453,85 @@ FROM joined GROUP BY 1 ORDER BY 1
 # r06 covered the 50 late-round-5 queries that had never had a driver row
 # (CORRECTNESS_r01..r06: 239 distinct queries, zero wrong answers ever).
 #
-# This round-7 window (VERDICT r6 "Next round" #2):
-#  1. rel_rfm_segmentation — the ONLY query never driver-checked (held in
-#     the r6 queue by design) → completes 240/240 cumulative coverage.
-#  2. media_image_features — re-proves the r7 canon-hashability fix for
-#     the r6 driver ERR (ArrayType fingerprint → JSON string).
-#  3. 48 re-proves drawn from the r01/r02 cohort, whose driver rows are
-#     the oldest in the repo and predate heavy operator rewrites. Ordered
-#     by how much their backing code changed since round 2 (git diff
-#     b85f5f6..HEAD): dedup.py (+738: group-and-emit LSH rewrite, banded
-#     edit-distance) first, then relational.py (+1072) / TPC-H plans,
-#     events_ops.py (+1271), and finally the uav set (pixel.py +23;
-#     uav_core.py unchanged — included so current fixtures/session confs
-#     re-prove them, minus 3 unchanged source-metadata trivia
-#     (uav_filename_order / uav_fps_fallback / uav_metadata_fields) that
-#     didn't fit the 50).
-# Every name below is sf0.01-parity-proven in the committed
-# PARITY_sf0.01.json. Names listed here sort first, in this order;
-# everything else follows in registration order.
+# This round-9 window (VERDICT r8 "Next round" #1):
+#  1. The 30 round-7 additions that never received a driver row (the r8
+#     round shipped no commits, so the planned rotation slipped a round).
+#     All 30 are parity-proven three ways: builder sf0.001 + sf0.01 runs
+#     (PARITY_sf0.001.json / PARITY_sf0.01.json), the sf0.1 heavy subset
+#     (PARITY_sf0.1_subset.json where applicable), and the round-8
+#     judge's independent sf0.01 re-run (27 oracle-matched + 3
+#     rows-only-by-design, 0 fails). A green CORRECTNESS_r09 row for
+#     each closes cumulative driver coverage at 270/270.
+#  2. New round-9 registrations (each query's first driver row).
+#  3. Remaining slots: the oldest-row re-prove rotation — the three
+#     r01/r02 leftovers that didn't fit the r08 window, then the r03
+#     cohort in its original CORRECTNESS_r03 order.
+# Names listed here sort first, in this order; everything else follows
+# in registration order.
 #
-# r8 queue: the thirty round-7 additions — the mid-round eleven
-# (dedup_split_leakage, text_source_quota, text_length_buckets,
-# text_source_overlap, dedup_containment, rel_compaction_plan,
-# ev_mad_outliers, emb_cosine_histogram, ev_bounce_rate,
-# text_chunk_manifest, emb_pca_spectrum — sf0.01 AND sf0.1
-# parity-proven) plus the late-round eight (ev_kaplan_meier,
-# ev_diff_in_diff, text_distinct_ngrams, text_kneser_ney,
-# emb_silhouette, rel_zone_map_pruning, dedup_winnowing,
-# emb_random_projection — sf0.01 parity-proven in PARITY_sf0.01.json)
-# and the final six (text_burstiness, text_keyness,
-# rel_bloom_join_audit, emb_knn_label_agreement, ev_cohort_ltv,
-# ev_wilson_ci, ev_behavior_entropy, text_js_divergence,
-# ev_funnel_windowed, rows-only text_distinct_ngrams_approx and
-# ev_markov_absorption)
-# lead the next window, then continue the oldest-row re-prove rotation
-# (r01/r02 leftovers: uav_filename_order / uav_fps_fallback /
-# uav_metadata_fields, then the r03 cohort).
+# r10 queue: continue the r03-cohort re-prove rotation from
+# text_stats_by_lang_source onward, then the r04 cohort.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- never-checked + fresh-fix head --
-    "rel_rfm_segmentation",
-    "media_image_features",
-    # -- dedup.py re-proves (group-and-emit rewrite landed r5) --
-    "dedup_docs_exact",
-    "dedup_docs_survivors",
-    "dedup_fingerprints",
-    "dedup_minhash_candidates",
-    "dedup_minhash_neardups",
-    "dedup_simhash_buckets",
-    "dedup_simhash_neardups",
-    "dedup_ngram_jaccard",
-    # -- relational.py / TPC-H re-proves --
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q5_region_revenue",
-    "rel_revenue_by_region",
-    "rel_top_customers",
-    "rel_orders_rollup",
-    "rel_orders_cube",
-    "rel_pivot_linestatus",
-    "rel_distinct_segments",
-    "rel_approx_distinct",
-    "rel_customer_order_rank",
-    "rel_intersect_customers",
-    "rel_except_customers",
-    "rel_suppliers_no_lineitems",
-    "rel_string_functions",
-    "rel_orders_by_month",
-    "rel_math_functions",
-    "rel_correlated_exists",
-    # -- events_ops.py re-proves --
-    "ev_type_stats",
-    "ev_hourly_tumbling",
-    "ev_sliding_window",
-    "ev_session_windows",
-    "ev_json_props",
-    "ev_dedup_exact",
-    "ev_user_daily_running",
-    # -- uav re-proves (pixel.py letterbox/detector touched r3) --
-    "uav_letterbox_geometry",
-    "uav_detections_filtered",
-    "uav_class_stats",
-    "uav_top_confidence",
-    "uav_keyframe_decimation",
-    "uav_frame_counters",
-    "uav_frames_detections_join",
-    "uav_frames_without_detections",
-    "uav_frames_with_detections",
-    "uav_segment_stats",
-    "uav_segment_reassembly",
-    "uav_detection_rank",
-    "uav_detection_lag",
-    "uav_running_counters",
-    "uav_metadata_json",
+    # -- the 30 round-7 additions, never driver-checked through r08
+    #    (VERDICT r8 "Next round" #1; all 30 pre-verified green at sf0.01
+    #    by both the builder parity runs and the judge's independent
+    #    re-run). Listed in registration order. Completes 270/270
+    #    cumulative driver coverage. --
+    "dedup_split_leakage",
+    "text_source_quota",
+    "text_length_buckets",
+    "text_source_overlap",
+    "dedup_containment",
+    "rel_compaction_plan",
+    "ev_mad_outliers",
+    "emb_cosine_histogram",
+    "ev_bounce_rate",
+    "text_chunk_manifest",
+    "emb_pca_spectrum",
+    "ev_kaplan_meier",
+    "ev_diff_in_diff",
+    "text_distinct_ngrams",
+    "text_kneser_ney",
+    "emb_silhouette",
+    "rel_zone_map_pruning",
+    "dedup_winnowing",
+    "emb_random_projection",
+    "text_burstiness",
+    "text_keyness",
+    "rel_bloom_join_audit",
+    "emb_knn_label_agreement",
+    "ev_cohort_ltv",
+    "ev_wilson_ci",
+    "text_distinct_ngrams_approx",
+    "ev_behavior_entropy",
+    "text_js_divergence",
+    "ev_funnel_windowed",
+    "ev_markov_absorption",
+    # -- round-9 additions (new queries registered this round; each needs
+    #    its first driver row) --
+    "ev_markov_transition_counts",
+    "emb_pca_trace_identity",
+    # -- oldest-row re-prove rotation: the three r01/r02 leftovers that
+    #    didn't fit the r08 window, then the head of the r03 cohort --
+    "uav_filename_order",
+    "uav_fps_fallback",
+    "uav_metadata_fields",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q22_sales_opportunity",
+    "text_token_stats",
+    "text_quality_scores",
+    "text_lang_confusion",
+    "text_word_counts",
 ]
 
 
@@ -6375,6 +6361,62 @@ _register(
 
 
 _register(
+    "emb_pca_trace_identity",
+    """
+WITH flat AS (
+  SELECT CAST(unnest(embedding) AS DOUBLE) AS x,
+         CAST(unnest(range(len(embedding))) AS INT) AS dim
+  FROM embeddings
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_vectors,
+       CAST(count(DISTINCT dim) AS INT) AS dim,
+       round(sum(v), 6) AS total_variance
+FROM (SELECT dim, var_pop(x) AS v FROM flat GROUP BY dim)
+""",
+    notes="oracled shadow for emb_pca_spectrum (VERDICT r8 #5): Spark "
+    "runs the full distributed covariance reduction + driver eigh and "
+    "reports sum(lambda); the oracle computes sum of per-dim var_pop in "
+    "plain SQL - trace(Cov) identity, so a 6-decimal match proves the "
+    "partial-combine arithmetic, covariance assembly, and eigensolve",
+)(lambda spark: similarity.pca_trace_identity(spark))
+
+
+_register(
+    "ev_markov_transition_counts",
+    """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         coalesce(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS seen
+  FROM events
+),
+kept AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM seq WHERE seen = 0
+),
+trans AS (
+  SELECT event_type AS prev_state,
+         CASE WHEN event_type = 'purchase' THEN NULL
+              ELSE coalesce(next_type, '__drop__') END AS next_state
+  FROM kept
+)
+SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n
+FROM trans WHERE next_state IS NOT NULL
+GROUP BY prev_state, next_state ORDER BY prev_state, next_state
+""",
+    notes="the distributed half of ev_markov_absorption as a standalone "
+    "oracled query (VERDICT r8 #5): per-user sequences truncated at the "
+    "first purchase (absorbing) or terminated into '__drop__', reduced "
+    "to the (prev_state, next_state, n) table the fundamental-matrix "
+    "solve consumes; one window pass + a types^2 map-side-combined count",
+)(lambda spark: events_ops.markov_transition_counts(spark))
+
+
+_register(
     "ev_kaplan_meier",
     """
 WITH spans AS (
@@ -6454,10 +6496,10 @@ wide AS (
      - max(CASE WHEN variant = 1 AND period = 0 THEN mean_y END))
     - (max(CASE WHEN variant = 0 AND period = 1 THEN mean_y END)
      - max(CASE WHEN variant = 0 AND period = 0 THEN mean_y END)) AS did,
-    sqrt(max(CASE WHEN variant = 0 AND period = 0 THEN var_y / n_users END)
-       + max(CASE WHEN variant = 0 AND period = 1 THEN var_y / n_users END)
-       + max(CASE WHEN variant = 1 AND period = 0 THEN var_y / n_users END)
-       + max(CASE WHEN variant = 1 AND period = 1 THEN var_y / n_users END))
+    sqrt(coalesce(max(CASE WHEN variant = 0 AND period = 0 THEN var_y / n_users END), 0.0)
+       + coalesce(max(CASE WHEN variant = 0 AND period = 1 THEN var_y / n_users END), 0.0)
+       + coalesce(max(CASE WHEN variant = 1 AND period = 0 THEN var_y / n_users END), 0.0)
+       + coalesce(max(CASE WHEN variant = 1 AND period = 1 THEN var_y / n_users END), 0.0))
       AS se
   FROM cells
 )

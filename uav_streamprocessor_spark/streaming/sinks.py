@@ -117,7 +117,72 @@ class HttpSenderSink:
         )
 
 
-def _record_partition(rows, out_dir: str, fallback_fps: float, skipped_acc) -> None:
+class _JsonlCameraWriter:
+    """Default per-camera appender: frame-metadata JSONL (the
+    codec-free recorder output this container can produce)."""
+
+    def __init__(self, path: Path, w: int, h: int, fps: float):
+        self._f = open(path.with_suffix(".jsonl"), "a")
+        self._w, self._h, self._fps = w, h, fps
+
+    def write(self, row) -> None:
+        self._f.write(
+            json.dumps(
+                {
+                    "frame_number": row["frame_number"],
+                    "w": self._w,
+                    "h": self._h,
+                    "fps": self._fps,
+                }
+            )
+            + "\n"
+        )
+
+    def close(self) -> None:
+        self._f.close()
+
+
+class _Mp4CameraWriter:
+    """cv2.VideoWriter-backed mux — K1's REAL codec path (reference
+    frame_processing.py:142-159: lazily-initialized VideoWriter per
+    source, mp4v fourcc, size latched from the first frame). Selected
+    with OrderedRecorderSink(fmt="mp4"); cv2 imports lazily executor-
+    side, so environments that ship a codec self-upgrade and this
+    container's presence-gated smoke test skips cleanly
+    (tests/test_codec_present_smoke.py)."""
+
+    def __init__(self, path: Path, w: int, h: int, fps: float):
+        import cv2  # deferred: only the mp4 fmt needs a codec
+
+        from uav_streamprocessor_spark.operators.pixel import decode_image
+
+        self._decode = decode_image
+        self._vw = cv2.VideoWriter(
+            str(path.with_suffix(".mp4")),
+            cv2.VideoWriter_fourcc(*"mp4v"),
+            fps or 25.0,
+            (w, h),
+        )
+        if not self._vw.isOpened():  # reference: frame_processing.py:156
+            raise IOError(f"cannot open VideoWriter for {path}")
+
+    def write(self, row) -> None:
+        import numpy as np
+
+        # decode_image returns a read-only frombuffer view; hand the
+        # encoder its own writable copy (one frame, bounded)
+        self._vw.write(np.ascontiguousarray(self._decode(row["image"])).copy())
+
+    def close(self) -> None:
+        self._vw.release()
+
+
+_CAMERA_WRITERS = {"jsonl": _JsonlCameraWriter, "mp4": _Mp4CameraWriter}
+
+
+def _record_partition(
+    rows, out_dir: str, fallback_fps: float, skipped_acc, fmt: str = "jsonl"
+) -> None:
     """Executor-side per-partition writer for OrderedRecorderSink.
 
     Rows arrive repartitioned by camera_id and sorted by (camera_id,
@@ -127,6 +192,7 @@ def _record_partition(rows, out_dir: str, fallback_fps: float, skipped_acc) -> N
     """
     import os
 
+    writer_cls = _CAMERA_WRITERS[fmt]
     out = Path(out_dir)
     latch_dir = out / "_latch"
     latch_dir.mkdir(parents=True, exist_ok=True)
@@ -160,13 +226,8 @@ def _record_partition(rows, out_dir: str, fallback_fps: float, skipped_acc) -> N
                 n_skipped += 1
                 continue
             if cam not in open_files:
-                open_files[cam] = open(out / f"{cam}.jsonl", "a")
-            open_files[cam].write(
-                json.dumps(
-                    {"frame_number": r["frame_number"], "w": w, "h": h, "fps": fps}
-                )
-                + "\n"
-            )
+                open_files[cam] = writer_cls(out / cam, w, h, fps)
+            open_files[cam].write(r)
     finally:
         for f in open_files.values():
             f.close()
@@ -197,6 +258,11 @@ class OrderedRecorderSink:
 
     out_dir: str
     cfg: PipelineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
+    # "jsonl" (codec-free metadata recorder) or "mp4" (cv2.VideoWriter
+    # mux — requires a codec on the executors; carries the image bytes
+    # through the camera repartition, which is the reference's own data
+    # motion: every frame reaches its writer)
+    fmt: str = "jsonl"
     _skipped_acc: object = field(default=None, repr=False)
 
     @property
@@ -207,14 +273,17 @@ class OrderedRecorderSink:
         Path(self.out_dir).mkdir(parents=True, exist_ok=True)
         if self._skipped_acc is None:
             self._skipped_acc = batch.sparkSession.sparkContext.accumulator(0)
-        out_dir, fallback_fps = self.out_dir, self.cfg.fallback_fps
+        out_dir, fallback_fps, fmt = self.out_dir, self.cfg.fallback_fps, self.fmt
         acc = self._skipped_acc
+        cols = ["camera_id", "frame_number", "width", "height", "fps"]
+        if fmt == "mp4":
+            cols.append("image")
         (
-            batch.select("camera_id", "frame_number", "width", "height", "fps")
+            batch.select(*cols)
             .repartition("camera_id")
             .sortWithinPartitions("camera_id", "frame_number")
             .foreachPartition(
-                lambda rows: _record_partition(rows, out_dir, fallback_fps, acc)
+                lambda rows: _record_partition(rows, out_dir, fallback_fps, acc, fmt)
             )
         )
 
