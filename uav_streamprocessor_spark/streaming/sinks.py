@@ -119,10 +119,18 @@ class HttpSenderSink:
 
 class _JsonlCameraWriter:
     """Default per-camera appender: frame-metadata JSONL (the
-    codec-free recorder output this container can produce)."""
+    codec-free recorder output this container can produce).
 
-    def __init__(self, path: Path, w: int, h: int, fps: float):
-        self._f = open(path.with_suffix(".jsonl"), "a")
+    The filename is built by APPENDING `.jsonl` to the camera id, never
+    Path.with_suffix — camera ids come from file stems / rtsp netlocs
+    (video_source.py) and may legitimately contain dots ('10.0.0.5',
+    'flight.2024'); with_suffix would collapse '10.0.0.5' and
+    '10.0.0.7' into one file. Opened in append mode: one file per
+    camera accumulates across micro-batches."""
+
+    def __init__(self, out: Path, cam: str, batch_id: int, w: int, h: int,
+                 fps: float):
+        self._f = open(out / f"{cam}.jsonl", "a")
         self._w, self._h, self._fps = w, h, fps
 
     def write(self, row) -> None:
@@ -149,16 +157,30 @@ class _Mp4CameraWriter:
     with OrderedRecorderSink(fmt="mp4"); cv2 imports lazily executor-
     side, so environments that ship a codec self-upgrade and this
     container's presence-gated smoke test skips cleanly
-    (tests/test_codec_present_smoke.py)."""
+    (tests/test_codec_present_smoke.py).
 
-    def __init__(self, path: Path, w: int, h: int, fps: float):
+    Output is SEGMENTED per micro-batch: `{cam}.b{batch_id:06d}.mp4`.
+    cv2.VideoWriter truncates an existing file on open, so a single
+    `{cam}.mp4` reopened every foreachBatch call would silently drop
+    all earlier batches' frames; per-batch segments make each open a
+    fresh file (and make replayed batches overwrite their OWN segment
+    — idempotent, not corrupting). Lexicographic segment order equals
+    batch order, so `cat`-style concat tools (or the reference's
+    single-writer semantics, recovered by running one batch) see the
+    frames in order. The extension is appended, never substituted:
+    dotted camera ids ('10.0.0.5') must not collapse (with_suffix
+    would merge '10.0.0.5' and '10.0.0.7')."""
+
+    def __init__(self, out: Path, cam: str, batch_id: int, w: int, h: int,
+                 fps: float):
         import cv2  # deferred: only the mp4 fmt needs a codec
 
         from uav_streamprocessor_spark.operators.pixel import decode_image
 
         self._decode = decode_image
+        path = out / f"{cam}.b{batch_id:06d}.mp4"
         self._vw = cv2.VideoWriter(
-            str(path.with_suffix(".mp4")),
+            str(path),
             cv2.VideoWriter_fourcc(*"mp4v"),
             fps or 25.0,
             (w, h),
@@ -181,7 +203,8 @@ _CAMERA_WRITERS = {"jsonl": _JsonlCameraWriter, "mp4": _Mp4CameraWriter}
 
 
 def _record_partition(
-    rows, out_dir: str, fallback_fps: float, skipped_acc, fmt: str = "jsonl"
+    rows, out_dir: str, fallback_fps: float, skipped_acc, fmt: str = "jsonl",
+    batch_id: int = 0,
 ) -> None:
     """Executor-side per-partition writer for OrderedRecorderSink.
 
@@ -226,7 +249,7 @@ def _record_partition(
                 n_skipped += 1
                 continue
             if cam not in open_files:
-                open_files[cam] = writer_cls(out / cam, w, h, fps)
+                open_files[cam] = writer_cls(out, cam, batch_id, w, h, fps)
             open_files[cam].write(r)
     finally:
         for f in open_files.values():
@@ -258,10 +281,13 @@ class OrderedRecorderSink:
 
     out_dir: str
     cfg: PipelineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
-    # "jsonl" (codec-free metadata recorder) or "mp4" (cv2.VideoWriter
-    # mux — requires a codec on the executors; carries the image bytes
-    # through the camera repartition, which is the reference's own data
-    # motion: every frame reaches its writer)
+    # "jsonl" (codec-free metadata recorder; one append-mode file per
+    # camera across batches) or "mp4" (cv2.VideoWriter mux — requires a
+    # codec on the executors; carries the image bytes through the
+    # camera repartition, which is the reference's own data motion:
+    # every frame reaches its writer). mp4 output is SEGMENTED per
+    # micro-batch ({cam}.b{batch_id:06d}.mp4) because cv2.VideoWriter
+    # truncates on open — see _Mp4CameraWriter.
     fmt: str = "jsonl"
     _skipped_acc: object = field(default=None, repr=False)
 
@@ -283,7 +309,9 @@ class OrderedRecorderSink:
             .repartition("camera_id")
             .sortWithinPartitions("camera_id", "frame_number")
             .foreachPartition(
-                lambda rows: _record_partition(rows, out_dir, fallback_fps, acc, fmt)
+                lambda rows: _record_partition(
+                    rows, out_dir, fallback_fps, acc, fmt, batch_id
+                )
             )
         )
 
