@@ -1821,14 +1821,17 @@ def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
     did = (F.col("mean_y_11") - F.col("mean_y_10")) - (
         F.col("mean_y_01") - F.col("mean_y_00")
     )
-    # NULL-safe SE: a singleton cell (n_users == 1) has var_samp NULL;
-    # coalesce its term to 0 so the scalar verdict survives (lower-bound
-    # SE, documented above). The per-cell var_y column is NOT coalesced.
+    # NULL-safe SE: coalesce each WHOLE var/n quotient to 0, matching
+    # the DuckDB oracle's coalesce(var_y / n_users, 0.0) placement —
+    # this covers both the singleton cell (var_samp NULL, n = 1) and
+    # the degenerate empty cell (var AND n NULL: 0/NULL would stay
+    # NULL if only var were coalesced). Lower-bound SE, documented
+    # above. The per-cell var_y column is NOT coalesced.
     se = F.sqrt(
-        F.coalesce(F.col("var_y_00"), F.lit(0.0)) / F.col("n_users_00")
-        + F.coalesce(F.col("var_y_01"), F.lit(0.0)) / F.col("n_users_01")
-        + F.coalesce(F.col("var_y_10"), F.lit(0.0)) / F.col("n_users_10")
-        + F.coalesce(F.col("var_y_11"), F.lit(0.0)) / F.col("n_users_11")
+        F.coalesce(F.col("var_y_00") / F.col("n_users_00"), F.lit(0.0))
+        + F.coalesce(F.col("var_y_01") / F.col("n_users_01"), F.lit(0.0))
+        + F.coalesce(F.col("var_y_10") / F.col("n_users_10"), F.lit(0.0))
+        + F.coalesce(F.col("var_y_11") / F.col("n_users_11"), F.lit(0.0))
     )
     return (
         cells.crossJoin(F.broadcast(wide.select(did.alias("_did"), se.alias("_se"))))
@@ -2166,14 +2169,16 @@ def markov_absorption(spark: SparkSession) -> DataFrame:
     k = len(transient)
     Q = np.zeros((k, k))
     R = np.zeros((k, 2))
+    row_tot: dict = {}
+    for (p, _), n in counts.items():
+        row_tot[p] = row_tot.get(p, 0) + n
     for (p, nx), n in counts.items():
         if p == "purchase":
             continue
-        row_tot = sum(v for (pp, _), v in counts.items() if pp == p)
         if nx in idx:
-            Q[idx[p], idx[nx]] = n / row_tot
+            Q[idx[p], idx[nx]] = n / row_tot[p]
         elif nx in ("purchase", "__drop__"):
-            R[idx[p], absorbing.index(nx)] = n / row_tot
+            R[idx[p], absorbing.index(nx)] = n / row_tot[p]
     # Fundamental-matrix quantities N @ R and N @ 1 via a single linear
     # solve of (I − Q) X = [R | 1] — no explicit inverse: better
     # conditioned, and a degenerate transition table (a transient state

@@ -347,9 +347,31 @@ FROM detections WHERE {_DET_FILTER}
 
 _register(
     "uav_metadata_json",
-    None,
-    notes="K2 exact JSON wire format — JSON text isn't cross-engine-stable; "
-    "field-level twin uav_metadata_fields carries the oracle",
+    with_fixture_ctes(
+        f"""
+SELECT camera_id, frame_number,
+       CAST(json_object('frame_number', frame_number,
+                        'detections', to_json(dets)) AS VARCHAR)
+         AS metadata_json
+FROM (
+  SELECT camera_id, frame_number,
+         list(json_object(
+           'class_name', class_name,
+           'class_id', class_id,
+           'confidence', round(confidence, 4),
+           'box', json_array(x_min, y_min, x_max, y_max)
+         ) ORDER BY det_id) AS dets
+  FROM (SELECT * FROM detections WHERE {_DET_FILTER})
+  GROUP BY camera_id, frame_number
+)
+"""
+    ),
+    notes="K2 exact JSON wire format (uav/frame_processing.py:230-248): "
+    "field order is pinned by construction in BOTH engines (Spark "
+    "to_json emits struct-field order; DuckDB json_object emits argument "
+    "order), detections ordered by det_id on both sides, and both print "
+    "doubles shortest-roundtrip — verified byte-identical at sf0.001 and "
+    "sf0.01 before promotion from rows-only (VERDICT r9 #6)",
 )(lambda spark: uav_core.detection_metadata_json(spark.table("detections")))
 
 
@@ -1453,85 +1475,82 @@ FROM joined GROUP BY 1 ORDER BY 1
 # r06 covered the 50 late-round-5 queries that had never had a driver row
 # (CORRECTNESS_r01..r06: 239 distinct queries, zero wrong answers ever).
 #
-# This round-9 window (VERDICT r8 "Next round" #1):
-#  1. The 30 round-7 additions that never received a driver row (the r8
-#     round shipped no commits, so the planned rotation slipped a round).
-#     All 30 are parity-proven three ways: builder sf0.001 + sf0.01 runs
-#     (PARITY_sf0.001.json / PARITY_sf0.01.json), the sf0.1 heavy subset
-#     (PARITY_sf0.1_subset.json where applicable), and the round-8
-#     judge's independent sf0.01 re-run (27 oracle-matched + 3
-#     rows-only-by-design, 0 fails). A green CORRECTNESS_r09 row for
-#     each closes cumulative driver coverage at 270/270.
-#  2. New round-9 registrations (each query's first driver row).
-#  3. Remaining slots: the oldest-row re-prove rotation — the three
-#     r01/r02 leftovers that didn't fit the r08 window, then the r03
-#     cohort in its original CORRECTNESS_r03 order.
+# This round-10 window (VERDICT r9 "Next round" #5):
+#  1. Queries whose code or oracle changed THIS round — each needs a
+#     fresh driver row proving the change: ev_diff_in_diff (SE
+#     coalesce placement now matches the oracle, ADVICE r9),
+#     uav_metadata_json (promoted rows-only → oracled, VERDICT r9 #6;
+#     byte-identical at sf0.001/sf0.01 pre-verified), and
+#     ev_markov_absorption (row_tot precompute, VERDICT r9 #7).
+#  2. The oldest-row re-prove rotation: the r03 cohort continuation in
+#     its original CORRECTNESS_r03 order, starting at
+#     text_tfidf_top_terms (the oldest never-re-proved row; the r9
+#     comment said text_stats_by_lang_source but tfidf, one earlier in
+#     r03 order, also still had only its r03 row — verified against
+#     CORRECTNESS_r01..r09). dedup_ngram_jaccard is excluded: it got a
+#     fresh r08 row. 34 names → every r03-cohort row is re-proved.
+#  3. Remaining slots: the head of the r04 cohort in CORRECTNESS_r04
+#     order.
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
-# r10 queue: continue the r03-cohort re-prove rotation from
-# text_stats_by_lang_source onward, then the r04 cohort.
+# r11 queue: continue the r04-cohort re-prove rotation from
+# text_unigram_cross_entropy onward, then the r05 cohort.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- the 30 round-7 additions, never driver-checked through r08
-    #    (VERDICT r8 "Next round" #1; all 30 pre-verified green at sf0.01
-    #    by both the builder parity runs and the judge's independent
-    #    re-run). Listed in registration order. Completes 270/270
-    #    cumulative driver coverage. --
-    "dedup_split_leakage",
-    "text_source_quota",
-    "text_length_buckets",
-    "text_source_overlap",
-    "dedup_containment",
-    "rel_compaction_plan",
-    "ev_mad_outliers",
-    "emb_cosine_histogram",
-    "ev_bounce_rate",
-    "text_chunk_manifest",
-    "emb_pca_spectrum",
-    "ev_kaplan_meier",
+    # -- changed this round: fresh proof rows --
     "ev_diff_in_diff",
-    "text_distinct_ngrams",
-    "text_kneser_ney",
-    "emb_silhouette",
-    "rel_zone_map_pruning",
-    "dedup_winnowing",
-    "emb_random_projection",
-    "text_burstiness",
-    "text_keyness",
-    "rel_bloom_join_audit",
-    "emb_knn_label_agreement",
-    "ev_cohort_ltv",
-    "ev_wilson_ci",
-    "text_distinct_ngrams_approx",
-    "ev_behavior_entropy",
-    "text_js_divergence",
-    "ev_funnel_windowed",
+    "uav_metadata_json",
     "ev_markov_absorption",
-    # -- round-9 additions (new queries registered this round; each needs
-    #    its first driver row) --
-    "ev_markov_transition_counts",
-    "emb_pca_trace_identity",
-    # -- oldest-row re-prove rotation: the three r01/r02 leftovers that
-    #    didn't fit the r08 window, then the head of the r03 cohort --
-    "uav_filename_order",
-    "uav_fps_fallback",
-    "uav_metadata_fields",
-    "tpch_q4_order_priority",
-    "tpch_q6_forecast",
-    "tpch_q7_volume_shipping",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q18_large_volume",
-    "tpch_q19_disjunctive",
-    "tpch_q22_sales_opportunity",
-    "text_token_stats",
-    "text_quality_scores",
-    "text_lang_confusion",
-    "text_word_counts",
+    # -- r03-cohort re-prove continuation (oldest driver rows = r03) --
+    "text_tfidf_top_terms",
+    "text_stats_by_lang_source",
+    "text_regex_tokens",
+    "text_train_test_split",
+    "text_shard_assignment",
+    "text_stratified_downsample",
+    "emb_knn_bruteforce",
+    "emb_label_centroids",
+    "emb_norm_stats",
+    "emb_ivf_topk",
+    "emb_ann_lsh",
+    "dedup_embedding_cosine",
+    "ev_asof_clicks_views",
+    "ev_funnel_conversion",
+    "ev_salted_agg",
+    "rel_salted_join",
+    "ev_hierarchical_rollup",
+    "ev_map_functions",
+    "ev_try_expressions",
+    "rel_price_statistics",
+    "rel_approx_percentiles",
+    "rel_unpivot_rates",
+    "rel_grouping_sets",
+    "rel_above_avg_balance",
+    "rel_part_min_price",
+    "rel_having_nations",
+    "rel_price_histogram",
+    "rel_union_orders",
+    "uav_box_original_coords",
+    "uav_frame_detection_summary",
+    "uav_camera_frame_gaps",
+    "uav_detection_labels",
+    "uav_pixel_detections",
+    "uav_fps_null_semantics",
+    # -- r04-cohort re-prove head (oldest driver rows = r04) --
+    "tpch_q2_min_cost",
+    "tpch_q9_product_profit",
+    "tpch_q11_important_value",
+    "tpch_q12_ship_priority",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_quantity",
+    "tpch_q20_excess_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "text_ngram_repetition",
+    "text_boilerplate_ngrams",
+    "text_gopher_quality",
+    "text_decontamination",
+    "text_decontamination_bloom",
 ]
 
 
