@@ -153,6 +153,21 @@ def test_pagerank_matches_numpy_exactly(spark):
         assert abs(got[node] - want[node]) < 1e-9, node
 
 
+def test_pagerank_two_round_contraction_matches_numpy(spark):
+    """The iters=2 form behind dedup_pagerank_contraction (the oracled
+    shadow of the 10-round rows-only query) is the same update rule, just
+    truncated — pin it against the dense reference at the same depth."""
+    pairs = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8), (20, 21)]
+    got = _pr_dict(spark, pairs, iters=2)
+    want = _numpy_pagerank(pairs, iters=2)
+    assert set(got) == set(want)
+    for node in want:
+        assert abs(got[node] - want[node]) < 1e-12, node
+    # 2 rounds != 10 rounds on this graph — the shadow is a real
+    # intermediate state, not the converged fixpoint
+    assert got != _pr_dict(spark, pairs, iters=10)
+
+
 def test_pagerank_hub_outranks_leaves_and_sums_to_one(spark):
     pairs = [(0, i) for i in range(1, 8)]
     got = _pr_dict(spark, pairs)

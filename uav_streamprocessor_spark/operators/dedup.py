@@ -624,6 +624,25 @@ def pagerank_centrality(spark: SparkSession, k: int = 50) -> DataFrame:
     )
 
 
+def pagerank_contraction(spark: SparkSession, iters: int = 2) -> DataFrame:
+    """Oracled contraction shadow of dedup_pagerank_centrality (which is
+    rows-only by design: 10 float rounds + 8dp + top-k cut put rounded
+    values within reach of cross-engine summation-order noise). This twin
+    runs the SAME graph.pagerank loop for 2 rounds over the SAME blocking
+    graph, emits ALL nodes at 6dp ordered by doc_id — after 2 rounds the
+    accumulated float error (~1e-14) is 7 orders of magnitude inside the
+    5e-7 rounding boundary, so an unrolled-SQL DuckDB twin matches
+    byte-for-byte. Same proof pattern as emb_pca_trace_identity shadowing
+    emb_pca_spectrum: the oracle signs the join+agg+damping plumbing that
+    the 10-round query composes."""
+    from uav_streamprocessor_spark.operators.graph import pagerank
+
+    ranks = pagerank(doc_block_edges(spark), iters=iters)
+    return ranks.select(
+        F.col("node").alias("doc_id"), F.round("rank", 6).alias("rank")
+    ).orderBy("doc_id")
+
+
 def doc_graph_triangles(spark: SparkSession) -> DataFrame:
     """Cluster-density audit of the blocking near-dup graph: per-doc
     triangle counts + local clustering coefficient (graph.triangle_stats)

@@ -1180,8 +1180,55 @@ _register(
     None,
     notes="power-iteration PageRank over the blocking near-dup graph "
     "(template-hub removal priority); fixed 10 rounds, exact-vs-numpy "
-    "pinned in test_graph.py — float summation order isn't SQL-portable",
+    "pinned in test_graph.py — float summation order isn't SQL-portable "
+    "at 8dp/top-k; the oracled 2-round shadow dedup_pagerank_contraction "
+    "signs the per-round plumbing",
 )(lambda spark: dedup.pagerank_centrality(spark))
+
+
+_register(
+    "dedup_pagerank_contraction",
+    """
+WITH keys AS (
+  SELECT doc_id, 'p:' || md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'm:' || md5(array_to_string(string_split(text, ' ')[3:8], ' ')) AS key
+  FROM documents
+), e0 AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y USING (key)
+  WHERE x.doc_id < y.doc_id
+), e AS (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+), nodes AS (SELECT DISTINCT u AS node FROM e),
+nn AS (SELECT count(*) AS n FROM nodes),
+deg AS (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY u),
+r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM nodes),
+r1 AS (
+  SELECT e.v AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * sum(r.rank / deg.outdeg) AS rank
+  FROM e JOIN r0 r ON r.node = e.u JOIN deg ON deg.node = e.u
+  GROUP BY e.v
+),
+r2 AS (
+  SELECT e.v AS node,
+         (1.0 - 0.85) / (SELECT n FROM nn)
+           + 0.85 * sum(r.rank / deg.outdeg) AS rank
+  FROM e JOIN r1 r ON r.node = e.u JOIN deg ON deg.node = e.u
+  GROUP BY e.v
+)
+SELECT node AS doc_id, round(rank, 6) AS rank FROM r2 ORDER BY doc_id
+""",
+    notes="2-round PageRank over the blocking near-dup graph, all nodes "
+    "at 6dp — the oracled contraction shadow of the rows-only 10-round "
+    "query (same proof pattern as emb_pca_trace_identity): the unrolled "
+    "SQL twin signs one full join+agg+damping round composed twice, and "
+    "2 rounds of float sums sit ~7 orders of magnitude inside the 6dp "
+    "rounding boundary (the symmetric graph makes dangling mass "
+    "identically zero on both sides)",
+)(lambda spark: dedup.pagerank_contraction(spark))
 
 
 _register(
@@ -1495,13 +1542,14 @@ FROM joined GROUP BY 1 ORDER BY 1
 # in registration order.
 #
 # r11 queue: continue the r04-cohort re-prove rotation from
-# text_unigram_cross_entropy onward, then the r05 cohort.
+# text_decontamination_bloom onward, then the r05 cohort.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- changed this round: fresh proof rows --
+    # -- changed or added this round: fresh proof rows --
     "ev_diff_in_diff",
     "uav_metadata_json",
     "ev_markov_absorption",
+    "dedup_pagerank_contraction",
     # -- r03-cohort re-prove continuation (oldest driver rows = r03) --
     "text_tfidf_top_terms",
     "text_stats_by_lang_source",
@@ -1550,7 +1598,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_boilerplate_ngrams",
     "text_gopher_quality",
     "text_decontamination",
-    "text_decontamination_bloom",
 ]
 
 
