@@ -92,3 +92,38 @@ def test_profile_rowcount_is_k(spark):
     prof = kmeans_cluster_profile(spark, k=10, iters=2).collect()
     assert len(prof) == 10
     assert sum(r["n_members"] for r in prof) == 500
+
+
+def test_contraction_shadow_is_round_one_of_lloyd(spark):
+    """emb_kmeans_contraction (the oracled 1-round shadow) reports
+    exactly what kmeans_lloyd's first round produced: same member
+    counts, same centroid norms, means consistent with the returned
+    assignment."""
+    import math
+
+    from uav_streamprocessor_spark.operators.similarity import (
+        kmeans_contraction,
+        kmeans_lloyd,
+    )
+
+    register_uav_views(spark, SF_SMALL)
+    shadow = {r["cluster"]: r for r in kmeans_contraction(spark).collect()}
+    assigned, cents = kmeans_lloyd(spark, k=10, iters=1, with_embedding=False)
+    rows = assigned.collect()
+    assert sum(r["n_members"] for r in shadow.values()) == 500
+    for j, c in enumerate(cents):
+        members = [r for r in rows if r["cluster"] == j]
+        if j not in shadow:
+            assert not members
+            continue
+        assert shadow[j]["n_members"] == len(members)
+        assert math.isclose(
+            shadow[j]["centroid_sq_norm"],
+            sum(x * x for x in c),
+            abs_tol=5e-7,
+        )
+        assert math.isclose(
+            shadow[j]["mean_sq_dist"],
+            sum(r["sq_dist"] for r in members) / len(members),
+            abs_tol=5e-7,
+        )

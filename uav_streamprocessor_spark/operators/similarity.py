@@ -439,6 +439,42 @@ def kmeans_lloyd(
     return result, centroids
 
 
+def kmeans_contraction(spark: SparkSession, k: int = 10) -> DataFrame:
+    """Oracled 1-round shadow of emb_kmeans_profile (which stays
+    rows-only: 5 Lloyd rounds of reassignment put cluster boundaries —
+    and therefore integer sizes — at the mercy of compounding float
+    divergence between engines). One round IS SQL-expressible exactly:
+    init = the k lowest vec_ids, one argmin assignment against the raw
+    init vectors, one mean update, one re-assignment — so a DuckDB twin
+    signs the assignment distance, the index tie-break, AND the centroid
+    update end-to-end (same proof pattern as dedup_pagerank_contraction /
+    emb_pca_trace_identity). Emits per-cluster size, mean squared
+    distance to the round-1 centroids, and the round-1 centroid squared
+    norm (the update step's own fingerprint), all at 6dp — float
+    divergence after one round is ~1e-13, seven orders inside the
+    rounding boundary, and argmin margins on this corpus are O(1e-3)."""
+    assigned, cents = kmeans_lloyd(spark, k=k, iters=1, with_embedding=False)
+    norms = spark.createDataFrame(
+        [(j, float(sum(x * x for x in c))) for j, c in enumerate(cents)],
+        "cluster int, sq_norm double",
+    )
+    return (
+        assigned.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.round(F.avg("sq_dist"), 6).alias("mean_sq_dist"),
+        )
+        .join(F.broadcast(norms), "cluster")
+        .select(
+            "cluster",
+            "n_members",
+            "mean_sq_dist",
+            F.round("sq_norm", 6).alias("centroid_sq_norm"),
+        )
+        .orderBy("cluster")
+    )
+
+
 def kmeans_cluster_profile(spark: SparkSession, k: int = 10, iters: int = 5) -> DataFrame:
     """Registered surface: cluster sizes + mean squared distance + the
     majority ground-truth label per cluster (purity diagnostic).

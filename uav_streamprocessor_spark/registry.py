@@ -1542,7 +1542,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # in registration order.
 #
 # r11 queue: continue the r04-cohort re-prove rotation from
-# text_decontamination_bloom onward, then the r05 cohort.
+# text_decontamination onward, then the r05 cohort.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1550,6 +1550,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "uav_metadata_json",
     "ev_markov_absorption",
     "dedup_pagerank_contraction",
+    "emb_kmeans_contraction",
     # -- r03-cohort re-prove continuation (oldest driver rows = r03) --
     "text_tfidf_top_terms",
     "text_stats_by_lang_source",
@@ -1597,7 +1598,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_ngram_repetition",
     "text_boilerplate_ngrams",
     "text_gopher_quality",
-    "text_decontamination",
 ]
 
 
@@ -2771,8 +2771,79 @@ _register(
     "literal centroids, per-dimension built-in avg update, no explode); "
     "non-SQL-expressible (5 unrolled iterations) -> rows-only + pytest "
     "invariants (exact recovery of separated clusters, monotone inertia, "
-    "argmin consistency)",
+    "argmin consistency); the oracled 1-round shadow "
+    "emb_kmeans_contraction signs the assignment+update machinery",
 )(lambda spark: similarity.kmeans_cluster_profile(spark))
+
+
+_register(
+    "emb_kmeans_contraction",
+    """
+WITH e AS (SELECT vec_id, embedding FROM embeddings),
+ik AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cluster, embedding
+  FROM e ORDER BY vec_id LIMIT 10
+),
+c0 AS (
+  SELECT CAST(cluster AS INT) AS cluster, i.i AS dim,
+         CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM ik, unnest(generate_series(1, len(embedding))) AS i(i)
+),
+ev AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM e, unnest(generate_series(1, len(embedding))) AS i(i)
+),
+d0 AS (
+  SELECT ev.vec_id, c0.cluster,
+         sum((ev.val - c0.val) * (ev.val - c0.val)) AS dist
+  FROM ev JOIN c0 USING (dim) GROUP BY 1, 2
+),
+a0 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+             AS rn
+    FROM d0) WHERE rn = 1
+),
+c1 AS (
+  SELECT a0.cluster, ev.dim, avg(ev.val) AS val
+  FROM a0 JOIN ev USING (vec_id) GROUP BY 1, 2
+),
+c1f AS (
+  SELECT c0.cluster, c0.dim, coalesce(c1.val, c0.val) AS val
+  FROM c0 LEFT JOIN c1 ON c1.cluster = c0.cluster AND c1.dim = c0.dim
+),
+d1 AS (
+  SELECT ev.vec_id, c.cluster,
+         sum((ev.val - c.val) * (ev.val - c.val)) AS dist
+  FROM ev JOIN c1f c USING (dim) GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, cluster, dist FROM (
+    SELECT vec_id, cluster, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cluster)
+             AS rn
+    FROM d1) WHERE rn = 1
+),
+norms AS (SELECT cluster, sum(val * val) AS sq_norm FROM c1f GROUP BY 1)
+SELECT a1.cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       round(avg(a1.dist), 6) AS mean_sq_dist,
+       round(any_value(norms.sq_norm), 6) AS centroid_sq_norm
+FROM a1 JOIN norms ON norms.cluster = a1.cluster
+GROUP BY a1.cluster ORDER BY a1.cluster
+""",
+    notes="1-round Lloyd shadow of emb_kmeans_profile (same proof "
+    "pattern as dedup_pagerank_contraction): deterministic init = the k "
+    "lowest vec_ids, one argmin assignment (ties to the lowest cluster "
+    "index on both sides), one mean update, one re-assignment — the "
+    "DuckDB twin unrolls it relationally (unnest to (vec,dim,val), "
+    "dim-join distance, window argmin) and signs per-cluster size, mean "
+    "squared distance, AND the round-1 centroid squared norm at 6dp; "
+    "one round keeps cross-engine float divergence ~1e-13, far inside "
+    "both the 6dp boundary and the corpus's O(1e-3) argmin margins",
+)(lambda spark: similarity.kmeans_contraction(spark))
 
 
 _register(
