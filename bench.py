@@ -172,7 +172,8 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     from uav_streamprocessor_spark.streaming.cms_stream import cms_stream
     from uav_streamprocessor_spark.streaming.topk_stream import topk_stream
 
-    work = Path(tempfile.mkdtemp(prefix="bench_stream_"))
+    base = Path(tempfile.mkdtemp(prefix="bench_stream_"))
+    work = base / "run0"
     results: dict[str, dict] = {}
 
     def feed(df, name: str, schema: str, ordered_by=None):
@@ -205,10 +206,34 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             .parquet(str(src) + "/*")
         )
 
+    # Each store is single-shot by default (a run re-ingests the whole
+    # feed, so N runs cost N× the section). $SPARK_GRAFT_BENCH_STREAM_RUNS
+    # > 1 records the MEDIAN wall time instead — the in-protocol answer
+    # to whole-section box stalls (r10 run 2 read 3-4× on byte-identical
+    # code while its headline section was the best of three runs; a
+    # median-of-3 re-measure settles such a reading without a dedicated
+    # adjudication session). Runner factories build a FRESH query +
+    # checkpoint per run so replays don't no-op against committed offsets.
+    n_stream_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_RUNS", "1")))
+
     def record(name: str, rows: int, runner) -> None:
-        t0 = time.perf_counter()
-        runner()
-        sec = round(time.perf_counter() - t0, 3)
+        nonlocal work
+        secs = []
+        for i in range(n_stream_runs):
+            # every runner resolves `work` at CALL time (feed src,
+            # store, checkpoint all live under it), so rebinding it per
+            # run gives each run a fresh checkpoint — without this, run
+            # 2+ would no-op against run 1's committed availableNow
+            # offsets and time ~0
+            work = base / f"{name}_run{i}"
+            t0 = time.perf_counter()
+            runner()
+            secs.append(round(time.perf_counter() - t0, 3))
+        # lower median: with even N the first run carries one-time
+        # codegen/UDF-compile cost (measured 2.4x on dedup_lsh_index),
+        # so rounding the median DOWN picks the steady-state side; use
+        # odd N (3) for adjudication runs
+        sec = sorted(secs)[(len(secs) - 1) // 2]
         results[name] = {
             "rows": rows,
             "batches": N_STREAM_BATCHES,
@@ -216,6 +241,8 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             "rows_per_sec": round(rows / sec, 1),
             "sec_per_batch": round(sec / N_STREAM_BATCHES, 3),
         }
+        if n_stream_runs > 1:
+            results[name]["runs"] = secs
         print(
             f"# streaming {name}: {rows} rows / {sec}s "
             f"= {results[name]['rows_per_sec']} rows/s",
@@ -433,7 +460,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         .awaitTermination(600),
     )
 
-    shutil.rmtree(work, ignore_errors=True)
+    shutil.rmtree(base, ignore_errors=True)
     return results
 
 
