@@ -319,6 +319,43 @@ def test_coreness_shapes(spark):
     assert got == {0: 3, 1: 3, 2: 3, 3: 3, 9: 1}
 
 
+def test_coreness_first_round_brackets_fixpoint(spark):
+    """The 1-round shadow behind dedup_coreness_contraction: h1 equals
+    the fixpoint on one-round graphs (clique+pendant, star) and brackets
+    it (coreness <= h1 <= degree) on a graph that needs more rounds."""
+    from uav_streamprocessor_spark.operators.graph import coreness_first_round
+
+    def round1(pairs):
+        edges = spark.createDataFrame(pairs, "src long, dst long")
+        return {
+            r["node"]: (r["degree"], r["h1"])
+            for r in coreness_first_round(edges).collect()
+        }
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    got = round1(k4 + [(3, 9)])
+    # clique nodes 0-2: degree 3, neighbor degrees {3,3,4} -> h1 = 3 ==
+    # coreness; node 3 carries the pendant (degree 4, h-index 3); the
+    # pendant sees one degree-4 neighbor -> h1 = min(1, 4) = 1
+    assert got == {0: (3, 3), 1: (3, 3), 2: (3, 3), 3: (4, 3), 9: (1, 1)}
+    # star: one round already reaches the all-1 fixpoint
+    star = [(0, i) for i in range(1, 6)]
+    assert round1(star) == {0: (5, 1), **{i: (1, 1) for i in range(1, 6)}}
+    # random graph: bracketing invariant against the converged fixpoint
+    import random
+
+    rng = random.Random(7)
+    pairs = list({tuple(sorted((rng.randrange(30), rng.randrange(30))))
+                  for _ in range(120)})
+    pairs = [p for p in pairs if p[0] != p[1]]
+    core = _coreness_dict(spark, pairs)
+    r1 = round1(pairs)
+    assert set(r1) == set(core)
+    assert any(r1[n][1] > core[n] for n in core)  # truncation is real
+    for n, (degree, h1) in r1.items():
+        assert core[n] <= h1 <= degree, n
+
+
 def test_coreness_matches_peeling_reference_on_random_graph(spark):
     import random
 

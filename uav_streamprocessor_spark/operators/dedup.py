@@ -809,6 +809,23 @@ def doc_graph_coreness(spark: SparkSession) -> DataFrame:
     )
 
 
+def coreness_contraction(spark: SparkSession) -> DataFrame:
+    """Oracled 1-round shadow of dedup_graph_coreness (rows-only: the
+    h-index FIXPOINT iterates a data-dependent number of rounds, which
+    SQL can't unroll). One round from the degree init is exactly the
+    fixpoint's loop body — all-integer h-index arithmetic, so the DuckDB
+    twin matches with no float tolerance (the strongest of the three
+    contraction shadows: pagerank/k-means carry 6dp rounding, this one
+    is exact). Emits (doc_id, degree, h1) over the blocking graph."""
+    from uav_streamprocessor_spark.operators.graph import coreness_first_round
+
+    return (
+        coreness_first_round(doc_block_edges(spark))
+        .select(F.col("node").alias("doc_id"), "degree", "h1")
+        .orderBy("doc_id")
+    )
+
+
 def minhash_estimate_audit(spark: SparkSession) -> DataFrame:
     """Signature-calibration audit: for every LSH candidate pair, the
     MinHash-ESTIMATED Jaccard (fraction of agreeing signature

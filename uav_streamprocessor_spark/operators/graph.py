@@ -434,6 +434,41 @@ def coreness(edges: DataFrame, src: str = "src", dst: str = "dst",
     return vals.select("node", F.col("c").alias("coreness"))
 
 
+def coreness_first_round(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One h-index round of the coreness fixpoint, from the degree init —
+    the SQL-expressible truncation shadow of `coreness` (same pattern as
+    the pagerank/k-means contraction shadows). Returns (node, degree,
+    h1) where h1 = min(degree, h-index of neighbor degrees): the exact
+    loop body above, applied once. All-integer arithmetic, so the DuckDB
+    twin matches exactly — no float tolerance anywhere. Invariants:
+    coreness(node) <= h1 <= degree (values only decrease toward the
+    fixpoint), with equality h1 == coreness on graphs whose fixpoint is
+    reached in one round (cliques, stars)."""
+    e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    sym = (
+        e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    deg = sym.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("u").orderBy(F.col("nc").desc(), "v")
+    hidx = (
+        sym.join(deg.select(F.col("node").alias("v"), F.col("c").alias("nc")), "v")
+        .withColumn("rn", F.row_number().over(w))
+        .groupBy(F.col("u").alias("node"))
+        .agg(F.max(F.least(F.col("rn"), F.col("nc"))).alias("h"))
+    )
+    return deg.join(hidx, "node").select(
+        "node",
+        F.col("c").alias("degree"),
+        F.least(F.col("c"), F.col("h")).alias("h1"),
+    )
+
+
 def modularity(
     edges: DataFrame, labels: DataFrame, src: str = "src", dst: str = "dst"
 ) -> DataFrame:

@@ -1542,7 +1542,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # in registration order.
 #
 # r11 queue: continue the r04-cohort re-prove rotation from
-# text_decontamination onward, then the r05 cohort.
+# text_gopher_quality onward, then the r05 cohort.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1551,6 +1551,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ev_markov_absorption",
     "dedup_pagerank_contraction",
     "emb_kmeans_contraction",
+    "dedup_coreness_contraction",
     # -- r03-cohort re-prove continuation (oldest driver rows = r03) --
     "text_tfidf_top_terms",
     "text_stats_by_lang_source",
@@ -1597,7 +1598,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q21_waiting_suppliers",
     "text_ngram_repetition",
     "text_boilerplate_ngrams",
-    "text_gopher_quality",
 ]
 
 
@@ -4466,8 +4466,47 @@ _register(
     "distributed h-index fixpoint (Lu et al. 2016) — boilerplate-"
     "nucleus vs fringe ranking; per-round work is one node-keyed join "
     "+ one degree-bounded window; iterative fixpoint not SQL-"
-    "expressible -> rows-only, exact peeling reference in pytest",
+    "expressible -> rows-only, exact peeling reference in pytest; the "
+    "oracled 1-round shadow dedup_coreness_contraction signs the loop "
+    "body exactly (integer arithmetic)",
 )(lambda spark: dedup.doc_graph_coreness(spark))
+
+
+_register(
+    "dedup_coreness_contraction",
+    """
+WITH keys AS (
+  SELECT doc_id, 'p:' || md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'm:' || md5(array_to_string(string_split(text, ' ')[3:8], ' ')) AS key
+  FROM documents
+), e0 AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y USING (key)
+  WHERE x.doc_id < y.doc_id
+), e AS (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+),
+deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS degree FROM e GROUP BY u),
+nbr AS (
+  SELECT e.u AS node, d.degree AS nc,
+         row_number() OVER (PARTITION BY e.u ORDER BY d.degree DESC, e.v)
+           AS rn
+  FROM e JOIN deg d ON d.node = e.v
+),
+h AS (SELECT node, max(least(rn, nc)) AS h FROM nbr GROUP BY node)
+SELECT deg.node AS doc_id, deg.degree,
+       CAST(least(deg.degree, h.h) AS BIGINT) AS h1
+FROM deg JOIN h USING (node) ORDER BY doc_id
+""",
+    notes="1-round h-index shadow of dedup_graph_coreness (the third "
+    "contraction shadow next to pagerank/k-means, and the strongest: "
+    "h1 = min(degree, h-index of neighbor degrees) is ALL-INTEGER, so "
+    "the DuckDB twin matches exactly with no rounding tolerance; the "
+    "h-index fold max(least(rank, value)) is tie-order-invariant, and "
+    "coreness <= h1 <= degree pins the fixpoint direction in pytest)",
+)(lambda spark: dedup.coreness_contraction(spark))
 
 
 _register(
