@@ -1493,7 +1493,18 @@ def bot_regularity_screen(
 
     One per-user lag window (exact integer µs gaps), one user-keyed
     aggregate; the flag recomputes from reported stats so the oracle
-    value-checks the rule, not just the arithmetic."""
+    value-checks the rule, not just the arithmetic.
+
+    Determinism (r10 sf0.1 full-sweep finding): avg/stddev_samp over
+    the integer gaps accumulate in doubles whose summation order is
+    engine-specific, and one sf0.1 user's mean landed exactly on a 6dp
+    rounding boundary (33374.0610425 s). Mean and variance are instead
+    derived from EXACT integer moments — sum(gap) as long, sum(gap²)
+    as decimal(38,0) (DuckDB: HUGEINT) — converted to double once, so
+    both engines see bit-identical raw values; the final rounds use the
+    integer-scaling idiom (round(x*1e6)/1e6), and the variance is
+    clamped at 0 (the moment form can cancel to -1e-? on metronomic
+    users where stddev_samp is exactly 0)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     gaps = (
@@ -1501,21 +1512,27 @@ def bot_regularity_screen(
         .withColumn("gap_us", us - F.lag(us).over(w))
         .filter(F.col("gap_us").isNotNull())
     )
+    g16 = F.col("gap_us").cast("decimal(16,0)")
     stats = gaps.groupBy("user_id").agg(
         (F.count(F.lit(1)) + 1).cast("long").alias("n_events"),
-        F.avg("gap_us").alias("mean_gap_us"),
-        F.stddev_samp("gap_us").alias("sd_gap_us"),
+        F.count(F.lit(1)).cast("double").alias("n_gaps"),
+        F.sum("gap_us").cast("double").alias("s1"),
+        F.sum(g16 * g16).cast("double").alias("s2"),
     )
-    cv = F.col("sd_gap_us") / F.col("mean_gap_us")
+    mean = F.col("s1") / F.col("n_gaps")
+    var = F.greatest(
+        (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n_gaps"))
+        / (F.col("n_gaps") - 1),
+        F.lit(0.0),
+    )
+    cv = F.sqrt(var) / mean
     return (
-        stats.filter(
-            (F.col("n_events") >= min_events) & (F.col("mean_gap_us") > 0)
-        )
+        stats.filter((F.col("n_events") >= min_events) & (mean > 0))
         .select(
             "user_id",
             "n_events",
-            F.round((F.col("mean_gap_us") / 1e6), 6).alias("mean_gap_s"),
-            F.round(cv, 6).alias("gap_cv"),
+            (F.round(mean / 1e6 * 1e6, 0) / 1e6).alias("mean_gap_s"),
+            (F.round(cv * 1e6, 0) / 1e6).alias("gap_cv"),
             (cv < cv_threshold).alias("bot_flag"),
         )
     )

@@ -727,7 +727,11 @@ def q2_min_cost_supplier(spark: SparkSession) -> DataFrame:
     aggregate (min-price agg, join back on (part, price), tie-break by
     min suppkey). lineitem stands in for the absent partsupp; unit price
     = extendedprice/quantity rounded to 2dp BEFORE the min so the
-    join-back key is hash-stable."""
+    join-back key is hash-stable. The rounding uses the integer-scaling
+    idiom round(x*100)/100 on BOTH engines: plain round(x, 2) decimal-
+    rounds the shortest repr in Spark but binary-rounds in DuckDB, and
+    at sf0.1 1661 of 600k quotients land exactly on a .xx5 boundary
+    where the two disagree (verified: the scaled form diverges on 0)."""
     nation = _t(spark, "nation")
     region = _t(spark, "region").filter(F.col("r_name") == "ASIA")
     supp = (
@@ -745,9 +749,10 @@ def q2_min_cost_supplier(spark: SparkSession) -> DataFrame:
         .select(
             "l_partkey",
             "l_suppkey",
-            F.round(F.col("l_extendedprice") / F.col("l_quantity"), 2).alias(
-                "unit_price"
-            ),
+            (
+                F.round(F.col("l_extendedprice") / F.col("l_quantity") * 100, 0)
+                / 100
+            ).alias("unit_price"),
         )
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(part, F.col("l_partkey") == F.col("p_partkey"))

@@ -1542,7 +1542,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # in registration order.
 #
 # r11 queue: continue the r04-cohort re-prove rotation from
-# text_gopher_quality onward, then the r05 cohort.
+# text_ngram_repetition onward, then the r05 cohort.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1552,6 +1552,12 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_pagerank_contraction",
     "emb_kmeans_contraction",
     "dedup_coreness_contraction",
+    # -- r10 sf0.1 full-sweep fixes (cross-engine rounding/accumulation
+    #    determinism): fresh driver rows prove the fixed forms.
+    #    tpch_q2_min_cost, the third fix, is already in the window via
+    #    the r04-cohort re-prove below. --
+    "text_dsir_weights",
+    "ev_bot_regularity",
     # -- r03-cohort re-prove continuation (oldest driver rows = r03) --
     "text_tfidf_top_terms",
     "text_stats_by_lang_source",
@@ -1596,8 +1602,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q17_small_quantity",
     "tpch_q20_excess_suppliers",
     "tpch_q21_waiting_suppliers",
-    "text_ngram_repetition",
-    "text_boilerplate_ngrams",
 ]
 
 
@@ -2493,7 +2497,7 @@ WITH supp AS (
   WHERE r_name = 'ASIA'
 ), offers AS (
   SELECT l_partkey, l_suppkey, p_name,
-         round(l_extendedprice / l_quantity, 2) AS unit_price
+         round(l_extendedprice / l_quantity * 100) / 100 AS unit_price
   FROM lineitem
   JOIN supp ON l_suppkey = s_suppkey
   JOIN part ON l_partkey = p_partkey
@@ -2509,7 +2513,10 @@ GROUP BY 1, 2, 3
 """,
     notes="Q2 adapted: region-scoped min-cost supplier per ECONOMY part; "
     "lineitem stands in for partsupp; unit price rounded pre-join for "
-    "hash-stable keys",
+    "hash-stable keys via the integer-scaling idiom round(x*100)/100 — "
+    "plain round(x,2) diverges between Spark (decimal HALF_UP) and "
+    "DuckDB (binary) on 1661 of 600k sf0.1 quotients landing exactly "
+    "on .xx5 (r10 full-registry sf0.1 sweep finding)",
 )(lambda spark: relational.q2_min_cost_supplier(spark))
 
 
@@ -4824,7 +4831,7 @@ lm AS (
   FROM counts, totals
 )
 SELECT t.doc_id, t.lang, CAST(count(*) AS BIGINT) AS n_tokens,
-       round(avg(log_ratio), 6) AS avg_log_ratio,
+       round(avg(log_ratio), 6) + 0.0 AS avg_log_ratio,
        round(avg(log_ratio), 6) > 0 AS selected
 FROM toks t JOIN lm USING (word)
 GROUP BY t.doc_id, t.lang
@@ -4835,7 +4842,10 @@ ORDER BY t.doc_id
     "smoothed over a min-count-5 shared vocabulary (the cutoff kills "
     "the OOV smoothing artifact — see operator docstring); one corpus "
     "shuffle + a vocab-sized LM join back — the hashed-ngram variant "
-    "at 100 TB swaps the word key for xxhash64(word) % 2^20",
+    "at 100 TB swaps the word key for xxhash64(word) % 2^20; the "
+    "+ 0.0 normalizes DuckDB's round(-tiny, 6) = -0.0 to +0.0 (Spark's "
+    "round never emits negative zero — r10 sf0.1 full-sweep finding: "
+    "one sf0.1 doc rounds to zero from below)",
 )(lambda spark: text.dsir_importance_weights(spark))
 
 
@@ -5754,19 +5764,33 @@ WITH g AS (
 ),
 s AS (
   SELECT user_id, CAST(count(*) + 1 AS BIGINT) AS n_events,
-         avg(gap_us) AS mean_gap_us, stddev_samp(gap_us) AS sd_gap_us
+         CAST(count(*) AS DOUBLE) AS n_gaps,
+         CAST(sum(gap_us) AS DOUBLE) AS s1,
+         CAST(sum(CAST(gap_us AS HUGEINT) * CAST(gap_us AS HUGEINT))
+              AS DOUBLE) AS s2
   FROM g WHERE gap_us IS NOT NULL GROUP BY user_id
+),
+m AS (
+  SELECT user_id, n_events, s1 / n_gaps AS mean_gap_us,
+         sqrt(greatest((s2 - s1 * s1 / n_gaps) / (n_gaps - 1), 0.0))
+           / (s1 / n_gaps) AS cv
+  FROM s
 )
 SELECT user_id, n_events,
-       round(mean_gap_us / 1000000.0, 6) AS mean_gap_s,
-       round(sd_gap_us / mean_gap_us, 6) AS gap_cv,
-       (sd_gap_us / mean_gap_us) < 0.3 AS bot_flag
-FROM s WHERE n_events >= 20 AND mean_gap_us > 0
+       round(mean_gap_us / 1000000.0 * 1000000) / 1000000 AS mean_gap_s,
+       round(cv * 1000000) / 1000000 AS gap_cv,
+       cv < 0.3 AS bot_flag
+FROM m WHERE n_events >= 20 AND mean_gap_us > 0
 """,
     notes="bot-likeness screen: coefficient of variation of inter-event "
     "gaps per user (metronomic traffic has cv << 1 — the behavioral "
     "complement of volume/value screens); one lag window + one "
-    "user-keyed aggregate",
+    "user-keyed aggregate; mean/variance derive from EXACT integer "
+    "moments (sum as long, sum-of-squares as decimal38/HUGEINT) "
+    "converted to double once, with integer-scaled rounds — avg/"
+    "stddev_samp double accumulation diverged across engines on an "
+    "sf0.1 user whose mean sat exactly on the 6dp boundary (r10 "
+    "full-sweep finding); variance clamped at 0 for metronomic users",
 )(lambda spark: events_ops.bot_regularity_screen(spark))
 
 
