@@ -2173,6 +2173,23 @@ def markov_absorption(spark: SparkSession) -> DataFrame:
     inverse isn't SQL; invariants pinned in tests (each state's
     absorption probabilities sum to 1; a planted deterministic chain
     solves exactly)."""
+    transient, B, steps = _absorption_solve(spark)
+    rows = [
+        (s, float(round(B[i, 0], 6)), float(round(B[i, 1], 6)),
+         float(round(steps[i], 6)))
+        for i, s in enumerate(transient)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "state string, p_conversion double, p_drop double, "
+        "expected_steps double",
+    )
+
+
+def _absorption_solve(spark: SparkSession):
+    """Shared fundamental-matrix solve for markov_absorption and its
+    conservation shadow: returns (sorted transient states, B = absorption
+    probabilities [purchase, __drop__], expected steps), unrounded."""
     import numpy as np
 
     counts = {
@@ -2211,15 +2228,24 @@ def markov_absorption(spark: SparkSession) -> DataFrame:
             "so absorption probabilities are undefined. Transient states: "
             f"{transient}"
         ) from exc
-    B = X[:, :2]
-    steps = X[:, 2]
+    return transient, X[:, :2], X[:, 2]
+
+
+def markov_absorption_mass(spark: SparkSession) -> DataFrame:
+    """Oracled conservation shadow of ev_markov_absorption (which stays
+    rows-only: a matrix solve isn't SQL). Every transient state's
+    absorption probabilities must sum to EXACTLY 1 — algebraically,
+    (I−Q)·1 = R·1 because each state's outgoing transition mass is a
+    full probability distribution, so (I−Q)⁻¹R·1 = 1 up to solver float
+    error (~1e-15, seven orders inside the 6dp round). The DuckDB
+    oracle derives the SAME transient-state list relationally from the
+    transition table and asserts mass 1.0 per state — signing the whole
+    chain end-to-end: window-pass truncation → count table → row
+    normalization → linear solve. Mass is summed UNROUNDED (summing the
+    6dp-rounded per-column outputs could read 0.999999/1.000001)."""
+    transient, B, _ = _absorption_solve(spark)
     rows = [
-        (s, float(round(B[i, 0], 6)), float(round(B[i, 1], 6)),
-         float(round(steps[i], 6)))
-        for s, i in sorted(idx.items())
+        (s, float(round(B[i, 0] + B[i, 1], 6)))
+        for i, s in enumerate(transient)
     ]
-    return spark.createDataFrame(
-        rows,
-        "state string, p_conversion double, p_drop double, "
-        "expected_steps double",
-    )
+    return spark.createDataFrame(rows, "state string, absorbed_mass double")

@@ -1542,7 +1542,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 # in registration order.
 #
 # r11 queue: continue the r04-cohort re-prove rotation from
-# text_ngram_repetition onward, then the r05 cohort.
+# tpch_q21_waiting_suppliers onward, then the r05 cohort.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1558,6 +1558,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     #    the r04-cohort re-prove below. --
     "text_dsir_weights",
     "ev_bot_regularity",
+    "ev_markov_absorption_mass",
     # -- r03-cohort re-prove continuation (oldest driver rows = r03) --
     "text_tfidf_top_terms",
     "text_stats_by_lang_source",
@@ -1601,7 +1602,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q16_supplier_counts",
     "tpch_q17_small_quantity",
     "tpch_q20_excess_suppliers",
-    "tpch_q21_waiting_suppliers",
 ]
 
 
@@ -6614,6 +6614,44 @@ GROUP BY prev_state, next_state ORDER BY prev_state, next_state
     "to the (prev_state, next_state, n) table the fundamental-matrix "
     "solve consumes; one window pass + a types^2 map-side-combined count",
 )(lambda spark: events_ops.markov_transition_counts(spark))
+
+
+_register(
+    "ev_markov_absorption_mass",
+    """
+WITH seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         coalesce(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS seen
+  FROM events
+),
+kept AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM seq WHERE seen = 0
+),
+trans AS (
+  SELECT event_type AS prev_state,
+         CASE WHEN event_type = 'purchase' THEN NULL
+              ELSE coalesce(next_type, '__drop__') END AS next_state
+  FROM kept
+)
+SELECT DISTINCT prev_state AS state, 1.0 AS absorbed_mass
+FROM trans WHERE next_state IS NOT NULL
+ORDER BY state
+""",
+    notes="conservation shadow of the rows-only ev_markov_absorption "
+    "(the absorption-probability analogue of emb_pca_trace_identity): "
+    "every transient state's absorption probabilities must sum to "
+    "exactly 1 because (I-Q)*1 = R*1 — the oracle derives the same "
+    "transient-state list relationally and asserts mass 1.0 per state, "
+    "signing truncation window -> count table -> row normalization -> "
+    "linear solve end-to-end; Spark sums B's columns UNROUNDED before "
+    "the 6dp round (solver error ~1e-15)",
+)(lambda spark: events_ops.markov_absorption_mass(spark))
 
 
 _register(
