@@ -129,6 +129,28 @@ ROTATION = [
 
 N_STREAM_BATCHES = 4
 
+# Per-query run-count boosts (VERDICT r10 #1): queries whose single-box
+# median-of-3 readings opened perf fuses on UNTOUCHED code (the dedup-UDF
+# cluster, r9→r10) get a wider median by default so one noisy session
+# stops looking like a regression. Merged with (and overridable by)
+# $SPARK_GRAFT_BENCH_RUNS_OVERRIDE="name=N,name=N"; even values are
+# rounded up to odd so the median stays exact.
+EXTRA_RUNS = {
+    "dedup_simhash_neardups": 7,
+    "dedup_winnowing": 7,
+    "dedup_minhash_neardups": 7,
+}
+
+
+def _runs_for(name: str, default: int) -> int:
+    n = EXTRA_RUNS.get(name, default)
+    for item in os.environ.get("SPARK_GRAFT_BENCH_RUNS_OVERRIDE", "").split(","):
+        if "=" in item:
+            k, v = item.split("=", 1)
+            if k.strip() == name:
+                n = max(1, int(v))
+    return n + 1 if n % 2 == 0 else n
+
 
 def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     """Throughput for the streaming-state paths (VERDICT r4 #6): each
@@ -215,6 +237,11 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     # adjudication session). Runner factories build a FRESH query +
     # checkpoint per run so replays don't no-op against committed offsets.
     n_stream_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_RUNS", "1")))
+    # force ODD N: with even N the lower median is the MINIMUM for N=2,
+    # biasing the headline fast while the artifact calls it a median
+    # (ADVICE r10) — round up so 'median' always means the true median
+    if n_stream_runs % 2 == 0:
+        n_stream_runs += 1
 
     def record(name: str, rows: int, runner) -> None:
         nonlocal work
@@ -229,10 +256,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             t0 = time.perf_counter()
             runner()
             secs.append(round(time.perf_counter() - t0, 3))
-        # lower median: with even N the first run carries one-time
-        # codegen/UDF-compile cost (measured 2.4x on dedup_lsh_index),
-        # so rounding the median DOWN picks the steady-state side; use
-        # odd N (3) for adjudication runs
+        # true median — N is forced odd above, so this index is exact
         sec = sorted(secs)[(len(secs) - 1) // 2]
         results[name] = {
             "rows": rows,
@@ -243,6 +267,7 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
         }
         if n_stream_runs > 1:
             results[name]["runs"] = secs
+            results[name]["stat"] = "median"
         print(
             f"# streaming {name}: {rows} rows / {sec}s "
             f"= {results[name]['rows_per_sec']} rows/s",
@@ -492,6 +517,8 @@ def main() -> None:
     qmap["uav_pixel_detections"](spark, sf_dir).collect()
 
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
+    if n_runs % 2 == 0:  # keep 'median' exact (ADVICE r10)
+        n_runs += 1
     headline = HEADLINE + (
         ROTATION if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1" else []
     )
@@ -505,18 +532,19 @@ def main() -> None:
             # it so spreads reflect steady-state variance
             df = qmap[name](spark, sf_dir)
             df.count() if name.startswith("uav_keyframe") else df.collect()
+        q_runs = _runs_for(name, n_runs)
         runs: list[float] = []
-        for _ in range(n_runs):
+        for _ in range(q_runs):
             t0 = time.perf_counter()
             df = qmap[name](spark, sf_dir)
             n = df.count() if name.startswith("uav_keyframe") else len(df.collect())
             runs.append(round(time.perf_counter() - t0, 3))
         runs.sort()
-        timings[name] = runs[len(runs) // 2]  # median
+        timings[name] = runs[len(runs) // 2]  # median (q_runs forced odd)
         spread[name] = [runs[0], runs[-1]]
         print(
             f"# {name}: median {timings[name]}s "
-            f"[{runs[0]}..{runs[-1]}, n={n_runs}] ({n} rows)",
+            f"[{runs[0]}..{runs[-1]}, n={q_runs}] ({n} rows)",
             file=sys.stderr,
         )
 

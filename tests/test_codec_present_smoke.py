@@ -37,15 +37,24 @@ class _Acc:
 
 @pytest.fixture()
 def stub_cv2(monkeypatch):
-    """cv2-shaped module recording every VideoWriter interaction."""
-    opened = []  # (path, fourcc, fps, size) per constructor call
+    """cv2-shaped module recording every VideoWriter interaction, plus a
+    VideoCapture that plays a released writer's frames back — enough
+    surface for the remux-based `reassemble_segments(fmt="mp4")` path
+    to run end-to-end without a codec."""
+    opened = []  # FakeWriter per constructor call
+    files = {}  # path -> released FakeWriter (the "committed" file)
 
     class _FakeWriter:
         def __init__(self, path, fourcc, fps, size):
             self.path, self.fourcc, self.fps, self.size = path, fourcc, fps, size
             self.frames = []
+            self.arrays = []
             self.released = False
             opened.append(self)
+            # touch the path so directory scans (reassemble_segments)
+            # see the segment like a real mux would leave it
+            with open(path, "wb") as f:
+                f.write(b"stub-mp4")
 
         def isOpened(self):
             return True
@@ -55,14 +64,50 @@ def stub_cv2(monkeypatch):
             assert frame.flags["WRITEABLE"] and frame.flags["C_CONTIGUOUS"]
             assert frame.dtype == np.uint8 and frame.ndim == 3
             self.frames.append(frame.shape)
+            self.arrays.append(frame.copy())
 
         def release(self):
             self.released = True
+            files[str(self.path)] = self
+
+    class _FakeCapture:
+        def __init__(self, path):
+            self._w = files.get(str(path))
+            self._i = 0
+
+        def isOpened(self):
+            return self._w is not None
+
+        def read(self):
+            if self._w is None or self._i >= len(self._w.arrays):
+                return False, None
+            arr = self._w.arrays[self._i]
+            self._i += 1
+            return True, arr
+
+        def get(self, prop):
+            if self._w is None:
+                return 0.0
+            return {
+                "fps": self._w.fps,
+                "w": float(self._w.size[0]),
+                "h": float(self._w.size[1]),
+                "count": float(len(self._w.arrays)),
+            }[prop]
+
+        def release(self):
+            pass
 
     mod = types.ModuleType("cv2")
     mod.VideoWriter = _FakeWriter
+    mod.VideoCapture = _FakeCapture
     mod.VideoWriter_fourcc = lambda *c: "".join(c)
+    mod.CAP_PROP_FPS = "fps"
+    mod.CAP_PROP_FRAME_WIDTH = "w"
+    mod.CAP_PROP_FRAME_HEIGHT = "h"
+    mod.CAP_PROP_FRAME_COUNT = "count"
     mod._opened = opened
+    mod._files = files
     monkeypatch.setitem(sys.modules, "cv2", mod)
     return mod
 
@@ -135,6 +180,74 @@ def test_mp4_writer_latch_skip_segments_with_stub_cv2(stub_cv2, tmp_path):
     assert str(out / "10.0.0.5.b000002.mp4") not in [w.path for w in stub_cv2._opened]
 
 
+def test_mp4_reassembly_orders_segments_by_batch(stub_cv2, tmp_path):
+    """VERDICT r10 #4: `reassemble_segments(fmt="mp4")` recovers the
+    reference's single-file deliverable (frame_processing.py:142-159)
+    from per-batch segments, in batch order (lexicographic = batch
+    order by zero-padded ids), via remux — never byte concat."""
+    from uav_streamprocessor_spark.streaming.sinks import (
+        _record_partition,
+        reassemble_segments,
+    )
+
+    out = tmp_path / "rec"
+    out.mkdir()
+    acc = _Acc()
+    # three batches written OUT of order — reassembly must follow batch
+    # ids, not write order
+    for batch_id, frames in [(1, range(3, 6)), (0, range(0, 3)), (2, range(6, 8))]:
+        _record_partition(
+            iter(_rows("10.0.0.5", frames, 64, 36, None)),
+            str(out), 25.0, acc, fmt="mp4", batch_id=batch_id,
+        )
+
+    assert reassemble_segments(str(out), fmt="mp4") == {"10.0.0.5": 3}
+    dest = stub_cv2._files[str(out / "10.0.0.5.mp4")]
+    assert dest.fourcc == "mp4v" and dest.fps == 25.0 and dest.size == (64, 36)
+    # frame payloads in the muxed file == batch 0,1,2 frames in order
+    expected = [
+        np.ascontiguousarray(
+            __import__(
+                "uav_streamprocessor_spark.operators.pixel", fromlist=["decode_image"]
+            ).decode_image(make_test_image(n, 36, 64))
+        )
+        for n in range(8)
+    ]
+    assert len(dest.arrays) == 8
+    for got, want in zip(dest.arrays, expected):
+        assert np.array_equal(got, want)
+
+    # reassembly is idempotent while segments are kept
+    assert reassemble_segments(str(out), fmt="mp4") == {"10.0.0.5": 3}
+    dest2 = stub_cv2._files[str(out / "10.0.0.5.mp4")]
+    assert len(dest2.arrays) == 8
+
+    # the destination file never matches the segment pattern, so it is
+    # not swallowed as input by a later reassembly pass
+    seg_names = {p.name for p in out.iterdir()}
+    assert "10.0.0.5.mp4" in seg_names and "10.0.0.5.b000000.mp4" in seg_names
+
+
+def test_jsonl_reassembly_byte_concat(tmp_path):
+    """jsonl segments byte-concatenate (line-delimited); destination
+    rebuilt from scratch each call → replayed-batch duplicates are
+    structurally impossible (ADVICE r10: jsonl idempotency)."""
+    from uav_streamprocessor_spark.streaming.sinks import reassemble_segments
+
+    out = tmp_path / "rec"
+    out.mkdir()
+    (out / "camA.b000001.jsonl").write_text('{"frame_number": 1}\n')
+    (out / "camA.b000000.jsonl").write_text('{"frame_number": 0}\n')
+    (out / "camB.b000000.jsonl").write_text('{"frame_number": 9}\n')
+    assert reassemble_segments(str(out)) == {"camA": 2, "camB": 1}
+    lines = (out / "camA.jsonl").read_text().splitlines()
+    assert lines == ['{"frame_number": 0}', '{"frame_number": 1}']
+    assert (out / "camB.jsonl").read_text() == '{"frame_number": 9}\n'
+    # keep_segments=False removes inputs after the deliverable is built
+    reassemble_segments(str(out), keep_segments=False)
+    assert {p.name for p in out.iterdir()} == {"camA.jsonl", "camB.jsonl"}
+
+
 @pytest.mark.skipif(
     importlib.util.find_spec("cv2") is None,
     reason="no cv2/codec in this container — mp4 mux smoke runs where one ships",
@@ -161,4 +274,15 @@ def test_mp4_mux_end_to_end_with_real_cv2(spark, tmp_path):
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 12
     assert int(cap.get(cv2.CAP_PROP_FRAME_WIDTH)) == 64
     assert int(cap.get(cv2.CAP_PROP_FRAME_HEIGHT)) == 36
+    cap.release()
+
+    # second batch + remux into the single-file deliverable
+    from uav_streamprocessor_spark.streaming.sinks import reassemble_segments
+
+    sink(frames.withColumn("frame_number", frames.frame_number + 12), 1)
+    assert reassemble_segments(str(tmp_path / "rec"), fmt="mp4") == {"camA": 2}
+    merged = tmp_path / "rec" / "camA.mp4"
+    cap = cv2.VideoCapture(str(merged))
+    assert cap.isOpened()
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 24
     cap.release()

@@ -123,6 +123,58 @@ def test_annotate_udf_draws_borders(spark):
     assert (img[10:21, 20] == [0, 255, 0]).all()  # right border green
 
 
+def test_annotate_udf_rasterizes_labels(spark):
+    """T3 label text (VERDICT r10 #3): boxes carrying class_name +
+    confidence get '{class}: {conf:.2f}' (frame_processing.py:126) baked
+    into the pixels at the reference's (x_min, y_min-10) anchor (:128)
+    via the 5×7 bitmap font — non-border pixels change where the label
+    lands."""
+    import numpy as np
+
+    from uav_streamprocessor_spark.operators.pixel import FONT_5X7
+
+    src = make_test_image(7, 64, 64)
+    df = spark.createDataFrame(
+        [(src,
+          [{"x_min": 10, "y_min": 20, "x_max": 30, "y_max": 40,
+            "class_name": "car", "confidence": 0.87}])],
+        "image binary, boxes array<struct<x_min:int,y_min:int,x_max:int,"
+        "y_max:int,class_name:string,confidence:double>>",
+    )
+    out = df.select(annotate_udf("image", "boxes").alias("img")).collect()[0]
+    img = decode_image(bytes(out["img"]))
+    before = decode_image(src)
+    # every lit glyph pixel of "car: 0.87" is green at (10+6i+col, 10+row)
+    label = "car: 0.87"
+    lit = 0
+    for i, ch in enumerate(label):
+        g = FONT_5X7[ch.upper()]
+        ys, xs = np.nonzero(g)
+        for y, x in zip(ys, xs):
+            assert (img[10 + y, 10 + 6 * i + x] == [0, 255, 0]).all()
+            lit += 1
+    assert lit > 30  # the label is substantial, not a stray pixel
+    # unlit label-row pixels outside glyphs are untouched (gap column of
+    # the first glyph: 'C' has no pixels in column 5)
+    assert (img[10:17, 15] == before[10:17, 15]).all()
+    # a box near the top edge anchors the label off-frame: clipped, no crash
+    df2 = spark.createDataFrame(
+        [(src,
+          [{"x_min": 2, "y_min": 4, "x_max": 30, "y_max": 40,
+            "class_name": "dog", "confidence": 0.5}])],
+        "image binary, boxes array<struct<x_min:int,y_min:int,x_max:int,"
+        "y_max:int,class_name:string,confidence:double>>",
+    )
+    out2 = df2.select(annotate_udf("image", "boxes").alias("img")).collect()[0]
+    img2 = decode_image(bytes(out2["img"]))
+    # rows -6..-1 are off-frame; row 0 carries glyph row 6 where lit
+    g = FONT_5X7["D"]
+    ys, xs = np.nonzero(g)
+    for y, x in zip(ys, xs):
+        if y == 6:
+            assert (img2[0, 2 + x] == [0, 255, 0]).all()
+
+
 def test_image_dir_reader(spark, tmp_path):
     """S1: binaryFile scan ordered by first integer in stem
     (uav/frame_reader.py:62-66)."""

@@ -189,6 +189,11 @@ def test_ordered_recorder_sink(spark, tmp_path):
     sink = OrderedRecorderSink(str(tmp_path / "rec"))
     sink(frames, 0)
     assert sink.skipped == 1
+    # writers emit per-batch segments (replay-idempotent); reassemble
+    # recovers the single-file-per-camera deliverable
+    from uav_streamprocessor_spark.streaming.sinks import reassemble_segments
+
+    assert reassemble_segments(str(tmp_path / "rec")) == {"cam0": 1, "cam1": 1}
     lines = [
         json.loads(line)
         for line in open(tmp_path / "rec" / "cam0.jsonl")
@@ -219,7 +224,15 @@ def test_ordered_recorder_sink(spark, tmp_path):
     )
     sink2(mismatch, 1)
     assert sink2.skipped == 1
+    reassemble_segments(str(tmp_path / "rec"))
     assert len(list(open(tmp_path / "rec" / "cam0.jsonl"))) == 50  # unchanged
+
+    # jsonl replay idempotency (ADVICE r10): re-running batch 0 must not
+    # duplicate rows — the replayed batch overwrites its own segment
+    sink3 = OrderedRecorderSink(str(tmp_path / "rec"))
+    sink3(frames, 0)
+    reassemble_segments(str(tmp_path / "rec"))
+    assert len(list(open(tmp_path / "rec" / "cam0.jsonl"))) == 50
 
 
 def test_full_uav_streaming_pipeline(spark, tmp_path):

@@ -55,18 +55,39 @@ def make_test_image(seed: int, height: int, width: int) -> bytes:
     return encode_image(rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8))
 
 
-def letterbox_array(img: np.ndarray, target: int = 640) -> np.ndarray:
+def _best_resize():
+    """Resize-kernel seam (VERDICT r10 #7): cv2.resize INTER_AREA when a
+    cv2 build is present — the reference's kernel (uav/frame_processing.
+    py:34) — else None → letterbox_array's nearest-neighbor fallback.
+    Resolved lazily per Python worker; the import result is cached by
+    the interpreter so per-batch resolution is free."""
+    try:
+        import cv2
+
+        area = cv2.INTER_AREA  # AttributeError on partial stubs → fallback
+        rz = cv2.resize
+        return lambda img, size: rz(img, size, interpolation=area)
+    except Exception:
+        return None
+
+
+def letterbox_array(img: np.ndarray, target: int = 640, resize=None) -> np.ndarray:
     """Reference letterbox semantics (uav/frame_processing.py:29-44):
-    aspect-preserving nearest-neighbor resize + symmetric zero padding.
-    (The reference uses cv2.INTER_AREA; nearest keeps the container
-    dependency-free — the geometry, which is what the oracle checks, is
-    identical.)"""
+    aspect-preserving resize + symmetric zero padding. `resize` is the
+    kernel seam — a (img, (new_w, new_h)) -> array callable (cv2
+    INTER_AREA via _best_resize when present, frame_processing.py:34);
+    None uses nearest-neighbor, which keeps the container dependency-
+    free. The GEOMETRY (scale, content slot, padding) is identical
+    either way — only interpolated pixel values differ."""
     h, w = img.shape[:2]
     scale = min(target / w, target / h)
     new_w, new_h = int(w * scale), int(h * scale)
-    ys = (np.arange(new_h) / scale).astype(np.int64).clip(0, h - 1)
-    xs = (np.arange(new_w) / scale).astype(np.int64).clip(0, w - 1)
-    resized = img[ys][:, xs]
+    if resize is not None:
+        resized = resize(img, (new_w, new_h))
+    else:
+        ys = (np.arange(new_h) / scale).astype(np.int64).clip(0, h - 1)
+        xs = (np.arange(new_w) / scale).astype(np.int64).clip(0, w - 1)
+        resized = img[ys][:, xs]
     pad_top = (target - new_h) // 2
     pad_left = (target - new_w) // 2
     out = np.zeros((target, target, 3), dtype=np.uint8)
@@ -76,22 +97,105 @@ def letterbox_array(img: np.ndarray, target: int = 640) -> np.ndarray:
 
 @pandas_udf(T.BinaryType())
 def letterbox_udf(images: pd.Series) -> pd.Series:
-    """T1 as an Arrow-batched scalar pandas UDF. On error returns the
-    input unchanged — the reference's fallback (frame_processing.py:53-57)."""
+    """T1 as an Arrow-batched scalar pandas UDF. Uses cv2 INTER_AREA when
+    the worker has a cv2 build (reference parity), nearest otherwise. On
+    error returns the input unchanged — the reference's fallback
+    (frame_processing.py:53-57)."""
+    rz = _best_resize()
     out = []
     for buf in images:
         try:
-            out.append(encode_image(letterbox_array(decode_image(bytes(buf)))))
+            out.append(
+                encode_image(letterbox_array(decode_image(bytes(buf)), resize=rz))
+            )
         except Exception:
             out.append(buf)
     return pd.Series(out)
 
 
+# 5×7 bitmap font (classic HD44780 shapes): 7 rows per glyph, each row a
+# 5-bit int, MSB = leftmost column. Covers what detection labels need —
+# letters (rendered uppercase), digits, ':', '.', space. This replaces
+# the reference's cv2.putText/FONT_HERSHEY_SIMPLEX (frame_processing.py:
+# 128-129) without a font stack: glyph SHAPES differ from Hershey but
+# the semantics (label text baked into the pixel buffer at the
+# reference's anchor) are closed.
+_FONT_ROWS = {
+    "A": (0x0E, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "B": (0x1E, 0x11, 0x11, 0x1E, 0x11, 0x11, 0x1E),
+    "C": (0x0E, 0x11, 0x10, 0x10, 0x10, 0x11, 0x0E),
+    "D": (0x1E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x1E),
+    "E": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x1F),
+    "F": (0x1F, 0x10, 0x10, 0x1E, 0x10, 0x10, 0x10),
+    "G": (0x0E, 0x11, 0x10, 0x17, 0x11, 0x11, 0x0F),
+    "H": (0x11, 0x11, 0x11, 0x1F, 0x11, 0x11, 0x11),
+    "I": (0x0E, 0x04, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "J": (0x07, 0x02, 0x02, 0x02, 0x02, 0x12, 0x0C),
+    "K": (0x11, 0x12, 0x14, 0x18, 0x14, 0x12, 0x11),
+    "L": (0x10, 0x10, 0x10, 0x10, 0x10, 0x10, 0x1F),
+    "M": (0x11, 0x1B, 0x15, 0x15, 0x11, 0x11, 0x11),
+    "N": (0x11, 0x19, 0x15, 0x13, 0x11, 0x11, 0x11),
+    "O": (0x0E, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "P": (0x1E, 0x11, 0x11, 0x1E, 0x10, 0x10, 0x10),
+    "Q": (0x0E, 0x11, 0x11, 0x11, 0x15, 0x12, 0x0D),
+    "R": (0x1E, 0x11, 0x11, 0x1E, 0x14, 0x12, 0x11),
+    "S": (0x0F, 0x10, 0x10, 0x0E, 0x01, 0x01, 0x1E),
+    "T": (0x1F, 0x04, 0x04, 0x04, 0x04, 0x04, 0x04),
+    "U": (0x11, 0x11, 0x11, 0x11, 0x11, 0x11, 0x0E),
+    "V": (0x11, 0x11, 0x11, 0x11, 0x11, 0x0A, 0x04),
+    "W": (0x11, 0x11, 0x11, 0x15, 0x15, 0x15, 0x0A),
+    "X": (0x11, 0x11, 0x0A, 0x04, 0x0A, 0x11, 0x11),
+    "Y": (0x11, 0x11, 0x0A, 0x04, 0x04, 0x04, 0x04),
+    "Z": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x10, 0x1F),
+    "0": (0x0E, 0x11, 0x13, 0x15, 0x19, 0x11, 0x0E),
+    "1": (0x04, 0x0C, 0x04, 0x04, 0x04, 0x04, 0x0E),
+    "2": (0x0E, 0x11, 0x01, 0x02, 0x04, 0x08, 0x1F),
+    "3": (0x1F, 0x02, 0x04, 0x02, 0x01, 0x11, 0x0E),
+    "4": (0x02, 0x06, 0x0A, 0x12, 0x1F, 0x02, 0x02),
+    "5": (0x1F, 0x10, 0x1E, 0x01, 0x01, 0x11, 0x0E),
+    "6": (0x06, 0x08, 0x10, 0x1E, 0x11, 0x11, 0x0E),
+    "7": (0x1F, 0x01, 0x02, 0x04, 0x08, 0x08, 0x08),
+    "8": (0x0E, 0x11, 0x11, 0x0E, 0x11, 0x11, 0x0E),
+    "9": (0x0E, 0x11, 0x11, 0x0F, 0x01, 0x02, 0x0C),
+    ":": (0x00, 0x04, 0x00, 0x00, 0x00, 0x04, 0x00),
+    ".": (0x00, 0x00, 0x00, 0x00, 0x00, 0x0C, 0x0C),
+    " ": (0x00, 0x00, 0x00, 0x00, 0x00, 0x00, 0x00),
+}
+FONT_5X7 = {
+    c: np.array(
+        [[(r >> (4 - j)) & 1 for j in range(5)] for r in rows], dtype=bool
+    )
+    for c, rows in _FONT_ROWS.items()
+}
+_GLYPH_STEP = 6  # 5 columns + 1 gap
+
+
+def draw_label(
+    img: np.ndarray, text: str, x: int, y: int,
+    color: tuple = (0, 255, 0),
+) -> None:
+    """Rasterize `text` into img with the 5×7 font, top-left at (x, y),
+    clipped at image edges (the reference's y_min-10 anchor goes
+    off-frame for boxes near the top, like cv2.putText). Letters render
+    through their uppercase glyph; chars without a glyph are skipped."""
+    h, w = img.shape[:2]
+    col = np.asarray(color, dtype=np.uint8)
+    for i, ch in enumerate(text):
+        g = FONT_5X7.get(ch.upper())
+        if g is None:
+            continue
+        ys, xs = np.nonzero(g)
+        yy, xx = ys + y, xs + x + _GLYPH_STEP * i
+        keep = (yy >= 0) & (yy < h) & (xx >= 0) & (xx < w)
+        img[yy[keep], xx[keep]] = col
+
+
 @pandas_udf(T.BinaryType())
 def annotate_udf(images: pd.Series, boxes: pd.Series) -> pd.Series:
     """T3 _draw_boxes (uav/frame_processing.py:123-129): green box borders
-    drawn into the pixel buffer. Labels become per-box metadata downstream
-    (text rasterization needs a font stack this container lacks)."""
+    plus the '{class_name}: {confidence:.2f}' label (:126) rasterized at
+    the reference's (x_min, y_min - 10) anchor (:128) with the bitmap
+    font above — no font stack needed."""
     out = []
     for buf, bxs in zip(images, boxes):
         try:
@@ -100,11 +204,19 @@ def annotate_udf(images: pd.Series, boxes: pd.Series) -> pd.Series:
                 x1, y1, x2, y2 = (
                     int(b["x_min"]), int(b["y_min"]), int(b["x_max"]), int(b["y_max"])
                 )
+                rx1, ry1 = x1, y1  # reference anchors the label at the
+                # RAW x_min/y_min-10 (clipping happens at raster time)
                 x1, x2 = max(x1, 0), min(x2, img.shape[1] - 1)
                 y1, y2 = max(y1, 0), min(y2, img.shape[0] - 1)
                 green = np.array([0, 255, 0], dtype=np.uint8)
                 img[y1 : y2 + 1, [x1, x2]] = green
                 img[[y1, y2], x1 : x2 + 1] = green
+                # label only when the box carries the fields (geometry-
+                # only box structs stay border-only)
+                cls = b["class_name"] if "class_name" in b else None
+                conf = b["confidence"] if "confidence" in b else None
+                if cls is not None and conf is not None:
+                    draw_label(img, f"{cls}: {conf:.2f}", rx1, ry1 - 10)
             out.append(encode_image(img))
         except Exception:
             out.append(buf)
@@ -230,11 +342,12 @@ def letterbox_and_detect(
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         detector = StubDetector(conf, classes)
+        rz = _best_resize()  # INTER_AREA where cv2 ships (ref parity)
         for pdf in batches:
             images, dets = [], []
             for buf in pdf[image_col]:
                 try:
-                    boxed = letterbox_array(dec(bytes(buf)), target)
+                    boxed = letterbox_array(dec(bytes(buf)), target, resize=rz)
                     images.append(enc(boxed))
                     dets.append(detector.detect(boxed))
                 except Exception:

@@ -258,15 +258,19 @@ def detection_metadata_fields(
     detections: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
 ) -> DataFrame:
     """Field-level form of the wire metadata: class_name, class_id,
-    confidence rounded to 4 (frame_processing.py:236), box corners
-    (:237)."""
+    confidence rounded to 4 (frame_processing.py:236) via the
+    integer-scaling idiom round(x*10000)/10000 — plain round(x, 4)
+    HALF_UPs a decimal string in Spark but rounds the binary double in
+    DuckDB, diverging when a quotient lands exactly on .xxxx5 (the
+    tpch_q2_min_cost class, ADVICE r10) — box corners (:237)."""
+    conf4 = (F.round(F.col("confidence") * 10000) / 10000).alias("confidence")
     return filter_detections(detections, cfg).select(
         "camera_id",
         "frame_number",
         "det_id",
         "class_name",
         "class_id",
-        F.round("confidence", 4).alias("confidence"),
+        conf4,
         "x_min", "y_min", "x_max", "y_max",
     )
 
@@ -281,7 +285,9 @@ def detection_metadata_json(
     det_struct = F.struct(
         F.col("class_name"),
         F.col("class_id"),
-        F.round("confidence", 4).alias("confidence"),
+        # integer-scaling round — keeps the printed double bit-identical
+        # across engines on .xxxx5 ties (see detection_metadata_fields)
+        (F.round(F.col("confidence") * 10000) / 10000).alias("confidence"),
         F.array("x_min", "y_min", "x_max", "y_max").alias("box"),
     )
     return (

@@ -337,11 +337,14 @@ _register(
     with_fixture_ctes(
         f"""
 SELECT camera_id, frame_number, det_id, class_name, class_id,
-       round(confidence, 4) AS confidence, x_min, y_min, x_max, y_max
+       round(confidence * 10000) / 10000 AS confidence,
+       x_min, y_min, x_max, y_max
 FROM detections WHERE {_DET_FILTER}
 """
     ),
-    notes="K2 wire metadata fields (uav/frame_processing.py:230-248)",
+    notes="K2 wire metadata fields (uav/frame_processing.py:230-248); "
+    "confidence rounded with the integer-scaling idiom on BOTH engines "
+    "(ADVICE r10 — the tpch_q2_min_cost .xxxx5 tie class)",
 )(lambda spark: uav_core.detection_metadata_fields(spark.table("detections")))
 
 
@@ -358,7 +361,7 @@ FROM (
          list(json_object(
            'class_name', class_name,
            'class_id', class_id,
-           'confidence', round(confidence, 4),
+           'confidence', round(confidence * 10000) / 10000,
            'box', json_array(x_min, y_min, x_max, y_max)
          ) ORDER BY det_id) AS dets
   FROM (SELECT * FROM detections WHERE {_DET_FILTER})
@@ -371,7 +374,9 @@ FROM (
     "to_json emits struct-field order; DuckDB json_object emits argument "
     "order), detections ordered by det_id on both sides, and both print "
     "doubles shortest-roundtrip — verified byte-identical at sf0.001 and "
-    "sf0.01 before promotion from rows-only (VERDICT r9 #6)",
+    "sf0.01 before promotion from rows-only (VERDICT r9 #6); confidence "
+    "rounded with the integer-scaling idiom round(x*10000)/10000 on BOTH "
+    "engines so .xxxx5 ties can't diverge (ADVICE r10)",
 )(lambda spark: uav_core.detection_metadata_json(spark.table("detections")))
 
 

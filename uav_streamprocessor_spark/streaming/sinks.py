@@ -27,6 +27,7 @@ Scale rules enforced here:
 from __future__ import annotations
 
 import json
+import re
 from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Callable
@@ -118,19 +119,24 @@ class HttpSenderSink:
 
 
 class _JsonlCameraWriter:
-    """Default per-camera appender: frame-metadata JSONL (the
+    """Default per-camera recorder: frame-metadata JSONL (the
     codec-free recorder output this container can produce).
 
-    The filename is built by APPENDING `.jsonl` to the camera id, never
-    Path.with_suffix — camera ids come from file stems / rtsp netlocs
-    (video_source.py) and may legitimately contain dots ('10.0.0.5',
-    'flight.2024'); with_suffix would collapse '10.0.0.5' and
-    '10.0.0.7' into one file. Opened in append mode: one file per
-    camera accumulates across micro-batches."""
+    The filename is built by APPENDING `.b{batch}.jsonl` to the camera
+    id, never Path.with_suffix — camera ids come from file stems / rtsp
+    netlocs (video_source.py) and may legitimately contain dots
+    ('10.0.0.5', 'flight.2024'); with_suffix would collapse '10.0.0.5'
+    and '10.0.0.7' into one file. Output is SEGMENTED per micro-batch
+    and opened in truncate mode, same as the mp4 path: foreachBatch is
+    at-least-once, so a replayed batch overwrites its OWN segment
+    instead of appending duplicate rows to a shared file — replay-
+    idempotent by construction. `reassemble_segments` recovers the
+    single `{cam}.jsonl` deliverable (plain byte concat is valid for
+    line-delimited JSON, unlike mp4)."""
 
     def __init__(self, out: Path, cam: str, batch_id: int, w: int, h: int,
                  fps: float):
-        self._f = open(out / f"{cam}.jsonl", "a")
+        self._f = open(out / f"{cam}.b{batch_id:06d}.jsonl", "w")
         self._w, self._h, self._fps = w, h, fps
 
     def write(self, row) -> None:
@@ -165,9 +171,12 @@ class _Mp4CameraWriter:
     all earlier batches' frames; per-batch segments make each open a
     fresh file (and make replayed batches overwrite their OWN segment
     — idempotent, not corrupting). Lexicographic segment order equals
-    batch order, so `cat`-style concat tools (or the reference's
-    single-writer semantics, recovered by running one batch) see the
-    frames in order. The extension is appended, never substituted:
+    batch order, so a REMUX-based concat (`reassemble_segments` below,
+    or ffmpeg's concat demuxer) recovers the reference's single-file
+    deliverable in frame order — note mp4 segments are NOT byte-
+    concatenatable (each carries its own moov header; `cat` yields a
+    file where only the first segment plays). The extension is
+    appended, never substituted:
     dotted camera ids ('10.0.0.5') must not collapse (with_suffix
     would merge '10.0.0.5' and '10.0.0.7')."""
 
@@ -200,6 +209,79 @@ class _Mp4CameraWriter:
 
 
 _CAMERA_WRITERS = {"jsonl": _JsonlCameraWriter, "mp4": _Mp4CameraWriter}
+
+# `{cam}.b{batch:06d}.{ext}` — the per-micro-batch segment naming shared
+# by both camera writers. Camera ids containing a literal ".bNNNNNN"
+# tail are reserved (they would be indistinguishable from segments).
+_SEGMENT_RE = re.compile(r"^(?P<cam>.+)\.b(?P<batch>\d{6})\.(?P<ext>jsonl|mp4)$")
+
+
+def reassemble_segments(
+    out_dir: str, fmt: str = "jsonl", keep_segments: bool = True
+) -> dict:
+    """Recover the reference's single-file-per-camera deliverable
+    (uav/frame_processing.py:142-159 writes ONE mp4 per source) from the
+    per-micro-batch segments the recorder sink emits.
+
+    Lexicographic segment order equals batch order (zero-padded batch
+    ids), so concatenation preserves frame order. jsonl segments are
+    line-delimited and byte-concatenate directly; mp4 segments each
+    carry their own container header, so that path REMUXES via cv2
+    (VideoCapture per segment → one VideoWriter), lazily imported and
+    therefore presence-gated like the writer itself. Re-running is
+    idempotent while segments are kept: the destination is rebuilt from
+    scratch each call. Returns {camera_id: n_segments}.
+    """
+    out = Path(out_dir)
+    by_cam: dict = {}
+    for p in sorted(out.iterdir()):
+        m = _SEGMENT_RE.match(p.name)
+        if m and m.group("ext") == fmt:
+            by_cam.setdefault(m.group("cam"), []).append(p)
+    for cam, segs in by_cam.items():
+        dest = out / f"{cam}.{fmt}"
+        if fmt == "jsonl":
+            with open(dest, "wb") as f:
+                for s in segs:
+                    f.write(s.read_bytes())
+        else:
+            _remux_mp4(segs, dest)
+        if not keep_segments:
+            for s in segs:
+                s.unlink()
+    return {cam: len(segs) for cam, segs in by_cam.items()}
+
+
+def _remux_mp4(segments: list, dest: Path) -> None:
+    """mp4 concat by decode→re-encode (cv2 has no box-level remuxer;
+    a production deployment would shell out to ffmpeg's concat demuxer
+    to avoid the generation loss). Size/fps latch from segment 0 — all
+    segments of one camera share the writer's latched config."""
+    import cv2  # deferred: only the mp4 fmt needs a codec
+
+    cap0 = cv2.VideoCapture(str(segments[0]))
+    fps = cap0.get(cv2.CAP_PROP_FPS) or 25.0
+    w = int(cap0.get(cv2.CAP_PROP_FRAME_WIDTH))
+    h = int(cap0.get(cv2.CAP_PROP_FRAME_HEIGHT))
+    cap0.release()
+    vw = cv2.VideoWriter(
+        str(dest), cv2.VideoWriter_fourcc(*"mp4v"), fps, (w, h)
+    )
+    if not vw.isOpened():
+        raise IOError(f"cannot open VideoWriter for {dest}")
+    try:
+        for seg in segments:
+            cap = cv2.VideoCapture(str(seg))
+            try:
+                while True:
+                    ok, frame = cap.read()
+                    if not ok:
+                        break
+                    vw.write(frame)
+            finally:
+                cap.release()
+    finally:
+        vw.release()
 
 
 def _record_partition(
@@ -281,13 +363,14 @@ class OrderedRecorderSink:
 
     out_dir: str
     cfg: PipelineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
-    # "jsonl" (codec-free metadata recorder; one append-mode file per
-    # camera across batches) or "mp4" (cv2.VideoWriter mux — requires a
-    # codec on the executors; carries the image bytes through the
-    # camera repartition, which is the reference's own data motion:
-    # every frame reaches its writer). mp4 output is SEGMENTED per
-    # micro-batch ({cam}.b{batch_id:06d}.mp4) because cv2.VideoWriter
-    # truncates on open — see _Mp4CameraWriter.
+    # "jsonl" (codec-free metadata recorder) or "mp4" (cv2.VideoWriter
+    # mux — requires a codec on the executors; carries the image bytes
+    # through the camera repartition, which is the reference's own data
+    # motion: every frame reaches its writer). BOTH formats emit one
+    # segment per micro-batch ({cam}.b{batch_id:06d}.{ext}) so a
+    # replayed batch overwrites its own segment (at-least-once →
+    # idempotent); `reassemble_segments` recovers the single-file
+    # deliverable — see _JsonlCameraWriter / _Mp4CameraWriter.
     fmt: str = "jsonl"
     _skipped_acc: object = field(default=None, repr=False)
 

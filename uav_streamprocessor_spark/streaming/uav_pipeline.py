@@ -44,15 +44,18 @@ def run_streaming_pipeline(
     sender: HttpSenderSink | None = None,
     frames_per_batch: int = 30,
     timeout_s: float = 120.0,
+    record_fmt: str = "jsonl",
 ) -> dict:
     """Run both branches with availableNow triggers (complete drain of
     the source — latestOffset reports EOF, so no frames are truncated
     regardless of frames_per_batch, which only sets partition
     granularity; a real deployment uses processingTime triggers).
-    Returns sink counters — the reference's shutdown report
-    (uav/main.py:175-179)."""
+    After the drain, per-micro-batch recorder segments are reassembled
+    into the reference's single-file-per-camera deliverable
+    (uav/frame_processing.py:142-159). Returns sink counters — the
+    reference's shutdown report (uav/main.py:175-179)."""
     frames = stream_frames(spark, source_spec, frames_per_batch)
-    recorder = OrderedRecorderSink(out_dir, cfg)
+    recorder = OrderedRecorderSink(out_dir, cfg, fmt=record_fmt)
 
     rec_q = (
         recorder_rows_stream(frames, cfg)
@@ -70,9 +73,13 @@ def run_streaming_pipeline(
     )
     rec_q.awaitTermination(timeout_s)
     send_q.awaitTermination(timeout_s)
+    from uav_streamprocessor_spark.streaming.sinks import reassemble_segments
+
+    reassembled = reassemble_segments(out_dir, fmt=record_fmt)
     snd = sender
     return {
         "recorded_batches": True,
+        "segments": reassembled,
         "sent": getattr(snd, "sent", None),
         "send_errors": getattr(snd, "errors", None),
         "skipped_frames": recorder.skipped,
