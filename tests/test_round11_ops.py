@@ -1,0 +1,102 @@
+"""Round-11 additions: oracled shadows for the rows-only LSH/sketch set
+(VERDICT r10 #5) — banding-partition law, bit-exact bucket codes, the
+percentile_approx rank-error contract — plus the emb_ann_lsh promotion.
+
+The cross-engine halves are proven by drive_driver (PARITY_sf*.json);
+these tests pin the SINGLE-engine semantics the oracles rely on.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tests.conftest import SF_SMALL
+
+from uav_streamprocessor_spark import registry
+
+
+def _q(name, spark, sf=SF_SMALL):
+    return registry.queries()[name](spark, sf)
+
+
+def test_minhash_band_partition_law(spark):
+    """Every document emits exactly one non-null (band, band_sig) row per
+    band; band ids are 0..15 — the conservation law the oracle asserts."""
+    rows = {r["band"]: r for r in _q("dedup_minhash_band_partition", spark).collect()}
+    n_docs = (
+        spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    )
+    assert sorted(rows) == list(range(16))
+    for r in rows.values():
+        assert r["n_rows"] == r["n_docs"] == r["n_sigs"] == n_docs
+
+
+def test_lsh_bucket_assignment_matches_sequential_fold(spark):
+    """Bucket codes equal a Python sequential left-fold over the same
+    plane constants — the operation order the DuckDB oracle replays.
+    (numpy's pairwise-summation dot is deliberately NOT the reference:
+    a near-zero dot may sign-flip under a different fold order.)"""
+    from uav_streamprocessor_spark.operators.similarity import _planes
+
+    planes = _planes()
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in _q("emb_lsh_bucket_assignment", spark)
+        .filter("vec_id < 20")
+        .collect()
+    }
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+        .filter("vec_id < 20")
+        .collect()
+    }
+    assert len(got) == 20
+    for vid, vec in emb.items():
+        code = 0
+        for i in range(planes.shape[0]):
+            acc = 0.0
+            for x, p in zip(vec, planes[i]):
+                acc += float(x) * float(p)
+            if acc >= 0:
+                code += 1 << i
+        assert got[vid] == code
+
+
+def test_approx_percentile_bound_holds(spark):
+    """percentile_approx's documented rank-error contract holds on the
+    fixture data for every (group, quantile) — the constant-true table
+    the oracle asserts."""
+    rows = _q("rel_approx_percentile_bound", spark).collect()
+    assert len(rows) > 0
+    qs = {r["q"] for r in rows}
+    assert qs == {0.25, 0.5, 0.75}
+    assert all(r["within_bound"] for r in rows)
+    # n_rows is the exact group size (the oracled integer anchor)
+    orders = spark.read.parquet(f"{SF_SMALL}/orders.parquet")
+    sizes = {
+        r["o_orderstatus"]: r["n"]
+        for r in orders.groupBy("o_orderstatus").count().withColumnRenamed(
+            "count", "n"
+        ).collect()
+    }
+    for r in rows:
+        assert r["n_rows"] == sizes[r["o_orderstatus"]]
+
+
+def test_ann_lsh_oracle_sql_shape():
+    """The generated ANN oracle embeds all 8 plane CASE terms with
+    exponent-form double literals (DECIMAL parsing would change the
+    arithmetic) and the hamming probe + re-rank structure."""
+    from uav_streamprocessor_spark.operators.similarity import (
+        _N_PLANES,
+        ann_lsh_oracle_sql,
+        lsh_bucket_oracle_sql,
+    )
+
+    for sql in (ann_lsh_oracle_sql(), lsh_bucket_oracle_sql()):
+        assert sql.count("CASE WHEN") == _N_PLANES
+        assert "e-" in sql or "e+" in sql  # exponent-form literals
+    sql = ann_lsh_oracle_sql()
+    assert "bit_count(xor(" in sql
+    assert "row_number() OVER (PARTITION BY query_id" in sql

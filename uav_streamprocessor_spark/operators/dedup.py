@@ -288,6 +288,30 @@ def minhash_candidates(spark: SparkSession) -> DataFrame:
     )
 
 
+def minhash_band_partition(spark: SparkSession) -> DataFrame:
+    """Banding-partition conservation shadow (VERDICT r10 #5 — the
+    oracled half of the rows-only dedup_minhash_candidates). Signature
+    VALUES are engine-specific (uint64 hash chains DuckDB can't
+    replicate), but the banding partition law is exact integers: every
+    document emits exactly one (band, band_sig) row for each of the
+    _LSH_BANDS bands, band ids are 0.._LSH_BANDS-1, and no band_sig is
+    null (empty docs still get the all-zero signature,
+    minhash_signature:112). An explode/element_at off-by-one, a dropped
+    doc, or a null leak breaks the hash; candidate CONTENT stays covered
+    by the recall-pinned exact-Jaccard tests."""
+    docs = spark.table("documents").select("doc_id", "text")
+    sigs = docs.withColumn("sig", minhash_signature("text")).select("doc_id", "sig")
+    return (
+        band_signatures(sigs)
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count("band_sig").alias("n_sigs"),
+        )
+    )
+
+
 def word_ngrams(toks_col, n: int = 3):
     """Distinct word n-grams from a MATERIALIZED token-array column.
 

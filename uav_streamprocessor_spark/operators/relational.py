@@ -623,6 +623,59 @@ def order_price_approx_percentiles(spark: SparkSession) -> DataFrame:
     )
 
 
+def approx_percentile_rank_error(
+    spark: SparkSession, accuracy: int = 1000
+) -> DataFrame:
+    """Rank-error-bound audit for percentile_approx (VERDICT r10 #5 —
+    the oracled shadow for the rows-only sketch twin above). The sketch
+    VALUE is engine-specific, but its contract is relational: Spark
+    documents percentile_approx's rank error as ≤ n/accuracy, so the
+    returned value's true rank interval [rank_lo, rank_hi] within its
+    group must bracket q*n to within n/accuracy (+1 for the closed/open
+    boundary convention). The query computes the verdict per (group, q)
+    from the data; the oracle asserts the bound holds everywhere — a
+    sketch regression flips a boolean and breaks the value hash.
+
+    Scale shape: the sketch agg is one pass; the rank audit joins the
+    3-rows-per-group sketch output back via broadcast, so the fact table
+    never shuffles for the audit."""
+    orders = _t(spark, "orders")
+    qs = [0.25, 0.5, 0.75]
+    apx = orders.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", qs, accuracy).alias("apx"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    qarr = F.array(*[F.lit(float(x)) for x in qs])
+    per_q = apx.select(
+        "o_orderstatus",
+        "n_rows",
+        F.explode(
+            F.arrays_zip(qarr.alias("q"), F.col("apx").alias("v"))
+        ).alias("z"),
+    ).select(
+        "o_orderstatus", "n_rows",
+        F.col("z.q").alias("q"), F.col("z.v").alias("v"),
+    )
+    ranks = (
+        orders.select("o_orderstatus", "o_totalprice")
+        .join(F.broadcast(per_q), "o_orderstatus")
+        .groupBy("o_orderstatus", "q", "n_rows")
+        .agg(
+            F.sum((F.col("o_totalprice") < F.col("v")).cast("long")).alias("rank_lo"),
+            F.sum((F.col("o_totalprice") <= F.col("v")).cast("long")).alias("rank_hi"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    slack = n / accuracy + 1.0
+    within = (
+        (F.col("q") * n - F.col("rank_hi").cast("double") <= slack)
+        & (F.col("rank_lo").cast("double") - F.col("q") * n <= slack)
+    )
+    return ranks.select(
+        "o_orderstatus", "q", "n_rows", within.alias("within_bound")
+    )
+
+
 def lineitem_unpivot(spark: SparkSession) -> DataFrame:
     """UNPIVOT (wide → long): the three lineitem rate columns melted to
     (metric, value) rows — Spark's unpivot/melt operator; the oracle

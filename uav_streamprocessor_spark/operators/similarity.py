@@ -125,6 +125,87 @@ def lsh_bucket_codes(spark: SparkSession) -> DataFrame:
     )
 
 
+def lsh_bucket_assignment(spark: SparkSession) -> DataFrame:
+    """Bucket-code assignment of the hyperplane LSH (VERDICT r10 #5 —
+    the oracled half of the rows-only emb_ann_lsh; only the probe-order
+    re-rank stays rows-only). Portable across engines because
+    bucket_code_col folds the dot product SEQUENTIALLY left-to-right in
+    doubles (F.aggregate with 0.0 init) — the oracle replays the exact
+    same operation order as an explicit left-associated SQL sum over the
+    same shortest-roundtrip plane literals, so the doubles (and
+    therefore the sign bits and the integer code) are bit-identical.
+    numpy's pairwise-summation dot, by contrast, is NOT portable — the
+    reason the full ANN query stays rows-only."""
+    return lsh_bucket_codes(spark).select("vec_id", "label", "bucket")
+
+
+def _bucket_code_sql(vec_col: str = "embedding") -> str:
+    """The bucket-code expression as engine-portable SQL: per plane an
+    explicit left-to-right sum (SQL's + is left-associative — the same
+    fold order as F.aggregate), literals printed in exponent form so
+    DuckDB parses DOUBLE (a bare decimal literal parses as DECIMAL and
+    would change the arithmetic)."""
+    planes = _planes()
+    terms = []
+    for i in range(_N_PLANES):
+        dot = " + ".join(
+            f"CAST({vec_col}[{j + 1}] AS DOUBLE) * {planes[i, j]:.17e}"
+            for j in range(_DIM)
+        )
+        terms.append(f"(CASE WHEN ({dot}) >= 0 THEN {1 << i} ELSE 0 END)")
+    return "\n   + ".join(terms)
+
+
+def lsh_bucket_oracle_sql() -> str:
+    """Generated DuckDB oracle for lsh_bucket_assignment."""
+    return (
+        "SELECT vec_id, label,\n CAST("
+        + _bucket_code_sql()
+        + " AS INT) AS bucket\nFROM embeddings"
+    )
+
+
+def ann_lsh_oracle_sql() -> str:
+    """Generated DuckDB oracle for the FULL multi-probe ANN query
+    (promoted from rows-only, VERDICT r10 #5): bucket codes replay
+    bit-exactly (see _bucket_code_sql), the hamming probe is integer
+    bit_count(xor), and the exact-cosine re-rank follows the
+    emb_knn_bruteforce oracle's unnest+sum form (6dp rounding absorbs
+    summation-order ULP noise; ties break on vec_id in both engines)."""
+    return f"""
+WITH codes AS (
+  SELECT vec_id, label, embedding,
+         CAST({_bucket_code_sql()} AS INT) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+  FROM codes WHERE vec_id < 5
+),
+el AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(c.embedding) AS DOUBLE) AS ex
+  FROM codes c JOIN q
+    ON bit_count(xor(c.bucket, q.qbucket)) <= 2 AND c.vec_id <> q.query_id
+),
+sims AS (
+  SELECT query_id, vec_id, label,
+         round(sum(qx * ex) / (sqrt(sum(qx * qx)) * sqrt(sum(ex * ex))), 6)
+           AS cosine
+  FROM el GROUP BY query_id, vec_id, label
+)
+SELECT query_id, vec_id, label, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM sims
+)
+WHERE rnk <= 5
+"""
+
+
 def ann_lsh_topk(
     spark: SparkSession, n_queries: int = 5, k: int = 5, max_hamming: int = 2
 ) -> DataFrame:
