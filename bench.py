@@ -607,9 +607,17 @@ def _full_artifact_path(sf: float) -> Path | None:
     from $SPARK_GRAFT_ROUND when set (authoritative — glob inference
     mislabels a re-run made AFTER the driver records the current round's
     BENCH_r{N}.json, r6 ADVICE); otherwise it is inferred as one past the
-    newest driver-recorded BENCH_r*.json. Re-runs within a round
-    overwrite the same file (last full measurement wins). Returns None
-    when the repo root isn't writable (e.g. a sandboxed run)."""
+    newest driver-recorded BENCH_r*.json. Returns None when the repo
+    root isn't writable (e.g. a sandboxed run).
+
+    ONE file per round (VERDICT r10 #2): every sf0.1 run — builder
+    iteration or the driver's end-of-round measurement — overwrites the
+    same file; last full measurement wins. The driver's run is always
+    last in a round and commits its modification, so the committed file
+    carries the driver's numbers: the AUTHORITATIVE reading for
+    round-over-round deltas. (This retires the r8 freeze-redirect to
+    BENCH_full_r{N}_driver.json, which made every round a two-file
+    provenance puzzle — BASELINE.md r10 caveat.)"""
     import re
 
     root = Path(__file__).resolve().parent
@@ -625,33 +633,9 @@ def _full_artifact_path(sf: float) -> Path | None:
             if (m := re.fullmatch(r"BENCH_r(\d+)", p.stem))
         ]
         n = (max(rounds) + 1) if rounds else 1
-    path = root / f"BENCH_full_r{n:02d}.json"
     if not os.access(root, os.W_OK):
         return None
-    # Never clobber a FROZEN artifact (VERDICT r8 task #7): once the
-    # round's BENCH_full_r{N}.json is committed, later runs in the same
-    # round (the driver's post-freeze measurement, ad-hoc re-runs) land
-    # in BENCH_full_r{N}_driver.json so committed files stay
-    # byte-identical. Untracked files (the builder iterating before its
-    # commit) still overwrite in place — last measurement wins.
-    # Escape hatch: SPARK_GRAFT_BENCH_OVERWRITE=1.
-    if path.exists() and os.environ.get("SPARK_GRAFT_BENCH_OVERWRITE") != "1":
-        import subprocess
-
-        try:
-            tracked = (
-                subprocess.run(
-                    ["git", "-C", str(root), "ls-files", "--error-unmatch",
-                     path.name],
-                    capture_output=True, timeout=10,
-                ).returncode
-                == 0
-            )
-        except Exception:
-            tracked = False
-        if tracked:
-            path = root / f"BENCH_full_r{n:02d}_driver.json"
-    return path
+    return root / f"BENCH_full_r{n:02d}.json"
 
 
 if __name__ == "__main__":

@@ -996,11 +996,18 @@ def edit_distance_pairs(
     docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
     a = _edit_a_side(docs, band_width)
     b = _edit_b_side(docs, band_width)
-    # early-abandon ceiling: a surviving pair needs lev <= (1-floor)*mx;
-    # mx is bounded by the longest doc, so one global literal works
-    max_len = docs.agg(F.max("n_chars")).first()[0] or 0
-    t_max = int((1.0 - min_similarity) * (max_len + band_width)) + 1
-    lev = F.levenshtein(F.col("text_a"), F.col("text_b"), t_max)
+    # early-abandon ceiling PER PAIR: a surviving pair needs
+    # lev <= (1-floor)*greatest(len_a, len_b), so that bound (+1) is the
+    # threshold — tighter than any global ceiling AND computed in the
+    # row, so plan construction stays lazy (the r10 watch item: the old
+    # global max(n_chars) ceiling ran a driver action at BUILD time,
+    # fine locally but an eager full scan at 100 TB). The SQL form is
+    # used because F.levenshtein only accepts a literal threshold.
+    thr = (
+        f"CAST(floor({1.0 - min_similarity} * greatest(len_a, len_b)) "
+        "AS INT) + 1"
+    )
+    lev = F.expr(f"levenshtein(text_a, text_b, {thr})")
     sim = 1.0 - lev.cast("double") / F.greatest("len_a", "len_b")
     cands = (
         _edit_distance_candidates(a, b, band_width)
