@@ -286,3 +286,73 @@ def test_mp4_mux_end_to_end_with_real_cv2(spark, tmp_path):
     assert cap.isOpened()
     assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) == 24
     cap.release()
+
+
+@pytest.mark.skipif(
+    importlib.util.find_spec("cv2") is None,
+    reason="no cv2/codec in this container — real-video e2e runs where one ships",
+)
+def test_real_video_file_through_full_pipeline(spark, tmp_path):
+    """VERDICT r10 #8 (stretch): a REAL container file through the whole
+    reference loop — cv2-encoded mp4 → S2 _Cv2Decoder (file spec, not
+    synthetic://) → record branch (K1, per-batch segments + reassembly)
+    + keyframe→detect→send branch (K2) — the full S2→K1/K2 DAG the
+    synthetic lane proves, now on actual codec bytes. Skips cleanly
+    where no codec ships; an rtsp:// URL takes the identical
+    _Cv2Decoder path (VideoCapture accepts both), so this also stands
+    in for the live-stream lane minus the network."""
+    import json as _json
+
+    import cv2
+
+    from uav_streamprocessor_spark.operators.pixel import decode_image, make_test_image
+    from uav_streamprocessor_spark.streaming.sinks import HttpSenderSink
+    from uav_streamprocessor_spark.streaming.uav_pipeline import (
+        run_streaming_pipeline,
+    )
+
+    # author a real mp4: 90 frames, 64x36 @ 25fps (3 keyframes: 0,30,60)
+    src = tmp_path / "flight.2024.mp4"
+    vw = cv2.VideoWriter(
+        str(src), cv2.VideoWriter_fourcc(*"mp4v"), 25.0, (64, 36)
+    )
+    assert vw.isOpened()
+    for n in range(90):
+        vw.write(
+            np.ascontiguousarray(decode_image(make_test_image(n, 36, 64)))
+        )
+    vw.release()
+
+    delivered = tmp_path / "delivered"
+    delivered.mkdir()
+    ddir = str(delivered)
+
+    def fake_post(url, image, metadata, timeout):
+        fn = _json.loads(metadata)["frame_number"]
+        with open(f"{ddir}/{fn}.json", "w") as f:
+            f.write(metadata)
+        return 200
+
+    sender = HttpSenderSink("http://cc.test/ingest", post=fake_post)
+    result = run_streaming_pipeline(
+        spark,
+        str(src),
+        str(tmp_path / "rec_out"),
+        str(tmp_path / "ckpt"),
+        sender=sender,
+        frames_per_batch=30,
+    )
+    # K2: keyframes 0, 30, 60 detected on decoded codec bytes and sent
+    assert result["sent"] == 3 and result["send_errors"] == 0
+    sent = {
+        _json.loads(p.read_text())["frame_number"] for p in delivered.iterdir()
+    }
+    assert sent == {0, 30, 60}
+    # K1: every frame recorded in order; camera id = file stem with dots
+    assert result["segments"] == {"flight.2024": 3}
+    lines = [
+        _json.loads(x) for x in open(tmp_path / "rec_out" / "flight.2024.jsonl")
+    ]
+    assert [x["frame_number"] for x in lines] == list(range(90))
+    assert lines[0]["w"] == 64 and lines[0]["h"] == 36 and lines[0]["fps"] == 25.0
+    assert result["skipped_frames"] == 0
