@@ -77,16 +77,24 @@ def test_letterbox_resize_seam_geometry_invariant():
 
 
 def test_best_resize_presence_gated():
-    """_best_resize returns None here (no cv2) and an INTER_AREA-backed
-    callable where cv2 ships — checked by whichever branch this
-    container exercises."""
-    import importlib.util
-
+    """_best_resize returns None without a usable cv2 and an
+    INTER_AREA-backed callable where one ships — checked by whichever
+    branch this container exercises. Keyed on _best_resize's OWN result,
+    not find_spec: test_codec_seam's addPyFile fake makes `import cv2`
+    succeed session-wide, and that partial stub must resolve to the
+    fallback (the AttributeError guard), not a callable."""
     from uav_streamprocessor_spark.operators.pixel import _best_resize
 
     rz = _best_resize()
-    if importlib.util.find_spec("cv2") is None:
-        assert rz is None
+    if rz is None:
+        # legitimate only when cv2 is absent or is a partial stub
+        # without the resize surface
+        try:
+            import cv2
+        except ImportError:
+            pass
+        else:
+            assert not (hasattr(cv2, "resize") and hasattr(cv2, "INTER_AREA"))
     else:
         import cv2
 

@@ -84,6 +84,36 @@ def test_approx_percentile_bound_holds(spark):
         assert r["n_rows"] == sizes[r["o_orderstatus"]]
 
 
+def test_simhash_band_partition_law(spark):
+    """SimHash banding conservation: one row per doc per band, bands
+    0..3, every band value inside the 16-bit mask."""
+    rows = {r["band"]: r for r in _q("dedup_simhash_band_partition", spark).collect()}
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sorted(rows) == [0, 1, 2, 3]
+    for r in rows.values():
+        assert r["n_rows"] == r["n_docs"] == r["n_in_range"] == n_docs
+
+
+def test_approx_distinct_bound_holds(spark):
+    """approx_count_distinct stays within 4*rsd of exact on the fixture
+    data for every group — the constant-true table the oracle asserts —
+    and the exact anchor matches a direct distinct count."""
+    rows = _q("rel_approx_distinct_bound", spark).collect()
+    assert len(rows) > 0
+    assert all(r["within_bound"] for r in rows)
+    li = spark.read.parquet(f"{SF_SMALL}/lineitem.parquet")
+    import pyspark.sql.functions as F
+
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.countDistinct("l_partkey").alias("n"))
+        .collect()
+    }
+    for r in rows:
+        assert r["exact_parts"] == exact[r["l_returnflag"]]
+
+
 def test_ann_lsh_oracle_sql_shape():
     """The generated ANN oracle embeds all 8 plane CASE terms with
     exponent-form double literals (DECIMAL parsing would change the

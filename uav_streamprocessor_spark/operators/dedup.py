@@ -451,6 +451,24 @@ def simhash_buckets(spark: SparkSession) -> DataFrame:
     )
 
 
+def simhash_band_partition(spark: SparkSession) -> DataFrame:
+    """Banding-partition conservation shadow for the SimHash pipeline
+    (the dedup_minhash_band_partition pattern): hash VALUES are
+    engine-specific, but the banding law is exact — every document
+    emits one row per band (bands 0.._SIMHASH_BANDS-1) and every band
+    value fits the _SIMHASH_BAND_BITS mask. A shift/mask off-by-one, a
+    dropped doc, or a sign-extension leak (shiftrightunsigned vs >>)
+    breaks the hash."""
+    bands = _simhash_banded(spark)
+    mask = (1 << _SIMHASH_BAND_BITS) - 1
+    in_range = (F.col("band_val") >= 0) & (F.col("band_val") <= mask)
+    return bands.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.sum(in_range.cast("long")).alias("n_in_range"),
+    )
+
+
 def simhash_near_duplicates(spark: SparkSession, max_hamming: int = 3) -> DataFrame:
     """SimHash near-duplicates: banded group-and-emit-pairs candidates
     (_bucket_pairs — one simhash computation, one bucket shuffle, no

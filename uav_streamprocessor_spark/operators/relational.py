@@ -181,6 +181,34 @@ def approx_distinct_parts(spark: SparkSession) -> DataFrame:
     )
 
 
+def approx_distinct_error_bound(
+    spark: SparkSession, rsd: float = 0.05, sigmas: float = 4.0
+) -> DataFrame:
+    """Relative-error-bound audit for approx_count_distinct (the same
+    contract pattern as approx_percentile_rank_error): HLL++ register
+    values are engine-specific, but the sketch's documented accuracy —
+    relative standard deviation `rsd` (Spark's default 0.05) — is
+    checkable against the exact count in the same pass. The audit
+    asserts |approx − exact| ≤ sigmas·rsd·exact + 16 (HLL error is
+    deterministic for fixed data — no RNG — so this is a stable bound,
+    not a flaky probabilistic one; the absolute slack covers tiny
+    groups where the relative form degenerates). The oracle asserts the
+    constant-true table with the exact count as the integer anchor."""
+    slack = F.col("exact_parts").cast("double") * (sigmas * rsd) + 16.0
+    ok = (
+        F.abs(
+            F.col("approx_parts").cast("double")
+            - F.col("exact_parts").cast("double")
+        )
+        <= slack
+    )
+    return approx_distinct_parts(spark).select(
+        "l_returnflag",
+        "exact_parts",
+        ok.alias("within_bound"),
+    )
+
+
 def customer_order_rank(spark: SparkSession) -> DataFrame:
     """Window ranking: each customer's 3 largest orders with order-date
     lag — rank/lag/lead over a per-customer window."""

@@ -532,8 +532,25 @@ _register(
     "rel_approx_distinct",
     None,
     notes="HLL++ sketch — engine-specific by design; exact twin inside the "
-    "same result for sanity",
+    "same result for sanity; rel_approx_distinct_bound oracles the "
+    "sketch's accuracy contract",
 )(lambda spark: relational.approx_distinct_parts(spark))
+
+
+_register(
+    "rel_approx_distinct_bound",
+    """
+SELECT l_returnflag,
+       CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+       TRUE AS within_bound
+FROM lineitem GROUP BY l_returnflag
+""",
+    notes="oracled accuracy-contract audit for the rows-only HLL sketch "
+    "(the rel_approx_percentile_bound pattern): |approx - exact| <= "
+    "4*rsd*exact + 16 checked against the data per group; HLL error is "
+    "deterministic for fixed data, so the bound is stable — the oracle "
+    "asserts the constant-true table with the exact count as anchor",
+)(lambda spark: relational.approx_distinct_error_bound(spark))
 
 
 _register(
@@ -825,8 +842,25 @@ _register(
 _register(
     "dedup_simhash_buckets",
     None,
-    notes="SimHash banded (4x16-bit) candidate buckets with >1 doc",
+    notes="SimHash banded (4x16-bit) candidate buckets with >1 doc; the "
+    "banding law is oracled by dedup_simhash_band_partition",
 )(lambda spark: dedup.simhash_buckets(spark))
+
+
+_register(
+    "dedup_simhash_band_partition",
+    """
+SELECT CAST(band AS INT) AS band,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_rows,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_docs,
+       (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n_in_range
+FROM (SELECT unnest(range(4)) AS band)
+""",
+    notes="oracled conservation shadow for the rows-only SimHash buckets "
+    "(the dedup_minhash_band_partition pattern): one row per doc per "
+    "band, bands 0..3, every band value inside the 16-bit mask — "
+    "catches shift/mask off-by-ones and sign-extension leaks",
+)(lambda spark: dedup.simhash_band_partition(spark))
 
 
 _register(
@@ -1565,20 +1599,22 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     prove the change: uav_metadata_json / uav_metadata_fields (confidence
 #     rounding moved to the integer-scaling idiom on both engines, ADVICE
 #     r10), and the three NEW oracled shadows that shrink the rows-only
-#     set: dedup_minhash_band_partition (banding partition law),
-#     emb_lsh_bucket_assignment (bit-exact bucket codes via sequential-
-#     fold-order parity), rel_approx_percentile_bound (sketch rank-error
-#     contract).
+#     set: dedup_minhash_band_partition / dedup_simhash_band_partition
+#     (banding partition laws), emb_lsh_bucket_assignment (bit-exact
+#     bucket codes via sequential-fold-order parity; emb_ann_lsh itself
+#     promoted to fully oracled on the same proof),
+#     rel_approx_percentile_bound / rel_approx_distinct_bound (sketch
+#     accuracy contracts).
 #  2. The oldest-row re-prove rotation: the full r04 cohort (35 names
 #     whose newest driver row is still CORRECTNESS_r04), in r04 order,
 #     starting at tpch_q21_waiting_suppliers per the r10 queue comment.
 #  3. Remaining slots: the head of the r05 cohort in CORRECTNESS_r05
-#     order (10 names through ev_debounce_bursts).
+#     order (8 names through emb_hard_negatives).
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
 # r12 queue: continue the r05-cohort re-prove rotation from
-# ev_topk_users_rollup onward (37 remain after this round).
+# emb_quantization_error onward (39 remain after this round).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1587,6 +1623,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "dedup_minhash_band_partition",
     "emb_lsh_bucket_assignment",
     "rel_approx_percentile_bound",
+    "dedup_simhash_band_partition",
+    "rel_approx_distinct_bound",
     # -- r04-cohort re-prove (oldest driver rows = r04) --
     "tpch_q21_waiting_suppliers",
     "text_ngram_repetition",
@@ -1632,8 +1670,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_substring_dup_spans",
     "text_stratified_topk_sample",
     "emb_hard_negatives",
-    "emb_quantization_error",
-    "ev_debounce_bursts",
 ]
 
 
