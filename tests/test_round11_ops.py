@@ -114,6 +114,64 @@ def test_approx_distinct_bound_holds(spark):
         assert r["exact_parts"] == exact[r["l_returnflag"]]
 
 
+def test_hll_and_kll_bound_audits_hold(spark):
+    """The HLL rollup and merged-KLL quantiles stay inside their
+    documented accuracy contracts on the fixture data — the
+    constant-true tables their oracles assert."""
+    hll = _q("ev_hll_rollup_bound", spark).collect()
+    assert len(hll) > 0 and all(r["within_bound"] for r in hll)
+    kll = _q("ev_kll_rank_bound", spark).collect()
+    assert {r["q"] for r in kll} == {0.5, 0.9, 0.99}
+    assert all(r["within_bound"] for r in kll)
+
+
+def test_topk_rollup_exact_regime_matches_sql(spark, duck):
+    """ev_topk_users_rollup's promotion premise: at tested SFs every
+    (type, day) group is far under maxItemsTracked, so the merged
+    sketch output EQUALS the exact SQL top-k (count desc, user_id).
+    Also pins the regime margin so a fixture change that breaks the
+    premise fails loudly here rather than as an oracle mismatch."""
+    got = [
+        (r["event_type"], r["rnk"], r["user_id"], r["est_count"])
+        for r in _q("ev_topk_users_rollup", spark).collect()
+    ]
+    want = duck.sql(
+        """
+        SELECT event_type, CAST(rnk AS INT), user_id, CAST(est_count AS BIGINT)
+        FROM (
+          SELECT event_type, user_id, count(*) AS est_count,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY count(*) DESC, user_id) AS rnk
+          FROM events GROUP BY 1, 2
+        ) WHERE rnk <= 10 ORDER BY event_type, rnk
+        """
+    ).fetchall()
+    assert sorted(got) == sorted([tuple(r) for r in want])
+    margin = duck.sql(
+        """
+        SELECT max(c) FROM (
+          SELECT event_type, CAST(ts AS DATE), count(DISTINCT user_id) AS c
+          FROM events GROUP BY 1, 2)
+        """
+    ).fetchone()[0]
+    assert margin <= 4096  # the exact-regime premise
+
+
+def test_media_metadata_stats_is_docid_arithmetic(spark):
+    """media_metadata_stats' promotion premise: the metadata columns
+    derive from doc_id arithmetic alone (modality = doc_id % 3,
+    constant dims, payload always present)."""
+    rows = {r["media_type"]: r for r in _q("media_metadata_stats", spark).collect()}
+    assert set(rows) == {"image", "video", "audio"}
+    n_docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").count()
+    assert sum(r["n_items"] for r in rows.values()) == n_docs
+    for r in rows.values():
+        assert r["with_payload"] == r["n_items"]
+    assert rows["image"]["avg_width"] == 32.0
+    assert rows["video"]["avg_width"] == 16.0
+    assert rows["audio"]["avg_width"] is None
+
+
 def test_ann_lsh_oracle_sql_shape():
     """The generated ANN oracle embeds all 8 plane CASE terms with
     exponent-form double literals (DECIMAL parsing would change the

@@ -196,3 +196,78 @@ def hll_audience_overlap(spark: SparkSession, lg_k: int = 12) -> DataFrame:
         )
         .orderBy("type_a", "type_b")
     )
+
+
+def hll_rollup_error_bound(
+    spark: SparkSession, lg_k: int = 12, sigmas: float = 4.0
+) -> DataFrame:
+    """Accuracy-contract audit for the rows-only HLL rollup (the
+    rel_approx_distinct_bound pattern): DataSketches HLL relative
+    standard error is ~1.04/sqrt(2^lg_k) (~1.6% at lg_k=12), and the
+    estimate is deterministic for fixed input+params, so
+    |est − exact| ≤ sigmas·rse·exact + 16 is a stable, checkable bound.
+    n_days and exact_users are exact integer anchors the oracle
+    recomputes; within_bound is the contract verdict."""
+    rse = 1.04 / (2.0 ** (lg_k / 2.0))
+    r = hll_rollup(spark, lg_k)
+    slack = F.col("exact_users").cast("double") * (sigmas * rse) + 16.0
+    ok = (
+        F.abs(
+            F.col("est_users").cast("double")
+            - F.col("exact_users").cast("double")
+        )
+        <= slack
+    )
+    return r.select(
+        "event_type", "n_days", "exact_users", ok.alias("within_bound")
+    )
+
+
+def kll_quantile_rank_bound(
+    spark: SparkSession, k: int = 200, eps: float = 0.033
+) -> DataFrame:
+    """Rank-error audit for the rows-only KLL quantiles (the
+    rel_approx_percentile_bound pattern): the sketch VALUE is
+    engine-specific, but KLL's contract is a bounded normalized rank
+    error (~1.65% one-sided at k=200; `eps` doubles it for the daily
+    merge fan-in). The returned quantile's true rank interval within
+    its group must bracket q·n to within eps·n + 1. The fact table
+    never shuffles for the audit: the 3-rows-per-type quantile output
+    joins back via broadcast."""
+    ev = spark.table("events").select("event_type", "value").filter(
+        F.col("value").isNotNull()
+    )
+    qs = [0.5, 0.9, 0.99]
+    kq = kll_value_quantiles(spark, k)  # event_type, p50, p90, p99, n
+    per_q = kq.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(float(q)).alias("q"),
+                        F.col(c).alias("v"),
+                    )
+                    for q, c in [(0.5, "p50"), (0.9, "p90"), (0.99, "p99")]
+                ]
+            )
+        ).alias("z"),
+    ).select("event_type", F.col("z.q").alias("q"), F.col("z.v").alias("v"))
+    ranks = (
+        ev.join(F.broadcast(per_q), "event_type")
+        .groupBy("event_type", "q")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum((F.col("value") < F.col("v")).cast("long")).alias("rank_lo"),
+            F.sum((F.col("value") <= F.col("v")).cast("long")).alias("rank_hi"),
+        )
+    )
+    n = F.col("n_rows").cast("double")
+    slack = n * eps + 1.0
+    within = (
+        (F.col("q") * n - F.col("rank_hi").cast("double") <= slack)
+        & (F.col("rank_lo").cast("double") - F.col("q") * n <= slack)
+    )
+    return ranks.select(
+        "event_type", "q", "n_rows", within.alias("within_bound")
+    )

@@ -1603,18 +1603,22 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     (banding partition laws), emb_lsh_bucket_assignment (bit-exact
 #     bucket codes via sequential-fold-order parity; emb_ann_lsh itself
 #     promoted to fully oracled on the same proof),
-#     rel_approx_percentile_bound / rel_approx_distinct_bound (sketch
-#     accuracy contracts).
+#     rel_approx_percentile_bound / rel_approx_distinct_bound /
+#     ev_hll_rollup_bound / ev_kll_rank_bound (sketch accuracy
+#     contracts), and the outright promotions ev_topk_users_rollup
+#     (exact-regime sketch == exact SQL top-k; already in the r04
+#     cohort below) and media_metadata_stats (metadata is doc_id
+#     arithmetic).
 #  2. The oldest-row re-prove rotation: the full r04 cohort (35 names
 #     whose newest driver row is still CORRECTNESS_r04), in r04 order,
 #     starting at tpch_q21_waiting_suppliers per the r10 queue comment.
 #  3. Remaining slots: the head of the r05 cohort in CORRECTNESS_r05
-#     order (8 names through emb_hard_negatives).
+#     order (5 names through text_chunk_windows).
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
 # r12 queue: continue the r05-cohort re-prove rotation from
-# emb_quantization_error onward (39 remain after this round).
+# text_substring_dup_spans onward (42 remain after this round).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1625,6 +1629,9 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rel_approx_percentile_bound",
     "dedup_simhash_band_partition",
     "rel_approx_distinct_bound",
+    "ev_hll_rollup_bound",
+    "ev_kll_rank_bound",
+    "media_metadata_stats",
     # -- r04-cohort re-prove (oldest driver rows = r04) --
     "tpch_q21_waiting_suppliers",
     "text_ngram_repetition",
@@ -1667,9 +1674,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_perplexity_buckets",
     "text_quality_classifier",
     "text_chunk_windows",
-    "text_substring_dup_spans",
-    "text_stratified_topk_sample",
-    "emb_hard_negatives",
 ]
 
 
@@ -3330,8 +3334,25 @@ _register(
     notes="HLL distinct-user rollup from merged per-day DataSketches "
     "sketches (hll_sketch_agg/hll_union_agg, JVM aggregates). Rows-only: "
     "estimates aren't reproducible in DuckDB; merge-of-parts == "
-    "sketch-of-whole and error bounds pinned in tests",
+    "sketch-of-whole and error bounds pinned in tests; the accuracy "
+    "contract is oracled by ev_hll_rollup_bound",
 )(lambda spark: sketches.hll_rollup(spark))
+
+
+_register(
+    "ev_hll_rollup_bound",
+    """
+SELECT event_type,
+       CAST(count(DISTINCT CAST(ts AS DATE)) AS BIGINT) AS n_days,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS within_bound
+FROM events GROUP BY event_type
+""",
+    notes="oracled accuracy-contract audit for the rows-only HLL rollup "
+    "(rel_approx_distinct_bound pattern): |est - exact| <= "
+    "4*(1.04/sqrt(2^12))*exact + 16, deterministic for fixed data; "
+    "n_days and exact_users are the integer anchors",
+)(lambda spark: sketches.hll_rollup_error_bound(spark))
 
 
 _register(
@@ -3339,8 +3360,28 @@ _register(
     None,
     notes="KLL quantile sketches per day merged upward -> p50/p90/p99 "
     "without sort or rescan. Rows-only: sketch internals engine-specific; "
-    "rank-error bound vs exact percentile pinned in tests",
+    "rank-error bound vs exact percentile pinned in tests; the rank-error "
+    "contract is oracled by ev_kll_rank_bound",
 )(lambda spark: sketches.kll_value_quantiles(spark))
+
+
+_register(
+    "ev_kll_rank_bound",
+    """
+SELECT event_type, q, CAST(count(*) AS BIGINT) AS n_rows,
+       TRUE AS within_bound
+FROM events
+CROSS JOIN (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.9 AS DOUBLE),
+                           CAST(0.99 AS DOUBLE)]) AS q) qs
+WHERE value IS NOT NULL
+GROUP BY event_type, q
+""",
+    notes="oracled rank-error audit for the rows-only KLL quantiles "
+    "(rel_approx_percentile_bound pattern): each merged-sketch quantile's "
+    "true rank within its group must bracket q*n to within eps*n + 1 "
+    "(eps = 2x the k=200 DataSketches bound, covering the daily-merge "
+    "fan-in); oracle asserts the constant-true table",
+)(lambda spark: sketches.kll_quantile_rank_bound(spark))
 
 
 _register(
@@ -3934,12 +3975,27 @@ FROM g GROUP BY event_type ORDER BY event_type
 
 _register(
     "ev_topk_users_rollup",
-    None,
+    """
+SELECT event_type, CAST(rnk AS INT) AS rnk, user_id, est_count
+FROM (
+  SELECT event_type, user_id, CAST(count(*) AS BIGINT) AS est_count,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY count(*) DESC, user_id) AS rnk
+  FROM events GROUP BY event_type, user_id
+)
+WHERE rnk <= 10
+""",
     notes="mergeable frequent-items rollup (approx_top_k accumulate/"
     "combine/estimate): top-k users per event_type from merged daily "
-    "states — completes the HLL/KLL/top-k mergeable-summaries trio; "
-    "sketch serialization isn't oracle-portable -> rows-only, exactness "
-    "invariants pinned in tests",
+    "states — completes the HLL/KLL/top-k mergeable-summaries trio. "
+    "PROMOTED rows-only -> oracled (r11): every (type, day) group at the "
+    "tested SFs holds <= ~587 distinct users vs maxItemsTracked=4096, so "
+    "each daily sketch is in its EXACT regime, the combine sums exact "
+    "counts, and the relational (count desc, user_id) k-cut makes the "
+    "output identical to the exact SQL top-k. Past the exact regime "
+    "(>4096 distinct per group) the sketch degrades to approximate heavy "
+    "hitters and this query returns to rows-only — the boundary is "
+    "pinned in tests",
 )(lambda spark: sketches.topk_users_rollup(spark))
 
 
@@ -6032,12 +6088,24 @@ _register(
 
 _register(
     "media_metadata_stats",
-    None,
+    """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'video'
+       ELSE 'audio' END AS media_type,
+       CAST(count(*) AS BIGINT) AS n_items,
+       CAST(count(*) AS BIGINT) AS with_payload,
+       avg(CASE doc_id % 3 WHEN 0 THEN 32 WHEN 1 THEN 16
+           ELSE NULL END) AS avg_width
+FROM documents GROUP BY 1
+""",
     notes="metadata-only rollup over the typed media corpus; with a "
     "real lakehouse media table the payload column is pruned from the "
     "scan (ReadSchema excludes it - asserted in "
-    "test_metadata_stats_prunes_payload); rows-only (corpus derives "
-    "via a binary UDF)",
+    "test_metadata_stats_prunes_payload). PROMOTED rows-only -> oracled "
+    "(r11): corpus_media's METADATA is pure doc_id arithmetic "
+    "(doc_id%3 -> modality, constant per-modality dims, payload always "
+    "present), so the oracle replays it relationally from documents — "
+    "only payload BYTES stay UDF-derived, and this query never reads "
+    "them",
 )(lambda spark: multimodal.media_metadata_stats(multimodal.corpus_media(spark)))
 
 
