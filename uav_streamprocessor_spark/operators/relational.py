@@ -209,6 +209,107 @@ def approx_distinct_error_bound(
     )
 
 
+def zorder_layout_audit(
+    spark: SparkSession, bits: int = 10, n_files: int = 32
+) -> DataFrame:
+    """Z-order (Morton) vs linear-sort layout quality — the lakehouse
+    OPTIMIZE ZORDER decision as a query (storage.zorder_key /
+    rewrite_zordered are the rewrite half; this audits WHY). Rows are
+    assigned to `n_files` fixed z-range buckets (pure arithmetic — no
+    global sort window, so the plan stays shuffle-once) and, for
+    comparison, to linear buckets on column a alone; per (layout, file)
+    the min/max span of BOTH columns is the zone-map selectivity a scan
+    would get. Z-order keeps both spans ~sqrt(cells/files) wide; linear
+    sort makes a tight and b useless (~full range) — the audit output
+    shows exactly the trade. Morton interleave is built-in bit ops
+    (whole-stage codegen, no UDF) and fully oracle-portable."""
+    from uav_streamprocessor_spark.storage import zorder_key
+
+    cells = 1 << (2 * bits)  # z range: 4^bits
+    side = 1 << bits
+    li = _t(spark, "lineitem").select(
+        F.col("l_partkey").alias("pa"), F.col("l_suppkey").alias("pb")
+    )
+    # min-max scale each column to the full bit width first — what real
+    # OPTIMIZE ZORDER implementations do: the interleave only balances
+    # dimensions of equal bit-width, and raw key ranges are data-
+    # dependent (l_suppkey spans ~100 values at sf0.01). One-row agg,
+    # broadcast back (the bounded-scalar crossJoin pattern).
+    bounds = li.agg(
+        F.min("pa").alias("a_lo"), F.max("pa").alias("a_hi"),
+        F.min("pb").alias("b_lo"), F.max("pb").alias("b_hi"),
+    )
+    scaled = li.crossJoin(F.broadcast(bounds)).select(
+        F.expr(
+            f"CAST(((pa - a_lo) * {side}) DIV (a_hi - a_lo + 1) AS BIGINT)"
+        ).alias("a"),
+        F.expr(
+            f"CAST(((pb - b_lo) * {side}) DIV (b_hi - b_lo + 1) AS BIGINT)"
+        ).alias("b"),
+    )
+    z = scaled.select(
+        "a", "b", zorder_key(F.col("a"), F.col("b"), bits).alias("zval")
+    ).select(
+        "a",
+        "b",
+        F.expr(f"CAST((zval * {n_files}) DIV {cells} AS INT)").alias("z_file"),
+        F.expr(f"CAST((a * {n_files}) DIV {side} AS INT)").alias("lin_file"),
+    )
+
+    def spans(file_col: str, name: str) -> DataFrame:
+        return (
+            z.groupBy(F.col(file_col).alias("file_id"))
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                (F.max("a") - F.min("a")).alias("a_span"),
+                (F.max("b") - F.min("b")).alias("b_span"),
+            )
+            .withColumn("layout", F.lit(name))
+        )
+
+    return spans("z_file", "zorder").unionByName(
+        spans("lin_file", "linear")
+    ).select("layout", "file_id", "n_rows", "a_span", "b_span")
+
+
+def zorder_oracle_sql(bits: int = 10, n_files: int = 32) -> str:
+    """Generated DuckDB oracle for zorder_layout_audit: the Morton
+    interleave as a sum of disjoint powers of two (bit OR of disjoint
+    terms == addition, portable as plain arithmetic)."""
+    cells = 1 << (2 * bits)
+    side = 1 << bits
+    morton = " + ".join(
+        f"(((a >> {i}) & 1) * {1 << (2 * i + 1)}) + "
+        f"(((b >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(bits)
+    )
+    return f"""
+WITH bounds AS (
+  SELECT min(l_partkey) AS a_lo, max(l_partkey) AS a_hi,
+         min(l_suppkey) AS b_lo, max(l_suppkey) AS b_hi
+  FROM lineitem
+), pts AS (
+  SELECT CAST(((l_partkey - a_lo) * {side}) // (a_hi - a_lo + 1) AS BIGINT) AS a,
+         CAST(((l_suppkey - b_lo) * {side}) // (b_hi - b_lo + 1) AS BIGINT) AS b
+  FROM lineitem CROSS JOIN bounds
+), assig AS (
+  SELECT a, b,
+         CAST((({morton}) * {n_files}) // {cells} AS INT) AS z_file,
+         CAST((a * {n_files}) // {side} AS INT) AS lin_file
+  FROM pts
+)
+SELECT 'zorder' AS layout, z_file AS file_id,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(max(a) - min(a) AS BIGINT) AS a_span,
+       CAST(max(b) - min(b) AS BIGINT) AS b_span
+FROM assig GROUP BY z_file
+UNION ALL
+SELECT 'linear', lin_file, CAST(count(*) AS BIGINT),
+       CAST(max(a) - min(a) AS BIGINT), CAST(max(b) - min(b) AS BIGINT)
+FROM assig GROUP BY lin_file
+"""
+
+
 def customer_order_rank(spark: SparkSession) -> DataFrame:
     """Window ranking: each customer's 3 largest orders with order-date
     lag — rank/lag/lead over a per-customer window."""

@@ -1613,12 +1613,12 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     whose newest driver row is still CORRECTNESS_r04), in r04 order,
 #     starting at tpch_q21_waiting_suppliers per the r10 queue comment.
 #  3. Remaining slots: the head of the r05 cohort in CORRECTNESS_r05
-#     order (5 names through text_chunk_windows).
+#     order (4 names through text_quality_classifier).
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
 # r12 queue: continue the r05-cohort re-prove rotation from
-# text_substring_dup_spans onward (42 remain after this round).
+# text_chunk_windows onward (43 remain after this round).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1632,6 +1632,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ev_hll_rollup_bound",
     "ev_kll_rank_bound",
     "media_metadata_stats",
+    "rel_zorder_layout",
     # -- r04-cohort re-prove (oldest driver rows = r04) --
     "tpch_q21_waiting_suppliers",
     "text_ngram_repetition",
@@ -1673,7 +1674,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_mix_weights",
     "text_perplexity_buckets",
     "text_quality_classifier",
-    "text_chunk_windows",
 ]
 
 
@@ -7065,6 +7065,21 @@ FROM tagged GROUP BY predicate ORDER BY predicate
     "prune zero (the sort/Z-order signal); one stats pass, then "
     "arithmetic over the ~80-row zone table",
 )(lambda spark: relational.zone_map_pruning_audit(spark))
+
+
+_register(
+    "rel_zorder_layout",
+    relational.zorder_oracle_sql(),
+    notes="Z-order vs linear layout-quality audit (r11 — registers the "
+    "storage.zorder_key/rewrite_zordered capability as a query): rows "
+    "assigned to fixed z-range buckets by the Morton interleave of "
+    "(l_partkey, l_suppkey) mod 1024 — pure bit arithmetic, fully "
+    "oracled via a generated disjoint-powers sum — and per (layout, "
+    "file) both columns' min/max spans quantify the zone-map "
+    "selectivity OPTIMIZE ZORDER buys: z keeps both spans tight, "
+    "linear sort leaves the second column at ~full range. No global "
+    "sort window: bucket assignment is arithmetic, one groupBy shuffle",
+)(lambda spark: relational.zorder_layout_audit(spark))
 
 
 _register(
