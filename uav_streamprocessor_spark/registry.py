@@ -3608,13 +3608,83 @@ FROM d WHERE det_id NOT IN (SELECT det_id FROM sup)
 )(lambda spark: uav_extra.nms_one_pass_survivors(spark.table("detections")))
 
 
+_NMS_GREEDY_ORACLE_TAIL = """
+, ranked AS (
+  SELECT camera_id, frame_number, class_name, det_id, confidence,
+         x_min, y_min, x_max, y_max,
+         CAST((x_max - x_min) * (y_max - y_min) AS BIGINT) AS area,
+         row_number() OVER (PARTITION BY camera_id, frame_number, class_name
+                            ORDER BY confidence DESC, det_id) AS rnk
+  FROM detections
+),
+state AS (
+  SELECT camera_id, frame_number, class_name, CAST(1 AS BIGINT) AS next_rnk,
+         CAST([] AS BIGINT[]) AS kept_ids,
+         CAST([] AS STRUCT(x0 BIGINT, y0 BIGINT, x1 BIGINT, y1 BIGINT,
+                           a BIGINT)[]) AS kept
+  FROM (SELECT DISTINCT camera_id, frame_number, class_name FROM ranked)
+  UNION ALL
+  SELECT s.camera_id, s.frame_number, s.class_name, s.next_rnk + 1,
+         CASE WHEN len(list_filter(s.kept, b ->
+                greatest(least(r.x_max, b.x1) - greatest(r.x_min, b.x0), 0)
+                * greatest(least(r.y_max, b.y1) - greatest(r.y_min, b.y0), 0)
+                * 100
+                >= 10 * (r.area + b.a
+                         - greatest(least(r.x_max, b.x1)
+                                    - greatest(r.x_min, b.x0), 0)
+                           * greatest(least(r.y_max, b.y1)
+                                      - greatest(r.y_min, b.y0), 0))
+              )) = 0
+         THEN s.kept_ids || [r.det_id] ELSE s.kept_ids END,
+         CASE WHEN len(list_filter(s.kept, b ->
+                greatest(least(r.x_max, b.x1) - greatest(r.x_min, b.x0), 0)
+                * greatest(least(r.y_max, b.y1) - greatest(r.y_min, b.y0), 0)
+                * 100
+                >= 10 * (r.area + b.a
+                         - greatest(least(r.x_max, b.x1)
+                                    - greatest(r.x_min, b.x0), 0)
+                           * greatest(least(r.y_max, b.y1)
+                                      - greatest(r.y_min, b.y0), 0))
+              )) = 0
+         THEN s.kept || [{'x0': r.x_min, 'y0': r.y_min, 'x1': r.x_max,
+                          'y1': r.y_max, 'a': r.area}]
+         ELSE s.kept END
+  FROM state s
+  JOIN ranked r
+    ON r.camera_id = s.camera_id AND r.frame_number = s.frame_number
+   AND r.class_name = s.class_name AND r.rnk = s.next_rnk
+),
+final_state AS (
+  SELECT camera_id, frame_number, class_name, kept_ids,
+         row_number() OVER (PARTITION BY camera_id, frame_number, class_name
+                            ORDER BY next_rnk DESC) AS rr
+  FROM state
+),
+survivors AS (
+  SELECT camera_id, frame_number, class_name, unnest(kept_ids) AS det_id
+  FROM final_state WHERE rr = 1
+)
+SELECT s.det_id, s.camera_id, s.frame_number, s.class_name,
+       round(r.confidence, 6) AS confidence
+FROM survivors s
+JOIN ranked r ON r.det_id = s.det_id
+"""
+
+
 _register(
     "uav_nms_greedy",
-    None,
+    with_fixture_ctes(_NMS_GREEDY_ORACLE_TAIL).replace(
+        "WITH ", "WITH RECURSIVE ", 1
+    ),
     notes="exact greedy NMS via applyInPandas per (camera, frame, class) "
-    "group — the sequential detector algorithm; rows-only (iterative "
-    "keep-list isn't SQL). Superset-of-one-pass + brute-force equality "
-    "pinned in tests",
+    "group — the sequential detector algorithm. PROMOTED rows-only -> "
+    "fully oracled (r11): the greedy keep-list recursion replays in "
+    "DuckDB as a RECURSIVE CTE whose working table carries one row per "
+    "group with the kept-box list as a STRUCT[] column, consuming one "
+    "confidence-rank per iteration; IoU comparisons are pure integer "
+    "cross-multiplication (inter*100 >= pct*union), so the recursion is "
+    "bit-deterministic on both engines. Superset-of-one-pass + "
+    "brute-force equality pinned in tests",
 )(lambda spark: uav_extra.nms_greedy_survivors(spark.table("detections")))
 
 
