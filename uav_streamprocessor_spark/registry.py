@@ -4680,16 +4680,54 @@ _register(
 )(lambda spark: events_ops.daily_autocorrelation(spark))
 
 
+_CORENESS_FIXPOINT_ORACLE = """
+WITH RECURSIVE keys AS (
+  SELECT doc_id, 'p:' || md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'm:' || md5(array_to_string(string_split(text, ' ')[3:8], ' ')) AS key
+  FROM documents
+), e0 AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y USING (key)
+  WHERE x.doc_id < y.doc_id
+), e AS (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+),
+state AS (
+  SELECT u AS node, CAST(count(*) AS BIGINT) AS c, 0 AS it FROM e GROUP BY u
+  UNION ALL
+  SELECT nbr.node, least(min(s2.c), max(least(nbr.rn, nbr.nc))) AS c,
+         min(nbr.it) + 1
+  FROM (
+    SELECT s.node, s.c, s.it, sv.c AS nc,
+           row_number() OVER (PARTITION BY s.node
+                              ORDER BY sv.c DESC, e.v) AS rn
+    FROM state s
+    JOIN e ON e.u = s.node
+    JOIN state sv ON sv.node = e.v
+  ) nbr
+  JOIN state s2 ON s2.node = nbr.node
+  WHERE nbr.it < 50
+  GROUP BY nbr.node
+)
+SELECT node AS doc_id, c AS coreness FROM state WHERE it = 50 ORDER BY doc_id
+"""
+
+
 _register(
     "dedup_graph_coreness",
-    None,
+    _CORENESS_FIXPOINT_ORACLE,
     notes="k-core decomposition of the blocking near-dup graph via the "
     "distributed h-index fixpoint (Lu et al. 2016) — boilerplate-"
     "nucleus vs fringe ranking; per-round work is one node-keyed join "
-    "+ one degree-bounded window; iterative fixpoint not SQL-"
-    "expressible -> rows-only, exact peeling reference in pytest; the "
-    "oracled 1-round shadow dedup_coreness_contraction signs the loop "
-    "body exactly (integer arithmetic)",
+    "+ one degree-bounded window. PROMOTED rows-only -> fully oracled "
+    "(r11): the fixpoint replays as a DuckDB RECURSIVE CTE running the "
+    "identical ALL-INTEGER h-index update for a fixed 50 rounds (the "
+    "Spark max_iter cap; the update is idempotent past the fixpoint, "
+    "so the round-50 state IS the converged coreness). Exact peeling "
+    "reference stays in pytest; the 1-round shadow "
+    "dedup_coreness_contraction remains as the cheap per-round check",
 )(lambda spark: dedup.doc_graph_coreness(spark))
 
 
