@@ -172,6 +172,21 @@ def test_media_metadata_stats_is_docid_arithmetic(spark):
     assert rows["audio"]["avg_width"] is None
 
 
+def test_hll_overlap_bound_holds(spark):
+    """The inclusion-exclusion overlap stays inside its compounded
+    accuracy contract for every type pair, and the exact anchor counts
+    the true intersection."""
+    rows = _q("ev_hll_overlap_bound", spark).collect()
+    assert len(rows) > 0 and all(r["within_bound"] for r in rows)
+    # pairs enumerate ALL type pairs, zero-overlap included
+    import math
+
+    n_types = spark.read.parquet(f"{SF_SMALL}/events.parquet").select(
+        "event_type"
+    ).distinct().count()
+    assert len(rows) == math.comb(n_types, 2)
+
+
 def test_zorder_layout_beats_linear_on_second_column(spark):
     """The audit's load-bearing claim: z-order keeps BOTH columns' per-
     file spans bounded, linear sort leaves column b at ~full range —

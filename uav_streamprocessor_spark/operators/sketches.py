@@ -271,3 +271,46 @@ def kll_quantile_rank_bound(
     return ranks.select(
         "event_type", "q", "n_rows", within.alias("within_bound")
     )
+
+
+def hll_overlap_error_bound(
+    spark: SparkSession, lg_k: int = 12, sigmas: float = 4.0
+) -> DataFrame:
+    """Accuracy-contract audit for the rows-only inclusion-exclusion
+    overlap (completes the bound-audit family): |A∩B| ≈ |A|+|B|−|A∪B|
+    compounds THREE sketch estimates, so the audited bound is
+    sigmas·rse·(|A|+|B|+|A∪B|) + 16 against the exact countDistinct
+    intersection — the standard small-intersection-of-large-sets caveat
+    made checkable. The exact intersection is one events self-join on
+    user_id pre-aggregated to (user, type-set) — never event×event."""
+    rse = 1.04 / (2.0 ** (lg_k / 2.0))
+    est = hll_audience_overlap(spark, lg_k)
+    ev = spark.table("events").select("event_type", "user_id").distinct()
+    a = ev.select(F.col("event_type").alias("type_a"), "user_id")
+    b = ev.select(F.col("event_type").alias("type_b"), "user_id")
+    exact = (
+        a.join(b, "user_id")
+        .filter(F.col("type_a") < F.col("type_b"))
+        .groupBy("type_a", "type_b")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+    )
+    j = est.join(exact, ["type_a", "type_b"], "left").fillna(
+        0, subset=["exact_overlap"]
+    )
+    slack = (
+        (
+            F.col("est_users_a") + F.col("est_users_b") + F.col("est_union")
+        ).cast("double")
+        * (sigmas * rse)
+        + 16.0
+    )
+    ok = (
+        F.abs(
+            F.col("est_overlap").cast("double")
+            - F.col("exact_overlap").cast("double")
+        )
+        <= slack
+    )
+    return j.select(
+        "type_a", "type_b", "exact_overlap", ok.alias("within_bound")
+    ).orderBy("type_a", "type_b")

@@ -1613,12 +1613,12 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     whose newest driver row is still CORRECTNESS_r04), in r04 order,
 #     starting at tpch_q21_waiting_suppliers per the r10 queue comment.
 #  3. Remaining slots: the head of the r05 cohort in CORRECTNESS_r05
-#     order (4 names through text_quality_classifier).
+#     order (3 names through text_perplexity_buckets).
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
 # r12 queue: continue the r05-cohort re-prove rotation from
-# text_chunk_windows onward (43 remain after this round).
+# text_quality_classifier onward (44 remain after this round).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1633,6 +1633,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "ev_kll_rank_bound",
     "media_metadata_stats",
     "rel_zorder_layout",
+    "ev_hll_overlap_bound",
     # -- r04-cohort re-prove (oldest driver rows = r04) --
     "tpch_q21_waiting_suppliers",
     "text_ngram_repetition",
@@ -1673,7 +1674,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_sequence_packing",
     "text_mix_weights",
     "text_perplexity_buckets",
-    "text_quality_classifier",
 ]
 
 
@@ -4553,8 +4553,39 @@ _register(
     "exclusion over per-type HLL sketches (hll_union is lossless on "
     "registers); pair math is sketch-count-sized, never event-sized; "
     "estimates pinned against exact countDistinct truth in pytest -> "
-    "rows-only",
+    "rows-only; the compounded accuracy contract is oracled by "
+    "ev_hll_overlap_bound",
 )(lambda spark: sketches.hll_audience_overlap(spark))
+
+
+_register(
+    "ev_hll_overlap_bound",
+    """
+WITH t AS (SELECT DISTINCT event_type FROM events),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b
+  FROM t a JOIN t b ON a.event_type < b.event_type
+),
+u AS (SELECT DISTINCT event_type, user_id FROM events),
+ovl AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         count(*) AS c
+  FROM u a JOIN u b ON a.user_id = b.user_id
+   AND a.event_type < b.event_type
+  GROUP BY 1, 2
+)
+SELECT p.type_a, p.type_b,
+       CAST(coalesce(o.c, 0) AS BIGINT) AS exact_overlap,
+       TRUE AS within_bound
+FROM pairs p LEFT JOIN ovl o USING (type_a, type_b)
+ORDER BY 1, 2
+""",
+    notes="oracled accuracy-contract audit for the rows-only "
+    "inclusion-exclusion overlap (completes the sketch bound-audit "
+    "family): |est - exact| <= 4*rse*(|A|+|B|+|A u B|) + 16 per pair — "
+    "the compounded-error caveat made checkable; the exact "
+    "intersection anchors the oracle as integers",
+)(lambda spark: sketches.hll_overlap_error_bound(spark))
 
 
 _register(
