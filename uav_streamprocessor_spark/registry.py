@@ -1518,8 +1518,11 @@ _register(
     None,
     notes="ANN quality/cost audit: recall@k vs exact kNN per (method, "
     "knob) point across LSH probe radii and IVF nprobe — the eval "
-    "harness as a query; LSH/IVF sides aren't SQL-portable (rows-only), "
-    "monotonicity + exactness pinned in pytest",
+    "harness as a query. Rows-only because the IVF half ranks by "
+    "float-averaged centroids (summation-order sensitive); the LSH "
+    "half is bit-portable as of r11 (emb_ann_lsh is fully oracled, "
+    "which covers the h=2 point of this curve exactly); monotonicity "
+    "+ exactness pinned in pytest",
 )(lambda spark: similarity.ann_tuning_curve(spark))
 
 
