@@ -439,3 +439,51 @@ def test_cms_rows_decorrelated_across_hash_rows(uid):
     a = cms_rows(uid, width=256)
     b = cms_rows(uid + 256, width=256)
     assert a != b
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+            st.integers(min_value=0, max_value=(1 << 16) - 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@settings(max_examples=50, deadline=None)
+def test_morton_interleave_bijective_and_oracle_equal(pairs):
+    """rel_zorder_layout's Morton key: (a) the interleave is a bijection
+    (deinterleave recovers both coordinates exactly — a key collision
+    would silently merge file cells), and (b) the generated DuckDB
+    disjoint-powers sum equals the bit-level reference for arbitrary
+    16-bit inputs (the oracle half of the Spark/oracle parity proof)."""
+    import duckdb
+
+    def interleave(a, b, bits=16):
+        z = 0
+        for i in range(bits):
+            z |= ((a >> i) & 1) << (2 * i + 1)
+            z |= ((b >> i) & 1) << (2 * i)
+        return z
+
+    def deinterleave(z, bits=16):
+        a = b = 0
+        for i in range(bits):
+            a |= ((z >> (2 * i + 1)) & 1) << i
+            b |= ((z >> (2 * i)) & 1) << i
+        return a, b
+
+    morton_sql = " + ".join(
+        f"(((a >> {i}) & 1) * {1 << (2 * i + 1)}) + "
+        f"(((b >> {i}) & 1) * {1 << (2 * i)})"
+        for i in range(16)
+    )
+    con = duckdb.connect()
+    for a, b in pairs:
+        z = interleave(a, b)
+        assert deinterleave(z) == (a, b)
+        got = con.sql(
+            f"SELECT {morton_sql} FROM (SELECT {a}::BIGINT AS a, {b}::BIGINT AS b)"
+        ).fetchone()[0]
+        assert got == z
