@@ -852,13 +852,15 @@ def doc_graph_coreness(spark: SparkSession) -> DataFrame:
 
 
 def coreness_contraction(spark: SparkSession) -> DataFrame:
-    """Oracled 1-round shadow of dedup_graph_coreness (rows-only: the
-    h-index FIXPOINT iterates a data-dependent number of rounds, which
-    SQL can't unroll). One round from the degree init is exactly the
-    fixpoint's loop body — all-integer h-index arithmetic, so the DuckDB
-    twin matches with no float tolerance (the strongest of the three
-    contraction shadows: pagerank/k-means carry 6dp rounding, this one
-    is exact). Emits (doc_id, degree, h1) over the blocking graph."""
+    """Oracled 1-round shadow of dedup_graph_coreness. One round from
+    the degree init is exactly the fixpoint's loop body — all-integer
+    h-index arithmetic, so the DuckDB twin matches with no float
+    tolerance (the strongest of the three contraction shadows:
+    pagerank/k-means carry 6dp rounding, this one is exact). Since r11
+    the FULL fixpoint is also oracled (a recursive CTE runs the same
+    update for the 50-round cap); this shadow stays as the cheap
+    per-round check. Emits (doc_id, degree, h1) over the blocking
+    graph."""
     from uav_streamprocessor_spark.operators.graph import coreness_first_round
 
     return (

@@ -127,15 +127,16 @@ def lsh_bucket_codes(spark: SparkSession) -> DataFrame:
 
 def lsh_bucket_assignment(spark: SparkSession) -> DataFrame:
     """Bucket-code assignment of the hyperplane LSH (VERDICT r10 #5 —
-    the oracled half of the rows-only emb_ann_lsh; only the probe-order
-    re-rank stays rows-only). Portable across engines because
+    the portability proof that also let the FULL emb_ann_lsh promote to
+    oracled, see ann_lsh_oracle_sql). Portable across engines because
     bucket_code_col folds the dot product SEQUENTIALLY left-to-right in
     doubles (F.aggregate with 0.0 init) — the oracle replays the exact
     same operation order as an explicit left-associated SQL sum over the
     same shortest-roundtrip plane literals, so the doubles (and
     therefore the sign bits and the integer code) are bit-identical.
-    numpy's pairwise-summation dot, by contrast, is NOT portable — the
-    reason the full ANN query stays rows-only."""
+    numpy's pairwise-summation dot, by contrast, is NOT portable —
+    which is why the portability argument lives here, on the JVM-side
+    expression, not on any numpy path."""
     return lsh_bucket_codes(spark).select("vec_id", "label", "bucket")
 
 

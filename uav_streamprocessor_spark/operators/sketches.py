@@ -14,10 +14,16 @@ whole-stage-codegen aggregates — no UDFs):
   contract.
 
 Sketch estimates are deterministic for fixed input + params but are NOT
-reproducible in DuckDB (different algorithms), so these register
-rows-only; the load-bearing invariants — merge-of-parts == sketch-of-
-whole, and rank-error bounds vs exact — are pinned in
-tests/test_pipeline_ops.py.
+reproducible in DuckDB (different algorithms), so the estimate queries
+register rows-only; the load-bearing invariants — merge-of-parts ==
+sketch-of-whole, and rank-error bounds vs exact — are pinned in
+tests/test_pipeline_ops.py, and as of r11 every sketch's documented
+ACCURACY CONTRACT is additionally oracled as a constant-true audit
+query (ev_hll_rollup_bound, ev_kll_rank_bound, ev_hll_overlap_bound —
+see the *_error_bound / *_rank_bound functions below). The top-k
+rollup is the exception that promotes outright: at tested SFs it sits
+in the sketch's exact regime, so its output equals the exact SQL
+top-k and is fully oracled.
 
 Reference parity note: the reference keeps two driver-side counters
 (uav/main.py:90-91); sketches are the scale generalization of "running
