@@ -84,6 +84,8 @@ HEADLINE = [
     "text_ngram_novelty",          # first-occurrence gram attribution
     # late-r7 addition: char-gram fingerprint selection + fp-keyed pair join
     "dedup_winnowing",             # MOSS winnowing near-dup pairs
+    # r11 addition: the data-layout family's representative
+    "rel_zorder_layout",           # min-max-scaled Morton layout audit
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at
