@@ -1616,12 +1616,12 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     whose newest driver row is still CORRECTNESS_r04), in r04 order,
 #     starting at tpch_q21_waiting_suppliers per the r10 queue comment.
 #  3. Remaining slots: the head of the r05 cohort in CORRECTNESS_r05
-#     order (3 names through text_perplexity_buckets).
+#     order (2 names through text_mix_weights).
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
 # r12 queue: continue the r05-cohort re-prove rotation from
-# text_quality_classifier onward (44 remain after this round).
+# text_perplexity_buckets onward (45 remain after this round).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1637,6 +1637,7 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "media_metadata_stats",
     "rel_zorder_layout",
     "ev_hll_overlap_bound",
+    "emb_ivf_full_probe",
     # -- r04-cohort re-prove (oldest driver rows = r04) --
     "tpch_q21_waiting_suppliers",
     "text_ngram_repetition",
@@ -1676,7 +1677,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- r05-cohort re-prove head (oldest driver rows = r05) --
     "text_sequence_packing",
     "text_mix_weights",
-    "text_perplexity_buckets",
 ]
 
 
@@ -2128,8 +2128,22 @@ _register(
     None,
     notes="IVF-style ANN: label = coarse cell, probe nprobe nearest "
     "centroids, exact re-rank inside probed cells only; recall vs brute "
-    "force pinned in tests (centroid float ordering isn't ULP-portable)",
+    "force pinned in tests (centroid float ordering isn't ULP-portable); "
+    "the full IVF machinery is oracled end-to-end by emb_ivf_full_probe",
 )(lambda spark: similarity.ivf_topk(spark))
+
+
+_register(
+    "emb_ivf_full_probe",
+    next(s.oracle for s in _SPECS if s.name == "emb_knn_bruteforce"),
+    notes="oracled exactness twin of the rows-only IVF (r11): with "
+    "nprobe >= n_cells every cell is probed, so the centroid ranking — "
+    "the one ULP-sensitive stage — cannot change the candidate set and "
+    "IVF must reproduce brute-force kNN EXACTLY; the oracle is "
+    "therefore emb_knn_bruteforce's oracle verbatim, and it signs the "
+    "whole IVF pipeline (cell assignment, probe union, broadcast "
+    "semi-filter, re-rank) end-to-end",
+)(lambda spark: similarity.ivf_topk(spark, nprobe=1_000_000))
 
 
 from uav_streamprocessor_spark.operators import skew  # noqa: E402
