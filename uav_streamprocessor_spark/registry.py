@@ -1612,16 +1612,19 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     (exact-regime sketch == exact SQL top-k; already in the r04
 #     cohort below) and media_metadata_stats (metadata is doc_id
 #     arithmetic).
-#  2. The oldest-row re-prove rotation: the full r04 cohort (35 names
-#     whose newest driver row is still CORRECTNESS_r04), in r04 order,
-#     starting at tpch_q21_waiting_suppliers per the r10 queue comment.
-#  3. Remaining slots: the head of the r05 cohort in CORRECTNESS_r05
-#     order (2 names through text_mix_weights).
+#  2. The oldest-row re-prove rotation: the r04 cohort (33 of the 35
+#     names whose newest driver row is still CORRECTNESS_r04, in r04
+#     order from tpch_q21_waiting_suppliers per the r10 queue comment;
+#     the two rows-only members emb_kmeans_profile and
+#     media_ahash_neardups yield their slots to this round's
+#     changed-query proofs — a rows-only driver row proves little and
+#     both have oracled shadows/tests).
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
-# r12 queue: continue the r05-cohort re-prove rotation from
-# text_perplexity_buckets onward (45 remain after this round).
+# r12 queue: re-prove emb_kmeans_profile and media_ahash_neardups
+# (displaced r04 members), then continue the r05-cohort rotation from
+# text_sequence_packing onward (47 remain after this round).
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1638,6 +1641,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rel_zorder_layout",
     "ev_hll_overlap_bound",
     "emb_ivf_full_probe",
+    "emb_ann_lsh",
+    "dedup_edit_distance",
+    "dedup_graph_coreness",
+    "ev_topk_users_rollup",
     # -- r04-cohort re-prove (oldest driver rows = r04) --
     "tpch_q21_waiting_suppliers",
     "text_ngram_repetition",
@@ -1668,15 +1675,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rel_referential_audit",
     "rel_table_profile",
     "rel_k_anonymity",
-    "emb_kmeans_profile",
     "emb_norm_outliers",
     "emb_doc_join_stats",
-    "media_ahash_neardups",
     "uav_nms_survivors",
     "uav_nms_greedy",
-    # -- r05-cohort re-prove head (oldest driver rows = r05) --
-    "text_sequence_packing",
-    "text_mix_weights",
 ]
 
 
