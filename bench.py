@@ -145,12 +145,18 @@ EXTRA_RUNS = {
 
 
 def _runs_for(name: str, default: int) -> int:
-    n = EXTRA_RUNS.get(name, default)
+    # EXTRA_RUNS is a floor, not a ceiling (ADVICE r11): an adjudication
+    # session asking for N=9 globally must not get quietly pinned back to
+    # 7 on exactly the noisy queries it targets.
+    n = max(EXTRA_RUNS.get(name, 1), default)
     for item in os.environ.get("SPARK_GRAFT_BENCH_RUNS_OVERRIDE", "").split(","):
         if "=" in item:
             k, v = item.split("=", 1)
             if k.strip() == name:
-                n = max(1, int(v))
+                try:
+                    n = max(1, int(v))
+                except ValueError:
+                    pass  # malformed entry: ignore, keep the computed N
     return n + 1 if n % 2 == 0 else n
 
 

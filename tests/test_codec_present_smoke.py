@@ -201,7 +201,9 @@ def test_mp4_reassembly_orders_segments_by_batch(stub_cv2, tmp_path):
             str(out), 25.0, acc, fmt="mp4", batch_id=batch_id,
         )
 
-    assert reassemble_segments(str(out), fmt="mp4") == {"10.0.0.5": 3}
+    assert reassemble_segments(str(out), fmt="mp4") == {
+        "10.0.0.5": {"segments": 3, "reencoded": True, "fps_fallback": False}
+    }
     dest = stub_cv2._files[str(out / "10.0.0.5.mp4")]
     assert dest.fourcc == "mp4v" and dest.fps == 25.0 and dest.size == (64, 36)
     # frame payloads in the muxed file == batch 0,1,2 frames in order
@@ -218,7 +220,9 @@ def test_mp4_reassembly_orders_segments_by_batch(stub_cv2, tmp_path):
         assert np.array_equal(got, want)
 
     # reassembly is idempotent while segments are kept
-    assert reassemble_segments(str(out), fmt="mp4") == {"10.0.0.5": 3}
+    assert reassemble_segments(str(out), fmt="mp4") == {
+        "10.0.0.5": {"segments": 3, "reencoded": True, "fps_fallback": False}
+    }
     dest2 = stub_cv2._files[str(out / "10.0.0.5.mp4")]
     assert len(dest2.arrays) == 8
 
@@ -239,7 +243,10 @@ def test_jsonl_reassembly_byte_concat(tmp_path):
     (out / "camA.b000001.jsonl").write_text('{"frame_number": 1}\n')
     (out / "camA.b000000.jsonl").write_text('{"frame_number": 0}\n')
     (out / "camB.b000000.jsonl").write_text('{"frame_number": 9}\n')
-    assert reassemble_segments(str(out)) == {"camA": 2, "camB": 1}
+    res = reassemble_segments(str(out))
+    assert {c: v["segments"] for c, v in res.items()} == {"camA": 2, "camB": 1}
+    # jsonl byte-concat is lossless: no degradation flags ever set
+    assert all(not v["reencoded"] and not v["fps_fallback"] for v in res.values())
     lines = (out / "camA.jsonl").read_text().splitlines()
     assert lines == ['{"frame_number": 0}', '{"frame_number": 1}']
     assert (out / "camB.jsonl").read_text() == '{"frame_number": 9}\n'
@@ -280,7 +287,8 @@ def test_mp4_mux_end_to_end_with_real_cv2(spark, tmp_path):
     from uav_streamprocessor_spark.streaming.sinks import reassemble_segments
 
     sink(frames.withColumn("frame_number", frames.frame_number + 12), 1)
-    assert reassemble_segments(str(tmp_path / "rec"), fmt="mp4") == {"camA": 2}
+    res = reassemble_segments(str(tmp_path / "rec"), fmt="mp4")
+    assert res["camA"]["segments"] == 2 and res["camA"]["reencoded"]
     merged = tmp_path / "rec" / "camA.mp4"
     cap = cv2.VideoCapture(str(merged))
     assert cap.isOpened()

@@ -193,7 +193,8 @@ def test_ordered_recorder_sink(spark, tmp_path):
     # recovers the single-file-per-camera deliverable
     from uav_streamprocessor_spark.streaming.sinks import reassemble_segments
 
-    assert reassemble_segments(str(tmp_path / "rec")) == {"cam0": 1, "cam1": 1}
+    res = reassemble_segments(str(tmp_path / "rec"))
+    assert {c: v["segments"] for c, v in res.items()} == {"cam0": 1, "cam1": 1}
     lines = [
         json.loads(line)
         for line in open(tmp_path / "rec" / "cam0.jsonl")

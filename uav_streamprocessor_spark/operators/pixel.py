@@ -81,7 +81,11 @@ def letterbox_array(img: np.ndarray, target: int = 640, resize=None) -> np.ndarr
     either way — only interpolated pixel values differ."""
     h, w = img.shape[:2]
     scale = min(target / w, target / h)
-    new_w, new_h = int(w * scale), int(h * scale)
+    # clamp to >=1 px (ADVICE r11): an extreme aspect ratio can floor one
+    # side to 0, which cv2.resize raises on (tripping the UDF's raw-buffer
+    # fallback) while the nearest path returned a valid all-padding frame
+    # — the clamp makes both kernels agree on degenerate inputs
+    new_w, new_h = max(1, int(w * scale)), max(1, int(h * scale))
     if resize is not None:
         resized = resize(img, (new_w, new_h))
     else:

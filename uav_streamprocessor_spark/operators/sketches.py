@@ -114,8 +114,16 @@ def topk_daily_sketches(
     )
 
 
+class ExactRegimeViolation(RuntimeError):
+    """A sketch query's exact-SQL oracle premise no longer holds at the
+    current data scale — the query is CORRECT but approximate, so the
+    oracle comparison must be demoted to rows-only, not read as a wrong
+    answer."""
+
+
 def topk_users_rollup(
-    spark: SparkSession, k: int = 10, max_items: int = 4096, slack: int = 16
+    spark: SparkSession, k: int = 10, max_items: int = 4096, slack: int = 16,
+    guard_exact_regime: bool = False,
 ) -> DataFrame:
     """Top-k users per event_type from MERGED daily sketches — the
     frequent-items member of the mergeable-summaries trio (HLL distinct,
@@ -131,7 +139,31 @@ def topk_users_rollup(
     (count desc, user_id) — deterministic membership whenever the
     boundary tie group fits inside the slack (tests pin the boundary
     against the exact group-by; a >slack-wide tie at the cutoff would
-    surface there)."""
+    surface there).
+
+    `guard_exact_regime` (ADVICE r11): the registry's exact-SQL oracle is
+    only valid while every (event_type, day) group's distinct-user count
+    stays <= maxItemsTracked — past that the sketch degrades (correctly)
+    to approximate heavy hitters and the oracle sweep would misread a
+    working query as a divergence. The guard asserts the precondition
+    with one small agg over events (cheap next to the two sketch passes)
+    and raises ExactRegimeViolation carrying the measured margin instead
+    of letting the sweep surface a confusing hash mismatch."""
+    if guard_exact_regime:
+        worst = (
+            spark.table("events")
+            .groupBy("event_type", F.to_date("ts").alias("day"))
+            .agg(F.countDistinct("user_id").alias("n_distinct"))
+            .agg(F.max("n_distinct").alias("worst"))
+            .first()["worst"]
+        )
+        if worst is not None and worst > max_items:
+            raise ExactRegimeViolation(
+                f"ev_topk_users_rollup exact-SQL oracle precondition broken: "
+                f"max per-(event_type, day) distinct users = {worst} > "
+                f"maxItemsTracked = {max_items}; the sketch is now "
+                "approximate — demote this query to rows-only"
+            )
     daily = topk_daily_sketches(spark, max_items)
     merged = daily.groupBy("event_type").agg(
         F.expr("approx_top_k_combine(state)").alias("state")

@@ -4084,8 +4084,10 @@ WHERE rnk <= 10
     "output identical to the exact SQL top-k. Past the exact regime "
     "(>4096 distinct per group) the sketch degrades to approximate heavy "
     "hitters and this query returns to rows-only — the boundary is "
-    "pinned in tests",
-)(lambda spark: sketches.topk_users_rollup(spark))
+    "pinned in tests AND enforced at run time (ADVICE r11): "
+    "guard_exact_regime raises ExactRegimeViolation with the measured "
+    "margin instead of letting a sweep misread the sketch as divergent",
+)(lambda spark: sketches.topk_users_rollup(spark, guard_exact_regime=True))
 
 
 _register(

@@ -136,6 +136,7 @@ class _JsonlCameraWriter:
 
     def __init__(self, out: Path, cam: str, batch_id: int, w: int, h: int,
                  fps: float):
+        _check_camera_id(cam)
         self._f = open(out / f"{cam}.b{batch_id:06d}.jsonl", "w")
         self._w, self._h, self._fps = w, h, fps
 
@@ -182,6 +183,7 @@ class _Mp4CameraWriter:
 
     def __init__(self, out: Path, cam: str, batch_id: int, w: int, h: int,
                  fps: float):
+        _check_camera_id(cam)
         import cv2  # deferred: only the mp4 fmt needs a codec
 
         from uav_streamprocessor_spark.operators.pixel import decode_image
@@ -211,9 +213,23 @@ class _Mp4CameraWriter:
 _CAMERA_WRITERS = {"jsonl": _JsonlCameraWriter, "mp4": _Mp4CameraWriter}
 
 # `{cam}.b{batch:06d}.{ext}` — the per-micro-batch segment naming shared
-# by both camera writers. Camera ids containing a literal ".bNNNNNN"
-# tail are reserved (they would be indistinguishable from segments).
+# by both camera writers. Camera ids ENDING in a literal ".bNNNNNN" are
+# reserved and rejected at writer construction (ADVICE r11): a camera
+# named 'camA.b000001' would produce a reassembled deliverable
+# 'camA.b000001.jsonl' that a SECOND reassemble pass matches as a
+# segment of camera 'camA' and concatenates into the wrong file.
 _SEGMENT_RE = re.compile(r"^(?P<cam>.+)\.b(?P<batch>\d{6})\.(?P<ext>jsonl|mp4)$")
+_RESERVED_CAM_RE = re.compile(r"\.b\d{6}$")
+
+
+def _check_camera_id(cam: str) -> str:
+    if _RESERVED_CAM_RE.search(cam):
+        raise ValueError(
+            f"camera id {cam!r} ends in the reserved segment suffix "
+            "'.bNNNNNN' — it would collide with per-batch segment names "
+            "and corrupt reassemble_segments output"
+        )
+    return cam
 
 
 def reassemble_segments(
@@ -230,7 +246,15 @@ def reassemble_segments(
     (VideoCapture per segment → one VideoWriter), lazily imported and
     therefore presence-gated like the writer itself. Re-running is
     idempotent while segments are kept: the destination is rebuilt from
-    scratch each call. Returns {camera_id: n_segments}.
+    scratch each call.
+
+    Returns {camera_id: {"segments": n, "reencoded": bool,
+    "fps_fallback": bool}} — the mp4 path is a decode→re-encode concat
+    (generation loss, "reencoded": True) and substitutes 25.0 fps when
+    segment 0 reports CAP_PROP_FPS == 0 ("fps_fallback": True), so
+    callers can DETECT a degraded deliverable instead of it being
+    silently masked (ADVICE r11). The jsonl byte-concat is lossless:
+    both flags are always False there.
     """
     out = Path(out_dir)
     by_cam: dict = {}
@@ -238,29 +262,37 @@ def reassemble_segments(
         m = _SEGMENT_RE.match(p.name)
         if m and m.group("ext") == fmt:
             by_cam.setdefault(m.group("cam"), []).append(p)
+    result: dict = {}
     for cam, segs in by_cam.items():
         dest = out / f"{cam}.{fmt}"
         if fmt == "jsonl":
             with open(dest, "wb") as f:
                 for s in segs:
                     f.write(s.read_bytes())
+            result[cam] = {
+                "segments": len(segs),
+                "reencoded": False,
+                "fps_fallback": False,
+            }
         else:
-            _remux_mp4(segs, dest)
+            result[cam] = {"segments": len(segs), **_remux_mp4(segs, dest)}
         if not keep_segments:
             for s in segs:
                 s.unlink()
-    return {cam: len(segs) for cam, segs in by_cam.items()}
+    return result
 
 
-def _remux_mp4(segments: list, dest: Path) -> None:
+def _remux_mp4(segments: list, dest: Path) -> dict:
     """mp4 concat by decode→re-encode (cv2 has no box-level remuxer;
     a production deployment would shell out to ffmpeg's concat demuxer
     to avoid the generation loss). Size/fps latch from segment 0 — all
-    segments of one camera share the writer's latched config."""
+    segments of one camera share the writer's latched config. Returns
+    the degradation flags reassemble_segments surfaces (ADVICE r11)."""
     import cv2  # deferred: only the mp4 fmt needs a codec
 
     cap0 = cv2.VideoCapture(str(segments[0]))
-    fps = cap0.get(cv2.CAP_PROP_FPS) or 25.0
+    raw_fps = cap0.get(cv2.CAP_PROP_FPS)
+    fps = raw_fps or 25.0
     w = int(cap0.get(cv2.CAP_PROP_FRAME_WIDTH))
     h = int(cap0.get(cv2.CAP_PROP_FRAME_HEIGHT))
     cap0.release()
@@ -282,6 +314,7 @@ def _remux_mp4(segments: list, dest: Path) -> None:
                 cap.release()
     finally:
         vw.release()
+    return {"reencoded": True, "fps_fallback": not raw_fps}
 
 
 def _record_partition(
