@@ -1779,9 +1779,19 @@ def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
     (unequal-variance normal approximation); every output row carries
     the scalar verdict so the 4-row cell table is self-contained.
     A degenerate cell with n_users == 1 has an undefined sample
-    variance (var_samp -> NULL); its SE term is taken as 0 so did_se /
-    did_z stay defined -- did_se is then a LOWER bound and the cell's
-    own var_y row stays NULL to flag the degeneracy.
+    variance (NULL); its SE term is taken as 0 so did_se / did_z stay
+    defined -- did_se is then a LOWER bound and the cell's own var_y
+    row stays NULL to flag the degeneracy.
+
+    Determinism (r12, after a once-in-a-sweep hash flake): `value` is
+    2dp money, so `round(value*100)` canonicalizes every row to EXACT
+    integer cents identically in both engines; the per-user sums and
+    the four cell moments (n, Σy, Σy²) are then exact integers whose
+    totals cannot depend on partition/summation order, and mean/var
+    derive from those moments with one cast to double — avg()/
+    var_samp() over raw doubles had ULP jitter that could flip a 6dp
+    rounding boundary run-to-run (the verify-skill moment-statistics
+    gotcha, previously hit by ev_bot_regularity).
 
     Scale shape: one events pass (map-side-combinable conditional sum),
     a distinct-users frame joined LEFT to period sums, a 4-row cell
@@ -1799,12 +1809,15 @@ def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
         )
         .cast("int")
         .alias("period"),
-        F.when(F.col("event_type") == "purchase", F.col("value"))
-        .otherwise(0.0)
-        .alias("purchase_value"),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.round(F.col("value") * 100).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("pv_cents"),
     )
     sums = tagged.groupBy("user_id", "period").agg(
-        F.sum("purchase_value").alias("y")
+        F.sum("pv_cents").alias("y_cents")
     )
     frame = (
         ev.select("user_id")
@@ -1814,13 +1827,28 @@ def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
         .select(
             (F.col("user_id") % 2).cast("int").alias("variant"),
             "period",
-            F.coalesce("y", F.lit(0.0)).alias("y"),
+            F.coalesce("y_cents", F.lit(0).cast("long")).alias("y_cents"),
         )
     )
-    cells = frame.groupBy("variant", "period").agg(
+    yd = F.col("y_cents").cast("decimal(38,0)")
+    moments = frame.groupBy("variant", "period").agg(
         F.count(F.lit(1)).cast("long").alias("n_users"),
-        F.avg("y").alias("mean_y"),
-        F.var_samp("y").alias("var_y"),
+        F.sum("y_cents").cast("decimal(38,0)").alias("sum_y"),
+        F.sum(yd * yd).alias("sum_y2"),
+    )
+    n_d = F.col("n_users").cast("double")
+    cells = moments.select(
+        "variant",
+        "period",
+        "n_users",
+        (F.col("sum_y").cast("double") / n_d / 100.0).alias("mean_y"),
+        F.when(
+            F.col("n_users") > 1,
+            (F.col("sum_y2") * F.col("n_users") - F.col("sum_y") * F.col("sum_y"))
+            .cast("double")
+            / (n_d * (n_d - 1.0))
+            / 10000.0,
+        ).alias("var_y"),
     )
     wide = cells.agg(
         *[
@@ -1856,11 +1884,17 @@ def diff_in_diff_readout(spark: SparkSession) -> DataFrame:
             "variant",
             "period",
             "n_users",
-            F.round("mean_y", 6).alias("mean_y"),
-            F.round("var_y", 6).alias("var_y"),
-            F.round("_did", 6).alias("did_estimate"),
-            F.round("_se", 6).alias("did_se"),
-            F.round(F.col("_did") / F.nullif("_se", F.lit(0.0)), 6).alias("did_z"),
+            # integer-scaling round + `+ 0.0` negative-zero normalization
+            # on the signed columns, mirrored in the oracle (verify-skill
+            # idioms) — inputs are already deterministic doubles
+            (F.round(F.col("mean_y") * 1e6) / 1e6).alias("mean_y"),
+            (F.round(F.col("var_y") * 1e6) / 1e6).alias("var_y"),
+            (F.round(F.col("_did") * 1e6) / 1e6 + 0.0).alias("did_estimate"),
+            (F.round(F.col("_se") * 1e6) / 1e6).alias("did_se"),
+            (
+                F.round(F.col("_did") / F.nullif("_se", F.lit(0.0)) * 1e6) / 1e6
+                + 0.0
+            ).alias("did_z"),
         )
         .orderBy("variant", "period")
     )
