@@ -1124,9 +1124,8 @@ def kcenter_greedy_sample(spark: SparkSession, k: int = 10) -> DataFrame:
         "vec_id",
         "label",
         "embedding",
-        F.round(
-            _sq_dist(F.col("embedding"), F.lit(seed.embedding)), 9
-        ).alias("min_dist"),
+        (F.round(_sq_dist(F.col("embedding"), F.lit(seed.embedding)) * 1e9)
+         / 1e9).alias("min_dist"),
     )
     cur = cur.persist(StorageLevel.MEMORY_AND_DISK)
     try:
@@ -1142,9 +1141,8 @@ def kcenter_greedy_sample(spark: SparkSession, k: int = 10) -> DataFrame:
                 "embedding",
                 F.least(
                     F.col("min_dist"),
-                    F.round(
-                        _sq_dist(F.col("embedding"), F.lit(center)), 9
-                    ),
+                    F.round(_sq_dist(F.col("embedding"), F.lit(center)) * 1e9)
+                    / 1e9,
                 ).alias("min_dist"),
             )
             nxt = nxt.persist(StorageLevel.MEMORY_AND_DISK)

@@ -5189,14 +5189,62 @@ ORDER BY day
 
 _register(
     "emb_kcenter_sample",
-    None,
+    """
+WITH RECURSIVE
+ev AS (
+  SELECT vec_id, label, i.i AS dim,
+         CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+),
+n2 AS (SELECT vec_id, sum(val * val) AS n2 FROM ev GROUP BY vec_id),
+seed AS (SELECT vec_id FROM n2 ORDER BY n2 DESC, vec_id LIMIT 1),
+sv AS (SELECT ev.dim, ev.val FROM ev JOIN seed USING (vec_id)),
+state AS (
+  SELECT 1 AS r, e.vec_id, any_value(e.label) AS label,
+         round(sum((e.val - sv.val) * (e.val - sv.val)) * 1e9) / 1e9
+           AS min_dist
+  FROM ev e JOIN sv USING (dim)
+  WHERE e.vec_id <> (SELECT vec_id FROM seed)
+  GROUP BY e.vec_id
+  UNION ALL
+  SELECT s.r + 1, s.vec_id, s.label,
+         least(s.min_dist,
+               round((SELECT sum((a.val - b.val) * (a.val - b.val))
+                      FROM ev a JOIN ev b USING (dim)
+                      WHERE a.vec_id = s.vec_id AND b.vec_id = p.vec_id)
+                     * 1e9) / 1e9)
+  FROM state s,
+       (SELECT vec_id FROM state ORDER BY min_dist DESC, vec_id LIMIT 1) p
+  WHERE s.vec_id <> p.vec_id AND s.r < 9
+),
+picks AS (
+  SELECT r, vec_id, label, min_dist,
+         row_number() OVER (PARTITION BY r ORDER BY min_dist DESC, vec_id)
+           AS rn
+  FROM state
+)
+SELECT CAST(0 AS INT) AS selection_order,
+       CAST(s.vec_id AS BIGINT) AS vec_id,
+       CAST(e.label AS INT) AS label,
+       CAST(NULL AS DOUBLE) AS dist_at_selection
+FROM seed s JOIN embeddings e USING (vec_id)
+UNION ALL
+SELECT CAST(r AS INT), CAST(vec_id AS BIGINT), CAST(label AS INT), min_dist
+FROM picks WHERE rn = 1
+ORDER BY selection_order
+""",
     notes="k-center greedy coreset (farthest-first traversal, "
     "arXiv:1708.00489): k rounds of map + top-1 reduce over a running "
-    "min-dist column — no shuffle ever; iterative argmax is not SQL-"
-    "expressible, so rows-only for the driver; pytest replicates the "
-    "full trace exactly against a numpy reference and pins the non-"
-    "increasing cover-radius invariant plus a planted-duplicate "
-    "control (test_round5c_ops.py)",
+    "min-dist column — no shuffle ever. PROMOTED rows-only -> fully "
+    "oracled (r12, the uav_nms_greedy recursive-replay pattern): each "
+    "recursion round re-derives the working set's argmax with a "
+    "second recursive reference (ORDER BY min_dist DESC, vec_id LIMIT "
+    "1) and folds the new center's distance in with the SAME "
+    "progressive integer-scaled rounding (round(d*1e9)/1e9) the Spark "
+    "loop applies, so the full 10-pick trace including "
+    "dist_at_selection hash-matches at all three SFs; pytest "
+    "additionally replicates the trace against numpy and pins the "
+    "non-increasing cover radius (test_round5c_ops.py)",
 )(lambda spark: similarity.kcenter_greedy_sample(spark))
 
 
@@ -5795,13 +5843,103 @@ FROM dau JOIN mau USING (day) ORDER BY day
 
 _register(
     "emb_mmr_rerank",
-    None,
+    """
+WITH RECURSIVE
+ev AS (
+  SELECT vec_id, i.i AS dim,
+         CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+),
+n2 AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM ev GROUP BY vec_id),
+rel AS (
+  SELECT q.vec_id AS query_id, e.vec_id,
+         sum(eq.val * ee.val) / (nq.nrm * ne.nrm) AS relevance
+  FROM embeddings q
+  JOIN embeddings e ON e.vec_id <> q.vec_id
+  JOIN ev eq ON eq.vec_id = q.vec_id
+  JOIN ev ee ON ee.vec_id = e.vec_id AND ee.dim = eq.dim
+  JOIN n2 nq ON nq.vec_id = q.vec_id
+  JOIN n2 ne ON ne.vec_id = e.vec_id
+  WHERE q.vec_id < 5
+  GROUP BY q.vec_id, e.vec_id, nq.nrm, ne.nrm
+),
+cand AS (
+  SELECT query_id, vec_id, relevance FROM (
+    SELECT query_id, vec_id, relevance,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY relevance DESC, vec_id) AS rn
+    FROM rel) WHERE rn <= 32
+),
+usim AS (
+  SELECT a.query_id, a.vec_id AS va, b.vec_id AS vb,
+         sum((ea.val / na.nrm) * (eb.val / nb.nrm)) AS sim
+  FROM cand a
+  JOIN cand b ON b.query_id = a.query_id
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+  JOIN n2 na ON na.vec_id = a.vec_id
+  JOIN n2 nb ON nb.vec_id = b.vec_id
+  GROUP BY a.query_id, a.vec_id, b.vec_id, na.nrm, nb.nrm
+),
+state AS (
+  SELECT 1 AS r, query_id, vec_id, relevance,
+         CAST(0.0 AS DOUBLE) AS max_sim, CAST(NULL AS DOUBLE) AS raw_max,
+         TRUE AS free
+  FROM cand
+  UNION ALL
+  SELECT s.r + 1, s.query_id, s.vec_id, s.relevance,
+         CASE WHEN s.vec_id <> p.vec_id
+              THEN greatest(s.max_sim, u.sim) ELSE s.max_sim END,
+         CASE WHEN s.vec_id <> p.vec_id
+              THEN greatest(coalesce(s.raw_max, u.sim), u.sim)
+              ELSE s.raw_max END,
+         s.free AND s.vec_id <> p.vec_id
+  FROM state s
+  JOIN (
+    SELECT query_id, vec_id FROM (
+      SELECT query_id, vec_id,
+             row_number() OVER (
+               PARTITION BY query_id
+               ORDER BY 0.7 * relevance - (1.0 - 0.7) * max_sim DESC,
+                        vec_id) AS rn
+      FROM state WHERE free) WHERE rn = 1) p
+    ON p.query_id = s.query_id
+  JOIN usim u
+    ON u.query_id = s.query_id AND u.va = s.vec_id AND u.vb = p.vec_id
+  WHERE s.r < 8
+),
+picks AS (
+  SELECT r, query_id, vec_id, relevance,
+         0.7 * relevance - (1.0 - 0.7) * coalesce(raw_max, 0.0) AS mmr_score,
+         row_number() OVER (
+           PARTITION BY query_id, r
+           ORDER BY 0.7 * relevance - (1.0 - 0.7) * max_sim DESC,
+                    vec_id) AS rn
+  FROM state WHERE free
+)
+SELECT CAST(query_id AS BIGINT) AS query_id, CAST(r AS INT) AS rank,
+       CAST(vec_id AS BIGINT) AS vec_id,
+       round_even(relevance, 6) AS relevance,
+       round_even(mmr_score, 6) AS mmr_score
+FROM picks WHERE rn = 1
+ORDER BY query_id, rank
+""",
     notes="Maximal Marginal Relevance diversity re-ranking (Carbonell & "
     "Goldstein '98): kNN-shaped candidate stage (broadcast queries, "
     "corpus never shuffles) + greedy lam*rel - (1-lam)*max-sim "
     "selection as applyInPandas over bounded per-query candidate "
-    "groups; greedy selection isn't SQL -> rows-only, numpy-reference "
-    "exactness + diversity perturbation pinned in tests",
+    "groups. PROMOTED rows-only -> fully oracled (r12, the "
+    "recursive-greedy-replay pattern): the DuckDB recursion carries "
+    "per-candidate (max_sim, raw_max, free) state, re-derives each "
+    "round's argmax with a second recursive reference, and reports "
+    "scores from the UNclamped raw max (matching the numpy output "
+    "recompute) while selecting on the zero-floored one (matching the "
+    "numpy selection loop); round_even mirrors np.round half-even. "
+    "Base-term literals are CAST to DOUBLE — DuckDB types a bare 0.0 "
+    "anchor DECIMAL(2,1) and silently coerces every recursive value "
+    "(0.95 -> 1.0). Full 5x8 trace incl. scores hash-matches at all "
+    "three SFs; numpy-reference exactness + diversity perturbation "
+    "stay pinned in tests",
 )(lambda spark: similarity.mmr_rerank(spark))
 
 
