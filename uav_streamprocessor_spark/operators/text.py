@@ -1909,7 +1909,8 @@ def source_keyness(spark: SparkSession, top_k: int = 10) -> DataFrame:
 
 
 def distinct_ngram_diversity_approx(
-    spark: SparkSession, max_n: int = 3, rsd: float = 0.02
+    spark: SparkSession, max_n: int = 3, rsd: float = 0.02,
+    audit: bool = False,
 ) -> DataFrame:
     """The 100 TB form of text_distinct_ngrams: HLL++ approximate
     distinct types (approx_count_distinct at 2% target rsd) instead of
@@ -1920,27 +1921,45 @@ def distinct_ngram_diversity_approx(
     (source, n) group instead of every distinct gram: map-side
     combinable, group-count-bounded state, no gram-keyed exchange at
     all — the difference between a curation dashboard refresh and a
-    full-corpus shuffle at scale."""
+    full-corpus shuffle at scale.
+
+    `audit=True` (r12 promotion) additionally computes the EXACT
+    distinct per group in the same pass and signs the sketch in with
+    within_bound = relative error <= 3*rsd — the sketch-contract
+    pattern; the exact anchors + boolean are SQL-portable, so the
+    registered projection oracles outright while the approx-only form
+    stays the production 100 TB shape."""
     docs = spark.table("documents")
     grams = _ngram_rows(docs, 1)
     for n in range(2, max_n + 1):
         grams = grams.unionByName(_ngram_rows(docs, n))
-    return (
-        grams.groupBy("source", "n")
-        .agg(
-            F.approx_count_distinct("gram", rsd).cast("long").alias(
-                "n_distinct_approx"
-            ),
-            F.count(F.lit(1)).cast("long").alias("n_total"),
+    aggs = [
+        F.approx_count_distinct("gram", rsd).cast("long").alias(
+            "n_distinct_approx"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_total"),
+    ]
+    if audit:
+        aggs.append(
+            F.countDistinct("gram").cast("long").alias("n_distinct_exact")
         )
+    out = (
+        grams.groupBy("source", "n")
+        .agg(*aggs)
         .withColumn(
             "distinct_ratio_approx",
             F.round(
                 F.col("n_distinct_approx") / F.col("n_total").cast("double"), 6
             ),
         )
-        .orderBy("source", "n")
     )
+    if audit:
+        out = out.withColumn(
+            "within_bound",
+            F.abs(F.col("n_distinct_approx") - F.col("n_distinct_exact"))
+            <= 3.0 * rsd * F.col("n_distinct_exact"),
+        )
+    return out.orderBy("source", "n")
 
 
 def source_js_divergence(spark: SparkSession) -> DataFrame:

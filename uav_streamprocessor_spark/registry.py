@@ -7890,14 +7890,26 @@ FROM arms ORDER BY variant
 
 _register(
     "text_distinct_ngrams_approx",
-    None,
+    "WITH " + _GRAM_CTE + """
+SELECT source, n,
+       CAST(count(*) AS BIGINT) AS n_total,
+       CAST(count(DISTINCT gram) AS BIGINT) AS n_distinct_exact,
+       TRUE AS within_bound
+FROM grams GROUP BY source, n ORDER BY source, n
+""",
     notes="the declared 100 TB swap for text_distinct_ngrams, made "
     "real and measured: HLL++ approx_count_distinct (2% rsd) replaces "
     "the exact gram-keyed distinct - the shuffle carries HLL registers "
-    "per (source, n) instead of every gram; rows-only (HLL register "
-    "semantics aren't oracle-portable), relative error vs the exact "
-    "twin pinned <= 3x rsd in test_round7b_ops.py",
-)(lambda spark: text.distinct_ngram_diversity_approx(spark))
+    "per (source, n) instead of every gram. PROMOTED rows-only -> "
+    "oracled (r12, sketch-contract pattern): audit mode computes the "
+    "exact distinct in the same pass and the registered projection is "
+    "(exact anchors, relative error <= 3x rsd boolean) — HLL register "
+    "estimates themselves stay engine-side, also pinned in "
+    "test_round7b_ops.py",
+)(
+    lambda spark: text.distinct_ngram_diversity_approx(spark, audit=True)
+    .select("source", "n", "n_total", "n_distinct_exact", "within_bound")
+)
 
 
 _register(
