@@ -207,6 +207,113 @@ WHERE rnk <= 5
 """
 
 
+def ann_tuning_oracle_sql() -> str:
+    """Generated DuckDB oracle for the FULL quality/cost tuning curve
+    (r12 promotion): the LSH half replays bit-exactly via
+    _bucket_code_sql + integer hamming probes, and the IVF half is the
+    label-centroid coarse quantizer in plain SQL — per-label per-dim
+    avg centroids, 6dp-rounded centroid-cosine cell ranking (the same
+    rounding the Spark plan applies BEFORE ranking, so cell ties break
+    on label identically), semi-filter to probed cells, 6dp-rounded
+    exact-cosine re-rank. Recall = hits/25 is an exact small rational
+    in both engines."""
+    return f"""
+WITH codes AS (
+  SELECT vec_id, label, embedding,
+         CAST({_bucket_code_sql()} AS INT) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS query_id, embedding AS qvec, bucket AS qbucket
+  FROM codes WHERE vec_id < 5
+),
+el AS (
+  SELECT q.query_id, c.vec_id, c.label,
+         bit_count(xor(c.bucket, q.qbucket)) AS ham,
+         CAST(unnest(q.qvec) AS DOUBLE) AS qx,
+         CAST(unnest(c.embedding) AS DOUBLE) AS ex
+  FROM codes c JOIN q ON c.vec_id <> q.query_id
+),
+sims AS (
+  SELECT query_id, vec_id, any_value(label) AS label,
+         any_value(ham) AS ham,
+         round(sum(qx * ex) / (sqrt(sum(qx * qx)) * sqrt(sum(ex * ex))), 6)
+           AS cosine
+  FROM el GROUP BY query_id, vec_id
+),
+truth AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY cosine DESC, vec_id) AS rnk
+    FROM sims) WHERE rnk <= 5
+),
+denom AS (SELECT CAST(count(*) AS DOUBLE) AS d FROM truth),
+lsh_ranked AS (
+  SELECT hh.h, s.query_id, s.vec_id,
+         row_number() OVER (PARTITION BY hh.h, s.query_id
+                            ORDER BY s.cosine DESC, s.vec_id) AS rnk
+  FROM (VALUES (0), (1), (2)) hh(h) JOIN sims s ON s.ham <= hh.h
+),
+lsh_hits AS (
+  SELECT r.h, CAST(count(*) AS BIGINT) AS n_hits
+  FROM lsh_ranked r
+  JOIN truth t ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+  WHERE r.rnk <= 5 GROUP BY r.h
+),
+ev AS (
+  SELECT vec_id, label, i.i AS dim,
+         CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+),
+cent AS (SELECT label, dim, avg(val) AS c FROM ev GROUP BY label, dim),
+centn AS (SELECT label, sqrt(sum(c * c)) AS cn FROM cent GROUP BY label),
+qn AS (
+  SELECT vec_id AS query_id, sqrt(sum(val * val)) AS nrm
+  FROM ev WHERE vec_id < 5 GROUP BY vec_id
+),
+cent_cos AS (
+  SELECT e.vec_id AS query_id, cent.label,
+         round(sum(e.val * cent.c) / (qn.nrm * centn.cn), 6) AS cent_cos
+  FROM ev e
+  JOIN cent ON cent.dim = e.dim
+  JOIN centn ON centn.label = cent.label
+  JOIN qn ON qn.query_id = e.vec_id
+  WHERE e.vec_id < 5
+  GROUP BY e.vec_id, cent.label, qn.nrm, centn.cn
+),
+probes AS (
+  SELECT query_id, label,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cent_cos DESC, label) AS cell_rank
+  FROM cent_cos
+),
+ivf_ranked AS (
+  SELECT np.np, s.query_id, s.vec_id,
+         row_number() OVER (PARTITION BY np.np, s.query_id
+                            ORDER BY s.cosine DESC, s.vec_id) AS rnk
+  FROM (VALUES (1), (2), (4)) np(np)
+  JOIN probes p ON p.cell_rank <= np.np
+  JOIN sims s ON s.query_id = p.query_id AND s.label = p.label
+),
+ivf_hits AS (
+  SELECT r.np, CAST(count(*) AS BIGINT) AS n_hits
+  FROM ivf_ranked r
+  JOIN truth t ON t.query_id = r.query_id AND t.vec_id = r.vec_id
+  WHERE r.rnk <= 5 GROUP BY r.np
+)
+SELECT method, knob, recall FROM (
+  SELECT 'lsh' AS method, CAST(hh.h AS INT) AS knob,
+         round(coalesce(lh.n_hits, 0) / (SELECT d FROM denom), 6) AS recall
+  FROM (VALUES (0), (1), (2)) hh(h) LEFT JOIN lsh_hits lh ON lh.h = hh.h
+  UNION ALL
+  SELECT 'ivf' AS method, CAST(np.np AS INT) AS knob,
+         round(coalesce(ih.n_hits, 0) / (SELECT d FROM denom), 6) AS recall
+  FROM (VALUES (1), (2), (4)) np(np) LEFT JOIN ivf_hits ih ON ih.np = np.np
+) ORDER BY method, knob
+"""
+
+
 def ann_lsh_topk(
     spark: SparkSession, n_queries: int = 5, k: int = 5, max_hamming: int = 2
 ) -> DataFrame:

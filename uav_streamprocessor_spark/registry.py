@@ -1515,14 +1515,16 @@ FROM paths GROUP BY path ORDER BY n_sessions DESC, path LIMIT 15
 
 _register(
     "emb_ann_tuning_curve",
-    None,
+    similarity.ann_tuning_oracle_sql(),
     notes="ANN quality/cost audit: recall@k vs exact kNN per (method, "
     "knob) point across LSH probe radii and IVF nprobe — the eval "
-    "harness as a query. Rows-only because the IVF half ranks by "
-    "float-averaged centroids (summation-order sensitive); the LSH "
-    "half is bit-portable as of r11 (emb_ann_lsh is fully oracled, "
-    "which covers the h=2 point of this curve exactly); monotonicity "
-    "+ exactness pinned in pytest",
+    "harness as a query. PROMOTED rows-only -> fully oracled (r12): "
+    "the LSH half replays bit-exactly (_bucket_code_sql + integer "
+    "hamming), and the IVF half's one float-sensitive stage — cell "
+    "ranking by centroid cosine — is 6dp-ROUNDED before ranking in "
+    "BOTH engines (ties break on label), so the whole 6-point curve "
+    "incl. float-averaged centroids hash-matches at all three SFs; "
+    "monotonicity + exactness stay pinned in pytest",
 )(lambda spark: similarity.ann_tuning_curve(spark))
 
 
