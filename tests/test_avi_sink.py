@@ -1,0 +1,154 @@
+"""K1's codec-free REAL-video deliverable: OrderedRecorderSink(fmt="avi")
+muxes engine frames into spec-correct BI_RGB AVI segments with the
+pure-Python writer (sources/avi.AviStreamWriter) and reassemble_segments
+recovers the single-file deliverable by LOSSLESS chunk-level remux — the
+reference's one-mp4-per-source output (uav/frame_processing.py:142-159)
+reproduced end-to-end in this container with zero codec dependencies,
+including the S2 round-trip: the deliverable reads back pixel-exactly
+through the `uav_video` DataSource."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from uav_streamprocessor_spark.operators.pixel import decode_image, make_test_image
+from uav_streamprocessor_spark.sources.avi import (
+    FOURCC_MJPG,
+    AviFile,
+    AviStreamWriter,
+    write_avi,
+)
+from uav_streamprocessor_spark.sources.video_source import register
+from uav_streamprocessor_spark.streaming.sinks import (
+    OrderedRecorderSink,
+    reassemble_segments,
+)
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _register(spark):
+    register(spark)
+
+
+def _rgb_frames(n, h=18, w=32, seed=7):
+    rng = np.random.RandomState(seed)
+    return [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+
+
+def test_stream_writer_bytes_equal_one_shot_writer(tmp_path):
+    """The incremental (patch-on-close) writer and the one-shot muxer
+    must emit identical bytes — the streaming sink inherits every fixture
+    round-trip proof for free."""
+    frames = _rgb_frames(6)
+    one_shot = tmp_path / "a.avi"
+    streamed = tmp_path / "b.avi"
+    write_avi(one_shot, frames, fps=30.0)
+    w = AviStreamWriter(streamed, 32, 18, fps=30.0)
+    for f in frames:
+        w.write_frame(f)
+    w.close()
+    assert one_shot.read_bytes() == streamed.read_bytes()
+    # close is idempotent and reports the frame count
+    assert w.n_frames == 6
+    w.close()
+
+    # opaque-fourcc parity too (odd payload sizes exercise chunk padding)
+    payloads = [bytes([i]) * 101 for i in range(4)]
+    p1, p2 = tmp_path / "c.avi", tmp_path / "d.avi"
+    write_avi(p1, payloads, fps=25.0, fourcc=FOURCC_MJPG, width=8, height=6)
+    w2 = AviStreamWriter(p2, 8, 6, fps=25.0, fourcc=FOURCC_MJPG)
+    for p in payloads:
+        w2.write_frame(p)
+    w2.close()
+    assert p1.read_bytes() == p2.read_bytes()
+
+
+def _frames_df(spark, cams_frames):
+    rows = [
+        (cam, n, 32, 18, 25.0, make_test_image(seed0 + n, 18, 32))
+        for cam, count, seed0 in cams_frames
+        for n in range(count)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "camera_id string, frame_number long, width int, height int, "
+        "fps double, image binary",
+    ).repartition(8)
+
+
+def test_avi_recorder_sink_end_to_end(spark, tmp_path):
+    """fmt='avi' over two micro-batches → lossless reassembly → the
+    single-file deliverable demuxes to the exact source pixels in frame
+    order, for every camera."""
+    rec = tmp_path / "rec"
+    sink = OrderedRecorderSink(str(rec), fmt="avi")
+    sink(_frames_df(spark, [("camA", 5, 100), ("camB", 3, 900)]), 0)
+    # batch 1 continues camA only
+    b1 = _frames_df(spark, [("camA", 4, 105)]).selectExpr(
+        "camera_id", "frame_number + 5 AS frame_number", "width", "height",
+        "fps", "image",
+    )
+    sink(b1, 1)
+
+    res = reassemble_segments(str(rec), fmt="avi")
+    assert res["camA"] == {
+        "segments": 2, "reencoded": False, "fps_fallback": False,
+    }
+    assert res["camB"]["segments"] == 1
+
+    av = AviFile(str(rec / "camA.avi"))
+    assert av.n_frames == 9 and (av.width, av.height) == (32, 18)
+    assert abs(av.fps - 25.0) < 1e-9
+    for i in range(9):
+        expected = decode_image(make_test_image(100 + i, 18, 32))
+        assert (av.frame_array(i) == expected).all()
+    avb = AviFile(str(rec / "camB.avi"))
+    assert avb.n_frames == 3
+    assert (avb.frame_array(2) == decode_image(make_test_image(902, 18, 32))).all()
+
+    # chunk-level losslessness: deliverable payloads are the segment
+    # payloads verbatim, in batch order
+    seg_payloads = [
+        p
+        for seg in sorted(rec.glob("camA.b*.avi"))
+        for p in AviFile(str(seg)).frames()
+    ]
+    assert list(av.frames()) == seg_payloads
+
+    # replayed batch overwrites its own segment: deliverable unchanged
+    before = (rec / "camA.avi").read_bytes()
+    sink2 = OrderedRecorderSink(str(rec), fmt="avi")
+    sink2(_frames_df(spark, [("camA", 5, 100), ("camB", 3, 900)]), 0)
+    reassemble_segments(str(rec), fmt="avi")
+    assert (rec / "camA.avi").read_bytes() == before
+
+
+def test_avi_deliverable_reads_back_through_uav_video_source(spark, tmp_path):
+    """K1 → S2 loop: the recorder's single-file deliverable is a real
+    container the engine's own DataSource (and any player) demuxes —
+    frame numbers, dims, fps, and PIXELS all survive the round trip."""
+    rec = tmp_path / "rec"
+    sink = OrderedRecorderSink(str(rec), fmt="avi")
+    sink(_frames_df(spark, [("mission", 7, 40)]), 0)
+    reassemble_segments(str(rec), fmt="avi")
+
+    df = (
+        spark.read.format("uav_video")
+        .option("path", str(rec / "mission.avi"))
+        .load()
+    )
+    rows = sorted(df.collect(), key=lambda r: r["frame_number"])
+    assert [r["frame_number"] for r in rows] == list(range(7))
+    assert rows[0]["camera_id"] == "mission"
+    assert (rows[0]["width"], rows[0]["height"]) == (32, 18)
+    for r in rows:
+        expected = decode_image(make_test_image(40 + r["frame_number"], 18, 32))
+        assert (decode_image(bytes(r["image"])) == expected).all()
+
+
+def test_avi_writer_rejects_reserved_camera_id(tmp_path):
+    from uav_streamprocessor_spark.streaming.sinks import _AviCameraWriter
+
+    with pytest.raises(ValueError, match="reserved segment suffix"):
+        _AviCameraWriter(tmp_path, "camA.b000001", 0, 32, 18, 25.0)

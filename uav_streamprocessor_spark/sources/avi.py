@@ -241,6 +241,146 @@ class AviFile:
         return bgr[:, :, ::-1]  # BGR → RGB
 
 
+def _dib_payload(a: np.ndarray, width: int, height: int) -> bytes:
+    """HxWx3 RGB array → BI_RGB chunk payload: bottom-up BGR rows padded
+    to a 4-byte stride (the standard uncompressed DIB layout)."""
+    if a.shape != (height, width, 3):
+        raise ValueError(
+            f"DIB frame shape {a.shape} != latched ({height}, {width}, 3)"
+        )
+    stride = (width * 3 + 3) & ~3
+    row = np.zeros((height, stride), dtype=np.uint8)
+    row[:, : width * 3] = a[::-1, :, ::-1].reshape(height, width * 3)
+    return row.tobytes()
+
+
+class AviStreamWriter:
+    """Incremental AVI muxer: frames stream to disk one at a time (a
+    per-frame payload is the only buffered state), the header and idx1
+    are patched in on close — the standard AVI writer protocol, and the
+    codec-free K1 recorder path (streaming/sinks._AviCameraWriter).
+
+    The header region has a fixed byte length for a given fourcc, so
+    `close()` rewrites it in place with the final frame count / sizes
+    (seek(0) + one small write) after appending idx1. Payload frames:
+    HxWx3 RGB uint8 arrays for DIB (converted via _dib_payload), opaque
+    pre-encoded bytes for any other fourcc; `write_payload` accepts an
+    already-containerized payload verbatim for lossless segment remux
+    (sinks._remux_avi — unlike the mp4 path there is NO decode→re-encode
+    generation loss)."""
+
+    def __init__(
+        self,
+        path: str,
+        width: int,
+        height: int,
+        fps: float = 25.0,
+        fourcc: str = FOURCC_DIB,
+        with_idx1: bool = True,
+    ):
+        self.path = str(path)
+        self._w, self._h = int(width), int(height)
+        self._fps = float(fps)
+        self._fourcc = fourcc
+        self._with_idx1 = with_idx1
+        self._chunk_id = b"00db" if fourcc == FOURCC_DIB else b"00dc"
+        self._sizes: list[int] = []
+        self._f = open(self.path, "wb")
+        # placeholder header; rewritten with final sizes on close
+        self._prefix_len = len(self._prefix(0, 0))
+        self._f.write(b"\x00" * self._prefix_len)
+
+    def _prefix(self, n: int, max_size: int) -> bytes:
+        """Everything before the first frame chunk: RIFF header, hdrl
+        (avih + video strl), and the movi LIST header. Constant length
+        for a given fourcc — patchable in place."""
+        fps = self._fps
+        rate = max(1, round(fps * 1000))
+        compression = (
+            0
+            if self._fourcc == FOURCC_DIB
+            else int.from_bytes(self._fourcc.encode("latin1"), "little")
+        )
+
+        def chunk(ck: bytes, data: bytes) -> bytes:
+            pad = b"\x00" if len(data) & 1 else b""
+            return ck + _U32.pack(len(data)) + data + pad
+
+        def lst(ltype: bytes, body: bytes) -> bytes:
+            return chunk(b"LIST", ltype + body)
+
+        avih = _AVIH.pack(
+            round(1e6 / fps) if fps else 0, max_size * round(fps or 1), 0,
+            _AVIF_HASINDEX if self._with_idx1 else 0, n, 0, 1, max_size,
+            self._w, self._h, 0, 0, 0, 0,
+        )
+        strh = _STRH.pack(
+            b"vids", self._fourcc.encode("latin1"), 0, 0, 0,
+            1000, rate, 0, n, max_size, -1, 0, 0, 0, self._w, self._h,
+        )
+        strf = _BMIH.pack(
+            _BMIH.size, self._w, self._h, 1, 24, compression,
+            max_size, 0, 0, 0, 0,
+        )
+        hdrl = lst(
+            b"hdrl",
+            chunk(b"avih", avih)
+            + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+        )
+        movi_body = sum(8 + _pad(s) for s in self._sizes)
+        movi_list_size = 4 + movi_body
+        idx1_total = (8 + 16 * n) if self._with_idx1 else 0
+        riff_size = 4 + len(hdrl) + 8 + movi_list_size + idx1_total
+        return (
+            b"RIFF" + _U32.pack(riff_size) + b"AVI " + hdrl
+            + b"LIST" + _U32.pack(movi_list_size) + b"movi"
+        )
+
+    def write_frame(self, frame) -> None:
+        """DIB: HxWx3 RGB uint8 array. Other fourccs: encoded bytes."""
+        if self._fourcc == FOURCC_DIB:
+            payload = _dib_payload(
+                np.asarray(frame, dtype=np.uint8), self._w, self._h
+            )
+        else:
+            payload = bytes(frame)
+        self.write_payload(payload)
+
+    def write_payload(self, payload: bytes) -> None:
+        """Append one already-encoded chunk payload verbatim (the
+        lossless remux path — no pixel conversion, any fourcc)."""
+        self._f.write(self._chunk_id + _U32.pack(len(payload)))
+        self._f.write(payload)
+        if len(payload) & 1:
+            self._f.write(b"\x00")
+        self._sizes.append(len(payload))
+
+    @property
+    def n_frames(self) -> int:
+        return len(self._sizes)
+
+    def close(self) -> str:
+        if self._f.closed:
+            return self.path
+        if self._with_idx1:
+            entries, off = [], 4  # first chunk follows the 'movi' fourcc
+            for s in self._sizes:
+                entries.append(
+                    _IDX1_ENTRY.pack(self._chunk_id, _AVIIF_KEYFRAME, off, s)
+                )
+                off += 8 + _pad(s)
+            body = b"".join(entries)
+            self._f.write(b"idx1" + _U32.pack(len(body)) + body)
+        prefix = self._prefix(
+            len(self._sizes), max(self._sizes, default=0)
+        )
+        assert len(prefix) == self._prefix_len, "header length must be fixed"
+        self._f.seek(0)
+        self._f.write(prefix)
+        self._f.close()
+        return self.path
+
+
 def write_avi(
     path: str,
     frames,
@@ -251,7 +391,8 @@ def write_avi(
     with_idx1: bool = True,
 ) -> str:
     """Spec-correct AVI muxer for fixtures and the recorder's codec-free
-    single-file deliverable.
+    single-file deliverable (one-shot wrapper over AviStreamWriter, so
+    the batch and streaming paths emit identical bytes).
 
     DIB: `frames` are HxWx3 RGB uint8 arrays, stored as bottom-up BGR
     rows with 4-byte stride padding (the standard BI_RGB layout any
@@ -260,65 +401,20 @@ def write_avi(
     `height` then describe the coded size for the headers."""
     frames = list(frames)
     if fourcc == FOURCC_DIB:
-        arrs = [np.asarray(a, dtype=np.uint8) for a in frames]
-        if not arrs:
+        if not frames:
             raise ValueError("DIB AVI needs at least one frame")
-        height, width = arrs[0].shape[:2]
-        stride = (width * 3 + 3) & ~3
-        payloads = []
-        for a in arrs:
-            if a.shape != (height, width, 3):
-                raise ValueError("all DIB frames must share one size")
-            row = np.zeros((height, stride), dtype=np.uint8)
-            row[:, : width * 3] = a[::-1, :, ::-1].reshape(height, width * 3)
-            payloads.append(row.tobytes())
-        chunk_id, compression, bitcount = b"00db", 0, 24
-    else:
-        if width is None or height is None:
-            raise ValueError(f"{fourcc!r} frames need explicit width/height")
-        payloads = [bytes(p) for p in frames]
-        chunk_id = b"00dc"
-        compression = int.from_bytes(fourcc.encode("latin1"), "little")
-        bitcount = 24
-    n = len(payloads)
-    max_size = max((len(p) for p in payloads), default=0)
-
-    def chunk(ck: bytes, data: bytes) -> bytes:
-        return ck + _U32.pack(len(data)) + data + (b"\x00" if len(data) & 1 else b"")
-
-    def lst(ltype: bytes, body: bytes) -> bytes:
-        return chunk(b"LIST", ltype + body)
-
-    rate = max(1, round(fps * 1000))
-    avih = _AVIH.pack(
-        round(1e6 / fps) if fps else 0, max_size * round(fps or 1), 0,
-        _AVIF_HASINDEX if with_idx1 else 0, n, 0, 1, max_size,
-        width, height, 0, 0, 0, 0,
+        a0 = np.asarray(frames[0], dtype=np.uint8)
+        height, width = a0.shape[:2]
+    elif width is None or height is None:
+        raise ValueError(f"{fourcc!r} frames need explicit width/height")
+    w = AviStreamWriter(
+        path, width, height, fps=fps, fourcc=fourcc, with_idx1=with_idx1
     )
-    strh = _STRH.pack(
-        b"vids", fourcc.encode("latin1"), 0, 0, 0,
-        1000, rate, 0, n, max_size, -1, 0, 0, 0, width, height,
-    )
-    strf = _BMIH.pack(
-        _BMIH.size, width, height, 1, bitcount, compression,
-        max_size, 0, 0, 0, 0,
-    )
-    hdrl = lst(
-        b"hdrl",
-        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
-    )
-    movi_body = b"".join(chunk(chunk_id, p) for p in payloads)
-    movi = lst(b"movi", movi_body)
-    idx1 = b""
-    if with_idx1:
-        entries, off = [], 4  # first chunk sits right after the 'movi' fourcc
-        for p in payloads:
-            entries.append(_IDX1_ENTRY.pack(chunk_id, _AVIIF_KEYFRAME, off, len(p)))
-            off += 8 + _pad(len(p))
-        idx1 = chunk(b"idx1", b"".join(entries))
-    body = b"AVI " + hdrl + movi + idx1
-    with open(path, "wb") as f:
-        f.write(b"RIFF" + _U32.pack(len(body)) + body)
+    try:
+        for fr in frames:
+            w.write_frame(fr)
+    finally:
+        w.close()
     return str(path)
 
 
