@@ -1599,88 +1599,90 @@ FROM joined GROUP BY 1 ORDER BY 1
 # r03-cohort re-prove (CORRECTNESS_r01..r10: every one of the registry's
 # queries driver-checked at least once, zero wrong answers ever).
 #
-# This round-11 window (VERDICT r10 "Next round" #5/#6):
+# This round-12 window (VERDICT r11 "Next round" #5, zero rows-only
+# entries — a rows-only driver row proves little; oracled twins take
+# those slots):
 #  1. Queries whose code or oracle changed THIS round — fresh driver rows
-#     prove the change: uav_metadata_json / uav_metadata_fields (confidence
-#     rounding moved to the integer-scaling idiom on both engines, ADVICE
-#     r10), and the three NEW oracled shadows that shrink the rows-only
-#     set: dedup_minhash_band_partition / dedup_simhash_band_partition
-#     (banding partition laws), emb_lsh_bucket_assignment (bit-exact
-#     bucket codes via sequential-fold-order parity; emb_ann_lsh itself
-#     promoted to fully oracled on the same proof),
-#     rel_approx_percentile_bound / rel_approx_distinct_bound /
-#     ev_hll_rollup_bound / ev_kll_rank_bound (sketch accuracy
-#     contracts), and the outright promotions ev_topk_users_rollup
-#     (exact-regime sketch == exact SQL top-k; already in the r04
-#     cohort below) and media_metadata_stats (metadata is doc_id
-#     arithmetic).
-#  2. The oldest-row re-prove rotation: the r04 cohort (33 of the 35
-#     names whose newest driver row is still CORRECTNESS_r04, in r04
-#     order from tpch_q21_waiting_suppliers per the r10 queue comment;
-#     the two rows-only members emb_kmeans_profile and
-#     media_ahash_neardups yield their slots to this round's
-#     changed-query proofs — a rows-only driver row proves little and
-#     both have oracled shadows/tests).
+#     prove the change: ev_diff_in_diff (exact integer-cent moments),
+#     emb_ivfpq_recall_bound (NEW: the IVFPQ recall contract vs
+#     brute-force kNN, the r11 full-probe/sketch-contract pattern),
+#     the six outright promotions emb_kcenter_sample / emb_mmr_rerank
+#     (recursive greedy replay), dedup_lsh_tuning (analytic banding
+#     curve), dedup_minhash_estimate (estimator-error contract),
+#     text_distinct_ngrams_approx (HLL accuracy contract),
+#     emb_ann_tuning_curve (per-knob recall replay), and
+#     ev_topk_users_rollup (oracle regained the <=4096-distinct
+#     exact-regime guard, ADVICE r11).
+#  2. emb_kmeans_contraction — the oracled 1-round Lloyd shadow stands in
+#     for displaced rows-only r04 member emb_kmeans_profile
+#     (media_ahash_neardups, the other displaced member, has its oracled
+#     metadata twin media_metadata_stats freshly proven in r11).
+#  3. The oldest-row re-prove rotation: the r05 cohort in r05 order from
+#     text_sequence_packing onward, skipping its five rows-only members
+#     (emb_semdedup, dedup_pagerank_centrality, media_phash_neardups,
+#     emb_pq_quantization, ev_hll_overlap — all have oracled shadows or
+#     bounds already proven) and the three names already in section 1.
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
-# r12 queue: re-prove emb_kmeans_profile and media_ahash_neardups
-# (displaced r04 members), then continue the r05-cohort rotation from
-# text_sequence_packing onward (47 remain after this round).
+# r13 queue: uav_keyframe_decimation and uav_frame_counters (the two
+# r05-cohort members this window could not fit), then the r06 cohort
+# re-prove in r06 order, rows-only members yielding slots as above.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
-    "uav_metadata_json",
-    "uav_metadata_fields",
-    "dedup_minhash_band_partition",
-    "emb_lsh_bucket_assignment",
-    "rel_approx_percentile_bound",
-    "dedup_simhash_band_partition",
-    "rel_approx_distinct_bound",
-    "ev_hll_rollup_bound",
-    "ev_kll_rank_bound",
-    "media_metadata_stats",
-    "rel_zorder_layout",
-    "ev_hll_overlap_bound",
-    "emb_ivf_full_probe",
-    "emb_ann_lsh",
-    "dedup_edit_distance",
-    "dedup_graph_coreness",
+    "ev_diff_in_diff",
+    "emb_ivfpq_recall_bound",
+    "emb_kcenter_sample",
+    "emb_mmr_rerank",
+    "dedup_lsh_tuning",
+    "dedup_minhash_estimate",
+    "text_distinct_ngrams_approx",
+    "emb_ann_tuning_curve",
     "ev_topk_users_rollup",
-    # -- r04-cohort re-prove (oldest driver rows = r04) --
-    "tpch_q21_waiting_suppliers",
-    "text_ngram_repetition",
-    "text_boilerplate_ngrams",
-    "text_gopher_quality",
-    "text_decontamination",
-    "text_decontamination_bloom",
-    "text_unigram_cross_entropy",
-    "text_source_vocab_overlap",
-    "text_pii_redaction",
-    "text_url_domains",
-    "text_array_hof",
-    "text_curation_funnel",
-    "text_top_bigrams_udtf",
-    "ev_retention_cohorts",
-    "ev_sessionize_gap",
-    "ev_variant_props",
-    "ev_interval_join_bucketed",
-    "ev_hll_rollup",
-    "ev_kll_quantiles",
-    "ev_rolling_7day",
-    "rel_window_navigation",
-    "rel_weighted_price_udaf",
-    "rel_monthly_revenue_spine",
-    "rel_merge_upsert",
-    "rel_scd2_history",
-    "rel_ntile_deciles",
-    "rel_referential_audit",
-    "rel_table_profile",
-    "rel_k_anonymity",
-    "emb_norm_outliers",
-    "emb_doc_join_stats",
-    "uav_nms_survivors",
-    "uav_nms_greedy",
+    # -- displaced-r04 stand-in: the oracled Lloyd shadow --
+    "emb_kmeans_contraction",
+    # -- r05-cohort re-prove (oldest driver rows = r05), rows-only skipped --
+    "text_sequence_packing",
+    "text_mix_weights",
+    "text_perplexity_buckets",
+    "text_quality_classifier",
+    "text_chunk_windows",
+    "text_substring_dup_spans",
+    "text_stratified_topk_sample",
+    "emb_hard_negatives",
+    "emb_quantization_error",
+    "ev_debounce_bursts",
+    "dedup_cluster_best_quality",
+    "dedup_doc_clusters",
+    "dedup_cluster_removals",
+    "dedup_ngram_jaccard",
+    "text_bm25_topk",
+    "text_char_entropy",
+    "text_bpe_pairs",
+    "rel_scd2_snapshot",
+    "text_weighted_sample",
+    "ev_attribution_credit",
+    "ev_markov_transitions",
+    "text_hybrid_retrieval",
+    "text_bigram_ce",
+    "ev_top_session_paths",
+    "text_classifier_calibration",
+    "ev_rate_limit_windows",
+    "text_paragraph_dedup",
+    "text_zipf_slope",
+    "ev_user_anomaly_zscore",
+    "emb_semantic_decontam",
+    "dedup_graph_triangles",
+    "ev_ewma_deviation",
+    "text_bpe_train",
+    "text_group_holdout_split",
+    "dedup_ngram_containment",
+    "text_bpe_fertility",
+    "text_typo_variants",
+    "rel_l_diversity",
+    "rel_benford_audit",
+    "ev_daily_autocorr",
 ]
 
 
