@@ -487,3 +487,63 @@ def test_morton_interleave_bijective_and_oracle_equal(pairs):
             f"SELECT {morton_sql} FROM (SELECT {a}::BIGINT AS a, {b}::BIGINT AS b)"
         ).fetchone()[0]
         assert got == z
+
+
+# -- AVI container arithmetic (sources/avi.py) --------------------------------
+#
+# The codec-free demux/mux pair is pure byte arithmetic; fuzz the
+# invariants the fixture tests can't sweep: EVERY frame size round-trips
+# pixel-exactly (odd widths exercise the 4-byte DIB stride pad), EVERY
+# payload size round-trips through chunk even-padding, and the no-idx1
+# linear movi scan rebuilds the identical offset index.
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    h=st.integers(1, 40),
+    w=st.integers(1, 40),
+    n=st.integers(1, 6),
+    seed=st.integers(0, 2**31 - 1),
+    with_idx1=st.booleans(),
+)
+def test_avi_dib_round_trip_any_geometry(tmp_path_factory, h, w, n, seed, with_idx1):
+    from uav_streamprocessor_spark.sources.avi import AviFile, write_avi
+
+    tmp = tmp_path_factory.mktemp("avi")
+    rng = np.random.RandomState(seed)
+    frames = [rng.randint(0, 256, (h, w, 3), dtype=np.uint8) for _ in range(n)]
+    p = write_avi(str(tmp / "f.avi"), frames, fps=24.0, with_idx1=with_idx1)
+    av = AviFile(p)
+    assert av.n_frames == n and (av.width, av.height) == (w, h)
+    for i, f in enumerate(frames):
+        assert (av.frame_array(i) == f).all()
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    sizes=st.lists(st.integers(0, 200), min_size=1, max_size=8),
+    seed=st.integers(0, 2**31 - 1),
+    with_idx1=st.booleans(),
+)
+def test_avi_opaque_payload_round_trip_any_sizes(
+    tmp_path_factory, sizes, seed, with_idx1
+):
+    """Odd payload sizes force the RIFF even-pad byte on write; the
+    demuxer's index (idx1 or linear scan) must still return payloads
+    verbatim."""
+    from uav_streamprocessor_spark.sources.avi import (
+        FOURCC_MJPG,
+        AviFile,
+        write_avi,
+    )
+
+    tmp = tmp_path_factory.mktemp("avi")
+    rng = np.random.RandomState(seed)
+    payloads = [rng.bytes(s) for s in sizes]
+    p = write_avi(
+        str(tmp / "f.avi"), payloads, fps=30.0, fourcc=FOURCC_MJPG,
+        width=16, height=9, with_idx1=with_idx1,
+    )
+    av = AviFile(p)
+    assert av.fourcc == FOURCC_MJPG
+    assert [av.frame_bytes(i) for i in range(av.n_frames)] == payloads
