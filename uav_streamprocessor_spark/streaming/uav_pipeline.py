@@ -58,7 +58,7 @@ def run_streaming_pipeline(
     recorder = OrderedRecorderSink(out_dir, cfg, fmt=record_fmt)
 
     rec_q = (
-        recorder_rows_stream(frames, cfg)
+        recorder_rows_stream(frames, cfg, fmt=record_fmt)
         .writeStream.foreachBatch(recorder)
         .option("checkpointLocation", f"{checkpoint_dir}/record")
         .trigger(availableNow=True)
@@ -86,14 +86,21 @@ def run_streaming_pipeline(
     }
 
 
-def recorder_rows_stream(frames: DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG) -> DataFrame:
+def recorder_rows_stream(
+    frames: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    fmt: str = "jsonl",
+) -> DataFrame:
     """K1 row prep for streams: the batch recorder_rows uses a window to
     latch first-frame config (plans/pipeline.py); on a stream that state
     lives in the sink's per-camera `_latch/{cam}.json` files — mirroring
     the reference's lazy writer init, frame_processing.py:147-159), so the
-    stream side just projects."""
+    stream side just projects. The image bytes ride along ONLY for the
+    video formats (avi/mp4) — the jsonl metadata recorder must not drag
+    pixel payloads through its shuffle."""
     from pyspark.sql import functions as F
 
-    return frames.select(
-        "camera_id", "frame_number", "width", "height", F.col("fps"),
-    )
+    cols = ["camera_id", "frame_number", "width", "height", F.col("fps")]
+    if fmt in ("mp4", "avi"):
+        cols.append("image")
+    return frames.select(*cols)
