@@ -37,3 +37,31 @@ def duck():
               "lineitem", "events", "documents", "embeddings"]:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_SMALL}/{t}.parquet'")
     yield con
+
+
+# -- fast lane (VERDICT r11 #8) ----------------------------------------------
+#
+# `-m fast` is the per-commit correctness lane: ~166s of the 16-minute
+# suite (measured r12, --durations=0 on the full run), chosen as the
+# modules that gate STRUCTURE rather than recompute values — plan-shape
+# audits (no cartesian products / unpartitioned windows / pushdown
+# regressions), the driver-entry contract, determinism, pixel geometry,
+# and the hypothesis properties over the pure kernels. Value-level
+# correctness stays with the full suite + scripts/drive_driver.py.
+
+_FAST_LANE_MODULES = {
+    "test_plan_audit.py",       # 142s: registry-wide plan-shape gates
+    "test_entry_contract.py",   # driver contract surface
+    "test_determinism.py",
+    "test_positive_controls.py",
+    "test_codec_seam.py",
+    "test_aqe.py",
+    "test_pixel_ops.py",
+    "test_properties.py",       # pure-kernel hypothesis sweeps
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if Path(str(item.fspath)).name in _FAST_LANE_MODULES:
+            item.add_marker(pytest.mark.fast)
