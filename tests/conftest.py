@@ -58,6 +58,7 @@ _FAST_LANE_MODULES = {
     "test_aqe.py",
     "test_pixel_ops.py",
     "test_properties.py",       # pure-kernel hypothesis sweeps
+    "test_jpeg_codec.py",       # pure-numpy baseline JPEG codec
 }
 
 

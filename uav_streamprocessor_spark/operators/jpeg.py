@@ -1,0 +1,676 @@
+"""Pure-numpy baseline JPEG codec (ITU-T T.81) — the engine's codec-free
+REAL image path.
+
+This container ships no image library, so until r12 every JPEG payload
+(MJPG AVI frames, multimodal image columns) stayed opaque bytes behind a
+NotImplementedError seam. Baseline sequential JPEG is public arithmetic
+— 8×8 DCT, Annex-K quantization/Huffman tables, canonical Huffman codes,
+zigzag, DPCM DC — all expressible in numpy, so the engine can decode the
+format UAV MJPEG cameras actually emit (and encode its own fixtures)
+with zero native dependencies.
+
+Coverage:
+- **decode_jpeg**: baseline DCT (SOF0), 8-bit, 1- or 3-component scans,
+  per-component sampling factors h,v ∈ {1,2} (covers 4:4:4, 4:2:2,
+  4:2:0), restart markers (DRI/RSTn), custom DQT/DHT tables. Progressive
+  (SOF2) and arithmetic coding are rejected with a clear error — the
+  reference's cameras emit baseline (uav/frame_reader.py decodes via
+  cv2, which for MJPG is baseline too).
+- **encode_jpeg**: 4:4:4 or 4:2:0, Annex-K tables scaled by the libjpeg
+  quality curve, standard Annex-K Huffman tables, optional restart
+  interval, JFIF APP0.
+
+Scale posture: decode runs executor-side inside Arrow-batched UDFs /
+DataSource partitions (one frame at a time, bounded); nothing here
+touches the driver. The hot loops are numpy-blocked where it matters
+(DCT/IDCT as two 8×8 matmuls per block, color transforms vectorized
+over whole planes); the Huffman bit walk is per-symbol Python — fine
+for test-scale frames, and the seam (`operators/pixel._best_*` pattern)
+still prefers a native codec when one is present.
+
+Format facts are public ITU-T T.81 structure (Annex B markers, Annex C
+canonical code construction, Annex F decode procedures, Annex K example
+tables) as also implemented by libjpeg/PIL/cv2.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# constants: zigzag, Annex K quantization + Huffman tables
+# ---------------------------------------------------------------------------
+
+ZIGZAG = np.array([
+     0,  1,  8, 16,  9,  2,  3, 10,
+    17, 24, 32, 25, 18, 11,  4,  5,
+    12, 19, 26, 33, 40, 48, 41, 34,
+    27, 20, 13,  6,  7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36,
+    29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46,
+    53, 60, 61, 54, 47, 55, 62, 63,
+], dtype=np.int32)
+_UNZIGZAG = np.argsort(ZIGZAG)
+
+_Q_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+], dtype=np.float64).reshape(8, 8)
+
+_Q_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+], dtype=np.float64).reshape(8, 8)
+
+# (BITS[1..16], HUFFVAL) — T.81 Annex K.3
+_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+for _bits, _vals in (_DC_LUMA, _DC_CHROMA, _AC_LUMA, _AC_CHROMA):
+    assert sum(_bits) == len(_vals), "Annex-K table shape"
+
+# orthonormal 8x8 DCT-II matrix: dct = A @ block @ A.T
+_A = np.zeros((8, 8))
+for _k in range(8):
+    for _n in range(8):
+        _A[_k, _n] = np.cos((2 * _n + 1) * _k * np.pi / 16) * (
+            np.sqrt(0.125) if _k == 0 else 0.5
+        )
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """T.81 Annex C: symbol → (code, size), codes assigned in order of
+    increasing length."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for size in range(1, 17):
+        for _ in range(bits[size - 1]):
+            out[vals[k]] = (code, size)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(size, code) → symbol, for the per-bit decoder walk."""
+    return {
+        (size, code): sym for sym, (code, size) in _canonical_codes(bits, vals).items()
+    }
+
+
+# ---------------------------------------------------------------------------
+# encoder
+# ---------------------------------------------------------------------------
+
+
+def _scaled_quant(base: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg quality curve: 1..100 → scaled Annex-K table, clipped to
+    the 8-bit DQT range."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 / quality if quality < 50 else 200 - 2 * quality
+    return np.clip(np.floor((base * scale + 50) / 100), 1, 255)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, code: int, size: int) -> None:
+        if size == 0:
+            return
+        self._acc = (self._acc << size) | (code & ((1 << size) - 1))
+        self._n += size
+        while self._n >= 8:
+            b = (self._acc >> (self._n - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+            self._n -= 8
+        self._acc &= (1 << self._n) - 1
+
+    def pad_to_byte(self) -> None:
+        if self._n:
+            self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # 1-fill
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """value → (category ssss, value bits) per T.81 F.1.2.1/F.1.4."""
+    ssss = int(v).bit_length() if v > 0 else int(-v).bit_length()
+    bits = v if v >= 0 else v + (1 << ssss) - 1
+    return ssss, bits
+
+
+def _encode_block(
+    bw: _BitWriter,
+    block: np.ndarray,
+    q: np.ndarray,
+    dc_codes: dict,
+    ac_codes: dict,
+    pred: int,
+) -> int:
+    coef = _A @ (block - 128.0) @ _A.T
+    qz = np.rint(coef / q).astype(np.int64).ravel()[ZIGZAG]
+    dc = int(qz[0])
+    ssss, bits = _magnitude(dc - pred)
+    c, s = dc_codes[ssss]
+    bw.write(c, s)
+    bw.write(bits, ssss)
+    run = 0
+    last_nz = np.nonzero(qz[1:])[0]
+    end = (last_nz[-1] + 2) if len(last_nz) else 1
+    for i in range(1, end):
+        v = int(qz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            c, s = ac_codes[0xF0]  # ZRL
+            bw.write(c, s)
+            run -= 16
+        ssss, bits = _magnitude(v)
+        c, s = ac_codes[(run << 4) | ssss]
+        bw.write(c, s)
+        bw.write(bits, ssss)
+        run = 0
+    if end < 64:
+        c, s = ac_codes[0x00]  # EOB
+        bw.write(c, s)
+    return dc
+
+
+def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
+    return np.stack(
+        [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ],
+        axis=-1,
+    )
+
+
+def _pad_replicate(plane: np.ndarray, mh: int, mw: int) -> np.ndarray:
+    h, w = plane.shape
+    ph, pw = (-h) % mh, (-w) % mw
+    return np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+
+
+def _dht_segment(tc_th: int, bits: list[int], vals: list[int]) -> bytes:
+    body = bytes([tc_th]) + bytes(bits) + bytes(vals)
+    return b"\xff\xc4" + struct.pack(">H", len(body) + 2) + body
+
+
+def encode_jpeg(
+    rgb: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "4:2:0",
+    restart_interval: int = 0,
+) -> bytes:
+    """Baseline JFIF encode: HxWx3 uint8 RGB, or HxW uint8 grayscale
+    (emitted as a 1-component scan)."""
+    rgb = np.asarray(rgb, dtype=np.uint8)
+    if rgb.ndim == 2:
+        return _encode_gray(rgb, quality, restart_interval)
+    if rgb.ndim != 3 or rgb.shape[2] != 3:
+        raise ValueError("encode_jpeg expects HxWx3 RGB or HxW gray uint8")
+    if subsampling not in ("4:4:4", "4:2:2", "4:2:0"):
+        raise ValueError("subsampling must be '4:4:4', '4:2:2' or '4:2:0'")
+    h, w = rgb.shape[:2]
+    hs = 1 if subsampling == "4:4:4" else 2
+    vs = 2 if subsampling == "4:2:0" else 1
+
+    ycc = _rgb_to_ycbcr(rgb)
+    y = _pad_replicate(ycc[..., 0], 8 * vs, 8 * hs)
+    cb_full = _pad_replicate(ycc[..., 1], 8 * vs, 8 * hs)
+    cr_full = _pad_replicate(ycc[..., 2], 8 * vs, 8 * hs)
+    # box-average down to the chroma geometry
+    cb = cb_full.reshape(
+        cb_full.shape[0] // vs, vs, cb_full.shape[1] // hs, hs
+    ).mean(axis=(1, 3))
+    cr = cr_full.reshape(
+        cr_full.shape[0] // vs, vs, cr_full.shape[1] // hs, hs
+    ).mean(axis=(1, 3))
+
+    ql = _scaled_quant(_Q_LUMA, quality)
+    qc = _scaled_quant(_Q_CHROMA, quality)
+    dcl = _canonical_codes(*_DC_LUMA)
+    dcc = _canonical_codes(*_DC_CHROMA)
+    acl = _canonical_codes(*_AC_LUMA)
+    acc = _canonical_codes(*_AC_CHROMA)
+
+    out = bytearray()
+    out += b"\xff\xd8"  # SOI
+    out += (  # APP0 JFIF 1.01, no density, no thumbnail
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    for tq, q in ((0, ql), (1, qc)):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tq])
+        out += bytes(q.ravel()[ZIGZAG].astype(np.uint8))
+    out += b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"  # SOF0, 8-bit
+    out += struct.pack(">HH", h, w) + b"\x03"
+    out += bytes([1, (hs << 4) | vs, 0])  # Y
+    out += bytes([2, 0x11, 1])  # Cb
+    out += bytes([3, 0x11, 1])  # Cr
+    out += _dht_segment(0x00, *_DC_LUMA)
+    out += _dht_segment(0x10, *_AC_LUMA)
+    out += _dht_segment(0x01, *_DC_CHROMA)
+    out += _dht_segment(0x11, *_AC_CHROMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 12) + b"\x03"
+    out += bytes([1, 0x00, 2, 0x11, 3, 0x11]) + bytes([0, 63, 0])
+
+    mcu_rows = y.shape[0] // (8 * vs)
+    mcu_cols = y.shape[1] // (8 * hs)
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    rst = 0
+    n_in_interval = 0
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            if restart_interval and n_in_interval == restart_interval:
+                bw.pad_to_byte()
+                out += bw.buf
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                bw = _BitWriter()
+                preds = [0, 0, 0]
+                rst += 1
+                n_in_interval = 0
+            for by in range(vs):
+                for bx in range(hs):
+                    blk = y[
+                        (mr * vs + by) * 8 : (mr * vs + by) * 8 + 8,
+                        (mc * hs + bx) * 8 : (mc * hs + bx) * 8 + 8,
+                    ]
+                    preds[0] = _encode_block(bw, blk, ql, dcl, acl, preds[0])
+            for ci, plane in ((1, cb), (2, cr)):
+                blk = plane[mr * 8 : mr * 8 + 8, mc * 8 : mc * 8 + 8]
+                preds[ci] = _encode_block(bw, blk, qc, dcc, acc, preds[ci])
+            n_in_interval += 1
+    bw.pad_to_byte()
+    out += bw.buf
+    out += b"\xff\xd9"  # EOI
+    return bytes(out)
+
+
+def _encode_gray(gray: np.ndarray, quality: int, restart_interval: int) -> bytes:
+    """1-component baseline scan (Y only, no chroma planes)."""
+    h, w = gray.shape
+    y = _pad_replicate(gray.astype(np.float64), 8, 8)
+    ql = _scaled_quant(_Q_LUMA, quality)
+    dcl = _canonical_codes(*_DC_LUMA)
+    acl = _canonical_codes(*_AC_LUMA)
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00"
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    )
+    out += b"\xff\xdb" + struct.pack(">H", 67) + b"\x00"
+    out += bytes(ql.ravel()[ZIGZAG].astype(np.uint8))
+    out += b"\xff\xc0" + struct.pack(">H", 11) + b"\x08"
+    out += struct.pack(">HH", h, w) + b"\x01" + bytes([1, 0x11, 0])
+    out += _dht_segment(0x00, *_DC_LUMA)
+    out += _dht_segment(0x10, *_AC_LUMA)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
+    out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
+    out += bytes([1, 0x00]) + bytes([0, 63, 0])
+    bw = _BitWriter()
+    pred = 0
+    rst = 0
+    n_in_interval = 0
+    for mr in range(y.shape[0] // 8):
+        for mc in range(y.shape[1] // 8):
+            if restart_interval and n_in_interval == restart_interval:
+                bw.pad_to_byte()
+                out += bw.buf
+                out += bytes([0xFF, 0xD0 + (rst & 7)])
+                bw = _BitWriter()
+                pred = 0
+                rst += 1
+                n_in_interval = 0
+            blk = y[mr * 8 : mr * 8 + 8, mc * 8 : mc * 8 + 8]
+            pred = _encode_block(bw, blk, ql, dcl, acl, pred)
+            n_in_interval += 1
+    bw.pad_to_byte()
+    out += bw.buf
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+# ---------------------------------------------------------------------------
+# decoder
+# ---------------------------------------------------------------------------
+
+
+class JpegFormatError(ValueError):
+    pass
+
+
+class _BitReader:
+    """MSB-first reader over one entropy-coded segment (stuffing already
+    removed by the marker split)."""
+
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.pos >> 3
+        if byte >= len(self.data):
+            raise JpegFormatError("entropy segment exhausted")
+        b = (self.data[byte] >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, ssss: int) -> int:
+    """T.81 F.12: value bits → signed value."""
+    if ssss == 0:
+        return 0
+    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, size = 0, 0
+    while size < 17:
+        code = (code << 1) | br.bit()
+        size += 1
+        sym = table.get((size, code))
+        if sym is not None:
+            return sym
+    raise JpegFormatError("invalid Huffman code")
+
+
+def _decode_block(
+    br: _BitReader, dc_tab: dict, ac_tab: dict, q: np.ndarray, pred: int
+) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.float64)
+    ssss = _read_symbol(br, dc_tab)
+    diff = _extend(br.bits(ssss), ssss)
+    dc = pred + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = _read_symbol(br, ac_tab)
+        r, s = rs >> 4, rs & 0x0F
+        if s == 0:
+            if r == 15:  # ZRL
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise JpegFormatError("AC run past block end")
+        zz[k] = _extend(br.bits(s), s)
+        k += 1
+    coef = (zz * q.ravel()[ZIGZAG])[_UNZIGZAG].reshape(8, 8)
+    return _A.T @ coef @ _A + 128.0, dc
+
+
+def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
+    """Entropy-coded data from `start` → stuffing-free segments split at
+    RST markers; returns (segments, offset of the terminating marker)."""
+    segs: list[bytes] = []
+    cur = bytearray()
+    i = start
+    n = len(buf)
+    while i < n:
+        b = buf[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        m = buf[i + 1] if i + 1 < n else 0xD9
+        if m == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= m <= 0xD7:  # restart
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # real marker terminates the scan
+            break
+    segs.append(bytes(cur))
+    return segs, i
+
+
+def decode_jpeg(buf: bytes) -> np.ndarray:
+    """Baseline JPEG → HxWx3 uint8 RGB (grayscale replicates to 3
+    channels so callers get one shape). Malformed or truncated input
+    raises JpegFormatError, never a bare IndexError/struct.error."""
+    try:
+        return _decode_jpeg(bytes(buf))
+    except (IndexError, struct.error, StopIteration) as exc:
+        raise JpegFormatError(f"malformed JPEG: {exc!r}") from exc
+
+
+def _decode_jpeg(buf: bytes) -> np.ndarray:
+    if buf[:2] != b"\xff\xd8":
+        raise JpegFormatError("not a JPEG (no SOI)")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class 0|1, id) → decode table
+    comps: list[dict] = []
+    h = w = 0
+    restart_interval = 0
+    i = 2
+    while i < len(buf):
+        if buf[i] != 0xFF:
+            raise JpegFormatError(f"expected marker at {i}")
+        m = buf[i + 1]
+        if m == 0xD9:  # EOI
+            break
+        if m in (0x01,) or 0xD0 <= m <= 0xD7:
+            i += 2
+            continue
+        seglen = struct.unpack(">H", buf[i + 2 : i + 4])[0]
+        seg = buf[i + 4 : i + 2 + seglen]
+        if m == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise JpegFormatError("16-bit quant tables unsupported")
+                tbl = np.zeros(64)
+                tbl[ZIGZAG] = np.frombuffer(seg[p + 1 : p + 65], dtype=np.uint8)
+                qt[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif m == 0xC4:  # DHT (possibly several tables)
+            p = 0
+            while p < len(seg):
+                tc, th = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(seg[p + 17 : p + 17 + nv])
+                huff[(tc, th)] = _decode_table(bits, vals)
+                p += 17 + nv
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext sequential)
+            if seg[0] != 8:
+                raise JpegFormatError("only 8-bit precision supported")
+            h, w = struct.unpack(">HH", seg[1:5])
+            nc = seg[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = seg[6 + 3 * c : 9 + 3 * c]
+                comps.append(
+                    {"id": cid, "h": hv >> 4, "v": hv & 0x0F, "tq": tq}
+                )
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise JpegFormatError(
+                f"SOF marker 0xFF{m:02X}: only baseline sequential DCT "
+                "(SOF0/SOF1) is supported"
+            )
+        elif m == 0xDD:  # DRI
+            restart_interval = struct.unpack(">H", seg[:2])[0]
+        elif m == 0xDA:  # SOS
+            ns = seg[0]
+            scan_sel = []
+            for c in range(ns):
+                cs, tdta = seg[1 + 2 * c], seg[2 + 2 * c]
+                comp = next(x for x in comps if x["id"] == cs)
+                scan_sel.append((comp, tdta >> 4, tdta & 0x0F))
+            segs, _end = _split_scan(buf, i + 2 + seglen)
+            return _decode_scan(
+                segs, scan_sel, qt, huff, h, w, restart_interval
+            )
+        i += 2 + seglen
+    raise JpegFormatError("no SOS scan found")
+
+
+def _decode_scan(
+    segs: list[bytes],
+    scan: list[tuple[dict, int, int]],
+    qt: dict,
+    huff: dict,
+    h: int,
+    w: int,
+    restart_interval: int,
+) -> np.ndarray:
+    if not scan or h == 0 or w == 0:
+        raise JpegFormatError("scan before SOF, or empty frame")
+    hmax = max(c["h"] for c, _, _ in scan)
+    vmax = max(c["v"] for c, _, _ in scan)
+    if not all(c["h"] in (1, 2) and c["v"] in (1, 2) for c, _, _ in scan):
+        raise JpegFormatError("sampling factors beyond 1..2 unsupported")
+    mcu_w, mcu_h = 8 * hmax, 8 * vmax
+    mcu_cols = -(-w // mcu_w)
+    mcu_rows = -(-h // mcu_h)
+
+    planes = []
+    for c, _, _ in scan:
+        planes.append(
+            np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8))
+        )
+
+    seg_idx = 0
+    br = _BitReader(segs[0])
+    preds = [0] * len(scan)
+    n_in_interval = 0
+    for mr in range(mcu_rows):
+        for mc in range(mcu_cols):
+            if (
+                restart_interval
+                and n_in_interval == restart_interval
+            ):
+                seg_idx += 1
+                if seg_idx >= len(segs):
+                    raise JpegFormatError("missing restart segment")
+                br = _BitReader(segs[seg_idx])
+                preds = [0] * len(scan)
+                n_in_interval = 0
+            for ci, (c, td, ta) in enumerate(scan):
+                for by in range(c["v"]):
+                    for bx in range(c["h"]):
+                        blk, preds[ci] = _decode_block(
+                            br, huff[(0, td)], huff[(1, ta)],
+                            qt[c["tq"]], preds[ci],
+                        )
+                        y0 = (mr * c["v"] + by) * 8
+                        x0 = (mc * c["h"] + bx) * 8
+                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
+            n_in_interval += 1
+
+    # upsample to full geometry (nearest), crop, color-convert
+    full = []
+    for (c, _, _), plane in zip(scan, planes):
+        ry, rx = vmax // c["v"], hmax // c["h"]
+        if ry > 1 or rx > 1:
+            plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
+        full.append(plane[:h, :w])
+    if len(full) == 1:
+        g = np.clip(np.rint(full[0]), 0, 255).astype(np.uint8)
+        return np.stack([g, g, g], axis=-1)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    rgb = np.stack([r, g, b], axis=-1)
+    return np.clip(np.rint(rgb), 0, 255).astype(np.uint8)
+
+
+def is_jpeg(buf: bytes) -> bool:
+    return len(buf) > 3 and buf[:2] == b"\xff\xd8" and buf[2] == 0xFF

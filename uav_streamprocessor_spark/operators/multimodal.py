@@ -41,10 +41,18 @@ _REAL_CODECS = False  # flips when cv2/PIL/soundfile are available
 
 
 def decode_real_media(payload: bytes, mime: str) -> np.ndarray:
-    """Real-codec decode — stubbed in this container."""
+    """Real-codec decode. r12: baseline JPEG decodes for REAL through the
+    engine's pure-numpy codec (operators/jpeg.py) — no native library
+    needed; other image/audio/video codecs stay behind the capability
+    gate until a native library is present."""
+    if mime in ("image/jpeg", "image/jpg"):
+        from uav_streamprocessor_spark.operators.jpeg import decode_jpeg
+
+        return decode_jpeg(payload)
     raise NotImplementedError(
-        "image/audio codecs not available in this container; "
-        "raw-tensor codec (operators/pixel.py) is the test path"
+        f"no codec for {mime!r} in this container (baseline JPEG decodes "
+        "via operators/jpeg.py; raw-tensor codec in operators/pixel.py "
+        "is the test path for other media)"
     )
 
 

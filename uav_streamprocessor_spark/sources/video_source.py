@@ -137,9 +137,12 @@ class _AviDecoder:
     path). Uncompressed DIB streams decode to real pixels (numpy
     flip/strip of the BI_RGB row layout) and re-encode through the
     engine codec so the full pixel pipeline runs downstream; UAVR
-    chunks are the engine codec verbatim; other fourccs (MJPG, …) demux
-    to their per-frame payloads opaquely — container layer exercised,
-    pixel decode still behind the codec seam."""
+    chunks are the engine codec verbatim; MJPG chunks (r12) decode to
+    real pixels through the pure-numpy baseline JPEG decoder
+    (operators/jpeg.py) — the format UAV MJPEG cameras emit, handled
+    with zero native dependencies; any other fourcc demuxes to its
+    per-frame payload opaquely — container layer exercised, pixel
+    decode behind the codec seam."""
 
     def __init__(self, spec: str):
         from uav_streamprocessor_spark.sources.avi import AviFile
@@ -156,18 +159,25 @@ class _AviDecoder:
 
     def read(self, start: int, end: int) -> Iterator[tuple]:
         from uav_streamprocessor_spark.operators.pixel import encode_image
-        from uav_streamprocessor_spark.sources.avi import FOURCC_DIB
+        from uav_streamprocessor_spark.sources.avi import FOURCC_DIB, FOURCC_MJPG
 
         avi = self._avi
         end = min(end, self.n_frames)
-        decode_dib = avi.fourcc == FOURCC_DIB
-        for i in range(start, end):
-            buf = (
-                encode_image(avi.frame_array(i))
-                if decode_dib
-                else avi.frame_bytes(i)
+        if avi.fourcc == FOURCC_DIB:
+            to_buf = lambda i: encode_image(avi.frame_array(i))  # noqa: E731
+        elif avi.fourcc == FOURCC_MJPG:
+            from uav_streamprocessor_spark.operators.jpeg import decode_jpeg
+
+            to_buf = lambda i: encode_image(  # noqa: E731
+                decode_jpeg(avi.frame_bytes(i))
             )
-            yield (self.camera_id, i, self.width, self.height, self.fps, buf)
+        else:
+            to_buf = avi.frame_bytes
+        for i in range(start, end):
+            yield (
+                self.camera_id, i, self.width, self.height, self.fps,
+                to_buf(i),
+            )
 
 
 def _open_decoder(spec: str):
