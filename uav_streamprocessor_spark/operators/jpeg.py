@@ -164,11 +164,29 @@ def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, i
     return out
 
 
-def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
-    """(size, code) → symbol, for the per-bit decoder walk."""
-    return {
-        (size, code): sym for sym, (code, size) in _canonical_codes(bits, vals).items()
-    }
+class _FastHuff:
+    """16-bit-peek Huffman decode tables (the classic fast-JPEG trick):
+    every 16-bit window whose prefix is a valid code maps to (symbol,
+    code length) via two numpy arrays built with range fills — one
+    lookup + one consume per symbol instead of a per-bit tree walk."""
+
+    __slots__ = ("packed",)
+
+    def __init__(self, bits: list[int], vals: list[int]):
+        # (size << 8) | symbol per 16-bit window, as a plain Python list:
+        # one list index per symbol beats two numpy scalar reads in the
+        # per-symbol hot loop (numpy scalar indexing allocates)
+        packed = np.zeros(1 << 16, dtype=np.int32)  # 0 = invalid prefix
+        code, k = 0, 0
+        for size in range(1, 17):
+            for _ in range(bits[size - 1]):
+                start = code << (16 - size)
+                span = 1 << (16 - size)
+                packed[start : start + span] = (size << 8) | vals[k]
+                code += 1
+                k += 1
+            code <<= 1
+        self.packed = packed.tolist()
 
 
 # ---------------------------------------------------------------------------
@@ -426,25 +444,48 @@ class JpegFormatError(ValueError):
 
 
 class _BitReader:
-    """MSB-first reader over one entropy-coded segment (stuffing already
-    removed by the marker split)."""
+    """MSB-first buffered reader over one entropy-coded segment
+    (stuffing already removed by the marker split). Peeks may run past
+    the end with virtual zero fill — that is how the final byte's pad
+    bits work — but CONSUMING past the real bit count raises, so a
+    truncated scan still fails loudly."""
+
+    __slots__ = ("data", "n_bits", "pos", "_acc", "_acc_bits", "_idx")
 
     def __init__(self, data: bytes):
         self.data = data
-        self.pos = 0  # bit position
+        self.n_bits = len(data) * 8
+        self.pos = 0  # consumed bits
+        self._acc = 0
+        self._acc_bits = 0
+        self._idx = 0  # next byte to load
 
-    def bit(self) -> int:
-        byte = self.pos >> 3
-        if byte >= len(self.data):
+    def _ensure(self, want: int) -> None:
+        while self._acc_bits < want:
+            if self._idx < len(self.data):
+                self._acc = (self._acc << 8) | self.data[self._idx]
+                self._idx += 1
+            else:
+                self._acc <<= 8  # virtual pad, peek-only
+            self._acc_bits += 8
+
+    def peek16(self) -> int:
+        self._ensure(16)
+        return (self._acc >> (self._acc_bits - 16)) & 0xFFFF
+
+    def consume(self, n: int) -> None:
+        if self.pos + n > self.n_bits:
             raise JpegFormatError("entropy segment exhausted")
-        b = (self.data[byte] >> (7 - (self.pos & 7))) & 1
-        self.pos += 1
-        return b
+        self.pos += n
+        self._acc_bits -= n
+        self._acc &= (1 << self._acc_bits) - 1
 
     def bits(self, n: int) -> int:
-        v = 0
-        for _ in range(n):
-            v = (v << 1) | self.bit()
+        if n == 0:
+            return 0
+        self._ensure(n)
+        v = (self._acc >> (self._acc_bits - n)) & ((1 << n) - 1)
+        self.consume(n)
         return v
 
 
@@ -455,41 +496,96 @@ def _extend(v: int, ssss: int) -> int:
     return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
 
 
-def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
-    code, size = 0, 0
-    while size < 17:
-        code = (code << 1) | br.bit()
-        size += 1
-        sym = table.get((size, code))
-        if sym is not None:
-            return sym
-    raise JpegFormatError("invalid Huffman code")
+def _read_symbol(br: _BitReader, table: _FastHuff) -> int:
+    packed = table.packed[br.peek16()]
+    if packed == 0:
+        raise JpegFormatError("invalid Huffman code")
+    br.consume(packed >> 8)
+    return packed & 0xFF
 
 
-def _decode_block(
-    br: _BitReader, dc_tab: dict, ac_tab: dict, q: np.ndarray, pred: int
-) -> tuple[np.ndarray, int]:
-    zz = np.zeros(64, dtype=np.float64)
-    ssss = _read_symbol(br, dc_tab)
-    diff = _extend(br.bits(ssss), ssss)
-    dc = pred + diff
-    zz[0] = dc
-    k = 1
-    while k < 64:
-        rs = _read_symbol(br, ac_tab)
-        r, s = rs >> 4, rs & 0x0F
-        if s == 0:
-            if r == 15:  # ZRL
-                k += 16
-                continue
-            break  # EOB
-        k += r
-        if k > 63:
-            raise JpegFormatError("AC run past block end")
-        zz[k] = _extend(br.bits(s), s)
-        k += 1
-    coef = (zz * q.ravel()[ZIGZAG])[_UNZIGZAG].reshape(8, 8)
-    return _A.T @ coef @ _A + 128.0, dc
+def _decode_block_zz(
+    br: _BitReader, dc_tab: _FastHuff, ac_tab: _FastHuff, out: np.ndarray,
+    pred: int,
+) -> int:
+    """Entropy-decode ONE block's zigzag coefficients into `out` (a row
+    of the per-component batch matrix). Dequant + IDCT happen batched
+    after the scan, and the bit-reader state lives in LOCALS for the
+    whole block (written back once at the end) — the per-symbol method
+    calls were the top profile line after the numpy batching landed.
+    Semantics identical to _BitReader.peek16/consume/bits: zero-filled
+    peeks past the end are fine, consuming past the end raises."""
+    data, n_data = br.data, len(br.data)
+    idx, acc, acc_bits, pos = br._idx, br._acc, br._acc_bits, br.pos
+    n_bits = br.n_bits
+    dc_packed = dc_tab.packed
+    ac_packed = ac_tab.packed
+    try:
+        # DC
+        while acc_bits < 16:
+            acc = (acc << 8) | (data[idx] if idx < n_data else 0)
+            idx += idx < n_data
+            acc_bits += 8
+        packed = dc_packed[(acc >> (acc_bits - 16)) & 0xFFFF]
+        if packed == 0:
+            raise JpegFormatError("invalid Huffman code")
+        size = packed >> 8
+        pos += size
+        acc_bits -= size
+        acc &= (1 << acc_bits) - 1
+        ssss = packed & 0xFF
+        if ssss:
+            while acc_bits < ssss:
+                acc = (acc << 8) | (data[idx] if idx < n_data else 0)
+                idx += idx < n_data
+                acc_bits += 8
+            v = (acc >> (acc_bits - ssss)) & ((1 << ssss) - 1)
+            pos += ssss
+            acc_bits -= ssss
+            acc &= (1 << acc_bits) - 1
+            diff = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+        else:
+            diff = 0
+        dc = pred + diff
+        out[0] = dc
+        k = 1
+        while k < 64:
+            while acc_bits < 16:
+                acc = (acc << 8) | (data[idx] if idx < n_data else 0)
+                idx += idx < n_data
+                acc_bits += 8
+            packed = ac_packed[(acc >> (acc_bits - 16)) & 0xFFFF]
+            if packed == 0:
+                raise JpegFormatError("invalid Huffman code")
+            size = packed >> 8
+            rs = packed & 0xFF
+            pos += size
+            acc_bits -= size
+            acc &= (1 << acc_bits) - 1
+            r, s = rs >> 4, rs & 0x0F
+            if s == 0:
+                if r == 15:  # ZRL
+                    k += 16
+                    continue
+                break  # EOB
+            k += r
+            if k > 63:
+                raise JpegFormatError("AC run past block end")
+            while acc_bits < s:
+                acc = (acc << 8) | (data[idx] if idx < n_data else 0)
+                idx += idx < n_data
+                acc_bits += 8
+            v = (acc >> (acc_bits - s)) & ((1 << s) - 1)
+            pos += s
+            acc_bits -= s
+            acc &= (1 << acc_bits) - 1
+            out[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+            k += 1
+        if pos > n_bits:
+            raise JpegFormatError("entropy segment exhausted")
+        return dc
+    finally:
+        br._idx, br._acc, br._acc_bits, br.pos = idx, acc, acc_bits, pos
 
 
 def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
@@ -566,7 +662,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
-                huff[(tc, th)] = _decode_table(bits, vals)
+                huff[(tc, th)] = _FastHuff(bits, vals)
                 p += 17 + nv
         elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext sequential)
             if seg[0] != 8:
@@ -620,44 +716,53 @@ def _decode_scan(
     mcu_cols = -(-w // mcu_w)
     mcu_rows = -(-h // mcu_h)
 
-    planes = []
-    for c, _, _ in scan:
-        planes.append(
-            np.zeros((mcu_rows * c["v"] * 8, mcu_cols * c["h"] * 8))
-        )
+    # entropy pass: per-component (n_blocks, 64) zigzag coefficient
+    # matrices in MCU-scan order; all numpy math happens batched after
+    coefs = [
+        np.zeros((mcu_rows * mcu_cols * c["v"] * c["h"], 64))
+        for c, _, _ in scan
+    ]
+    counters = [0] * len(scan)
+    tabs = [(huff[(0, td)], huff[(1, ta)]) for _, td, ta in scan]
+    comp_blocks = [c["v"] * c["h"] for c, _, _ in scan]
 
     seg_idx = 0
     br = _BitReader(segs[0])
     preds = [0] * len(scan)
     n_in_interval = 0
-    for mr in range(mcu_rows):
-        for mc in range(mcu_cols):
-            if (
-                restart_interval
-                and n_in_interval == restart_interval
-            ):
-                seg_idx += 1
-                if seg_idx >= len(segs):
-                    raise JpegFormatError("missing restart segment")
-                br = _BitReader(segs[seg_idx])
-                preds = [0] * len(scan)
-                n_in_interval = 0
-            for ci, (c, td, ta) in enumerate(scan):
-                for by in range(c["v"]):
-                    for bx in range(c["h"]):
-                        blk, preds[ci] = _decode_block(
-                            br, huff[(0, td)], huff[(1, ta)],
-                            qt[c["tq"]], preds[ci],
-                        )
-                        y0 = (mr * c["v"] + by) * 8
-                        x0 = (mc * c["h"] + bx) * 8
-                        planes[ci][y0 : y0 + 8, x0 : x0 + 8] = blk
-            n_in_interval += 1
+    for _mcu in range(mcu_rows * mcu_cols):
+        if restart_interval and n_in_interval == restart_interval:
+            seg_idx += 1
+            if seg_idx >= len(segs):
+                raise JpegFormatError("missing restart segment")
+            br = _BitReader(segs[seg_idx])
+            preds = [0] * len(scan)
+            n_in_interval = 0
+        for ci in range(len(scan)):
+            dc_tab, ac_tab = tabs[ci]
+            mat, k = coefs[ci], counters[ci]
+            for _b in range(comp_blocks[ci]):
+                preds[ci] = _decode_block_zz(
+                    br, dc_tab, ac_tab, mat[k], preds[ci]
+                )
+                k += 1
+            counters[ci] = k
+        n_in_interval += 1
 
-    # upsample to full geometry (nearest), crop, color-convert
+    # batched dequant + un-zigzag + IDCT, then MCU-scan order → plane
+    # geometry via one transpose, upsample (nearest), crop
     full = []
-    for (c, _, _), plane in zip(scan, planes):
-        ry, rx = vmax // c["v"], hmax // c["h"]
+    for (c, _, _), mat in zip(scan, coefs):
+        v_, h_ = c["v"], c["h"]
+        dq = mat * qt[c["tq"]].ravel()[ZIGZAG]
+        blocks = dq[:, _UNZIGZAG].reshape(-1, 8, 8)
+        spatial = np.einsum("ij,njk,kl->nil", _A.T, blocks, _A) + 128.0
+        plane = (
+            spatial.reshape(mcu_rows, mcu_cols, v_, h_, 8, 8)
+            .transpose(0, 2, 4, 1, 3, 5)
+            .reshape(mcu_rows * v_ * 8, mcu_cols * h_ * 8)
+        )
+        ry, rx = vmax // v_, hmax // h_
         if ry > 1 or rx > 1:
             plane = plane.repeat(ry, axis=0).repeat(rx, axis=1)
         full.append(plane[:h, :w])
