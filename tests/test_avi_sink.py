@@ -201,3 +201,58 @@ def test_full_streaming_pipeline_real_avi_both_ends(spark, tmp_path):
     assert abs(out.fps - 25.0) < 1e-9
     for i in (0, 1, 24, 25, 30, 59):  # batch boundaries + keyframes + ends
         assert (out.frame_array(i) == frames[i]).all()
+
+
+def test_mjpeg_recorder_compresses_and_round_trips(spark, tmp_path):
+    """fmt='mjpeg': the codec-free COMPRESSED deliverable — real baseline
+    JPEGs inside MJPG-AVI segments, lossless chunk reassembly, readable
+    back through the uav_video DataSource (which re-enters the engine's
+    JPEG decoder), and materially smaller than both the raw frames and
+    the uncompressed DIB lane."""
+    from uav_streamprocessor_spark.operators.jpeg import is_jpeg
+    from uav_streamprocessor_spark.operators.pixel import decode_image, encode_image
+    from uav_streamprocessor_spark.sources.avi import FOURCC_MJPG
+
+    h, w, n = 48, 64, 6
+    yy, xx = np.mgrid[0:h, 0:w]
+    frames = [
+        np.stack(
+            [
+                np.sin(yy / 9 + i) * 100 + 128,
+                np.cos(xx / 11 + i) * 100 + 128,
+                np.sin((yy + xx) / 14) * 100 + 128,
+            ],
+            -1,
+        ).astype(np.uint8)
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(
+        [("camM", i, w, h, 25.0, encode_image(f)) for i, f in enumerate(frames)],
+        "camera_id string, frame_number long, width int, height int, "
+        "fps double, image binary",
+    ).repartition(4)
+
+    rec = tmp_path / "rec"
+    OrderedRecorderSink(str(rec), fmt="mjpeg")(df, 0)
+    res = reassemble_segments(str(rec), fmt="mjpeg")
+    assert res["camM"] == {
+        "segments": 1, "reencoded": False, "fps_fallback": False,
+    }
+
+    av = AviFile(str(rec / "camM.avi"))
+    assert av.fourcc == FOURCC_MJPG and av.n_frames == n
+    assert all(is_jpeg(p) for p in av.frames())
+    raw_bytes = n * h * w * 3
+    assert (rec / "camM.avi").stat().st_size < raw_bytes / 3  # real compression
+
+    sdf = (
+        spark.read.format("uav_video")
+        .option("path", str(rec / "camM.avi"))
+        .load()
+    )
+    rows = sorted(sdf.collect(), key=lambda r: r["frame_number"])
+    assert [r["frame_number"] for r in rows] == list(range(n))
+    for r, src in zip(rows, frames):
+        out = decode_image(bytes(r["image"]))
+        mse = np.mean((src.astype(float) - out.astype(float)) ** 2)
+        assert 10 * np.log10(255.0**2 / mse) >= 32.0

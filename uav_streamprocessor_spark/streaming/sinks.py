@@ -243,11 +243,61 @@ class _AviCameraWriter:
         self._wr.close()
 
 
+class _MjpegAviCameraWriter:
+    """COMPRESSED codec-free video recorder — the engine's analogue of
+    the reference's compressed MP4 output (frame_processing.py:142-159),
+    with zero native dependencies: each frame encodes to a real baseline
+    JPEG (operators/jpeg.py, q=90 4:2:0) and muxes as an MJPG chunk into
+    the same AVI segment protocol as fmt="avi". Typically ~10-25× smaller
+    than the uncompressed DIB lane; playable by any player; decodes back
+    to pixels through the engine's own uav_video DataSource (the MJPG
+    lane re-enters operators/jpeg.decode_jpeg). Segments share the
+    `.avi` extension — reassemble_segments' chunk-level remux is
+    fourcc-agnostic and stays LOSSLESS (the JPEG bytes pass through
+    verbatim; the only loss is the original encode, exactly like the
+    cv2 mp4 writer's)."""
+
+    quality = 90
+
+    def __init__(self, out: Path, cam: str, batch_id: int, w: int, h: int,
+                 fps: float):
+        _check_camera_id(cam)
+        from uav_streamprocessor_spark.operators.pixel import decode_image
+        from uav_streamprocessor_spark.sources.avi import (
+            FOURCC_MJPG,
+            AviStreamWriter,
+        )
+
+        self._decode = decode_image
+        self._wr = AviStreamWriter(
+            out / f"{cam}.b{batch_id:06d}.avi", w, h, fps=fps or 25.0,
+            fourcc=FOURCC_MJPG,
+        )
+
+    def write(self, row) -> None:
+        from uav_streamprocessor_spark.operators.jpeg import encode_jpeg
+
+        self._wr.write_frame(
+            encode_jpeg(
+                self._decode(row["image"]), quality=self.quality,
+                subsampling="4:2:0",
+            )
+        )
+
+    def close(self) -> None:
+        self._wr.close()
+
+
 _CAMERA_WRITERS = {
     "jsonl": _JsonlCameraWriter,
     "mp4": _Mp4CameraWriter,
     "avi": _AviCameraWriter,
+    "mjpeg": _MjpegAviCameraWriter,
 }
+
+# recorder fmt → on-disk segment extension ("mjpeg" shares the .avi
+# container with the DIB lane; only the fourcc differs)
+_FMT_EXT = {"jsonl": "jsonl", "mp4": "mp4", "avi": "avi", "mjpeg": "avi"}
 
 # `{cam}.b{batch:06d}.{ext}` — the per-micro-batch segment naming shared
 # by both camera writers. Camera ids ENDING in a literal ".bNNNNNN" are
@@ -297,16 +347,17 @@ def reassemble_segments(
     "fps_fallback" only flags an avi whose segment-0 header carries
     fps == 0.
     """
+    ext = _FMT_EXT.get(fmt, fmt)
     out = Path(out_dir)
     by_cam: dict = {}
     for p in sorted(out.iterdir()):
         m = _SEGMENT_RE.match(p.name)
-        if m and m.group("ext") == fmt:
+        if m and m.group("ext") == ext:
             by_cam.setdefault(m.group("cam"), []).append(p)
     result: dict = {}
     for cam, segs in by_cam.items():
-        dest = out / f"{cam}.{fmt}"
-        if fmt == "jsonl":
+        dest = out / f"{cam}.{ext}"
+        if ext == "jsonl":
             with open(dest, "wb") as f:
                 for s in segs:
                     f.write(s.read_bytes())
@@ -315,7 +366,7 @@ def reassemble_segments(
                 "reencoded": False,
                 "fps_fallback": False,
             }
-        elif fmt == "avi":
+        elif ext == "avi":
             result[cam] = {"segments": len(segs), **_remux_avi(segs, dest)}
         else:
             result[cam] = {"segments": len(segs), **_remux_mp4(segs, dest)}
@@ -463,8 +514,11 @@ class OrderedRecorderSink:
     cfg: PipelineConfig = field(default_factory=lambda: DEFAULT_CONFIG)
     # "jsonl" (codec-free metadata recorder), "avi" (codec-free REAL
     # video: pure-Python DIB mux, playable output, pixel-exact round-trip
-    # through the uav_video DataSource), or "mp4" (cv2.VideoWriter mux —
-    # requires a codec on the executors). The video formats carry the
+    # through the uav_video DataSource), "mjpeg" (codec-free COMPRESSED
+    # video: real baseline JPEGs in MJPG-AVI segments — the engine's
+    # analogue of the reference's compressed output), or "mp4"
+    # (cv2.VideoWriter mux — requires a codec on the executors). The
+    # video formats carry the
     # image bytes through the camera repartition, which is the
     # reference's own data motion: every frame reaches its writer. ALL
     # formats emit one segment per micro-batch ({cam}.b{batch_id:06d}
@@ -485,7 +539,7 @@ class OrderedRecorderSink:
         out_dir, fallback_fps, fmt = self.out_dir, self.cfg.fallback_fps, self.fmt
         acc = self._skipped_acc
         cols = ["camera_id", "frame_number", "width", "height", "fps"]
-        if fmt in ("mp4", "avi"):
+        if fmt in ("mp4", "avi", "mjpeg"):
             cols.append("image")
         (
             batch.select(*cols)

@@ -101,6 +101,6 @@ def recorder_rows_stream(
     from pyspark.sql import functions as F
 
     cols = ["camera_id", "frame_number", "width", "height", F.col("fps")]
-    if fmt in ("mp4", "avi"):
+    if fmt in ("mp4", "avi", "mjpeg"):
         cols.append("image")
     return frames.select(*cols)
