@@ -89,6 +89,9 @@ HEADLINE = [
     # r12 addition (VERDICT r11 #3): correctness anchor next to the
     # widest-spread bench query — full-probe IVFPQ recall contract
     "emb_ivfpq_recall_bound",      # degenerate-PQ recall@5 vs exact kNN
+    # r12: the pure-numpy JPEG codec's accuracy contract — tracks the
+    # per-image encode+decode cost of the real-pixel MJPG lane
+    "media_jpeg_roundtrip",
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at
