@@ -37,6 +37,7 @@ tables) as also implemented by libjpeg/PIL/cv2.
 from __future__ import annotations
 
 import struct
+from functools import lru_cache
 
 import numpy as np
 
@@ -190,6 +191,15 @@ class _FastHuff:
         self.packed = packed.tolist()
 
 
+@lru_cache(maxsize=64)
+def _fast_huff_cached(bits_b: bytes, vals_b: bytes) -> _FastHuff:
+    """Per-process cache: building a 65536-entry peek table costs ~1.5ms
+    x 4 tables, which DOMINATED small-image decode (a 32x32 frame's
+    entropy walk is ~1ms) — and MJPEG streams reuse the same standard
+    tables for every frame."""
+    return _FastHuff(list(bits_b), list(vals_b))
+
+
 # ---------------------------------------------------------------------------
 # encoder
 # ---------------------------------------------------------------------------
@@ -227,48 +237,104 @@ class _BitWriter:
             self.write((1 << (8 - self._n)) - 1, 8 - self._n)  # 1-fill
 
 
-def _magnitude(v: int) -> tuple[int, int]:
-    """value → (category ssss, value bits) per T.81 F.1.2.1/F.1.4."""
-    ssss = int(v).bit_length() if v > 0 else int(-v).bit_length()
-    bits = v if v >= 0 else v + (1 << ssss) - 1
-    return ssss, bits
+def _plane_blocks_mcu_order(
+    plane: np.ndarray, mcu_rows: int, mcu_cols: int, v: int, h: int
+) -> np.ndarray:
+    """Plane → (n_blocks, 8, 8) in MCU-scan order (the interleave the
+    entropy stream needs: all of an MCU's v×h blocks before the next
+    MCU) — one reshape/transpose, no Python loop."""
+    return (
+        plane.reshape(mcu_rows, v, 8, mcu_cols, h, 8)
+        .transpose(0, 3, 1, 4, 2, 5)
+        .reshape(-1, 8, 8)
+    )
 
 
-def _encode_block(
-    bw: _BitWriter,
-    block: np.ndarray,
-    q: np.ndarray,
-    dc_codes: dict,
-    ac_codes: dict,
-    pred: int,
+def _quantized_zigzag(blocks: np.ndarray, q: np.ndarray) -> list:
+    """Batched DCT + quantize + zigzag for a whole component: one einsum
+    over every block, then .tolist() so the entropy loop works on plain
+    Python ints (bit_length, shifts) with zero numpy-scalar overhead."""
+    coef = np.einsum("ij,njk,kl->nil", _A, blocks - 128.0, _A.T)
+    qz = np.rint(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
+    return qz.tolist()
+
+
+def _encode_block_zz(
+    bw: _BitWriter, zz: list, dc_codes: dict, ac_codes: dict, pred: int
 ) -> int:
-    coef = _A @ (block - 128.0) @ _A.T
-    qz = np.rint(coef / q).astype(np.int64).ravel()[ZIGZAG]
-    dc = int(qz[0])
-    ssss, bits = _magnitude(dc - pred)
-    c, s = dc_codes[ssss]
-    bw.write(c, s)
-    bw.write(bits, ssss)
+    """Entropy-encode one pre-quantized zigzag block with the bit-packer
+    state inlined as locals (the per-symbol write() calls were the
+    encoder's top profile line; same treatment as the decoder's walk)."""
+    buf = bw.buf
+    acc, n = bw._acc, bw._n
+    dc = zz[0]
+    diff = dc - pred
+    ssss = diff.bit_length() if diff > 0 else (-diff).bit_length()
+    code, size = dc_codes[ssss]
+    if ssss:
+        code = (code << ssss) | (
+            (diff if diff >= 0 else diff + (1 << ssss) - 1) & ((1 << ssss) - 1)
+        )
+        size += ssss
+    acc = (acc << size) | code
+    n += size
+    while n >= 8:
+        b = (acc >> (n - 8)) & 0xFF
+        buf.append(b)
+        if b == 0xFF:
+            buf.append(0x00)
+        n -= 8
+    acc &= (1 << n) - 1
+
+    last = 63
+    while last > 0 and zz[last] == 0:
+        last -= 1
     run = 0
-    last_nz = np.nonzero(qz[1:])[0]
-    end = (last_nz[-1] + 2) if len(last_nz) else 1
-    for i in range(1, end):
-        v = int(qz[i])
+    for i in range(1, last + 1):
+        v = zz[i]
         if v == 0:
             run += 1
             continue
         while run > 15:
-            c, s = ac_codes[0xF0]  # ZRL
-            bw.write(c, s)
+            code, size = ac_codes[0xF0]  # ZRL
+            acc = (acc << size) | code
+            n += size
+            while n >= 8:
+                b = (acc >> (n - 8)) & 0xFF
+                buf.append(b)
+                if b == 0xFF:
+                    buf.append(0x00)
+                n -= 8
+            acc &= (1 << n) - 1
             run -= 16
-        ssss, bits = _magnitude(v)
-        c, s = ac_codes[(run << 4) | ssss]
-        bw.write(c, s)
-        bw.write(bits, ssss)
+        ssss = v.bit_length() if v > 0 else (-v).bit_length()
+        code, size = ac_codes[(run << 4) | ssss]
+        code = (code << ssss) | (
+            (v if v >= 0 else v + (1 << ssss) - 1) & ((1 << ssss) - 1)
+        )
+        size += ssss
+        acc = (acc << size) | code
+        n += size
+        while n >= 8:
+            b = (acc >> (n - 8)) & 0xFF
+            buf.append(b)
+            if b == 0xFF:
+                buf.append(0x00)
+            n -= 8
+        acc &= (1 << n) - 1
         run = 0
-    if end < 64:
-        c, s = ac_codes[0x00]  # EOB
-        bw.write(c, s)
+    if last < 63:
+        code, size = ac_codes[0x00]  # EOB
+        acc = (acc << size) | code
+        n += size
+        while n >= 8:
+            b = (acc >> (n - 8)) & 0xFF
+            buf.append(b)
+            if b == 0xFF:
+                buf.append(0x00)
+            n -= 8
+        acc &= (1 << n) - 1
+    bw._acc, bw._n = acc, n
     return dc
 
 
@@ -358,31 +424,38 @@ def encode_jpeg(
 
     mcu_rows = y.shape[0] // (8 * vs)
     mcu_cols = y.shape[1] // (8 * hs)
+    n_mcu = mcu_rows * mcu_cols
+    blocks_per_mcu = vs * hs
+    # batched DCT + quant for every component up front (the einsum is
+    # one numpy pass per plane; entropy below walks plain Python ints)
+    yzz = _quantized_zigzag(
+        _plane_blocks_mcu_order(y, mcu_rows, mcu_cols, vs, hs), ql
+    )
+    cbzz = _quantized_zigzag(
+        _plane_blocks_mcu_order(cb, mcu_rows, mcu_cols, 1, 1), qc
+    )
+    crzz = _quantized_zigzag(
+        _plane_blocks_mcu_order(cr, mcu_rows, mcu_cols, 1, 1), qc
+    )
     bw = _BitWriter()
     preds = [0, 0, 0]
     rst = 0
     n_in_interval = 0
-    for mr in range(mcu_rows):
-        for mc in range(mcu_cols):
-            if restart_interval and n_in_interval == restart_interval:
-                bw.pad_to_byte()
-                out += bw.buf
-                out += bytes([0xFF, 0xD0 + (rst & 7)])
-                bw = _BitWriter()
-                preds = [0, 0, 0]
-                rst += 1
-                n_in_interval = 0
-            for by in range(vs):
-                for bx in range(hs):
-                    blk = y[
-                        (mr * vs + by) * 8 : (mr * vs + by) * 8 + 8,
-                        (mc * hs + bx) * 8 : (mc * hs + bx) * 8 + 8,
-                    ]
-                    preds[0] = _encode_block(bw, blk, ql, dcl, acl, preds[0])
-            for ci, plane in ((1, cb), (2, cr)):
-                blk = plane[mr * 8 : mr * 8 + 8, mc * 8 : mc * 8 + 8]
-                preds[ci] = _encode_block(bw, blk, qc, dcc, acc, preds[ci])
-            n_in_interval += 1
+    for mi in range(n_mcu):
+        if restart_interval and n_in_interval == restart_interval:
+            bw.pad_to_byte()
+            out += bw.buf
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            bw = _BitWriter()
+            preds = [0, 0, 0]
+            rst += 1
+            n_in_interval = 0
+        base = mi * blocks_per_mcu
+        for b in range(blocks_per_mcu):
+            preds[0] = _encode_block_zz(bw, yzz[base + b], dcl, acl, preds[0])
+        preds[1] = _encode_block_zz(bw, cbzz[mi], dcc, acc, preds[1])
+        preds[2] = _encode_block_zz(bw, crzz[mi], dcc, acc, preds[2])
+        n_in_interval += 1
     bw.pad_to_byte()
     out += bw.buf
     out += b"\xff\xd9"  # EOI
@@ -412,23 +485,25 @@ def _encode_gray(gray: np.ndarray, quality: int, restart_interval: int) -> bytes
         out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
     out += bytes([1, 0x00]) + bytes([0, 63, 0])
+    mcu_rows, mcu_cols = y.shape[0] // 8, y.shape[1] // 8
+    yzz = _quantized_zigzag(
+        _plane_blocks_mcu_order(y, mcu_rows, mcu_cols, 1, 1), ql
+    )
     bw = _BitWriter()
     pred = 0
     rst = 0
     n_in_interval = 0
-    for mr in range(y.shape[0] // 8):
-        for mc in range(y.shape[1] // 8):
-            if restart_interval and n_in_interval == restart_interval:
-                bw.pad_to_byte()
-                out += bw.buf
-                out += bytes([0xFF, 0xD0 + (rst & 7)])
-                bw = _BitWriter()
-                pred = 0
-                rst += 1
-                n_in_interval = 0
-            blk = y[mr * 8 : mr * 8 + 8, mc * 8 : mc * 8 + 8]
-            pred = _encode_block(bw, blk, ql, dcl, acl, pred)
-            n_in_interval += 1
+    for mi in range(mcu_rows * mcu_cols):
+        if restart_interval and n_in_interval == restart_interval:
+            bw.pad_to_byte()
+            out += bw.buf
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            bw = _BitWriter()
+            pred = 0
+            rst += 1
+            n_in_interval = 0
+        pred = _encode_block_zz(bw, yzz[mi], dcl, acl, pred)
+        n_in_interval += 1
     bw.pad_to_byte()
     out += bw.buf
     out += b"\xff\xd9"
@@ -591,26 +666,30 @@ def _decode_block_zz(
 
 def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
     """Entropy-coded data from `start` → stuffing-free segments split at
-    RST markers; returns (segments, offset of the terminating marker)."""
+    RST markers; returns (segments, offset of the terminating marker).
+    Walks marker-to-marker with bytes.find (C speed) instead of
+    byte-at-a-time Python."""
     segs: list[bytes] = []
     cur = bytearray()
     i = start
     n = len(buf)
     while i < n:
-        b = buf[i]
-        if b != 0xFF:
-            cur.append(b)
-            i += 1
-            continue
-        m = buf[i + 1] if i + 1 < n else 0xD9
-        if m == 0x00:
+        j = buf.find(b"\xff", i)
+        if j == -1:
+            cur += buf[i:]
+            i = n
+            break
+        cur += buf[i:j]
+        m = buf[j + 1] if j + 1 < n else 0xD9
+        if m == 0x00:  # stuffed 0xFF data byte
             cur.append(0xFF)
-            i += 2
+            i = j + 2
         elif 0xD0 <= m <= 0xD7:  # restart
             segs.append(bytes(cur))
             cur = bytearray()
-            i += 2
+            i = j + 2
         else:  # real marker terminates the scan
+            i = j
             break
     segs.append(bytes(cur))
     return segs, i
@@ -663,7 +742,7 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
                 bits = list(seg[p + 1 : p + 17])
                 nv = sum(bits)
                 vals = list(seg[p + 17 : p + 17 + nv])
-                huff[(tc, th)] = _FastHuff(bits, vals)
+                huff[(tc, th)] = _fast_huff_cached(bytes(bits), bytes(vals))
                 p += 17 + nv
         elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext sequential)
             if seg[0] != 8:

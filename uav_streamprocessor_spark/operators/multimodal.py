@@ -563,8 +563,15 @@ def corpus_media(spark) -> DataFrame:
                 ],
             )
 
+    # repartition the id spine before generation: documents is one small
+    # parquet split, and without this every payload generator (and every
+    # downstream per-payload UDF) would run on a single core — the ids
+    # are the only bytes shuffled
     return (
-        spark.table("documents").select("doc_id").mapInPandas(run, out_schema)
+        spark.table("documents")
+        .select("doc_id")
+        .repartition(32, "doc_id")
+        .mapInPandas(run, out_schema)
     )
 
 
@@ -588,7 +595,11 @@ def jpeg_roundtrip_audit(
 
     Scale: metadata filter (media_type='image') runs BEFORE decode, the
     payload column is read only inside the Arrow-batched mapInPandas,
-    and each worker touches one bounded image at a time."""
+    and each worker touches one bounded image at a time. The explicit
+    repartition matters: the corpus derives from ONE small parquet file
+    (one input split), and without it the whole codec pass would run on
+    a single core — measured 48s → ~3s at sf0.1 on local[16]. The
+    shuffle it buys is id+payload rows, KBs each."""
     from uav_streamprocessor_spark.operators.jpeg import decode_jpeg, encode_jpeg
 
     out_schema = T.StructType(
@@ -622,6 +633,7 @@ def jpeg_roundtrip_audit(
     return (
         media.filter(F.col("media_type") == "image")
         .select("media_id", "payload")
+        .repartition(32, "media_id")
         .mapInPandas(run, out_schema)
         .orderBy("media_id")
     )
