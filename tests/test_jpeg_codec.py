@@ -191,3 +191,14 @@ def test_media_jpeg_roundtrip_audit_constant_true(spark, duck):
     ).fetchone()[0]
     assert len(rows) == n_expected > 0
     assert all(r["shape_ok"] and r["psnr_ok"] for r in rows)
+
+
+def test_scan_with_missing_tables_raises_format_error():
+    """A scan that references Huffman/quant table ids never defined must
+    raise JpegFormatError, not a bare KeyError."""
+    buf = bytearray(encode_jpeg(np.full((8, 8, 3), 9, np.uint8)))
+    i = buf.index(b"\xff\xc4")  # drop the first DHT segment entirely
+    seglen = int.from_bytes(buf[i + 2 : i + 4], "big")
+    del buf[i : i + 2 + seglen]
+    with pytest.raises(JpegFormatError):
+        decode_jpeg(bytes(buf))

@@ -701,7 +701,8 @@ def decode_jpeg(buf: bytes) -> np.ndarray:
     raises JpegFormatError, never a bare IndexError/struct.error."""
     try:
         return _decode_jpeg(bytes(buf))
-    except (IndexError, struct.error, StopIteration) as exc:
+    except (IndexError, KeyError, struct.error, StopIteration) as exc:
+        # KeyError: a scan referencing a DHT/DQT table id never defined
         raise JpegFormatError(f"malformed JPEG: {exc!r}") from exc
 
 
