@@ -256,3 +256,35 @@ def test_mjpeg_recorder_compresses_and_round_trips(spark, tmp_path):
         out = decode_image(bytes(r["image"]))
         mse = np.mean((src.astype(float) - out.astype(float)) ** 2)
         assert 10 * np.log10(255.0**2 / mse) >= 32.0
+
+
+def test_remux_refuses_mixed_lanes_in_one_out_dir(tmp_path):
+    """The 'avi' (DIB) and 'mjpeg' lanes share the .avi segment
+    extension: if both recorders ever wrote segments for the SAME camera
+    into one out_dir, chunk-level concat under segment 0's latched
+    fourcc would produce a silently corrupt deliverable (ADVICE r12).
+    _remux_avi must refuse with a descriptive error instead."""
+    from uav_streamprocessor_spark.operators.jpeg import encode_jpeg
+    from uav_streamprocessor_spark.sources.avi import FOURCC_MJPG, write_avi
+
+    rec = tmp_path / "rec"
+    rec.mkdir()
+    frame = _rgb_frames(1)[0]
+    write_avi(rec / "camX.b000000.avi", [frame], fps=25.0)  # DIB lane
+    jpg = encode_jpeg(frame, quality=90)
+    write_avi(
+        rec / "camX.b000001.avi", [jpg], fps=25.0, fourcc=FOURCC_MJPG,
+        width=32, height=18,
+    )  # mjpeg lane, same camera
+    with pytest.raises(ValueError, match="mixed recorder lanes"):
+        reassemble_segments(str(rec), fmt="avi", keep_segments=True)
+
+    # geometry mismatch within ONE lane is refused the same way
+    rec2 = tmp_path / "rec2"
+    rec2.mkdir()
+    write_avi(rec2 / "camY.b000000.avi", [frame], fps=25.0)
+    write_avi(
+        rec2 / "camY.b000001.avi", _rgb_frames(1, h=8, w=16), fps=25.0,
+    )
+    with pytest.raises(ValueError, match="latched"):
+        reassemble_segments(str(rec2), fmt="avi", keep_segments=True)

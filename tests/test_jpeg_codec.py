@@ -202,3 +202,181 @@ def test_scan_with_missing_tables_raises_format_error():
     del buf[i : i + 2 + seglen]
     with pytest.raises(JpegFormatError):
         decode_jpeg(bytes(buf))
+
+
+# ---------------------------------------------------------------------------
+# Spec-golden decode (ADVICE r12): every fidelity test above is an
+# encoder→decoder self-roundtrip, so a compensating bug shared by both
+# sides (mirrored zigzag, swapped chroma, transposed IDCT) would pass
+# while real players misread the output. No libjpeg/PIL exists in this
+# container, so the golden fixture is hand-assembled BYTE BY BYTE from
+# ITU-T T.81 itself (markers per B.2, Huffman coding per F.1.2, custom
+# DHT tables, DQT in the spec's Figure A.6 zigzag order), and the
+# expected pixels are computed with the literal A.3.3 IDCT double loop —
+# nothing below imports the codec's tables or transforms.
+# ---------------------------------------------------------------------------
+
+# T.81 Figure A.6: natural (raster) index at each zigzag position
+_SPEC_ZZ = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+
+class _SpecBits:
+    def __init__(self):
+        self.bits = ""
+
+    def put(self, s):
+        self.bits += s
+
+    def dc(self, diff):
+        cat = 0 if diff == 0 else int(diff if diff > 0 else -diff).bit_length()
+        self.put(format(cat, "03b"))  # custom DC table: cat c -> 3-bit c
+        if cat:
+            v = diff if diff > 0 else diff + (1 << cat) - 1
+            self.put(format(v, f"0{cat}b"))
+
+    def ac_run0(self, val):  # custom AC table: (run0,size s) -> see DHT
+        size = abs(val).bit_length()
+        code = {1: "001", 2: "010", 3: "011", 4: "1000"}[size]
+        self.put(code)
+        v = val if val > 0 else val + (1 << size) - 1
+        self.put(format(v, f"0{size}b"))
+
+    def eob(self):
+        self.put("000")
+
+    def tobytes(self):
+        b = self.bits + "1" * (-len(self.bits) % 8)  # pad with 1s (F.1.2.3)
+        raw = bytes(int(b[i : i + 8], 2) for i in range(0, len(b), 8))
+        return raw.replace(b"\xff", b"\xff\x00")  # byte stuffing (B.1.1.5)
+
+
+def _spec_golden_jpeg():
+    """8x8 3-component 4:4:4 baseline JPEG, hand-muxed from the spec.
+    Distinct per-position quant values + an AC coefficient at zigzag
+    position 1 catch a mirrored zigzag; distinct Cb/Cr DC catches a
+    chroma swap; the AC rides the horizontal axis, catching a transposed
+    IDCT/plane layout."""
+    q_luma = [1 + i for i in range(64)]          # natural order, 1..64
+    q_chroma = [64 - i for i in range(64)]       # natural order, 64..1
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, payload):
+        out.extend(marker)
+        out.extend((len(payload) + 2).to_bytes(2, "big"))
+        out.extend(payload)
+
+    for tq, qnat in ((0, q_luma), (1, q_chroma)):
+        seg(b"\xff\xdb", bytes([tq]) + bytes(qnat[_SPEC_ZZ[k]] for k in range(64)))
+    seg(
+        b"\xff\xc0",  # SOF0: 8-bit, 8x8, 3 comps, all 1x1 sampling
+        bytes([8]) + (8).to_bytes(2, "big") + (8).to_bytes(2, "big")
+        + bytes([3, 1, 0x11, 0, 2, 0x11, 1, 3, 0x11, 1]),
+    )
+    # DC table 0: 8 symbols (categories 0..7), all code length 3 ->
+    # canonical codes 000..111. AC table 0: EOB + (run0, size 1..4) ->
+    # lengths [3,3,3,3,4], canonical 000,001,010,011,1000.
+    dc_bits = bytes([0, 0, 8] + [0] * 13)
+    seg(b"\xff\xc4", bytes([0x00]) + dc_bits + bytes(range(8)))
+    ac_bits = bytes([0, 0, 4, 1] + [0] * 12)
+    seg(b"\xff\xc4", bytes([0x10]) + ac_bits + bytes([0x00, 0x01, 0x02, 0x03, 0x04]))
+    seg(b"\xff\xda", bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+
+    bw = _SpecBits()
+    bw.dc(6)            # Y DC
+    bw.ac_run0(-15)     # Y AC at zigzag position 1 (natural idx 1)
+    bw.eob()
+    bw.dc(-4)           # Cb DC
+    bw.eob()
+    bw.dc(3)            # Cr DC
+    bw.eob()
+    out.extend(bw.tobytes())
+    out.extend(b"\xff\xd9")  # EOI
+
+    # expected pixels: literal T.81 A.3.3 IDCT per component
+    def idct_block(coef_nat):
+        f = np.zeros((8, 8))
+        c = lambda k: (1 / np.sqrt(2)) if k == 0 else 1.0
+        for y in range(8):
+            for x in range(8):
+                s = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        s += (
+                            c(u) * c(v) * coef_nat[v * 8 + u]
+                            * np.cos((2 * x + 1) * u * np.pi / 16)
+                            * np.cos((2 * y + 1) * v * np.pi / 16)
+                        )
+                f[y, x] = s / 4.0
+        return f
+
+    fy = np.zeros(64)
+    fy[0] = 6 * q_luma[0]
+    fy[1] = -15 * q_luma[1]
+    fcb = np.zeros(64)
+    fcb[0] = -4 * q_chroma[0]
+    fcr = np.zeros(64)
+    fcr[0] = 3 * q_chroma[0]
+    yp = idct_block(fy) + 128.0
+    cb = idct_block(fcb)   # +128 level shift then -128 in the color step
+    cr = idct_block(fcr)
+    r = yp + 1.402 * cr
+    g = yp - 0.344136 * cb - 0.714136 * cr
+    b = yp + 1.772 * cb
+    exp = np.clip(np.rint(np.stack([r, g, b], -1)), 0, 255).astype(np.uint8)
+    return bytes(out), exp
+
+
+def test_spec_golden_decode():
+    buf, expected = _spec_golden_jpeg()
+    out = decode_jpeg(buf)
+    assert out.shape == (8, 8, 3)
+    diff = np.abs(out.astype(int) - expected.astype(int))
+    assert diff.max() <= 1, f"max pixel diff {diff.max()} vs spec-derived golden"
+    # the AC coefficient rides the horizontal axis: row-constant,
+    # column-varying luma — a transposed IDCT or plane layout flips this
+    lum = out.astype(float).mean(axis=-1)
+    assert np.ptp(lum.mean(axis=1)) < np.ptp(lum.mean(axis=0))
+
+
+def test_fill_bytes_before_markers_decode():
+    """T.81 B.1.1.2: any marker may be preceded by any number of 0xFF
+    fill bytes — real encoders/cameras emit them. Decode must skip them,
+    not parse a phantom length segment (ADVICE r12, medium)."""
+    img = _smooth(24, 32)
+    buf = encode_jpeg(img, quality=90, subsampling="4:4:4")
+    base = decode_jpeg(buf)
+    for marker, n_fill in ((b"\xff\xc0", 1), (b"\xff\xc4", 3), (b"\xff\xda", 2)):
+        i = buf.index(marker)
+        padded = buf[:i] + b"\xff" * n_fill + buf[i:]
+        assert (decode_jpeg(padded) == base).all(), (marker, n_fill)
+    # all-fill tail before EOI in the pre-scan region of a second image:
+    # fill directly after SOI is also legal
+    padded = buf[:2] + b"\xff" * 4 + buf[2:]
+    assert (decode_jpeg(padded) == base).all()
+
+
+def test_crafted_giant_sof_raises_instead_of_allocating():
+    """A ~1 KB frame declaring 65535x65535 (or any geometry whose block
+    count exceeds the entropy bits present) must raise JpegFormatError
+    BEFORE the coefficient allocation — not OOM the executor
+    (ADVICE r12)."""
+    img = np.full((8, 8, 3), 77, np.uint8)
+    buf = encode_jpeg(img, quality=90, subsampling="4:4:4")
+    i = buf.index(b"\xff\xc0")
+    # SOF0 payload: len(2) prec(1) h(2) w(2) — patch h=w=65535
+    giant = bytearray(buf)
+    giant[i + 5 : i + 9] = b"\xff\xff\xff\xff"
+    # 0xFFFF in the dims would also read as stuffing-free marker bytes in
+    # the segment — irrelevant: seglen routing skips the payload wholesale
+    with pytest.raises(JpegFormatError, match="ceiling"):
+        decode_jpeg(bytes(giant))
+    # under the pixel ceiling but impossible for the scan's entropy bits
+    mid = bytearray(buf)
+    mid[i + 5 : i + 9] = (4000).to_bytes(2, "big") + (4000).to_bytes(2, "big")
+    with pytest.raises(JpegFormatError, match="entropy"):
+        decode_jpeg(bytes(mid))

@@ -36,10 +36,18 @@ tables) as also implemented by libjpeg/PIL/cv2.
 
 from __future__ import annotations
 
+import os
 import struct
 from functools import lru_cache
 
 import numpy as np
+
+# Decode ceiling on declared frame pixels (default 64 MP — an 8K frame is
+# ~33 MP, so real camera frames fit with headroom). Guards _decode_scan's
+# coefficient allocation against crafted SOF dimensions; see the bound
+# checks there. Read once at import — per-frame env lookups would land in
+# the pixel hot path.
+_MAX_PIXELS = int(os.environ.get("SPARK_GRAFT_JPEG_MAX_PIXELS", str(1 << 26)))
 
 # ---------------------------------------------------------------------------
 # constants: zigzag, Annex K quantization + Huffman tables
@@ -718,6 +726,13 @@ def _decode_jpeg(buf: bytes) -> np.ndarray:
     while i < len(buf):
         if buf[i] != 0xFF:
             raise JpegFormatError(f"expected marker at {i}")
+        # T.81 B.1.1.2: a marker may be preceded by any number of 0xFF
+        # fill bytes (real encoders/cameras emit them) — skip them so the
+        # next byte is the marker code, not a phantom length segment
+        while i + 1 < len(buf) and buf[i + 1] == 0xFF:
+            i += 1
+        if i + 1 >= len(buf):
+            raise JpegFormatError("truncated marker stream")
         m = buf[i + 1]
         if m == 0xD9:  # EOI
             break
@@ -797,6 +812,27 @@ def _decode_scan(
     mcu_cols = -(-w // mcu_w)
     mcu_rows = -(-h // mcu_h)
 
+    comp_blocks = [c["v"] * c["h"] for c, _, _ in scan]
+
+    # Bound declared geometry BEFORE allocating coefficient matrices: a
+    # ~200-byte corrupt/crafted frame declaring 65535x65535 would demand
+    # tens of GB here and OOM an executor instead of raising. Two gates:
+    # (a) a hard pixel ceiling, (b) every 8x8 block consumes >= 1 bit of
+    # entropy data (the shortest possible DC code), so the declared block
+    # count can never exceed the entropy bits actually present.
+    if h * w > _MAX_PIXELS:
+        raise JpegFormatError(
+            f"declared frame {w}x{h} exceeds the {_MAX_PIXELS}-pixel "
+            "decode ceiling (SPARK_GRAFT_JPEG_MAX_PIXELS)"
+        )
+    total_blocks = mcu_rows * mcu_cols * sum(comp_blocks)
+    entropy_bits = 8 * sum(len(s) for s in segs)
+    if total_blocks > entropy_bits:
+        raise JpegFormatError(
+            f"declared geometry needs {total_blocks} blocks but the scan "
+            f"carries only {entropy_bits} bits of entropy data"
+        )
+
     # entropy pass: per-component (n_blocks, 64) zigzag coefficient
     # matrices in MCU-scan order; all numpy math happens batched after
     coefs = [
@@ -805,7 +841,6 @@ def _decode_scan(
     ]
     counters = [0] * len(scan)
     tabs = [(huff[(0, td)], huff[(1, ta)]) for _, td, ta in scan]
-    comp_blocks = [c["v"] * c["h"] for c, _, _ in scan]
 
     seg_idx = 0
     br = _BitReader(segs[0])

@@ -391,7 +391,21 @@ def _remux_avi(segments: list, dest: Path) -> dict:
     )
     try:
         for seg in segments:
-            for payload in AviFile(str(seg)).frames():
+            f = AviFile(str(seg))
+            # the 'avi' (DIB) and 'mjpeg' lanes share the .avi segment
+            # extension: appending a segment whose fourcc/geometry differ
+            # from the latched header would silently produce a corrupt
+            # deliverable (ADVICE r12) — refuse instead
+            if (f.fourcc, f.width, f.height) != (
+                first.fourcc, first.width, first.height
+            ):
+                raise ValueError(
+                    f"segment {Path(str(seg)).name} is "
+                    f"{f.fourcc}/{f.width}x{f.height} but segment 0 "
+                    f"latched {first.fourcc}/{first.width}x{first.height}"
+                    " — mixed recorder lanes in one out_dir cannot remux"
+                )
+            for payload in f.frames():
                 wr.write_payload(payload)
     finally:
         wr.close()
