@@ -151,6 +151,10 @@ EXTRA_RUNS = {
     # median, VERDICT r11 "What's wrong" #2): median-of-7 adjudicates
     # the variance the same way the dedup trio's r10 fuse was closed
     "emb_ivfpq_topk": 7,
+    # noisiest query in the r12 set (0.84s builder vs 3.27s driver on
+    # identical code; 4 documented same-code excursions since r7) —
+    # VERDICT r12 #4
+    "text_ngram_novelty": 7,
 }
 
 
@@ -589,6 +593,7 @@ def main() -> None:
     # carries ONE compact medians-only line (~1.2 KB) that always parses.
     full_path = _full_artifact_path(sf)
     if full_path is not None:
+        _merge_full_artifact(full_path, out)
         full_path.write_text(json.dumps(out, indent=1) + "\n")
         print(f"# full bench artifact: {full_path}", file=sys.stderr)
     compact = {
@@ -620,6 +625,47 @@ def main() -> None:
     print(line)
 
 
+def _merge_full_artifact(full_path: Path, out: dict) -> None:
+    """Merge semantics for the one-file-per-round rule (VERDICT r12 #1):
+    the r12 driver run, which measures only HEADLINE, overwrote the
+    builder's BENCH_FULL=1 artifact and silently dropped 32 rotation-
+    query medians from the round's record. Now a run that did NOT
+    measure a query RETAINS the prior run's reading for it instead of
+    deleting it: this run's measurements always override common queries
+    (the last full measurement still wins where both ran), queries only
+    the prior artifact measured are kept and listed in
+    "retained_queries", and "value" stays the sum of THIS run's
+    queries (the round-over-round headline total) while
+    "value_all_queries" carries the merged sum."""
+    if not full_path.exists():
+        return
+    try:
+        prev = json.loads(full_path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return
+    prev_q = prev.get("queries")
+    if not isinstance(prev_q, dict):
+        return
+    retained = {
+        k: v for k, v in prev_q.items()
+        if k not in out["queries"] and isinstance(v, (int, float))
+    }
+    if not retained:
+        return
+    out["queries"] = {**retained, **out["queries"]}
+    prev_spread = prev.get("spread") or {}
+    out["spread"] = {
+        **{k: prev_spread[k] for k in retained if k in prev_spread},
+        **out["spread"],
+    }
+    out["retained_queries"] = sorted(retained)
+    out["value_all_queries"] = round(sum(out["queries"].values()), 3)
+    # a streaming section from the prior run survives a --no-streaming run
+    if "streaming" not in out and isinstance(prev.get("streaming"), dict):
+        out["streaming"] = prev["streaming"]
+        out["streaming_retained"] = True
+
+
 def _full_artifact_path(sf: float) -> Path | None:
     """Committed per-round artifact path: BENCH_full_r{N}.json. N comes
     from $SPARK_GRAFT_ROUND when set (authoritative — glob inference
@@ -629,10 +675,14 @@ def _full_artifact_path(sf: float) -> Path | None:
     root isn't writable (e.g. a sandboxed run).
 
     ONE file per round (VERDICT r10 #2): every sf0.1 run — builder
-    iteration or the driver's end-of-round measurement — overwrites the
-    same file; last full measurement wins. The driver's run is always
-    last in a round and commits its modification, so the committed file
-    carries the driver's numbers: the AUTHORITATIVE reading for
+    iteration or the driver's end-of-round measurement — writes the
+    same file. Since r13 the write MERGES (see _merge_full_artifact):
+    this run's measurements override common queries, but queries only a
+    prior run measured are retained, so the driver's headline-only run
+    no longer deletes the builder's rotation medians (VERDICT r12 #1).
+    The driver's run is always last in a round and commits its
+    modification, so the committed file carries the driver's numbers
+    for every headline query: the AUTHORITATIVE reading for
     round-over-round deltas. (This retires the r8 freeze-redirect to
     BENCH_full_r{N}_driver.json, which made every round a two-file
     provenance puzzle — BASELINE.md r10 caveat.)"""
