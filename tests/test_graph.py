@@ -457,3 +457,39 @@ def test_modularity_on_corpus_blocking_graph(spark):
     )
     assert sum(r["within_edges"] for r in rows) == m
     assert 0.0 < rows[0]["modularity_q"] <= 1.0
+
+
+def test_pagerank_quantized_matches_numpy_bit_exact(spark):
+    """quantize=True (the r13 dedup_pagerank_centrality promotion): both
+    the engine and a numpy replication snap every round — and the 1/N
+    init — to the 1e-9 grid, so the traces must agree BIT-FOR-BIT, not
+    just within tolerance. This is the same progressive-rounding law the
+    DuckDB recursive-CTE oracle applies."""
+    import numpy as np
+
+    pairs = [(0, i) for i in range(1, 6)] + [(6, 7), (7, 8), (20, 21), (5, 6)]
+    got = _pr_dict(spark, pairs, quantize=True)
+
+    edges = set()
+    for a, b in pairs:
+        edges.add((a, b))
+        edges.add((b, a))
+    nodes = sorted({x for e in edges for x in e})
+    idx = {n: i for i, n in enumerate(nodes)}
+    n = len(nodes)
+    outdeg = np.zeros(n)
+    for u, _ in edges:
+        outdeg[idx[u]] += 1
+    q = lambda x: np.round(x * 1e9) / 1e9
+    r = q(np.full(n, 1.0 / n))
+    for _ in range(10):
+        contrib = np.zeros(n)
+        for u, v in edges:
+            contrib[idx[v]] += r[idx[u]] / outdeg[idx[u]]
+        r = q((1 - 0.85) / n + 0.85 * contrib)
+    for node in nodes:
+        assert got[node] == r[idx[node]], node  # exact, no tolerance
+    # quantization is a <=1e-9-per-round perturbation of the true ranks
+    want = _numpy_pagerank(pairs)
+    for node in nodes:
+        assert abs(got[node] - want[node]) < 2e-8, node

@@ -652,15 +652,18 @@ def pagerank_centrality(spark: SparkSession, k: int = 50) -> DataFrame:
     near-dup graph (doc_block_edges). High-rank docs are connected to
     many other duplicates — the boilerplate ancestors a curation pass
     should inspect or drop first. Fixed 10 power-iteration rounds
-    (graph.pagerank); ranks rounded 8dp pre-rank, top-k with doc_id
-    tie-break."""
+    (graph.pagerank) with per-round 1e-9 quantization (quantize=True),
+    so the full trace is engine-portable and replays in a DuckDB
+    recursive CTE — the r13 promotion from rows-only, extending the
+    2-round contraction shadow to the whole query (the coreness
+    recursive-replay pattern). Output ranks ARE the round-10 quantized
+    values (no further rounding — a second 8dp round would re-introduce
+    the .xxxxxxxx5 boundary class); top-k with doc_id tie-break."""
     from uav_streamprocessor_spark.operators.graph import pagerank
 
-    ranks = pagerank(doc_block_edges(spark))
+    ranks = pagerank(doc_block_edges(spark), quantize=True)
     return (
-        ranks.select(
-            F.col("node").alias("doc_id"), F.round("rank", 8).alias("rank")
-        )
+        ranks.select(F.col("node").alias("doc_id"), "rank")
         .orderBy(F.col("rank").desc(), "doc_id")
         .limit(k)
     )

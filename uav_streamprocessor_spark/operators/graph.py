@@ -205,6 +205,7 @@ def pagerank(
     iters: int = 10,
     damping: float = 0.85,
     undirected: bool = True,
+    quantize: bool = False,
 ) -> DataFrame:
     """Power-iteration PageRank over an edge list — the third iterative
     graph/ML operator next to connected_components and k-means.
@@ -216,8 +217,14 @@ def pagerank(
     Returns (node, rank) after `iters` rounds of
         r = (1-d)/N + d * (sum of r(u)/outdeg(u) over in-neighbors u
                            + dangling_mass / N)
-    Deterministic up to float summation order; the registered query
-    rounds before ranking.
+    Deterministic up to float summation order; `quantize=True` snaps
+    every round's ranks (and the 1/N init) to the 1e-9 grid with the
+    engine-portable integer-scaling idiom round(r*1e9)/1e9, so the full
+    trace replays bit-for-bit in a DuckDB recursive CTE applying the
+    same per-round rounding — accumulated summation-order drift (~1e-16
+    per round) can never reach the 5e-10 rounding boundary. The 1e-9
+    snap perturbs each round by <1e-9, far inside the float noise the
+    unquantized form already carries.
 
     Scale shape (the standard distributed PageRank):
     - out-degrees computed ONCE; the per-round plan is one edge⋈rank
@@ -247,8 +254,12 @@ def pagerank(
         F.count(F.lit(1)).alias("outdeg")
     )
     deg = deg.localCheckpoint(eager=True)
+
+    def _q(col):
+        return F.round(col * 1e9) / 1e9 if quantize else col
+
     ranks = nodes.select(
-        "node", F.lit(1.0 / n_nodes).alias("rank")
+        "node", _q(F.lit(1.0 / n_nodes)).alias("rank")
     ).localCheckpoint(eager=True)
 
     for _ in range(iters):
@@ -281,12 +292,12 @@ def pagerank(
         if undirected:
             new_ranks = contribs.select(
                 "node",
-                (F.lit(base) + damping * F.col("in_sum")).alias("rank"),
+                _q(F.lit(base) + damping * F.col("in_sum")).alias("rank"),
             )
         else:
             new_ranks = nodes.join(contribs, "node", "left").select(
                 "node",
-                (
+                _q(
                     F.lit(base)
                     + damping * F.coalesce(F.col("in_sum"), F.lit(0.0))
                 ).alias("rank"),

@@ -1250,12 +1250,50 @@ ORDER BY lang, rnk
 
 _register(
     "dedup_pagerank_centrality",
-    None,
+    """
+WITH RECURSIVE keys AS (
+  SELECT doc_id, 'p:' || md5(array_to_string(string_split(text, ' ')[1:5], ' ')) AS key
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'm:' || md5(array_to_string(string_split(text, ' ')[3:8], ' ')) AS key
+  FROM documents
+), e0 AS (
+  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM keys x JOIN keys y USING (key)
+  WHERE x.doc_id < y.doc_id
+), e AS (
+  SELECT a AS u, b AS v FROM e0 UNION ALL SELECT b AS u, a AS v FROM e0
+), nodes AS (SELECT DISTINCT u AS node FROM e),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT u AS node, count(*) AS outdeg FROM e GROUP BY u),
+state AS (
+  SELECT node, 0 AS it, round(1e9 * (1.0 / (SELECT n FROM nn))) / 1e9 AS rank
+  FROM nodes
+  UNION ALL
+  SELECT e.v AS node, s.it + 1,
+         round(1e9 * ((1.0 - 0.85) / (SELECT n FROM nn)
+                      + 0.85 * sum(s.rank / d.outdeg))) / 1e9
+  FROM state s
+  JOIN e ON e.u = s.node
+  JOIN deg d ON d.node = s.node
+  WHERE s.it < 10
+  GROUP BY e.v, s.it
+)
+SELECT CAST(node AS BIGINT) AS doc_id, rank
+FROM state WHERE it = 10
+ORDER BY rank DESC, doc_id LIMIT 50
+""",
     notes="power-iteration PageRank over the blocking near-dup graph "
-    "(template-hub removal priority); fixed 10 rounds, exact-vs-numpy "
-    "pinned in test_graph.py — float summation order isn't SQL-portable "
-    "at 8dp/top-k; the oracled 2-round shadow dedup_pagerank_contraction "
-    "signs the per-round plumbing",
+    "(template-hub removal priority); fixed 10 rounds. PROMOTED "
+    "rows-only -> fully oracled (r13, the coreness recursive-replay + "
+    "kcenter progressive-rounding patterns combined): both engines snap "
+    "every round's ranks (and the 1/N init) to the 1e-9 grid with "
+    "round(r*1e9)/1e9, so per-round summation-order drift (~1e-16) can "
+    "never reach the 5e-10 rounding boundary and the DuckDB recursive "
+    "CTE replays the whole 10-round trace bit-for-bit; output IS the "
+    "round-10 quantized rank (no second rounding). exact-vs-numpy "
+    "pinned in test_graph.py; the 2-round shadow "
+    "dedup_pagerank_contraction keeps signing the unquantized plumbing",
 )(lambda spark: dedup.pagerank_centrality(spark))
 
 
