@@ -456,7 +456,7 @@ def embedding_norm_stats(spark: SparkSession) -> DataFrame:
 
 
 # --- Lloyd k-means: the data-curation clustering pass -------------------
-def partial_sum_reducer(centroids: list[list[float]]):
+def partial_sum_reducer(centroids: list[list[float]], quantize: float | None = None):
     """Fused assignment+update step against FROZEN centroids: a pandas
     generator emitting <= k rows of (cluster, cnt, per-dim sums) per Arrow
     batch, plus its output schema. Shared by batch Lloyd's per-round scan
@@ -473,6 +473,8 @@ def partial_sum_reducer(centroids: list[list[float]]):
         for pdf in batches:
             E = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            if quantize:
+                d2 = np.round(d2 * quantize) / quantize
             cl = d2.argmin(axis=1)
             counts = np.bincount(cl, minlength=k)
             live = np.flatnonzero(counts)
@@ -509,7 +511,11 @@ def centroid_update_from_partials(
 
 
 def kmeans_lloyd(
-    spark: SparkSession, k: int = 10, iters: int = 5, with_embedding: bool = True
+    spark: SparkSession,
+    k: int = 10,
+    iters: int = 5,
+    with_embedding: bool = True,
+    quantize: float | None = None,
 ) -> tuple[DataFrame, list[list[float]]]:
     """Seeded Lloyd k-means over the embedding column as an iterative
     DataFrame computation. Returns (assignments, final_centroids).
@@ -551,6 +557,18 @@ def kmeans_lloyd(
       assignment schema — consumers that only need (vec_id, cluster,
       sq_dist) (e.g. the cluster profile) then never pay the Arrow
       round-trip for the payload column.
+    - `quantize=S` (e.g. 1e6) makes the whole trace ENGINE-PORTABLE
+      (the r13 emb_semdedup promotion): each round's updated centroids
+      snap to the 1/S grid with round(v*S)/S, and argmin runs on
+      1/S-snapped distances (exact grid ties break on the lowest
+      cluster index, matching a SQL row_number ORDER BY d2, cluster).
+      Summation-order drift between engines is ~1e-14; against a 5e-7
+      grid boundary that is a ~1e-8 collision probability per value,
+      so a DuckDB recursive-CTE replay applying the same snaps
+      reproduces assignments exactly. Init needs no snap: the k seed
+      vectors are float32 parquet values, exact in double on both
+      engines. The 1e-6 perturbation is 3 orders below the O(1e-3)
+      argmin margins on this corpus.
     """
     emb = (
         spark.table("embeddings")
@@ -579,6 +597,8 @@ def kmeans_lloyd(
                 # exact elementwise form, b×k×d — no (E·C) expansion, so
                 # distances match a per-element Python recomputation to ULP
                 d2 = ((E[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                if quantize:
+                    d2 = np.round(d2 * quantize) / quantize
                 cl = d2.argmin(axis=1)
                 pdf = pdf[keep_cols].copy()
                 pdf["cluster"] = cl.astype(np.int32)
@@ -588,7 +608,9 @@ def kmeans_lloyd(
         return emb.mapInPandas(score, schema=out_schema)
 
     def partials(cent: list[list[float]]) -> DataFrame:
-        reduce_batch, part_schema = partial_sum_reducer(cent)
+        reduce_batch, part_schema = partial_sum_reducer(
+            cent, quantize=quantize
+        )
         return emb.mapInPandas(reduce_batch, schema=part_schema)
 
     # Combine strategy for the per-round partials (<= k rows per Arrow
@@ -622,6 +644,11 @@ def kmeans_lloyd(
                 for r in new_cent
             }
             centroids = [by_cluster.get(j, centroids[j]) for j in range(k)]
+        if quantize:
+            centroids = [
+                [float(np.round(v * quantize) / quantize) for v in c]
+                for c in centroids
+            ]
     result = assign(centroids)
     # cache covered the loop; the returned plan recomputes from source
     emb.unpersist(blocking=False)
@@ -674,22 +701,38 @@ def kmeans_cluster_profile(spark: SparkSession, k: int = 10, iters: int = 5) -> 
     ONE (cluster, label) partial aggregation — the assignment runs once,
     the second agg is over <= k*n_labels rows. The vector column never
     enters this plan at all (`with_embedding=False`), so the Arrow
-    return is three narrow columns."""
-    assigned, _ = kmeans_lloyd(spark, k, iters, with_embedding=False)
+    return is three narrow columns.
+
+    PROMOTED rows-only -> fully oracled (r13): the Lloyd trace runs
+    quantized (kmeans_lloyd quantize=1e6), sq_dist values therefore sit
+    on the 1e-6 grid, and mean_sq_dist is derived from the EXACT BIGINT
+    sum of grid units (integer-moments recipe) before the 4dp round —
+    so the DuckDB recursive-CTE replay (shared with emb_semdedup)
+    reproduces sizes, distances, and majority labels bit-for-bit."""
+    assigned, _ = kmeans_lloyd(
+        spark, k, iters, with_embedding=False, quantize=1e6
+    )
     emb = spark.table("embeddings").select("vec_id", "label")
     per_label = (
         assigned.join(emb, "vec_id")
         .groupBy("cluster", "label")
         .agg(
             F.count(F.lit(1)).alias("n"),
-            F.sum("sq_dist").alias("sum_sq"),
+            F.sum(
+                F.round(F.col("sq_dist") * 1e6).cast("long")
+            ).alias("sum_ci"),
         )
     )
     return (
         per_label.groupBy("cluster")
         .agg(
             F.sum("n").alias("n_members"),
-            F.round(F.sum("sum_sq") / F.sum("n"), 4).alias("mean_sq_dist"),
+            # mean = (sum_ci / n) / 1e6, rounded 4dp via the integer-
+            # scaling idiom: identical BIGINT/BIGINT operands on both
+            # engines make every intermediate bit-identical
+            (
+                F.round(F.sum("sum_ci") / F.sum("n") / 100.0) / 1e4
+            ).alias("mean_sq_dist"),
             F.max(F.struct("n", F.col("label").alias("l"))).alias("top"),
         )
         .select(
@@ -732,24 +775,33 @@ def semdedup_profile(
 
     Scale: kmeans assignment is map-only (centroids are driver-held model
     state); the pair search shuffles on `cluster` — the partition key IS
-    the quadratic bound. Rows-only check (iterative k-means is not
-    SQL-expressible); the subset/partition invariants are pinned in
-    tests/test_kmeans.py, the k-derivation in tests/test_round5_ops.py.
+    the quadratic bound. PROMOTED rows-only -> fully oracled (r13): the
+    Lloyd trace runs quantized (kmeans_lloyd quantize=1e6, see there),
+    pair cosines snap to the same 1e-6 grid before the threshold
+    compare, and avg_removed_cos is derived from the EXACT integer sum
+    of grid units (sum of round(cos*1e6) as long, the integer-moments
+    recipe) — so a DuckDB recursive-CTE replay of the full 5-round
+    clustering + pair scan hash-matches. Subset/partition invariants are
+    pinned in tests/test_kmeans.py, the k-derivation in
+    tests/test_round5_ops.py.
     """
     if k is None:
         n_vectors = spark.table("embeddings").count()
         k = max(1, -(-n_vectors // target_cluster_size))
-    assigned, _ = kmeans_lloyd(spark, k, iters)
+    assigned, _ = kmeans_lloyd(spark, k, iters, quantize=1e6)
     vecs = assigned.select("vec_id", "cluster", "embedding")
     a = vecs.alias("a")
     b = vecs.alias("b")
+    cos_grid = F.round(
+        _cosine(F.col("a.embedding"), F.col("b.embedding")) * 1e6
+    ) / 1e6
     pairs = (
         a.join(b, "cluster")
         .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             "cluster",
             F.col("b.vec_id").alias("removed_id"),
-            _cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            cos_grid.alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -758,7 +810,16 @@ def semdedup_profile(
     )
     per_cluster_removed = removed.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_removed"),
-        F.round(F.avg("max_cos"), 6).alias("avg_removed_cos"),
+        # exact integer-moments average: max_cos sits on the 1e-6 grid,
+        # so round(cos*1e6) recovers its integer units losslessly and the
+        # BIGINT sum is summation-order-free on both engines
+        (
+            F.round(
+                F.sum(F.round(F.col("max_cos") * 1e6).cast("long"))
+                / F.count(F.lit(1))
+            )
+            / 1e6
+        ).alias("avg_removed_cos"),
     )
     sizes = vecs.groupBy("cluster").agg(F.count(F.lit(1)).alias("n_docs"))
     return (

@@ -2925,15 +2925,108 @@ ORDER BY removed_doc_id
 )(lambda spark: dedup.doc_cluster_removals(spark))
 
 
+def _kmeans_replay_ctes(k_limit_sql: str, iters: int = 5) -> str:
+    """Shared DuckDB recursive-CTE replay of the QUANTIZED Lloyd loop
+    (kmeans_lloyd quantize=1e6): ev unpacks vectors long-format, init
+    seeds the k lowest vec_ids, cent iterates assignment (1e-6-snapped
+    distances, ties to the lowest cluster index) + mean update (snapped
+    to the same grid; empty clusters carry forward), asg is the final
+    assignment against the round-`iters` centroids with its grid min-d2.
+    Used by the emb_kmeans_profile and emb_semdedup oracles (r13
+    promotions) — the quantization makes every intermediate
+    engine-portable; see kmeans_lloyd's docstring for the drift math."""
+    return f"""
+ev AS (
+  SELECT vec_id, i.i AS dim, CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+),
+init AS (
+  SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cluster, vec_id
+  FROM embeddings ORDER BY vec_id LIMIT {k_limit_sql}
+),
+cent AS (
+  SELECT 0 AS it, i.cluster, e.dim, e.val
+  FROM init i JOIN ev e USING (vec_id)
+  UNION ALL
+  SELECT c.it + 1, c.cluster, c.dim,
+         round(1e6 * coalesce(m.mval, c.val)) / 1e6 AS val
+  FROM cent c
+  LEFT JOIN (
+    SELECT asg.cluster, e.dim, sum(e.val) / count(*) AS mval
+    FROM (
+      SELECT vec_id, cluster FROM (
+        SELECT d.vec_id, d.cluster,
+               row_number() OVER (PARTITION BY d.vec_id
+                                  ORDER BY d.d2, d.cluster) AS rn
+        FROM (
+          SELECT e2.vec_id, c2.cluster,
+                 round(1e6 * sum((e2.val - c2.val) * (e2.val - c2.val))) / 1e6 AS d2
+          FROM ev e2 JOIN cent c2 ON c2.dim = e2.dim
+          GROUP BY e2.vec_id, c2.cluster
+        ) d
+      ) r WHERE rn = 1
+    ) asg
+    JOIN ev e ON e.vec_id = asg.vec_id
+    GROUP BY asg.cluster, e.dim
+  ) m ON m.cluster = c.cluster AND m.dim = c.dim
+  WHERE c.it < {iters}
+),
+asg AS (
+  SELECT vec_id, cluster, d2 AS sq_dist FROM (
+    SELECT d.vec_id, d.cluster, d.d2,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY d.d2, d.cluster) AS rn
+    FROM (
+      SELECT e.vec_id, c.cluster,
+             round(1e6 * sum((e.val - c.val) * (e.val - c.val))) / 1e6 AS d2
+      FROM ev e JOIN cent c ON c.dim = e.dim AND c.it = {iters}
+      GROUP BY e.vec_id, c.cluster
+    ) d
+  ) r WHERE rn = 1
+)"""
+
+
 _register(
     "emb_kmeans_profile",
-    None,
+    f"""
+WITH RECURSIVE
+{_kmeans_replay_ctes("10")},
+per_label AS (
+  SELECT a.cluster, e.label, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CAST(round(a.sq_dist * 1e6) AS BIGINT)) AS BIGINT) AS sum_ci
+  FROM asg a JOIN embeddings e USING (vec_id)
+  GROUP BY a.cluster, e.label
+),
+prof AS (
+  SELECT cluster,
+         CAST(sum(n) AS BIGINT) AS n_members,
+         round(CAST(sum(sum_ci) AS DOUBLE) / CAST(sum(n) AS DOUBLE) / 100.0)
+           / 1e4 AS mean_sq_dist
+  FROM per_label GROUP BY cluster
+),
+maj AS (
+  SELECT cluster, label AS majority_label FROM (
+    SELECT cluster, label,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n DESC, label DESC) AS rn
+    FROM per_label
+  ) WHERE rn = 1
+)
+SELECT p.cluster, p.n_members, p.mean_sq_dist, m.majority_label
+FROM prof p JOIN maj m USING (cluster)
+ORDER BY p.cluster
+""",
     notes="seeded Lloyd k-means (iterative DataFrame fixpoint: broadcast-"
-    "literal centroids, per-dimension built-in avg update, no explode); "
-    "non-SQL-expressible (5 unrolled iterations) -> rows-only + pytest "
-    "invariants (exact recovery of separated clusters, monotone inertia, "
-    "argmin consistency); the oracled 1-round shadow "
-    "emb_kmeans_contraction signs the assignment+update machinery",
+    "literal centroids, fused partial-sum update, no explode). PROMOTED "
+    "rows-only -> fully oracled (r13): the loop runs quantized "
+    "(kmeans_lloyd quantize=1e6 — per-round centroid + distance snap to "
+    "the 1e-6 grid, ties to the lowest cluster index), mean_sq_dist is "
+    "an exact integer-moments average of grid units, and the DuckDB "
+    "recursive CTE (_kmeans_replay_ctes, shared with emb_semdedup) "
+    "replays all 5 rounds bit-for-bit; pytest invariants (exact "
+    "recovery of separated clusters, monotone inertia, argmin "
+    "consistency) still pinned; the oracled 1-round shadow "
+    "emb_kmeans_contraction keeps signing the unquantized machinery",
 )(lambda spark: similarity.kmeans_cluster_profile(spark))
 
 
@@ -3251,11 +3344,56 @@ FROM merged GROUP BY status ORDER BY status
 
 _register(
     "emb_semdedup",
-    None,
+    f"""
+WITH RECURSIVE
+{_kmeans_replay_ctes(
+    "(SELECT greatest(1, CAST(ceil(count(*) / 50.0) AS INT)) FROM embeddings)"
+)},
+norms AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM ev GROUP BY vec_id),
+pairs AS (
+  SELECT a.cluster, b.vec_id AS removed_id,
+         round(1e6 * (sum(ea.val * eb.val) / (na.nrm * nb.nrm))) / 1e6 AS cos
+  FROM asg a
+  JOIN asg b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+  JOIN ev ea ON ea.vec_id = a.vec_id
+  JOIN ev eb ON eb.vec_id = b.vec_id AND eb.dim = ea.dim
+  JOIN norms na ON na.vec_id = a.vec_id
+  JOIN norms nb ON nb.vec_id = b.vec_id
+  GROUP BY a.cluster, a.vec_id, b.vec_id, na.nrm, nb.nrm
+  HAVING round(1e6 * (sum(ea.val * eb.val) / (na.nrm * nb.nrm))) / 1e6 >= 0.4
+),
+removed AS (
+  SELECT cluster, removed_id, max(cos) AS max_cos
+  FROM pairs GROUP BY cluster, removed_id
+),
+pcr AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_removed,
+         round(CAST(sum(CAST(round(max_cos * 1e6) AS BIGINT)) AS DOUBLE)
+               / count(*)) / 1e6 AS avg_removed_cos
+  FROM removed GROUP BY cluster
+),
+sizes AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_docs FROM asg GROUP BY cluster
+)
+SELECT s.cluster, s.n_docs,
+       coalesce(p.n_removed, 0) AS n_removed,
+       s.n_docs - coalesce(p.n_removed, 0) AS n_survivors,
+       coalesce(p.avg_removed_cos, 0.0) AS avg_removed_cos
+FROM sizes s LEFT JOIN pcr p USING (cluster)
+ORDER BY s.cluster
+""",
     notes="SemDeDup (arXiv:2303.09540): k-means clusters bound the "
     "quadratic pair search; keep-lowest-id within cluster at cosine>=0.4. "
-    "Rows-only (iterative k-means not SQL-expressible); invariants pinned "
-    "in tests/test_kmeans.py",
+    "PROMOTED rows-only -> fully oracled (r13, the coreness/kcenter "
+    "recursive-replay pattern at full Lloyd depth): both engines snap "
+    "each round's centroids, the argmin distances, and the pair cosines "
+    "to the 1e-6 grid (round(x*1e6)/1e6 — coarse enough that ~1e-14 "
+    "summation-order drift has ~1e-8 boundary-collision probability), "
+    "ties break on the lowest cluster index in both, and "
+    "avg_removed_cos is an exact integer-moments average of grid units, "
+    "so the DuckDB recursive CTE replays cluster assignment, the "
+    "5-round update loop, and the within-cluster pair scan end-to-end; "
+    "invariants pinned in tests/test_kmeans.py",
 )(lambda spark: similarity.semdedup_profile(spark))
 
 
