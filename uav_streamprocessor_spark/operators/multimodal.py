@@ -250,10 +250,27 @@ _AHASH_BANDS = 4
 _AHASH_BAND_BITS = 64 // _AHASH_BANDS
 
 
+def _md5_noise(key: str, n_bytes: int) -> np.ndarray:
+    """Deterministic pseudo-random bytes from chained md5 digests —
+    hashlib on the engine side, replayable as md5(key || ':' || chunk)
+    hex parsing in DuckDB (the r13 ahash/phash oracle promotions).
+    Statistically noise-like for hashing purposes, like the RandomState
+    bytes it replaced, but engine-portable."""
+    import hashlib
+
+    buf = b"".join(
+        hashlib.md5(f"{key}:{i}".encode()).digest()
+        for i in range(-(-n_bytes // 16))
+    )
+    return np.frombuffer(buf[:n_bytes], dtype=np.uint8)
+
+
 def documents_as_media(spark, side: int = 32, group: int = 8) -> DataFrame:
     """Deterministic thumbnail corpus keyed 1:1 to `documents` rows, with
     PLANTED near-dup structure: docs sharing `doc_id // group` share a
-    base image (seeded noise); each doc then gets one pixel perturbed by
+    base image (md5-derived noise, _md5_noise — SQL-replayable, which is
+    what lets media_ahash_neardups/media_phash_neardups carry full
+    DuckDB oracles since r13); each doc then gets one pixel perturbed by
     its own id. Within a group images differ in <= 2 pixels (aHash
     hamming ~0-2); across groups they are unrelated noise (hamming ~32).
     This is the ground truth the aHash recall/precision test keys on
@@ -274,8 +291,11 @@ def documents_as_media(spark, side: int = 32, group: int = 8) -> DataFrame:
             for did in pdf["doc_id"]:
                 did = int(did)
                 g = did // group
-                rng = np.random.RandomState(g % (2**31))
-                arr = rng.randint(0, 256, size=(side, side, 3), dtype=np.uint8)
+                arr = (
+                    _md5_noise(str(g), side * side * 3)
+                    .reshape(side, side, 3)
+                    .copy()
+                )
                 arr[(did * 7) % side, (did * 13) % side] ^= np.uint8(
                     (did % 3) + 1
                 )
@@ -293,7 +313,13 @@ def image_ahash(media: DataFrame) -> DataFrame:
     """64-bit average hash per image: decode -> luma -> 8x8 block means ->
     bit_i = block_i > mean(blocks), packed little-endian into a signed
     int64 (Spark LongType; bit ops below are sign-agnostic). One Arrow
-    crossing; payload never leaves the worker."""
+    crossing; payload never leaves the worker.
+
+    Computed in EXACT integer arithmetic (r13): bit_i compares
+    64*block_sum(luma3) > total_sum(luma3) with luma3 = r+g+b — the
+    same predicate as the mean form (both sides scale by 1/(48*64)) but
+    with no float rounding, so the hash is engine-portable and the
+    DuckDB oracle reproduces it bit-for-bit."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -305,12 +331,12 @@ def image_ahash(media: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
-                img = decode_image(bytes(buf)).astype(np.float64)
-                luma = img.mean(axis=2)
-                h, w = luma.shape
-                blocks = luma[: h - h % 8, : w - w % 8] \
-                    .reshape(8, h // 8, 8, w // 8).mean(axis=(1, 3))
-                bits = (blocks.flatten() > blocks.mean()).astype(np.uint64)
+                img = decode_image(bytes(buf)).astype(np.int64)
+                luma3 = img.sum(axis=2)  # r+g+b, exact integers
+                h, w = luma3.shape
+                bs = luma3[: h - h % 8, : w - w % 8] \
+                    .reshape(8, h // 8, 8, w // 8).sum(axis=(1, 3))
+                bits = (bs.flatten() * 64 > bs.sum()).astype(np.uint64)
                 v = int((bits << np.arange(64, dtype=np.uint64)).sum())
                 rows.append((mid, v - (1 << 64) if v >= (1 << 63) else v))
             yield pd.DataFrame(rows, columns=["media_id", "ahash"])
@@ -385,12 +411,16 @@ _PHASH_LOW = 8  # low-frequency block kept (8x8 = 64 bits)
 
 def _dct_basis(n: int) -> np.ndarray:
     """Orthonormal DCT-II basis matrix (n x n) — numpy-only (no scipy in
-    the container); coefficients C = B @ luma @ B.T."""
+    the container); coefficients C = B @ luma @ B.T. Entries are snapped
+    to the 1e-9 grid (r13): libm cos() may differ by an ulp between
+    numpy and DuckDB, and the snap makes both engines build the SAME
+    basis doubles, which is half of what lets the pHash replay in SQL
+    (the other half is the 1e-6 coefficient snap in image_phash)."""
     k = np.arange(n)[:, None].astype(np.float64)
     i = np.arange(n)[None, :].astype(np.float64)
     basis = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
     basis[0] /= np.sqrt(2.0)
-    return basis
+    return np.round(basis * 1e9) / 1e9
 
 
 def image_phash(media: DataFrame) -> DataFrame:
@@ -415,7 +445,10 @@ def image_phash(media: DataFrame) -> DataFrame:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 img = decode_image(bytes(buf)).astype(np.float64)
-                luma = img.mean(axis=2)
+                # luma3 = r+g+b (exact integers in double): the >median
+                # predicate is scale-invariant, and integer inputs keep
+                # the only float error in the basis products (r13)
+                luma = img.sum(axis=2)
                 h, w = luma.shape
                 if (h, w) != (_PHASH_SIDE, _PHASH_SIDE):
                     # block-mean resample to the DCT grid (exact for
@@ -424,6 +457,12 @@ def image_phash(media: DataFrame) -> DataFrame:
                     luma = luma[: bh * _PHASH_SIDE, : bw * _PHASH_SIDE] \
                         .reshape(_PHASH_SIDE, bh, _PHASH_SIDE, bw).mean(axis=(1, 3))
                 coeffs = (basis @ luma @ basis.T)[:_PHASH_LOW, :_PHASH_LOW].flatten()
+                # snap to the 1e-6 grid: summation-order drift between a
+                # numpy matmul and a SQL sum is ~1e-11 on these O(1e4)
+                # coefficients — far inside the 5e-7 boundary — so both
+                # engines land on identical doubles and the median/>
+                # comparisons below are engine-exact
+                coeffs = np.round(coeffs * 1e6) / 1e6
                 bits = (coeffs > np.median(coeffs)).astype(np.uint64)
                 v = int((bits << np.arange(64, dtype=np.uint64)).sum())
                 rows.append((mid, v - (1 << 64) if v >= (1 << 63) else v))

@@ -3480,13 +3480,96 @@ GROUP BY o_orderpriority, decile
 
 from uav_streamprocessor_spark.operators import multimodal  # noqa: E402
 
+def _media_pixel_ctes() -> str:
+    """Shared DuckDB replay of the documents_as_media thumbnail corpus
+    (r13 ahash/phash oracle promotions): base pixels are md5-derived
+    (multimodal._md5_noise — md5(g || ':' || chunk) hex bytes), so SQL
+    regenerates them; the per-doc perturbation (one pixel XOR'd by
+    (doc_id%3)+1 on all 3 channels) enters every downstream hash as a
+    rank-1/one-block DELTA against the shared group base — 625 group
+    images instead of 5000 doc images at sf0.1. Emits:
+      docs(media_id, g, pr, pc, pv)  — doc key + perturbation coords
+      px(g, y, x, c, b)              — base pixel bytes per GROUP
+      gblocks(g, by, bx, s)          — 4x4-block luma3 (r+g+b) sums
+      gtot(g, tot)                   — whole-image luma3 sum
+      pert(media_id, g, pby, pbx, delta) — per-doc luma3 delta + block
+    """
+    return """
+docs AS (
+  SELECT doc_id AS media_id, doc_id // 8 AS g,
+         CAST((doc_id * 7) % 32 AS INT) AS pr,
+         CAST((doc_id * 13) % 32 AS INT) AS pc,
+         CAST((doc_id % 3) + 1 AS INT) AS pv
+  FROM documents
+),
+grps AS (SELECT DISTINCT g FROM docs),
+chunks AS (
+  SELECT g.g, ci.ci, md5(g.g || ':' || ci.ci) AS hx
+  FROM grps g, unnest(generate_series(0, 191)) AS ci(ci)
+),
+px AS (
+  SELECT k.g,
+         ((k.ci * 16 + o.o) // 3) // 32 AS y,
+         ((k.ci * 16 + o.o) // 3) % 32 AS x,
+         (k.ci * 16 + o.o) % 3 AS ch,
+         (strpos('0123456789abcdef', substr(k.hx, o.o * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(k.hx, o.o * 2 + 2, 1)) - 1)
+           AS b
+  FROM chunks k, unnest(generate_series(0, 15)) AS o(o)
+),
+gblocks AS (
+  SELECT g, y // 4 AS by, x // 4 AS bx, CAST(sum(b) AS BIGINT) AS s
+  FROM px GROUP BY g, y // 4, x // 4
+),
+gtot AS (SELECT g, CAST(sum(s) AS BIGINT) AS tot FROM gblocks GROUP BY g),
+pert AS (
+  SELECT d.media_id, d.g, d.pr // 4 AS pby, d.pc // 4 AS pbx,
+         d.pr AS pr, d.pc AS pc,
+         CAST(sum(xor(px.b, d.pv) - px.b) AS BIGINT) AS delta
+  FROM docs d JOIN px ON px.g = d.g AND px.y = d.pr AND px.x = d.pc
+  GROUP BY d.media_id, d.g, d.pr, d.pc
+)"""
+
+
+_HAMMING_PAIRS_SQL = """
+SELECT a.media_id AS media_id_a, b.media_id AS media_id_b,
+       CAST(bit_count(xor(a.h, b.h)) AS INT) AS hamming
+FROM hashes a JOIN hashes b ON a.media_id < b.media_id
+WHERE bit_count(xor(a.h, b.h)) <= 3
+"""
+
+
 _register(
     "media_ahash_neardups",
-    None,
-    notes="image perceptual-hash near-dup: aHash (8x8 block-mean bits) "
-    "over the deterministic document-derived image corpus, banded 4x16 "
-    "hamming join (recall 1.0 for hamming<=3 by pigeonhole). Rows-only "
-    "(pixel UDF); recall vs exact-text dup ground truth pinned in tests",
+    f"""
+WITH {_media_pixel_ctes()},
+bits AS (
+  SELECT p.media_id, gb.by * 8 + gb.bx AS i,
+         CASE WHEN (gb.s + CASE WHEN gb.by = p.pby AND gb.bx = p.pbx
+                                THEN p.delta ELSE 0 END) * 64
+                   > (t.tot + p.delta)
+              THEN 1 ELSE 0 END AS bit
+  FROM pert p JOIN gblocks gb ON gb.g = p.g JOIN gtot t ON t.g = p.g
+),
+hashes AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN bit = 0 THEN 0
+                       WHEN i = 63 THEN -9223372036854775807 - 1
+                       ELSE (CAST(1 AS BIGINT) << i) END) AS BIGINT) AS h
+  FROM bits GROUP BY media_id
+)
+{_HAMMING_PAIRS_SQL}
+""",
+    notes="image perceptual-hash near-dup: aHash (8x8 block bits) over "
+    "the deterministic document-derived image corpus, banded 4x16 "
+    "hamming join (recall 1.0 for hamming<=3 by pigeonhole, equality vs "
+    "brute force pinned in tests). PROMOTED rows-only -> fully oracled "
+    "(r13): the corpus now derives from md5 bytes (_md5_noise) and the "
+    "hash bits compare EXACT integer luma3 block sums (64*block > "
+    "total), so DuckDB regenerates pixels per GROUP, folds each doc's "
+    "one-pixel perturbation in as a block delta, packs the same signed "
+    "int64, and verifies hamming over ALL pairs — equivalent to the "
+    "banded join's output by the pigeonhole recall proof",
 )(lambda spark: multimodal.image_ahash_neardups(spark))
 
 
@@ -4419,11 +4502,67 @@ FROM ranked GROUP BY lang ORDER BY lang
 
 _register(
     "media_phash_neardups",
-    None,
-    notes="perceptual-hash (32x32 luma -> DCT-II -> 8x8 low block -> "
-    "median bits) near-dups, banded 4x16 self-join + exact hamming — "
-    "DCT robustness + knob monotonicity pinned in tests; numpy DCT "
-    "inside the hash UDF isn't oracle-portable -> rows-only",
+    f"""
+WITH {_media_pixel_ctes()},
+l3 AS (
+  SELECT g, y, x, CAST(sum(b) AS DOUBLE) AS l
+  FROM px GROUP BY g, y, x
+),
+basis AS (
+  -- the engine's _dct_basis rows 0..7, snapped to the same 1e-9 grid
+  SELECT k.k AS k, i.i AS i,
+         round(1e9 * (CASE WHEN k.k = 0
+                           THEN cos(pi() * (2 * i.i + 1) * k.k / 64.0)
+                                * sqrt(2.0 / 32.0) / sqrt(2.0)
+                           ELSE cos(pi() * (2 * i.i + 1) * k.k / 64.0)
+                                * sqrt(2.0 / 32.0) END)) / 1e9 AS val
+  FROM unnest(generate_series(0, 7)) AS k(k),
+       unnest(generate_series(0, 31)) AS i(i)
+),
+gm AS (  -- stage 1: M[g, i, v] = sum_x L3[i, x] * B[v, x]
+  SELECT l.g, l.y AS i, b.k AS v, sum(l.l * b.val) AS m
+  FROM l3 l JOIN basis b ON b.i = l.x
+  GROUP BY l.g, l.y, b.k
+),
+gc AS (  -- stage 2: C[g, u, v] = sum_i B[u, i] * M[i, v]
+  SELECT m.g, b.k AS u, m.v, sum(b.val * m.m) AS cval
+  FROM gm m JOIN basis b ON b.i = m.i
+  GROUP BY m.g, b.k, m.v
+),
+dc AS (  -- per-doc coefficients: group DCT + rank-1 perturbation delta
+  SELECT p.media_id, gc.u, gc.v,
+         round(1e6 * (gc.cval + bu.val * bv.val * p.delta)) / 1e6 AS cq
+  FROM pert p
+  JOIN gc ON gc.g = p.g
+  JOIN basis bu ON bu.k = gc.u AND bu.i = p.pr
+  JOIN basis bv ON bv.k = gc.v AND bv.i = p.pc
+),
+med AS (SELECT media_id, median(cq) AS med FROM dc GROUP BY media_id),
+bits AS (
+  SELECT d.media_id, d.u * 8 + d.v AS i,
+         CASE WHEN d.cq > m.med THEN 1 ELSE 0 END AS bit
+  FROM dc d JOIN med m USING (media_id)
+),
+hashes AS (
+  SELECT media_id,
+         CAST(sum(CASE WHEN bit = 0 THEN 0
+                       WHEN i = 63 THEN -9223372036854775807 - 1
+                       ELSE (CAST(1 AS BIGINT) << i) END) AS BIGINT) AS h
+  FROM bits GROUP BY media_id
+)
+{_HAMMING_PAIRS_SQL}
+""",
+    notes="perceptual-hash (32x32 luma3 -> DCT-II -> 8x8 low block -> "
+    "median bits) near-dups, banded 4x16 join + exact hamming — DCT "
+    "robustness + knob monotonicity pinned in tests. PROMOTED rows-only "
+    "-> fully oracled (r13): basis entries snap to the 1e-9 grid (libm "
+    "cos may differ by an ulp across engines), coefficients to the 1e-6 "
+    "grid (matmul-vs-SQL summation drift is ~1e-11 on O(1e4) values), "
+    "so median and >-bits are engine-exact; DuckDB replays the DCT per "
+    "GROUP in two matmul stages and folds each doc's one-pixel "
+    "perturbation in as a rank-1 update B[u,pr]*B[v,pc]*delta "
+    "(linearity), then verifies hamming over ALL pairs (pigeonhole "
+    "equivalence, same as media_ahash_neardups)",
 )(lambda spark: multimodal.image_phash_neardups(spark))
 
 
