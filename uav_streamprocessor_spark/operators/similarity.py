@@ -966,12 +966,18 @@ def quantization_error_profile(spark: SparkSession) -> DataFrame:
 
 
 def _pq_codebooks(
-    X: np.ndarray, m: int, ksub: int, iters: int
+    X: np.ndarray, m: int, ksub: int, iters: int,
+    quantize: float | None = None,
 ) -> np.ndarray:
     """Train per-subspace codebooks with plain Lloyd on the (already
     deterministic-ordered) training sample. Init = first ksub sample
     rows per subspace; numpy argmin breaks ties on first-min — fully
-    deterministic. Returns (m, ksub, dsub)."""
+    deterministic. Returns (m, ksub, dsub).
+
+    `quantize=S` (r13, the kmeans_lloyd recipe): snap each round's
+    centroids — including carried-over empty-cluster rows — and the
+    argmin distances to the 1/S grid, so a DuckDB recursive-CTE replay
+    applying the same snaps reproduces the training bit-for-bit."""
     n, d = X.shape
     dsub = d // m
     books = []
@@ -980,11 +986,15 @@ def _pq_codebooks(
         cent = sub[:ksub].copy()
         for _ in range(iters):
             d2 = ((sub[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            if quantize:
+                d2 = np.round(d2 * quantize) / quantize
             assign = d2.argmin(axis=1)
             for c in range(ksub):
                 pts = sub[assign == c]
                 if len(pts):
                     cent[c] = pts.mean(axis=0)
+            if quantize:
+                cent = np.round(cent * quantize) / quantize
         books.append(cent)
     return np.stack(books)
 
@@ -1024,7 +1034,8 @@ def pq_quantization_audit(
         .collect()
     )
     X = np.array([r.embedding for r in sample], dtype=np.float64)
-    books = _pq_codebooks(X, m, ksub, iters)  # (m, ksub, dsub)
+    # quantize=1e6: engine-portable training trace (r13 promotion)
+    books = _pq_codebooks(X, m, ksub, iters, quantize=1e6)  # (m, ksub, dsub)
     dim = X.shape[1]
     dsub = dim // m
 
@@ -1048,10 +1059,18 @@ def pq_quantization_audit(
             for j in range(m):
                 sub = V[:, j * dsub : (j + 1) * dsub]
                 d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                # same 1e-6 snap as training: SQL replays the argmin
+                d2 = np.round(d2 * 1e6) / 1e6
                 rec[:, j * dsub : (j + 1) * dsub] = books[j][d2.argmin(axis=1)]
-            mse_pq = ((V - rec) ** 2).mean(axis=1)
+            # per-vector MSEs snap to the 1e-6 grid so the per-label
+            # averages below can run on exact integer grid units
+            mse_pq = np.round(((V - rec) ** 2).mean(axis=1) * 1e6) / 1e6
             s = np.maximum(np.abs(V).max(axis=1) / 127.0, 1e-12)[:, None]
-            mse_i8 = ((V - np.round(V / s) * s) ** 2).mean(axis=1)
+            # floor(x + 0.5) (round-half-up), NOT np.round: numpy rounds
+            # half-to-even while SQL round() goes half-away — half-up is
+            # identical on both engines and an equally standard int8 grid
+            q8 = np.floor(V / s + 0.5)
+            mse_i8 = np.round(((V - q8 * s) ** 2).mean(axis=1) * 1e6) / 1e6
             yield pd.DataFrame(
                 {"label": pdf["label"], "mse_pq": mse_pq, "mse_int8": mse_i8}
             )
@@ -1059,12 +1078,18 @@ def pq_quantization_audit(
     per_vec = emb.select("label", "embedding").mapInPandas(run, schema=out_schema)
     bytes_fp32 = dim * 4.0
     bytes_pq = m * np.log2(ksub) / 8.0
+
+    def _grid_avg(col):  # exact integer-moments 6dp average of grid values
+        return F.round(
+            F.sum(F.round(F.col(col) * 1e6).cast("long")) / F.count(F.lit(1))
+        ) / 1e6
+
     return (
         per_vec.groupBy("label")
         .agg(
             F.count(F.lit(1)).alias("n_vectors"),
-            F.round(F.avg("mse_pq"), 6).alias("avg_mse_pq"),
-            F.round(F.avg("mse_int8"), 6).alias("avg_mse_int8"),
+            _grid_avg("mse_pq").alias("avg_mse_pq"),
+            _grid_avg("mse_int8").alias("avg_mse_int8"),
         )
         .withColumn("compression_pq", F.round(F.lit(bytes_fp32 / bytes_pq), 2))
         .withColumn("compression_int8", F.round(F.lit(4.0), 2))

@@ -4568,13 +4568,113 @@ hashes AS (
 
 _register(
     "emb_pq_quantization",
-    None,
+    """
+WITH RECURSIVE
+samp AS (
+  SELECT vec_id, embedding,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS sid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256
+),
+sev AS (
+  SELECT s.sid,
+         CAST((i.i - 1) // (len(s.embedding) // 8) AS INT) AS sub,
+         CAST((i.i - 1) % (len(s.embedding) // 8) AS INT) AS t,
+         CAST(s.embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM samp s, unnest(generate_series(1, len(s.embedding))) AS i(i)
+),
+cent AS (
+  SELECT 0 AS it, sub, CAST(sid AS INT) AS c, t, val
+  FROM sev WHERE sid < 16
+  UNION ALL
+  SELECT c0.it + 1, c0.sub, c0.c, c0.t,
+         round(1e6 * coalesce(m.mval, c0.val)) / 1e6
+  FROM cent c0
+  LEFT JOIN (
+    SELECT a.sub, a.c, e.t, sum(e.val) / count(*) AS mval
+    FROM (
+      SELECT sid, sub, c FROM (
+        SELECT d.sid, d.sub, d.c,
+               row_number() OVER (PARTITION BY d.sid, d.sub
+                                  ORDER BY d.d2, d.c) AS rn
+        FROM (
+          SELECT e2.sid, e2.sub, c2.c,
+                 round(1e6 * sum((e2.val - c2.val) * (e2.val - c2.val)))
+                   / 1e6 AS d2
+          FROM sev e2 JOIN cent c2 ON c2.sub = e2.sub AND c2.t = e2.t
+          GROUP BY e2.sid, e2.sub, c2.c
+        ) d
+      ) r WHERE rn = 1
+    ) a
+    JOIN sev e ON e.sid = a.sid AND e.sub = a.sub
+    GROUP BY a.sub, a.c, e.t
+  ) m ON m.sub = c0.sub AND m.c = c0.c AND m.t = c0.t
+  WHERE c0.it < 8
+),
+ev AS (
+  SELECT e.vec_id, e.label,
+         CAST((i.i - 1) // (len(e.embedding) // 8) AS INT) AS sub,
+         CAST((i.i - 1) % (len(e.embedding) // 8) AS INT) AS t,
+         CAST(e.embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM embeddings e, unnest(generate_series(1, len(e.embedding))) AS i(i)
+),
+codes AS (
+  SELECT vec_id, sub, c FROM (
+    SELECT d.vec_id, d.sub, d.c,
+           row_number() OVER (PARTITION BY d.vec_id, d.sub
+                              ORDER BY d.d2, d.c) AS rn
+    FROM (
+      SELECT e.vec_id, e.sub, c.c,
+             round(1e6 * sum((e.val - c.val) * (e.val - c.val))) / 1e6 AS d2
+      FROM ev e JOIN cent c ON c.sub = e.sub AND c.t = e.t AND c.it = 8
+      GROUP BY e.vec_id, e.sub, c.c
+    ) d
+  ) r WHERE rn = 1
+),
+recs AS (
+  SELECT e.vec_id, e.label, e.val, c.val AS rec
+  FROM ev e
+  JOIN codes k ON k.vec_id = e.vec_id AND k.sub = e.sub
+  JOIN cent c ON c.it = 8 AND c.sub = e.sub AND c.c = k.c AND c.t = e.t
+),
+scl AS (
+  SELECT vec_id, greatest(max(abs(val)) / 127.0, 1e-12) AS s
+  FROM ev GROUP BY vec_id
+),
+pv AS (
+  SELECT r.vec_id, any_value(r.label) AS label,
+         round(1e6 * (sum((r.val - r.rec) * (r.val - r.rec)) / 64.0)) / 1e6
+           AS mse_pq,
+         round(1e6 * (sum((r.val - floor(r.val / sc.s + 0.5) * sc.s)
+                          * (r.val - floor(r.val / sc.s + 0.5) * sc.s))
+                      / 64.0)) / 1e6 AS mse_int8
+  FROM recs r JOIN scl sc USING (vec_id)
+  GROUP BY r.vec_id, sc.s
+)
+SELECT CAST(label AS INT) AS label,
+       CAST(count(*) AS BIGINT) AS n_vectors,
+       round(CAST(sum(CAST(round(mse_pq * 1e6) AS BIGINT)) AS DOUBLE)
+             / count(*)) / 1e6 AS avg_mse_pq,
+       round(CAST(sum(CAST(round(mse_int8 * 1e6) AS BIGINT)) AS DOUBLE)
+             / count(*)) / 1e6 AS avg_mse_int8,
+       64.0 AS compression_pq,
+       4.0 AS compression_int8
+FROM pv GROUP BY label ORDER BY label
+""",
     notes="product-quantization audit (m=8 subspaces, 16 codes each -> "
     "64x compression) vs int8 scalar baseline per label; codebooks "
     "train on a bounded deterministic sample driver-side (the FAISS "
-    "practice), assignment distributed via one mapInPandas pass; "
-    "k-means codebooks aren't SQL -> rows-only, determinism + "
-    "knob-monotonicity pinned in tests",
+    "practice), assignment distributed via one mapInPandas pass. "
+    "PROMOTED rows-only -> fully oracled (r13, the kmeans_lloyd "
+    "quantized-replay recipe per subspace): training snaps each round's "
+    "centroids and argmin distances to the 1e-6 grid, the int8 baseline "
+    "uses floor(x+0.5) (numpy round is half-even, SQL round half-away — "
+    "half-up is identical on both), per-vector MSEs snap to the grid, "
+    "and per-label averages are exact integer-moments sums — so the "
+    "DuckDB recursive CTE replays all 8 Lloyd rounds x 8 subspaces, the "
+    "corpus encode, and both error profiles bit-for-bit; determinism + "
+    "knob-monotonicity stay pinned in tests",
 )(lambda spark: similarity.pq_quantization_audit(spark))
 
 
