@@ -1637,91 +1637,94 @@ FROM joined GROUP BY 1 ORDER BY 1
 # r03-cohort re-prove (CORRECTNESS_r01..r10: every one of the registry's
 # queries driver-checked at least once, zero wrong answers ever).
 #
-# This round-12 window (VERDICT r11 "Next round" #5, zero rows-only
+# This round-13 window (VERDICT r12 "Next round" #5, zero rows-only
 # entries — a rows-only driver row proves little; oracled twins take
 # those slots):
 #  1. Queries whose code or oracle changed THIS round — fresh driver rows
-#     prove the change: ev_diff_in_diff (exact integer-cent moments),
-#     emb_ivfpq_recall_bound (NEW: the IVFPQ recall contract vs
-#     brute-force kNN, the r11 full-probe/sketch-contract pattern),
-#     the six outright promotions emb_kcenter_sample / emb_mmr_rerank
-#     (recursive greedy replay), dedup_lsh_tuning (analytic banding
-#     curve), dedup_minhash_estimate (estimator-error contract),
-#     text_distinct_ngrams_approx (HLL accuracy contract),
-#     emb_ann_tuning_curve (per-knob recall replay), and
-#     ev_topk_users_rollup (oracle regained the <=4096-distinct
-#     exact-regime guard, ADVICE r11).
-#  2. emb_kmeans_contraction — the oracled 1-round Lloyd shadow stands in
-#     for displaced rows-only r04 member emb_kmeans_profile
-#     (media_ahash_neardups, the other displaced member, has its oracled
-#     metadata twin media_metadata_stats freshly proven in r11).
-#  3. The oldest-row re-prove rotation: the r05 cohort in r05 order from
-#     text_sequence_packing onward, skipping its five rows-only members
-#     (emb_semdedup, dedup_pagerank_centrality, media_phash_neardups,
-#     emb_pq_quantization, ev_hll_overlap — all have oracled shadows or
-#     bounds already proven) and the three names already in section 1.
+#     prove the change: the SIX outright r13 promotions
+#     dedup_pagerank_centrality (quantized 10-round recursive replay),
+#     emb_semdedup + emb_kmeans_profile (quantized Lloyd, shared
+#     _kmeans_replay_ctes oracle), media_ahash_neardups +
+#     media_phash_neardups (md5-derived pixels, integer/snapped hashes,
+#     group+delta replay), emb_pq_quantization (quantized per-subspace
+#     PQ training); media_jpeg_roundtrip (jpeg.py hardened: fill-byte
+#     markers + allocation bounds, ADVICE r12); and the oracled shadows
+#     sharing edited code paths — dedup_pagerank_contraction
+#     (graph.pagerank), emb_kmeans_contraction (kmeans_lloyd),
+#     emb_ivfpq_recall_bound (_pq_codebooks signature).
+#  2. The three r05-cohort members the r12 window could not fit:
+#     ev_daily_autocorr, uav_keyframe_decimation, uav_frame_counters.
+#  3. The oldest-row re-prove rotation: the r06 cohort in r06
+#     (CORRECTNESS_r06.json) order, skipping its rows-only members
+#     (emb_ivfpq_topk, dedup_minhash_editdist, the five pixel/audio
+#     media_* rows, text_compression_ratio, emb_procrustes_drift — all
+#     carry oracled shadows or bounds) and names already in section 1.
 # Names listed here sort first, in this order; everything else follows
-# in registration order.
+# in registration order. The list runs a few names past 50 — the driver
+# cuts at 50; the tail documents the intended r14 continuation.
 #
-# r13 queue: ev_daily_autocorr, uav_keyframe_decimation and
-# uav_frame_counters (the three r05-cohort members this window could
-# not fit), then the r06 cohort re-prove in r06 order, rows-only
-# members yielding slots as above.
+# r14 queue: the section-3 overflow below, then the r07 cohort re-prove
+# in r07 order, rows-only members yielding slots as above.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
+    "dedup_pagerank_centrality",
+    "emb_semdedup",
+    "emb_kmeans_profile",
+    "media_ahash_neardups",
+    "media_phash_neardups",
+    "emb_pq_quantization",
     "media_jpeg_roundtrip",
-    "ev_diff_in_diff",
-    "emb_ivfpq_recall_bound",
-    "emb_kcenter_sample",
-    "emb_mmr_rerank",
-    "dedup_lsh_tuning",
-    "dedup_minhash_estimate",
-    "text_distinct_ngrams_approx",
-    "emb_ann_tuning_curve",
-    "ev_topk_users_rollup",
-    # -- displaced-r04 stand-in: the oracled Lloyd shadow --
+    "dedup_pagerank_contraction",
     "emb_kmeans_contraction",
-    # -- r05-cohort re-prove (oldest driver rows = r05), rows-only skipped --
-    "text_sequence_packing",
-    "text_mix_weights",
-    "text_perplexity_buckets",
-    "text_quality_classifier",
-    "text_chunk_windows",
-    "text_substring_dup_spans",
-    "text_stratified_topk_sample",
-    "emb_hard_negatives",
-    "emb_quantization_error",
-    "ev_debounce_bursts",
-    "dedup_cluster_best_quality",
-    "dedup_doc_clusters",
-    "dedup_cluster_removals",
-    "dedup_ngram_jaccard",
-    "text_bm25_topk",
-    "text_char_entropy",
-    "text_bpe_pairs",
-    "rel_scd2_snapshot",
-    "text_weighted_sample",
-    "ev_attribution_credit",
-    "ev_markov_transitions",
-    "text_hybrid_retrieval",
-    "text_bigram_ce",
-    "ev_top_session_paths",
-    "text_classifier_calibration",
-    "ev_rate_limit_windows",
-    "text_paragraph_dedup",
-    "text_zipf_slope",
-    "ev_user_anomaly_zscore",
-    "emb_semantic_decontam",
-    "dedup_graph_triangles",
-    "ev_ewma_deviation",
-    "text_bpe_train",
-    "text_group_holdout_split",
-    "dedup_ngram_containment",
-    "text_bpe_fertility",
-    "text_typo_variants",
-    "rel_l_diversity",
-    "rel_benford_audit",
+    "emb_ivfpq_recall_bound",
+    # -- r05-cohort members the r12 window could not fit --
+    "ev_daily_autocorr",
+    "uav_keyframe_decimation",
+    "uav_frame_counters",
+    # -- r06-cohort re-prove (oldest driver rows = r06), rows-only skipped --
+    "dedup_graph_coreness",
+    "ev_cuped_readout",
+    "rel_snapshot_diff",
+    "dedup_minhash_estimate",
+    "text_score_normalization",
+    "emb_label_noise",
+    "ev_power_analysis",
+    "text_score_psi",
+    "text_dsir_weights",
+    "ev_seasonal_adjustment",
+    "emb_kcenter_sample",
+    "ev_cusum_changepoints",
+    "text_heaps_law",
+    "rel_join_skew_audit",
+    "text_pmi_collocations",
+    "ev_concurrent_sessions",
+    "rel_revenue_gini",
+    "rel_abc_pareto",
+    "text_readability_scores",
+    "text_lang_source_chi2",
+    "dedup_edit_distance",
+    "emb_dimension_variance",
+    "uav_motion_vectors",
+    "ev_prequential_zscore",
+    "text_ngram_novelty",
+    "ev_dau_mau_stickiness",
+    "emb_mmr_rerank",
+    "ev_funnel_step_timing",
+    "ev_forecast_backtest",
+    "rel_cohort_repurchase",
+    "ev_srm_check",
+    "emb_matryoshka_overlap",
+    "uav_class_cooccurrence",
+    "ev_bot_regularity",
+    "emb_centroid_separation",
+    "rel_incremental_agg",
+    "rel_t_closeness",
+    # -- section-3 overflow: past slot 50, documents the r14 lead --
+    "media_metadata_stats",
+    "dedup_graph_modularity",
+    "emb_dbscan_lite",
+    "ev_experiment_readout",
 ]
 
 
