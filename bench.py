@@ -92,6 +92,11 @@ HEADLINE = [
     # r12: the pure-numpy JPEG codec's accuracy contract — tracks the
     # per-image encode+decode cost of the real-pixel MJPG lane
     "media_jpeg_roundtrip",
+    # r13 (VERDICT r12 #7): the pixel path over REAL MJPG AVI containers
+    # — RIFF demux + T.81 entropy decode per frame, the S2 cost the
+    # synthetic uav_pixel_detections twin skips; fixture built once per
+    # box from the same seeds (registry._mjpeg_fixture_paths)
+    "uav_pixel_detections_mjpeg",
 ]
 
 # Retired to a quarterly rotation (VERDICT r3 #8): consistently sub-0.25s at

@@ -65,3 +65,26 @@ def test_repaired_r12_artifact_carries_both_sets():
     assert len(d["queries"]) == 69
     assert len(d["retained_queries"]) == 32
     assert "repair_note" in d
+
+
+def test_mjpeg_pixel_query_matches_synthetic_twin_schema(spark):
+    """uav_pixel_detections_mjpeg (VERDICT r12 #7): same detections
+    schema as the synthetic twin, real rows out of the MJPG AVI fixture,
+    and the on-disk fixture is reused (second call returns the same
+    cached paths without a rebuild)."""
+    from uav_streamprocessor_spark import registry
+
+    q = registry.queries()
+    mj = q["uav_pixel_detections_mjpeg"](spark, "/root/testdata/sf0.001")
+    syn = q["uav_pixel_detections"](spark, "/root/testdata/sf0.001")
+    assert mj.schema == syn.schema
+    rows = mj.collect()
+    assert len(rows) > 0
+    assert {r["camera_id"] for r in rows} <= {"bench0", "bench1"}
+
+    import os
+    p1 = registry._mjpeg_fixture_paths(spark)
+    m1 = [os.path.getmtime(p) for p in p1]
+    p2 = registry._mjpeg_fixture_paths(spark)
+    assert p1 == p2
+    assert [os.path.getmtime(p) for p in p2] == m1  # cached, not rebuilt

@@ -1981,6 +1981,125 @@ _register(
 )(_pixel_pipeline)
 
 
+def _mjpeg_fixture_paths(spark) -> list[str]:
+    """Build-once MJPEG AVI bench fixture (VERDICT r12 #7): the SAME
+    synthetic frames _pixel_pipeline reads (seeds 40/41, 640x360) are
+    JPEG-encoded on executors (q=85 4:2:0) and muxed into one MJPG AVI
+    per camera under a versioned tmp dir, so the mjpeg pixel query pays
+    the TRUE S2 cost — RIFF demux + entropy decode per frame — instead
+    of the raw-tensor synthetic source. Cached on disk per box (atomic
+    rename; a concurrent builder loses the race harmlessly). 60
+    frames/cam keeps the pure-numpy decode lane (~0.39s per 640x360
+    frame single-core) a bench-sized workload; with a native codec on
+    the seam the same fixture runs ~100x faster."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from uav_streamprocessor_spark.sources import video_source
+
+    n_cams, n_frames, w, h, q = 2, 60, 640, 360, 85
+    base = Path(tempfile.gettempdir()) / (
+        f"uav_spark_mjpeg_fixture_v1_{n_cams}x{n_frames}_{w}x{h}_q{q}"
+    )
+    paths = [str(base / f"bench{i}.avi") for i in range(n_cams)]
+    if base.exists():
+        return paths
+
+    video_source.register(spark)
+    spec = ",".join(
+        f"synthetic://bench{i}?frames={n_frames}&w={w}&h={h}&seed={40 + i}"
+        for i in range(n_cams)
+    )
+    frames = (
+        spark.read.format("uav_video")
+        .option("path", spec)
+        .option("framesPerPartition", "4")
+        .load()
+        .select("camera_id", "frame_number", "image")
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        from uav_streamprocessor_spark.operators.jpeg import encode_jpeg
+        from uav_streamprocessor_spark.operators.pixel import decode_image
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "camera_id": pdf["camera_id"],
+                    "frame_number": pdf["frame_number"],
+                    "jpg": [
+                        encode_jpeg(
+                            decode_image(bytes(b)), quality=q,
+                            subsampling="4:2:0",
+                        )
+                        for b in pdf["image"]
+                    ],
+                }
+            )
+
+    rows = frames.mapInPandas(
+        enc, schema="camera_id string, frame_number long, jpg binary"
+    ).collect()
+    by_cam: dict[str, list] = {}
+    for r in rows:
+        by_cam.setdefault(r["camera_id"], []).append(
+            (r["frame_number"], bytes(r["jpg"]))
+        )
+
+    from uav_streamprocessor_spark.sources.avi import FOURCC_MJPG, write_avi
+
+    tmp = Path(str(base) + f".tmp{os.getpid()}")
+    tmp.mkdir(parents=True, exist_ok=True)
+    for cam, fr in by_cam.items():
+        write_avi(
+            tmp / f"{cam}.avi",
+            [b for _, b in sorted(fr)],
+            fps=25.0, fourcc=FOURCC_MJPG, width=w, height=h,
+        )
+    try:
+        os.rename(tmp, base)
+    except OSError:  # lost a concurrent-build race: theirs is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return paths
+
+
+def _pixel_pipeline_mjpeg(spark):
+    """The pixel path over REAL compressed containers: MJPG AVI in,
+    RIFF demux + pure-numpy baseline JPEG entropy decode per frame
+    (sources/avi.py + operators/jpeg.py), then the same decimate →
+    letterbox+detect → explode plan as uav_pixel_detections. This is
+    the S2 shape UAV cameras actually emit (cv2.VideoCapture in
+    uav/frame_reader.py:63); the synthetic twin measures the detect
+    stages, this one adds the true decode cost."""
+    from uav_streamprocessor_spark.plans.pipeline import keyframe_detections_flat
+    from uav_streamprocessor_spark.sources import video_source
+
+    video_source.register(spark)
+    paths = _mjpeg_fixture_paths(spark)
+    frames = (
+        spark.read.format("uav_video")
+        .option("path", ",".join(paths))
+        .option("framesPerPartition", "4")
+        .load()
+    )
+    return keyframe_detections_flat(frames)
+
+
+_register(
+    "uav_pixel_detections_mjpeg",
+    None,
+    notes="pixel hot path over REAL MJPG AVI containers (RIFF demux + "
+    "T.81 JPEG entropy decode per frame, then decimate→letterbox→"
+    "detect→explode) — the S2 decode cost the synthetic twin skips "
+    "(VERDICT r12 #7); fixture built once per box from the same seeds; "
+    "Arrow-batched pixel UDFs — not SQL-expressible",
+)(_pixel_pipeline_mjpeg)
+
+
 def _union_orders(spark):
     from pyspark.sql import functions as F
 
