@@ -1660,11 +1660,13 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     media_* rows, text_compression_ratio, emb_procrustes_drift — all
 #     carry oracled shadows or bounds) and names already in section 1.
 # Names listed here sort first, in this order; everything else follows
-# in registration order. The list runs a few names past 50 — the driver
-# cuts at 50; the tail documents the intended r14 continuation.
+# in registration order. Exactly 50 names (pinned by
+# test_driver_window_holds_the_priority_queries).
 #
-# r14 queue: the section-3 overflow below, then the r07 cohort re-prove
-# in r07 order, rows-only members yielding slots as above.
+# r14 queue: the four r06-cohort members this window could not fit —
+# media_metadata_stats, dedup_graph_modularity, emb_dbscan_lite,
+# ev_experiment_readout — then the r07 cohort re-prove in r07 order,
+# rows-only members yielding slots as above.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
@@ -1720,11 +1722,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "emb_centroid_separation",
     "rel_incremental_agg",
     "rel_t_closeness",
-    # -- section-3 overflow: past slot 50, documents the r14 lead --
-    "media_metadata_stats",
-    "dedup_graph_modularity",
-    "emb_dbscan_lite",
-    "ev_experiment_readout",
 ]
 
 
