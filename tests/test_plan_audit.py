@@ -56,7 +56,21 @@ def test_dim_joins_broadcast_not_sortmerge(spark, name):
 _GLOBAL_WINDOW_ALLOWLIST: frozenset[str] = frozenset()
 
 
-def test_no_unpartitioned_windows_in_any_query(spark):
+@pytest.fixture(scope="module")
+def all_query_plans(spark):
+    """Build every registered query ONCE and capture both audit views of
+    its plan (window specs + formatted string). The two registry-wide
+    sweeps below used to rebuild all 289 queries each (~70s duplicated —
+    model-training builders like kmeans/PQ run real Spark jobs inside
+    .build()); sharing the build halves that (VERDICT r12 #8)."""
+    plans = {}
+    for spec in registry.all_specs():
+        df = spec.build(spark, SF_SMALL)
+        plans[spec.name] = (plan_window_specs(df), formatted_plan(df))
+    return plans
+
+
+def test_no_unpartitioned_windows_in_any_query(all_query_plans):
     """Global (single-partition) windows are banned from EVERY registered
     query plan — oracled and rows-only alike (the rows-only set holds the
     iterative/greedy plans most likely to regress). The fixture's global
@@ -64,13 +78,12 @@ def test_no_unpartitioned_windows_in_any_query(spark):
     no plan anywhere — fixture included — may carry an unpartitioned
     window."""
     offenders = {}
-    for spec in registry.all_specs():
-        if spec.name in _GLOBAL_WINDOW_ALLOWLIST:
+    for name, (specs, _) in all_query_plans.items():
+        if name in _GLOBAL_WINDOW_ALLOWLIST:
             continue
-        specs = plan_window_specs(spec.build(spark, SF_SMALL))
         bad = [args for partitioned, args in specs if not partitioned]
         if bad:
-            offenders[spec.name] = bad[0][:160]
+            offenders[name] = bad[0][:160]
     assert not offenders, f"unpartitioned windows: {offenders}"
 
 
@@ -159,7 +172,7 @@ def test_kmeans_assignment_is_map_only(spark):
     assert "posexplode" not in plan.lower()
 
 
-def test_no_cartesian_product_anywhere(spark):
+def test_no_cartesian_product_anywhere(all_query_plans):
     """Global sweep: no registered query may plan a CartesianProduct —
     the unbounded both-sides-big shape that melts at any scale. Covers
     every future registration automatically.
@@ -171,10 +184,11 @@ def test_no_cartesian_product_anywhere(spark):
     shape. The joins where a nested loop WOULD be a scale bug (the
     banded dedup self-joins, kNN corpus side, dim joins) have targeted
     assertions above."""
-    offenders = []
-    for spec in registry.all_specs():
-        if "CartesianProduct" in formatted_plan(spec.build(spark, SF_SMALL)):
-            offenders.append(spec.name)
+    offenders = [
+        name
+        for name, (_, plan) in all_query_plans.items()
+        if "CartesianProduct" in plan
+    ]
     assert not offenders, f"cartesian products: {offenders}"
 
 
