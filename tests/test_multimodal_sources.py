@@ -87,12 +87,19 @@ def test_extract_image_features(spark, media_df):
     f1 = feats[1]
     img = decode_image(make_test_image(1, 36, 64))
     assert f1["mean_intensity"] == pytest.approx(float(img.mean()))
+    assert f1["std_intensity"] == pytest.approx(float(img.std()), rel=1e-9)
     # fingerprint is a JSON string (driver canonicalization needs atomic
-    # column types) that round-trips to the 16-value luma vector
+    # column types) of the 16 integer luma3 block SUMS (r13: lossless,
+    # engine-portable); dividing by 3*block_px recovers the block means
     fp = json.loads(f1["luma_fingerprint"])
     assert len(fp) == 16
-    assert all(isinstance(v, float) for v in fp)
-    assert np.mean(fp) == pytest.approx(float(img.mean(axis=2).mean()), abs=1e-4)
+    assert all(isinstance(v, int) for v in fp)
+    h, w = img.shape[:2]
+    block_px = (h // 4) * (w // 4)
+    cropped = img[: h - h % 4, : w - w % 4].astype(np.float64)
+    assert np.mean(fp) / (3 * block_px) == pytest.approx(
+        float(cropped.mean(axis=2).mean()), abs=1e-6
+    )
     assert feats[3]["luma_fingerprint"] is None
 
 

@@ -90,6 +90,7 @@ def extract_image_features(media: DataFrame) -> DataFrame:
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import json
+        import math
 
         for pdf in batches:
             rows = []
@@ -97,17 +98,26 @@ def extract_image_features(media: DataFrame) -> DataFrame:
                 if buf is None:
                     rows.append((mid, None, None, None))
                     continue
-                img = decode_image(bytes(buf)).astype(np.float64)
-                luma = img.mean(axis=2)
-                h, w = luma.shape
-                fp = luma[: h - h % 4, : w - w % 4] \
-                    .reshape(4, h // 4, 4, w // 4).mean(axis=(1, 3))
-                fp_json = json.dumps(
-                    [round(float(v), 6) for v in fp.flatten()]
-                )
-                rows.append(
-                    (mid, float(img.mean()), float(img.std()), fp_json)
-                )
+                img = decode_image(bytes(buf)).astype(np.int64)
+                # exact integer moments (r13 promotion): mean/std derive
+                # from BIGINT-exact S and SS with a fixed expression
+                # order, so DuckDB reproduces the doubles bit-for-bit
+                n = img.size
+                s = int(img.sum())
+                ss = int((img * img).sum())
+                mean = s / n
+                # m*m, not m**2: float.__pow__ routes through libm pow()
+                # which can differ from plain multiplication by an ulp
+                std = math.sqrt(ss / n - mean * mean)
+                # fingerprint: 4x4 grid of integer luma3 block SUMS —
+                # lossless, engine-portable; divide by 3*block_px for
+                # the old block-mean view
+                luma3 = img.sum(axis=2)
+                h, w = luma3.shape
+                fp = luma3[: h - h % 4, : w - w % 4] \
+                    .reshape(4, h // 4, 4, w // 4).sum(axis=(1, 3))
+                fp_json = json.dumps([int(v) for v in fp.flatten()])
+                rows.append((mid, mean, std, fp_json))
             yield pd.DataFrame(
                 rows, columns=["media_id", "mean_intensity", "std_intensity",
                                "luma_fingerprint"]
@@ -171,25 +181,38 @@ def extract_audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFr
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def r6(x: float) -> float:
+            # floor(x*1e6 + 0.5)/1e6, NOT Python round(): round() is
+            # half-to-even while SQL round() goes half-away — half-up is
+            # identical on both engines (r13 promotion)
+            return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
         for pdf in batches:
             rows = []
             for mid, buf in zip(pdf["media_id"], pdf["payload"]):
                 if buf is None:
                     rows.append((mid, None, None, None, None, None))
                     continue
-                pcm = np.frombuffer(bytes(buf), dtype="<i2").astype(np.float64)
+                pcm = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
                 if pcm.size == 0:
                     rows.append((mid, 0, 0.0, 0.0, 0, 0.0))
                     continue
-                zc = float(((pcm[:-1] * pcm[1:]) < 0).mean()) if pcm.size > 1 else 0.0
+                zc = (
+                    int(((pcm[:-1] * pcm[1:]) < 0).sum()) / (pcm.size - 1)
+                    if pcm.size > 1
+                    else 0.0
+                )
+                # rms from the BIGINT-exact sum of squares: both engines
+                # compute sqrt(SS/n) on identical operands
+                ss = int((pcm * pcm).sum())
                 rows.append(
                     (
                         mid,
                         int(pcm.size),
-                        round(pcm.size / sample_rate, 6),
-                        round(float(np.sqrt((pcm**2).mean())), 6),
+                        r6(pcm.size / sample_rate),
+                        r6(float(np.sqrt(ss / pcm.size))),
                         int(np.abs(pcm).max()),
-                        round(zc, 6),
+                        r6(zc),
                     )
                 )
             yield pd.DataFrame(
@@ -509,19 +532,25 @@ def video_scene_changes(media: DataFrame, threshold: float = 12.0) -> DataFrame:
             ):
                 if buf is None:
                     continue
-                stack = decode_image(bytes(buf)).astype(np.float64)
+                stack = decode_image(bytes(buf)).astype(np.int64)
                 n_frames = max(int(dur or 0) // 1000, 1)
                 fh = stack.shape[0] // n_frames
                 if fh == 0:
                     continue
-                luma = stack.mean(axis=2)
+                # integer luma3 (r+g+b): |Δmean-luma| = |Δluma3|/3, so
+                # the diff statistic is BIGINT-exact and engine-portable
+                # (r13 promotion); d = T / (3 * pixels) on both engines
+                luma3 = stack.sum(axis=2)
                 frames = [
-                    luma[i * fh : (i + 1) * fh] for i in range(n_frames)
+                    luma3[i * fh : (i + 1) * fh] for i in range(n_frames)
                 ]
                 for i in range(1, n_frames):
-                    d = float(np.abs(frames[i] - frames[i - 1]).mean())
+                    t_abs = int(np.abs(frames[i] - frames[i - 1]).sum())
+                    d = t_abs / (3.0 * frames[i].size)
                     if d > threshold:
-                        rows.append((mid, i, round(d, 6)))
+                        rows.append(
+                            (mid, i, float(np.floor(d * 1e6 + 0.5) / 1e6))
+                        )
             yield pd.DataFrame(
                 rows, columns=["media_id", "frame_index", "mean_abs_diff"]
             )
@@ -539,18 +568,20 @@ def corpus_media(spark) -> DataFrame:
     so the audio/video operators register as driver queries instead of
     living only on test-local fixtures. doc_id % 3 picks the modality:
 
-    - image: 32×32 seeded-noise RGB (seed = doc_id)
+    - image: 32×32 md5-noise RGB (_md5_noise key 'i<doc_id>')
     - video: 8 stacked 16×16 frames (one raw-codec payload, 8 s) whose
       SECOND HALF repeats frame 3 — a planted static segment, so
-      scene-change output has both cut points and quiet spans
+      scene-change output has both cut points and quiet spans; the four
+      distinct frames are md5-noise (key 'v<doc_id>')
     - audio: 0.5 s of PCM16 sine at 200 + (doc_id % 200) Hz
 
-    Everything derives from doc_id arithmetic + seeded RNG — stable row
-    counts and payloads across runs and engines (rows-only queries need
-    deterministic counts). Payloads build inside mapInPandas (Arrow
-    batches, metadata-first schema); at 100 TB this table is a real
-    lakehouse table and the generators disappear — the operator
-    plumbing is what's being exercised."""
+    Everything derives from doc_id arithmetic + md5 bytes / closed-form
+    sine — stable payloads across runs AND replayable in SQL, which is
+    what lets media_image_features / media_audio_features /
+    media_scene_changes carry full DuckDB oracles since r13. Payloads
+    build inside mapInPandas (Arrow batches, metadata-first schema); at
+    100 TB this table is a real lakehouse table and the generators
+    disappear — the operator plumbing is what's being exercised."""
     out_schema = T.StructType(
         [
             T.StructField("media_id", T.LongType(), False),
@@ -568,18 +599,15 @@ def corpus_media(spark) -> DataFrame:
             rows = []
             for did in pdf["doc_id"]:
                 did = int(did)
-                rng = np.random.RandomState(did % (2**31))
                 kind = did % 3
                 if kind == 0:
-                    arr = rng.randint(0, 256, size=(32, 32, 3), dtype=np.uint8)
+                    arr = _md5_noise(f"i{did}", 32 * 32 * 3).reshape(32, 32, 3)
                     rows.append(
                         (did, "image", "raw", 32, 32, None, encode_image(arr))
                     )
                 elif kind == 1:
-                    frames = [
-                        rng.randint(0, 256, size=(16, 16, 3), dtype=np.uint8)
-                        for _ in range(4)
-                    ]
+                    noise = _md5_noise(f"v{did}", 4 * 16 * 16 * 3)
+                    frames = list(noise.reshape(4, 16, 16, 3))
                     frames += [frames[3]] * 4  # planted static back half
                     stack = np.concatenate(frames, axis=0)
                     rows.append(

@@ -7000,24 +7000,103 @@ FROM emds GROUP BY c_nationkey ORDER BY c_nationkey
 
 _register(
     "media_audio_features",
-    None,
+    """
+WITH aud AS (
+  SELECT doc_id AS media_id, 200.0 + (doc_id % 200) AS freq
+  FROM documents WHERE doc_id % 3 = 2
+),
+pcm AS (
+  SELECT a.media_id, i.i AS i,
+         CAST(trunc(10000 * sin(((2 * pi()) * a.freq) * (i.i / 16000.0)))
+              AS BIGINT) AS v
+  FROM aud a, unnest(generate_series(0, 7999)) AS i(i)
+),
+agg AS (
+  SELECT media_id, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v * v) AS BIGINT) AS ss,
+         CAST(max(abs(v)) AS INT) AS peak
+  FROM pcm GROUP BY media_id
+),
+zc AS (
+  SELECT a.media_id,
+         CAST(count(*) FILTER (WHERE a.v * b.v < 0) AS BIGINT) AS crossings
+  FROM pcm a JOIN pcm b ON b.media_id = a.media_id AND b.i = a.i + 1
+  GROUP BY a.media_id
+)
+SELECT g.media_id, g.n AS n_samples,
+       floor((CAST(g.n AS DOUBLE) / 16000.0) * 1e6 + 0.5) / 1e6 AS duration_s,
+       floor(sqrt(CAST(g.ss AS DOUBLE) / g.n) * 1e6 + 0.5) / 1e6 AS rms,
+       g.peak AS peak,
+       floor((CAST(z.crossings AS DOUBLE) / (g.n - 1)) * 1e6 + 0.5) / 1e6
+         AS zero_crossing_rate
+FROM agg g JOIN zc z USING (media_id) ORDER BY g.media_id
+""",
     notes="audio feature extraction over raw PCM payloads (real decode "
     "- no codec needed for PCM16): duration, RMS, peak, zero-crossing "
     "rate per clip via one Arrow mapInPandas pass; metadata filter "
-    "precedes decode, payload never reaches a shuffle; rows-only "
-    "(binary UDF path), closed-form sine RMS/ZCR pinned in tests",
+    "precedes decode, payload never reaches a shuffle. PROMOTED "
+    "rows-only -> fully oracled (r13): the corpus sine is closed-form "
+    "(trunc(10000*sin(2*pi*f*t)) int16), RMS derives from the "
+    "BIGINT-exact sum of squares, ZCR from an integer crossing count, "
+    "and all rounds use the engine-portable floor(x*1e6+0.5)/1e6 "
+    "half-up (Python round() is half-even, SQL round() half-away) — "
+    "so DuckDB resynthesizes the PCM and reproduces every double "
+    "bit-for-bit; closed-form sine RMS/ZCR stay pinned in tests",
 )(lambda spark: multimodal.extract_audio_features(multimodal.corpus_media(spark)))
 
 
 _register(
     "media_scene_changes",
-    None,
+    """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+chunks AS (
+  SELECT ids.media_id, ci.ci,
+         md5('v' || ids.media_id || ':' || ci.ci) AS hx
+  FROM ids, unnest(generate_series(0, 191)) AS ci(ci)
+),
+vbytes AS (
+  SELECT c.media_id, c.ci * 16 + o.o AS p,
+         (strpos('0123456789abcdef', substr(c.hx, o.o * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(c.hx, o.o * 2 + 2, 1)) - 1)
+           AS b
+  FROM chunks c, unnest(generate_series(0, 15)) AS o(o)
+),
+l3 AS (
+  SELECT media_id, p // 768 AS f,
+         ((p % 768) // 3) // 16 AS y, ((p % 768) // 3) % 16 AS x,
+         CAST(sum(b) AS BIGINT) AS l
+  FROM vbytes
+  GROUP BY media_id, p // 768, ((p % 768) // 3) // 16, ((p % 768) // 3) % 16
+),
+-- frames 4..7 repeat frame 3 (planted static back half): their diffs
+-- are exactly 0 and can never clear the 12.0 threshold, so only the
+-- noise boundaries 1..3 need computing
+diffs AS (
+  SELECT a.media_id, b.f AS frame_index,
+         CAST(sum(abs(b.l - a.l)) AS BIGINT) AS t_abs
+  FROM l3 a
+  JOIN l3 b ON b.media_id = a.media_id AND b.f = a.f + 1
+            AND b.y = a.y AND b.x = a.x
+  WHERE b.f <= 3
+  GROUP BY a.media_id, b.f
+)
+SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+       floor((CAST(t_abs AS DOUBLE) / 768.0) * 1e6 + 0.5) / 1e6
+         AS mean_abs_diff
+FROM diffs WHERE CAST(t_abs AS DOUBLE) / 768.0 > 12.0
+ORDER BY media_id, frame_index
+""",
     notes="content-aware scene-change detection (mean |luma diff| "
     "between consecutive frames > threshold) over the typed media "
     "corpus - the reference's every-Nth decimation (uav/main.py:116) "
     "generalized to content-aware cut points; decode once per video "
-    "inside the worker, only (id, frame, diff) leave the UDF; "
-    "rows-only; the planted static back half is cut-free in tests",
+    "inside the worker, only (id, frame, diff) leave the UDF. PROMOTED "
+    "rows-only -> fully oracled (r13): video frames are md5-derived "
+    "(_md5_noise 'v<id>'), the diff statistic is the BIGINT-exact "
+    "|delta-luma3| sum (|delta-mean-luma| = |delta-luma3|/3), and the "
+    "round is the portable half-up — DuckDB regenerates the frames and "
+    "reproduces every cut bit-for-bit; the planted static back half is "
+    "cut-free in tests AND provably zero in the oracle",
 )(lambda spark: multimodal.video_scene_changes(multimodal.corpus_media(spark)))
 
 
@@ -7078,12 +7157,58 @@ FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id
 
 _register(
     "media_image_features",
-    None,
+    """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+chunks AS (
+  SELECT ids.media_id, ci.ci,
+         md5('i' || ids.media_id || ':' || ci.ci) AS hx
+  FROM ids, unnest(generate_series(0, 191)) AS ci(ci)
+),
+ibytes AS (
+  SELECT c.media_id, c.ci * 16 + o.o AS p,
+         (strpos('0123456789abcdef', substr(c.hx, o.o * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(c.hx, o.o * 2 + 2, 1)) - 1)
+           AS b
+  FROM chunks c, unnest(generate_series(0, 15)) AS o(o)
+),
+mom AS (
+  SELECT media_id, CAST(sum(b) AS BIGINT) AS s,
+         CAST(sum(b * b) AS BIGINT) AS ss
+  FROM ibytes GROUP BY media_id
+),
+l3 AS (
+  SELECT media_id, (p // 3) // 32 AS y, (p // 3) % 32 AS x,
+         CAST(sum(b) AS BIGINT) AS l
+  FROM ibytes GROUP BY media_id, (p // 3) // 32, (p // 3) % 32
+),
+fpb AS (
+  SELECT media_id, y // 8 AS by, x // 8 AS bx, CAST(sum(l) AS BIGINT) AS bs
+  FROM l3 GROUP BY media_id, y // 8, x // 8
+),
+fps AS (
+  SELECT media_id,
+         '[' || string_agg(CAST(bs AS VARCHAR), ', ' ORDER BY by, bx) || ']'
+           AS fp
+  FROM fpb GROUP BY media_id
+)
+SELECT m.media_id,
+       CAST(m.s AS DOUBLE) / 3072 AS mean_intensity,
+       sqrt(CAST(m.ss AS DOUBLE) / 3072
+            - (CAST(m.s AS DOUBLE) / 3072) * (CAST(m.s AS DOUBLE) / 3072))
+         AS std_intensity,
+       f.fp AS luma_fingerprint
+FROM mom m JOIN fps f USING (media_id) ORDER BY m.media_id
+""",
     notes="image feature extraction (mean/std intensity + 4x4 luma "
     "fingerprint) over the typed media corpus via one Arrow "
-    "mapInPandas pass; decode once per row inside the worker; "
-    "rows-only (pixel UDF); fingerprint invariants in "
-    "test_multimodal_sources.py",
+    "mapInPandas pass; decode once per row inside the worker. PROMOTED "
+    "rows-only -> fully oracled (r13): corpus pixels are md5-derived "
+    "(_md5_noise 'i<id>'), mean/std derive from BIGINT-exact S/SS with "
+    "a fixed expression order (sqrt(SS/n - (S/n)^2)), and the "
+    "fingerprint is the 4x4 grid of integer luma3 block SUMS as a JSON "
+    "int list (lossless, no float rounding) — DuckDB regenerates the "
+    "bytes and matches every column bit-for-bit; fingerprint "
+    "invariants in test_multimodal_sources.py",
 )(lambda spark: multimodal.extract_image_features(multimodal.corpus_media(spark)))
 
 
