@@ -397,7 +397,14 @@ def ivf_topk(
     Recall on the synthetic corpus is modest (~0.32 at nprobe=4/10 —
     the labels cluster weakly, own-centroid cosine ~0.14, so true
     neighbors spread across cells); pinned in tests along with the exact
-    invariant that nprobe = n_cells reproduces brute force exactly."""
+    invariant that nprobe = n_cells reproduces brute force exactly.
+
+    PROMOTED rows-only -> fully oracled (r13): both the centroid-probe
+    cosine and the re-rank cosine snap to the 1e-6 grid with the
+    integer-scaling idiom round(x*1e6)/1e6 — centroid coordinates are
+    per-label avg()s whose cross-engine ulp drift (~1e-15) can't reach
+    the 5e-7 grid boundary — so the DuckDB replay reproduces the probe
+    ranking, the candidate set, and the final top-k exactly."""
     emb = spark.table("embeddings")
     cents = label_centroids(spark)
     queries = emb.filter(F.col("vec_id") < n_queries).select(
@@ -413,7 +420,8 @@ def ivf_topk(
             "query_id",
             "qvec",
             "label",
-            F.round(_cosine(F.col("qvec"), F.col("centroid")), 6).alias("cent_cos"),
+            (F.round(_cosine(F.col("qvec"), F.col("centroid")) * 1e6) / 1e6)
+            .alias("cent_cos"),
         )
         .withColumn("cell_rank", F.row_number().over(probe_w))
         .filter(F.col("cell_rank") <= nprobe)
@@ -423,7 +431,7 @@ def ivf_topk(
         F.broadcast(probes),
         (emb["label"] == probes["label"]) & (emb["vec_id"] != probes["query_id"]),
     ).drop(probes["label"])
-    sim = F.round(_cosine(F.col("qvec"), F.col("embedding")), 6)
+    sim = F.round(_cosine(F.col("qvec"), F.col("embedding")) * 1e6) / 1e6
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
     return (
         cands.select("query_id", "vec_id", "label", sim.alias("cosine"))
@@ -1434,7 +1442,9 @@ def ivfpq_topk(
         [np.asarray(r["nvec"]) - cents[r["label"]] for r in sample],
         dtype=np.float64,
     )
-    books = _pq_codebooks(R, m, ksub, iters)  # (m, ksub, dsub)
+    # quantize=1e6 (r13 promotion): engine-portable training trace —
+    # same recipe as pq_quantization_audit; see _pq_codebooks
+    books = _pq_codebooks(R, m, ksub, iters, quantize=1e6)  # (m, ksub, dsub)
     dim = R.shape[1]
     dsub = dim // m
 
@@ -1465,6 +1475,8 @@ def ivfpq_topk(
                 d2 = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(
                     axis=2
                 )
+                # same 1e-6 snap as training: SQL replays the argmin
+                d2 = np.round(d2 * 1e6) / 1e6
                 codes[:, j] = d2.argmin(axis=1)
             yield pd.DataFrame(
                 {
@@ -1485,8 +1497,14 @@ def ivfpq_topk(
     probes = []  # (query_id, label)
     luts = {}  # (query_id, label) -> (m, ksub) float64
     for qid, qv in queries:
+        # 1e-6-snapped probe distances: cell near-ties resolve to the
+        # lowest label on both engines (the ivf_topk promotion recipe)
         ranked = sorted(
-            cents, key=lambda c: (((qv - cents[c]) ** 2).sum(), c)
+            cents,
+            key=lambda c: (
+                np.round(((qv - cents[c]) ** 2).sum() * 1e6) / 1e6,
+                c,
+            ),
         )[:nprobe]
         for cell in ranked:
             rq = qv - cents[cell]
@@ -1549,7 +1567,9 @@ def ivfpq_topk(
             "query_id",
             "vec_id",
             "label",
-            F.round("adc_dist", 6).alias("adc_dist"),
+            # integer-scaling snap BEFORE the rank window so the
+            # ordering itself is engine-portable (r13 promotion)
+            (F.round(F.col("adc_dist") * 1e6) / 1e6).alias("adc_dist"),
         )
         .withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)

@@ -2287,26 +2287,88 @@ FROM t
 )(lambda spark: text.regex_token_stats(spark))
 
 
+_IVF_ORACLE_TEMPLATE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qvec FROM embeddings WHERE vec_id < 5
+),
+ev AS (
+  SELECT vec_id, label, i.i AS dim,
+         CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+),
+cents AS (
+  SELECT label, dim, avg(val) AS cval FROM ev GROUP BY label, dim
+),
+cn AS (SELECT label, sqrt(sum(cval * cval)) AS nrm FROM cents GROUP BY label),
+qe AS (
+  SELECT q.query_id, i.i AS dim, CAST(q.qvec[CAST(i.i AS INT)] AS DOUBLE) AS qx
+  FROM q, unnest(generate_series(1, len(qvec))) AS i(i)
+),
+qn AS (SELECT query_id, sqrt(sum(qx * qx)) AS nrm FROM qe GROUP BY query_id),
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT s.query_id, s.label,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.cent_cos DESC, s.label) AS cell_rank
+    FROM (
+      SELECT qe.query_id, c.label,
+             round(1e6 * (sum(qe.qx * c.cval) / (qn.nrm * cn.nrm))) / 1e6
+               AS cent_cos
+      FROM qe JOIN cents c ON c.dim = qe.dim
+      JOIN qn ON qn.query_id = qe.query_id
+      JOIN cn ON cn.label = c.label
+      GROUP BY qe.query_id, c.label, qn.nrm, cn.nrm
+    ) s
+  ) r WHERE cell_rank <= {nprobe}
+),
+en AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM ev GROUP BY vec_id),
+sims AS (
+  SELECT p.query_id, e.vec_id, e.label,
+         round(1e6 * (sum(qe.qx * e.val) / (qn.nrm * en.nrm))) / 1e6 AS cosine
+  FROM probes p
+  JOIN ev e ON e.label = p.label
+  JOIN qe ON qe.query_id = p.query_id AND qe.dim = e.dim
+  JOIN qn ON qn.query_id = p.query_id
+  JOIN en ON en.vec_id = e.vec_id
+  WHERE e.vec_id <> p.query_id
+  GROUP BY p.query_id, e.vec_id, e.label, qn.nrm, en.nrm
+)
+SELECT query_id, vec_id, label, cosine, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, vec_id, label, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id) AS rnk
+  FROM sims
+) WHERE rnk <= 5
+"""
+
+
 _register(
     "emb_ivf_topk",
-    None,
+    _IVF_ORACLE_TEMPLATE.format(nprobe=4),
     notes="IVF-style ANN: label = coarse cell, probe nprobe nearest "
-    "centroids, exact re-rank inside probed cells only; recall vs brute "
-    "force pinned in tests (centroid float ordering isn't ULP-portable); "
-    "the full IVF machinery is oracled end-to-end by emb_ivf_full_probe",
+    "centroids, exact re-rank inside probed cells only. PROMOTED "
+    "rows-only -> fully oracled (r13): the probe and re-rank cosines "
+    "snap to the 1e-6 grid (round(x*1e6)/1e6 on both engines) — "
+    "centroid coordinates are per-label avg()s whose cross-engine ulp "
+    "drift (~1e-15) cannot reach the 5e-7 boundary — so the DuckDB "
+    "replay reproduces cell ranking, candidate set, and top-k exactly; "
+    "recall vs brute force stays pinned in tests",
 )(lambda spark: similarity.ivf_topk(spark))
 
 
 _register(
     "emb_ivf_full_probe",
-    next(s.oracle for s in _SPECS if s.name == "emb_knn_bruteforce"),
-    notes="oracled exactness twin of the rows-only IVF (r11): with "
-    "nprobe >= n_cells every cell is probed, so the centroid ranking — "
-    "the one ULP-sensitive stage — cannot change the candidate set and "
-    "IVF must reproduce brute-force kNN EXACTLY; the oracle is "
-    "therefore emb_knn_bruteforce's oracle verbatim, and it signs the "
-    "whole IVF pipeline (cell assignment, probe union, broadcast "
-    "semi-filter, re-rank) end-to-end",
+    _IVF_ORACLE_TEMPLATE.format(nprobe=1_000_000),
+    notes="oracled exactness twin of IVF (r11): with nprobe >= n_cells "
+    "every cell is probed, so the centroid ranking cannot change the "
+    "candidate set and IVF must reproduce brute-force kNN exactly; "
+    "since r13 the oracle is the shared IVF replay at full nprobe "
+    "(grid-snapped cosines) rather than the knn oracle verbatim — "
+    "emb_knn_bruteforce still pins the brute-force answer "
+    "independently, and the full-probe twin signs the whole IVF "
+    "pipeline (cell assignment, probe union, broadcast semi-filter, "
+    "re-rank) end-to-end",
 )(lambda spark: similarity.ivf_topk(spark, nprobe=1_000_000))
 
 
@@ -5877,17 +5939,142 @@ ORDER BY selection_order
 
 _register(
     "emb_ivfpq_topk",
-    None,
+    """
+WITH RECURSIVE
+ev AS (
+  SELECT vec_id, label, i.i AS dim,
+         CAST(embedding[CAST(i.i AS INT)] AS DOUBLE) AS val
+  FROM embeddings, unnest(generate_series(1, len(embedding))) AS i(i)
+),
+vn AS (SELECT vec_id, sqrt(sum(val * val)) AS nrm FROM ev GROUP BY vec_id),
+nv AS (
+  SELECT e.vec_id, e.label, e.dim, e.val / n.nrm AS x
+  FROM ev e JOIN vn n USING (vec_id)
+),
+cellc AS (SELECT label, dim, avg(x) AS c FROM nv GROUP BY label, dim),
+sampids AS (
+  SELECT vec_id,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           - 1 AS sid
+  FROM embeddings
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256
+),
+sev AS (
+  SELECT s.sid,
+         CAST((n.dim - 1) // 8 AS INT) AS sub,
+         CAST((n.dim - 1) % 8 AS INT) AS t,
+         n.x - c.c AS val
+  FROM sampids s
+  JOIN nv n ON n.vec_id = s.vec_id
+  JOIN cellc c ON c.label = n.label AND c.dim = n.dim
+),
+cent AS (
+  SELECT 0 AS it, sub, CAST(sid AS INT) AS c, t, val
+  FROM sev WHERE sid < 16
+  UNION ALL
+  SELECT c0.it + 1, c0.sub, c0.c, c0.t,
+         round(1e6 * coalesce(m.mval, c0.val)) / 1e6
+  FROM cent c0
+  LEFT JOIN (
+    SELECT a.sub, a.c, e.t, sum(e.val) / count(*) AS mval
+    FROM (
+      SELECT sid, sub, c FROM (
+        SELECT d.sid, d.sub, d.c,
+               row_number() OVER (PARTITION BY d.sid, d.sub
+                                  ORDER BY d.d2, d.c) AS rn
+        FROM (
+          SELECT e2.sid, e2.sub, c2.c,
+                 round(1e6 * sum((e2.val - c2.val) * (e2.val - c2.val)))
+                   / 1e6 AS d2
+          FROM sev e2 JOIN cent c2 ON c2.sub = e2.sub AND c2.t = e2.t
+          GROUP BY e2.sid, e2.sub, c2.c
+        ) d
+      ) r WHERE rn = 1
+    ) a
+    JOIN sev e ON e.sid = a.sid AND e.sub = a.sub
+    GROUP BY a.sub, a.c, e.t
+  ) m ON m.sub = c0.sub AND m.c = c0.c AND m.t = c0.t
+  WHERE c0.it < 8
+),
+rev AS (
+  SELECT n.vec_id, n.label,
+         CAST((n.dim - 1) // 8 AS INT) AS sub,
+         CAST((n.dim - 1) % 8 AS INT) AS t,
+         n.x - c.c AS rval
+  FROM nv n JOIN cellc c ON c.label = n.label AND c.dim = n.dim
+),
+codes AS (
+  SELECT vec_id, label, sub, c AS code FROM (
+    SELECT d.vec_id, d.label, d.sub, d.c,
+           row_number() OVER (PARTITION BY d.vec_id, d.sub
+                              ORDER BY d.d2, d.c) AS rn
+    FROM (
+      SELECT r.vec_id, r.label, r.sub, b.c,
+             round(1e6 * sum((r.rval - b.val) * (r.rval - b.val))) / 1e6
+               AS d2
+      FROM rev r JOIN cent b ON b.it = 8 AND b.sub = r.sub AND b.t = r.t
+      GROUP BY r.vec_id, r.label, r.sub, b.c
+    ) d
+  ) x WHERE rn = 1
+),
+qv AS (
+  SELECT vec_id AS query_id, label, dim, x FROM nv WHERE vec_id < 5
+),
+probes AS (
+  SELECT query_id, label FROM (
+    SELECT s.query_id, s.label,
+           row_number() OVER (PARTITION BY s.query_id
+                              ORDER BY s.pd2, s.label) AS cell_rank
+    FROM (
+      SELECT q.query_id, c.label,
+             round(1e6 * sum((q.x - c.c) * (q.x - c.c))) / 1e6 AS pd2
+      FROM qv q JOIN cellc c ON c.dim = q.dim
+      GROUP BY q.query_id, c.label
+    ) s
+  ) r WHERE cell_rank <= 4
+),
+qr AS (  -- query residual against each probed cell
+  SELECT p.query_id, p.label,
+         CAST((q.dim - 1) // 8 AS INT) AS sub,
+         CAST((q.dim - 1) % 8 AS INT) AS t,
+         q.x - c.c AS rq
+  FROM probes p
+  JOIN qv q ON q.query_id = p.query_id
+  JOIN cellc c ON c.label = p.label AND c.dim = q.dim
+),
+adc AS (
+  SELECT q.query_id, k.vec_id, k.label,
+         round(1e6 * sum((q.rq - b.val) * (q.rq - b.val))) / 1e6 AS adc_dist
+  FROM qr q
+  JOIN codes k ON k.label = q.label AND k.sub = q.sub
+               AND k.vec_id <> q.query_id
+  JOIN cent b ON b.it = 8 AND b.sub = k.sub AND b.c = k.code AND b.t = q.t
+  GROUP BY q.query_id, k.vec_id, k.label
+)
+SELECT query_id, vec_id, label, adc_dist, CAST(rnk AS INT) AS rnk
+FROM (
+  SELECT query_id, vec_id, label, adc_dist,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY adc_dist ASC, vec_id) AS rnk
+  FROM adc
+) WHERE rnk <= 5
+ORDER BY query_id, rnk
+""",
     notes="IVFADC composite ANN (Jégou et al. TPAMI 2011, the FAISS "
     "IVFx,PQy shape): coarse cells bound which vectors are scored, "
     "PQ residual codes bound the bytes per score, asymmetric-distance "
     "LUT gathers replace float math; codebooks train on a bounded "
     "deterministic sample, the encoded index is one map-only pass, "
-    "queries never shuffle the corpus — k-means codebooks are not "
-    "SQL-expressible, so rows-only for the driver; pytest pins "
-    "recall vs knn_bruteforce, determinism, and the probe-subset "
-    "contract (test_round5c_ops.py); the pipeline is oracled "
-    "end-to-end by emb_ivfpq_recall_bound (r12)",
+    "queries never shuffle the corpus. PROMOTED rows-only -> fully "
+    "oracled (r13, the quantized-PQ recipe at full pipeline depth): "
+    "training, corpus encode, probe ranking, and ADC scores all snap "
+    "to the 1e-6 grid with consistent lowest-index tie-breaks, so the "
+    "DuckDB recursive CTE replays normalization, cell centroids, the "
+    "md5-ordered residual sample, 8 Lloyd rounds x 8 subspaces, the "
+    "code assignment, and the LUT-sum ranking end-to-end; pytest still "
+    "pins recall vs knn_bruteforce, determinism, and the probe-subset "
+    "contract (test_round5c_ops.py), and emb_ivfpq_recall_bound keeps "
+    "the degenerate-PQ recall proof",
 )(lambda spark: similarity.ivfpq_topk(spark))
 
 
