@@ -162,8 +162,10 @@ def test_audio_features_flag_planted_clipping_outlier(spark):
 def test_image_features_exact_on_planted_quadrants(spark):
     """An image whose four 16x16 quadrants hold constant values 0/64/128/
     255 has an exactly-known mean, std, and 4x4 luma fingerprint (each
-    fingerprint quadrant = its plateau value) — wrong axis order, wrong
-    channel mix, or a fingerprint built on the unpooled image all fail."""
+    fingerprint quadrant = its plateau value x 192, the integer luma3
+    block sum over 8x8 px x 3 channels — the r13 lossless convention) —
+    wrong axis order, wrong channel mix, or a fingerprint built on the
+    unpooled image all fail."""
     import json as _json
 
     arr = np.zeros((32, 32, 3), dtype=np.uint8)
@@ -179,10 +181,11 @@ def test_image_features_exact_on_planted_quadrants(spark):
     expected_mean = (0 + 64 + 128 + 255) / 4
     assert r["mean_intensity"] == pytest.approx(expected_mean)
     fp = np.array(_json.loads(r["luma_fingerprint"])).reshape(4, 4)
+    block_sum = 8 * 8 * 3  # px per 4x4-grid block x channels
     assert (fp[:2, :2] == 0).all()
-    assert (fp[:2, 2:] == 64).all()
-    assert (fp[2:, :2] == 128).all()
-    assert (fp[2:, 2:] == 255).all()
+    assert (fp[:2, 2:] == 64 * block_sum).all()
+    assert (fp[2:, :2] == 128 * block_sum).all()
+    assert (fp[2:, 2:] == 255 * block_sum).all()
 
 
 def test_frame_samples_recover_planted_frame_payloads(spark):
