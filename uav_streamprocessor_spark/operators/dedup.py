@@ -399,7 +399,11 @@ def minhash_near_duplicates(spark: SparkSession, threshold: float = 0.7) -> Data
         joined.select(
             "doc_id_a",
             "doc_id_b",
-            F.round(inter / uni, 6).alias("jaccard"),
+            # integer-scaling snap, not round(x,6): int/int quotients
+            # (e.g. 1/640) can land exactly on decimal half-boundaries
+            # where Spark's decimal HALF_UP and DuckDB's scaled-double
+            # rounding disagree (r13 promotion)
+            (F.round((inter / uni) * 1e6) / 1e6).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= threshold)
     )
@@ -1189,6 +1193,7 @@ def minhash_editdist_verify(
         F.col("n_chars").alias("len_b"),
     )
     lev = F.levenshtein(F.col("text_a"), F.col("text_b"))
+    # snapped like minhash_near_duplicates' jaccard (r13 promotion)
     sim = 1.0 - lev.cast("double") / F.greatest("len_a", "len_b")
     return (
         cands.join(a, "doc_id_a")
@@ -1199,7 +1204,7 @@ def minhash_editdist_verify(
             "doc_id_b",
             "lang",
             lev.cast("long").alias("edit_distance"),
-            F.round(sim, 6).alias("similarity"),
+            (F.round(sim * 1e6) / 1e6).alias("similarity"),
         )
         .filter(F.col("similarity") >= min_similarity)
     )

@@ -806,12 +806,218 @@ FROM documents
 )(lambda spark: dedup.fingerprint_docs(spark))
 
 
+
+def _hash64_replay_ctes() -> str:
+    """Shared DuckDB replay of the engine's 64-bit token-hash plane
+    (operators/dedup._token_hashes — FNV-prime polynomial over utf-8
+    bytes mod 2**64, xor-shift-33, golden-ratio mix), the foundation of
+    the r13 MinHash/SimHash promotions. uint64 wraparound is emulated
+    with HUGEINT arithmetic mod 2**64 at every step; bit ops run on
+    UBIGINT (logical >> and xor). Tokens hash ONCE globally (utok is
+    the distinct vocabulary) and join back to per-doc positions (dtok).
+    Corpus contract (verified at all three SFs, r13): ASCII text,
+    single-space separated, >= 3 tokens per doc — so unicode() == the
+    utf-8 byte and Spark split(' ') == Python str.split(); the engine
+    itself handles the general cases (pinned in tests)."""
+    return """
+wsplit AS (
+  SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents
+),
+utok AS (SELECT DISTINCT unnest(ws) AS tok FROM wsplit),
+powtab AS (
+  SELECT 1 AS i, CAST(1 AS HUGEINT) AS pw
+  UNION ALL
+  SELECT i + 1, (pw * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+  FROM powtab WHERE i < (SELECT max(length(tok)) FROM utok)
+),
+th AS (
+  -- (mx * MIX) mod 2^64 via 32-bit split: mx and MIX are both near
+  -- 2^64, so the direct INT128 product overflows; mx = xh*2^32 + xl
+  -- gives mx*MIX mod 2^64 = (xl*MIX + ((xh*MIX) mod 2^32)*2^32) mod
+  -- 2^64 with every intermediate < 2^97
+  SELECT m.tok,
+         CAST((
+           CAST(m.mx & 4294967295 AS HUGEINT)
+             * CAST('11400714819323198485' AS HUGEINT)
+           + ((CAST(m.mx >> 32 AS HUGEINT)
+               * CAST('11400714819323198485' AS HUGEINT)) % 4294967296)
+             * 4294967296
+         ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS th
+  FROM (
+    SELECT tok, xor(h0, h0 >> 33) AS mx FROM (
+      SELECT u.tok,
+             CAST(sum(CAST(unicode(substr(u.tok, CAST(c.c AS INT), 1))
+                           AS HUGEINT) * p.pw) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS h0
+      FROM utok u,
+           unnest(generate_series(1, length(u.tok))) AS c(c)
+      JOIN powtab p ON p.i = c.c
+      GROUP BY u.tok
+    ) h0t
+  ) m
+),
+tokd AS (
+  SELECT w.doc_id, i.i AS tpos, w.ws[CAST(i.i AS INT)] AS tok
+  FROM wsplit w, unnest(generate_series(1, len(w.ws))) AS i(i)
+),
+dtok AS (SELECT t.doc_id, t.tpos, h.th FROM tokd t JOIN th h USING (tok))"""
+
+
+def _minhash_pairs_ctes() -> str:
+    """MinHash LSH candidate replay on top of _hash64_replay_ctes:
+    word-3-gram shingle hashes (rolling polynomial, distinct per doc),
+    64 permutations (a*h + b wraps at 2**64 BEFORE the Mersenne mod —
+    matching numpy's uint64 arithmetic exactly), 16 bands of 4. The
+    oracle buckets on the raw 4-value band tuple where the engine
+    buckets on xxhash64 of it — identical partitions up to an xxhash64
+    collision (~1e-15 for this corpus; a collision would only ADD an
+    engine pair)."""
+    return """
+sh AS (
+  SELECT DISTINCT a.doc_id,
+         CAST(((CAST(((CAST(a.th AS HUGEINT) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+                      + b2.th) % CAST('18446744073709551616' AS HUGEINT) AS HUGEINT) * 1099511628211) % CAST('18446744073709551616' AS HUGEINT)
+               + c3.th) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS g
+  FROM dtok a
+  JOIN dtok b2 ON b2.doc_id = a.doc_id AND b2.tpos = a.tpos + 1
+  JOIN dtok c3 ON c3.doc_id = a.doc_id AND c3.tpos = a.tpos + 2
+),
+perml(k, pa, pb) AS (VALUES
+  (0, CAST('2297359619001564596' AS HUGEINT), CAST('570641018389960891' AS HUGEINT)),
+  (1, CAST('1396682528897996047' AS HUGEINT), CAST('787603798186516972' AS HUGEINT)),
+  (2, CAST('1973689801170867272' AS HUGEINT), CAST('293750097594324124' AS HUGEINT)),
+  (3, CAST('1819927849474927637' AS HUGEINT), CAST('962864383515356972' AS HUGEINT)),
+  (4, CAST('572192888165898362' AS HUGEINT), CAST('1375216642409152344' AS HUGEINT)),
+  (5, CAST('571748048327668951' AS HUGEINT), CAST('2063949654057552392' AS HUGEINT)),
+  (6, CAST('1071453510346823115' AS HUGEINT), CAST('410343612402300032' AS HUGEINT)),
+  (7, CAST('2143071682933157237' AS HUGEINT), CAST('1359814319648410247' AS HUGEINT)),
+  (8, CAST('1865242737500154728' AS HUGEINT), CAST('101865178233748542' AS HUGEINT)),
+  (9, CAST('1532418594269339779' AS HUGEINT), CAST('1207550233880778226' AS HUGEINT)),
+  (10, CAST('379716980844854581' AS HUGEINT), CAST('1510001446519210375' AS HUGEINT)),
+  (11, CAST('1750777661071092056' AS HUGEINT), CAST('1918593514066211234' AS HUGEINT)),
+  (12, CAST('1520798217888136606' AS HUGEINT), CAST('392368560994791802' AS HUGEINT)),
+  (13, CAST('1611122243678701954' AS HUGEINT), CAST('1365882634414198249' AS HUGEINT)),
+  (14, CAST('1048235628103308220' AS HUGEINT), CAST('2000839474307464185' AS HUGEINT)),
+  (15, CAST('1077373049702139041' AS HUGEINT), CAST('2137406799659846683' AS HUGEINT)),
+  (16, CAST('1000592739665268026' AS HUGEINT), CAST('2086389863579132104' AS HUGEINT)),
+  (17, CAST('456675647751657725' AS HUGEINT), CAST('2274448960578859787' AS HUGEINT)),
+  (18, CAST('1050450229337746265' AS HUGEINT), CAST('1492305152117099552' AS HUGEINT)),
+  (19, CAST('760543396461257179' AS HUGEINT), CAST('1172444636525752822' AS HUGEINT)),
+  (20, CAST('2063321781277379071' AS HUGEINT), CAST('1124925287146532413' AS HUGEINT)),
+  (21, CAST('267364570529679360' AS HUGEINT), CAST('1386887510159385380' AS HUGEINT)),
+  (22, CAST('777431531920034492' AS HUGEINT), CAST('1929643330193279659' AS HUGEINT)),
+  (23, CAST('2146497176616232719' AS HUGEINT), CAST('231644453789772501' AS HUGEINT)),
+  (24, CAST('1495477363401685950' AS HUGEINT), CAST('225285373686556194' AS HUGEINT)),
+  (25, CAST('648881935158774718' AS HUGEINT), CAST('1793298793622896354' AS HUGEINT)),
+  (26, CAST('1377488174878099308' AS HUGEINT), CAST('2206124335314378670' AS HUGEINT)),
+  (27, CAST('262579006026876148' AS HUGEINT), CAST('1627828948548348546' AS HUGEINT)),
+  (28, CAST('1704747971477620217' AS HUGEINT), CAST('198948935564477444' AS HUGEINT)),
+  (29, CAST('856858769658023397' AS HUGEINT), CAST('1130364857072845302' AS HUGEINT)),
+  (30, CAST('1983852346201383559' AS HUGEINT), CAST('386776297324261773' AS HUGEINT)),
+  (31, CAST('839771884757445449' AS HUGEINT), CAST('2191391983603931930' AS HUGEINT)),
+  (32, CAST('1199990111390225682' AS HUGEINT), CAST('419346625420198094' AS HUGEINT)),
+  (33, CAST('1362947483897176665' AS HUGEINT), CAST('969210764397336409' AS HUGEINT)),
+  (34, CAST('1671865959972055054' AS HUGEINT), CAST('468900105785203579' AS HUGEINT)),
+  (35, CAST('1077240956986238970' AS HUGEINT), CAST('1990245566174715570' AS HUGEINT)),
+  (36, CAST('1007446255075745114' AS HUGEINT), CAST('579766154391765855' AS HUGEINT)),
+  (37, CAST('1801732545371167618' AS HUGEINT), CAST('210484898835848432' AS HUGEINT)),
+  (38, CAST('1092656530294298716' AS HUGEINT), CAST('1187158319135118332' AS HUGEINT)),
+  (39, CAST('1201851346935503804' AS HUGEINT), CAST('158101386990278531' AS HUGEINT)),
+  (40, CAST('2251208029941317036' AS HUGEINT), CAST('600745515900680676' AS HUGEINT)),
+  (41, CAST('2216872713715991304' AS HUGEINT), CAST('2292786955474901222' AS HUGEINT)),
+  (42, CAST('634356285132873763' AS HUGEINT), CAST('652699705481037454' AS HUGEINT)),
+  (43, CAST('633099677421309009' AS HUGEINT), CAST('102400447934616092' AS HUGEINT)),
+  (44, CAST('161962062168655410' AS HUGEINT), CAST('1914738081494129164' AS HUGEINT)),
+  (45, CAST('692163906031803780' AS HUGEINT), CAST('1420028748837633862' AS HUGEINT)),
+  (46, CAST('1138368374822601726' AS HUGEINT), CAST('733284897621110002' AS HUGEINT)),
+  (47, CAST('370189644521515574' AS HUGEINT), CAST('668164788960253723' AS HUGEINT)),
+  (48, CAST('861652531725782788' AS HUGEINT), CAST('1008993515362167465' AS HUGEINT)),
+  (49, CAST('1104119908775765469' AS HUGEINT), CAST('1072131779469420093' AS HUGEINT)),
+  (50, CAST('1744778438383761810' AS HUGEINT), CAST('155022034638842868' AS HUGEINT)),
+  (51, CAST('463618807884355116' AS HUGEINT), CAST('2240552382924550939' AS HUGEINT)),
+  (52, CAST('1189795419742834890' AS HUGEINT), CAST('990075153342510699' AS HUGEINT)),
+  (53, CAST('365750060173591524' AS HUGEINT), CAST('1135767110662776147' AS HUGEINT)),
+  (54, CAST('1805935812952358751' AS HUGEINT), CAST('323906358285871037' AS HUGEINT)),
+  (55, CAST('864677038069918991' AS HUGEINT), CAST('725736267669063295' AS HUGEINT)),
+  (56, CAST('1632398491907562958' AS HUGEINT), CAST('1059583932984535030' AS HUGEINT)),
+  (57, CAST('1309402721808639228' AS HUGEINT), CAST('389065880395732440' AS HUGEINT)),
+  (58, CAST('834296198785359550' AS HUGEINT), CAST('1254442603959937213' AS HUGEINT)),
+  (59, CAST('1389599250197995221' AS HUGEINT), CAST('2030099650348479872' AS HUGEINT)),
+  (60, CAST('252301427447193325' AS HUGEINT), CAST('1898818616440063258' AS HUGEINT)),
+  (61, CAST('393820126512235375' AS HUGEINT), CAST('961219165520271992' AS HUGEINT)),
+  (62, CAST('1452450688103961368' AS HUGEINT), CAST('1254651014867448780' AS HUGEINT)),
+  (63, CAST('1969251275389991129' AS HUGEINT), CAST('2042618724242302210' AS HUGEINT))
+),
+ug AS (SELECT DISTINCT g FROM sh),
+pv AS (
+  -- permute each DISTINCT shingle hash once (~10x fewer HUGEINT mod
+  -- chains than per (doc, shingle) at sf0.1: 27k distinct vs 260k
+  -- rows), then the per-doc mins run on cheap BIGINTs
+  SELECT u.g, p.k,
+         CAST(((CAST(u.g AS HUGEINT) * p.pa) % CAST('18446744073709551616' AS HUGEINT) + p.pb)
+              % CAST('18446744073709551616' AS HUGEINT) % 2305843009213693951 AS BIGINT) AS v
+  FROM ug u, perml p
+),
+sigs AS (
+  SELECT s.doc_id, v.k, min(v.v) AS sig
+  FROM sh s JOIN pv v ON v.g = s.g
+  GROUP BY s.doc_id, v.k
+),
+bandkey AS (
+  SELECT doc_id, CAST(k // 4 AS INT) AS band,
+         string_agg(CAST(sig AS VARCHAR), ',' ORDER BY k) AS bkey
+  FROM sigs GROUP BY doc_id, k // 4
+),
+mh_pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+  FROM bandkey x
+  JOIN bandkey y ON y.band = x.band AND y.bkey = x.bkey
+                AND x.doc_id < y.doc_id
+)"""
+
+
+def _simhash_ctes() -> str:
+    """SimHash replay on top of _hash64_replay_ctes: every token
+    occurrence votes +-1 per bit of its 64-bit hash; sig bit = vote sum
+    > 0; 4 bands of 16 bits assembled arithmetically (no packed-int64
+    sign games in SQL — band values and hamming come straight from the
+    bits table)."""
+    return """
+votes AS (
+  SELECT d.doc_id, s.s AS bit_pos,
+         sum(CASE WHEN ((d.th >> CAST(s.s AS INT)) & 1) = 1
+                  THEN 1 ELSE -1 END) AS acc
+  FROM dtok d, unnest(generate_series(0, 63)) AS s(s)
+  GROUP BY d.doc_id, s.s
+),
+bits AS (
+  SELECT doc_id, bit_pos, CASE WHEN acc > 0 THEN 1 ELSE 0 END AS bit
+  FROM votes
+),
+sbands AS (
+  SELECT doc_id, CAST(bit_pos // 16 AS INT) AS band,
+         CAST(sum(bit * (CAST(1 AS BIGINT) << CAST(bit_pos % 16 AS INT)))
+              AS BIGINT) AS band_val
+  FROM bits GROUP BY doc_id, bit_pos // 16
+)"""
+
+
 _register(
     "dedup_minhash_candidates",
-    None,
-    notes="MinHash+LSH — signature hashing is not oracle-portable; exact-"
-    "Jaccard verification covers it in tests; the banding-partition law "
-    "is oracled by dedup_minhash_band_partition",
+    f"""
+WITH RECURSIVE
+{_hash64_replay_ctes()},
+{_minhash_pairs_ctes()}
+SELECT doc_id_a, doc_id_b FROM mh_pairs
+""",
+    notes="MinHash+LSH candidate pairs. PROMOTED rows-only -> fully "
+    "oracled (r13): DuckDB replays the whole signature plane — "
+    "polynomial token hashes (uint64 wraparound via HUGEINT mod 2^64), "
+    "xor-shift mix, rolling 3-gram shingles, 64 (a*h+b mod 2^64) mod "
+    "(2^61-1) permutations with the RandomState(42) constants embedded "
+    "as literals, 16x4 banding — and buckets on the raw band tuple "
+    "(identical to the engine's xxhash64 bucket key up to a ~1e-15 "
+    "collision); the banding-partition law stays separately oracled by "
+    "dedup_minhash_band_partition",
 )(lambda spark: dedup.minhash_candidates(spark))
 
 
@@ -834,16 +1040,61 @@ FROM (SELECT unnest(range(16)) AS band)
 
 _register(
     "dedup_minhash_neardups",
-    None,
-    notes="LSH candidates + exact-Jaccard verify (threshold 0.7)",
+    f"""
+WITH RECURSIVE
+{_hash64_replay_ctes()},
+{_minhash_pairs_ctes()},
+grams AS (
+  SELECT DISTINCT w.doc_id, w.ws[CAST(i.i AS INT)] || ' '
+         || w.ws[CAST(i.i AS INT) + 1] || ' '
+         || w.ws[CAST(i.i AS INT) + 2] AS gram
+  FROM wsplit w, unnest(generate_series(1, len(w.ws) - 2)) AS i(i)
+),
+nsets AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY doc_id),
+isect AS (
+  SELECT p.doc_id_a, p.doc_id_b, CAST(count(*) AS BIGINT) AS i
+  FROM mh_pairs p
+  JOIN grams ga ON ga.doc_id = p.doc_id_a
+  JOIN grams gb ON gb.doc_id = p.doc_id_b AND gb.gram = ga.gram
+  GROUP BY p.doc_id_a, p.doc_id_b
+)
+SELECT doc_id_a, doc_id_b, jaccard FROM (
+  SELECT p.doc_id_a, p.doc_id_b,
+         round((CAST(coalesce(i.i, 0) AS DOUBLE)
+                / (na.n + nb.n - coalesce(i.i, 0))) * 1e6) / 1e6 AS jaccard
+  FROM mh_pairs p
+  LEFT JOIN isect i ON i.doc_id_a = p.doc_id_a AND i.doc_id_b = p.doc_id_b
+  JOIN nsets na ON na.doc_id = p.doc_id_a
+  JOIN nsets nb ON nb.doc_id = p.doc_id_b
+) WHERE jaccard >= 0.7
+""",
+    notes="LSH candidates + exact word-3-gram Jaccard verify (threshold "
+    "0.7). PROMOTED rows-only -> fully oracled (r13): the candidate set "
+    "replays via the shared signature-plane CTEs and the verify "
+    "recomputes Jaccard over distinct STRING 3-grams (the same space "
+    "the hashed shingles sample), with the integer-scaling snap "
+    "round((i/u)*1e6)/1e6 on both engines (int/int quotients like "
+    "1/640 land exactly on decimal half-boundaries where round(x,6) "
+    "diverges)",
 )(lambda spark: dedup.minhash_near_duplicates(spark))
 
 
 _register(
     "dedup_simhash_buckets",
-    None,
-    notes="SimHash banded (4x16-bit) candidate buckets with >1 doc; the "
-    "banding law is oracled by dedup_simhash_band_partition",
+    f"""
+WITH RECURSIVE
+{_hash64_replay_ctes()},
+{_simhash_ctes()}
+SELECT band, band_val, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(min(doc_id) AS BIGINT) AS keeper
+FROM sbands GROUP BY band, band_val HAVING count(*) > 1
+""",
+    notes="SimHash banded (4x16-bit) candidate buckets with >1 doc. "
+    "PROMOTED rows-only -> fully oracled (r13): DuckDB replays the "
+    "token-hash bit votes (every occurrence votes +-1 per bit, sig bit "
+    "= sum > 0) and assembles band values arithmetically, so bucket "
+    "membership, counts, and keepers match exactly; the banding law "
+    "stays separately oracled by dedup_simhash_band_partition",
 )(lambda spark: dedup.simhash_buckets(spark))
 
 
@@ -865,9 +1116,31 @@ FROM (SELECT unnest(range(4)) AS band)
 
 _register(
     "dedup_simhash_neardups",
-    None,
-    notes="SimHash near-dups: banded candidates + bit_count hamming<=3 "
-    "verify; recall 1.0 vs brute force pinned in tests",
+    f"""
+WITH RECURSIVE
+{_hash64_replay_ctes()},
+{_simhash_ctes()},
+sh_pairs AS (
+  SELECT DISTINCT x.doc_id AS doc_id_a, y.doc_id AS doc_id_b
+  FROM sbands x
+  JOIN sbands y ON y.band = x.band AND y.band_val = x.band_val
+               AND x.doc_id < y.doc_id
+)
+SELECT doc_id_a, doc_id_b, hamming FROM (
+  SELECT p.doc_id_a, p.doc_id_b,
+         CAST(sum(CASE WHEN ba.bit <> bb.bit THEN 1 ELSE 0 END) AS INT)
+           AS hamming
+  FROM sh_pairs p
+  JOIN bits ba ON ba.doc_id = p.doc_id_a
+  JOIN bits bb ON bb.doc_id = p.doc_id_b AND bb.bit_pos = ba.bit_pos
+  GROUP BY p.doc_id_a, p.doc_id_b
+) WHERE hamming <= 3
+""",
+    notes="SimHash near-dups: banded candidates + hamming<=3 verify. "
+    "PROMOTED rows-only -> fully oracled (r13): candidates replay from "
+    "the banded bit votes and hamming is the bit-table disagreement "
+    "count (identical to the engine's bit_count(a XOR b) on the packed "
+    "int64); recall 1.0 vs brute force stays pinned in tests",
 )(lambda spark: dedup.simhash_near_duplicates(spark))
 
 
@@ -1647,7 +1920,13 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     _kmeans_replay_ctes oracle), media_ahash_neardups +
 #     media_phash_neardups (md5-derived pixels, integer/snapped hashes,
 #     group+delta replay), emb_pq_quantization (quantized per-subspace
-#     PQ training); media_jpeg_roundtrip (jpeg.py hardened: fill-byte
+#     PQ training), the FIVE signature-plane promotions
+#     dedup_minhash_candidates/neardups/editdist +
+#     dedup_simhash_buckets/neardups (full uint64 hash replay in SQL),
+#     emb_ivf_topk + emb_ivfpq_topk (grid-snapped ANN replays),
+#     media_image_features/audio_features/scene_changes (md5/sine
+#     corpora + exact integer features); media_jpeg_roundtrip (jpeg.py
+#     hardened: fill-byte
 #     markers + allocation bounds, ADVICE r12); and the oracled shadows
 #     sharing edited code paths — dedup_pagerank_contraction
 #     (graph.pagerank), emb_kmeans_contraction (kmeans_lloyd),
@@ -1663,19 +1942,32 @@ FROM joined GROUP BY 1 ORDER BY 1
 # in registration order. Exactly 50 names (pinned by
 # test_driver_window_holds_the_priority_queries).
 #
-# r14 queue: the four r06-cohort members this window could not fit —
-# media_metadata_stats, dedup_graph_modularity, emb_dbscan_lite,
-# ev_experiment_readout — then the r07 cohort re-prove in r07 order,
-# rows-only members yielding slots as above.
+# r14 queue: the fourteen r06-cohort members this window could not fit
+# — ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
+# ev_srm_check, emb_matryoshka_overlap, uav_class_cooccurrence,
+# ev_bot_regularity, emb_centroid_separation, rel_incremental_agg,
+# rel_t_closeness, media_metadata_stats, dedup_graph_modularity,
+# emb_dbscan_lite, ev_experiment_readout — then the r07 cohort
+# re-prove in r07 order, rows-only members yielding slots as above.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round: fresh proof rows --
+    "dedup_minhash_candidates",
+    "dedup_minhash_neardups",
+    "dedup_minhash_editdist",
+    "dedup_simhash_buckets",
+    "dedup_simhash_neardups",
     "dedup_pagerank_centrality",
     "emb_semdedup",
     "emb_kmeans_profile",
     "media_ahash_neardups",
     "media_phash_neardups",
     "emb_pq_quantization",
+    "emb_ivf_topk",
+    "emb_ivfpq_topk",
+    "media_image_features",
+    "media_audio_features",
+    "media_scene_changes",
     "media_jpeg_roundtrip",
     "dedup_pagerank_contraction",
     "emb_kmeans_contraction",
@@ -1712,16 +2004,6 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "text_ngram_novelty",
     "ev_dau_mau_stickiness",
     "emb_mmr_rerank",
-    "ev_funnel_step_timing",
-    "ev_forecast_backtest",
-    "rel_cohort_repurchase",
-    "ev_srm_check",
-    "emb_matryoshka_overlap",
-    "uav_class_cooccurrence",
-    "ev_bot_regularity",
-    "emb_centroid_separation",
-    "rel_incremental_agg",
-    "rel_t_closeness",
 ]
 
 
@@ -6900,12 +7182,30 @@ ORDER BY cohort_year, cohort_month, offset_m
 
 _register(
     "dedup_minhash_editdist",
-    None,
+    f"""
+WITH RECURSIVE
+{_hash64_replay_ctes()},
+{_minhash_pairs_ctes()}
+SELECT doc_id_a, doc_id_b, lang, edit_distance, similarity FROM (
+  SELECT p.doc_id_a, p.doc_id_b, da.lang,
+         CAST(levenshtein(da.text, db.text) AS BIGINT) AS edit_distance,
+         round((1.0 - CAST(levenshtein(da.text, db.text) AS DOUBLE)
+                      / greatest(da.n_chars, db.n_chars)) * 1e6) / 1e6
+           AS similarity
+  FROM mh_pairs p
+  JOIN documents da ON da.doc_id = p.doc_id_a
+  JOIN documents db ON db.doc_id = p.doc_id_b
+  WHERE da.lang = db.lang
+) WHERE similarity >= 0.8
+""",
     notes="block-then-verify near-dup at the 100 TB shape: MinHash+LSH "
     "candidates (one signature pass, bucket-keyed shuffle, no "
-    "all-pairs) x exact Levenshtein verify on colliding pairs only; "
-    "MinHash isn't SQL -> rows-only; recall vs the blocked-exact "
-    "dedup_edit_distance pinned in tests",
+    "all-pairs) x exact Levenshtein verify on colliding pairs only. "
+    "PROMOTED rows-only -> fully oracled (r13): candidates replay via "
+    "the shared signature-plane CTEs, DuckDB's levenshtein() is the "
+    "same unit-cost metric as Spark's, and the similarity uses the "
+    "integer-scaling snap on both engines; recall vs the blocked-exact "
+    "dedup_edit_distance stays pinned in tests",
 )(lambda spark: dedup.minhash_editdist_verify(spark))
 
 
