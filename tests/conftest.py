@@ -20,7 +20,10 @@ def spark():
 
     s = get_spark(
         app_name="tests",
-        master="local[8]",
+        # local[16]: uniform ~8-10% suite speedup vs local[8] measured r13
+        # (parity 286->258s, streaming modules 69->65s); partition-count
+        # assertions all derive from framesPerPartition, not parallelism
+        master="local[16]",
         shuffle_partitions=8,
         # static conf: must be set at session build (bucketed-table tests)
         extra_conf={"spark.sql.warehouse.dir": tempfile.mkdtemp(prefix="spark_wh_")},
