@@ -140,6 +140,25 @@ ROTATION = [
 ]
 
 
+# Plan-frozen canary set (VERDICT r13 #2): five trivial queries whose
+# plans have been frozen for many rounds and whose warm medians move ONLY
+# with box speed — their total is a per-run box fingerprint that lets a
+# reader NORMALIZE cross-box comparisons (the r13 driver box read ~1.23x
+# the builder's on identical code, opening three phantom TPC-H fuses;
+# the r7 1.68x session shift was adjudicated the same way by hand). All
+# five are HEADLINE members, so every run — including the driver's
+# headline-only end-of-round run — records them at no extra cost.
+# Round-over-round rule (BASELINE.md): before calling a >1.5x reading a
+# regression, divide both rounds' per-query medians by their run's
+# canary_total_sec; a fuse only opens on the normalized ratio.
+CANARY = [
+    "uav_class_stats",
+    "uav_segment_stats",
+    "uav_detection_rank",
+    "tpch_q1_pricing",
+    "dedup_docs_exact",
+]
+
 N_STREAM_BATCHES = 4
 
 # Per-query run-count boosts (VERDICT r10 #1): queries whose single-box
@@ -576,6 +595,13 @@ def main() -> None:
         )
 
     total = round(sum(timings.values()), 3)
+    # provenance (VERDICT r13 #2): the builder labels its runs with
+    # SPARK_GRAFT_BENCH_SOURCE=builder; an unlabeled run is the driver's
+    # end-of-round measurement (the driver does not set the env var).
+    # Recorded per run AND per query (runs_by_source, merged across the
+    # round's runs) so round-over-round medians can be computed same-box.
+    source = os.environ.get("SPARK_GRAFT_BENCH_SOURCE", "driver")
+    canary = {q: timings[q] for q in CANARY if q in timings}
     out = {
         "metric": "headline_queries_total_sec",
         "value": total,
@@ -584,6 +610,11 @@ def main() -> None:
         "spread": spread,
         "runs_per_query": n_runs,
         "sf": sf,
+        "source": source,
+        "canary": canary,
+        "canary_total_sec": round(sum(canary.values()), 3),
+        "runs_by_source": {source: dict(timings)},
+        "canary_by_source": {source: round(sum(canary.values()), 3)},
     }
     # streaming-state throughput section (VERDICT r4 #6) — single-shot
     # wall timings, not medians (each run re-ingests the whole feed);
@@ -608,6 +639,8 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         "runs_per_query": n_runs,
+        "source": source,
+        "canary_total_sec": out["canary_total_sec"],
     }
     if "streaming" in out:
         compact["streaming_total_sec"] = round(
@@ -648,6 +681,30 @@ def _merge_full_artifact(full_path: Path, out: dict) -> None:
         prev = json.loads(full_path.read_text())
     except (OSError, json.JSONDecodeError):
         return
+    # per-source ledgers merge FIRST (VERDICT r13 #2) — they must survive
+    # even when the top-level queries dict has nothing to retain: this
+    # run's source section absorbs this run's timings on top of its own
+    # prior entries; other sources' sections pass through untouched, so
+    # the committed artifact always carries the same-round builder
+    # reading next to the driver's.
+    if isinstance(out.get("runs_by_source"), dict) and out["runs_by_source"]:
+        this_src = next(iter(out["runs_by_source"]))
+        prev_rbs = prev.get("runs_by_source")
+        if isinstance(prev_rbs, dict):
+            merged_rbs = {
+                k: dict(v) for k, v in prev_rbs.items() if isinstance(v, dict)
+            }
+            merged_rbs[this_src] = {
+                **merged_rbs.get(this_src, {}),
+                **out["runs_by_source"][this_src],
+            }
+            out["runs_by_source"] = merged_rbs
+        prev_cbs = prev.get("canary_by_source")
+        if isinstance(prev_cbs, dict):
+            out["canary_by_source"] = {
+                **prev_cbs,
+                **out.get("canary_by_source", {}),
+            }
     prev_q = prev.get("queries")
     if not isinstance(prev_q, dict):
         return

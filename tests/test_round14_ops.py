@@ -1,0 +1,203 @@
+"""Round-14 additions: media fingerprint promotions (frame samples /
+resized thumbs as exact integer content moments), the quantized Neumann
+absorption replay, and the Newton-Schulz Procrustes replay."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from uav_streamprocessor_spark.fixtures import register_uav_views
+from uav_streamprocessor_spark.operators import multimodal
+from uav_streamprocessor_spark.operators.multimodal import _md5_noise
+from uav_streamprocessor_spark.operators.pixel import encode_image
+
+SF_SMALL = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _views(spark):
+    register_uav_views(spark, SF_SMALL)
+
+
+# ---------------------------------------------------------------------------
+# media_frame_samples / media_resized_thumbs fingerprint promotions
+# ---------------------------------------------------------------------------
+
+def test_frame_sample_fingerprints_static_back_half(spark):
+    """Corpus videos repeat frame 3 in the back half: sampled frame 6 must
+    carry the exact same content moments as sampled frame 3."""
+    m = multimodal.corpus_media(spark)
+    rows = multimodal.frame_sample_fingerprints(m, every_n=3).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["media_id"], {})[r["frame_index"]] = (
+            r["payload_sum"], r["payload_ss"]
+        )
+    assert per, "no videos in corpus"
+    for mid, by_idx in per.items():
+        assert sorted(by_idx) == [0, 3, 6], (mid, sorted(by_idx))
+        assert by_idx[3] == by_idx[6], mid
+        # front half is md5 noise: frames 0 and 3 differ
+        assert by_idx[0] != by_idx[3], mid
+
+
+def test_frame_sample_fingerprints_match_md5_source(spark):
+    """Positive control independent of the DuckDB oracle: moments equal a
+    direct numpy recomputation from the md5 corpus bytes."""
+    m = multimodal.corpus_media(spark)
+    rows = multimodal.frame_sample_fingerprints(m, every_n=3).collect()
+    checked = 0
+    for r in rows:
+        if checked >= 6:
+            break
+        src = r["frame_index"] if r["frame_index"] < 4 else 3
+        noise = _md5_noise(f"v{r['media_id']}", 4 * 16 * 16 * 3)
+        frame = noise[src * 768 : (src + 1) * 768].astype(np.int64)
+        assert r["height"] == 16 and r["width"] == 16
+        assert r["payload_sum"] == int(frame.sum()), r
+        assert r["payload_ss"] == int((frame * frame).sum()), r
+        checked += 1
+    assert checked == 6
+
+
+def test_resized_thumb_fingerprints_match_stride2(spark):
+    """Nearest-neighbor 32->16 keeps exactly the even-coordinate pixels."""
+    m = multimodal.corpus_media(spark)
+    rows = multimodal.resized_thumb_fingerprints(m, target=16).collect()
+    assert rows
+    for r in rows[:6]:
+        img = _md5_noise(f"i{r['media_id']}", 32 * 32 * 3).reshape(32, 32, 3)
+        kept = img[::2, ::2, :].astype(np.int64)
+        assert (r["height"], r["width"]) == (16, 16)
+        assert r["payload_sum"] == int(kept.sum()), r
+        assert r["payload_ss"] == int((kept * kept).sum()), r
+
+
+# ---------------------------------------------------------------------------
+# bench drift-robustness (VERDICT r13 #2): per-source ledgers + canary
+# ---------------------------------------------------------------------------
+
+def test_merge_full_artifact_keeps_per_source_ledgers(tmp_path):
+    """The r13 driver box read ~1.23x the builder's on identical code and
+    its verbatim override opened three phantom TPC-H fuses. The merged
+    artifact must now carry BOTH boxes' readings (runs_by_source) and
+    both canary fingerprints, so round-over-round medians can be
+    computed same-box and normalized."""
+    import json
+
+    import bench
+
+    prior = {
+        "queries": {"a": 1.0, "rot_only": 7.0},
+        "spread": {},
+        "runs_by_source": {"builder": {"a": 1.0, "rot_only": 7.0}},
+        "canary_by_source": {"builder": 0.8},
+    }
+    p = tmp_path / "BENCH_full_rXX.json"
+    p.write_text(json.dumps(prior))
+    out = {
+        "queries": {"a": 1.3},
+        "spread": {"a": [1.2, 1.4]},
+        "runs_by_source": {"driver": {"a": 1.3}},
+        "canary_by_source": {"driver": 1.0},
+    }
+    bench._merge_full_artifact(p, out)
+    # driver overrides the shared view, but the builder ledger survives
+    assert out["queries"] == {"a": 1.3, "rot_only": 7.0}
+    assert out["runs_by_source"]["builder"] == {"a": 1.0, "rot_only": 7.0}
+    assert out["runs_by_source"]["driver"] == {"a": 1.3}
+    assert out["canary_by_source"] == {"builder": 0.8, "driver": 1.0}
+    # same-source re-run folds into its own ledger
+    p.write_text(json.dumps(out))
+    out2 = {
+        "queries": {"b": 2.0},
+        "spread": {},
+        "runs_by_source": {"driver": {"b": 2.0}},
+        "canary_by_source": {"driver": 0.9},
+    }
+    bench._merge_full_artifact(p, out2)
+    assert out2["runs_by_source"]["driver"] == {"a": 1.3, "b": 2.0}
+    assert out2["canary_by_source"]["driver"] == 0.9
+
+
+def test_canary_queries_are_headline_members():
+    """The canary set must cost nothing: every member is already in
+    HEADLINE so the driver's headline-only run records it too."""
+    import bench
+
+    assert len(bench.CANARY) == 5
+    for q in bench.CANARY:
+        assert q in bench.HEADLINE
+
+
+# ---------------------------------------------------------------------------
+# ADVICE r13: signature-plane corpus contract + IVF exactness witness
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("sf", ["0.001", "0.01", "0.1"])
+def test_signature_oracle_corpus_contract(sf):
+    """The five MinHash/SimHash signature-replay oracles are only valid
+    under the documented corpus contract: every document is printable
+    ASCII, single-space separated, no leading/trailing spaces, >= 3
+    tokens (ADVICE r13: the engine gives <3-token docs a sentinel
+    shingle the SQL replay silently omits, and string_split(' ') vs
+    Python split() diverge on multi-space / non-ASCII text). A future
+    corpus change must fail HERE, loudly, not as a confusing parity
+    mismatch."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"'/root/testdata/sf{sf}/documents.parquet'"
+    )
+    # one regex enforces the whole contract: >= 3 single-space-separated
+    # runs of printable non-space ASCII, nothing else
+    bad = con.sql(
+        r"""
+        SELECT count(*) FROM documents
+        WHERE NOT regexp_matches(text,
+          '^[\x21-\x7e]+( [\x21-\x7e]+){2,}$')
+        """
+    ).fetchone()[0]
+    assert bad == 0, (
+        f"sf{sf}: {bad} documents violate the signature-oracle corpus "
+        "contract (ascii, single-space separated, >=3 tokens)"
+    )
+
+
+def test_ivf_full_probe_replay_equals_knn_oracle(duck):
+    """ADVICE r13: emb_ivf_full_probe's oracle moved to the shared IVF
+    replay template, so no oracle independently asserted the exactness
+    law (full-probe IVF == brute-force kNN) — both sides could share a
+    misconception. This witness runs BOTH oracle SQLs in DuckDB and
+    pins their outputs equal, keeping the exactness twin independent."""
+    from uav_streamprocessor_spark import registry
+
+    o = registry.oracle_sql()
+    fp = sorted(duck.sql(o["emb_ivf_full_probe"]).fetchall())
+    knn = sorted(duck.sql(o["emb_knn_bruteforce"]).fetchall())
+    assert fp == knn
+
+
+def test_payload_fingerprints_read_content(spark):
+    """A one-byte payload change must flip the moments (the fingerprint is
+    a content check, not a row-count check)."""
+    base = np.zeros((4, 4, 3), dtype=np.uint8)
+    tweak = base.copy()
+    tweak[1, 2, 0] = 7
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"media_id": [0, 1],
+             "payload": [encode_image(base), encode_image(tweak)]}
+        )
+    )
+    out = {
+        r["media_id"]: (r["payload_sum"], r["payload_ss"])
+        for r in multimodal._payload_fingerprints(df, ["media_id"]).collect()
+    }
+    assert out[0] == (0, 0)
+    assert out[1] == (7, 49)

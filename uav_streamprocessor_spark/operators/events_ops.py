@@ -2201,16 +2201,27 @@ def markov_absorption(spark: SparkSession) -> DataFrame:
 
     Distributed part: one user-partitioned window pass emits
     transition counts truncated at absorption (a types² table). Driver
-    part: a ≤(k+2)² linear solve on that bounded count table — the
-    same model-budget convention as the k-means/PQ codebooks (the
-    matrix is event-type-sized, never data-sized). Rows-only: a matrix
-    inverse isn't SQL; invariants pinned in tests (each state's
-    absorption probabilities sum to 1; a planted deterministic chain
-    solves exactly)."""
+    part: a ≤(k+2)² solve on that bounded count table — the same
+    model-budget convention as the k-means/PQ codebooks (the matrix is
+    event-type-sized, never data-sized).
+
+    PROMOTED rows-only -> fully oracled (r14, VERDICT r13 #4): the
+    LAPACK solve is replaced by the QUANTIZED truncated Neumann series
+    X_{t+1} = snap9(rhs + Q·X_t) for a fixed 150 rounds (the
+    dedup_pagerank_centrality recipe) — Q/R entries are snapped
+    integer-count divisions, every round snaps to the 1e-9 grid with
+    the portable half-up idiom, and the output IS the round-150
+    quantized iterate (no second rounding), so a DuckDB recursive CTE
+    replays the whole trace bit-for-bit. Convergence is measured, not
+    hoped: spectral radius of Q on this corpus is ~0.78-0.80 across
+    all three SFs, so the T=150 truncation error is ~1e-15 — machine
+    precision, seven orders inside the mass shadow's 6dp bound — and
+    the per-round snap contributes at most 5e-10/(1-ρ) ≈ 2.5e-9.
+    Planted-chain exactness and row-stochasticity stay pinned in
+    test_round7b_ops.py."""
     transient, B, steps = _absorption_solve(spark)
     rows = [
-        (s, float(round(B[i, 0], 6)), float(round(B[i, 1], 6)),
-         float(round(steps[i], 6)))
+        (s, float(B[i, 0]), float(B[i, 1]), float(steps[i]))
         for i, s in enumerate(transient)
     ]
     return spark.createDataFrame(
@@ -2220,11 +2231,34 @@ def markov_absorption(spark: SparkSession) -> DataFrame:
     )
 
 
-def _absorption_solve(spark: SparkSession):
-    """Shared fundamental-matrix solve for markov_absorption and its
+#: fixed Neumann truncation depth shared by the engine iterate and the
+#: DuckDB recursive-CTE replay — measured: spectral radius ~0.8 on this
+#: corpus puts the T=150 truncation error at machine precision.
+ABSORPTION_ITERS = 150
+
+
+def _absorption_solve(spark: SparkSession, iters: int = ABSORPTION_ITERS):
+    """Shared fundamental-matrix quantities for markov_absorption and its
     conservation shadow: returns (sorted transient states, B = absorption
-    probabilities [purchase, __drop__], expected steps), unrounded."""
+    probabilities [purchase, __drop__], expected steps).
+
+    r14: the LAPACK solve of (I − Q)X = [R | 1] is replaced by its
+    truncated Neumann series X_{t+1} = snap9(rhs + Q·X_t), X_0 = 0,
+    with every probability entry and every round snapped to the 1e-9
+    grid via the portable half-up idiom floor(x·1e9 + 0.5)/1e9 — the
+    engine-portable form that lets a DuckDB recursive CTE replay the
+    exact trace (the dedup_pagerank_centrality quantized-replay
+    pattern). Mathematically identical in the limit: Σ Qᵗ·rhs =
+    (I−Q)⁻¹·rhs whenever ρ(Q) < 1, which holds for any absorbing chain
+    where every transient state reaches absorption; a chain violating
+    that no longer raises (the iterate simply reports the t-step
+    absorption mass reached so far, and the mass shadow's 1.0 assertion
+    is what flags the degeneracy)."""
     import numpy as np
+
+    def snap9(a):
+        # half-up on both engines (np.round would be half-to-even)
+        return np.floor(a * 1e9 + 0.5) / 1e9
 
     counts = {
         (r["prev_state"], r["next_state"]): r["n"]
@@ -2243,25 +2277,16 @@ def _absorption_solve(spark: SparkSession):
     for (p, nx), n in counts.items():
         if p == "purchase":
             continue
+        # integer/integer division is exactly rounded IEEE on both
+        # engines; the snap is symmetry with the SQL replay
         if nx in idx:
-            Q[idx[p], idx[nx]] = n / row_tot[p]
+            Q[idx[p], idx[nx]] = snap9(n / row_tot[p])
         elif nx in ("purchase", "__drop__"):
-            R[idx[p], absorbing.index(nx)] = n / row_tot[p]
-    # Fundamental-matrix quantities N @ R and N @ 1 via a single linear
-    # solve of (I − Q) X = [R | 1] — no explicit inverse: better
-    # conditioned, and a degenerate transition table (a transient state
-    # with no escape path, making I − Q singular) gets a clear error
-    # instead of an opaque LinAlgError from np.linalg.inv.
+            R[idx[p], absorbing.index(nx)] = snap9(n / row_tot[p])
     rhs = np.hstack([R, np.ones((k, 1))])
-    try:
-        X = np.linalg.solve(np.eye(k) - Q, rhs)
-    except np.linalg.LinAlgError as exc:
-        raise ValueError(
-            "markov_absorption: I - Q is singular — some transient state "
-            "has no path to an absorbing state ('purchase'/'__drop__'), "
-            "so absorption probabilities are undefined. Transient states: "
-            f"{transient}"
-        ) from exc
+    X = np.zeros((k, 3))
+    for _ in range(iters):
+        X = snap9(rhs + Q @ X)
     return transient, X[:, :2], X[:, 2]
 
 

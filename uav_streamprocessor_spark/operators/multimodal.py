@@ -263,6 +263,73 @@ def frame_sample_video(media: DataFrame, every_n: int = 30) -> DataFrame:
         .mapInPandas(run, schema=out_schema)
 
 
+def _payload_fingerprints(
+    frames: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Reduce binary image payloads to exact integer content moments
+    (n_bytes, sum, sum-of-squares over the decoded uint8 tensor) — the
+    media_image_features S/SS recipe applied to a payload-producing
+    operator's OUTPUT, which is what lets media_frame_samples /
+    media_resized_thumbs carry full DuckDB oracles (r14 promotion,
+    VERDICT r13 #4): the oracle regenerates the md5-derived source
+    pixels and reproduces every moment bit-for-bit, so it checks frame
+    CONTENT — including the encode_image→decode_image round trip this
+    pass re-runs — not just row counts. BIGINT-exact, no float anywhere.
+
+    Scale: one extra Arrow crossing of the payload column per audited
+    batch; at 100 TB this is the audit lane, not the serving lane — the
+    payload-emitting operator itself stays single-pass."""
+    out_fields = [
+        T.StructField(c, T.LongType() if c == "media_id" else T.IntegerType(),
+                      False)
+        for c in key_cols
+    ] + [
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("payload_sum", T.LongType(), True),
+        T.StructField("payload_ss", T.LongType(), True),
+    ]
+    out_schema = T.StructType(out_fields)
+    cols = key_cols + ["height", "width", "payload_sum", "payload_ss"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for tup in zip(*[pdf[c] for c in key_cols], pdf["payload"]):
+                *keys, buf = tup
+                keys = [int(k) for k in keys]
+                if buf is None:
+                    rows.append((*keys, None, None, None, None))
+                    continue
+                img = decode_image(bytes(buf)).astype(np.int64)
+                rows.append(
+                    (*keys, int(img.shape[0]), int(img.shape[1]),
+                     int(img.sum()), int((img * img).sum()))
+                )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return frames.mapInPandas(run, schema=out_schema)
+
+
+def frame_sample_fingerprints(media: DataFrame, every_n: int = 30) -> DataFrame:
+    """frame_sample_video + exact integer content moments per sampled
+    frame — the oracled registry surface for the sampling operator (the
+    binary-payload form stays the API for consumers that need frames)."""
+    sampled = frame_sample_video(media, every_n=every_n)
+    return _payload_fingerprints(
+        sampled, ["media_id", "frame_index"]
+    ).orderBy("media_id", "frame_index")
+
+
+def resized_thumb_fingerprints(media: DataFrame, target: int = 64) -> DataFrame:
+    """resize_images + exact integer content moments per thumbnail — the
+    oracled registry surface for the resize operator (nearest-neighbor
+    sampling means every output byte is a source byte, so DuckDB replays
+    the moments from the md5 corpus with a stride-2 coordinate filter)."""
+    thumbs = resize_images(media, target=target)
+    return _payload_fingerprints(thumbs, ["media_id"]).orderBy("media_id")
+
+
 # ---------------------------------------------------------------------------
 # Image perceptual-hash near-dup (aHash + banded hamming join)
 # ---------------------------------------------------------------------------
@@ -438,12 +505,18 @@ def _dct_basis(n: int) -> np.ndarray:
     to the 1e-9 grid (r13): libm cos() may differ by an ulp between
     numpy and DuckDB, and the snap makes both engines build the SAME
     basis doubles, which is half of what lets the pHash replay in SQL
-    (the other half is the 1e-6 coefficient snap in image_phash)."""
+    (the other half is the 1e-6 coefficient snap in image_phash).
+    r14 (ADVICE r13): the snap uses the half-up idiom
+    floor(x·1e9 + 0.5)/1e9 on BOTH engines — np.round is half-to-even
+    while SQL round is half-away, so only the measure-zero
+    ulp-at-grid-boundary case remains (numpy SIMD cos vs DuckDB
+    std::cos bit-identity is NOT assumed, only agreement to within
+    the 0.5e-9 guard band)."""
     k = np.arange(n)[:, None].astype(np.float64)
     i = np.arange(n)[None, :].astype(np.float64)
     basis = np.cos(np.pi * (2 * i + 1) * k / (2 * n)) * np.sqrt(2.0 / n)
     basis[0] /= np.sqrt(2.0)
-    return np.round(basis * 1e9) / 1e9
+    return np.floor(basis * 1e9 + 0.5) / 1e9
 
 
 def image_phash(media: DataFrame) -> DataFrame:
@@ -617,7 +690,17 @@ def corpus_media(spark) -> DataFrame:
                 else:
                     freq = 200.0 + (did % 200)
                     t = np.arange(8000) / 16000.0
-                    pcm = (10000 * np.sin(2 * np.pi * freq * t)).astype("<i2")
+                    # snap the sine product to the coarse 2^-10 binary
+                    # grid (half-up) BEFORE the int16 trunc (r14, ADVICE
+                    # r13): numpy SIMD sin and DuckDB std::sin are NOT
+                    # assumed bit-identical — an ulp of disagreement now
+                    # only matters if 10000*sin lands within that ulp of
+                    # a 1/2048 grid boundary (measure-zero), instead of
+                    # within an ulp of ANY integer (the old trunc cliff)
+                    raw = 10000.0 * np.sin(2 * np.pi * freq * t)
+                    pcm = np.trunc(
+                        np.floor(raw * 1024.0 + 0.5) / 1024.0
+                    ).astype("<i2")
                     rows.append(
                         (did, "audio", "pcm16", None, None, 500,
                          pcm.tobytes())

@@ -1910,100 +1910,95 @@ FROM joined GROUP BY 1 ORDER BY 1
 # r03-cohort re-prove (CORRECTNESS_r01..r10: every one of the registry's
 # queries driver-checked at least once, zero wrong answers ever).
 #
-# This round-13 window (VERDICT r12 "Next round" #5, zero rows-only
+# This round-14 window (VERDICT r13 "Next round" #1, zero rows-only
 # entries — a rows-only driver row proves little; oracled twins take
 # those slots):
 #  1. Queries whose code or oracle changed THIS round — fresh driver rows
-#     prove the change: the SIX outright r13 promotions
-#     dedup_pagerank_centrality (quantized 10-round recursive replay),
-#     emb_semdedup + emb_kmeans_profile (quantized Lloyd, shared
-#     _kmeans_replay_ctes oracle), media_ahash_neardups +
-#     media_phash_neardups (md5-derived pixels, integer/snapped hashes,
-#     group+delta replay), emb_pq_quantization (quantized per-subspace
-#     PQ training), the FIVE signature-plane promotions
-#     dedup_minhash_candidates/neardups/editdist +
-#     dedup_simhash_buckets/neardups (full uint64 hash replay in SQL),
-#     emb_ivf_topk + emb_ivfpq_topk (grid-snapped ANN replays),
-#     media_image_features/audio_features/scene_changes (md5/sine
-#     corpora + exact integer features); media_jpeg_roundtrip (jpeg.py
-#     hardened: fill-byte
-#     markers + allocation bounds, ADVICE r12); and the oracled shadows
-#     sharing edited code paths — dedup_pagerank_contraction
-#     (graph.pagerank), emb_kmeans_contraction (kmeans_lloyd),
-#     emb_ivfpq_recall_bound (_pq_codebooks signature).
-#  2. The three r05-cohort members the r12 window could not fit:
-#     ev_daily_autocorr, uav_keyframe_decimation, uav_frame_counters.
-#  3. The oldest-row re-prove rotation: the r06 cohort in r06
-#     (CORRECTNESS_r06.json) order, skipping its rows-only members
-#     (emb_ivfpq_topk, dedup_minhash_editdist, the five pixel/audio
-#     media_* rows, text_compression_ratio, emb_procrustes_drift — all
-#     carry oracled shadows or bounds) and names already in section 1.
+#     prove the change: the FOUR outright r14 promotions
+#     ev_markov_absorption (quantized 150-round Neumann replay of the
+#     fundamental-matrix solve), emb_procrustes_drift (36-round
+#     quantized Newton-Schulz polar iteration, binary-grid exact sums),
+#     media_frame_samples + media_resized_thumbs (exact integer content
+#     moments over the md5 corpora, signing the encode/decode round
+#     trip); the two ADVICE r13 libm-guard edits media_audio_features
+#     (sine snapped to the 2^-10 grid before trunc) and
+#     media_phash_neardups (half-up DCT basis snap); the shadow sharing
+#     the edited solve ev_markov_absorption_mass (_absorption_solve);
+#     and emb_kmeans_profile (assignment + integer-moments aggregation
+#     fused into one mapInPandas pass — VERDICT r13 #5).
+#  2. The fourteen r06-cohort members the r13 window could not fit
+#     (the pre-written queue): ev_funnel_step_timing through
+#     ev_experiment_readout below.
+#  3. The oldest-row re-prove rotation: the r07 cohort in r07
+#     (CORRECTNESS_r07.json) order, skipping rows-only members
+#     (rel_approx_distinct — its accuracy-contract twin is oracled) and
+#     names already in sections 1-2.
 # Names listed here sort first, in this order; everything else follows
 # in registration order. Exactly 50 names (pinned by
 # test_driver_window_holds_the_priority_queries).
 #
-# r14 queue: the fourteen r06-cohort members this window could not fit
-# — ev_funnel_step_timing, ev_forecast_backtest, rel_cohort_repurchase,
-# ev_srm_check, emb_matryoshka_overlap, uav_class_cooccurrence,
-# ev_bot_regularity, emb_centroid_separation, rel_incremental_agg,
-# rel_t_closeness, media_metadata_stats, dedup_graph_modularity,
-# emb_dbscan_lite, ev_experiment_readout — then the r07 cohort
-# re-prove in r07 order, rows-only members yielding slots as above.
+# r15 queue: the r07-cohort members this window could not fit
+# (ev_hourly_tumbling onward in r07 order: ev_hourly_tumbling,
+# ev_sliding_window, ev_session_windows, ev_json_props, ev_dedup_exact,
+# ev_user_daily_running, the uav_* r07 tail), then the r08 cohort
+# re-prove in r08 order, rows-only members yielding slots as above.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- changed or added this round: fresh proof rows --
+    # -- changed or added this round (r14): fresh proof rows --
+    "ev_markov_absorption",
+    "ev_markov_absorption_mass",
+    "emb_procrustes_drift",
+    "media_frame_samples",
+    "media_resized_thumbs",
+    "media_audio_features",
+    "media_phash_neardups",
+    "emb_kmeans_profile",
+    # -- the fourteen r06-cohort members the r13 window could not fit --
+    "ev_funnel_step_timing",
+    "ev_forecast_backtest",
+    "rel_cohort_repurchase",
+    "ev_srm_check",
+    "emb_matryoshka_overlap",
+    "uav_class_cooccurrence",
+    "ev_bot_regularity",
+    "emb_centroid_separation",
+    "rel_incremental_agg",
+    "rel_t_closeness",
+    "media_metadata_stats",
+    "dedup_graph_modularity",
+    "emb_dbscan_lite",
+    "ev_experiment_readout",
+    # -- r07-cohort re-prove (oldest driver rows = r07) in r07 order,
+    #    rows-only members skipped (rel_approx_distinct yields its slot
+    #    to the next oracled name) --
+    "rel_rfm_segmentation",
+    "media_image_features",
+    "dedup_docs_exact",
+    "dedup_docs_survivors",
+    "dedup_fingerprints",
     "dedup_minhash_candidates",
     "dedup_minhash_neardups",
-    "dedup_minhash_editdist",
     "dedup_simhash_buckets",
     "dedup_simhash_neardups",
-    "dedup_pagerank_centrality",
-    "emb_semdedup",
-    "emb_kmeans_profile",
-    "media_ahash_neardups",
-    "media_phash_neardups",
-    "emb_pq_quantization",
-    "emb_ivf_topk",
-    "emb_ivfpq_topk",
-    "media_image_features",
-    "media_audio_features",
-    "media_scene_changes",
-    "media_jpeg_roundtrip",
-    "dedup_pagerank_contraction",
-    "emb_kmeans_contraction",
-    "emb_ivfpq_recall_bound",
-    # -- r05-cohort members the r12 window could not fit --
-    "ev_daily_autocorr",
-    "uav_keyframe_decimation",
-    "uav_frame_counters",
-    # -- r06-cohort re-prove (oldest driver rows = r06), rows-only skipped --
-    "dedup_graph_coreness",
-    "ev_cuped_readout",
-    "rel_snapshot_diff",
-    "dedup_minhash_estimate",
-    "text_score_normalization",
-    "emb_label_noise",
-    "ev_power_analysis",
-    "text_score_psi",
-    "text_dsir_weights",
-    "ev_seasonal_adjustment",
-    "emb_kcenter_sample",
-    "ev_cusum_changepoints",
-    "text_heaps_law",
-    "rel_join_skew_audit",
-    "text_pmi_collocations",
-    "ev_concurrent_sessions",
-    "rel_revenue_gini",
-    "rel_abc_pareto",
-    "text_readability_scores",
-    "text_lang_source_chi2",
-    "dedup_edit_distance",
-    "emb_dimension_variance",
-    "uav_motion_vectors",
-    "ev_prequential_zscore",
-    "text_ngram_novelty",
-    "ev_dau_mau_stickiness",
-    "emb_mmr_rerank",
+    "dedup_ngram_jaccard",
+    "tpch_q1_pricing",
+    "tpch_q3_priority",
+    "tpch_q5_region_revenue",
+    "rel_revenue_by_region",
+    "rel_top_customers",
+    "rel_orders_rollup",
+    "rel_orders_cube",
+    "rel_pivot_linestatus",
+    "rel_distinct_segments",
+    "rel_customer_order_rank",
+    "rel_intersect_customers",
+    "rel_except_customers",
+    "rel_suppliers_no_lineitems",
+    "rel_string_functions",
+    "rel_orders_by_month",
+    "rel_math_functions",
+    "rel_correlated_exists",
+    "ev_type_stats",
 ]
 
 
@@ -4973,12 +4968,15 @@ l3 AS (
 ),
 basis AS (
   -- the engine's _dct_basis rows 0..7, snapped to the same 1e-9 grid
+  -- with the half-up idiom (r14, ADVICE r13: np.round is half-even,
+  -- SQL round half-away; floor(x*1e9 + 0.5) is identical on both, so
+  -- only the cos-ulp-at-boundary measure-zero class remains)
   SELECT k.k AS k, i.i AS i,
-         round(1e9 * (CASE WHEN k.k = 0
+         floor(1e9 * (CASE WHEN k.k = 0
                            THEN cos(pi() * (2 * i.i + 1) * k.k / 64.0)
                                 * sqrt(2.0 / 32.0) / sqrt(2.0)
                            ELSE cos(pi() * (2 * i.i + 1) * k.k / 64.0)
-                                * sqrt(2.0 / 32.0) END)) / 1e9 AS val
+                                * sqrt(2.0 / 32.0) END) + 0.5) / 1e9 AS val
   FROM unnest(generate_series(0, 7)) AS k(k),
        unnest(generate_series(0, 31)) AS i(i)
 ),
@@ -7493,9 +7491,14 @@ WITH aud AS (
   FROM documents WHERE doc_id % 3 = 2
 ),
 pcm AS (
+  -- sine product snapped to the 2^-10 binary grid half-up BEFORE the
+  -- trunc (r14, ADVICE r13): no numpy-vs-DuckDB libm sin identity is
+  -- assumed — an ulp of disagreement only matters at a 1/2048 grid
+  -- boundary (measure-zero), not at every integer crossing
   SELECT a.media_id, i.i AS i,
-         CAST(trunc(10000 * sin(((2 * pi()) * a.freq) * (i.i / 16000.0)))
-              AS BIGINT) AS v
+         CAST(trunc(floor(10000 * sin(((2 * pi()) * a.freq)
+                                      * (i.i / 16000.0)) * 1024 + 0.5)
+                    / 1024) AS BIGINT) AS v
   FROM aud a, unnest(generate_series(0, 7999)) AS i(i)
 ),
 agg AS (
@@ -7523,7 +7526,9 @@ FROM agg g JOIN zc z USING (media_id) ORDER BY g.media_id
     "rate per clip via one Arrow mapInPandas pass; metadata filter "
     "precedes decode, payload never reaches a shuffle. PROMOTED "
     "rows-only -> fully oracled (r13): the corpus sine is closed-form "
-    "(trunc(10000*sin(2*pi*f*t)) int16), RMS derives from the "
+    "(trunc(snap_1024(10000*sin(2*pi*f*t))) int16 — r14 adds the "
+    "coarse-grid snap so no cross-libm sin identity is assumed), RMS "
+    "derives from the "
     "BIGINT-exact sum of squares, ZCR from an integer crossing count, "
     "and all rounds use the engine-portable floor(x*1e6+0.5)/1e6 "
     "half-up (Python round() is half-even, SQL round() half-away) — "
@@ -7589,11 +7594,44 @@ ORDER BY media_id, frame_index
 
 _register(
     "media_frame_samples",
-    None,
+    """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1),
+fs AS (
+  SELECT f.f AS frame_index, CASE WHEN f.f < 4 THEN f.f ELSE 3 END AS s
+  FROM (SELECT unnest([0, 3, 6]) AS f) f
+),
+chunks AS (
+  SELECT ids.media_id, fs.frame_index,
+         md5('v' || ids.media_id || ':' || (fs.s * 48 + ci.ci)) AS hx
+  FROM ids, fs, unnest(generate_series(0, 47)) AS ci(ci)
+),
+b AS (
+  SELECT media_id, frame_index,
+         (strpos('0123456789abcdef', substr(hx, o.o * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, o.o * 2 + 2, 1)) - 1)
+           AS b
+  FROM chunks, unnest(generate_series(0, 15)) AS o(o)
+)
+SELECT media_id, CAST(frame_index AS INT) AS frame_index,
+       CAST(16 AS INT) AS height, CAST(16 AS INT) AS width,
+       CAST(sum(b) AS BIGINT) AS payload_sum,
+       CAST(sum(b * b) AS BIGINT) AS payload_ss
+FROM b GROUP BY media_id, frame_index
+ORDER BY media_id, frame_index
+""",
     notes="video frame sampling (every-Nth inside the container - F1 "
     "applied to video payloads): one row per sampled frame, demux in "
-    "one mapInPandas pass; rows-only (binary payload output)",
-)(lambda spark: multimodal.frame_sample_video(
+    "one mapInPandas pass. PROMOTED rows-only -> fully oracled (r14, "
+    "VERDICT r13 #4): the registered surface is the exact integer "
+    "content moments (S/SS over the decoded frame bytes — the "
+    "media_image_features recipe) of every sampled frame, so the "
+    "oracle checks frame CONTENT incl. the encode/decode round trip: "
+    "corpus videos are 8 frames of which the back half repeats frame 3 "
+    "(sampled 0,3,6 -> md5 source frames 0,3,3), and DuckDB "
+    "regenerates the 'v<id>' md5 bytes chunk-for-chunk. The "
+    "binary-payload form (frame_sample_video) stays the consumer API, "
+    "count/shape-tested in test_round5d_ops.py",
+)(lambda spark: multimodal.frame_sample_fingerprints(
     multimodal.corpus_media(spark), every_n=3
 ))
 
@@ -7701,12 +7739,42 @@ FROM mom m JOIN fps f USING (media_id) ORDER BY m.media_id
 
 _register(
     "media_resized_thumbs",
-    None,
-    notes="batch thumbnail resize (square nearest-neighbor to 16px) - "
-    "the preprocess path before feature extraction/training; rows-only "
-    "(binary payload output); dimension contract in "
-    "test_multimodal_sources.py",
-)(lambda spark: multimodal.resize_images(multimodal.corpus_media(spark), target=16))
+    """
+WITH ids AS (SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 0),
+chunks AS (
+  SELECT ids.media_id, ci.ci,
+         md5('i' || ids.media_id || ':' || ci.ci) AS hx
+  FROM ids, unnest(generate_series(0, 191)) AS ci(ci)
+),
+ib AS (
+  SELECT media_id, ci * 16 + o.o AS p,
+         (strpos('0123456789abcdef', substr(hx, o.o * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, o.o * 2 + 2, 1)) - 1)
+           AS b
+  FROM chunks, unnest(generate_series(0, 15)) AS o(o)
+),
+kept AS (
+  SELECT media_id, b FROM ib
+  WHERE ((p // 3) // 32) % 2 = 0 AND ((p // 3) % 32) % 2 = 0
+)
+SELECT media_id, CAST(16 AS INT) AS height, CAST(16 AS INT) AS width,
+       CAST(sum(b) AS BIGINT) AS payload_sum,
+       CAST(sum(b * b) AS BIGINT) AS payload_ss
+FROM kept GROUP BY media_id ORDER BY media_id
+""",
+    notes="batch thumbnail resize (square nearest-neighbor 32->16px) - "
+    "the preprocess path before feature extraction/training. PROMOTED "
+    "rows-only -> fully oracled (r14, VERDICT r13 #4): the registered "
+    "surface is the exact integer content moments of every thumbnail; "
+    "nearest-neighbor means output pixel (y,x) IS source pixel "
+    "(2y,2x), so DuckDB replays the moments from the 'i<id>' md5 "
+    "corpus with a stride-2 coordinate filter — content-checked incl. "
+    "the encode/decode round trip, no float anywhere. The "
+    "binary-payload form (resize_images) stays the consumer API; "
+    "dimension contract in test_multimodal_sources.py",
+)(lambda spark: multimodal.resized_thumb_fingerprints(
+    multimodal.corpus_media(spark), target=16
+))
 
 
 _register(
@@ -7720,16 +7788,109 @@ _register(
 )(lambda spark: text.compression_ratio_gate(spark))
 
 
+def _procrustes_oracle() -> str:
+    """Unrolled-CTE DuckDB replay of procrustes_drift (r14 promotion,
+    the BPE-generated-rounds pattern): quantized cross-covariance →
+    Frobenius normalization → PROCRUSTES_ITERS rounds of the quantized
+    Newton–Schulz polar iteration (two 64×64 matmuls per round, each an
+    exact integer-scaled sum) → quantized per-pair residuals. Every
+    aggregate sums exact multiples of a binary grid, so the replay is
+    bit-identical to the engine in any summation order — see
+    similarity.procrustes_rotation for the grid-ladder proof."""
+    s20, s30, s40 = float(2**20), float(2**30), float(2**40)
+    t = similarity.PROCRUSTES_ITERS
+    rounds = []
+    for r in range(t):
+        rounds.append(f"""
+y{r} AS MATERIALIZED (
+  SELECT a.j AS i, b.j AS j,
+         floor(sum(a.v * b.v) * {s20} + 0.5) / {s20} AS v
+  FROM x{r} a JOIN x{r} b ON a.i = b.i GROUP BY a.j, b.j
+),
+xy{r} AS MATERIALIZED (
+  SELECT a.i, y.j, sum(a.v * y.v) AS v
+  FROM x{r} a JOIN y{r} y ON y.i = a.j GROUP BY a.i, y.j
+),
+x{r + 1} AS MATERIALIZED (
+  SELECT x.i, x.j,
+         floor((3.0 * x.v - xy.v) / 2.0 * {s20} + 0.5) / {s20} AS v
+  FROM x{r} x JOIN xy{r} xy ON xy.i = x.i AND xy.j = x.j
+)""")
+    return f"""
+WITH pairs AS MATERIALIZED (
+  SELECT CAST(o.vec_id // 2 AS BIGINT) AS pair_id,
+         o.embedding AS a, n.embedding AS b, o.label
+  FROM (SELECT vec_id, embedding, label FROM embeddings
+        WHERE vec_id % 2 = 0) o
+  JOIN (SELECT vec_id, embedding FROM embeddings
+        WHERE vec_id % 2 = 1) n
+    ON n.vec_id = o.vec_id + 1
+),
+m0 AS MATERIALIZED (
+  SELECT ti.i, tj.j,
+         sum(floor(CAST(p.a[ti.i + 1] AS DOUBLE)
+                   * CAST(p.b[tj.j + 1] AS DOUBLE) * {s30} + 0.5) / {s30})
+           AS m
+  FROM pairs p,
+       unnest(generate_series(0, 63)) ti(i),
+       unnest(generate_series(0, 63)) tj(j)
+  GROUP BY ti.i, tj.j
+),
+nrm AS (
+  SELECT sqrt(sum(floor(m * m * {s40} + 0.5) / {s40})) AS nf FROM m0
+),
+x0 AS MATERIALIZED (
+  SELECT i, j, floor(m / nf * {s20} + 0.5) / {s20} AS v FROM m0, nrm
+),{",".join(rounds)},
+ar AS (
+  SELECT p.pair_id, r.j,
+         sum(floor(CAST(p.a[r.i + 1] AS DOUBLE) * r.v * {s30} + 0.5)
+             / {s30}) AS arj
+  FROM pairs p, x{t} r
+  GROUP BY p.pair_id, r.j
+),
+dif AS (
+  SELECT ar.pair_id, ar.j,
+         ar.arj - CAST(p.b[ar.j + 1] AS DOUBLE) AS d_al,
+         CAST(p.a[ar.j + 1] AS DOUBLE) - CAST(p.b[ar.j + 1] AS DOUBLE)
+           AS d_raw
+  FROM ar JOIN pairs p USING (pair_id)
+),
+per_pair AS (
+  SELECT pair_id,
+         floor(sqrt(sum(floor(d_al * d_al * {s40} + 0.5) / {s40}))
+               * {s30} + 0.5) / {s30} AS q_al,
+         floor(sqrt(sum(floor(d_raw * d_raw * {s40} + 0.5) / {s40}))
+               * {s30} + 0.5) / {s30} AS q_raw
+  FROM dif GROUP BY pair_id
+)
+SELECT p.label, CAST(count(*) AS BIGINT) AS n_pairs,
+       floor(sum(pp.q_raw) / count(*) * 1e6 + 0.5) / 1e6
+         AS mean_residual_raw,
+       floor(sum(pp.q_al) / count(*) * 1e6 + 0.5) / 1e6
+         AS mean_residual_aligned
+FROM per_pair pp JOIN pairs p USING (pair_id)
+GROUP BY p.label ORDER BY p.label
+"""
+
+
 _register(
     "emb_procrustes_drift",
-    None,
+    _procrustes_oracle(),
     notes="orthogonal Procrustes snapshot alignment (Schonemann 1966) - "
     "the drift repair for long-lived vector stores after model "
     "refreshes: 64x64 cross-covariance from map-side-combinable "
-    "posexplode pair products, SVD driver-side (model-sized math on "
-    "the driver, data-sized passes on executors - the kmeans/codebook "
-    "pattern), residuals per pair in one Arrow pass with R as a "
-    "closure constant; rows-only (SVD isn't SQL), planted-rotation "
+    "posexplode pair products, polar iteration driver-side (model-sized "
+    "math on the driver, data-sized passes on executors - the "
+    "kmeans/codebook pattern), residuals per pair in one Arrow pass "
+    "with R as a closure constant. PROMOTED rows-only -> fully oracled "
+    "(r14, VERDICT r13 #4): LAPACK SVD replaced by a 36-round quantized "
+    "Newton-Schulz polar iteration on the 2^-20 binary grid "
+    "(similarity.procrustes_rotation), with every data-sized sum "
+    "quantized to a binary grid BEFORE summing - exact integer-scaled "
+    "sums make both engines bit-identical with ZERO summation-order "
+    "exposure (stronger than the 1e-9-snap replays); the oracle unrolls "
+    "the rounds as generated CTEs (the BPE pattern); planted-rotation "
     "recovery pinned in tests",
 )(lambda spark: similarity.procrustes_drift(spark))
 
@@ -9222,13 +9383,88 @@ WHERE anchor.t_view IS NOT NULL
 
 _register(
     "ev_markov_absorption",
-    None,
+    f"""
+WITH RECURSIVE seq AS (
+  SELECT user_id, ts, event_id, event_type,
+         coalesce(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) AS seen
+  FROM events
+),
+kept AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_type
+  FROM seq WHERE seen = 0
+),
+trans AS (
+  SELECT event_type AS prev_state,
+         CASE WHEN event_type = 'purchase' THEN NULL
+              ELSE coalesce(next_type, '__drop__') END AS next_state
+  FROM kept
+),
+counts AS (
+  SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n
+  FROM trans WHERE next_state IS NOT NULL GROUP BY 1, 2
+),
+tot AS (SELECT prev_state, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY 1),
+ts AS (SELECT DISTINCT prev_state AS state FROM counts WHERE prev_state <> 'purchase'),
+-- transient->transient probabilities, snapped to the 1e-9 grid half-up;
+-- zero self-loops pad every transient state into each round's join
+qt AS (
+  SELECT c.prev_state, c.next_state,
+         floor(CAST(c.n AS DOUBLE) / t.tot * 1e9 + 0.5) / 1e9 AS p
+  FROM counts c
+  JOIN tot t USING (prev_state)
+  JOIN ts s2 ON s2.state = c.next_state
+  WHERE c.prev_state <> 'purchase'
+  UNION ALL
+  SELECT state, state, CAST(0.0 AS DOUBLE) FROM ts
+),
+r AS (
+  SELECT s.state,
+         coalesce(max(CASE WHEN c.next_state = 'purchase' THEN
+           floor(CAST(c.n AS DOUBLE) / t.tot * 1e9 + 0.5) / 1e9 END), 0.0)
+           AS r_pc,
+         coalesce(max(CASE WHEN c.next_state = '__drop__' THEN
+           floor(CAST(c.n AS DOUBLE) / t.tot * 1e9 + 0.5) / 1e9 END), 0.0)
+           AS r_pd
+  FROM ts s
+  LEFT JOIN counts c ON c.prev_state = s.state
+  LEFT JOIN tot t ON t.prev_state = s.state
+  GROUP BY s.state
+),
+it AS (
+  SELECT state, 0 AS rnd, CAST(0.0 AS DOUBLE) AS pc,
+         CAST(0.0 AS DOUBLE) AS pd, CAST(0.0 AS DOUBLE) AS ns
+  FROM ts
+  UNION ALL
+  SELECT q.prev_state, i.rnd + 1,
+         floor((r.r_pc + sum(q.p * i.pc)) * 1e9 + 0.5) / 1e9,
+         floor((r.r_pd + sum(q.p * i.pd)) * 1e9 + 0.5) / 1e9,
+         floor((1.0 + sum(q.p * i.ns)) * 1e9 + 0.5) / 1e9
+  FROM it i
+  JOIN qt q ON q.next_state = i.state
+  JOIN r ON r.state = q.prev_state
+  WHERE i.rnd < {events_ops.ABSORPTION_ITERS}
+  GROUP BY q.prev_state, i.rnd, r.r_pc, r.r_pd
+)
+SELECT state, pc AS p_conversion, pd AS p_drop, ns AS expected_steps
+FROM it WHERE rnd = {events_ops.ABSORPTION_ITERS} ORDER BY state
+""",
     notes="absorbing-chain conversion probabilities over the behavioral "
     "Markov model (sequences truncated at first purchase, else into an "
     "absorbing drop): b = (I-Q)^-1 R per transient event type - the "
     "removal-effect attribution core; distributed window pass emits the "
-    "types^2 count table, driver solves the (k+2)^2 system under the "
-    "model-budget convention; rows-only (matrix inverse isn't SQL), "
-    "row-stochastic + planted-chain exactness pinned in "
-    "test_round7b_ops.py",
+    "types^2 count table, driver iterates the (k+2)^2 system under the "
+    "model-budget convention. PROMOTED rows-only -> fully oracled (r14, "
+    "VERDICT r13 #4, the pagerank quantized-replay recipe): the LAPACK "
+    "solve is replaced by the truncated Neumann series X <- snap9(rhs + "
+    "Q X) for a fixed 150 rounds (measured rho~0.8 -> truncation error "
+    "~1e-15), Q/R entries and every round snapped to the 1e-9 grid "
+    "half-up on both engines, output IS the round-150 iterate (no "
+    "second rounding) - the DuckDB recursive CTE above replays the "
+    "whole trace bit-for-bit; planted-chain exactness + "
+    "row-stochasticity pinned in test_round7b_ops.py",
 )(lambda spark: events_ops.markov_absorption(spark))
