@@ -9404,7 +9404,7 @@ trans AS (
               ELSE coalesce(next_type, '__drop__') END AS next_state
   FROM kept
 ),
-counts AS (
+counts AS MATERIALIZED (
   SELECT prev_state, next_state, CAST(count(*) AS BIGINT) AS n
   FROM trans WHERE next_state IS NOT NULL GROUP BY 1, 2
 ),
@@ -9412,7 +9412,7 @@ tot AS (SELECT prev_state, CAST(sum(n) AS BIGINT) AS tot FROM counts GROUP BY 1)
 ts AS (SELECT DISTINCT prev_state AS state FROM counts WHERE prev_state <> 'purchase'),
 -- transient->transient probabilities, snapped to the 1e-9 grid half-up;
 -- zero self-loops pad every transient state into each round's join
-qt AS (
+qt AS MATERIALIZED (
   SELECT c.prev_state, c.next_state,
          floor(CAST(c.n AS DOUBLE) / t.tot * 1e9 + 0.5) / 1e9 AS p
   FROM counts c
@@ -9422,7 +9422,7 @@ qt AS (
   UNION ALL
   SELECT state, state, CAST(0.0 AS DOUBLE) FROM ts
 ),
-r AS (
+r AS MATERIALIZED (
   SELECT s.state,
          coalesce(max(CASE WHEN c.next_state = 'purchase' THEN
            floor(CAST(c.n AS DOUBLE) / t.tot * 1e9 + 0.5) / 1e9 END), 0.0)
