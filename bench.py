@@ -542,6 +542,35 @@ def main() -> None:
 
     if "--streaming" in sys.argv:
         streaming = bench_streaming(spark, sf_dir)
+        # a dedicated --streaming session is the AUTHORITATIVE streaming
+        # reading (r14): stores measured after the 70-query headline load
+        # in the same session read 3-9x their dedicated-session medians on
+        # identical code (accumulated stages/GC, the r13 in-session drift
+        # pattern) — so the dedicated session now writes the round
+        # artifact's streaming section, and _merge_full_artifact keeps it
+        # over any later full run's in-session reading (which lands in
+        # "streaming_in_session" for comparison).
+        full_path = _full_artifact_path(sf)
+        if full_path is not None and full_path.exists():
+            try:
+                art = json.loads(full_path.read_text())
+            except (OSError, json.JSONDecodeError):
+                art = None
+            if isinstance(art, dict):
+                if not art.get("streaming_dedicated_session") and isinstance(
+                    art.get("streaming"), dict
+                ):
+                    art["streaming_in_session"] = art["streaming"]
+                art["streaming"] = streaming
+                art["streaming_dedicated_session"] = True
+                art["streaming_source"] = os.environ.get(
+                    "SPARK_GRAFT_BENCH_SOURCE", "driver"
+                )
+                full_path.write_text(json.dumps(art, indent=1) + "\n")
+                print(
+                    f"# streaming section updated in {full_path}",
+                    file=sys.stderr,
+                )
         print(
             json.dumps(
                 {
@@ -705,6 +734,27 @@ def _merge_full_artifact(full_path: Path, out: dict) -> None:
                 **prev_cbs,
                 **out.get("canary_by_source", {}),
             }
+    # a streaming section from the prior run survives a --no-streaming run
+    if "streaming" not in out and isinstance(prev.get("streaming"), dict):
+        out["streaming"] = prev["streaming"]
+        out["streaming_retained"] = True
+        if prev.get("streaming_dedicated_session"):
+            out["streaming_dedicated_session"] = True
+            out["streaming_source"] = prev.get("streaming_source")
+    # a DEDICATED --streaming session's reading stays authoritative over
+    # this run's in-session one (r14: loaded-session stores read 3-9x
+    # their dedicated medians on identical code); the in-session reading
+    # is preserved next to it for drift comparison
+    elif (
+        isinstance(prev.get("streaming"), dict)
+        and prev.get("streaming_dedicated_session")
+        and isinstance(out.get("streaming"), dict)
+        and not out.get("streaming_dedicated_session")
+    ):
+        out["streaming_in_session"] = out["streaming"]
+        out["streaming"] = prev["streaming"]
+        out["streaming_dedicated_session"] = True
+        out["streaming_source"] = prev.get("streaming_source")
     prev_q = prev.get("queries")
     if not isinstance(prev_q, dict):
         return
@@ -722,10 +772,6 @@ def _merge_full_artifact(full_path: Path, out: dict) -> None:
     }
     out["retained_queries"] = sorted(retained)
     out["value_all_queries"] = round(sum(out["queries"].values()), 3)
-    # a streaming section from the prior run survives a --no-streaming run
-    if "streaming" not in out and isinstance(prev.get("streaming"), dict):
-        out["streaming"] = prev["streaming"]
-        out["streaming_retained"] = True
 
 
 def _full_artifact_path(sf: float) -> Path | None:

@@ -123,6 +123,46 @@ def test_merge_full_artifact_keeps_per_source_ledgers(tmp_path):
     assert out2["canary_by_source"]["driver"] == 0.9
 
 
+def test_dedicated_streaming_section_wins_the_merge(tmp_path):
+    """A dedicated --streaming session's medians are the authoritative
+    streaming record (r14: stores measured after the 70-query headline
+    load in the same session read 3-9x their dedicated-session medians
+    on identical code). A later full run must NOT clobber them — its
+    in-session reading lands in streaming_in_session instead."""
+    import json
+
+    import bench
+
+    prior = {
+        "queries": {"a": 1.0},
+        "spread": {},
+        "streaming": {"store": {"sec": 5.0}},
+        "streaming_dedicated_session": True,
+        "streaming_source": "builder",
+    }
+    p = tmp_path / "BENCH_full_rXX.json"
+    p.write_text(json.dumps(prior))
+    out = {
+        "queries": {"a": 1.1},
+        "spread": {},
+        "streaming": {"store": {"sec": 40.0}},  # loaded-session reading
+    }
+    bench._merge_full_artifact(p, out)
+    assert out["streaming"] == {"store": {"sec": 5.0}}
+    assert out["streaming_in_session"] == {"store": {"sec": 40.0}}
+    assert out["streaming_dedicated_session"] is True
+    assert out["streaming_source"] == "builder"
+    # and a dedicated flag on THIS run keeps its own numbers
+    out2 = {
+        "queries": {"a": 1.2},
+        "spread": {},
+        "streaming": {"store": {"sec": 4.8}},
+        "streaming_dedicated_session": True,
+    }
+    bench._merge_full_artifact(p, out2)
+    assert out2["streaming"] == {"store": {"sec": 4.8}}
+
+
 def test_canary_queries_are_headline_members():
     """The canary set must cost nothing: every member is already in
     HEADLINE so the driver's headline-only run records it too."""
