@@ -77,6 +77,81 @@ def test_resized_thumb_fingerprints_match_stride2(spark):
 
 
 # ---------------------------------------------------------------------------
+# quantized numeric kernels (r14 promotions) — pure-numpy properties
+# ---------------------------------------------------------------------------
+
+def test_procrustes_rotation_is_orthogonal_and_matches_svd():
+    """The quantized Newton-Schulz polar iteration must deliver (a) an
+    orthogonal matrix to within the snap floor and (b) the SAME rotation
+    LAPACK's U@Vt gives, for well-conditioned inputs — across several
+    seeded random cross-covariances."""
+    from uav_streamprocessor_spark.operators.similarity import (
+        procrustes_rotation,
+    )
+
+    for seed in (0, 7, 42):
+        rng = np.random.RandomState(seed)
+        M = rng.standard_normal((64, 64))
+        R = procrustes_rotation(M)
+        orth_err = np.abs(R.T @ R - np.eye(64)).max()
+        assert orth_err < 1e-4, orth_err
+        u, _, vt = np.linalg.svd(M)
+        assert np.abs(R - u @ vt).max() < 1e-4
+
+
+def test_procrustes_rotation_recovers_planted_rotation():
+    """M = A^T (A Q) has polar factor exactly Q (A full rank)."""
+    from uav_streamprocessor_spark.operators.similarity import (
+        procrustes_rotation,
+    )
+
+    rng = np.random.RandomState(3)
+    A = rng.standard_normal((200, 64))
+    q, _ = np.linalg.qr(rng.standard_normal((64, 64)))
+    M = A.T @ (A @ q)
+    R = procrustes_rotation(M)
+    assert np.abs(R - q).max() < 1e-4
+
+
+def test_absorption_iterate_matches_linear_solve():
+    """The 150-round quantized Neumann iterate must agree with the exact
+    (I-Q)^-1 [R|1] solve to well inside the snap accumulation bound, for
+    random substochastic chains across a range of spectral radii."""
+    for seed, rho_target in ((1, 0.5), (2, 0.8), (3, 0.9)):
+        rng = np.random.RandomState(seed)
+        k = 6
+        Q = rng.uniform(0.0, 1.0, (k, k))
+        # normalize every row to sum rho_target: row-substochastic with
+        # spectral radius exactly rho_target (Perron root of a matrix
+        # with constant row sums IS the row sum)
+        Q *= rho_target / Q.sum(axis=1, keepdims=True)
+        # absorbing mass = what's left of each row (split purchase/drop)
+        rest = 1.0 - Q.sum(axis=1)
+        assert (rest > 1e-12).all(), "construction must leave absorbing mass"
+        R = np.stack([rest * 0.4, rest * 0.6], axis=1)
+        rhs = np.hstack([R, np.ones((k, 1))])
+        exact = np.linalg.solve(np.eye(k) - Q, rhs)
+
+        def snap9(a):
+            return np.floor(a * 1e9 + 0.5) / 1e9
+
+        X = np.zeros((k, 3))
+        for _ in range(150):
+            X = snap9(rhs + Q @ X)
+        # error sources: truncation rho^150 (negligible), per-round snap
+        # (5e-10/(1-rho)), and the Q/R entry snaps amplified through the
+        # solve (~(k*5e-10)/(1-rho)^2 on the steps column) — measured
+        # ~1.4e-6 worst at rho=0.9, k=6; the real corpus sits at rho~0.8,
+        # k=4 with ~4e-9 observed mass error, 100x inside the 6dp shadow
+        assert np.abs(X - exact).max() < 1e-5, (
+            seed, np.abs(X - exact).max()
+        )
+        # and absorption mass still rounds to exactly 1.0 at 6dp
+        mass = X[:, 0] + X[:, 1]
+        assert np.abs(mass - 1.0).max() < 5e-7, mass
+
+
+# ---------------------------------------------------------------------------
 # bench drift-robustness (VERDICT r13 #2): per-source ledgers + canary
 # ---------------------------------------------------------------------------
 
