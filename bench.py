@@ -649,6 +649,30 @@ def main() -> None:
     # wall timings, not medians (each run re-ingests the whole feed);
     # SPARK_GRAFT_BENCH_STREAMING=0 skips it
     if os.environ.get("SPARK_GRAFT_BENCH_STREAMING", "1") != "0":
+        # session hygiene before the streaming section (r14): the 70-query
+        # headline load leaves localCheckpoint blocks pinned in the block
+        # manager (measured: 232 MB across 5 RDDs survives even an
+        # explicit GC after SIX queries; the full run checkpoints
+        # hundreds of times) — one suspected contributor to the 3-9x
+        # in-session streaming drift. Clear what can be cleared and give
+        # the ContextCleaner a GC cycle; the residual is reported so the
+        # artifact records how polluted the session still was. The
+        # DEDICATED --streaming session remains the authoritative
+        # reading either way (see the --streaming branch).
+        import gc as _gc
+
+        spark.catalog.clearCache()
+        _gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(2)
+        try:
+            rdd_info = list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+            out["pre_streaming_cached_rdds"] = len(rdd_info)
+            out["pre_streaming_cached_mb"] = round(
+                sum(i.memSize() for i in rdd_info) / 1e6, 1
+            )
+        except Exception:
+            pass  # diagnostic only — API differences must not fail a bench
         out["streaming"] = bench_streaming(spark, sf_dir)
 
     # VERDICT r5 #2/#3: the driver records only the LAST 2000 chars of
