@@ -151,12 +151,20 @@ ROTATION = [
 # Round-over-round rule (BASELINE.md): before calling a >1.5x reading a
 # regression, divide both rounds' per-query medians by their run's
 # canary_total_sec; a fuse only opens on the normalized ratio.
+#
+# uav_pixel_detections is the PYTHON-UDF-lane canary (r14): two same-day
+# same-code runs read six UDF/iterative queries 2.1-5.6x apart while the
+# JVM-trivia canaries read FASTER in the slow run — the two lanes drift
+# independently, so a JVM-only canary cannot normalize Arrow-path
+# readings. Compare UDF-heavy queries against the pixel canary, JVM-side
+# queries against the other five.
 CANARY = [
     "uav_class_stats",
     "uav_segment_stats",
     "uav_detection_rank",
     "tpch_q1_pricing",
     "dedup_docs_exact",
+    "uav_pixel_detections",
 ]
 
 N_STREAM_BATCHES = 4

@@ -243,9 +243,13 @@ def test_canary_queries_are_headline_members():
     HEADLINE so the driver's headline-only run records it too."""
     import bench
 
-    assert len(bench.CANARY) == 5
+    assert len(bench.CANARY) == 6
     for q in bench.CANARY:
         assert q in bench.HEADLINE
+    # the Python-UDF lane drifts independently of the JVM lane (r14
+    # session-excursion adjudication) — the canary set must fingerprint
+    # both: at least one Arrow/UDF-path member
+    assert "uav_pixel_detections" in bench.CANARY
 
 
 # ---------------------------------------------------------------------------
