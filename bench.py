@@ -787,6 +787,12 @@ def _merge_full_artifact(full_path: Path, out: dict) -> None:
         out["streaming"] = prev["streaming"]
         out["streaming_dedicated_session"] = True
         out["streaming_source"] = prev.get("streaming_source")
+    # adjudication records survive later rewrites: a dedicated median-of-9
+    # session's repair of a sick-session reading (r14) must not vanish
+    # when the driver's end-of-round run rewrites the file
+    for key in ("adjudicated_queries", "repair_note"):
+        if key not in out and key in prev:
+            out[key] = prev[key]
     prev_q = prev.get("queries")
     if not isinstance(prev_q, dict):
         return

@@ -238,6 +238,27 @@ def test_dedicated_streaming_section_wins_the_merge(tmp_path):
     assert out2["streaming"] == {"store": {"sec": 4.8}}
 
 
+def test_merge_preserves_adjudication_records(tmp_path):
+    """A dedicated median-of-9 repair (adjudicated_queries/repair_note)
+    must survive the driver's end-of-round artifact rewrite."""
+    import json
+
+    import bench
+
+    prior = {
+        "queries": {"a": 1.0},
+        "spread": {},
+        "adjudicated_queries": {"a": {"adjudicated_median_of_9": 1.0}},
+        "repair_note": "r14 session excursion",
+    }
+    p = tmp_path / "BENCH_full_rXX.json"
+    p.write_text(json.dumps(prior))
+    out = {"queries": {"a": 1.2, "b": 0.5}, "spread": {}}
+    bench._merge_full_artifact(p, out)
+    assert out["adjudicated_queries"] == prior["adjudicated_queries"]
+    assert out["repair_note"] == "r14 session excursion"
+
+
 def test_canary_queries_are_headline_members():
     """The canary set must cost nothing: every member is already in
     HEADLINE so the driver's headline-only run records it too."""
