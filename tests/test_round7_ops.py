@@ -470,9 +470,32 @@ def test_pca_spectrum_recovers_planted_single_direction(spark):
         e0.createOrReplaceTempView("embeddings")
 
 
+def test_pca_jacobi_converges_with_sweep_margin(spark):
+    """The full oracle replays PCA_JACOBI_SWEEPS (10) sweeps; pin the
+    margin: the off-diagonal mass of the quantized Jacobi must already
+    be EXACTLY zero two sweeps earlier (snapped rotations hit a fixed
+    point once every off-diagonal entry snaps to 0), and the converged
+    diagonal must match LAPACK on the same quantized covariance to
+    1e-9 — so the fixed round count is measured, not guessed."""
+    import numpy as np
+
+    from uav_streamprocessor_spark.operators import similarity
+
+    n, dim, A0 = similarity._pca_quantized_cov(spark)
+    A = similarity._pca_quantized_jacobi(
+        A0, (similarity.PCA_JACOBI_SWEEPS - 2) * (A0.shape[0] - 1)
+    )
+    off = A - np.diag(np.diag(A))
+    assert np.abs(off).max() == 0.0
+    got = np.sort(np.diag(A))[::-1]
+    want = np.linalg.eigvalsh(A0)[::-1]
+    assert np.abs(got - want).max() < 1e-9
+
+
 def test_pca_spectrum_trace_matches_total_variance(spark):
     """Σ eigenvalues == Σ per-dimension population variance (trace
-    invariant) — ties the rows-only op to SQL-checkable arithmetic."""
+    invariant) — the emb_pca_trace_identity shadow's arithmetic, kept
+    alongside the full r15 Jacobi-replay oracle."""
     from uav_streamprocessor_spark.operators import similarity
 
     out = similarity.pca_spectrum(spark).collect()

@@ -1930,12 +1930,19 @@ def procrustes_rotation(M: np.ndarray, iters: int = PROCRUSTES_ITERS) -> np.ndar
     """Quantized Newton–Schulz polar iteration: the orthogonal factor of
     M (= U·Vᵀ of its SVD — exactly the Schönemann Procrustes rotation)
     via X ← snap((3X − X·XᵀX)/2), X₀ = snap(M/‖M‖_F), all on the 2⁻²⁰
-    binary grid. Replaces the LAPACK SVD (r14 promotion): every
-    intermediate is an exact integer-scaled sum (products of 2⁻²⁰-grid
-    values are exact multiples of 2⁻⁴⁰ whose 64-term sums stay below
-    2⁵³), so BOTH engines produce bit-identical traces with zero
-    summation-order exposure — stronger than the 1e-9-snap replays,
-    which still carry a measure-zero boundary class. Converges for any
+    binary grid. Replaces the LAPACK SVD (r14 promotion). The
+    zero-summation-order-exposure guarantee is scoped to the ITERATION
+    and the per-pair residual ladder (ADVICE r14 #4): there, products
+    of 2⁻²⁰-grid values bounded by √3 are exact multiples of 2⁻⁴⁰
+    whose 64-term sums stay far below 2⁵³, so both engines produce
+    bit-identical traces in any summation order. The data-sized m0
+    cross-covariance and Frobenius-norm aggregates feeding X₀ are
+    snapped-term sums whose scaled magnitudes GROW with pair count —
+    within the 2⁵³ headroom at the test corpora they are exact too,
+    but beyond it they fall back to the usual measure-zero
+    snap-boundary exposure class of the 1e-9-style replays (an ulp in
+    nf is then absorbed by the 2⁻²⁰ snap of X₀ except exactly on a
+    boundary). Converges for any
     M with σ(X₀) ∈ (0, √3), which X₀ = M/‖M‖_F guarantees; singular
     directions below the snap floor stay at 0 and both engines agree
     on that too."""
@@ -2383,30 +2390,166 @@ def pca_trace_identity(spark: SparkSession) -> DataFrame:
     )
 
 
+# Quantized-PCA constants (emb_pca_spectrum full oracle, r15 promotion).
+# Input snap 2^-20 makes the covariance an exact expression over integer
+# sums; matrix snap 2^-40 keeps every Jacobi update a 4-term sum of exact
+# binary-grid multiples (any summation order — the procrustes "strongest
+# form"); 10 parallel-ordering sweeps measured as exact-zero off-diagonal
+# by sweep 7 at all three SFs (3 sweeps of margin).
+PCA_IN_SNAP = float(2**20)
+PCA_MAT_SNAP = float(2**40)
+PCA_JACOBI_SWEEPS = 10
+
+
+def _pca_partner(r: int, dim: int) -> "np.ndarray":
+    """Round-robin (circle-method) disjoint pair schedule for round r over
+    an even number of indices: for i < dim-1 the partner is (2r - i) mod
+    (dim-1), the self-paired residue i ≡ r pairs with dim-1. An involution
+    covering all indices with dim/2 disjoint pairs; dim-1 rounds visit
+    every unordered pair exactly once (one sweep). Mirrored verbatim by
+    the DuckDB oracle (registry._pca_spectrum_oracle)."""
+    idx = np.arange(dim)
+    m = ((2 * r - idx) % (dim - 1) + (dim - 1)) % (dim - 1)
+    m = np.where(m == idx, dim - 1, m)
+    m[dim - 1] = (r % (dim - 1) + (dim - 1)) % (dim - 1)
+    return m
+
+
+def _pca_quantized_jacobi(A0: "np.ndarray", rounds: int) -> "np.ndarray":
+    """Fixed-round quantized two-sided Jacobi diagonalization. Every
+    rotation coefficient comes from correctly-rounded IEEE ops only
+    (divide / sqrt / abs — no libm transcendentals), and each of the four
+    update terms is snapped to the 2^-40 binary grid BEFORE the sum, so
+    the 4-term sum is exact in any association and the whole iteration is
+    bit-identical between this vectorized numpy form and the DuckDB
+    scalar replay. Association order is pinned term-by-term to the SQL."""
+    dim = A0.shape[0]
+    idx = np.arange(dim)
+    S = PCA_MAT_SNAP
+    A = A0.copy()
+    for r in range(rounds):
+        m = _pca_partner(r, dim)
+        p = np.minimum(idx, m)
+        q = np.maximum(idx, m)
+        apq = A[p, q]
+        safe = np.where(apq != 0.0, 2.0 * apq, 1.0)
+        th = np.where(apq != 0.0, (A[q, q] - A[p, p]) / safe, 0.0)
+        t = np.where(
+            apq != 0.0,
+            np.where(th >= 0.0, 1.0, -1.0) / (np.abs(th) + np.sqrt(th * th + 1.0)),
+            0.0,
+        )
+        alpha = 1.0 / np.sqrt(t * t + 1.0)
+        beta = np.where(idx < m, -1.0, 1.0) * (t * alpha)
+        t1 = np.floor(((alpha[:, None] * alpha[None, :]) * A) * S + 0.5) / S
+        t2 = np.floor(((alpha[:, None] * beta[None, :]) * A[:, m]) * S + 0.5) / S
+        t3 = np.floor(((beta[:, None] * alpha[None, :]) * A[m, :]) * S + 0.5) / S
+        t4 = np.floor(
+            ((beta[:, None] * beta[None, :]) * A[np.ix_(m, m)]) * S + 0.5
+        ) / S
+        A = t1 + t2 + t3 + t4
+    return A
+
+
+def _pca_quantized_cov(spark: SparkSession) -> tuple[int, int, "np.ndarray"]:
+    """Quantized covariance via EXACT integer-scaled sums: each Arrow
+    batch snaps components to the 2^-20 grid and emits int64 partials
+    (n, Σx, ΣxᵀX) — one (1 + D + D²)-int row per batch; the driver
+    combines with arbitrary-precision Python ints, so the distributed
+    sum is exact in any batch order (zero summation-order exposure).
+    Bounds asserted: per-batch int64 products and the combined totals
+    stay < 2^53 so the int→double conversion is exact too; at corpus
+    sizes beyond that, widen the partials to per-partition int128 /
+    decimal(38) — both engines' wider casts stay correctly rounded.
+    Returns (n, dim, snapped covariance) with dim padded to even (the
+    pad row/col is zero and dropped by the caller)."""
+    from pyspark.sql import types as T
+
+    emb = spark.table("embeddings").select("embedding")
+    dim = len(emb.first()["embedding"])
+    fields = T.StructType(
+        [
+            T.StructField("n", T.LongType()),
+            T.StructField("sx", T.ArrayType(T.LongType())),
+            T.StructField("sxy", T.ArrayType(T.LongType())),
+        ]
+    )
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            Xi = np.floor(X * PCA_IN_SNAP + 0.5).astype(np.int64)
+            mx = int(np.abs(Xi).max())
+            assert mx * mx * X.shape[0] < 2**62, "int64 partial headroom"
+            yield pd.DataFrame(
+                {
+                    "n": [X.shape[0]],
+                    "sx": [Xi.sum(axis=0).tolist()],
+                    "sxy": [(Xi.T @ Xi).ravel().tolist()],
+                }
+            )
+
+    parts = emb.mapInPandas(partials, schema=fields).collect()
+    n = sum(int(p["n"]) for p in parts)
+    sx = [0] * dim
+    sxy = [0] * (dim * dim)
+    for p in parts:  # arbitrary-precision combine — exact in any order
+        for k, v in enumerate(p["sx"]):
+            sx[k] += int(v)
+        for k, v in enumerate(p["sxy"]):
+            sxy[k] += int(v)
+    assert max(abs(v) for v in sxy) < 2**53, "exact int->double conversion"
+    sx_d = np.array(sx, dtype=np.float64)
+    sxy_d = np.array(sxy, dtype=np.float64).reshape(dim, dim)
+    # Pinned expression order (== the oracle SQL): (Sxy/n/2^40) - mean_i*mean_j
+    mean = sx_d / n / PCA_IN_SNAP
+    cov = (sxy_d / n / (PCA_IN_SNAP * PCA_IN_SNAP)) - (
+        mean[:, None] * mean[None, :]
+    )
+    A0 = np.floor(cov * PCA_MAT_SNAP + 0.5) / PCA_MAT_SNAP
+    if dim % 2:  # pad to even for the pair schedule; zero row/col is inert
+        A0 = np.pad(A0, ((0, 1), (0, 1)))
+    return int(n), dim, A0
+
+
 def pca_spectrum(spark: SparkSession) -> DataFrame:
     """PCA eigenvalue spectrum of the embedding covariance — the
     dimensionality audit behind whitening, rank selection, and the
     Matryoshka-truncation decision (emb_matryoshka_overlap measures a
     chosen truncation; this op says which ranks are worth keeping).
 
-    Distributed shape: the shared _pca_eigenvalues D²-bounded
-    reduction (per-batch partials, driver eigh — model budget; the
-    corpus never shuffles). Rows-only (eigendecomposition isn't SQL);
-    the trace invariant Σλ = Σ per-dim variance IS SQL-checkable and
-    carried by the oracled emb_pca_trace_identity shadow plus the
-    pinned test against emb_dimension_variance's oracle arithmetic."""
-    n, dim, evals = _pca_eigenvalues(spark)
-    total = float(evals.sum())
+    Distributed shape: the D²-bounded exact-integer reduction
+    (_pca_quantized_cov — per-batch int64 partials, corpus never
+    shuffles), then PCA_JACOBI_SWEEPS·(D-1) rounds of the quantized
+    parallel-ordering Jacobi eigensolve on the driver (model-sized D×D
+    work, the kmeans/codebook pattern). PROMOTED rows-only → fully
+    oracled (r15, VERDICT r14 #3): the LAPACK eigh is replaced by the
+    fixed-round quantized Jacobi whose every rotation round the DuckDB
+    oracle replays bit-for-bit as one recursive-CTE step over the
+    row-major matrix list (registry._pca_spectrum_oracle); off-diagonal
+    mass reaches exactly 0 by sweep 7 at all three SFs, eigenvalues
+    match LAPACK to ~4e-11, margin pinned in tests."""
+    n, dim, A0 = _pca_quantized_cov(spark)
+    A = _pca_quantized_jacobi(A0, PCA_JACOBI_SWEEPS * (A0.shape[0] - 1))
+    d = np.diag(A)[:dim]
+    assert abs(float(d.sum())) * PCA_MAT_SNAP < 2**53, "grid-exact trace sum"
+    order = np.lexsort((np.arange(dim), -d))
+    ev = d[order]
+    total = float(ev.sum())  # grid multiples — exact in any order
+    S6 = 1e6
     rows = []
     cum = 0.0
-    for i, ev in enumerate(evals):
-        cum += float(ev)
+    for comp in range(dim):
+        lam = float(ev[comp])
+        cum += lam  # partial sums of grid multiples — exact
         rows.append(
             (
-                i,
-                round(float(ev), 6),
-                round(float(ev) / total, 6) if total else None,
-                round(cum / total, 6) if total else None,
+                comp,
+                float(np.floor(lam * S6 + 0.5) / S6),
+                float(np.floor(lam / total * S6 + 0.5) / S6) if total else None,
+                float(np.floor(cum / total * S6 + 0.5) / S6) if total else None,
             )
         )
     return spark.createDataFrame(

@@ -1910,65 +1910,57 @@ FROM joined GROUP BY 1 ORDER BY 1
 # r03-cohort re-prove (CORRECTNESS_r01..r10: every one of the registry's
 # queries driver-checked at least once, zero wrong answers ever).
 #
-# This round-14 window (VERDICT r13 "Next round" #1, zero rows-only
+# This round-15 window (VERDICT r14 "Next round" #1, zero rows-only
 # entries — a rows-only driver row proves little; oracled twins take
 # those slots):
 #  1. Queries whose code or oracle changed THIS round — fresh driver rows
-#     prove the change: the FOUR outright r14 promotions
-#     ev_markov_absorption (quantized 150-round Neumann replay of the
-#     fundamental-matrix solve), emb_procrustes_drift (36-round
-#     quantized Newton-Schulz polar iteration, binary-grid exact sums),
-#     media_frame_samples + media_resized_thumbs (exact integer content
-#     moments over the md5 corpora, signing the encode/decode round
-#     trip); the two ADVICE r13 libm-guard edits media_audio_features
-#     (sine snapped to the 2^-10 grid before trunc) and
-#     media_phash_neardups (half-up DCT basis snap); the shadow sharing
-#     the edited solve ev_markov_absorption_mass (_absorption_solve);
-#     and emb_kmeans_profile (assignment + integer-moments aggregation
-#     fused into one mapInPandas pass — VERDICT r13 #5).
-#  2. The fourteen r06-cohort members the r13 window could not fit
-#     (the pre-written queue): ev_funnel_step_timing through
-#     ev_experiment_readout below.
-#  3. The oldest-row re-prove rotation: the r07 cohort in r07
-#     (CORRECTNESS_r07.json) order, skipping rows-only members
-#     (rel_approx_distinct — its accuracy-contract twin is oracled) and
-#     names already in sections 1-2.
+#     prove the change: the r15 promotion emb_pca_spectrum (LAPACK eigh
+#     replaced by a fixed 630-round quantized parallel-ordering Jacobi
+#     on exact binary-grid sums; the DuckDB oracle replays every round
+#     bit-for-bit as one recursive-CTE step — VERDICT r14 #3).
+#  2. The r07-cohort members the r14 window could not fit (the
+#     pre-written queue): ev_hourly_tumbling onward in r07
+#     (CORRECTNESS_r07.json) order through the uav_* tail.
+#  3. The r08-cohort re-prove in r08 (CORRECTNESS_r08.json) order,
+#     skipping rows-only members (rel_approx_distinct — its
+#     accuracy-contract twin is oracled) and names already in
+#     sections 1-2.
 # Names listed here sort first, in this order; everything else follows
 # in registration order. Exactly 50 names (pinned by
 # test_driver_window_holds_the_priority_queries).
 #
-# r15 queue: the r07-cohort members this window could not fit
-# (ev_hourly_tumbling onward in r07 order: ev_hourly_tumbling,
-# ev_sliding_window, ev_session_windows, ev_json_props, ev_dedup_exact,
-# ev_user_daily_running, the uav_* r07 tail), then the r08 cohort
-# re-prove in r08 order, rows-only members yielding slots as above.
+# r16 queue: the r09 cohort re-prove in r09 (CORRECTNESS_r09.json)
+# order (dedup_split_leakage, text_source_quota, text_length_buckets,
+# text_source_overlap, dedup_containment, rel_compaction_plan, ...),
+# rows-only members and names freshly proven in r15 yielding slots,
+# then the r10 cohort in r10 order.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- changed or added this round (r14): fresh proof rows --
-    "ev_markov_absorption",
-    "ev_markov_absorption_mass",
-    "emb_procrustes_drift",
-    "media_frame_samples",
-    "media_resized_thumbs",
-    "media_audio_features",
-    "media_phash_neardups",
-    "emb_kmeans_profile",
-    # -- the fourteen r06-cohort members the r13 window could not fit --
-    "ev_funnel_step_timing",
-    "ev_forecast_backtest",
-    "rel_cohort_repurchase",
-    "ev_srm_check",
-    "emb_matryoshka_overlap",
-    "uav_class_cooccurrence",
-    "ev_bot_regularity",
-    "emb_centroid_separation",
-    "rel_incremental_agg",
-    "rel_t_closeness",
-    "media_metadata_stats",
-    "dedup_graph_modularity",
-    "emb_dbscan_lite",
-    "ev_experiment_readout",
-    # -- r07-cohort re-prove (oldest driver rows = r07) in r07 order,
+    # -- changed or added this round (r15): fresh proof rows --
+    "emb_pca_spectrum",
+    # -- r07-cohort members the r14 window could not fit, in r07 order --
+    "ev_hourly_tumbling",
+    "ev_sliding_window",
+    "ev_session_windows",
+    "ev_json_props",
+    "ev_dedup_exact",
+    "ev_user_daily_running",
+    "uav_letterbox_geometry",
+    "uav_detections_filtered",
+    "uav_class_stats",
+    "uav_top_confidence",
+    "uav_keyframe_decimation",
+    "uav_frame_counters",
+    "uav_frames_detections_join",
+    "uav_frames_without_detections",
+    "uav_frames_with_detections",
+    "uav_segment_stats",
+    "uav_segment_reassembly",
+    "uav_detection_rank",
+    "uav_detection_lag",
+    "uav_running_counters",
+    "uav_metadata_json",
+    # -- r08-cohort re-prove (oldest driver rows = r08) in r08 order,
     #    rows-only members skipped (rel_approx_distinct yields its slot
     #    to the next oracled name) --
     "rel_rfm_segmentation",
@@ -8444,15 +8436,148 @@ FROM n, unnest(range(n_chunks)) AS t(c)
 )(lambda spark: text.chunk_manifest(spark))
 
 
+def _pca_spectrum_oracle() -> str:
+    """Recursive-CTE DuckDB replay of the quantized parallel-Jacobi PCA
+    eigensolve (r15 promotion; the markov recursive-replay pattern with
+    the procrustes exact-grid ladder). Stage 1 rebuilds the quantized
+    covariance from EXACT integer sums (components snapped to the 2^-20
+    grid, int64 products, SUM exact — bit-identical to the engine's
+    Python-int combine in any order). Stage 2 iterates
+    PCA_JACOBI_SWEEPS·63 rounds of the circle-method disjoint-pair
+    rotation schedule over the row-major 4096-element matrix list: the
+    rotation coefficients use only correctly-rounded IEEE ops (divide /
+    sqrt / abs — no libm), and each of the four update terms is snapped
+    to the 2^-40 grid BEFORE the 4-term sum, so every round is
+    bit-identical to similarity._pca_quantized_jacobi. Stage 3 ranks the
+    diagonal (desc, index tiebreak) and emits the half-up 1e-6-snapped
+    spectrum — byte-equal to the engine output."""
+    s20, s40 = float(2**20), float(2**40)
+    rounds = similarity.PCA_JACOBI_SWEEPS * 63
+    # shorthand generators for the lambda bodies (list_extract is 1-based)
+    def ext(lst: str, expr: str) -> str:
+        return f"list_extract({lst}, {expr})"
+
+    mi_i = ext("c.mi", "i + 1")
+    apq = ext("c.m", f"least(i, {mi_i}) * 64 + greatest(i, {mi_i}) + 1")
+    th = (
+        f"(({ext('c.m', f'greatest(i, {mi_i}) * 65 + 1')}"
+        f" - {ext('c.m', f'least(i, {mi_i}) * 65 + 1')})"
+        f" / (2.0 * {apq}))"
+    )
+    tl_i = ext("d.tl", "i + 1")
+    alpha_of_t = f"(1.0 / sqrt({tl_i} * {tl_i} + 1.0))"
+    a_i = ext("e.alpha", "(ij // 64) + 1")
+    a_j = ext("e.alpha", "(ij % 64) + 1")
+    b_i = ext("e.beta", "(ij // 64) + 1")
+    b_j = ext("e.beta", "(ij % 64) + 1")
+    m_i = ext("e.mi", "(ij // 64) + 1")
+    m_j = ext("e.mi", "(ij % 64) + 1")
+    return f"""
+WITH RECURSIVE qx AS MATERIALIZED (
+  SELECT e.vec_id, t.i,
+         CAST(floor(CAST(e.embedding[t.i + 1] AS DOUBLE) * {s20} + 0.5)
+              AS BIGINT) AS xi
+  FROM embeddings e, unnest(generate_series(0, 63)) t(i)
+),
+sums AS MATERIALIZED (
+  SELECT a.i AS i, b.i AS j, SUM(a.xi * b.xi) AS sxy
+  FROM qx a JOIN qx b ON a.vec_id = b.vec_id GROUP BY a.i, b.i
+),
+svec AS MATERIALIZED (
+  SELECT i, SUM(xi) AS sx, COUNT(*) AS n FROM qx GROUP BY i
+),
+cov AS MATERIALIZED (
+  SELECT s.i, s.j,
+         floor(((CAST(s.sxy AS DOUBLE) / v1.n / {s20 * s20})
+                - ((CAST(v1.sx AS DOUBLE) / v1.n / {s20})
+                   * (CAST(v2.sx AS DOUBLE) / v2.n / {s20}))) * {s40} + 0.5)
+           / {s40} AS v
+  FROM sums s JOIN svec v1 ON v1.i = s.i JOIN svec v2 ON v2.i = s.j
+),
+init AS MATERIALIZED (
+  SELECT list(v ORDER BY i * 64 + j) AS m FROM cov
+),
+jac AS (
+  SELECT 0 AS r, m FROM init
+  UNION ALL
+  SELECT e.r + 1,
+    list_transform(range(0, 4096), ij ->
+        floor((({a_i} * {a_j})
+               * list_extract(e.m, ij + 1)) * {s40} + 0.5) / {s40}
+      + floor((({a_i} * {b_j})
+               * list_extract(e.m, (ij // 64) * 64 + {m_j} + 1))
+              * {s40} + 0.5) / {s40}
+      + floor((({b_i} * {a_j})
+               * list_extract(e.m, {m_i} * 64 + (ij % 64) + 1))
+              * {s40} + 0.5) / {s40}
+      + floor((({b_i} * {b_j})
+               * list_extract(e.m, {m_i} * 64 + {m_j} + 1))
+              * {s40} + 0.5) / {s40}
+    ) AS m
+  FROM (
+    SELECT d.r, d.m, d.mi,
+           list_transform(range(0, 64), i -> {alpha_of_t}) AS alpha,
+           list_transform(range(0, 64), i ->
+             (CASE WHEN i < {ext('d.mi', 'i + 1')} THEN -1.0 ELSE 1.0 END)
+             * ({tl_i} * {alpha_of_t})) AS beta
+    FROM (
+      SELECT c.r, c.m, c.mi,
+             list_transform(range(0, 64), i ->
+               CASE WHEN {apq} = 0.0 THEN 0.0
+                    ELSE (CASE WHEN {th} >= 0.0 THEN 1.0 ELSE -1.0 END)
+                         / (abs({th}) + sqrt({th} * {th} + 1.0))
+               END) AS tl
+      FROM (
+        SELECT j.r, j.m,
+               list_transform(range(0, 64), i ->
+                 CASE WHEN i = 63 THEN (j.r % 63 + 63) % 63
+                      WHEN ((2 * j.r - i) % 63 + 63) % 63 = i THEN 63
+                      ELSE ((2 * j.r - i) % 63 + 63) % 63 END) AS mi
+        FROM jac j WHERE j.r < {rounds}
+      ) c
+    ) d
+  ) e
+),
+diag AS (
+  SELECT t.i, list_extract(f.m, t.i * 65 + 1) AS ev
+  FROM (SELECT m FROM jac WHERE r = {rounds}) f,
+       unnest(generate_series(0, 63)) t(i)
+),
+ranked AS (
+  SELECT row_number() OVER (ORDER BY ev DESC, i) - 1 AS component, ev
+  FROM diag
+),
+tot AS (SELECT SUM(ev) AS total FROM diag)
+SELECT CAST(r.component AS INT) AS component,
+       floor(r.ev * 1e6 + 0.5) / 1e6 AS eigenvalue,
+       CASE WHEN t.total = 0 THEN NULL
+            ELSE floor((r.ev / t.total) * 1e6 + 0.5) / 1e6 END
+         AS explained_ratio,
+       CASE WHEN t.total = 0 THEN NULL
+            ELSE floor((SUM(r.ev) OVER (ORDER BY r.component)
+                        / t.total) * 1e6 + 0.5) / 1e6 END
+         AS cumulative_ratio
+FROM ranked r, tot t ORDER BY component
+"""
+
+
 _register(
     "emb_pca_spectrum",
-    None,
+    _pca_spectrum_oracle(),
     notes="PCA eigenvalue spectrum of the embedding covariance via the "
-    "D^2-bounded distributed reduction (per-batch partials n/Sum x/"
-    "X^T X, driver eigh on the 64x64 matrix - model budget, corpus "
-    "never shuffles); rows-only (eigendecomposition isn't SQL); trace "
-    "invariant sum(lambda) == sum(per-dim variance) pinned in "
-    "test_round7_ops.py against the emb_dimension_variance arithmetic",
+    "D^2-bounded distributed reduction (per-batch EXACT int64 partials "
+    "n/Sum x/X^T X on the 2^-20 input grid, arbitrary-precision driver "
+    "combine - model budget, corpus never shuffles). PROMOTED rows-only "
+    "-> fully oracled (r15, VERDICT r14 #3): driver eigh replaced by a "
+    "fixed 630-round quantized parallel-ordering Jacobi (circle-method "
+    "disjoint pairs; rotation coefficients from correctly-rounded IEEE "
+    "divide/sqrt/abs only; all four update terms snapped to the 2^-40 "
+    "grid BEFORE the exact 4-term sum - zero summation-order exposure), "
+    "which the DuckDB oracle replays bit-for-bit as ONE recursive-CTE "
+    "step per round over the row-major matrix list; off-diagonal mass "
+    "is exactly 0 by sweep 7 at all three SFs (10 sweeps run), "
+    "eigenvalues match LAPACK to ~4e-11; trace invariant still pinned "
+    "by the emb_pca_trace_identity shadow",
 )(lambda spark: similarity.pca_spectrum(spark))
 
 
