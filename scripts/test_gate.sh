@@ -55,10 +55,15 @@ SHARD_A=(
 IGNORES=()
 for f in "${SHARD_A[@]}"; do IGNORES+=("--ignore=$f"); done
 
+# per-invocation log paths (ADVICE r14 #3): fixed /tmp names let two
+# concurrent gate runs clobber each other's logs and cross-report
+LOG_A=$(mktemp /tmp/test_gate_shard_a.XXXXXX.log)
+LOG_B=$(mktemp /tmp/test_gate_shard_b.XXXXXX.log)
+
 start=$(date +%s)
-python -m pytest "${SHARD_A[@]}" -q "$@" > /tmp/test_gate_shard_a.log 2>&1 &
+python -m pytest "${SHARD_A[@]}" -q "$@" > "$LOG_A" 2>&1 &
 PID_A=$!
-python -m pytest tests/ "${IGNORES[@]}" -q "$@" > /tmp/test_gate_shard_b.log 2>&1 &
+python -m pytest tests/ "${IGNORES[@]}" -q "$@" > "$LOG_B" 2>&1 &
 PID_B=$!
 
 rc=0
@@ -66,9 +71,9 @@ wait $PID_A || rc=1
 wait $PID_B || rc=1
 end=$(date +%s)
 
-echo "--- shard A (streaming/sources/sinks) ---"
-tail -2 /tmp/test_gate_shard_a.log
-echo "--- shard B (parity/plans/operators) ---"
-tail -2 /tmp/test_gate_shard_b.log
+echo "--- shard A (streaming/sources/sinks): $LOG_A ---"
+tail -2 "$LOG_A"
+echo "--- shard B (parity/plans/operators): $LOG_B ---"
+tail -2 "$LOG_B"
 echo "--- gate wall: $((end - start))s, rc=$rc ---"
 exit $rc
