@@ -2250,10 +2250,14 @@ def _absorption_solve(spark: SparkSession, iters: int = ABSORPTION_ITERS):
     exact trace (the dedup_pagerank_centrality quantized-replay
     pattern). Mathematically identical in the limit: Σ Qᵗ·rhs =
     (I−Q)⁻¹·rhs whenever ρ(Q) < 1, which holds for any absorbing chain
-    where every transient state reaches absorption; a chain violating
-    that no longer raises (the iterate simply reports the t-step
-    absorption mass reached so far, and the mass shadow's 1.0 assertion
-    is what flags the degeneracy)."""
+    where every transient state reaches absorption. A chain violating
+    that (a transient state with no path to absorption — the case the
+    old LAPACK path flagged as singular (I−Q)) is detected HERE, not
+    just by the separate mass shadow (ADVICE r14 #2): after the
+    truncated iterate, every row's absorbed mass must sit within the
+    documented snap/truncation bound of 1.0 or the old descriptive
+    error is raised, so a direct caller can never mistake a partial
+    t-step absorption mass for converged probabilities."""
     import numpy as np
 
     def snap9(a):
@@ -2287,6 +2291,20 @@ def _absorption_solve(spark: SparkSession, iters: int = ABSORPTION_ITERS):
     X = np.zeros((k, 3))
     for _ in range(iters):
         X = snap9(rhs + Q @ X)
+    # conservation check (ADVICE r14 #2): ρ(Q)~0.8 puts the T=150
+    # truncation at machine precision and the 1e-9 per-round snaps
+    # accumulate « 1e-6, so converged absorbed mass is within 1e-6 of
+    # 1.0; a transient state with no path to absorption leaves mass
+    # far below it — the degeneracy the old LAPACK path raised on
+    absorbed = X[:, 0] + X[:, 1]
+    bad = [transient[i] for i in range(k) if abs(absorbed[i] - 1.0) > 1e-6]
+    if bad:
+        raise ValueError(
+            "(I - Q) is singular for this chain: transient states "
+            f"{bad} do not reach absorption within {iters} Neumann "
+            "rounds (no path to an absorbing state) — absorption "
+            "probabilities are undefined"
+        )
     return transient, X[:, :2], X[:, 2]
 
 
