@@ -167,6 +167,104 @@ CANARY = [
     "uav_pixel_detections",
 ]
 
+# Python/Arrow-lane queries (VERDICT r14 #4): timings dominated by
+# pandas-UDF / mapInPandas / Python-iterative work, which the r14
+# same-day excursion proved drifts INDEPENDENTLY of the JVM lane. These
+# normalize against the uav_pixel_detections canary; everything else
+# against the 5-query JVM canary total. Membership = the r14 adjudicated
+# drift set + the decode/Arrow paths (media_*, uav_pixel_*) + the
+# mapInPandas embedding kernels.
+UDF_LANE_PREFIXES = ("media_", "uav_pixel")
+UDF_LANE_QUERIES = {
+    "emb_kmeans_profile",
+    "emb_ivfpq_topk",
+    "emb_ivfpq_recall_bound",
+    "emb_ivf_topk",
+    "emb_pq_quantization",
+    "emb_procrustes_drift",
+    "emb_pca_spectrum",
+    "dedup_edit_distance",
+    "text_bpe_train",
+    "text_ngram_novelty",
+    "rel_zorder_layout",
+}
+
+
+def _udf_lane(name: str) -> bool:
+    return name.startswith(UDF_LANE_PREFIXES) or name in UDF_LANE_QUERIES
+
+
+def _canary_fingerprints(rec: dict) -> tuple[float | None, float | None]:
+    """(jvm_canary_total, udf_canary) box fingerprints of one bench
+    record — the five plan-frozen JVM trivia vs the Python-UDF-lane
+    pixel canary (the two lanes drift independently, r14)."""
+    c = rec.get("canary") or {}
+    jvm = sum(
+        v for k, v in c.items()
+        if k != "uav_pixel_detections" and isinstance(v, (int, float))
+    )
+    udf = c.get("uav_pixel_detections")
+    return (round(jvm, 3) if jvm else None), (
+        udf if isinstance(udf, (int, float)) and udf else None
+    )
+
+
+def _normalized_ratios(out: dict, measured: dict, full_path: Path) -> None:
+    """Mechanical per-lane canary-normalized round-over-round table
+    (VERDICT r14 #4 — BASELINE.md's manual rule turned into code): for
+    every query THIS run measured that the previous round's artifact
+    also carries, record raw = cur/prev and normalized =
+    (cur/cur_canary) / (prev/prev_canary) with the canary chosen by
+    lane (UDF-heavy vs uav_pixel_detections, JVM vs the 5-query total).
+    A fuse opens only on the NORMALIZED ratio > 1.5 (canary members and
+    sub-0.2s trivia excluded — a 0.05s jitter is not a fuse); when a
+    side lacks the lane canary the raw ratio decides, flagged
+    "unnormalized". Retained (merged-in) queries are skipped: they were
+    measured under another run's box fingerprint."""
+    import re
+
+    m = re.fullmatch(r"BENCH_full_r(\d+)", full_path.stem)
+    if m is None:
+        return
+    prev_path = full_path.parent / f"BENCH_full_r{int(m.group(1)) - 1:02d}.json"
+    if not prev_path.exists():
+        return
+    try:
+        prev = json.loads(prev_path.read_text())
+    except (OSError, json.JSONDecodeError):
+        return
+    prev_q = prev.get("queries")
+    if not isinstance(prev_q, dict):
+        return
+    cur_jvm, cur_udf = _canary_fingerprints(out)
+    prev_jvm, prev_udf = _canary_fingerprints(prev)
+    ratios: dict[str, dict] = {}
+    fuses: list[str] = []
+    for q, cur in measured.items():
+        prevv = prev_q.get(q)
+        if not isinstance(prevv, (int, float)) or prevv <= 0 or cur <= 0:
+            continue
+        lane = "udf" if _udf_lane(q) else "jvm"
+        cc, pc = (cur_udf, prev_udf) if lane == "udf" else (cur_jvm, prev_jvm)
+        raw = round(cur / prevv, 3)
+        entry: dict = {"raw": raw, "lane": lane}
+        if cc and pc:
+            norm = round((cur / cc) / (prevv / pc), 3)
+            entry["normalized"] = norm
+        else:
+            norm = raw
+            entry["unnormalized"] = True
+        if norm > 1.5 and q not in CANARY and max(cur, prevv) >= 0.2:
+            fuses.append(q)
+        ratios[q] = entry
+    out["normalized_ratios"] = ratios
+    out["normalized_fuses"] = sorted(fuses)
+    out["normalization_canaries"] = {
+        "cur": {"jvm": cur_jvm, "udf": cur_udf},
+        "prev": {"jvm": prev_jvm, "udf": prev_udf},
+        "prev_artifact": prev_path.name,
+    }
+
 N_STREAM_BATCHES = 4
 
 # Per-query run-count boosts (VERDICT r10 #1): queries whose single-box
@@ -559,26 +657,35 @@ def main() -> None:
         # over any later full run's in-session reading (which lands in
         # "streaming_in_session" for comparison).
         full_path = _full_artifact_path(sf)
-        if full_path is not None and full_path.exists():
-            try:
-                art = json.loads(full_path.read_text())
-            except (OSError, json.JSONDecodeError):
-                art = None
-            if isinstance(art, dict):
-                if not art.get("streaming_dedicated_session") and isinstance(
-                    art.get("streaming"), dict
-                ):
-                    art["streaming_in_session"] = art["streaming"]
-                art["streaming"] = streaming
-                art["streaming_dedicated_session"] = True
-                art["streaming_source"] = os.environ.get(
-                    "SPARK_GRAFT_BENCH_SOURCE", "driver"
-                )
-                full_path.write_text(json.dumps(art, indent=1) + "\n")
-                print(
-                    f"# streaming section updated in {full_path}",
-                    file=sys.stderr,
-                )
+        if full_path is not None:
+            art: dict | None = None
+            if full_path.exists():
+                try:
+                    art = json.loads(full_path.read_text())
+                except (OSError, json.JSONDecodeError):
+                    art = None
+            if not isinstance(art, dict):
+                # ADVICE r14 #1: a dedicated session that runs BEFORE any
+                # full run must still persist — seed a minimal artifact so
+                # _merge_full_artifact's dedicated-session precedence rule
+                # protects this reading regardless of run order (a later
+                # full run's polluted in-session numbers land in
+                # streaming_in_session, not here)
+                art = {"metric": "streaming_only_seed", "sf": sf}
+            if not art.get("streaming_dedicated_session") and isinstance(
+                art.get("streaming"), dict
+            ):
+                art["streaming_in_session"] = art["streaming"]
+            art["streaming"] = streaming
+            art["streaming_dedicated_session"] = True
+            art["streaming_source"] = os.environ.get(
+                "SPARK_GRAFT_BENCH_SOURCE", "driver"
+            )
+            full_path.write_text(json.dumps(art, indent=1) + "\n")
+            print(
+                f"# streaming section updated in {full_path}",
+                file=sys.stderr,
+            )
         print(
             json.dumps(
                 {
@@ -690,7 +797,32 @@ def main() -> None:
     # carries ONE compact medians-only line (~1.2 KB) that always parses.
     full_path = _full_artifact_path(sf)
     if full_path is not None:
+        # same-round ratio entries from a prior run survive the rewrite:
+        # they were normalized under THAT run's box fingerprint, which
+        # this run cannot reproduce
+        prior_ratios: dict = {}
+        prior_fuses: list = []
+        if full_path.exists():
+            try:
+                _prior = json.loads(full_path.read_text())
+                prior_ratios = _prior.get("normalized_ratios") or {}
+                prior_fuses = _prior.get("normalized_fuses") or []
+            except (OSError, json.JSONDecodeError):
+                pass
         _merge_full_artifact(full_path, out)
+        _normalized_ratios(out, timings, full_path)
+        nr = out.get("normalized_ratios")
+        if nr is not None and prior_ratios:
+            retained_r = {
+                q: {**e, "retained": True}
+                for q, e in prior_ratios.items()
+                if q not in nr
+            }
+            nr.update(retained_r)
+            out["normalized_fuses"] = sorted(
+                set(out.get("normalized_fuses", []))
+                | {q for q in prior_fuses if q in retained_r}
+            )
         full_path.write_text(json.dumps(out, indent=1) + "\n")
         print(f"# full bench artifact: {full_path}", file=sys.stderr)
     compact = {
