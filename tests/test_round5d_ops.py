@@ -1080,6 +1080,34 @@ def test_compression_gate_flags_both_planted_tails(spark):
         docs0.createOrReplaceTempView("documents")
 
 
+def test_compression_contract_counts_and_empty_doc(spark):
+    """text_compression_bound (r15 oracled twin): on any corpus the
+    three contract counts equal n_nonempty — zlib's compressBound is a
+    format guarantee, DEFLATE output is never empty, and the flag is
+    the published band. An empty planted doc exercises the nonempty
+    carve-out (it has no ratio to contract on)."""
+    docs0 = spark.table("documents")
+    planted = _plant_docs(spark, ["spam " * 100, "", "plain prose here."])
+    try:
+        planted.createOrReplaceTempView("documents")
+        rows = text.compression_contract(spark).collect()
+        assert len(rows) == 1  # one source in the planted frame
+        r = rows[0]
+        assert r["n_docs"] == 3 and r["n_nonempty"] == 2
+        assert (
+            r["n_within_bound"] == r["n_positive"]
+            == r["n_flag_consistent"] == 2
+        )
+    finally:
+        docs0.createOrReplaceTempView("documents")
+    # and on the real fixture corpus, per source
+    for r in text.compression_contract(spark).collect():
+        assert (
+            r["n_within_bound"] == r["n_positive"]
+            == r["n_flag_consistent"] == r["n_nonempty"]
+        ), r
+
+
 def test_compression_ratio_doubling_monotone(spark):
     """Deterministic repetition control: doubling any document's text
     strictly lowers its compression ratio (zlib finds the repeat)."""

@@ -1525,6 +1525,80 @@ def compression_ratio_gate(
     )
 
 
+def compression_contract(spark: SparkSession) -> DataFrame:
+    """Oracled accuracy-contract twin for text_compression_ratio (r15;
+    the sketch *_bound pattern — the one rows-only query that had no
+    oracled shadow). Runs the REAL compression_ratio_gate lineage (zlib
+    level 6 in an Arrow-batched pandas UDF) and counts, per source, the
+    documents satisfying three PROVABLE contracts the oracle recomputes
+    without zlib:
+
+    - n_within_bound: compressed size ≤ zlib's documented compress2
+      worst case n + n/4096 + n/16384 + n/2^25 + 13 (compressBound) —
+      a format guarantee, so the count must equal n_nonempty;
+    - n_positive: ratio > 0 (DEFLATE output is never empty);
+    - n_flag_consistent: the published entropy_flag equals the
+      (ratio > 0.8 OR ratio < 0.35) band recomputed from the published
+      6dp ratio — signs the flag logic against refactors.
+
+    The DuckDB oracle emits the same counts from count(*) arithmetic
+    alone (contracts hold by proof); any zlib-lane breakage — encoding
+    error, column mix-up, truncation — shows up as a count mismatch.
+    Lengths are UTF-8 BYTES on both sides (octet_length / strlen):
+    zlib compresses bytes and compressBound is a byte guarantee."""
+    gate = compression_ratio_gate(spark)
+
+    @pandas_udf(T.LongType())
+    def comp_len(texts: pd.Series) -> pd.Series:
+        import zlib
+
+        out = []
+        for t in texts:
+            raw = (t or "").encode("utf-8")
+            out.append(len(zlib.compress(raw, 6)) if raw else None)
+        return pd.Series(out, dtype="Int64")
+
+    docs = spark.table("documents").select("doc_id", "text")
+    joined = gate.join(docs, "doc_id").withColumn(
+        "comp_len", comp_len(F.col("text"))
+    )
+    # byte length, not characters: zlib compresses UTF-8 BYTES, and the
+    # compressBound guarantee is in bytes (oracle mirrors with strlen)
+    n = F.octet_length("text").cast("long")
+    bound = (
+        n
+        + F.floor(n / F.lit(4096))
+        + F.floor(n / F.lit(16384))
+        + F.floor(n / F.lit(33554432))
+        + F.lit(13)
+    )
+    nonempty = n > 0
+    band = (F.col("compression_ratio") > 0.8) | (
+        F.col("compression_ratio") < 0.35
+    )
+
+    def _c(pred):  # NULL-safe contract count (NULL text rows count 0)
+        return F.sum(F.coalesce(pred.cast("long"), F.lit(0))).cast("long")
+
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            _c(nonempty).alias("n_nonempty"),
+            _c(nonempty & (F.col("comp_len") <= bound)).alias(
+                "n_within_bound"
+            ),
+            _c(nonempty & (F.col("compression_ratio") > 0.0)).alias(
+                "n_positive"
+            ),
+            _c(nonempty & (F.col("entropy_flag") == band)).alias(
+                "n_flag_consistent"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
 # ---------------------------------------------------------------------------
 # per-source quota, length bucketing, exact source-overlap matrix (round 7)
 # ---------------------------------------------------------------------------

@@ -1917,7 +1917,9 @@ FROM joined GROUP BY 1 ORDER BY 1
 #     prove the change: the r15 promotion emb_pca_spectrum (LAPACK eigh
 #     replaced by a fixed 630-round quantized parallel-ordering Jacobi
 #     on exact binary-grid sums; the DuckDB oracle replays every round
-#     bit-for-bit as one recursive-CTE step — VERDICT r14 #3).
+#     bit-for-bit as one recursive-CTE step — VERDICT r14 #3), and the
+#     new text_compression_bound accuracy-contract twin (the last
+#     rows-only query without an oracled shadow gets one).
 #  2. The r07-cohort members the r14 window could not fit (the
 #     pre-written queue): ev_hourly_tumbling onward in r07
 #     (CORRECTNESS_r07.json) order through the uav_* tail.
@@ -1938,6 +1940,7 @@ FROM joined GROUP BY 1 ORDER BY 1
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round (r15): fresh proof rows --
     "emb_pca_spectrum",
+    "text_compression_bound",
     # -- r07-cohort members the r14 window could not fit, in r07 order --
     "ev_hourly_tumbling",
     "ev_sliding_window",
@@ -1990,7 +1993,8 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "rel_orders_by_month",
     "rel_math_functions",
     "rel_correlated_exists",
-    "ev_type_stats",
+    # ev_type_stats (last r08 name) yields its slot to the r15
+    # text_compression_bound changed-query row; it re-proves in r16
 ]
 
 
@@ -7776,8 +7780,39 @@ _register(
     "of perplexity filtering): repetitive/templated text compresses "
     "hard, binary junk doesn't compress - both tails flagged; one "
     "Arrow-batched map-only UDF pass; rows-only (no zlib in SQL), "
-    "planted tails + repetition correlation pinned in tests",
+    "planted tails + repetition correlation pinned in tests; since r15 "
+    "the text_compression_bound accuracy-contract twin is oracled (the "
+    "sketch *_bound pattern) - the last rows-only query without a "
+    "shadow gets one",
 )(lambda spark: text.compression_ratio_gate(spark))
+
+
+_register(
+    "text_compression_bound",
+    """
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN text IS NOT NULL AND strlen(text) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_nonempty,
+       CAST(sum(CASE WHEN text IS NOT NULL AND strlen(text) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_within_bound,
+       CAST(sum(CASE WHEN text IS NOT NULL AND strlen(text) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_positive,
+       CAST(sum(CASE WHEN text IS NOT NULL AND strlen(text) > 0
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_flag_consistent
+FROM documents GROUP BY source ORDER BY source
+""",
+    notes="oracled accuracy-contract twin for text_compression_ratio "
+    "(r15, the sketch *_bound pattern): runs the REAL zlib lane and "
+    "counts per source the docs satisfying three PROVABLE contracts - "
+    "compressed size within zlib's documented compressBound worst case "
+    "(n + n/4096 + n/16384 + n/2^25 + 13 bytes), ratio strictly "
+    "positive, and the published entropy_flag equal to the band "
+    "recomputed from the published 6dp ratio; the oracle derives the "
+    "same counts from count(*) arithmetic alone, so any zlib-lane "
+    "breakage (encoding, truncation, column mix-up, flag refactor) "
+    "lands as a count mismatch",
+)(lambda spark: text.compression_contract(spark))
 
 
 def _procrustes_oracle() -> str:
