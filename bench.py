@@ -209,6 +209,40 @@ def _canary_fingerprints(rec: dict) -> tuple[float | None, float | None]:
     )
 
 
+def _source_canaries(rec: dict) -> dict[str, tuple[float | None, float | None]]:
+    """Per-source (jvm, udf) canary fingerprints of a merged artifact,
+    derived from the runs_by_source ledgers (every canary member is a
+    HEADLINE query, so each source's ledger carries its own readings)."""
+    out: dict[str, tuple[float | None, float | None]] = {}
+    sources = rec.get("runs_by_source")
+    if isinstance(sources, dict):
+        for src, qd in sources.items():
+            if isinstance(qd, dict):
+                out[src] = _canary_fingerprints(
+                    {"canary": {k: qd[k] for k in CANARY if k in qd}}
+                )
+    return out
+
+
+def _source_consistent_reading(
+    rec: dict, q: str
+) -> tuple[float | None, float | None, float | None, str]:
+    """(value, jvm_canary, udf_canary, source) for query q in a merged
+    artifact, pairing the value with the box fingerprint of the RUN THAT
+    MEASURED IT. Driver first: its values win the merge, so the
+    top-level number for a common query IS the driver's. Falls back to
+    the top-level queries/canary when no per-source ledger carries q."""
+    src_canaries = _source_canaries(rec)
+    sources = rec.get("runs_by_source") or {}
+    for src in ("driver", *sorted(src_canaries)):
+        qd = sources.get(src)
+        if isinstance(qd, dict) and isinstance(qd.get(q), (int, float)):
+            pj, pu = src_canaries.get(src, (None, None))
+            return qd[q], pj, pu, src
+    top_jvm, top_udf = _canary_fingerprints(rec)
+    return (rec.get("queries") or {}).get(q), top_jvm, top_udf, "merged"
+
+
 def _normalized_ratios(out: dict, measured: dict, full_path: Path) -> None:
     """Mechanical per-lane canary-normalized round-over-round table
     (VERDICT r14 #4 — BASELINE.md's manual rule turned into code): for
@@ -216,6 +250,16 @@ def _normalized_ratios(out: dict, measured: dict, full_path: Path) -> None:
     also carries, record raw = cur/prev and normalized =
     (cur/cur_canary) / (prev/prev_canary) with the canary chosen by
     lane (UDF-heavy vs uav_pixel_detections, JVM vs the 5-query total).
+
+    SOURCE-CONSISTENT denominators: the prev artifact is a MERGE —
+    headline values are typically the driver's end-of-round run,
+    rotation values the builder's FULL run, and their box fingerprints
+    differ (r14: builder canary 1.27 vs driver 2.1). Each prev value is
+    therefore normalized by the lane canary of the RUN THAT MEASURED IT
+    (runs_by_source, driver preferred where both ran since it wins the
+    merge), falling back to the top-level canary only when no
+    per-source ledger carries the query.
+
     A fuse opens only on the NORMALIZED ratio > 1.5 (canary members and
     sub-0.2s trivia excluded — a 0.05s jitter is not a fuse); when a
     side lacks the lane canary the raw ratio decides, flagged
@@ -237,17 +281,19 @@ def _normalized_ratios(out: dict, measured: dict, full_path: Path) -> None:
     if not isinstance(prev_q, dict):
         return
     cur_jvm, cur_udf = _canary_fingerprints(out)
-    prev_jvm, prev_udf = _canary_fingerprints(prev)
+    src_canaries = _source_canaries(prev)
     ratios: dict[str, dict] = {}
     fuses: list[str] = []
     for q, cur in measured.items():
-        prevv = prev_q.get(q)
+        prevv, prev_jvm, prev_udf, prev_src = _source_consistent_reading(
+            prev, q
+        )
         if not isinstance(prevv, (int, float)) or prevv <= 0 or cur <= 0:
             continue
         lane = "udf" if _udf_lane(q) else "jvm"
         cc, pc = (cur_udf, prev_udf) if lane == "udf" else (cur_jvm, prev_jvm)
         raw = round(cur / prevv, 3)
-        entry: dict = {"raw": raw, "lane": lane}
+        entry: dict = {"raw": raw, "lane": lane, "prev_source": prev_src}
         if cc and pc:
             norm = round((cur / cc) / (prevv / pc), 3)
             entry["normalized"] = norm
@@ -261,7 +307,10 @@ def _normalized_ratios(out: dict, measured: dict, full_path: Path) -> None:
     out["normalized_fuses"] = sorted(fuses)
     out["normalization_canaries"] = {
         "cur": {"jvm": cur_jvm, "udf": cur_udf},
-        "prev": {"jvm": prev_jvm, "udf": prev_udf},
+        "prev_by_source": {
+            s: {"jvm": c[0], "udf": c[1]} for s, c in src_canaries.items()
+        }
+        or {"merged": dict(zip(("jvm", "udf"), _canary_fingerprints(prev)))},
         "prev_artifact": prev_path.name,
     }
 

@@ -84,16 +84,17 @@ def main() -> None:
     cur_jvm, cur_udf = bench_mod._canary_fingerprints({"canary": canary})
 
     ref, ref_name = _reference_artifact()
-    ref_q = (ref or {}).get("queries") or {}
-    ref_jvm, ref_udf = (
-        bench_mod._canary_fingerprints(ref) if ref else (None, None)
-    )
 
     out: dict[str, dict] = {}
     for name, n in targets.items():
         rec = _median_runs(qmap, spark, sf_dir, name, n)
-        refv = ref_q.get(name)
+        refv, ref_jvm, ref_udf, ref_src = (
+            bench_mod._source_consistent_reading(ref, name)
+            if ref
+            else (None, None, None, None)
+        )
         if isinstance(refv, (int, float)) and refv > 0 and rec["median"] > 0:
+            rec["ref_source"] = ref_src
             lane = "udf" if bench_mod._udf_lane(name) else "jvm"
             cc, pc = (cur_udf, ref_udf) if lane == "udf" else (cur_jvm, ref_jvm)
             rec["lane"] = lane
@@ -122,13 +123,15 @@ def main() -> None:
             file=sys.stderr,
         )
         out[name] = rec
+    ref_by_source = bench_mod._source_canaries(ref) if ref else {}
     out["_canary"] = {
         "timings": canary,
         "jvm": cur_jvm,
         "udf": cur_udf,
         "ref_artifact": ref_name,
-        "ref_jvm": ref_jvm,
-        "ref_udf": ref_udf,
+        "ref_by_source": {
+            s: {"jvm": c[0], "udf": c[1]} for s, c in ref_by_source.items()
+        },
     }
     print(json.dumps(out))
 
