@@ -254,7 +254,8 @@ def _normalized_ratios(out: dict, measured: dict, full_path: Path) -> None:
     SOURCE-CONSISTENT denominators: the prev artifact is a MERGE —
     headline values are typically the driver's end-of-round run,
     rotation values the builder's FULL run, and their box fingerprints
-    differ (r14: builder canary 1.27 vs driver 2.1). Each prev value is
+    can differ by 1.2x+ (r13: the driver box read ~1.23x the builder's
+    on identical code). Each prev value is
     therefore normalized by the lane canary of the RUN THAT MEASURED IT
     (runs_by_source, driver preferred where both ran since it wins the
     merge), falling back to the top-level canary only when no
