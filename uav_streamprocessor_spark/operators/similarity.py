@@ -2462,11 +2462,12 @@ def _pca_quantized_cov(spark: SparkSession) -> tuple[int, int, "np.ndarray"]:
     sizes beyond that, widen the partials to per-partition int128 /
     decimal(38) — both engines' wider casts stay correctly rounded.
     Returns (n, dim, snapped covariance) with dim padded to even (the
-    pad row/col is zero and dropped by the caller)."""
+    pad row/col is zero and dropped by the caller). dim comes from the
+    partials themselves (len(Σx)) — no separate first() scan, so the
+    whole reduction is ONE Spark job."""
     from pyspark.sql import types as T
 
     emb = spark.table("embeddings").select("embedding")
-    dim = len(emb.first()["embedding"])
     fields = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -2492,6 +2493,9 @@ def _pca_quantized_cov(spark: SparkSession) -> tuple[int, int, "np.ndarray"]:
             )
 
     parts = emb.mapInPandas(partials, schema=fields).collect()
+    if not parts:
+        raise ValueError("embeddings table is empty — no spectrum")
+    dim = len(parts[0]["sx"])
     n = sum(int(p["n"]) for p in parts)
     sx = [0] * dim
     sxy = [0] * (dim * dim)
