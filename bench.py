@@ -691,6 +691,32 @@ def bench_streaming(spark, sf_dir: str) -> dict[str, dict]:
     return results
 
 
+def _bench_one(qmap, spark, sf_dir, name, n_runs, warm, timings, spread):
+    """Warm (optional) + median-of-n_runs timing for one query; medians
+    land in `timings`, [min, max] in `spread`."""
+    if warm:
+        # one untimed pass: first execution of a UDF/codegen path costs
+        # ~1-3s extra once per session (see module docstring) — exclude
+        # it so spreads reflect steady-state variance
+        df = qmap[name](spark, sf_dir)
+        df.count() if name.startswith("uav_keyframe") else df.collect()
+    q_runs = _runs_for(name, n_runs)
+    runs: list[float] = []
+    for _ in range(q_runs):
+        t0 = time.perf_counter()
+        df = qmap[name](spark, sf_dir)
+        n = df.count() if name.startswith("uav_keyframe") else len(df.collect())
+        runs.append(round(time.perf_counter() - t0, 3))
+    runs.sort()
+    timings[name] = runs[len(runs) // 2]  # median (q_runs forced odd)
+    spread[name] = [runs[0], runs[-1]]
+    print(
+        f"# {name}: median {timings[name]}s "
+        f"[{runs[0]}..{runs[-1]}, n={q_runs}] ({n} rows)",
+        file=sys.stderr,
+    )
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
@@ -759,35 +785,45 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
     if n_runs % 2 == 0:  # keep 'median' exact (ADVICE r10)
         n_runs += 1
-    headline = HEADLINE + (
-        ROTATION if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1" else []
-    )
+    sections = [("headline", HEADLINE)]
+    if os.environ.get("SPARK_GRAFT_BENCH_FULL") == "1":
+        sections.append(("rotation", ROTATION))
     warm = os.environ.get("SPARK_GRAFT_BENCH_WARM", "1") != "0"
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
-    for name in headline:
-        if warm:
-            # one untimed pass: first execution of a UDF/codegen path costs
-            # ~1-3s extra once per session (see module docstring) — exclude
-            # it so spreads reflect steady-state variance
-            df = qmap[name](spark, sf_dir)
-            df.count() if name.startswith("uav_keyframe") else df.collect()
-        q_runs = _runs_for(name, n_runs)
-        runs: list[float] = []
-        for _ in range(q_runs):
-            t0 = time.perf_counter()
-            df = qmap[name](spark, sf_dir)
-            n = df.count() if name.startswith("uav_keyframe") else len(df.collect())
-            runs.append(round(time.perf_counter() - t0, 3))
-        runs.sort()
-        timings[name] = runs[len(runs) // 2]  # median (q_runs forced odd)
-        spread[name] = [runs[0], runs[-1]]
-        print(
-            f"# {name}: median {timings[name]}s "
-            f"[{runs[0]}..{runs[-1]}, n={q_runs}] ({n} rows)",
-            file=sys.stderr,
-        )
+    section_hygiene: dict[str, dict] = {}
+    headline = [n for _, qs in sections for n in qs]
+    for section, names in sections:
+        if section != "headline":
+            # session hygiene between sections (r15): the r15 FULL run
+            # read 19 mid/heavy queries 1.2-2x their dedicated medians —
+            # the same load-accumulation drift the r14 streaming fix
+            # measured (pinned localCheckpoint blocks + GC debt after
+            # the 38-query headline load). Apply the identical remedy
+            # before the rotation section and record the residual so
+            # the artifact shows how polluted the session still was.
+            import gc as _gc
 
+            spark.catalog.clearCache()
+            _gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            time.sleep(2)
+            info = {}
+            try:
+                rdds = list(spark.sparkContext._jsc.sc().getRDDStorageInfo())
+                info = {
+                    "cached_rdds": len(rdds),
+                    "cached_mb": round(
+                        sum(i.memSize() for i in rdds) / 1e6, 1
+                    ),
+                }
+            except Exception:
+                pass  # diagnostic only
+            section_hygiene[section] = info
+        for name in names:
+            _bench_one(
+                qmap, spark, sf_dir, name, n_runs, warm, timings, spread
+            )
     total = round(sum(timings.values()), 3)
     # provenance (VERDICT r13 #2): the builder labels its runs with
     # SPARK_GRAFT_BENCH_SOURCE=builder; an unlabeled run is the driver's
@@ -810,6 +846,8 @@ def main() -> None:
         "runs_by_source": {source: dict(timings)},
         "canary_by_source": {source: round(sum(canary.values()), 3)},
     }
+    if section_hygiene:
+        out["section_hygiene"] = section_hygiene
     # streaming-state throughput section (VERDICT r4 #6) — single-shot
     # wall timings, not medians (each run re-ingests the whole feed);
     # SPARK_GRAFT_BENCH_STREAMING=0 skips it
