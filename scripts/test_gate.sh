@@ -58,6 +58,9 @@ SHARD_A=(
   # weight is parity (the core value check, one run per query) and the
   # 87s shared plan-audit fixture (all 290 plans built once).
   tests/test_round5_ops.py
+  # r16: the pixel content-signing module is source/pixel-themed and
+  # shard B is the wall — keep the new ~90s in A's headroom
+  tests/test_pixel_signing.py
 )
 
 IGNORES=()

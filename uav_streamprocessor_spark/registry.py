@@ -1910,91 +1910,89 @@ FROM joined GROUP BY 1 ORDER BY 1
 # r03-cohort re-prove (CORRECTNESS_r01..r10: every one of the registry's
 # queries driver-checked at least once, zero wrong answers ever).
 #
-# This round-15 window (VERDICT r14 "Next round" #1, zero rows-only
+# This round-16 window (VERDICT r15 "Next round" #3, zero rows-only
 # entries — a rows-only driver row proves little; oracled twins take
 # those slots):
-#  1. Queries whose code or oracle changed THIS round — fresh driver rows
-#     prove the change: the r15 promotion emb_pca_spectrum (LAPACK eigh
-#     replaced by a fixed 630-round quantized parallel-ordering Jacobi
-#     on exact binary-grid sums; the DuckDB oracle replays every round
-#     bit-for-bit as one recursive-CTE step — VERDICT r14 #3), and the
-#     new text_compression_bound accuracy-contract twin (the last
-#     rows-only query without an oracled shadow gets one).
-#  2. The r07-cohort members the r14 window could not fit (the
-#     pre-written queue): ev_hourly_tumbling onward in r07
-#     (CORRECTNESS_r07.json) order through the uav_* tail.
-#  3. The r08-cohort re-prove in r08 (CORRECTNESS_r08.json) order,
-#     skipping rows-only members (rel_approx_distinct — its
-#     accuracy-contract twin is oracled) and names already in
-#     sections 1-2.
+#  1. Queries whose code or oracle changed THIS round — fresh driver
+#     rows prove the change: the new uav_pixel_moments /
+#     uav_pixel_moments_mjpeg content-signing twins (VERDICT r15 #4),
+#     text_compression_bound (its gate lineage now derives entropy_flag
+#     from the published 6dp ratio — ADVICE r15 #1),
+#     emb_pca_spectrum (partials collect hardened: per-partition
+#     accumulation + the bounded tree combine — VERDICT r15 "What's
+#     wrong" #2), and ev_type_stats (the r15 window's promised
+#     re-prove; also the last r08-cohort member).
+#  2. The r09-cohort re-prove in r09 (CORRECTNESS_r09.json) order —
+#     emb_pca_spectrum already placed above; ev_markov_absorption's
+#     changed conservation margin (ADVICE r15 #3) gets its fresh row
+#     at its natural r09 position.
 # Names listed here sort first, in this order; everything else follows
 # in registration order. Exactly 50 names (pinned by
 # test_driver_window_holds_the_priority_queries).
 #
-# r16 queue: the r09 cohort re-prove in r09 (CORRECTNESS_r09.json)
-# order (dedup_split_leakage, text_source_quota, text_length_buckets,
-# text_source_overlap, dedup_containment, rel_compaction_plan, ...),
-# rows-only members and names freshly proven in r15 yielding slots,
-# then the r10 cohort in r10 order.
+# r17 queue: the r09-cohort tail this window could not fit
+# (text_token_stats, text_quality_scores, text_lang_confusion,
+# text_word_counts in r09 order), then the r10 cohort re-prove in r10
+# (CORRECTNESS_r10.json) order, rows-only members
+# (rel_approx_percentiles, uav_pixel_detections) and names freshly
+# proven in r16 yielding slots.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
-    # -- changed or added this round (r15): fresh proof rows --
-    "emb_pca_spectrum",
+    # -- changed or added this round (r16): fresh proof rows --
+    "uav_pixel_moments",
+    "uav_pixel_moments_mjpeg",
     "text_compression_bound",
-    # -- r07-cohort members the r14 window could not fit, in r07 order --
-    "ev_hourly_tumbling",
-    "ev_sliding_window",
-    "ev_session_windows",
-    "ev_json_props",
-    "ev_dedup_exact",
-    "ev_user_daily_running",
-    "uav_letterbox_geometry",
-    "uav_detections_filtered",
-    "uav_class_stats",
-    "uav_top_confidence",
-    "uav_keyframe_decimation",
-    "uav_frame_counters",
-    "uav_frames_detections_join",
-    "uav_frames_without_detections",
-    "uav_frames_with_detections",
-    "uav_segment_stats",
-    "uav_segment_reassembly",
-    "uav_detection_rank",
-    "uav_detection_lag",
-    "uav_running_counters",
-    "uav_metadata_json",
-    # -- r08-cohort re-prove (oldest driver rows = r08) in r08 order,
-    #    rows-only members skipped (rel_approx_distinct yields its slot
-    #    to the next oracled name) --
-    "rel_rfm_segmentation",
-    "media_image_features",
-    "dedup_docs_exact",
-    "dedup_docs_survivors",
-    "dedup_fingerprints",
-    "dedup_minhash_candidates",
-    "dedup_minhash_neardups",
-    "dedup_simhash_buckets",
-    "dedup_simhash_neardups",
-    "dedup_ngram_jaccard",
-    "tpch_q1_pricing",
-    "tpch_q3_priority",
-    "tpch_q5_region_revenue",
-    "rel_revenue_by_region",
-    "rel_top_customers",
-    "rel_orders_rollup",
-    "rel_orders_cube",
-    "rel_pivot_linestatus",
-    "rel_distinct_segments",
-    "rel_customer_order_rank",
-    "rel_intersect_customers",
-    "rel_except_customers",
-    "rel_suppliers_no_lineitems",
-    "rel_string_functions",
-    "rel_orders_by_month",
-    "rel_math_functions",
-    "rel_correlated_exists",
-    # ev_type_stats (last r08 name) yields its slot to the r15
-    # text_compression_bound changed-query row; it re-proves in r16
+    "emb_pca_spectrum",
+    "ev_type_stats",
+    # -- r09-cohort re-prove (oldest driver rows = r09) in r09 order --
+    "dedup_split_leakage",
+    "text_source_quota",
+    "text_length_buckets",
+    "text_source_overlap",
+    "dedup_containment",
+    "rel_compaction_plan",
+    "ev_mad_outliers",
+    "emb_cosine_histogram",
+    "ev_bounce_rate",
+    "text_chunk_manifest",
+    "ev_kaplan_meier",
+    "ev_diff_in_diff",
+    "text_distinct_ngrams",
+    "text_kneser_ney",
+    "emb_silhouette",
+    "rel_zone_map_pruning",
+    "dedup_winnowing",
+    "emb_random_projection",
+    "text_burstiness",
+    "text_keyness",
+    "rel_bloom_join_audit",
+    "emb_knn_label_agreement",
+    "ev_cohort_ltv",
+    "ev_wilson_ci",
+    "text_distinct_ngrams_approx",
+    "ev_behavior_entropy",
+    "text_js_divergence",
+    "ev_funnel_windowed",
+    "ev_markov_absorption",
+    "ev_markov_transition_counts",
+    "emb_pca_trace_identity",
+    "uav_filename_order",
+    "uav_fps_fallback",
+    "uav_metadata_fields",
+    "tpch_q4_order_priority",
+    "tpch_q6_forecast",
+    "tpch_q7_volume_shipping",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q18_large_volume",
+    "tpch_q19_disjunctive",
+    "tpch_q22_sales_opportunity",
+    # text_token_stats / text_quality_scores / text_lang_confusion /
+    # text_word_counts (the r09 tail) yield their slots to the r16
+    # changed-query rows; they lead the r17 queue
 ]
 
 
@@ -2366,8 +2364,258 @@ _register(
     "T.81 JPEG entropy decode per frame, then decimate→letterbox→"
     "detect→explode) — the S2 decode cost the synthetic twin skips "
     "(VERDICT r12 #7); fixture built once per box from the same seeds; "
-    "Arrow-batched pixel UDFs — not SQL-expressible",
+    "Arrow-batched pixel UDFs — not SQL-expressible; content-signed by "
+    "the oracled uav_pixel_moments / uav_pixel_moments_mjpeg twins "
+    "(r16, VERDICT r15 #4)",
 )(_pixel_pipeline_mjpeg)
+
+
+def _pixel_moments(spark):
+    """Content signature of the FULL pixel hot path (VERDICT r15 #4):
+    the same decode → decimate → letterbox → detect pipeline as
+    uav_pixel_detections, but over the md5-generated synthetic source
+    (gen=md5) and collapsed to exact integer moments + detection sums
+    (operators/pixel.content_signature) so every byte of the letterboxed
+    payload AND every stub-detector output (frame_processing.py:60-115
+    contract) replays bit-for-bit in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from uav_streamprocessor_spark.operators.pixel import content_signature
+    from uav_streamprocessor_spark.operators.uav_core import keyframes
+    from uav_streamprocessor_spark.sources import video_source
+
+    video_source.register(spark)
+    # runtime conf, vanilla-session safe (the register_base_tables
+    # nanosAsLong precedent): Spark refuses a pushFilters reader while
+    # this is false, and the driver contract runs an untuned session
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spec = ",".join(
+        f"synthetic://px{i}?frames=121&w=640&h=360&gen=md5" for i in range(2)
+    )
+    frames = (
+        spark.read.format("uav_video")
+        .option("path", spec)
+        .option("pushdown", "true")
+        .option("framesPerPartition", "4")
+        .load()
+        # bounded-decimation IN hint: consumed by the source's
+        # frame_number pushdown, so skipped frames are never synthesized
+        # (the keyframe analogue of row-group pruning); the production
+        # keyframes() modulo filter stays on top, semantics unchanged
+        .filter(F.col("frame_number").isin([0, 30, 60, 90, 120]))
+    )
+    return content_signature(keyframes(frames))
+
+
+_register(
+    "uav_pixel_moments",
+    """
+WITH kf AS (
+  SELECT c.c AS cam, fr.fr AS fr
+  FROM (SELECT unnest([0, 1]) AS c) c,
+       (SELECT unnest([0, 30, 60, 90, 120]) AS fr) fr
+),
+chunks AS MATERIALIZED (
+  SELECT cam, fr, ci.ci AS ci,
+         md5('px' || cam || ':' || fr || ':' || ci.ci) AS hx
+  FROM kf, unnest(generate_series(0, 43199)) AS ci(ci)
+),
+b AS MATERIALIZED (
+  SELECT cam, fr, ci * 16 + o.o AS p,
+         (strpos('0123456789abcdef', substr(hx, o.o * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, o.o * 2 + 2, 1)) - 1)
+           AS v
+  FROM chunks, unnest(generate_series(0, 15)) AS o(o)
+),
+mom AS (
+  SELECT cam, fr,
+         CAST(sum(v) AS BIGINT) AS payload_sum,
+         CAST(sum(v * v) AS BIGINT) AS payload_ss
+  FROM b GROUP BY cam, fr
+),
+-- StubDetector seed replay: letterboxing 640x360 into 640x640 is
+-- identity + 140 zero-pad rows (scale = 1.0 exactly), so
+-- boxed[::16, ::16].sum() samples source pixels at rows y%16 == 4,
+-- cols x%16 == 0, all 3 channels; raw byte p maps to
+-- (y, x, c) = ((p//3)//640, (p//3)%640, p%3); + h*31 + w*7 on 640x640
+sub AS (
+  SELECT cam, fr, CAST(sum(v) AS BIGINT) + 640 * 31 + 640 * 7 AS seed
+  FROM b
+  WHERE ((p // 3) // 640) % 16 = 4 AND ((p // 3) % 640) % 16 = 0
+  GROUP BY cam, fr
+),
+raw_boxes AS (
+  SELECT cam, fr, seed * 131 + i.i * 17 AS s
+  FROM sub, unnest(generate_series(0, 2)) AS i(i)
+  WHERE i.i < seed % 4
+),
+kept AS (
+  SELECT cam, fr, s % 1000 AS conf_milli,
+         [2, 0, 7, 1, 16][CAST(s % 5 AS INT) + 1] AS cls,
+         s % 632 AS x_min, (s * 3) % 632 AS y_min,
+         least(s % 632 + 8 + s % 37, 640) AS x_max,
+         least((s * 3) % 632 + 8 + s % 29, 640) AS y_max
+  FROM raw_boxes
+  WHERE s % 1000 >= 400 AND s % 5 IN (0, 1)
+),
+sig AS (
+  SELECT cam, fr, CAST(count(*) AS INT) AS n_dets,
+         CAST(sum(x_min + y_min + x_max + y_max) AS BIGINT)
+           AS box_coord_sum,
+         CAST(sum(conf_milli) AS BIGINT) AS conf_milli_sum,
+         CAST(sum(cls) AS BIGINT) AS class_id_sum
+  FROM kept GROUP BY cam, fr
+)
+SELECT 'px' || m.cam AS camera_id, CAST(m.fr AS BIGINT) AS frame_number,
+       CAST(640 AS INT) AS height, CAST(640 AS INT) AS width,
+       m.payload_sum, m.payload_ss,
+       coalesce(s.n_dets, 0) AS n_dets,
+       coalesce(s.box_coord_sum, CAST(0 AS BIGINT)) AS box_coord_sum,
+       coalesce(s.conf_milli_sum, CAST(0 AS BIGINT)) AS conf_milli_sum,
+       coalesce(s.class_id_sum, CAST(0 AS BIGINT)) AS class_id_sum
+FROM mom m LEFT JOIN sig s ON s.cam = m.cam AND s.fr = m.fr
+ORDER BY camera_id, frame_number
+""",
+    notes="content signature of the synthetic pixel hot path (r16, "
+    "VERDICT r15 #4 — the media_frame_samples integer-moment recipe "
+    "applied to T1/T2): exact S/SS over every letterboxed payload byte "
+    "plus the stub detector's outputs collapsed to integer sums (corner "
+    "coords, milli-confidence numerators, class ids). The gen=md5 "
+    "source makes the pixels DuckDB-replayable, and the detector's "
+    "subsample-checksum seed + box derivation are pure integer "
+    "arithmetic, so the oracle recomputes decode, letterbox geometry, "
+    "zero padding, AND detection end-to-end bit-for-bit",
+)(_pixel_moments)
+
+
+def _mjpeg_md5_fixture_paths(spark) -> list[str]:
+    """Build-once MJPG AVI contract fixture (r16): md5-generated frames
+    (the uav_pixel_moments tags, so camera_id:frame_number regenerates
+    the pre-encode original inside the contract UDF) JPEG-encoded at
+    q=85 4:2:0 and muxed into one MJPG AVI per camera. Same atomic
+    build-and-rename protocol as _mjpeg_fixture_paths."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from uav_streamprocessor_spark.sources import video_source
+
+    n_cams, n_frames, w, h, q = 2, 31, 640, 360, 85
+    base = Path(tempfile.gettempdir()) / (
+        f"uav_spark_mjpeg_md5_fixture_v1_{n_cams}x{n_frames}_{w}x{h}_q{q}"
+    )
+    paths = [str(base / f"px{i}.avi") for i in range(n_cams)]
+    if base.exists():
+        return paths
+
+    video_source.register(spark)
+    spec = ",".join(
+        f"synthetic://px{i}?frames={n_frames}&w={w}&h={h}&gen=md5"
+        for i in range(n_cams)
+    )
+    frames = (
+        spark.read.format("uav_video")
+        .option("path", spec)
+        .option("framesPerPartition", "4")
+        .load()
+        .select("camera_id", "frame_number", "image")
+    )
+
+    def enc(batches):
+        import pandas as pd
+
+        from uav_streamprocessor_spark.operators.jpeg import encode_jpeg
+        from uav_streamprocessor_spark.operators.pixel import decode_image
+
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "camera_id": pdf["camera_id"],
+                    "frame_number": pdf["frame_number"],
+                    "jpg": [
+                        encode_jpeg(
+                            decode_image(bytes(b)), quality=q,
+                            subsampling="4:2:0",
+                        )
+                        for b in pdf["image"]
+                    ],
+                }
+            )
+
+    rows = frames.mapInPandas(
+        enc, schema="camera_id string, frame_number long, jpg binary"
+    ).collect()
+    by_cam: dict[str, list] = {}
+    for r in rows:
+        by_cam.setdefault(r["camera_id"], []).append(
+            (r["frame_number"], bytes(r["jpg"]))
+        )
+
+    from uav_streamprocessor_spark.sources.avi import FOURCC_MJPG, write_avi
+
+    tmp = Path(str(base) + f".tmp{os.getpid()}")
+    tmp.mkdir(parents=True, exist_ok=True)
+    for cam, fr in by_cam.items():
+        write_avi(
+            tmp / f"{cam}.avi",
+            [b for _, b in sorted(fr)],
+            fps=25.0, fourcc=FOURCC_MJPG, width=w, height=h,
+        )
+    try:
+        os.rename(tmp, base)
+    except OSError:  # lost a concurrent-build race: theirs is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return paths
+
+
+def _pixel_moments_mjpeg(spark):
+    """Accuracy contract for the pixel path over REAL lossy containers
+    (VERDICT r15 #4, the media_jpeg_roundtrip form): MJPG AVI in, RIFF
+    demux + T.81 entropy decode, then per keyframe the verdict table —
+    shape preserved, decode error vs the md5-regenerated original under
+    the calibrated bound, letterbox padding exactly zero, detections
+    inside the stub contract (operators/pixel.roundtrip_contract)."""
+    from pyspark.sql import functions as F
+
+    from uav_streamprocessor_spark.operators.pixel import roundtrip_contract
+    from uav_streamprocessor_spark.operators.uav_core import keyframes
+    from uav_streamprocessor_spark.sources import video_source
+
+    video_source.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    paths = _mjpeg_md5_fixture_paths(spark)
+    frames = (
+        spark.read.format("uav_video")
+        .option("path", ",".join(paths))
+        .option("pushdown", "true")
+        .option("framesPerPartition", "4")
+        .load()
+        # decimation pushdown: only the keyframes are entropy-decoded —
+        # the sparse seek plan skips 29/31 of the T.81 work per camera
+        .filter(F.col("frame_number").isin([0, 30]))
+    )
+    return roundtrip_contract(keyframes(frames))
+
+
+_register(
+    "uav_pixel_moments_mjpeg",
+    """
+SELECT 'px' || c.c AS camera_id, CAST(k.k * 30 AS BIGINT) AS frame_number,
+       TRUE AS shape_ok, TRUE AS mae_ok, TRUE AS pad_ok, TRUE AS dets_ok
+FROM (SELECT unnest([0, 1]) AS c) c, (SELECT unnest([0, 1]) AS k) k
+ORDER BY camera_id, frame_number
+""",
+    notes="accuracy contract for the pixel path over REAL MJPG AVI "
+    "containers (r16, VERDICT r15 #4 — the media_jpeg_roundtrip form, "
+    "since entropy decode is not SQL-replayable): per keyframe, shape "
+    "preserved through demux+decode+letterbox, mean |error| vs the "
+    "md5-regenerated pre-encode original <= 60.0 (measured 44.7-44.8 "
+    "on the fixture; unrelated noise reads ~85, where any demux/quant/"
+    "IDCT regression lands), letterbox padding exactly zero, and every "
+    "detection inside the stub detector's contract. Oracle derives the "
+    "all-true table relationally; any codec regression flips a row",
+)(_pixel_moments_mjpeg)
 
 
 def _union_orders(spark):
@@ -8486,8 +8734,16 @@ def _pca_spectrum_oracle() -> str:
     bit-identical to similarity._pca_quantized_jacobi. Stage 3 ranks the
     diagonal (desc, index tiebreak) and emits the half-up 1e-6-snapped
     spectrum — byte-equal to the engine output."""
+    if similarity.PCA_ORACLE_DIM != 64:  # pragma: no cover — loud guard
+        raise ValueError(
+            "this generated oracle bakes 64/63/65/4096 into its rotation "
+            "schedule; regenerate it for PCA_ORACLE_DIM="
+            f"{similarity.PCA_ORACLE_DIM} (the engine asserts the same "
+            "constant in _pca_quantized_cov, so a width change fails "
+            "loudly on both sides)"
+        )
     s20, s40 = float(2**20), float(2**40)
-    rounds = similarity.PCA_JACOBI_SWEEPS * 63
+    rounds = similarity.PCA_JACOBI_SWEEPS * (similarity.PCA_ORACLE_DIM - 1)
     # shorthand generators for the lambda bodies (list_extract is 1-based)
     def ext(lst: str, expr: str) -> str:
         return f"list_extract({lst}, {expr})"
@@ -8613,7 +8869,9 @@ _register(
     "is exactly 0 by sweep 7 at all three SFs (10 sweeps run), "
     "eigenvalues match LAPACK to ~4e-11; trace invariant still pinned "
     "by the emb_pca_trace_identity shadow",
-)(lambda spark: similarity.pca_spectrum(spark))
+)(lambda spark: similarity.pca_spectrum(
+    spark, expected_dim=similarity.PCA_ORACLE_DIM
+))
 
 
 _register(

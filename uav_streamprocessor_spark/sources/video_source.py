@@ -46,7 +46,14 @@ FRAME_DDL = (
 class _SyntheticDecoder:
     """Deterministic stand-in for cv2.VideoCapture: synthesizes n_frames
     raw-tensor frames from the source spec `synthetic://<camera>?frames=N
-    &w=W&h=H&fps=F&seed=S`."""
+    &w=W&h=H&fps=F&seed=S[&gen=md5]`.
+
+    Two generators: the default MT19937 noise (`make_test_image`, fast,
+    engine-only) and `gen=md5` — md5-chained bytes keyed
+    `<camera_id>:<frame>:<chunk>` (`make_md5_image`), byte-identical to
+    what DuckDB regenerates with md5() hex parsing. The md5 lane is what
+    lets `uav_pixel_moments` carry a FULL content oracle over the pixel
+    path (VERDICT r15 #4): same plumbing, replayable pixels."""
 
     def __init__(self, spec: str):
         from urllib.parse import parse_qs, urlparse
@@ -59,19 +66,31 @@ class _SyntheticDecoder:
         self.height = int(q.get("h", "36"))
         self.fps = float(q.get("fps", "25"))
         self.seed = int(q.get("seed", "0"))
+        self.gen = q.get("gen", "rng")
 
     def read(self, start: int, end: int) -> Iterator[tuple]:
-        from uav_streamprocessor_spark.operators.pixel import make_test_image
+        from uav_streamprocessor_spark.operators.pixel import (
+            make_md5_image,
+            make_test_image,
+        )
 
         end = min(end, self.n_frames)
         for i in range(start, end):
+            if self.gen == "md5":
+                img = make_md5_image(
+                    f"{self.camera_id}:{i}", self.height, self.width
+                )
+            else:
+                img = make_test_image(
+                    self.seed * 100003 + i, self.height, self.width
+                )
             yield (
                 self.camera_id,
                 i,
                 self.width,
                 self.height,
                 self.fps,
-                make_test_image(self.seed * 100003 + i, self.height, self.width),
+                img,
             )
 
 
@@ -196,10 +215,13 @@ def _open_decoder(spec: str):
 
 
 class _VideoPartition(InputPartition):
-    def __init__(self, spec: str, start: int, end: int):
+    def __init__(self, spec: str, start: int, end: int, frames: tuple = None):
         self.spec = spec
         self.start = start
         self.end = end
+        # explicit frame list (sparse seek plan from frame_number
+        # pushdown); None = the dense [start, end) range
+        self.frames = frames
 
 
 class VideoBatchReader(DataSourceReader):
@@ -208,12 +230,29 @@ class VideoBatchReader(DataSourceReader):
         self.specs = options.get("path", "").split(",")
         self.frames_per_partition = int(options.get("framesPerPartition", "1000"))
         self._camera_filter: set | None = None  # None = all cameras
+        self._frame_filter: set | None = None  # None = all frames
 
     def partitions(self):
         parts = []
         for spec in self.specs:
             dec = _open_decoder(spec)
             if self._camera_filter is not None and dec.camera_id not in self._camera_filter:
+                continue
+            if self._frame_filter is not None:
+                # sparse plan: one partition per frames_per_partition-sized
+                # slice of the REQUESTED frames only — skipped frames are
+                # never decoded (decimation pushdown, the keyframe
+                # analogue of parquet row-group pruning)
+                wanted = sorted(
+                    f for f in self._frame_filter if 0 <= f < dec.n_frames
+                )
+                for s in range(0, len(wanted), self.frames_per_partition):
+                    chunk = wanted[s : s + self.frames_per_partition]
+                    parts.append(
+                        _VideoPartition(
+                            spec, chunk[0], chunk[-1] + 1, frames=tuple(chunk)
+                        )
+                    )
                 continue
             for s in range(0, dec.n_frames, self.frames_per_partition):
                 parts.append(
@@ -225,15 +264,22 @@ class VideoBatchReader(DataSourceReader):
 
     def read(self, partition: _VideoPartition):
         dec = _open_decoder(partition.spec)
+        if partition.frames is not None:
+            for f in partition.frames:
+                yield from dec.read(f, f + 1)
+            return
         yield from dec.read(partition.start, partition.end)
 
 
 class PushdownVideoBatchReader(VideoBatchReader):
-    """VideoBatchReader + camera_id filter pushdown (Spark 4 Python
-    DataSource API): camera_id equality/IN prunes WHOLE SOURCES before
-    any decode — the video analogue of partition pruning. camera_id is
-    exact per source, so the filter is fully consumed; everything else
-    is yielded back for Spark to evaluate.
+    """VideoBatchReader + filter pushdown (Spark 4 Python DataSource
+    API): camera_id equality/IN prunes WHOLE SOURCES before any decode —
+    the video analogue of partition pruning — and frame_number
+    equality/IN prunes to a sparse seek plan, so every-Nth decimation
+    expressed as an IN list decodes ONLY the keyframes (~1/30 of the
+    decode work at the reference's default interval). Both columns are
+    exact per row, so consumed filters are fully satisfied; everything
+    else is yielded back for Spark to evaluate.
 
     Kept as an opt-in subclass (`.option("pushdown", "true")`): Spark
     REFUSES any reader that merely defines pushFilters while
@@ -247,6 +293,10 @@ class PushdownVideoBatchReader(VideoBatchReader):
                 self._narrow({f.value})
             elif isinstance(f, In) and f.attribute == ("camera_id",):
                 self._narrow(set(f.value))  # In.value is the tuple of values
+            elif isinstance(f, EqualTo) and f.attribute == ("frame_number",):
+                self._narrow_frames({f.value})
+            elif isinstance(f, In) and f.attribute == ("frame_number",):
+                self._narrow_frames(set(f.value))
             else:
                 yield f
 
@@ -256,6 +306,12 @@ class PushdownVideoBatchReader(VideoBatchReader):
         # would silently drop the first consumed filter.
         self._camera_filter = (
             cameras if self._camera_filter is None else self._camera_filter & cameras
+        )
+
+    def _narrow_frames(self, frames: set) -> None:
+        frames = {int(f) for f in frames}
+        self._frame_filter = (
+            frames if self._frame_filter is None else self._frame_filter & frames
         )
 
 
