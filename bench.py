@@ -137,6 +137,11 @@ ROTATION = [
     "text_distinct_ngrams_approx",  # HLL swap for distinct-n
     "ev_funnel_windowed",       # attribution-window funnel
     "ev_markov_absorption",     # absorbing-chain conversion solve
+    # r16 (VERDICT r15 #4): the pixel-path content-signing twins — the
+    # md5-source exact-moments signature and the MJPG roundtrip contract
+    # (both keyframe-pruned via the new frame_number source pushdown)
+    "uav_pixel_moments",
+    "uav_pixel_moments_mjpeg",
 ]
 
 
@@ -197,14 +202,19 @@ def _udf_lane(name: str) -> bool:
 def _canary_fingerprints(rec: dict) -> tuple[float | None, float | None]:
     """(jvm_canary_total, udf_canary) box fingerprints of one bench
     record — the five plan-frozen JVM trivia vs the Python-UDF-lane
-    pixel canary (the two lanes drift independently, r14)."""
+    pixel canary (the two lanes drift independently, r14). The JVM
+    fingerprint requires ALL five members (ADVICE r15): a ledger
+    carrying only a subset would produce a silently partial total that
+    skews every normalized ratio compared against a full-total run —
+    None makes the caller's 'unnormalized' fallback engage instead."""
     c = rec.get("canary") or {}
-    jvm = sum(
-        v for k, v in c.items()
-        if k != "uav_pixel_detections" and isinstance(v, (int, float))
-    )
+    jvm_members = [k for k in CANARY if k != "uav_pixel_detections"]
+    if all(isinstance(c.get(k), (int, float)) for k in jvm_members):
+        jvm = round(sum(c[k] for k in jvm_members), 3)
+    else:
+        jvm = None
     udf = c.get("uav_pixel_detections")
-    return (round(jvm, 3) if jvm else None), (
+    return (jvm if jvm else None), (
         udf if isinstance(udf, (int, float)) and udf else None
     )
 
@@ -792,7 +802,6 @@ def main() -> None:
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     section_hygiene: dict[str, dict] = {}
-    headline = [n for _, qs in sections for n in qs]
     for section, names in sections:
         if section != "headline":
             # session hygiene between sections (r15): the r15 FULL run

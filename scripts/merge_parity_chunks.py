@@ -1,5 +1,10 @@
-"""Merge the 4 sf0.1 chunk reports into PARITY_sf0.1_full.json."""
+"""Merge the 4 sf0.1 chunk reports into PARITY_sf0.1_full.json.
+
+The `note` names the generating round via $SPARK_GRAFT_ROUND (ADVICE/
+VERDICT r15 nit: a hardcoded round description goes stale the moment a
+later sweep reuses the template)."""
 import json
+import os
 
 queries, fails = {}, []
 n_ok = n_rows_only = 0
@@ -9,6 +14,7 @@ for i in range(4):
     fails += d["fails"]
     n_ok += d["n_oracle_matched"]
     n_rows_only += d["n_rows_only"]
+rnd = os.environ.get("SPARK_GRAFT_ROUND", "unknown")
 out = {
     "sf_dir": "/root/testdata/sf0.1",
     "n_queries": len(queries),
@@ -16,14 +22,10 @@ out = {
     "n_rows_only": n_rows_only,
     "fails": fails,
     "note": (
-        "round-12 FULL-registry sweep at 10x the driver scale factor over "
-        "the current registry state (287 queries: the r12 promotions "
-        "emb_kcenter_sample / emb_mmr_rerank / dedup_lsh_tuning / "
-        "dedup_minhash_estimate / text_distinct_ngrams_approx / "
-        "emb_ann_tuning_curve, the new emb_ivfpq_recall_bound contract, "
-        "the deterministic integer-cent ev_diff_in_diff, and "
-        "emb_ivf_full_probe which missed the r11 sweep), run in 4 chunks "
-        "back-to-back."
+        f"round-{rnd} FULL-registry sweep at 10x the driver scale factor "
+        f"over the registry state at sweep time ({len(queries)} queries), "
+        "run in 4 back-to-back single-session chunks "
+        "(scripts/sweep_sf01_full.sh)."
     ),
     "queries": queries,
 }

@@ -2291,13 +2291,24 @@ def _absorption_solve(spark: SparkSession, iters: int = ABSORPTION_ITERS):
     X = np.zeros((k, 3))
     for _ in range(iters):
         X = snap9(rhs + Q @ X)
-    # conservation check (ADVICE r14 #2): ρ(Q)~0.8 puts the T=150
-    # truncation at machine precision and the 1e-9 per-round snaps
-    # accumulate « 1e-6, so converged absorbed mass is within 1e-6 of
-    # 1.0; a transient state with no path to absorption leaves mass
-    # far below it — the degeneracy the old LAPACK path raised on
+    # conservation check (ADVICE r14 #2, margin re-derived ADVICE r15):
+    # this is a DEGENERACY detector, not a convergence assertion — a
+    # transient state with no path to absorption keeps its trapped mass
+    # forever (absorbed stays near 0), while any legitimate chain's
+    # truncation residual is ~ρ(Q)^T. The old 1e-6 margin was calibrated
+    # to the measured ρ~0.8 (0.8^150 ≈ 4e-15) and would false-alarm on a
+    # valid slow-mixing chain (ρ>~0.91 leaves >1e-6 at T=150); 0.99
+    # tolerates any ρ ≤ 0.969 while degenerate states still read far
+    # below it. The 6dp published values are unaffected: the measured
+    # corpus converges to machine precision either way.
+    # (>1 stays a hard error: mass can only overshoot by snap noise,
+    # anything more is a transition-table bug, not slow mixing)
     absorbed = X[:, 0] + X[:, 1]
-    bad = [transient[i] for i in range(k) if abs(absorbed[i] - 1.0) > 1e-6]
+    bad = [
+        transient[i]
+        for i in range(k)
+        if absorbed[i] < 0.99 or absorbed[i] > 1.0 + 1e-6
+    ]
     if bad:
         raise ValueError(
             "(I - Q) is singular for this chain: transient states "

@@ -1482,8 +1482,16 @@ def lang_source_chi2(spark: SparkSession) -> DataFrame:
     ).orderBy("lang", "source")
 
 
+# gate thresholds shared with compression_contract's band recompute
+# (ADVICE r15: one source of truth, not re-hardcoded constants)
+COMPRESSION_MAX_RATIO = 0.8
+COMPRESSION_MIN_RATIO = 0.35
+
+
 def compression_ratio_gate(
-    spark: SparkSession, max_ratio: float = 0.8, min_ratio: float = 0.35
+    spark: SparkSession,
+    max_ratio: float = COMPRESSION_MAX_RATIO,
+    min_ratio: float = COMPRESSION_MIN_RATIO,
 ) -> DataFrame:
     """zlib compression-ratio quality gate — the cheap entropy proxy
     production curation stacks run beside Gopher rules (CCNet uses LM
@@ -1513,14 +1521,17 @@ def compression_ratio_gate(
         return pd.Series(out, dtype="float64")
 
     docs = spark.table("documents")
-    r = ratio(F.col("text"))
+    # flag from the SAME 6dp-rounded ratio the gate publishes (ADVICE
+    # r15): a raw ratio within ~5e-7 of a threshold must not publish a
+    # flag inconsistent with its own published ratio
+    r6 = F.round(ratio(F.col("text")), 6)
     return docs.select(
         "doc_id",
         "source",
         F.length("text").alias("n_chars"),
-        F.round(r, 6).alias("compression_ratio"),
+        r6.alias("compression_ratio"),
         (
-            (r > max_ratio) | (r < min_ratio)
+            (r6 > max_ratio) | (r6 < min_ratio)
         ).alias("entropy_flag"),
     )
 
@@ -1573,8 +1584,8 @@ def compression_contract(spark: SparkSession) -> DataFrame:
         + F.lit(13)
     )
     nonempty = n > 0
-    band = (F.col("compression_ratio") > 0.8) | (
-        F.col("compression_ratio") < 0.35
+    band = (F.col("compression_ratio") > COMPRESSION_MAX_RATIO) | (
+        F.col("compression_ratio") < COMPRESSION_MIN_RATIO
     )
 
     def _c(pred):  # NULL-safe contract count (NULL text rows count 0)
