@@ -180,6 +180,82 @@ def test_content_signature_detections_match_pipeline_detector():
         assert round(b["confidence"] * 1000) == s % 1000
 
 
+def test_content_signature_non_identity_scale(spark):
+    """The operator must stay correct when letterboxing actually
+    resamples (the 640x360→640x640 identity the oracle exploits is a
+    fixture property, not an operator assumption): at 320x180 → scale
+    2.0 nearest-neighbor upsample, the signature must equal a direct
+    recompute through the SAME letterbox_array + StubDetector kernels."""
+    from uav_streamprocessor_spark.sources import video_source
+
+    video_source.register(spark)
+    frames = (
+        spark.read.format("uav_video")
+        .option("path", "synthetic://pxs?frames=3&w=320&h=180&gen=md5")
+        .option("framesPerPartition", "4")
+        .load()
+        .filter(F.col("frame_number") == 0)
+    )
+    got = content_signature(frames).collect()[0]
+    arr = md5_image_array("pxs:0", 180, 320)
+    boxed = letterbox_array(arr, 640).astype(np.int64)
+    assert (got["payload_sum"], got["payload_ss"]) == (
+        int(boxed.sum()), int((boxed * boxed).sum())
+    )
+    # upsampled content ≠ raw content: the moments must differ from the
+    # raw-frame moments (each source byte counted ~4x), proving the
+    # signature really reads the LETTERBOXED payload
+    assert got["payload_sum"] != int(arr.astype(np.int64).sum())
+    dets = StubDetector(0.4, ("car", "person")).detect(
+        boxed.astype(np.uint8)
+    )
+    assert got["n_dets"] == len(dets)
+    assert got["conf_milli_sum"] == sum(
+        int(round(b["confidence"] * 1000)) for b in dets
+    )
+
+
+def test_streaming_signature_equals_batch(spark, tmp_path):
+    """S3 content-exactness: the pixel content signature computed over
+    availableNow micro-batches of the streaming uav_video source must
+    equal the batch signature row-for-row — the stream's frame-index
+    offsets slice the same decode, and the signature is deterministic,
+    so stream-vs-batch equality signs the S3 lane with the same
+    integer-exact surface the oracle checks in batch."""
+    from uav_streamprocessor_spark.sources import video_source
+
+    video_source.register(spark)
+    spec = "synthetic://pxq?frames=31&w=640&h=360&gen=md5"
+    sdf = (
+        spark.readStream.format("uav_video")
+        .option("path", spec)
+        .option("framesPerBatch", "10")
+        .load()
+        .filter(F.col("frame_number") % 30 == 0)
+    )
+    q = (
+        content_signature(sdf)
+        .writeStream.format("memory")
+        .queryName("px_sig_stream")
+        .option("checkpointLocation", str(tmp_path / "sig_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    stream_rows = sorted(
+        tuple(r) for r in spark.sql("SELECT * FROM px_sig_stream").collect()
+    )
+    batch = (
+        spark.read.format("uav_video")
+        .option("path", spec)
+        .option("framesPerPartition", "10")
+        .load()
+        .filter(F.col("frame_number") % 30 == 0)
+    )
+    batch_rows = sorted(tuple(r) for r in content_signature(batch).collect())
+    assert stream_rows == batch_rows and len(batch_rows) == 2
+
+
 def test_roundtrip_contract_tamper_flips_mae(spark):
     """A payload that is NOT the md5 original for its (camera, frame) key
     must flip mae_ok (unrelated noise reads MAE ~85 against the 60.0

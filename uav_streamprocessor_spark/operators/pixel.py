@@ -468,11 +468,14 @@ def content_signature(
     # repartition(1) + sortWithinPartitions, NOT orderBy: a global sort
     # plans a range-sampling job that would re-run the decode scan; the
     # signature output is keyframe-count-sized, so one exchange of tiny
-    # rows is the cheap total order
-    return (
-        frames.mapInPandas(run, schema=_SIGNATURE_DDL)
-        .repartition(1)
-        .sortWithinPartitions("camera_id", "frame_number")
+    # rows is the cheap total order. Streaming plans forbid sorting —
+    # the micro-batch consumer orders at the sink (the S3 twin test
+    # sorts collected rows).
+    out = frames.mapInPandas(run, schema=_SIGNATURE_DDL)
+    if out.isStreaming:
+        return out
+    return out.repartition(1).sortWithinPartitions(
+        "camera_id", "frame_number"
     )
 
 
@@ -563,9 +566,11 @@ def roundtrip_contract(
                 ],
             )
 
-    # same keyframe-count-sized output argument as content_signature
-    return (
-        frames.mapInPandas(run, schema=_CONTRACT_DDL)
-        .repartition(1)
-        .sortWithinPartitions("camera_id", "frame_number")
+    # same keyframe-count-sized output + streaming-plan argument as
+    # content_signature
+    out = frames.mapInPandas(run, schema=_CONTRACT_DDL)
+    if out.isStreaming:
+        return out
+    return out.repartition(1).sortWithinPartitions(
+        "camera_id", "frame_number"
     )
