@@ -142,6 +142,8 @@ ROTATION = [
     # (both keyframe-pruned via the new frame_number source pushdown)
     "uav_pixel_moments",
     "uav_pixel_moments_mjpeg",
+    # r16: real WAV containers → PCM features (the codec-free audio lane)
+    "media_wav_features",
 ]
 
 

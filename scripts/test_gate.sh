@@ -61,6 +61,7 @@ SHARD_A=(
   # r16: the pixel content-signing module is source/pixel-themed and
   # shard B is the wall — keep the new ~90s in A's headroom
   tests/test_pixel_signing.py
+  tests/test_wav_source.py
 )
 
 IGNORES=()

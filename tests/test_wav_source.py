@@ -1,0 +1,151 @@
+"""Codec-free RIFF/WAVE container I/O (r16): the real audio-container
+lane, symmetric with the AVI video lane. The reference is video-only;
+this is the training-data-pipeline audio ingest (SURVEY.md §2's
+multimodal plane) running un-gated because PCM16 needs no codec."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from uav_streamprocessor_spark.operators.multimodal import _md5_noise, wav_media
+from uav_streamprocessor_spark.sources.wav import PCM_FORMAT, WavFile, write_wav
+
+
+def _noise_pcm(tag: str, n_samples: int) -> bytes:
+    return _md5_noise(tag, n_samples * 2).tobytes()
+
+
+def test_wav_roundtrip_byte_exact(tmp_path):
+    """write_wav → WavFile returns the EXACT payload bytes — the
+    container layer is pure header arithmetic."""
+    pcm = _noise_pcm("t0", 1000)
+    p = tmp_path / "a.wav"
+    write_wav(p, pcm, sample_rate=16000)
+    w = WavFile(p)
+    assert (w.audio_format, w.channels, w.bits_per_sample) == (PCM_FORMAT, 1, 16)
+    assert (w.sample_rate, w.block_align, w.byte_rate) == (16000, 2, 32000)
+    assert w.n_samples == 1000
+    assert w.samples_bytes() == pcm
+
+
+def test_wav_sample_range_seek(tmp_path):
+    """samples_bytes(start, end) is pure offset arithmetic — the
+    sample-range partition access pattern (AVI framesPerPartition
+    applied to audio)."""
+    pcm = _noise_pcm("t1", 500)
+    p = tmp_path / "b.wav"
+    write_wav(p, pcm)
+    w = WavFile(p)
+    assert w.samples_bytes(100, 200) == pcm[200:400]
+    assert w.samples_bytes(450, 9999) == pcm[900:]
+    assert w.samples_bytes(500, 600) == b""
+    assert w.samples_bytes(-5, 2) == pcm[:4]
+
+
+def test_wav_chunk_walk_not_fixed_offset(tmp_path):
+    """Real files carry LIST/fact chunks between fmt and data — the
+    reader must WALK chunks, not assume the canonical 44-byte layout."""
+    pcm = _noise_pcm("t2", 64)
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    extra = b"LIST" + struct.pack("<I", 10) + b"INFOhello!"
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", 16) + fmt
+        + extra
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    raw = b"RIFF" + struct.pack("<I", len(body)) + body
+    p = tmp_path / "c.wav"
+    p.write_bytes(raw)
+    w = WavFile(p)
+    assert w.sample_rate == 8000
+    assert w.samples_bytes() == pcm
+
+
+def test_wav_odd_length_data_padded(tmp_path):
+    """8-bit mono with an odd byte count exercises the RIFF even-length
+    pad on write and the size-clamped read."""
+    pcm = bytes(range(7))
+    p = tmp_path / "d.wav"
+    write_wav(p, pcm, sample_rate=8000, bits_per_sample=8)
+    raw = p.read_bytes()
+    assert len(raw) % 2 == 0  # padded
+    w = WavFile(p)
+    assert w.n_samples == 7 and w.samples_bytes() == pcm
+
+
+def test_wav_non_pcm_gated(tmp_path):
+    """audio_format != PCM raises the capability-gate error (the AVI
+    codec-seam contract: a soundfile-backed decoder drops in)."""
+    fmt = struct.pack("<HHIIHH", 3, 1, 16000, 64000, 4, 32)  # IEEE float
+    body = (
+        b"WAVE" + b"fmt " + struct.pack("<I", 16) + fmt
+        + b"data" + struct.pack("<I", 8) + b"\x00" * 8
+    )
+    p = tmp_path / "f.wav"
+    p.write_bytes(b"RIFF" + struct.pack("<I", len(body)) + body)
+    with pytest.raises(NotImplementedError, match="PCM"):
+        WavFile(p)
+
+
+def test_wav_rejects_non_wave(tmp_path):
+    p = tmp_path / "x.wav"
+    p.write_bytes(b"RIFFxxxxAVI LIST")
+    with pytest.raises(ValueError, match="RIFF/WAVE"):
+        WavFile(p)
+    p2 = tmp_path / "y.wav"
+    p2.write_bytes(b"nope")
+    with pytest.raises(ValueError):
+        WavFile(p2)
+
+
+def test_wav_media_features_match_direct_numpy(spark, tmp_path):
+    """End-to-end: WAV files → wav_media → extract_audio_features must
+    equal a direct numpy recompute on the pre-mux PCM — the container
+    round trip is feature-transparent (what the registry oracle signs
+    via the md5 replay)."""
+    from uav_streamprocessor_spark.operators.multimodal import (
+        extract_audio_features,
+    )
+
+    paths = []
+    pcms = []
+    for k in range(3):
+        pcm = _noise_pcm(f"e{k}", 2000)
+        p = tmp_path / f"e{k}.wav"
+        write_wav(p, pcm)
+        paths.append(str(p))
+        pcms.append(pcm)
+    out = {
+        r["media_id"]: r
+        for r in extract_audio_features(wav_media(spark, paths)).collect()
+    }
+    for k, pcm in enumerate(pcms):
+        s = np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+        r = out[k]
+        assert r["n_samples"] == 2000
+        assert r["peak"] == int(np.abs(s).max())
+        exp_rms = float(
+            np.floor(np.sqrt(int((s * s).sum()) / s.size) * 1e6 + 0.5) / 1e6
+        )
+        assert r["rms"] == exp_rms
+        exp_zcr = float(
+            np.floor(
+                (int(((s[:-1] * s[1:]) < 0).sum()) / (s.size - 1)) * 1e6 + 0.5
+            ) / 1e6
+        )
+        assert r["zero_crossing_rate"] == exp_zcr
+
+
+def test_registry_wav_features_green(spark):
+    """The registered query builds its fixture and produces the full
+    4-row feature table (oracle equality runs in the parity sweep /
+    driver window)."""
+    from uav_streamprocessor_spark import registry
+
+    rows = registry.queries()["media_wav_features"](
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert len(rows) == 4
+    assert all(r["n_samples"] == 8000 and r["duration_s"] == 0.5 for r in rows)

@@ -230,6 +230,41 @@ def extract_audio_features(media: DataFrame, sample_rate: int = 16000) -> DataFr
     )
 
 
+def wav_media(spark, paths: list[str]) -> DataFrame:
+    """REAL WAV containers → the typed media shape (media_id,
+    media_type, payload): RIFF chunk-walk + fixed-rate PCM extraction
+    (sources/wav.py) inside one Arrow pass — the audio analogue of the
+    codec-free AVI ingest (r16). media_id is the list position, the
+    deterministic key fixtures and oracles share. Container parsing is
+    header-only; payload bytes pass through verbatim, so downstream
+    feature extraction sees exactly the bytes that were muxed — the
+    round trip the media_wav_features oracle signs."""
+    pdf = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(paths)], "media_id long, path string"
+    )
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("media_type", T.StringType(), False),
+            T.StructField("payload", T.BinaryType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from uav_streamprocessor_spark.sources.wav import WavFile
+
+        for b in batches:
+            rows = [
+                (int(m), "audio", WavFile(p).samples_bytes())
+                for m, p in zip(b["media_id"], b["path"])
+            ]
+            yield pd.DataFrame(
+                rows, columns=["media_id", "media_type", "payload"]
+            )
+
+    return pdf.mapInPandas(run, schema=out_schema)
+
+
 def frame_sample_video(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling contract: for real codecs this demuxes and
     keeps every Nth frame (the decimation F1 applied inside the container);

@@ -1931,16 +1931,17 @@ FROM joined GROUP BY 1 ORDER BY 1
 # test_driver_window_holds_the_priority_queries).
 #
 # r17 queue: the r09-cohort tail this window could not fit
-# (text_token_stats, text_quality_scores, text_lang_confusion,
-# text_word_counts in r09 order), then the r10 cohort re-prove in r10
-# (CORRECTNESS_r10.json) order, rows-only members
-# (rel_approx_percentiles, uav_pixel_detections) and names freshly
-# proven in r16 yielding slots.
+# (tpch_q22_sales_opportunity, text_token_stats, text_quality_scores,
+# text_lang_confusion, text_word_counts in r09 order), then the r10
+# cohort re-prove in r10 (CORRECTNESS_r10.json) order, rows-only
+# members (rel_approx_percentiles, uav_pixel_detections) and names
+# freshly proven in r16 yielding slots.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round (r16): fresh proof rows --
     "uav_pixel_moments",
     "uav_pixel_moments_mjpeg",
+    "media_wav_features",
     "text_compression_bound",
     "emb_pca_spectrum",
     "ev_type_stats",
@@ -1989,10 +1990,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q15_top_supplier",
     "tpch_q18_large_volume",
     "tpch_q19_disjunctive",
-    "tpch_q22_sales_opportunity",
-    # text_token_stats / text_quality_scores / text_lang_confusion /
-    # text_word_counts (the r09 tail) yield their slots to the r16
-    # changed-query rows; they lead the r17 queue
+    # tpch_q22_sales_opportunity / text_token_stats /
+    # text_quality_scores / text_lang_confusion / text_word_counts (the
+    # r09 tail) yield their slots to the r16 changed-query rows; they
+    # lead the r17 queue
 ]
 
 
@@ -7779,6 +7780,96 @@ FROM agg g JOIN zc z USING (media_id) ORDER BY g.media_id
     "so DuckDB resynthesizes the PCM and reproduces every double "
     "bit-for-bit; closed-form sine RMS/ZCR stay pinned in tests",
 )(lambda spark: multimodal.extract_audio_features(multimodal.corpus_media(spark)))
+
+
+def _wav_md5_fixture_paths() -> list[str]:
+    """Build-once REAL WAV fixture (r16): 4 PCM16 mono 16 kHz files of
+    8000 samples each, bytes md5-derived ('w<k>' — SQL-replayable),
+    written through sources/wav.write_wav. Driver-side pure-Python build
+    (16 KB per file); same atomic rename protocol as the AVI fixtures."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    from uav_streamprocessor_spark.operators.multimodal import _md5_noise
+    from uav_streamprocessor_spark.sources.wav import write_wav
+
+    n_files, n_samples, rate = 4, 8000, 16000
+    base = Path(tempfile.gettempdir()) / (
+        f"uav_spark_wav_md5_fixture_v1_{n_files}x{n_samples}_{rate}hz"
+    )
+    paths = [str(base / f"w{k}.wav") for k in range(n_files)]
+    if base.exists():
+        return paths
+    tmp = Path(str(base) + f".tmp{os.getpid()}")
+    tmp.mkdir(parents=True, exist_ok=True)
+    for k in range(n_files):
+        pcm = _md5_noise(f"w{k}", n_samples * 2).tobytes()
+        write_wav(tmp / f"w{k}.wav", pcm, sample_rate=rate)
+    try:
+        os.rename(tmp, base)
+    except OSError:  # lost a concurrent-build race: theirs is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return paths
+
+
+_register(
+    "media_wav_features",
+    """
+WITH f AS (SELECT unnest([0, 1, 2, 3]) AS k),
+chunks AS MATERIALIZED (
+  SELECT k, ci.ci AS ci, md5('w' || k || ':' || ci.ci) AS hx
+  FROM f, unnest(generate_series(0, 999)) AS ci(ci)
+),
+b AS MATERIALIZED (
+  SELECT k, ci * 16 + o.o AS p,
+         (strpos('0123456789abcdef', substr(hx, o.o * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, o.o * 2 + 2, 1)) - 1)
+           AS v
+  FROM chunks, unnest(generate_series(0, 15)) AS o(o)
+),
+-- int16 little-endian: sample i = byte(2i) + 256*byte(2i+1), signed
+pcm AS MATERIALIZED (
+  SELECT lo.k AS k, lo.p // 2 AS i,
+         CAST(lo.v + 256 * hi.v
+              - CASE WHEN hi.v >= 128 THEN 65536 ELSE 0 END AS BIGINT) AS v
+  FROM b lo JOIN b hi ON hi.k = lo.k AND hi.p = lo.p + 1
+  WHERE lo.p % 2 = 0
+),
+agg AS (
+  SELECT k, CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(v * v) AS BIGINT) AS ss,
+         CAST(max(abs(v)) AS INT) AS peak
+  FROM pcm GROUP BY k
+),
+zc AS (
+  SELECT a.k,
+         CAST(count(*) FILTER (WHERE a.v * b.v < 0) AS BIGINT) AS crossings
+  FROM pcm a JOIN pcm b ON b.k = a.k AND b.i = a.i + 1
+  GROUP BY a.k
+)
+SELECT CAST(g.k AS BIGINT) AS media_id, g.n AS n_samples,
+       floor((CAST(g.n AS DOUBLE) / 16000.0) * 1e6 + 0.5) / 1e6 AS duration_s,
+       floor(sqrt(CAST(g.ss AS DOUBLE) / g.n) * 1e6 + 0.5) / 1e6 AS rms,
+       g.peak AS peak,
+       floor((CAST(z.crossings AS DOUBLE) / (g.n - 1)) * 1e6 + 0.5) / 1e6
+         AS zero_crossing_rate
+FROM agg g JOIN zc z USING (k) ORDER BY media_id
+""",
+    notes="audio features over REAL WAV containers (r16 — the codec-free "
+    "audio-container lane, symmetric with the AVI video lane): RIFF "
+    "chunk-walk + PCM16 extraction (sources/wav.py) feeding the same "
+    "extract_audio_features pass as the in-memory corpus. Fixture PCM is "
+    "md5-derived ('w<k>'), so the oracle regenerates the int16 samples "
+    "from md5 hex parsing and reproduces duration/RMS/peak/ZCR "
+    "bit-for-bit — any header-offset, block-align, or byte-order bug in "
+    "the container layer shifts the samples and lands as a parity "
+    "mismatch. RMS from the BIGINT-exact sum of squares; half-up 1e-6 "
+    "rounds (the media_audio_features recipe)",
+)(lambda spark: multimodal.extract_audio_features(
+    multimodal.wav_media(spark, _wav_md5_fixture_paths())
+).orderBy("media_id"))
 
 
 _register(
