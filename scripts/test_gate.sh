@@ -62,6 +62,12 @@ SHARD_A=(
   # shard B is the wall — keep the new ~90s in A's headroom
   tests/test_pixel_signing.py
   tests/test_wav_source.py
+  # r16 rebalance (VERDICT r15 #7 trigger hit): the final r16 close
+  # measured B 14:16 vs A 10:33 (B grew with the 293-plan audit fixture
+  # and the r16 additions) — move ~2:10 of operator ballast so the wall
+  # stays ≤15 min with ≥2 min headroom
+  tests/test_round7_ops.py
+  tests/test_round7b_ops.py
 )
 
 IGNORES=()
