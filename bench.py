@@ -144,6 +144,7 @@ ROTATION = [
     "uav_pixel_moments_mjpeg",
     # r16: real WAV containers → PCM features (the codec-free audio lane)
     "media_wav_features",
+    "media_audio_vad",
 ]
 
 

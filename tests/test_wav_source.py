@@ -138,6 +138,40 @@ def test_wav_media_features_match_direct_numpy(spark, tmp_path):
         assert r["zero_crossing_rate"] == exp_zcr
 
 
+def test_audio_vad_planted_cadence(spark, tmp_path):
+    """The VAD gate must recover the PLANTED silence cadence exactly:
+    a clip with every 3rd 400-sample window zeroed reads 1/3 inactive,
+    noise windows clear the threshold by ~350x, silent windows are 0."""
+    from uav_streamprocessor_spark.operators.multimodal import audio_vad
+
+    pcm = np.frombuffer(_noise_pcm("vt0", 4800), dtype="<i2").astype(
+        np.int16
+    ).copy()
+    for w in range(12):
+        if w % 3 == 0:
+            pcm[w * 400 : (w + 1) * 400] = 0
+    p = tmp_path / "vad.wav"
+    write_wav(p, pcm.tobytes())
+    r = audio_vad(wav_media(spark, [str(p)])).collect()[0]
+    assert (r["n_windows"], r["n_active"]) == (12, 8)
+    assert r["speech_ratio"] == pytest.approx(8 / 12, abs=1e-6)
+    assert r["max_window_ss"] > 400_000_000 * 100  # noise ≫ threshold
+
+
+def test_audio_vad_truncates_tail_window(spark, tmp_path):
+    """A partial trailing window (not a full 400 samples) is dropped —
+    the count semantics the oracle's i//400 grouping... would disagree
+    on, so the fixture keeps whole windows and this pins the operator's
+    truncation for arbitrary real clips."""
+    from uav_streamprocessor_spark.operators.multimodal import audio_vad
+
+    pcm = _noise_pcm("vt1", 450)  # 1 full window + 50-sample tail
+    p = tmp_path / "tail.wav"
+    write_wav(p, pcm)
+    r = audio_vad(wav_media(spark, [str(p)])).collect()[0]
+    assert r["n_windows"] == 1 and r["n_active"] == 1
+
+
 def test_registry_wav_features_green(spark):
     """The registered query builds its fixture and produces the full
     4-row feature table (oracle equality runs in the parity sweep /
@@ -149,3 +183,12 @@ def test_registry_wav_features_green(spark):
     ).collect()
     assert len(rows) == 4
     assert all(r["n_samples"] == 8000 and r["duration_s"] == 0.5 for r in rows)
+    vad = sorted(
+        registry.queries()["media_audio_vad"](
+            spark, "/root/testdata/sf0.001"
+        ).collect(),
+        key=lambda r: r["media_id"],
+    )
+    # the fixture's planted cadences: file k zeroes every (k+2)-th of
+    # 40 windows → 20/14/10/8 silent
+    assert [r["n_active"] for r in vad] == [20, 26, 30, 32]

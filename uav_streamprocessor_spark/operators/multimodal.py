@@ -265,6 +265,71 @@ def wav_media(spark, paths: list[str]) -> DataFrame:
     return pdf.mapInPandas(run, schema=out_schema)
 
 
+def audio_vad(
+    media: DataFrame,
+    window_samples: int = 400,
+    ss_threshold: int = 400_000_000,
+) -> DataFrame:
+    """Windowed-energy voice-activity gate (r16) — the audio-curation
+    step speech-data pipelines run before transcription/training:
+    split each PCM16 clip into fixed windows (400 samples = 25 ms at
+    16 kHz), mark a window active when its BIGINT-exact sum of squares
+    clears the threshold, and emit the per-clip activity profile. All
+    integer arithmetic until the final ratio round, so the DuckDB
+    oracle replays every verdict bit-for-bit from regenerated samples.
+
+    The default threshold separates by ~350×: uniform int16 noise
+    measures window SS ≈ 1.4e11 (400 · E[v²] ≈ 400 · 65536²/12) while
+    digital silence is exactly 0 — an integer compare with no boundary
+    exposure. Real speech/noise floors calibrate the threshold per
+    corpus; the SHAPE (map-only Arrow pass, bounded per-clip output,
+    payload never shuffles) is the production one."""
+    out_schema = T.StructType(
+        [
+            T.StructField("media_id", T.LongType(), False),
+            T.StructField("n_windows", T.LongType(), True),
+            T.StructField("n_active", T.LongType(), True),
+            T.StructField("speech_ratio", T.DoubleType(), True),
+            T.StructField("max_window_ss", T.LongType(), True),
+        ]
+    )
+    w, thr = window_samples, ss_threshold
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def r6(x: float) -> float:
+            return float(np.floor(x * 1e6 + 0.5) / 1e6)
+
+        for pdf in batches:
+            rows = []
+            for mid, buf in zip(pdf["media_id"], pdf["payload"]):
+                if buf is None:
+                    rows.append((mid, None, None, None, None))
+                    continue
+                pcm = np.frombuffer(bytes(buf), dtype="<i2").astype(np.int64)
+                n_win = pcm.size // w
+                if n_win == 0:
+                    rows.append((mid, 0, 0, None, None))
+                    continue
+                ss = (pcm[: n_win * w].reshape(n_win, w) ** 2).sum(axis=1)
+                active = int((ss > thr).sum())
+                rows.append(
+                    (mid, n_win, active, r6(active / n_win), int(ss.max()))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id", "n_windows", "n_active",
+                    "speech_ratio", "max_window_ss",
+                ],
+            )
+
+    return (
+        media.filter(F.col("media_type") == "audio")
+        .select("media_id", "payload")
+        .mapInPandas(run, schema=out_schema)
+    )
+
+
 def frame_sample_video(media: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame sampling contract: for real codecs this demuxes and
     keeps every Nth frame (the decimation F1 applied inside the container);

@@ -1931,17 +1931,18 @@ FROM joined GROUP BY 1 ORDER BY 1
 # test_driver_window_holds_the_priority_queries).
 #
 # r17 queue: the r09-cohort tail this window could not fit
-# (tpch_q22_sales_opportunity, text_token_stats, text_quality_scores,
-# text_lang_confusion, text_word_counts in r09 order), then the r10
-# cohort re-prove in r10 (CORRECTNESS_r10.json) order, rows-only
-# members (rel_approx_percentiles, uav_pixel_detections) and names
-# freshly proven in r16 yielding slots.
+# (tpch_q19_disjunctive, tpch_q22_sales_opportunity, text_token_stats,
+# text_quality_scores, text_lang_confusion, text_word_counts in r09
+# order), then the r10 cohort re-prove in r10 (CORRECTNESS_r10.json)
+# order, rows-only members (rel_approx_percentiles,
+# uav_pixel_detections) and names freshly proven in r16 yielding slots.
 # ---------------------------------------------------------------------------
 _DRIVER_WINDOW_PRIORITY: list[str] = [
     # -- changed or added this round (r16): fresh proof rows --
     "uav_pixel_moments",
     "uav_pixel_moments_mjpeg",
     "media_wav_features",
+    "media_audio_vad",
     "text_compression_bound",
     "emb_pca_spectrum",
     "ev_type_stats",
@@ -1989,11 +1990,10 @@ _DRIVER_WINDOW_PRIORITY: list[str] = [
     "tpch_q14_promo_effect",
     "tpch_q15_top_supplier",
     "tpch_q18_large_volume",
-    "tpch_q19_disjunctive",
-    # tpch_q22_sales_opportunity / text_token_stats /
-    # text_quality_scores / text_lang_confusion / text_word_counts (the
-    # r09 tail) yield their slots to the r16 changed-query rows; they
-    # lead the r17 queue
+    # tpch_q19_disjunctive / tpch_q22_sales_opportunity /
+    # text_token_stats / text_quality_scores / text_lang_confusion /
+    # text_word_counts (the r09 tail) yield their slots to the r16
+    # changed-query rows; they lead the r17 queue
 ]
 
 
@@ -7869,6 +7869,104 @@ FROM agg g JOIN zc z USING (k) ORDER BY media_id
     "rounds (the media_audio_features recipe)",
 )(lambda spark: multimodal.extract_audio_features(
     multimodal.wav_media(spark, _wav_md5_fixture_paths())
+).orderBy("media_id"))
+
+
+def _wav_vad_fixture_paths() -> list[str]:
+    """Build-once VAD fixture (r16): 4 one-second PCM16 WAV files
+    ('vw<k>' md5 noise) with PLANTED digital silence — file k zeroes
+    every (k+2)-th 400-sample window, so the four clips carry DIFFERENT
+    activity cadences (50%, ~65%, 75%, 80% active) and the gate's
+    discrimination is ground-truthed, not vacuous. Same driver-side
+    atomic build as the feature fixture."""
+    import os
+    import shutil
+    import tempfile
+    from pathlib import Path
+
+    import numpy as np
+
+    from uav_streamprocessor_spark.operators.multimodal import _md5_noise
+    from uav_streamprocessor_spark.sources.wav import write_wav
+
+    n_files, n_samples, rate, win = 4, 16000, 16000, 400
+    base = Path(tempfile.gettempdir()) / (
+        f"uav_spark_wav_vad_fixture_v1_{n_files}x{n_samples}_{rate}hz"
+    )
+    paths = [str(base / f"vw{k}.wav") for k in range(n_files)]
+    if base.exists():
+        return paths
+    tmp = Path(str(base) + f".tmp{os.getpid()}")
+    tmp.mkdir(parents=True, exist_ok=True)
+    for k in range(n_files):
+        pcm = (
+            _md5_noise(f"vw{k}", n_samples * 2)
+            .view("<i2")
+            .astype(np.int16)
+            .copy()
+        )
+        for wdx in range(n_samples // win):
+            if wdx % (k + 2) == 0:
+                pcm[wdx * win : (wdx + 1) * win] = 0
+        write_wav(tmp / f"vw{k}.wav", pcm.tobytes(), sample_rate=rate)
+    try:
+        os.rename(tmp, base)
+    except OSError:  # lost a concurrent-build race: theirs is identical
+        shutil.rmtree(tmp, ignore_errors=True)
+    return paths
+
+
+_register(
+    "media_audio_vad",
+    """
+WITH f AS (SELECT unnest([0, 1, 2, 3]) AS k),
+chunks AS MATERIALIZED (
+  SELECT k, ci.ci AS ci, md5('vw' || k || ':' || ci.ci) AS hx
+  FROM f, unnest(generate_series(0, 1999)) AS ci(ci)
+),
+b AS MATERIALIZED (
+  SELECT k, ci * 16 + o.o AS p,
+         (strpos('0123456789abcdef', substr(hx, o.o * 2 + 1, 1)) - 1) * 16
+           + (strpos('0123456789abcdef', substr(hx, o.o * 2 + 2, 1)) - 1)
+           AS v
+  FROM chunks, unnest(generate_series(0, 15)) AS o(o)
+),
+-- int16 LE samples, then the planted silence mask: file k zeroes every
+-- (k+2)-th 400-sample window (the fixture's ground truth)
+pcm AS MATERIALIZED (
+  SELECT lo.k AS k, lo.p // 2 AS i,
+         CASE WHEN ((lo.p // 2) // 400) % (lo.k + 2) = 0 THEN 0
+              ELSE CAST(lo.v + 256 * hi.v
+                   - CASE WHEN hi.v >= 128 THEN 65536 ELSE 0 END AS BIGINT)
+         END AS v
+  FROM b lo JOIN b hi ON hi.k = lo.k AND hi.p = lo.p + 1
+  WHERE lo.p % 2 = 0
+),
+win AS (
+  SELECT k, i // 400 AS w, CAST(sum(v * v) AS BIGINT) AS ss
+  FROM pcm GROUP BY k, i // 400
+)
+SELECT CAST(k AS BIGINT) AS media_id,
+       CAST(count(*) AS BIGINT) AS n_windows,
+       CAST(count(*) FILTER (WHERE ss > 400000000) AS BIGINT) AS n_active,
+       floor((CAST(count(*) FILTER (WHERE ss > 400000000) AS DOUBLE)
+              / count(*)) * 1e6 + 0.5) / 1e6 AS speech_ratio,
+       CAST(max(ss) AS BIGINT) AS max_window_ss
+FROM win GROUP BY k ORDER BY media_id
+""",
+    notes="windowed-energy voice-activity gate over REAL WAV containers "
+    "(r16) — the audio-curation step speech pipelines run before "
+    "transcription/training: 25 ms windows, a window is active when its "
+    "BIGINT-exact sum of squares clears the threshold (uniform-noise "
+    "windows read ~1.4e11, planted digital silence exactly 0 — an "
+    "integer compare ~350x from either class, zero boundary risk). "
+    "Fixture plants a DIFFERENT silence cadence per file (every "
+    "(k+2)-th window), so the four activity ratios are distinct ground "
+    "truth the oracle replays bit-for-bit from md5-regenerated samples "
+    "+ the same mask arithmetic; container layer signed by the same "
+    "round trip as media_wav_features",
+)(lambda spark: multimodal.audio_vad(
+    multimodal.wav_media(spark, _wav_vad_fixture_paths())
 ).orderBy("media_id"))
 
 
