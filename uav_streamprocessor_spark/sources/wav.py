@@ -85,23 +85,31 @@ class WavFile:
 
     def __init__(self, path):
         self.path = str(path)
-        raw = Path(path).read_bytes()
-        if len(raw) < 12 or raw[:4] != b"RIFF" or raw[8:12] != b"WAVE":
-            raise ValueError(f"not a RIFF/WAVE file: {self.path!r}")
+        file_size = Path(path).stat().st_size
         fmt = None
         self._data_off = None
         self._data_len = 0
-        pos = 12
-        while pos + 8 <= len(raw):
-            ckid = raw[pos : pos + 4]
-            (size,) = struct.unpack_from("<I", raw, pos + 4)
-            body = pos + 8
-            if ckid == b"fmt ":
-                fmt = _FMT_STRUCT.unpack_from(raw, body)
-            elif ckid == b"data":
-                self._data_off = body
-                self._data_len = min(size, len(raw) - body)
-            pos = body + size + (size & 1)  # even-length padding
+        # header-only I/O: read the 12-byte RIFF header and each 8-byte
+        # chunk header, SEEKING past chunk bodies (a multi-GB recording
+        # costs a few hundred bytes of reads to open — the AviFile
+        # header-walk contract)
+        with open(path, "rb") as fh:
+            head = fh.read(12)
+            if len(head) < 12 or head[:4] != b"RIFF" or head[8:12] != b"WAVE":
+                raise ValueError(f"not a RIFF/WAVE file: {self.path!r}")
+            while True:
+                hdr = fh.read(8)
+                if len(hdr) < 8:
+                    break
+                ckid = hdr[:4]
+                (size,) = struct.unpack("<I", hdr[4:])
+                body = fh.tell()
+                if ckid == b"fmt ":
+                    fmt = _FMT_STRUCT.unpack(fh.read(_FMT_STRUCT.size))
+                elif ckid == b"data":
+                    self._data_off = body
+                    self._data_len = min(size, file_size - body)
+                fh.seek(body + size + (size & 1))  # even-length padding
         if fmt is None or self._data_off is None:
             raise ValueError(f"missing fmt/data chunk in {self.path!r}")
         (
@@ -120,16 +128,16 @@ class WavFile:
                 "samples_bytes(start, end) contract"
             )
         self.n_samples = self._data_len // self.block_align
-        self._raw = raw
 
     def samples_bytes(self, start: int = 0, end: int | None = None) -> bytes:
         """Raw little-endian PCM bytes for sample range [start, end) —
-        pure offset arithmetic, the audio analogue of AviFile's indexed
-        frame seek."""
+        one seek + one read of exactly the requested byte range, the
+        audio analogue of AviFile's indexed frame seek (a sample-range
+        partition never touches bytes outside its slice)."""
         end = self.n_samples if end is None else min(end, self.n_samples)
         start = max(0, start)
         if start >= end:
             return b""
-        a = self._data_off + start * self.block_align
-        b = self._data_off + end * self.block_align
-        return self._raw[a:b]
+        with open(self.path, "rb") as fh:
+            fh.seek(self._data_off + start * self.block_align)
+            return fh.read((end - start) * self.block_align)
