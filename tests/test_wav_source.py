@@ -7,6 +7,8 @@ import struct
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from uav_streamprocessor_spark.operators.multimodal import _md5_noise, wav_media
 from uav_streamprocessor_spark.sources.wav import PCM_FORMAT, WavFile, write_wav
@@ -98,6 +100,69 @@ def test_wav_rejects_non_wave(tmp_path):
     p2.write_bytes(b"nope")
     with pytest.raises(ValueError):
         WavFile(p2)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    n_samples=st.integers(0, 700),
+    rate=st.sampled_from([8000, 16000, 22050, 44100]),
+    channels=st.integers(1, 2),
+    seed=st.integers(0, 2**31 - 1),
+    a=st.integers(0, 800),
+    b=st.integers(0, 800),
+)
+def test_wav_roundtrip_property(tmp_path_factory, n_samples, rate, channels, seed, a, b):
+    """PROPERTY: for any PCM16 payload, rate, and channel count, the
+    write→parse→slice pipeline returns exactly the bytes written —
+    header arithmetic (sizes, block align, data offset) can never
+    corrupt or shift a sample, and every [a, b) slice equals the
+    corresponding slice of the source bytes."""
+    import numpy as np
+
+    tmp = tmp_path_factory.mktemp("wavprop")
+    rng = np.random.RandomState(seed)
+    block = channels * 2
+    pcm = rng.randint(0, 256, size=n_samples * block, dtype=np.int64).astype(
+        np.uint8
+    ).tobytes()
+    p = tmp / "p.wav"
+    write_wav(p, pcm, sample_rate=rate, channels=channels)
+    w = WavFile(p)
+    assert (w.n_samples, w.sample_rate, w.channels) == (
+        n_samples, rate, channels
+    )
+    assert w.samples_bytes() == pcm
+    lo, hi = min(a, b), max(a, b)
+    assert w.samples_bytes(lo, hi) == pcm[lo * block : hi * block]
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    frames=st.integers(1, 200),
+    fpp=st.integers(1, 50),
+    wanted=st.sets(st.integers(-10, 250), max_size=30),
+)
+def test_sparse_partition_plan_property(frames, fpp, wanted):
+    """PROPERTY: for any frame filter, the sparse plan's partitions
+    cover EXACTLY the in-range wanted frames, once each, in order, and
+    every chunk respects framesPerPartition — the planner can neither
+    drop, duplicate, nor resurrect a frame."""
+    from uav_streamprocessor_spark.sources.video_source import (
+        PushdownVideoBatchReader,
+    )
+    from pyspark.sql.datasource import In
+
+    reader = PushdownVideoBatchReader(
+        {
+            "path": f"synthetic://c?frames={frames}&w=8&h=8",
+            "framesPerPartition": str(fpp),
+        }
+    )
+    list(reader.pushFilters([In(("frame_number",), tuple(wanted))]))
+    parts = reader.partitions()
+    covered = [f for p in parts for f in p.frames]
+    assert covered == sorted(f for f in wanted if 0 <= f < frames)
+    assert all(len(p.frames) <= fpp for p in parts)
 
 
 def test_wav_media_features_match_direct_numpy(spark, tmp_path):
