@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from .partitioning import spread_scan
+
 # deterministic universal-hash family for minhash: h_i(x) = (a_i*x + b_i) mod p
 _MERSENNE_P = (1 << 61) - 1
 _N_PERM = 64
@@ -1318,44 +1320,73 @@ def winnowing_fingerprints(
     The hash is the first 12 hex chars of md5 over the lowercased
     k-gram, compared LEXICOGRAPHICALLY — byte-identical in Spark and
     DuckDB (hex alphabet, binary collation both sides), where a native
-    integer hash() would never agree across engines. The window min is
-    a doc_id-partitioned sliding frame (ROWS CURRENT..w-1 FOLLOWING)
-    over the position order; per-doc row counts bound every partition.
+    integer hash() would never agree across engines.
+
+    r17 shape (guide §2.4, remove shuffles outright): the window min is
+    computed MAP-SIDE as a least-fold of w shifted slices of the per-doc
+    gram-hash array — wmin[i] = least(hs[i..i+w-1]) — instead of the
+    r7 doc_id-partitioned sliding window, which shuffled and sorted
+    every gram row (one row per character position) just to compare
+    each row with its w-1 in-doc neighbors. The selection never needs
+    cross-doc data, so the Exchange+Sort+Window trio was pure overhead:
+    the whole fingerprint build is now Scan → spread_scan →
+    Project(hs) → Project(least-fold) →
+    Generate(explode_outer(array_distinct)) — the only exchange is the
+    conditional input spread (guide §2.5: the fixture parquet is one
+    unsplittable split, which serialized the whole md5 stage on one
+    core; at production split counts the spread is a no-op).
+    `hs` is referenced w times by the fold and `t`/`n` twice upstream,
+    so CollapseProject cannot inline the md5 array into the lambdas
+    (inlining would re-evaluate it per element); verified in the plan.
 
     Reference parity note: the reference has no text dedup at all —
     this extends dedup_fingerprints (whole-doc md5) down to substring
     granularity, the standard plagiarism / near-dup fingerprinting
     scheme (Schleimer, Wilkerson & Aiken, SIGMOD'03)."""
-    docs = spark.table("documents").select(
-        "doc_id", F.lower("text").alias("t"), F.length(F.lower("text")).alias("n")
-    )
-    # positions 1..n-k+1, guarded: sequence(1, 0) would count DOWN
-    pos = F.when(
-        F.col("n") >= k, F.sequence(F.lit(1), F.col("n") - k + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        "doc_id", "t", "n", F.explode(pos).alias("p")
-    ).select(
+    docs = spread_scan(
+        spark.table("documents").select("doc_id", F.lower("text").alias("t")),
         "doc_id",
-        "n",
-        "p",
-        # substring with a COLUMN start goes through expr (the python
-        # wrapper's pos parameter is int-only)
-        F.substring(F.md5(F.expr(f"substring(t, p, {k})")), 1, 12).alias("h"),
     )
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("p")
-        .rowsBetween(Window.currentRow, w - 1)
+    # per-doc k-gram hash array, positions 1..n-k+1 (guarded: an empty
+    # sequence bound would count DOWN); t is an attribute reference
+    # inside the lambda — read per element, never recomputed
+    hs = F.when(
+        F.col("n") >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.col("n") - (k - 1)),
+            lambda p: F.substring(
+                F.md5(F.col("t").substr(p, F.lit(k))), 1, 12
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    hashed = docs.select(
+        "doc_id", F.length("t").alias("n"), "t"
+    ).select("doc_id", "n", hs.alias("hs"))
+    # sliding min over full windows only (w grams each): fold w shifted
+    # length-nw slices with elementwise least — identical to the old
+    # ROWS CURRENT..w-1 FOLLOWING frame filtered to p <= n-k+1-(w-1)
+    nw = F.col("n") - (k - 1) - (w - 1)
+    folded = F.slice("hs", 1, nw)
+    for j in range(1, w):
+        folded = F.zip_with(
+            folded, F.slice("hs", j + 1, nw), lambda a, b: F.least(a, b)
+        )
+    wmins = F.when(nw >= 1, folded).otherwise(
+        F.array().cast("array<string>")
     )
-    selected = (
-        grams.withColumn("wmin", F.min("h").over(win))
-        # only full windows select (positions past n-k+1-(w-1) are partial)
-        .filter(F.col("p") <= F.col("n") - k + 1 - (w - 1))
-        .select("doc_id", F.col("wmin").alias("fingerprint"))
-        .distinct()
+    # explode_outer, NOT explode: InferFiltersFromGenerate synthesizes a
+    # size(fps)>0 filter under a plain explode, and predicate pushdown
+    # inlines the whole md5 pipeline into it BELOW the projections (the
+    # alias-substitution on pushdown ignores expression cost) — measured
+    # 10x. No filter is inferred for an outer generate; the isNotNull on
+    # the generated column is pinned above the Generate by construction
+    # and drops exactly the empty-array rows a plain explode would skip
+    # (a real fingerprint is never NULL: md5 over non-null k-grams).
+    return (
+        hashed.select("doc_id", F.array_distinct(wmins).alias("fps"))
+        .select("doc_id", F.explode_outer("fps").alias("fingerprint"))
+        .filter(F.col("fingerprint").isNotNull())
     )
-    return selected
 
 
 def winnowing_near_duplicates(

@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from uav_streamprocessor_spark.operators.partitioning import spread_scan
 from uav_streamprocessor_spark.operators.sampling import _TRAIN_MAX_NIBBLE
 
 
@@ -422,8 +423,22 @@ def substring_dup_spans(spark: SparkSession, n: int = 8) -> DataFrame:
     Per-doc position totals are pure arithmetic (n_words - n + 1), no
     second gram pass. Suffix arrays find character-level spans; word
     8-grams are the standard join-friendly surrogate (a shared
-    >=8-word span implies a shared 8-gram)."""
-    docs = spark.table("documents")
+    >=8-word span implies a shared 8-gram).
+
+    r17 single-pass shape (guide §2.3/§2.4 — the r16 form tokenized and
+    exploded the corpus TWICE and shuffled every position row through a
+    distinct + a gram-keyed semi-join): positions explode ONCE into a
+    (doc_id, g) partial count `pc` — the spread_scan partitioning by
+    doc_id already satisfies the groupBy(doc_id, g) distribution, so no
+    extra exchange — then one window over g counts the distinct docs
+    per gram on the pc rows (distinct-gram-sized, not position-sized),
+    and one doc-keyed aggregate derives BOTH totals: n_positions =
+    Σc (every position emits exactly one gram) and n_dup_positions =
+    Σc over grams seen in ≥2 docs. 2 explodes + 5 exchanges + 2 joins
+    → 1 explode + 3 exchanges + 0 joins, results identical."""
+    docs = spread_scan(
+        spark.table("documents").select("doc_id", "text"), "doc_id"
+    )
     ws = F.col("ws")
     gram_hashes = F.transform(
         F.sequence(F.lit(1), F.size(ws) - (n - 1)),
@@ -436,33 +451,27 @@ def substring_dup_spans(spark: SparkSession, n: int = 8) -> DataFrame:
         .filter(F.size("ws") >= n)
         .select("doc_id", F.explode(gram_hashes).alias("g"))
     )
-    cross_doc = (
-        positions.distinct()
-        .groupBy("g")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("g")
+    pc = positions.groupBy("doc_id", "g").agg(
+        F.count(F.lit(1)).alias("c")
     )
-    marked = positions.join(cross_doc, "g", "left_semi")
-    per_doc_dup = marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_dup_positions")
-    )
+    n_docs = F.count(F.lit(1)).over(Window.partitionBy("g"))
     per_doc = (
-        _with_tokens(docs)
-        .filter(F.size("ws") >= n)
-        .select(
-            "doc_id",
-            (F.size("ws") - (n - 1)).cast("long").alias("n_positions"),
+        pc.withColumn("n_docs", n_docs)
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_positions"),
+            F.sum(
+                F.when(F.col("n_docs") >= 2, F.col("c")).otherwise(F.lit(0))
+            ).alias("n_dup_positions"),
         )
     )
     return (
-        per_doc.join(per_doc_dup, "doc_id", "left")
-        .select(
+        per_doc.select(
             "doc_id",
             "n_positions",
-            F.coalesce("n_dup_positions", F.lit(0)).alias("n_dup_positions"),
+            "n_dup_positions",
             F.round(
-                F.coalesce("n_dup_positions", F.lit(0))
+                F.col("n_dup_positions")
                 / F.col("n_positions").cast("double"),
                 6,
             ).alias("dup_span_coverage"),
