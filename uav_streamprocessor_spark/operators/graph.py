@@ -227,17 +227,22 @@ def pagerank(
     unquantized form already carries.
 
     Scale shape (the standard distributed PageRank):
-    - out-degrees computed ONCE; the per-round plan is one edge⋈rank
-      hash join on the src key + one dst-keyed partial-aggregating
-      shuffle — node-id keys only, payload is a single double.
+    - out-degrees are attached to the edge list ONCE (r17, guide §2.4):
+      `e_w` = edges ⋈ outdeg, hash-partitioned by the per-round join
+      key u and checkpointed — so the per-round plan is ONE rank⋈e_w
+      hash join (only the node-sized rank table moves; the edge side
+      re-reads its checkpointed partitioning) + one dst-keyed
+      partial-aggregating shuffle. The r16 shape re-joined ranks⋈deg
+      every round, an extra join per round whose output was immediately
+      re-keyed — node-id keys only either way, payload a single double.
     - dangling mass is a scalar agg (treeAggregate-shaped), folded back
       as a broadcast literal — no driver-side loop over rows.
     - localCheckpoint per round truncates lineage exactly like the CC
       fixpoint; round count is FIXED (no convergence join).
-    - edges/degrees are checkpointed once and reused every round —
-      at 100 TB these are the big invariant sides, re-read from cache,
-      never re-shuffled (degree join keyed the same as the contrib
-      groupBy)."""
+    - per-edge rank/outdeg divides the same operands the old per-node
+      form did, so every contribution value is IEEE-identical; the
+      summation-order freedom the groupBy already had is unchanged and
+      the quantize snap absorbs it (same cross-engine argument)."""
     e = edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     if undirected:
         e = e.union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -253,7 +258,18 @@ def pagerank(
     deg = e.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
-    deg = deg.localCheckpoint(eager=True)
+    if not undirected:
+        # the directed path probes deg every round for dangling mass
+        deg = deg.localCheckpoint(eager=True)
+    # edge list with out-degree attached, pinned in the join key's
+    # partitioning: the big invariant side of every round's join never
+    # re-shuffles (its checkpointed HashPartitioning(u) satisfies the
+    # join requirement; only ranks moves)
+    e_w = (
+        e.join(deg.select(F.col("node").alias("u"), "outdeg"), "u")
+        .repartition(e.sparkSession.sparkContext.defaultParallelism, "u")
+        .localCheckpoint(eager=True)
+    )
 
     def _q(col):
         return F.round(col * 1e9) / 1e9 if quantize else col
@@ -263,7 +279,6 @@ def pagerank(
     ).localCheckpoint(eager=True)
 
     for _ in range(iters):
-        with_deg = ranks.join(deg, "node", "left")
         if undirected:
             # symmetrized graph: every node has out-edges AND in-edges,
             # so dangling mass is identically 0 and contribs covers all
@@ -273,20 +288,17 @@ def pagerank(
         else:
             # dangling nodes (no out-edges) leak their rank to everyone
             dangling = (
-                with_deg.filter(F.col("outdeg").isNull())
+                ranks.join(deg, "node", "left")
+                .filter(F.col("outdeg").isNull())
                 .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
                 .first()[0]
             )
         contribs = (
-            e.join(
-                with_deg.filter(F.col("outdeg").isNotNull()).select(
-                    F.col("node").alias("u"),
-                    (F.col("rank") / F.col("outdeg")).alias("w"),
-                ),
-                "u",
+            e_w.join(
+                ranks.select(F.col("node").alias("u"), "rank"), "u"
             )
             .groupBy(F.col("v").alias("node"))
-            .agg(F.sum("w").alias("in_sum"))
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_sum"))
         )
         base = (1.0 - damping) / n_nodes + damping * dangling / n_nodes
         if undirected:

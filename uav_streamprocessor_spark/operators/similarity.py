@@ -22,6 +22,8 @@ from pyspark import StorageLevel
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .partitioning import spread_scan
+
 # 8 planes → 256 buckets: at the test corpus size (~500-50k vectors) buckets
 # keep ~n/256 candidates; at larger corpora raise planes ~log2(n/target).
 _N_PLANES = 8
@@ -52,7 +54,12 @@ def knn_bruteforce(spark: SparkSession, n_queries: int = 5, k: int = 5) -> DataF
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    joined = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    # corpus side spread (guide §2.5): the JVM-side cosine over every
+    # (vector, query) pair runs in the scan stage, which a single-split
+    # fixture file serializes onto one core; no-op on split-up inputs
+    joined = spread_scan(emb, "vec_id").join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
     sim = F.round(_cosine(F.col("qvec"), F.col("embedding")), 6)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id")
@@ -579,8 +586,8 @@ def kmeans_lloyd(
       argmin margins on this corpus.
     """
     emb = (
-        spark.table("embeddings")
-        .select("vec_id", "embedding")
+        spread_scan(spark.table("embeddings").select("vec_id", "embedding"),
+                    "vec_id")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     init_rows = emb.orderBy("vec_id").limit(k).collect()
@@ -766,7 +773,10 @@ def kmeans_cluster_profile(spark: SparkSession, k: int = 10, iters: int = 5) -> 
             )
 
     partials = (
-        spark.table("embeddings")
+        spread_scan(
+            spark.table("embeddings").select("vec_id", "embedding", "label"),
+            "vec_id",
+        )
         .select("embedding", "label")
         .mapInPandas(
             reduce_batch, "cluster int, label int, n long, sum_ci long"
@@ -957,7 +967,7 @@ def hard_negatives(spark: SparkSession, n_queries: int = 5, k: int = 5) -> DataF
         F.col("embedding").alias("qvec"),
         F.col("label").alias("query_label"),
     )
-    joined = emb.join(
+    joined = spread_scan(emb, "vec_id").join(
         F.broadcast(queries), F.col("label") != F.col("query_label")
     )
     sim = F.round(_cosine(F.col("qvec"), F.col("embedding")), 6)
@@ -1437,8 +1447,11 @@ def ivfpq_topk(
     every query batch. Queries: probes + LUTs are O(n_queries · nprobe
     · m · ksub) driver floats; candidate scoring is a broadcast-probe
     semi-filter then a map-only LUT gather — the corpus never shuffles
-    and never moves full vectors after encode."""
-    emb = spark.table("embeddings")
+    and never moves full vectors after encode. r17: the scan is
+    spread_scan-parallelized (the single-split fixture ran the whole
+    encode pass on one core, guide §2.5) and the ADC gather is one
+    fancy-index lookup per batch (see score())."""
+    emb = spread_scan(spark.table("embeddings"), "vec_id")
 
     # --- normalized corpus + cell centroids (distributed, 2 shuffles of
     # O(cells·dim) rows total) ---
@@ -1577,6 +1590,20 @@ def ivfpq_topk(
         ]
     )
 
+    # r17 (guide §4.2): one fancy-index gather per batch instead of the
+    # per-(query, cell) boolean-mask loop, which rebuilt an O(rows)
+    # Python tuple-comparison mask for every probe pair (O(rows·pairs)
+    # interpreted work per batch). LUTs stack into one (P, m, ksub)
+    # array once per task; rows map to their LUT plane by searchsorted
+    # over a packed (query_id << 32 | label) key.
+    lut_keys = np.array(
+        sorted((int(q) << 32) | (int(c) & 0xFFFFFFFF) for q, c in luts),
+        dtype=np.int64,
+    )
+    lut_stack = np.stack(
+        [luts[(int(k) >> 32, int(k) & 0xFFFFFFFF)] for k in lut_keys]
+    )
+
     def score(batches):
         cols = np.arange(m)
         for pdf in batches:
@@ -1586,12 +1613,11 @@ def ivfpq_topk(
                 )
                 continue
             codes = np.array(pdf["codes"].tolist(), dtype=np.int64)
-            out = np.empty(len(pdf), dtype=np.float64)
-            key = list(zip(pdf["query_id"], pdf["label"]))
-            for pair in set(key):
-                mask = np.array([kk == pair for kk in key])
-                lut = luts[(int(pair[0]), int(pair[1]))]
-                out[mask] = lut[cols[None, :], codes[mask]].sum(axis=1)
+            key = (
+                pdf["query_id"].to_numpy(dtype=np.int64) << 32
+            ) | (pdf["label"].to_numpy(dtype=np.int64) & 0xFFFFFFFF)
+            plane = np.searchsorted(lut_keys, key)
+            out = lut_stack[plane[:, None], cols[None, :], codes].sum(axis=1)
             yield pd.DataFrame(
                 {
                     "query_id": pdf["query_id"],
@@ -1731,7 +1757,9 @@ def mmr_rerank(
     queries = emb.filter(F.col("vec_id") < n_queries).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qvec")
     )
-    joined = emb.join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+    joined = spread_scan(emb, "vec_id").join(
+        F.broadcast(queries), F.col("vec_id") != F.col("query_id")
+    )
     rel = _cosine(F.col("qvec"), F.col("embedding"))
     w = Window.partitionBy("query_id").orderBy(
         F.col("relevance").desc(), F.col("vec_id")
@@ -2332,16 +2360,26 @@ def cosine_histogram(spark: SparkSession, width: int = 25) -> DataFrame:
 
 def _pca_eigenvalues(spark: SparkSession) -> tuple[int, int, "np.ndarray"]:
     """Shared D²-bounded covariance reduction + driver eigh for the PCA
-    queries: each Arrow batch emits its partial (n, Σx, ΣxᵀX) — one
-    (1 + D + D²)-float row per batch — and the driver combines partials
-    and eigendecomposes the D×D population covariance (D=64 → 4 KB
-    matrix, firmly inside the model budget; the corpus itself never
-    leaves the executors and never shuffles). Returns (n, dim,
-    eigenvalues descending)."""
+    queries: each PARTITION emits one accumulated partial (n, Σx, ΣxᵀX)
+    — a (1 + D + D²)-float row — and the driver combines partials and
+    eigendecomposes the D×D population covariance (D=64 → 4 KB matrix,
+    firmly inside the model budget; the corpus itself never leaves the
+    executors and never shuffles). Returns (n, dim, eigenvalues
+    descending).
+
+    r17 (VERDICT r16 "What's wrong" #2): the r15-shape per-Arrow-batch
+    partial rows made the driver collect O(batches·D²); partials now
+    accumulate per partition (the `_pca_quantized_cov` fix applied to
+    this float twin), and above PCA_PARTIALS_DIRECT_PARTS input
+    partitions the same fixed-fan-in tree combine bounds the collect at
+    PCA_TREE_COMBINERS rows for ANY input partitioning. dim comes from
+    the partials themselves (no separate first() scan) and the input is
+    spread_scan-parallelized (single-split fixture, guide §2.5)."""
     from pyspark.sql import types as T
 
-    emb = spark.table("embeddings").select("embedding")
-    dim = len(emb.first()["embedding"])
+    emb = spread_scan(
+        spark.table("embeddings").select("vec_id", "embedding"), "vec_id"
+    ).select("embedding")
     fields = T.StructType(
         [
             T.StructField("n", T.LongType()),
@@ -2351,19 +2389,59 @@ def _pca_eigenvalues(spark: SparkSession) -> tuple[int, int, "np.ndarray"]:
     )
 
     def partials(batches):
+        n = 0
+        s_acc = None
+        xtx_acc = None
         for pdf in batches:
             if not len(pdf):
                 continue
             X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            n += X.shape[0]
+            if s_acc is None:
+                s_acc = X.sum(axis=0)
+                xtx_acc = X.T @ X
+            else:
+                s_acc += X.sum(axis=0)
+                xtx_acc += X.T @ X
+        if n == 0:
+            return
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [s_acc.tolist()],
+                "xtx": [xtx_acc.ravel().tolist()],
+            }
+        )
+
+    parts_df = emb.mapInPandas(partials, schema=fields)
+    if emb.rdd.getNumPartitions() > PCA_PARTIALS_DIRECT_PARTS:
+
+        def combine(batches):
+            n = 0
+            s_acc = None
+            xtx_acc = None
+            for pdf in batches:
+                for _, row in pdf.iterrows():
+                    n += int(row["n"])
+                    if s_acc is None:
+                        s_acc = np.array(row["s"], dtype=np.float64)
+                        xtx_acc = np.array(row["xtx"], dtype=np.float64)
+                    else:
+                        s_acc += np.array(row["s"], dtype=np.float64)
+                        xtx_acc += np.array(row["xtx"], dtype=np.float64)
+            if n == 0:
+                return
             yield pd.DataFrame(
-                {
-                    "n": [X.shape[0]],
-                    "s": [X.sum(axis=0).tolist()],
-                    "xtx": [(X.T @ X).ravel().tolist()],
-                }
+                {"n": [n], "s": [s_acc.tolist()], "xtx": [xtx_acc.tolist()]}
             )
 
-    parts = emb.mapInPandas(partials, schema=fields).collect()
+        parts_df = parts_df.repartition(PCA_TREE_COMBINERS).mapInPandas(
+            combine, schema=fields
+        )
+    parts = parts_df.collect()
+    if not parts:
+        raise ValueError("embeddings table is empty — no spectrum")
+    dim = len(parts[0]["s"])
     n = sum(p["n"] for p in parts)
     s = np.sum([np.array(p["s"]) for p in parts], axis=0)
     xtx = np.sum([np.array(p["xtx"]).reshape(dim, dim) for p in parts], axis=0)
@@ -2479,7 +2557,9 @@ def _pca_quantized_cov(spark: SparkSession) -> tuple[int, int, "np.ndarray"]:
     whole reduction is ONE Spark job."""
     from pyspark.sql import types as T
 
-    emb = spark.table("embeddings").select("embedding")
+    emb = spread_scan(
+        spark.table("embeddings").select("vec_id", "embedding"), "vec_id"
+    ).select("embedding")
     fields = T.StructType(
         [
             T.StructField("n", T.LongType()),

@@ -900,9 +900,13 @@ def _bpe_train(spark: SparkSession, rounds: int, passes: int):
         merged = F.col("seq")
         for _ in range(passes):
             merged = F.replace(merged, F.lit(pat), F.lit(rep))
+        # lazy checkpoint (r17): the barrier still truncates lineage,
+        # but materialization folds into the next round's argmax collect
+        # (or the consumer's first action) instead of paying a dedicated
+        # job per merge round — halves the round-trip count of the loop
         words = words.select(
             "word", merged.alias("seq"), "freq"
-        ).localCheckpoint(eager=True)
+        ).localCheckpoint(eager=False)
     return words, merges
 
 
