@@ -1071,7 +1071,7 @@ def edit_distance_pairs(
     minhash_editdist_verify below (dedup_minhash_editdist), recall-
     pinned against this operator; the verify join shape is the same."""
     docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
-    a = _edit_a_side(docs, band_width)
+    a = _edit_a_side(spread_scan(docs, "doc_id"), band_width)
     b = _edit_b_side(docs, band_width)
     # early-abandon ceiling PER PAIR: a surviving pair needs
     # lev <= (1-floor)*greatest(len_a, len_b), so that bound (+1) is the
@@ -1086,23 +1086,22 @@ def edit_distance_pairs(
     )
     lev = F.expr(f"levenshtein(text_a, text_b, {thr})")
     sim = 1.0 - lev.cast("double") / F.greatest("len_a", "len_b")
-    cands = (
-        _edit_distance_candidates(a, b, band_width)
-        # Two optimizer behaviors conspire to run every DP in ONE task
-        # without this barrier (measured 218s at sf0.1; ~6s with it):
-        # (1) Catalyst rewrites the post-join similarity filter INTO the
-        # broadcast-join condition, so levenshtein evaluates in the
-        # single-partition scan stage; (2) even with an explicit
-        # repartition, AQE's local shuffle reader collapses the exchange
-        # when the consumer needs no particular partitioning (a count or
-        # driver collect), putting the DP back on the lone mapper. The
-        # lazy localCheckpoint pins the spread candidate partitions —
-        # the same lineage-barrier tool the CC fixpoint uses.
-        .repartition(
-            spark.sparkContext.defaultParallelism, "doc_id_a", "doc_id_b"
-        )
-        .localCheckpoint(eager=False)
-    )
+    # r17 (guide §2.3, shuffle fewer bytes): the DP parallelism now
+    # comes from spreading the PROBE side of the broadcast candidate
+    # join BEFORE it runs (spread_scan on the raw docs — the r10-r16
+    # shape instead repartitioned the JOINED pairs, shuffling every
+    # candidate's both texts a second time, ~319k pairs × 2 payloads at
+    # sf0.1, and still built them all in one task first because the
+    # single-split scan serialized the join stage). With the probe side
+    # pinned at defaultParallelism partitions below the join, the
+    # letter-perfect history of this operator's two optimizer traps —
+    # the similarity filter folding into the join condition and AQE
+    # collapsing an unpinned repartition — lands harmlessly: wherever
+    # the DP evaluates, its stage reads the pinned spread. The
+    # pair-level repartition + checkpoint barrier is gone; candidates
+    # flow join → DP in one stage and only the raw doc rows ever
+    # shuffle (once, in spread_scan).
+    cands = _edit_distance_candidates(a, b, band_width)
     return (
         cands.select(
             # cross-band pairs arrive oriented by band, not id — re-orient
@@ -1127,31 +1126,41 @@ def ngram_novelty_by_source(spark: SparkSession, n: int = 3) -> DataFrame:
     grams is recycled/templated content that dedup thresholds may miss
     pair-by-pair but which adds no new information to a training mix.
 
-    Relational shape: one gram-keyed shuffle for first occurrences
-    (min(doc_id), map-side combinable), one doc-keyed count, and a
-    source-level rollup; a gram's novelty attribution is exact and
-    deterministic. Docs shorter than n words carry no grams and are
-    excluded from the denominator (noted — the gram-bearing doc count
-    is reported). Reuses doc_ngram_sets' optimizer-barrier gram build."""
+    Relational shape (r17 single-pass — the substring_dup_spans
+    rewrite family): the distinct-gram rows explode ONCE; a gram-keyed
+    window attaches each gram's min(doc_id), and one doc-keyed
+    aggregate derives BOTH per-doc totals (n_grams = row count,
+    n_novel = rows where this doc IS the gram's first — exactly one
+    such row exists per gram since grams are distinct within a doc).
+    The r16 form instantiated the gram-transform+explode subtree twice
+    and ran three shuffles plus a join to stitch the totals back.
+    Novelty attribution stays exact and deterministic; docs shorter
+    than n words carry no grams and are excluded from the denominator
+    (noted — the gram-bearing doc count is reported). Reuses
+    doc_ngram_sets' optimizer-barrier gram build."""
     g = doc_ngram_sets(spark, n)
     flat = g.select("doc_id", F.explode("grams").alias("gram"))
-    firsts = flat.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
-    per_doc = flat.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_grams"))
-    novel = firsts.groupBy(F.col("first_doc").alias("doc_id")).agg(
-        F.count(F.lit(1)).alias("n_novel")
+    w = Window.partitionBy("gram")
+    per_doc = (
+        flat.withColumn("first_doc", F.min("doc_id").over(w))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("n_novel"),
+        )
     )
     docs = spark.table("documents").select("doc_id", "source")
     return (
         per_doc.join(docs, "doc_id")
-        .join(novel, "doc_id", "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
             F.sum("n_grams").cast("long").alias("n_grams"),
-            F.coalesce(F.sum("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.sum("n_novel").cast("long").alias("n_novel"),
             F.round(
-                F.coalesce(F.sum("n_novel"), F.lit(0))
-                / F.sum("n_grams").cast("double"),
+                F.sum("n_novel") / F.sum("n_grams").cast("double"),
                 6,
             ).alias("novelty_rate"),
         )

@@ -18,6 +18,8 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.functions import pandas_udf
 
+from uav_streamprocessor_spark.operators.partitioning import spread_scan
+
 
 def _occurrences(col, token: str):
     """# of occurrences of `token` via length arithmetic (no regex —
@@ -107,7 +109,14 @@ def word_counts(spark: SparkSession, k: int = 20) -> DataFrame:
 def tf_idf_top_terms(spark: SparkSession, k: int = 30) -> DataFrame:
     """TF-IDF with exact DF counts: tf = in-doc count, idf =
     ln((N+1)/(df+1)). Two shuffles (doc-term, term); idf side is tiny →
-    broadcast back. Top-k terms by best tf-idf."""
+    broadcast back. Top-k terms by best tf-idf.
+
+    r17 note: a single-pass rewrite (df as a word-partitioned window
+    over the (doc, word) counts, the substring_dup_spans family) was
+    measured and REVERTED — the window's vocab×docs sort costs more
+    than the second explode + hash countDistinct both at fixture scale
+    (A/B medians 0.72 vs 0.64) and plausibly at 100 TB (sort vs hash);
+    documented in OPTIMIZATION_r17.md."""
     docs = spark.table("documents")
     # N as a broadcast scalar aggregate — no driver-side action at
     # plan-build time (the previous docs.count() ran a job per build)

@@ -2344,16 +2344,28 @@ def _pixel_pipeline_mjpeg(spark):
     the S2 shape UAV cameras actually emit (cv2.VideoCapture in
     uav/frame_reader.py:63); the synthetic twin measures the detect
     stages, this one adds the true decode cost."""
+    from pyspark.sql import functions as F
+
     from uav_streamprocessor_spark.plans.pipeline import keyframe_detections_flat
     from uav_streamprocessor_spark.sources import video_source
 
     video_source.register(spark)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     paths = _mjpeg_fixture_paths(spark)
     frames = (
         spark.read.format("uav_video")
         .option("path", ",".join(paths))
+        .option("pushdown", "true")
         .option("framesPerPartition", "4")
         .load()
+        # r17 (guide §6, pushdown to the scan — the r16 moments-twin
+        # precedent applied to the detections lane): the keyframe
+        # decimation this plan applies anyway rides into the source as
+        # an IN list, so only frames 0 and 30 of each 60-frame camera
+        # are entropy-decoded — the sparse seek plan skips 58/60 of the
+        # T.81 work; the production keyframes() modulo filter stays on
+        # top, semantics unchanged
+        .filter(F.col("frame_number").isin([0, 30]))
     )
     return keyframe_detections_flat(frames)
 
@@ -7942,9 +7954,16 @@ pcm AS MATERIALIZED (
   FROM b lo JOIN b hi ON hi.k = lo.k AND hi.p = lo.p + 1
   WHERE lo.p % 2 = 0
 ),
+-- full windows only (ADVICE r16): the engine truncates a partial tail
+-- window (pcm.size // w), so the oracle drops any sub-400-sample tail
+-- group too — engine and oracle agree for ANY clip length, not just
+-- the window-aligned fixture
 win AS (
-  SELECT k, i // 400 AS w, CAST(sum(v * v) AS BIGINT) AS ss
-  FROM pcm GROUP BY k, i // 400
+  SELECT k, w, ss FROM (
+    SELECT k, i // 400 AS w, CAST(sum(v * v) AS BIGINT) AS ss,
+           count(*) AS n_in_win
+    FROM pcm GROUP BY k, i // 400
+  ) WHERE n_in_win = 400
 )
 SELECT CAST(k AS BIGINT) AS media_id,
        CAST(count(*) AS BIGINT) AS n_windows,

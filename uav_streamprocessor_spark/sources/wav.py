@@ -105,6 +105,15 @@ class WavFile:
                 (size,) = struct.unpack("<I", hdr[4:])
                 body = fh.tell()
                 if ckid == b"fmt ":
+                    # ADVICE r16: a fmt chunk smaller than the PCM header
+                    # must fail the missing-fmt contract, not silently
+                    # read into the next chunk's header and parse garbage
+                    # format fields
+                    if size < _FMT_STRUCT.size:
+                        raise ValueError(
+                            f"fmt chunk too small ({size} bytes) in "
+                            f"{self.path!r}"
+                        )
                     fmt = _FMT_STRUCT.unpack(fh.read(_FMT_STRUCT.size))
                 elif ckid == b"data":
                     self._data_off = body
