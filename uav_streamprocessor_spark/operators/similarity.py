@@ -335,6 +335,16 @@ def ann_lsh_topk(
         F.col("embedding").alias("qvec"),
         F.col("bucket").alias("qbucket"),
     )
+    # corpus side spread (guide §2.5): the 8-plane interpreted-HOF code
+    # plus the candidate cosines all evaluate in the scan stage, which a
+    # single-split fixture serializes; no-op on split-up inputs. The
+    # query side stays unspread (vec_id filter prunes it at the scan).
+    coded = spread_scan(
+        spark.table("embeddings"), "vec_id"
+    ).select(
+        "vec_id", "label", "embedding",
+        bucket_code_col(F.col("embedding")).alias("bucket"),
+    )
     cands = coded.join(
         F.broadcast(queries),
         (F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= max_hamming)
@@ -586,8 +596,16 @@ def kmeans_lloyd(
       argmin margins on this corpus.
     """
     emb = (
-        spread_scan(spark.table("embeddings").select("vec_id", "embedding"),
-                    "vec_id")
+        spark.table("embeddings")
+        .select("vec_id", "embedding")
+        # r17 note: a spread_scan here was A/B-measured ~1.7x SLOWER
+        # (3.1-3.8s vs 1.9-2.0s for the 5-round profile): each Lloyd
+        # round re-pays per-task Arrow/Python overhead over 32 tiny
+        # partitions, which dwarfs the 2000-row numpy compute the
+        # single cached partition does in one task. Unlike the one-pass
+        # encode/score/PCA lanes, the iterative loop multiplies the
+        # per-task floor by iters — the working set stays as the scan
+        # delivers it.
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     init_rows = emb.orderBy("vec_id").limit(k).collect()
@@ -773,10 +791,7 @@ def kmeans_cluster_profile(spark: SparkSession, k: int = 10, iters: int = 5) -> 
             )
 
     partials = (
-        spread_scan(
-            spark.table("embeddings").select("vec_id", "embedding", "label"),
-            "vec_id",
-        )
+        spark.table("embeddings")
         .select("embedding", "label")
         .mapInPandas(
             reduce_batch, "cluster int, label int, n long, sum_ci long"

@@ -31,11 +31,17 @@ from uav_streamprocessor_spark.operators.dedup import (
     band_signatures,
     minhash_signature,
 )
+from uav_streamprocessor_spark.operators.partitioning import spread_scan
 
 
 def batch_band_signatures(docs: DataFrame) -> DataFrame:
-    """(doc_id, text) → (doc_id, band, band_sig) for one micro-batch."""
-    sigs = docs.select(
+    """(doc_id, text) → (doc_id, band, band_sig) for one micro-batch.
+
+    r17: the micro-batch usually arrives as ONE file (maxFilesPerTrigger
+    pacing), which would run the 64-permutation signature UDF on one
+    core — spread_scan parallelizes it exactly like the batch operator's
+    pre-UDF repartition (no-op when the trigger batched many files)."""
+    sigs = spread_scan(docs, "doc_id").select(
         "doc_id", minhash_signature("text").alias("sig")
     )
     return band_signatures(sigs)
