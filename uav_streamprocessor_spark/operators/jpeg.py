@@ -178,15 +178,31 @@ class _FastHuff:
     """16-bit-peek Huffman decode tables (the classic fast-JPEG trick):
     every 16-bit window whose prefix is a valid code maps to (symbol,
     code length) via two numpy arrays built with range fills — one
-    lookup + one consume per symbol instead of a per-bit tree walk."""
+    lookup + one consume per symbol instead of a per-bit tree walk.
 
-    __slots__ = ("packed",)
+    r18: on top of `packed` ((size << 8) | symbol), two COMBINED tables
+    fold the value bits that follow the code into the same 16-bit
+    window, so the per-symbol walk does one list lookup + one consume
+    for code AND value together whenever code_len + value_len ≤ 16
+    (true for essentially every symbol of the Annex-K tables at 8-bit
+    precision). Entry layouts (0 = invalid prefix everywhere, negative
+    = -packed → two-step fallback for code_len + value_len > 16):
+
+      full_dc[w] = ((diff + 32768) << 5) | consumed           (diff ±32767)
+      full_ac[w] > 0, kind = (e >> 5) & 3:
+        kind 0 EOB:   e = consumed | (0 << 5)
+        kind 1 ZRL:   e = consumed | (1 << 5)
+        kind 2 value: e = ((val + 32768) << 11) | (run << 7)
+                          | (2 << 5) | consumed
+    """
+
+    __slots__ = ("packed", "full_dc", "full_ac")
 
     def __init__(self, bits: list[int], vals: list[int]):
         # (size << 8) | symbol per 16-bit window, as a plain Python list:
         # one list index per symbol beats two numpy scalar reads in the
         # per-symbol hot loop (numpy scalar indexing allocates)
-        packed = np.zeros(1 << 16, dtype=np.int32)  # 0 = invalid prefix
+        packed = np.zeros(1 << 16, dtype=np.int64)  # 0 = invalid prefix
         code, k = 0, 0
         for size in range(1, 17):
             for _ in range(bits[size - 1]):
@@ -196,7 +212,55 @@ class _FastHuff:
                 code += 1
                 k += 1
             code <<= 1
+
+        w = np.arange(1 << 16, dtype=np.int64)
+        size = packed >> 8
+        sym = packed & 0xFF
+
+        def _vbits(s: np.ndarray) -> np.ndarray:
+            # value bits right after the code inside the same window,
+            # sign-extended per T.81 F.12 (only meaningful where
+            # size + s <= 16 and s >= 1 — callers mask)
+            sh = np.clip(16 - size - s, 0, 16)
+            v = (w >> sh) & ((np.int64(1) << np.clip(s, 0, 16)) - 1)
+            return np.where(v >= (np.int64(1) << np.clip(s - 1, 0, 16)),
+                            v, v - (np.int64(1) << np.clip(s, 0, 16)) + 1)
+
+        # DC: symbol IS ssss; diff = extend(value bits)
+        s_dc = sym
+        fits_dc = (packed > 0) & (size + s_dc <= 16)
+        diff = np.where(s_dc > 0, _vbits(s_dc), 0)
+        full_dc = np.where(
+            packed == 0,
+            0,
+            np.where(
+                fits_dc,
+                ((diff + 32768) << 5) | (size + s_dc),
+                -packed,
+            ),
+        )
+        # AC: symbol is (run << 4) | s
+        run = sym >> 4
+        s_ac = sym & 0x0F
+        fits_ac = (packed > 0) & (s_ac > 0) & (size + s_ac <= 16)
+        val = _vbits(s_ac)
+        full_ac = np.where(
+            packed == 0,
+            0,
+            np.where(
+                s_ac == 0,
+                size | (np.where(run == 15, 1, 0) << 5),
+                np.where(
+                    fits_ac,
+                    ((val + 32768) << 11) | (run << 7) | (2 << 5)
+                    | (size + s_ac),
+                    -packed,
+                ),
+            ),
+        )
         self.packed = packed.tolist()
+        self.full_dc = full_dc.tolist()
+        self.full_ac = full_ac.tolist()
 
 
 @lru_cache(maxsize=64)
@@ -258,13 +322,13 @@ def _plane_blocks_mcu_order(
     )
 
 
-def _quantized_zigzag(blocks: np.ndarray, q: np.ndarray) -> list:
+def _quantized_zigzag(blocks: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Batched DCT + quantize + zigzag for a whole component: one einsum
-    over every block, then .tolist() so the entropy loop works on plain
-    Python ints (bit_length, shifts) with zero numpy-scalar overhead."""
+    over every block → (n_blocks, 64) int64 in zigzag order. The entropy
+    stage is vectorized too (r18), so the matrix stays numpy end to end;
+    the scalar fallback .tolist()s it itself."""
     coef = np.einsum("ij,njk,kl->nil", _A, blocks - 128.0, _A.T)
-    qz = np.rint(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
-    return qz.tolist()
+    return np.rint(coef / q).astype(np.int64).reshape(-1, 64)[:, ZIGZAG]
 
 
 def _encode_block_zz(
@@ -346,6 +410,264 @@ def _encode_block_zz(
     return dc
 
 
+# Vectorized entropy encoder (r18, guide §4.2): the per-symbol Python
+# walk in _encode_block_zz was the encoder's entire profile at roundtrip
+# scale (~2µs/symbol × ~3k symbols per 32×32 q95 image). The whole scan
+# is expressible as numpy array arithmetic — run-length gaps from
+# np.nonzero positions, Huffman (code, size) via 256-entry LUT gathers,
+# symbol placement via offset cumsums, and bit packing via one
+# np.repeat + np.packbits — producing BYTE-IDENTICAL streams (asserted
+# by test_jpeg_vectorized_encoder parity against the retained scalar
+# path). DC magnitudes are bounded by |DCT DC| ≤ 8·128 → diffs < 4096,
+# so the bit-length LUT covers every legal 8-bit-input coefficient; the
+# scalar path remains as the (never expected) overflow fallback.
+
+_BL_LUT = np.array([i.bit_length() for i in range(1 << 12)], dtype=np.int64)
+
+
+class _UnencodableSymbol(Exception):
+    """A (run, size) symbol with no Huffman code in the table — not
+    reachable from 8-bit image input (AC magnitudes stay < 1024, DC
+    diffs < 4096); routed to the scalar path so a hostile direct call
+    fails with the same loud KeyError the r12-r17 walk raised."""
+
+
+@lru_cache(maxsize=16)
+def _enc_luts(bits_b: bytes, vals_b: bytes) -> tuple[np.ndarray, np.ndarray]:
+    """(code, size) gather tables over the 8-bit symbol space for one
+    Huffman table — the vectorized twin of _canonical_codes."""
+    codes = _canonical_codes(list(bits_b), list(vals_b))
+    code = np.zeros(256, dtype=np.int64)
+    size = np.zeros(256, dtype=np.int64)
+    for sym, (c, s) in codes.items():
+        code[sym] = c
+        size[sym] = s
+    return code, size
+
+
+def _pack_bits_vec(codes: np.ndarray, sizes: np.ndarray) -> bytes:
+    """MSB-first variable-length bit packing of (code, size) pairs into
+    a 1-fill byte-padded, 0xFF-stuffed entropy segment — semantics of
+    _BitWriter.write + pad_to_byte. Each symbol's bits land in ≤5 bytes
+    (size ≤ 31 bits + 7 bits of byte-offset skew < 40), so every code is
+    shifted into a 40-bit byte-aligned window, split into 5 byte lanes,
+    and scattered with ONE np.bincount — bit ownership is exclusive, so
+    summing byte contributions IS the bitwise OR, with no per-bit
+    expansion (the first cut's np.repeat-per-bit was 40% of encode)."""
+    total = int(sizes.sum())
+    pad = (-total) & 7
+    if pad:
+        codes = np.append(codes, (1 << pad) - 1)
+        sizes = np.append(sizes, pad)
+    off = np.cumsum(sizes) - sizes
+    aligned = codes << (40 - sizes - (off & 7))
+    base = off >> 3
+    lanes = np.arange(5)
+    pos = (base[:, None] + lanes[None, :]).ravel()
+    vals = ((aligned[:, None] >> (8 * (4 - lanes))[None, :]) & 0xFF).ravel()
+    n_bytes = (total + pad) >> 3
+    by = np.bincount(pos, weights=vals, minlength=n_bytes)[:n_bytes]
+    by = by.astype(np.uint8)
+    ff = np.flatnonzero(by == 0xFF)
+    if len(ff):
+        by = np.insert(by, ff + 1, 0)
+    return by.tobytes()
+
+
+def _entropy_segment_vec(
+    qz: np.ndarray,
+    is_chroma: np.ndarray,
+    comp_ids: np.ndarray,
+    dc_luts: tuple,
+    ac_luts: tuple,
+) -> bytes:
+    """One restart segment: blocks in stream order → entropy bytes.
+    qz (n, 64) int64 zigzag; is_chroma selects the table pair per block;
+    comp_ids threads the per-component DC prediction chain."""
+    (dcl_c, dcl_s), (dcc_c, dcc_s) = dc_luts
+    (acl_c, acl_s), (acc_c, acc_s) = ac_luts
+    n = len(qz)
+
+    # DC: per-component sequential diff (preds start at 0 per segment)
+    dc = qz[:, 0]
+    diff = np.empty_like(dc)
+    for c in np.unique(comp_ids):
+        m = comp_ids == c
+        diff[m] = np.diff(dc[m], prepend=0)
+    ssss = _BL_LUT[np.abs(diff)]
+    dcode = np.where(is_chroma, dcc_c[ssss], dcl_c[ssss])
+    dsize = np.where(is_chroma, dcc_s[ssss], dcl_s[ssss])
+    if n and not dsize.all():
+        raise _UnencodableSymbol
+    mask = (np.int64(1) << ssss) - 1
+    dval = (diff + np.where(diff < 0, mask, 0)) & mask
+    dcode = (dcode << ssss) | dval
+    dsize = dsize + ssss
+
+    # AC entries: nonzero positions → (ZRL*, coded value) expansions
+    M = qz[:, 1:]
+    nzb, nzc = np.nonzero(M)
+    n_ent = len(nzb)
+    last = np.zeros(n, dtype=np.int64)
+    if n_ent:
+        pos = nzc + 1
+        v = M[nzb, nzc]
+        first = np.empty(n_ent, dtype=bool)
+        first[0] = True
+        first[1:] = nzb[1:] != nzb[:-1]
+        prev = np.empty_like(pos)
+        prev[0] = 0
+        prev[1:] = pos[:-1]
+        prev[first] = 0
+        gap = pos - prev - 1
+        nzrl = gap >> 4
+        run = gap & 15
+        assq = _BL_LUT[np.abs(v)]
+        rs = (run << 4) | assq
+        ch = is_chroma[nzb]
+        acode = np.where(ch, acc_c[rs], acl_c[rs])
+        asize = np.where(ch, acc_s[rs], acl_s[rs])
+        if not asize.all():
+            raise _UnencodableSymbol
+        amask = (np.int64(1) << assq) - 1
+        aval = (v + np.where(v < 0, amask, 0)) & amask
+        acode = (acode << assq) | aval
+        asize = asize + assq
+        # last nonzero per block: entries are (block, pos)-sorted, so the
+        # final entry of each block IS its last position (np.maximum.at
+        # was ~1µs/entry — the segment's top cost on big frames)
+        block_end = np.empty(n_ent, dtype=bool)
+        block_end[:-1] = first[1:]
+        block_end[-1] = True
+        last[nzb[block_end]] = pos[block_end]
+        ent_counts = np.bincount(
+            nzb, weights=nzrl + 1, minlength=n
+        ).astype(np.int64)
+    else:
+        ent_counts = np.zeros(n, dtype=np.int64)
+
+    eob = last < 63
+    n_sym = 1 + ent_counts + eob
+    offs = np.concatenate(([0], np.cumsum(n_sym)))
+    codes = np.zeros(offs[-1], dtype=np.int64)
+    sizes = np.zeros(offs[-1], dtype=np.int64)
+    codes[offs[:-1]] = dcode
+    sizes[offs[:-1]] = dsize
+    if eob.any():
+        ep = offs[1:][eob] - 1
+        ech = is_chroma[eob]
+        codes[ep] = np.where(ech, acc_c[0], acl_c[0])
+        sizes[ep] = np.where(ech, acc_s[0], acl_s[0])
+    if n_ent:
+        w = nzrl + 1
+        wc = np.cumsum(w) - w
+        starts = np.zeros(n, dtype=np.int64)
+        starts[nzb[first]] = wc[first]
+        base = wc - starts[nzb]
+        end_pos = offs[:-1][nzb] + 1 + base + nzrl
+        codes[end_pos] = acode
+        sizes[end_pos] = asize
+        tz = int(nzrl.sum())
+        if tz:
+            ei = np.repeat(np.arange(n_ent), nzrl)
+            within = np.arange(tz) - np.repeat(np.cumsum(nzrl) - nzrl, nzrl)
+            zpos = end_pos[ei] - nzrl[ei] + within
+            zch = ch[ei]
+            codes[zpos] = np.where(zch, acc_c[0xF0], acl_c[0xF0])
+            sizes[zpos] = np.where(zch, acc_s[0xF0], acl_s[0xF0])
+    return _pack_bits_vec(codes, sizes)
+
+
+def _entropy_scan(
+    qz: np.ndarray,
+    is_chroma: np.ndarray,
+    comp_ids: np.ndarray,
+    blocks_per_mcu: int,
+    n_mcu: int,
+    restart_interval: int,
+) -> bytes:
+    """Full entropy-coded scan (RST markers included) for stream-ordered
+    blocks. Vectorized path unless a coefficient exceeds the bit-length
+    LUT bound (impossible for 8-bit input; scalar fallback keeps the
+    function total)."""
+    dc_luts = (
+        _enc_luts(bytes(_DC_LUMA[0]), bytes(_DC_LUMA[1])),
+        _enc_luts(bytes(_DC_CHROMA[0]), bytes(_DC_CHROMA[1])),
+    )
+    ac_luts = (
+        _enc_luts(bytes(_AC_LUMA[0]), bytes(_AC_LUMA[1])),
+        _enc_luts(bytes(_AC_CHROMA[0]), bytes(_AC_CHROMA[1])),
+    )
+    if np.abs(qz).max(initial=0) >= len(_BL_LUT):
+        return _entropy_scan_scalar(
+            qz, is_chroma, comp_ids, blocks_per_mcu, n_mcu, restart_interval
+        )
+    try:
+        if not restart_interval:
+            return _entropy_segment_vec(
+                qz, is_chroma, comp_ids, dc_luts, ac_luts
+            )
+        out = bytearray()
+        seg_blocks = restart_interval * blocks_per_mcu
+        n_seg = -(-n_mcu * blocks_per_mcu // seg_blocks)
+        for si in range(n_seg):
+            lo = si * seg_blocks
+            hi = min((si + 1) * seg_blocks, n_mcu * blocks_per_mcu)
+            if si:
+                out += bytes([0xFF, 0xD0 + ((si - 1) & 7)])
+            out += _entropy_segment_vec(
+                qz[lo:hi], is_chroma[lo:hi], comp_ids[lo:hi], dc_luts, ac_luts
+            )
+        return bytes(out)
+    except _UnencodableSymbol:
+        return _entropy_scan_scalar(
+            qz, is_chroma, comp_ids, blocks_per_mcu, n_mcu, restart_interval
+        )
+
+
+def _entropy_scan_scalar(
+    qz: np.ndarray,
+    is_chroma: np.ndarray,
+    comp_ids: np.ndarray,
+    blocks_per_mcu: int,
+    n_mcu: int,
+    restart_interval: int,
+) -> bytes:
+    """The r12-r17 per-symbol walk over the same stream-ordered blocks —
+    the parity reference for the vectorized path and its overflow
+    fallback."""
+    dcl = _canonical_codes(*_DC_LUMA)
+    dcc = _canonical_codes(*_DC_CHROMA)
+    acl = _canonical_codes(*_AC_LUMA)
+    acc = _canonical_codes(*_AC_CHROMA)
+    zz = qz.tolist()
+    out = bytearray()
+    bw = _BitWriter()
+    preds: dict[int, int] = {}
+    rst = 0
+    n_in_interval = 0
+    for mi in range(n_mcu):
+        if restart_interval and n_in_interval == restart_interval:
+            bw.pad_to_byte()
+            out += bw.buf
+            out += bytes([0xFF, 0xD0 + (rst & 7)])
+            bw = _BitWriter()
+            preds = {}
+            rst += 1
+            n_in_interval = 0
+        for b in range(blocks_per_mcu):
+            i = mi * blocks_per_mcu + b
+            dc_t, ac_t = (dcc, acc) if is_chroma[i] else (dcl, acl)
+            cid = int(comp_ids[i])
+            preds[cid] = _encode_block_zz(
+                bw, zz[i], dc_t, ac_t, preds.get(cid, 0)
+            )
+        n_in_interval += 1
+    bw.pad_to_byte()
+    out += bw.buf
+    return bytes(out)
+
+
 def _rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
     r, g, b = (rgb[..., i].astype(np.float64) for i in range(3))
     return np.stack(
@@ -402,10 +724,6 @@ def encode_jpeg(
 
     ql = _scaled_quant(_Q_LUMA, quality)
     qc = _scaled_quant(_Q_CHROMA, quality)
-    dcl = _canonical_codes(*_DC_LUMA)
-    dcc = _canonical_codes(*_DC_CHROMA)
-    acl = _canonical_codes(*_AC_LUMA)
-    acc = _canonical_codes(*_AC_CHROMA)
 
     out = bytearray()
     out += b"\xff\xd8"  # SOI
@@ -434,8 +752,9 @@ def encode_jpeg(
     mcu_cols = y.shape[1] // (8 * hs)
     n_mcu = mcu_rows * mcu_cols
     blocks_per_mcu = vs * hs
-    # batched DCT + quant for every component up front (the einsum is
-    # one numpy pass per plane; entropy below walks plain Python ints)
+    # batched DCT + quant for every component up front, then the whole
+    # interleaved scan assembles into ONE stream-ordered block matrix
+    # for the vectorized entropy pass (r18)
     yzz = _quantized_zigzag(
         _plane_blocks_mcu_order(y, mcu_rows, mcu_cols, vs, hs), ql
     )
@@ -445,27 +764,21 @@ def encode_jpeg(
     crzz = _quantized_zigzag(
         _plane_blocks_mcu_order(cr, mcu_rows, mcu_cols, 1, 1), qc
     )
-    bw = _BitWriter()
-    preds = [0, 0, 0]
-    rst = 0
-    n_in_interval = 0
-    for mi in range(n_mcu):
-        if restart_interval and n_in_interval == restart_interval:
-            bw.pad_to_byte()
-            out += bw.buf
-            out += bytes([0xFF, 0xD0 + (rst & 7)])
-            bw = _BitWriter()
-            preds = [0, 0, 0]
-            rst += 1
-            n_in_interval = 0
-        base = mi * blocks_per_mcu
-        for b in range(blocks_per_mcu):
-            preds[0] = _encode_block_zz(bw, yzz[base + b], dcl, acl, preds[0])
-        preds[1] = _encode_block_zz(bw, cbzz[mi], dcc, acc, preds[1])
-        preds[2] = _encode_block_zz(bw, crzz[mi], dcc, acc, preds[2])
-        n_in_interval += 1
-    bw.pad_to_byte()
-    out += bw.buf
+    per_mcu = blocks_per_mcu + 2
+    stream = np.empty((n_mcu, per_mcu, 64), dtype=np.int64)
+    stream[:, :blocks_per_mcu] = yzz.reshape(n_mcu, blocks_per_mcu, 64)
+    stream[:, blocks_per_mcu] = cbzz
+    stream[:, blocks_per_mcu + 1] = crzz
+    is_chroma = np.tile(
+        np.array([False] * blocks_per_mcu + [True, True]), n_mcu
+    )
+    comp_ids = np.tile(
+        np.array([0] * blocks_per_mcu + [1, 2], dtype=np.int64), n_mcu
+    )
+    out += _entropy_scan(
+        stream.reshape(-1, 64), is_chroma, comp_ids, per_mcu, n_mcu,
+        restart_interval,
+    )
     out += b"\xff\xd9"  # EOI
     return bytes(out)
 
@@ -475,8 +788,6 @@ def _encode_gray(gray: np.ndarray, quality: int, restart_interval: int) -> bytes
     h, w = gray.shape
     y = _pad_replicate(gray.astype(np.float64), 8, 8)
     ql = _scaled_quant(_Q_LUMA, quality)
-    dcl = _canonical_codes(*_DC_LUMA)
-    acl = _canonical_codes(*_AC_LUMA)
     out = bytearray()
     out += b"\xff\xd8"
     out += (
@@ -494,26 +805,18 @@ def _encode_gray(gray: np.ndarray, quality: int, restart_interval: int) -> bytes
     out += b"\xff\xda" + struct.pack(">H", 8) + b"\x01"
     out += bytes([1, 0x00]) + bytes([0, 63, 0])
     mcu_rows, mcu_cols = y.shape[0] // 8, y.shape[1] // 8
+    n_mcu = mcu_rows * mcu_cols
     yzz = _quantized_zigzag(
         _plane_blocks_mcu_order(y, mcu_rows, mcu_cols, 1, 1), ql
     )
-    bw = _BitWriter()
-    pred = 0
-    rst = 0
-    n_in_interval = 0
-    for mi in range(mcu_rows * mcu_cols):
-        if restart_interval and n_in_interval == restart_interval:
-            bw.pad_to_byte()
-            out += bw.buf
-            out += bytes([0xFF, 0xD0 + (rst & 7)])
-            bw = _BitWriter()
-            pred = 0
-            rst += 1
-            n_in_interval = 0
-        pred = _encode_block_zz(bw, yzz[mi], dcl, acl, pred)
-        n_in_interval += 1
-    bw.pad_to_byte()
-    out += bw.buf
+    out += _entropy_scan(
+        yzz,
+        np.zeros(n_mcu, dtype=bool),
+        np.zeros(n_mcu, dtype=np.int64),
+        1,
+        n_mcu,
+        restart_interval,
+    )
     out += b"\xff\xd9"
     return bytes(out)
 
@@ -525,151 +828,6 @@ def _encode_gray(gray: np.ndarray, quality: int, restart_interval: int) -> bytes
 
 class JpegFormatError(ValueError):
     pass
-
-
-class _BitReader:
-    """MSB-first buffered reader over one entropy-coded segment
-    (stuffing already removed by the marker split). Peeks may run past
-    the end with virtual zero fill — that is how the final byte's pad
-    bits work — but CONSUMING past the real bit count raises, so a
-    truncated scan still fails loudly."""
-
-    __slots__ = ("data", "n_bits", "pos", "_acc", "_acc_bits", "_idx")
-
-    def __init__(self, data: bytes):
-        self.data = data
-        self.n_bits = len(data) * 8
-        self.pos = 0  # consumed bits
-        self._acc = 0
-        self._acc_bits = 0
-        self._idx = 0  # next byte to load
-
-    def _ensure(self, want: int) -> None:
-        while self._acc_bits < want:
-            if self._idx < len(self.data):
-                self._acc = (self._acc << 8) | self.data[self._idx]
-                self._idx += 1
-            else:
-                self._acc <<= 8  # virtual pad, peek-only
-            self._acc_bits += 8
-
-    def peek16(self) -> int:
-        self._ensure(16)
-        return (self._acc >> (self._acc_bits - 16)) & 0xFFFF
-
-    def consume(self, n: int) -> None:
-        if self.pos + n > self.n_bits:
-            raise JpegFormatError("entropy segment exhausted")
-        self.pos += n
-        self._acc_bits -= n
-        self._acc &= (1 << self._acc_bits) - 1
-
-    def bits(self, n: int) -> int:
-        if n == 0:
-            return 0
-        self._ensure(n)
-        v = (self._acc >> (self._acc_bits - n)) & ((1 << n) - 1)
-        self.consume(n)
-        return v
-
-
-def _extend(v: int, ssss: int) -> int:
-    """T.81 F.12: value bits → signed value."""
-    if ssss == 0:
-        return 0
-    return v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
-
-
-def _read_symbol(br: _BitReader, table: _FastHuff) -> int:
-    packed = table.packed[br.peek16()]
-    if packed == 0:
-        raise JpegFormatError("invalid Huffman code")
-    br.consume(packed >> 8)
-    return packed & 0xFF
-
-
-def _decode_block_zz(
-    br: _BitReader, dc_tab: _FastHuff, ac_tab: _FastHuff, out: np.ndarray,
-    pred: int,
-) -> int:
-    """Entropy-decode ONE block's zigzag coefficients into `out` (a row
-    of the per-component batch matrix). Dequant + IDCT happen batched
-    after the scan, and the bit-reader state lives in LOCALS for the
-    whole block (written back once at the end) — the per-symbol method
-    calls were the top profile line after the numpy batching landed.
-    Semantics identical to _BitReader.peek16/consume/bits: zero-filled
-    peeks past the end are fine, consuming past the end raises."""
-    data, n_data = br.data, len(br.data)
-    idx, acc, acc_bits, pos = br._idx, br._acc, br._acc_bits, br.pos
-    n_bits = br.n_bits
-    dc_packed = dc_tab.packed
-    ac_packed = ac_tab.packed
-    try:
-        # DC
-        while acc_bits < 16:
-            acc = (acc << 8) | (data[idx] if idx < n_data else 0)
-            idx += idx < n_data
-            acc_bits += 8
-        packed = dc_packed[(acc >> (acc_bits - 16)) & 0xFFFF]
-        if packed == 0:
-            raise JpegFormatError("invalid Huffman code")
-        size = packed >> 8
-        pos += size
-        acc_bits -= size
-        acc &= (1 << acc_bits) - 1
-        ssss = packed & 0xFF
-        if ssss:
-            while acc_bits < ssss:
-                acc = (acc << 8) | (data[idx] if idx < n_data else 0)
-                idx += idx < n_data
-                acc_bits += 8
-            v = (acc >> (acc_bits - ssss)) & ((1 << ssss) - 1)
-            pos += ssss
-            acc_bits -= ssss
-            acc &= (1 << acc_bits) - 1
-            diff = v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
-        else:
-            diff = 0
-        dc = pred + diff
-        out[0] = dc
-        k = 1
-        while k < 64:
-            while acc_bits < 16:
-                acc = (acc << 8) | (data[idx] if idx < n_data else 0)
-                idx += idx < n_data
-                acc_bits += 8
-            packed = ac_packed[(acc >> (acc_bits - 16)) & 0xFFFF]
-            if packed == 0:
-                raise JpegFormatError("invalid Huffman code")
-            size = packed >> 8
-            rs = packed & 0xFF
-            pos += size
-            acc_bits -= size
-            acc &= (1 << acc_bits) - 1
-            r, s = rs >> 4, rs & 0x0F
-            if s == 0:
-                if r == 15:  # ZRL
-                    k += 16
-                    continue
-                break  # EOB
-            k += r
-            if k > 63:
-                raise JpegFormatError("AC run past block end")
-            while acc_bits < s:
-                acc = (acc << 8) | (data[idx] if idx < n_data else 0)
-                idx += idx < n_data
-                acc_bits += 8
-            v = (acc >> (acc_bits - s)) & ((1 << s) - 1)
-            pos += s
-            acc_bits -= s
-            acc &= (1 << acc_bits) - 1
-            out[k] = v if v >= (1 << (s - 1)) else v - (1 << s) + 1
-            k += 1
-        if pos > n_bits:
-            raise JpegFormatError("entropy segment exhausted")
-        return dc
-    finally:
-        br._idx, br._acc, br._acc_bits, br.pos = idx, acc, acc_bits, pos
 
 
 def _split_scan(buf: bytes, start: int) -> tuple[list[bytes], int]:
@@ -834,36 +992,148 @@ def _decode_scan(
         )
 
     # entropy pass: per-component (n_blocks, 64) zigzag coefficient
-    # matrices in MCU-scan order; all numpy math happens batched after
+    # matrices in MCU-scan order; all numpy math happens batched after.
+    # The per-symbol walk is INLINED here (r18) so the bit-reader state
+    # lives in plain locals for the entire restart segment — the former
+    # per-block _decode_block_zz call paid a function call, a
+    # try/finally and 8 attribute save/restores per block, which was
+    # ~15% of decode once the combined value+code LUTs landed. Decoded
+    # coefficients accumulate into flat (index, value) Python lists and
+    # scatter into the matrices ONCE per scan (a numpy scalar setitem
+    # per nonzero was most of the rest). Bit semantics are unchanged:
+    # zero-filled peeks past the end are fine (that is how the final
+    # byte's pad bits work), consuming past the real bit count raises.
     coefs = [
         np.zeros((mcu_rows * mcu_cols * c["v"] * c["h"], 64))
         for c, _, _ in scan
     ]
     counters = [0] * len(scan)
-    tabs = [(huff[(0, td)], huff[(1, ta)]) for _, td, ta in scan]
+    tabs = [
+        (huff[(0, td)].full_dc, huff[(1, ta)].full_ac) for _, td, ta in scan
+    ]
+    flat_idx: list[list[int]] = [[] for _ in scan]
+    flat_val: list[list[int]] = [[] for _ in scan]
+    n_comps = len(scan)
 
+    # Refills read from a zero-padded copy of the segment (224 pad
+    # bytes bound the worst single-block overrun: 64 coefficients x ~27
+    # bits + slack), which removes the per-refill bounds test; `loaded`
+    # counts every bit shifted in, so consumed = loaded - acc_bits and
+    # the per-symbol `pos` bookkeeping collapses into the block-end
+    # exhaustion check. Pad bits are zeros = the old virtual fill.
+    _PAD = b"\x00" * 224
     seg_idx = 0
-    br = _BitReader(segs[0])
-    preds = [0] * len(scan)
+    data = segs[0] + _PAD
+    n_bits = len(segs[0]) * 8
+    idx = 0
+    acc = 0
+    acc_bits = 0
+    loaded = 0
+    preds = [0] * n_comps
     n_in_interval = 0
     for _mcu in range(mcu_rows * mcu_cols):
         if restart_interval and n_in_interval == restart_interval:
             seg_idx += 1
             if seg_idx >= len(segs):
                 raise JpegFormatError("missing restart segment")
-            br = _BitReader(segs[seg_idx])
-            preds = [0] * len(scan)
+            data = segs[seg_idx] + _PAD
+            n_bits = len(segs[seg_idx]) * 8
+            idx = acc = acc_bits = loaded = 0
+            preds = [0] * n_comps
             n_in_interval = 0
-        for ci in range(len(scan)):
-            dc_tab, ac_tab = tabs[ci]
-            mat, k = coefs[ci], counters[ci]
+        for ci in range(n_comps):
+            dc_full, ac_full = tabs[ci]
+            fi, fv = flat_idx[ci], flat_val[ci]
+            pred = preds[ci]
+            k0 = counters[ci]
             for _b in range(comp_blocks[ci]):
-                preds[ci] = _decode_block_zz(
-                    br, dc_tab, ac_tab, mat[k], preds[ci]
-                )
-                k += 1
-            counters[ci] = k
+                base = k0 << 6
+                k0 += 1
+                # DC — combined (code + value) single-lookup fast path
+                while acc_bits < 16:
+                    acc = (acc << 8) | data[idx]
+                    idx += 1
+                    acc_bits += 8
+                    loaded += 8
+                e = dc_full[(acc >> (acc_bits - 16)) & 0xFFFF]
+                if e > 0:
+                    acc_bits -= e & 31
+                    acc &= (1 << acc_bits) - 1
+                    pred += (e >> 5) - 32768
+                elif e == 0:
+                    raise JpegFormatError("invalid Huffman code")
+                else:  # code + value straddle the window: two-step
+                    packed = -e
+                    acc_bits -= packed >> 8
+                    acc &= (1 << acc_bits) - 1
+                    ssss = packed & 0xFF
+                    while acc_bits < ssss:
+                        acc = (acc << 8) | data[idx]
+                        idx += 1
+                        acc_bits += 8
+                        loaded += 8
+                    v = (acc >> (acc_bits - ssss)) & ((1 << ssss) - 1)
+                    acc_bits -= ssss
+                    acc &= (1 << acc_bits) - 1
+                    pred += (
+                        v if v >= (1 << (ssss - 1)) else v - (1 << ssss) + 1
+                    )
+                fi.append(base)
+                fv.append(pred)
+                k = 1
+                while k < 64:
+                    while acc_bits < 16:
+                        acc = (acc << 8) | data[idx]
+                        idx += 1
+                        acc_bits += 8
+                        loaded += 8
+                    e = ac_full[(acc >> (acc_bits - 16)) & 0xFFFF]
+                    if e >= 2048:  # (run, value) in one combined entry
+                        acc_bits -= e & 31
+                        acc &= (1 << acc_bits) - 1
+                        k += (e >> 7) & 15
+                        if k > 63:
+                            raise JpegFormatError("AC run past block end")
+                        fi.append(base + k)
+                        fv.append((e >> 11) - 32768)
+                        k += 1
+                        continue
+                    if e > 0:  # EOB or ZRL (no value bits)
+                        acc_bits -= e & 31
+                        acc &= (1 << acc_bits) - 1
+                        if e & 32:  # ZRL
+                            k += 16
+                            continue
+                        break  # EOB
+                    if e == 0:
+                        raise JpegFormatError("invalid Huffman code")
+                    packed = -e  # straddling entry: two-step
+                    rs = packed & 0xFF
+                    acc_bits -= packed >> 8
+                    acc &= (1 << acc_bits) - 1
+                    s = rs & 0x0F
+                    k += rs >> 4
+                    if k > 63:
+                        raise JpegFormatError("AC run past block end")
+                    while acc_bits < s:
+                        acc = (acc << 8) | data[idx]
+                        idx += 1
+                        acc_bits += 8
+                        loaded += 8
+                    v = (acc >> (acc_bits - s)) & ((1 << s) - 1)
+                    acc_bits -= s
+                    acc &= (1 << acc_bits) - 1
+                    fi.append(base + k)
+                    fv.append(v if v >= (1 << (s - 1)) else v - (1 << s) + 1)
+                    k += 1
+                if loaded - acc_bits > n_bits:
+                    raise JpegFormatError("entropy segment exhausted")
+            counters[ci] = k0
+            preds[ci] = pred
         n_in_interval += 1
+    for ci in range(n_comps):
+        if flat_idx[ci]:
+            coefs[ci].ravel()[flat_idx[ci]] = flat_val[ci]
 
     # batched dequant + un-zigzag + IDCT, then MCU-scan order → plane
     # geometry via one transpose, upsample (nearest), crop
