@@ -1070,8 +1070,11 @@ def edit_distance_pairs(
     band buckets — that composition is IMPLEMENTED as
     minhash_editdist_verify below (dedup_minhash_editdist), recall-
     pinned against this operator; the verify join shape is the same."""
-    docs = spark.table("documents").select("doc_id", "lang", "text", "n_chars")
-    a = _edit_a_side(spread_scan(docs, "doc_id"), band_width)
+    docs = spread_scan(
+        spark.table("documents").select("doc_id", "lang", "text", "n_chars"),
+        "doc_id",
+    )
+    a = _edit_a_side(docs, band_width)
     b = _edit_b_side(docs, band_width)
     # early-abandon ceiling PER PAIR: a surviving pair needs
     # lev <= (1-floor)*greatest(len_a, len_b), so that bound (+1) is the
@@ -1086,21 +1089,20 @@ def edit_distance_pairs(
     )
     lev = F.expr(f"levenshtein(text_a, text_b, {thr})")
     sim = 1.0 - lev.cast("double") / F.greatest("len_a", "len_b")
-    # r17 (guide §2.3, shuffle fewer bytes): the DP parallelism now
-    # comes from spreading the PROBE side of the broadcast candidate
-    # join BEFORE it runs (spread_scan on the raw docs — the r10-r16
-    # shape instead repartitioned the JOINED pairs, shuffling every
-    # candidate's both texts a second time, ~319k pairs × 2 payloads at
-    # sf0.1, and still built them all in one task first because the
-    # single-split scan serialized the join stage). With the probe side
-    # pinned at defaultParallelism partitions below the join, the
-    # letter-perfect history of this operator's two optimizer traps —
-    # the similarity filter folding into the join condition and AQE
-    # collapsing an unpinned repartition — lands harmlessly: wherever
-    # the DP evaluates, its stage reads the pinned spread. The
-    # pair-level repartition + checkpoint barrier is gone; candidates
-    # flow join → DP in one stage and only the raw doc rows ever
-    # shuffle (once, in spread_scan).
+    # r17 removed the pair-level repartition + checkpoint barrier (which
+    # re-shuffled every candidate's both text payloads) in favor of
+    # spreading the raw doc scan below the broadcast candidate join
+    # (guide §2.3). r18 fixes the side it spread: the r17 shape spread
+    # only the a-side, and the planner chose BuildLeft — the SPREAD side
+    # became the broadcast build input while the DP ran in the unspread
+    # single-split b-scan stage (ADVICE r17; the r18 driver bench read
+    # it at 7.3 s vs the barrier shape's 3.6 s). Both sides now derive
+    # from ONE spread scan, so whichever side the planner builds, the
+    # streamed stage that evaluates the DP reads the pinned
+    # defaultParallelism spread (identical subtrees also let the second
+    # exchange reuse the first). At production split counts spread_scan
+    # is a no-op and the join is a plain shuffle join — nothing here is
+    # local-core-count-specific.
     cands = _edit_distance_candidates(a, b, band_width)
     return (
         cands.select(

@@ -335,16 +335,13 @@ def ann_lsh_topk(
         F.col("embedding").alias("qvec"),
         F.col("bucket").alias("qbucket"),
     )
-    # corpus side spread (guide §2.5): the 8-plane interpreted-HOF code
-    # plus the candidate cosines all evaluate in the scan stage, which a
-    # single-split fixture serializes; no-op on split-up inputs. The
-    # query side stays unspread (vec_id filter prunes it at the scan).
-    coded = spread_scan(
-        spark.table("embeddings"), "vec_id"
-    ).select(
-        "vec_id", "label", "embedding",
-        bucket_code_col(F.col("embedding")).alias("bucket"),
-    )
+    # NO corpus-side spread here (r18 revert of an r17 addition): the
+    # 8-plane bucket code is light per-row work, exactly the case the
+    # k-means revert documented — the spread's exchange + task floor
+    # exceeds the single-core compute it parallelizes (driver r17 read
+    # the spread at 0.71× the unspread shape; scaling ratio 1.02 says
+    # nothing above the scan parallelizes at this SF). Re-measured and
+    # reverted per ADJUDICATION_r18 emb_ann_lsh.
     cands = coded.join(
         F.broadcast(queries),
         (F.bit_count(F.col("bucket").bitwiseXOR(F.col("qbucket"))) <= max_hamming)
@@ -1632,6 +1629,18 @@ def ivfpq_topk(
                 pdf["query_id"].to_numpy(dtype=np.int64) << 32
             ) | (pdf["label"].to_numpy(dtype=np.int64) & 0xFFFFFFFF)
             plane = np.searchsorted(lut_keys, key)
+            # presence guard (ADVICE r17): searchsorted maps an absent
+            # key to a NEIGHBOR index — the old dict lookup raised
+            # KeyError; keep that loudness instead of silently scoring
+            # against the wrong cell's LUT. The probe semi-join makes
+            # every key present today; this protects future edits.
+            plane_safe = np.minimum(plane, len(lut_keys) - 1)
+            if not (lut_keys[plane_safe] == key).all():
+                raise KeyError(
+                    "ADC scoring saw a (query_id, label) pair with no "
+                    "LUT row — candidate rows must come from the probe "
+                    "cell join"
+                )
             out = lut_stack[plane[:, None], cols[None, :], codes].sum(axis=1)
             yield pd.DataFrame(
                 {

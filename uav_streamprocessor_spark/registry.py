@@ -2250,6 +2250,23 @@ _register(
 )(_pixel_pipeline)
 
 
+# (n_cams, n_frames, w, h, q) — shared by the fixture builder and the
+# keyframe pushdown IN-list below, so the two can never disagree (the
+# r17 shape hardcoded isin([0, 30]), correct only while n_frames stayed
+# 60; tests/test_r18_optimizations.py pins the tie)
+_MJPEG_FIXTURE_GEOMETRY = (2, 60, 640, 360, 85)
+
+
+def _mjpeg_keyframe_numbers() -> list[int]:
+    """The keyframe numbers the production modulo filter selects from the
+    fixture — derived from the SAME constants the fixture builder uses
+    plus the pipeline's configured interval."""
+    from uav_streamprocessor_spark.config import DEFAULT_CONFIG
+
+    n_frames = _MJPEG_FIXTURE_GEOMETRY[1]
+    return list(range(0, n_frames, DEFAULT_CONFIG.keyframe_interval))
+
+
 def _mjpeg_fixture_paths(spark) -> list[str]:
     """Build-once MJPEG AVI bench fixture (VERDICT r12 #7): the SAME
     synthetic frames _pixel_pipeline reads (seeds 40/41, 640x360) are
@@ -2268,7 +2285,7 @@ def _mjpeg_fixture_paths(spark) -> list[str]:
 
     from uav_streamprocessor_spark.sources import video_source
 
-    n_cams, n_frames, w, h, q = 2, 60, 640, 360, 85
+    n_cams, n_frames, w, h, q = _MJPEG_FIXTURE_GEOMETRY
     base = Path(tempfile.gettempdir()) / (
         f"uav_spark_mjpeg_fixture_v1_{n_cams}x{n_frames}_{w}x{h}_q{q}"
     )
@@ -2361,11 +2378,14 @@ def _pixel_pipeline_mjpeg(spark):
         # r17 (guide §6, pushdown to the scan — the r16 moments-twin
         # precedent applied to the detections lane): the keyframe
         # decimation this plan applies anyway rides into the source as
-        # an IN list, so only frames 0 and 30 of each 60-frame camera
-        # are entropy-decoded — the sparse seek plan skips 58/60 of the
+        # an IN list, so only the keyframes of each camera are
+        # entropy-decoded — the sparse seek plan skips 58/60 of the
         # T.81 work; the production keyframes() modulo filter stays on
-        # top, semantics unchanged
-        .filter(F.col("frame_number").isin([0, 30]))
+        # top, semantics unchanged. r18: the list derives from the
+        # fixture geometry + configured interval instead of a literal
+        # [0, 30] (ADVICE r17 — a longer fixture would have silently
+        # dropped keyframes >= 60)
+        .filter(F.col("frame_number").isin(_mjpeg_keyframe_numbers()))
     )
     return keyframe_detections_flat(frames)
 
