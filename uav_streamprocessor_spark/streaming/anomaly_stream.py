@@ -31,6 +31,7 @@ from __future__ import annotations
 import math
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -48,11 +49,19 @@ def make_welford_processor():
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         n, mean, m2 = state.get if state.exists else (0, 0.0, 0.0)
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_us", "event_id"], ignore_index=True)
+        # r18 (guide §4.2 at per-key granularity): np.lexsort + plain list
+        # iteration replace the pandas concat/sort/Series walk that
+        # dominated this once-per-key body; event_id is unique, so the
+        # order is identical and the Welford recursion is untouched.
+        pdfs = list(pdfs)
+        batch = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        ts_arr = batch["ts_us"].to_numpy()
+        order = np.lexsort((batch["event_id"].to_numpy(), ts_arr))
+        eid = batch["event_id"].to_numpy()[order]
+        vals = batch["value"].to_numpy()[order]
+        ts_arr = ts_arr[order]
         n_priors, zs = [], []
-        for x in batch["value"]:
-            x = float(x)
+        for x in vals.tolist():
             n_priors.append(n)
             if n >= 2 and m2 > 0.0:
                 sd_prev = math.sqrt(m2 / (n - 1))
@@ -67,9 +76,9 @@ def make_welford_processor():
         yield pd.DataFrame(
             {
                 "user_id": key[0],
-                "event_id": batch["event_id"],
-                "ts_us": batch["ts_us"],
-                "value": batch["value"],
+                "event_id": eid,
+                "ts_us": ts_arr,
+                "value": vals,
                 "n_prior": n_priors,
                 "z": zs,
             }

