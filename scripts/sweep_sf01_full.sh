@@ -5,6 +5,16 @@
 set -u
 cd /root/repo
 CHUNKS=4
+# Stamp the generating round into the merged note (ADVICE r17: the r17
+# sweep ran without $SPARK_GRAFT_ROUND and recorded "round-unknown",
+# losing the provenance the merge/repair protocol relies on). Default:
+# the newest round-numbered bench artifact in the repo.
+if [ -z "${SPARK_GRAFT_ROUND:-}" ]; then
+  SPARK_GRAFT_ROUND=$(ls BENCH_full_r*.json 2>/dev/null \
+    | sed 's/.*_r0*\([0-9]*\)\.json/\1/' | sort -n | tail -1)
+  export SPARK_GRAFT_ROUND=${SPARK_GRAFT_ROUND:-unknown}
+fi
+echo "SPARK_GRAFT_ROUND=$SPARK_GRAFT_ROUND"
 python - <<'EOF'
 import importlib.util, json
 spec = importlib.util.spec_from_file_location("e", "/root/repo/__spark_entry__.py")

@@ -323,7 +323,14 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
-        ranks = new_ranks.localCheckpoint(eager=True)
+        # lazy checkpoint (r18, the r17 bpe_train recipe): the barrier
+        # still truncates lineage at materialization, but the rounds now
+        # fold into the CONSUMER's single action instead of paying one
+        # driver job launch per round (A/B at sf0.1: 2.09 -> 1.88 s
+        # median-of-5, results identical; ADJUDICATION_r18). The round
+        # count is fixed (no convergence probe), so nothing else forces
+        # per-round materialization.
+        ranks = new_ranks.localCheckpoint(eager=False)
     return ranks
 
 

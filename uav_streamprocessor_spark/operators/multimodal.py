@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from uav_streamprocessor_spark.operators.partitioning import spread_scan
 from uav_streamprocessor_spark.operators.pixel import decode_image, encode_image
 
 MEDIA_SCHEMA = T.StructType(
@@ -813,16 +814,15 @@ def corpus_media(spark) -> DataFrame:
                 ],
             )
 
-    # repartition the id spine before generation: documents is one small
+    # spread the id spine before generation: documents is one small
     # parquet split, and without this every payload generator (and every
     # downstream per-payload UDF) would run on a single core — the ids
-    # are the only bytes shuffled
-    return (
-        spark.table("documents")
-        .select("doc_id")
-        .repartition(32, "doc_id")
-        .mapInPandas(run, out_schema)
-    )
+    # are the only bytes shuffled. r18: spread_scan instead of a literal
+    # repartition(32) — same plan on the single-split fixture, a no-op
+    # (not a 32-way cap) on split-up production inputs.
+    return spread_scan(
+        spark.table("documents").select("doc_id"), "doc_id"
+    ).mapInPandas(run, out_schema)
 
 
 def jpeg_roundtrip_audit(
@@ -880,10 +880,20 @@ def jpeg_roundtrip_audit(
                 rows, columns=["media_id", "shape_ok", "psnr_ok"]
             )
 
+    # r18: the exchange STAYS, but parametrized (defaultParallelism, not
+    # a literal 32). Removing it via spread_scan (a no-op here, since
+    # corpus_media already spreads the spine) was A/B-measured ~7% SLOWER
+    # at sf0.1 (2.82 vs 2.62 median-of-5, ADJUDICATION_r18): fusing
+    # payload generation and the codec pass into one stage loses to
+    # re-balancing the image third of the corpus across fresh tasks —
+    # the shuffled bytes are KB-sized JPEG sources, cheap against ~1 ms
+    # of codec per image.
     return (
         media.filter(F.col("media_type") == "image")
         .select("media_id", "payload")
-        .repartition(32, "media_id")
+        .repartition(
+            media.sparkSession.sparkContext.defaultParallelism, "media_id"
+        )
         .mapInPandas(run, out_schema)
         .orderBy("media_id")
     )

@@ -1481,33 +1481,48 @@ def ivfpq_topk(
             "nvec"
         ),
     )
-    cents = {
-        r["label"]: np.asarray(r["centroid"], dtype=np.float64)
-        for r in normed.select(
-            "label", F.posexplode("nvec").alias("pos", "x")
-        )
-        .groupBy("label", "pos")
-        .agg(F.avg("x").alias("x"))
-        .groupBy("label")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct("pos", "x"))
-            ).alias("sx")
-        )
-        .select(
-            "label", F.col("sx.x").alias("centroid")
-        )
-        .collect()
-    }
+    # r18 (guide §2.6, overlap independent jobs): the three bounded
+    # model-build collects — cell centroids, the deterministic training
+    # sample, and the query vectors — are independent Spark jobs that
+    # the r17 shape ran back-to-back (cents ~1.1 s, sample ~0.2 s,
+    # queries ~0.14 s measured at sf0.1); submitting them from a small
+    # driver thread pool hides the two small jobs under the centroid
+    # job's tail. Each closure is an independent action on an immutable
+    # plan, so results are unchanged by construction.
+    from concurrent.futures import ThreadPoolExecutor
 
-    # --- codebooks on a deterministic residual sample (driver-side, the
-    # FAISS training recipe; O(n_train·dim) collect) ---
-    sample = (
-        normed.withColumn("h", F.md5(F.col("vec_id").cast("string")))
-        .orderBy("h", "vec_id")
-        .limit(n_train)
-        .collect()
-    )
+    def _collect_cents():
+        return normed.select(
+            "label", F.posexplode("nvec").alias("pos", "x")
+        ).groupBy("label", "pos").agg(F.avg("x").alias("x")).groupBy(
+            "label"
+        ).agg(
+            F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("sx")
+        ).select("label", F.col("sx.x").alias("centroid")).collect()
+
+    def _collect_sample():
+        # codebook training rows: deterministic md5-order draw (the
+        # FAISS sample-not-corpus recipe; O(n_train·dim) collect)
+        return (
+            normed.withColumn("h", F.md5(F.col("vec_id").cast("string")))
+            .orderBy("h", "vec_id")
+            .limit(n_train)
+            .collect()
+        )
+
+    def _collect_queries():
+        return normed.filter(F.col("vec_id") < n_queries).collect()
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        cents_fut = pool.submit(_collect_cents)
+        sample_fut = pool.submit(_collect_sample)
+        queries_fut = pool.submit(_collect_queries)
+        cents = {
+            r["label"]: np.asarray(r["centroid"], dtype=np.float64)
+            for r in cents_fut.result()
+        }
+        sample = sample_fut.result()
+        query_rows = queries_fut.result()
     R = np.array(
         [np.asarray(r["nvec"]) - cents[r["label"]] for r in sample],
         dtype=np.float64,
@@ -1559,10 +1574,10 @@ def ivfpq_topk(
     index = normed.mapInPandas(encode, schema=enc_schema)
 
     # --- query side: probes + ADC lookup tables, all O(queries) driver
-    # floats ---
+    # floats (rows collected concurrently with the model build above) ---
     queries = [
         (int(r["vec_id"]), np.asarray(r["nvec"], dtype=np.float64))
-        for r in normed.filter(F.col("vec_id") < n_queries).collect()
+        for r in query_rows
     ]
     probes = []  # (query_id, label)
     luts = {}  # (query_id, label) -> (m, ksub) float64
