@@ -2373,7 +2373,13 @@ def _pixel_pipeline_mjpeg(spark):
         spark.read.format("uav_video")
         .option("path", ",".join(paths))
         .option("pushdown", "true")
-        .option("framesPerPartition", "4")
+        # r18: one keyframe per partition — under IN-list pushdown the
+        # sparse plan packs requested frames into framesPerPartition
+        # chunks, so "4" serialized a camera's keyframe decodes in one
+        # task (detections-lane A/B median-of-5: 1.66 -> 1.25 s, rows
+        # identical; ADJUDICATION_r18). The read is keyframe-sparse by
+        # construction, so task count scales with keyframes, not frames.
+        .option("framesPerPartition", "1")
         .load()
         # r17 (guide §6, pushdown to the scan — the r16 moments-twin
         # precedent applied to the detections lane): the keyframe
@@ -2429,7 +2435,13 @@ def _pixel_moments(spark):
         spark.read.format("uav_video")
         .option("path", spec)
         .option("pushdown", "true")
-        .option("framesPerPartition", "4")
+        # r18: one keyframe per partition — under IN-list pushdown the
+        # sparse plan packs requested frames into framesPerPartition
+        # chunks, so "4" serialized a camera's keyframe decodes in one
+        # task (detections-lane A/B median-of-5: 1.66 -> 1.25 s, rows
+        # identical; ADJUDICATION_r18). The read is keyframe-sparse by
+        # construction, so task count scales with keyframes, not frames.
+        .option("framesPerPartition", "1")
         .load()
         # bounded-decimation IN hint: consumed by the source's
         # frame_number pushdown, so skipped frames are never synthesized
@@ -2622,7 +2634,13 @@ def _pixel_moments_mjpeg(spark):
         spark.read.format("uav_video")
         .option("path", ",".join(paths))
         .option("pushdown", "true")
-        .option("framesPerPartition", "4")
+        # r18: one keyframe per partition — under IN-list pushdown the
+        # sparse plan packs requested frames into framesPerPartition
+        # chunks, so "4" serialized a camera's keyframe decodes in one
+        # task (detections-lane A/B median-of-5: 1.66 -> 1.25 s, rows
+        # identical; ADJUDICATION_r18). The read is keyframe-sparse by
+        # construction, so task count scales with keyframes, not frames.
+        .option("framesPerPartition", "1")
         .load()
         # decimation pushdown: only the keyframes are entropy-decoded —
         # the sparse seek plan skips 29/31 of the T.81 work per camera
